@@ -1,0 +1,399 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.ops.AggOps
+import graft.tables.Tables
+
+/** Testdata demos for scans, joins, aggregations, windows, and set
+  * operations (SURVEY.md §2.1, §2.4–§2.7). Deterministic orderBy + explicit
+  * tie-breaks everywhere (SURVEY §6 determinism notes); double sums go
+  * through decimal for engine-independent results (AggOps.exactSum).
+  */
+object RelationalDemos {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // S2 — scan + projection + pushed filter.
+    "scan_parquet" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // P1 — column pruning projection.
+    "project" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
+    // Headline aggregation (TPC-H Q1 shape): map-side partial agg + one shuffle.
+    "q1_agg" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+          AggOps.exactSum(col("l_quantity")).as("sum_qty"),
+          AggOps.exactSum(col("l_extendedprice")).as("sum_base_price"),
+          AggOps.exactSumWide(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          (AggOps.exactSum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // J1 — equi inner join on the fact keys.
+    "join_inner" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+              col("l_orderkey") === col("o_orderkey"))
+        .select("o_orderkey", "l_linenumber", "o_custkey", "o_orderpriority",
+                "l_quantity")
+        .orderBy("o_orderkey", "l_linenumber")
+    }),
+    // J2 — keyed lookup probe: small literal key set joined (broadcast) in.
+    "join_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val probe = Seq(0L, 1L, 5L, 10L, 42L, 99L).toDF("probe_key")
+      Tables.customer(s, dir)
+        .join(broadcast(probe), col("c_custkey") === col("probe_key"))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+    // J3 — enrichment join through two dimensions.
+    "join_enrich" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+              col("c_nationkey") === col("n_nationkey"))
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment", "n_name")
+        .orderBy("o_orderkey")
+    }),
+    // J6 — curie-else-name fallback: two left lookups + coalesce
+    // (node_synonymizer.py:229-234).
+    "join_fallback" -> ((s, dir) => {
+      val nation = Tables.nation(s, dir)
+      val byKey  = broadcast(nation.select(col("n_nationkey").as("k_key"),
+                                           col("n_name").as("k_name")))
+      val byName = broadcast(nation.select(col("n_name").as("m_name"),
+                                           col("n_nationkey").as("m_key")))
+      val probe = Tables.customer(s, dir).select(
+        col("c_custkey"),
+        when(col("c_custkey") % 2 === 0, col("c_nationkey")).as("nk"),
+        when(col("c_custkey") % 2 =!= 0,
+             concat(lit("NATION_"), (col("c_custkey") % 25).cast("string")))
+          .as("nname"))
+      probe
+        .join(byKey, col("nk") === col("k_key"), "left")
+        .join(byName, col("nname") === col("m_name"), "left")
+        .select(col("c_custkey"),
+                coalesce(col("k_name"), col("m_name")).as("resolved_nation"))
+        .orderBy("c_custkey")
+    }),
+    // J7 — cluster-member-style array build → explode → join
+    // (node_synonymizer.py:236-256, 311-329).
+    "explode_join" -> ((s, dir) => {
+      val arrs = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(array_sort(collect_set(col("l_partkey"))).as("pids"))
+      arrs.select(col("l_orderkey"), explode(col("pids")).as("pk"))
+        .join(Tables.part(s, dir), col("pk") === col("p_partkey"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_parts"),
+             count(when(col("p_size") > 25, lit(1))).as("n_big_parts"))
+        .orderBy("l_orderkey")
+    }),
+    // A1 — argmax-per-group (the reference's most distinctive semantic:
+    // node_synonymizer.py:370-379). Tie-break: max count then max value.
+    "argmax_group" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("o_custkey")
+        .agg(AggOps.argmax(col("o_orderpriority"), col("cnt")).as("m"))
+        .select(col("o_custkey"), col("m.value").as("top_priority"),
+                col("m.cnt").as("cnt"))
+        .orderBy("o_custkey")
+    }),
+    // A2 — synonym-count ranking: collect per group, rank by size
+    // (NER.py:69-81).
+    "rank_by_count" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+             array_sort(collect_list(col("o_orderkey"))).as("order_keys"))
+        .orderBy(col("n_orders").desc, col("o_custkey"))
+    }),
+    // A3 — set-dedup of collected lists (utils.py:103-111).
+    "dedup_array" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .groupBy("c_nationkey")
+        .agg(array_sort(collect_set(col("c_mktsegment"))).as("segments"))
+        .orderBy("c_nationkey")
+    }),
+    // A4 — longest-name-wins merge (perform_NER.py:39-53).
+    "maxby_len" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+              col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(AggOps.longestWins(col("c_name")).as("longest_name"))
+        .orderBy("n_name")
+    }),
+    // A5 — per-group category histogram, assembled as a deterministic
+    // sorted "k:v,k:v" string (map form is unit-tested; the string form is
+    // hash-stable across engines) (node_synonymizer.py:121-141).
+    "map_histogram" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .join(Tables.customer(s, dir), col("user_id") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+              col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("n_name")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("event_type"), col("cnt")))),
+            x => concat(x.getField("event_type"), lit(":"),
+                        x.getField("cnt").cast("string"))),
+          ",").as("hist"))
+        .orderBy("n_name")
+    }),
+    // A6 — last-wins upsert by key (utils.py:64-69).
+    "dedup_lastwin" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+                col("event_id").as("last_event_id"))
+        .orderBy("user_id", "event_type")
+    }),
+    // A7 — first-wins insert by key (look_for_identifiers.py:86-89, 102-105).
+    "dedup_firstwin" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(min_by(col("event_id"), struct(col("ts"), col("event_id")))
+          .as("first_event_id"))
+        .orderBy("user_id", "event_type")
+    }),
+    // A8 — entity → value-set accumulation (NER.py:103-108).
+    "collect_set_group" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(array_sort(collect_set(col("event_type"))).as("types"))
+        .orderBy("user_id")
+    }),
+    // A9 — union-of-sets flatten (node_synonymizer.py:238).
+    "flatten_distinct" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(collect_set(col("event_type")).as("types"))
+        .select(explode(col("types")).as("event_type"))
+        .distinct()
+        .orderBy("event_type")
+    }),
+    // W1 — top-1 per group via window row_number.
+    "window_rownum" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    }),
+    // North-star frame-spec window: per-user running sum (decimal-exact).
+    "window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          sum(col("value").cast(DecimalType(18, 4))).over(w)
+            .cast("double").as("running"))
+        .orderBy("event_id")
+    }),
+    // W2 — global sort (+ top-k limit).
+    "sort_global" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .select("c_custkey", "c_acctbal")
+        .limit(100)
+    }),
+    // W3 — first element.
+    "limit1" -> ((s, dir) => {
+      Tables.nation(s, dir)
+        .orderBy("n_nationkey")
+        .select("n_nationkey", "n_name")
+        .limit(1)
+    }),
+    // SET1 — anti-join: inputs with no match (node_synonymizer.py:143-148).
+    // Orders with no lineitems (non-empty at every sf, unlike
+    // customers-without-orders which the generator fully covers).
+    "anti_join" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+              col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    }),
+    // SET1 — null-fill contract: every probe key appears, misses get null.
+    "lookup_nullfill" -> ((s, dir) => {
+      import s.implicits._
+      val probe = Seq(0L, 1L, 2L, 3L, 999999999L).toDF("input")
+      probe.join(Tables.customer(s, dir),
+                 col("input") === col("c_custkey"), "left")
+        .select(col("input"), col("c_name"))
+        .orderBy("input")
+    }),
+    // SET3 — intersect.
+    "set_ops" -> ((s, dir) => {
+      val withOrders = Tables.orders(s, dir)
+        .select(col("o_custkey").as("custkey")).distinct()
+      val building = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      withOrders.intersect(building).orderBy("custkey")
+    }),
+    // SET2 — except (miss-retry set difference shape).
+    "set_except" -> ((s, dir) => {
+      val all = Tables.orders(s, dir).select(col("o_orderkey").as("okey"))
+      val withLines = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey")).distinct()
+      all.except(withLines).orderBy("okey")
+    }),
+    // Exact distinct count per group.
+    "count_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy("l_returnflag")
+    }),
+    // Sketch-based distinct (north-star; no SQL oracle — impl-specific HLL,
+    // driver records rows-only check).
+    "approx_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+        |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "project" ->
+      "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "join_inner" ->
+      """SELECT o_orderkey, l_linenumber, o_custkey, o_orderpriority, l_quantity
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+    "join_lookup" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey IN (0, 1, 5, 10, 42, 99) ORDER BY c_custkey""".stripMargin,
+    "join_enrich" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment, n_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_fallback" ->
+      """WITH probe AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 2 = 0 THEN c_nationkey END AS nk,
+        |    CASE WHEN c_custkey % 2 <> 0 THEN 'NATION_' || CAST(c_custkey % 25 AS VARCHAR) END AS nname
+        |  FROM customer)
+        |SELECT c_custkey, COALESCE(k.n_name, m.n_name) AS resolved_nation
+        |FROM probe
+        |LEFT JOIN nation k ON probe.nk = k.n_nationkey
+        |LEFT JOIN nation m ON probe.nname = m.n_name
+        |ORDER BY c_custkey""".stripMargin,
+    "explode_join" ->
+      """WITH arr AS (SELECT l_orderkey, list(DISTINCT l_partkey) AS pids FROM lineitem GROUP BY 1),
+        |ex AS (SELECT l_orderkey, unnest(pids) AS pk FROM arr)
+        |SELECT ex.l_orderkey, count(*) AS n_parts,
+        |  count(*) FILTER (WHERE p_size > 25) AS n_big_parts
+        |FROM ex JOIN part ON pk = p_partkey
+        |GROUP BY ex.l_orderkey ORDER BY ex.l_orderkey""".stripMargin,
+    "argmax_group" ->
+      """SELECT o_custkey, o_orderpriority AS top_priority, count(*) AS cnt
+        |FROM orders GROUP BY o_custkey, o_orderpriority
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY count(*) DESC, o_orderpriority DESC) = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "rank_by_count" ->
+      """SELECT o_custkey, count(*) AS n_orders, list_sort(list(o_orderkey)) AS order_keys
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY n_orders DESC, o_custkey""".stripMargin,
+    "dedup_array" ->
+      """SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "maxby_len" ->
+      """SELECT n_name, c_name AS longest_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |QUALIFY row_number() OVER (PARTITION BY n_name ORDER BY length(c_name) DESC, c_name DESC) = 1
+        |ORDER BY n_name""".stripMargin,
+    "map_histogram" ->
+      """SELECT n_name, string_agg(event_type || ':' || CAST(cnt AS VARCHAR), ',' ORDER BY event_type) AS hist
+        |FROM (SELECT n_name, event_type, count(*) AS cnt
+        |      FROM events JOIN customer ON user_id = c_custkey
+        |      JOIN nation ON c_nationkey = n_nationkey
+        |      GROUP BY n_name, event_type)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "dedup_lastwin" ->
+      """SELECT user_id, event_type, event_id AS last_event_id FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "dedup_firstwin" ->
+      """SELECT user_id, event_type, event_id AS first_event_id FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "collect_set_group" ->
+      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "flatten_distinct" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "window_rownum" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "window_running" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
+        |FROM events ORDER BY event_id""".stripMargin,
+    "sort_global" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 100""".stripMargin,
+    "limit1" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey LIMIT 1",
+    "anti_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "lookup_nullfill" ->
+      """WITH probe(input) AS (VALUES (0), (1), (2), (3), (999999999))
+        |SELECT CAST(input AS BIGINT) AS input, c_name
+        |FROM probe LEFT JOIN customer ON input = c_custkey
+        |ORDER BY input""".stripMargin,
+    "set_ops" ->
+      """SELECT custkey FROM (SELECT DISTINCT o_custkey AS custkey FROM orders)
+        |INTERSECT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY custkey""".stripMargin,
+    "set_except" ->
+      """SELECT o_orderkey AS okey FROM orders
+        |EXCEPT SELECT DISTINCT l_orderkey AS okey FROM lineitem
+        |ORDER BY okey""".stripMargin,
+    "count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}
