@@ -1,0 +1,60 @@
+package graft.drugbank
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.constants.Constants
+import graft.ner.DictionaryNer
+import graft.ops.StringOps
+import graft.synonymizer.Synonymizer
+
+/** EP1 — perform_NER.py:57-146 as one Spark job (SURVEY §3):
+  * XML records → synonymizer alignment → NER enrichment of the indication
+  * (3 disease categories) and of the concatenated text fields (24
+  * mechanistic categories) → per-drug record with the two aligned maps.
+  *
+  * The reference's per-drug sequential loop over 5 GPU pipelines becomes
+  * two dataset-wide dictionary-match passes; the only shuffles are the
+  * mention-dictionary join and the per-drug re-aggregation.
+  */
+object Stage1 {
+
+  private val matchMapType: DataType = MapType(StringType, StructType(Seq(
+    StructField("name", StringType), StructField("category", StringType))))
+
+  private def emptyMap = map().cast(matchMapType)
+
+  def run(drugs: DataFrame, syn: Synonymizer, ner: DictionaryNer): DataFrame = {
+    val recs = DrugBank.records(drugs, syn)
+
+    // indication_NER_aligned (perform_NER.py:117-125): bracket-scrubbed
+    // indication → disease-category matches.
+    val indication = ner.asMap(ner.textToKg2Nodes(
+        recs.filter(col("indication").isNotNull)
+          .select(col("kg2_id"),
+                  StringOps.removeBrackets(col("indication")).as("text")),
+        "kg2_id", "text", Constants.IndicationCategories))
+      .withColumnRenamed("matches", "indication_NER_aligned")
+
+    // mechanistic_intermediate_nodes (perform_NER.py:126-134): all six
+    // MOSTLY_TEXT_FIELDS bracket-scrubbed and concatenated ("\n "-joined;
+    // concat_ws skips nulls like the reference's `if text:` guard).
+    val mechText = concat_ws("\n ",
+      Constants.MostlyTextFields.map(f =>
+        StringOps.removeBrackets(col(f))): _*)
+    val mechanistic = ner.asMap(ner.textToKg2Nodes(
+        recs.select(col("kg2_id"), mechText.as("text")),
+        "kg2_id", "text", Constants.MechanisticCategories))
+      .withColumnRenamed("matches", "mechanistic_intermediate_nodes")
+
+    recs
+      .join(indication, col("kg2_id") === indication("doc_key"), "left")
+      .drop("doc_key")
+      .join(mechanistic, col("kg2_id") === mechanistic("doc_key"), "left")
+      .drop("doc_key")
+      .withColumn("indication_NER_aligned",
+        coalesce(col("indication_NER_aligned"), emptyMap))
+      .withColumn("mechanistic_intermediate_nodes",
+        coalesce(col("mechanistic_intermediate_nodes"), emptyMap))
+  }
+}

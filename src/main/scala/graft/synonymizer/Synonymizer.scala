@@ -1,0 +1,217 @@
+package graft.synonymizer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.StringOps
+
+/** The node-synonymizer query API (node_synonymizer.py:58-297) as pure
+  * DataFrame transforms over three relations:
+  *
+  * {{{
+  * nodes(id, id_simplified, name, name_simplified, category, cluster_id,
+  *       major_branch, name_sri, category_sri, name_kg2pre, category_kg2pre)
+  * clusters(cluster_id, name, category, member_ids, intra_cluster_edge_ids)
+  * edges(id, subject, predicate, object, upstream_resource_id,
+  *       primary_knowledge_source)
+  * }}}
+  *
+  * Scale notes (100 TB design): `nodes` is the big side (multi-M rows) and
+  * stays shuffle-partitioned by its join key; `clusters` is cluster-count
+  * sized and is broadcast; probe sets (the caller's inputs) are usually
+  * much smaller than `nodes`, so the probe side is broadcast into the
+  * nodes scan — no full shuffle of `nodes` for a lookup. The reference's
+  * per-drug sqlite connections + 5,000-key IN-batching
+  * (node_synonymizer.py:400-411, utils.py:209) disappear: a probe is just
+  * a join. Skew on common simplified names is handled by AQE skew-join.
+  *
+  * Every public method takes a DataFrame with an `input` string column and
+  * returns one row per distinct input (SET1 anti-fill contract: misses
+  * appear with nulls, node_synonymizer.py:143-148).
+  */
+final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
+                        edges: DataFrame) {
+
+  /** Preferred-triple projection of a cluster (node_synonymizer.py:393-398):
+    * the cluster id is the canonical curie; category gets the biolink:
+    * prefix (node_synonymizer.py:363-368).
+    */
+  private def preferred(c: DataFrame): DataFrame =
+    c.select(
+      col("cluster_id"),
+      col("cluster_id").as("preferred_curie"),
+      col("name").as("preferred_name"),
+      StringOps.withPrefix("biolink:", col("category"))
+        .as("preferred_category"))
+
+  private val clustersPreferred = broadcast(preferred(clusters))
+
+  /** Distinct probe rows: input plus its normalized lookup key. */
+  private def curieProbe(inputs: DataFrame): DataFrame =
+    inputs.select(col("input")).distinct()
+      .withColumn("probe_key", StringOps.capitalizePrefix(col("input")))
+
+  private def nameProbe(inputs: DataFrame): DataFrame =
+    inputs.select(col("input")).distinct()
+      .withColumn("probe_key", StringOps.simplify(col("input")))
+
+  /** input → cluster_id by exact (capitalized) curie
+    * (node_synonymizer.py:69-77). One row per (input, cluster); the same
+    * simplified id mapping to several nodes of one cluster collapses.
+    */
+  private def clusterByCurie(inputs: DataFrame): DataFrame =
+    broadcast(curieProbe(inputs))
+      .join(nodes, col("probe_key") === nodes("id_simplified"))
+      .select(col("input"), col("cluster_id"))
+      .distinct()
+
+  /** input → argmax cluster by simplified name
+    * (node_synonymizer.py:90-107 + 370-379). Engine tie-break per SURVEY
+    * §6.1: max member count, then smallest cluster_id.
+    */
+  private def clusterByName(inputs: DataFrame): DataFrame =
+    broadcast(nameProbe(inputs))
+      .join(nodes, col("probe_key") === nodes("name_simplified"))
+      .groupBy(col("input"), col("cluster_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("input"))
+      .agg(min_by(col("cluster_id"), struct(negate(col("cnt")), col("cluster_id")))
+        .as("cluster_id"))
+
+  private def withPreferred(resolved: DataFrame, inputs: DataFrame): DataFrame =
+    inputs.select(col("input")).distinct()
+      .join(resolved.join(clustersPreferred, "cluster_id"), Seq("input"), "left")
+      .select("input", "preferred_curie", "preferred_name", "preferred_category")
+
+  /** get_canonical_curies, curie path (node_synonymizer.py:58-86). */
+  def canonicalCuriesByCurie(inputs: DataFrame): DataFrame =
+    withPreferred(clusterByCurie(inputs), inputs)
+
+  /** get_canonical_curies, name path (node_synonymizer.py:88-116). */
+  def canonicalCuriesByName(inputs: DataFrame): DataFrame =
+    withPreferred(clusterByName(inputs), inputs)
+
+  /** get_canonical_curies with curie-else-name fallback
+    * (node_synonymizer.py:229-234; CLI :468-477): resolve as curie, retry
+    * the misses as names, coalesce.
+    */
+  def canonicalCuriesFallback(inputs: DataFrame): DataFrame = {
+    val byCurie = clusterByCurie(inputs)
+    val misses = inputs.select(col("input")).distinct()
+      .join(byCurie, Seq("input"), "left_anti")
+    val byName = clusterByName(misses)
+    withPreferred(byCurie.unionByName(byName), inputs)
+  }
+
+  /** get_equivalent_nodes (node_synonymizer.py:150-214): input → sorted
+    * array of the resolved cluster's member curies (sort key = uppercased
+    * id, node_synonymizer.py:280-281); unresolved inputs → null array.
+    */
+  def equivalentNodes(inputs: DataFrame, byName: Boolean = false): DataFrame = {
+    val resolved = if (byName) clusterByName(inputs) else clusterByCurie(inputs)
+    val members = resolved
+      .join(broadcast(clusters.select(col("cluster_id"), col("member_ids"))),
+            "cluster_id")
+      .select(col("input"),
+        array_sort(col("member_ids"),
+          (a, b) => when(upper(a) < upper(b), -1)
+            .when(upper(a) > upper(b), 1).otherwise(0))
+          .as("equivalent_curies"))
+    inputs.select(col("input")).distinct()
+      .join(members, Seq("input"), "left")
+  }
+
+  /** get_normalizer_results (node_synonymizer.py:216-297): curie-else-name
+    * fallback resolution, then per input the full member-node detail
+    * (id + names/categories from each provenance, sorted by uppercased id)
+    * plus the per-category member histogram
+    * (node_synonymizer.py:121-141, 269-276).
+    */
+  def normalizerResults(inputs: DataFrame): DataFrame = {
+    val distinctInputs = inputs.select(col("input")).distinct()
+    val byCurie = clusterByCurie(inputs)
+    val misses = distinctInputs.join(byCurie, Seq("input"), "left_anti")
+    val resolved = byCurie.unionByName(clusterByName(misses))
+
+    val memberRows = resolved
+      .join(broadcast(clusters.select(col("cluster_id"), col("member_ids"))),
+            "cluster_id")
+      .select(col("input"), col("cluster_id"),
+              explode(col("member_ids")).as("member_id"))
+      .join(nodes.withColumnRenamed("cluster_id", "node_cluster_id"),
+            col("member_id") === nodes("id"))
+
+    val assembled = memberRows
+      .groupBy(col("input"), col("cluster_id"))
+      .agg(
+        sort_array(collect_list(struct(
+          upper(col("id")).as("sort_key"),
+          struct(
+            col("id"), col("name"), col("category"), col("major_branch"),
+            col("name_sri"), col("category_sri"),
+            col("name_kg2pre"), col("category_kg2pre")).as("node"))))
+          .as("sorted"))
+      .select(
+        col("input"),
+        col("cluster_id").as("preferred_curie"),
+        expr("transform(sorted, x -> x.node)").as("nodes"))
+
+    val histo = memberRows
+      .groupBy(col("input"), col("category"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("input"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(coalesce(col("category"), lit("null")), col("cnt")))))
+        .as("categories"))
+
+    distinctInputs
+      .join(assembled, Seq("input"), "left")
+      .join(histo, Seq("input"), "left")
+      .join(resolved.join(clustersPreferred, "cluster_id")
+              .select(col("input"), col("preferred_name"),
+                      col("preferred_category")),
+            Seq("input"), "left")
+      .select("input", "preferred_curie", "preferred_name",
+              "preferred_category", "nodes", "categories")
+  }
+
+  /** R2 suffix → all-prefix expansion (node_synonymizer.py:43-56): bare
+    * suffixes fan out across `prefixes`, hits resolve canonically. Output:
+    * one row per (input, candidate_curie) hit; suffixes with no hit at all
+    * get a null-fill row.
+    */
+  def suffixSearch(inputs: DataFrame, prefixes: Seq[String]): DataFrame = {
+    val prefixDf = inputs.sparkSession
+      .createDataset(prefixes)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("prefix")
+    val candidates = inputs.select(col("input")).distinct()
+      .crossJoin(broadcast(prefixDf))
+      .select(col("input"),
+              StringOps.curieCandidate(col("prefix"), col("input"))
+                .as("candidate"))
+    val hits = candidates
+      .withColumn("probe_key", StringOps.capitalizePrefix(col("candidate")))
+      .join(nodes, col("probe_key") === nodes("id_simplified"))
+      .join(clustersPreferred, "cluster_id")
+      .select("input", "candidate", "preferred_curie", "preferred_name",
+              "preferred_category")
+      .distinct()
+    inputs.select(col("input")).distinct()
+      .join(hits, Seq("input"), "left")
+  }
+
+  /** U5 debug helper: a cluster's member nodes and intra-cluster edges
+    * (node_synonymizer.py:301-339) — dev utility, driver-side collect OK.
+    */
+  def clusterTable(clusterId: String): (DataFrame, DataFrame) = {
+    val c = clusters.filter(col("cluster_id") === clusterId)
+    val members = c.select(explode(col("member_ids")).as("member_id"))
+      .join(nodes, col("member_id") === nodes("id"))
+      .orderBy("id")
+    val clusterEdges = c
+      .select(explode(col("intra_cluster_edge_ids")).as("edge_id"))
+      .join(edges, col("edge_id") === edges("id"))
+      .orderBy("id")
+    (members, clusterEdges)
+  }
+}

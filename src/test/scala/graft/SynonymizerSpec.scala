@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** SURVEY §5.2 unit coverage for the synonymizer query API (EP3). */
+class SynonymizerSpec extends SparkTestBase {
+
+  private def syn = TestFixtures.synonymizer(spark)
+
+  private def canonicalByName(inputs: String*): Map[String, Option[(String, String, String)]] =
+    syn.canonicalCuriesByName(TestFixtures.inputsDf(spark, inputs))
+      .collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))
+        .map(c => (c, r.getString(2), r.getString(3))))
+      .toMap
+
+  test("canonical by curie: prefix capitalization + cluster resolution") {
+    val out = syn.canonicalCuriesByCurie(
+        TestFixtures.inputsDf(spark, Seq("chebi:15365", "DRUGBANK:DB00945")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("chebi:15365") == "CHEBI:15365")
+    assert(out("DRUGBANK:DB00945") == "CHEBI:15365")
+  }
+
+  test("canonical by name: simplification + argmax cluster (A1)") {
+    val out = canonicalByName("As pi-RIN.")
+    // "aspirin" appears 2× in CHEBI:15365, 1× in CHEBI:999 → argmax wins
+    assert(out("As pi-RIN.").map(_._1).contains("CHEBI:15365"))
+    assert(out("As pi-RIN.").map(_._2).contains("Aspirin"))
+    assert(out("As pi-RIN.").map(_._3).contains("biolink:SmallMolecule"))
+  }
+
+  test("argmax tie-break: smallest cluster_id wins (SURVEY §6.1)") {
+    val out = canonicalByName("Ibuprofen")
+    assert(out("Ibuprofen").map(_._1).contains("CHEBI:200"))
+  }
+
+  test("anti-fill totality (SET1): every input appears; misses are null") {
+    val inputs = Seq("aspirin", "nonexistent thing", "asthma")
+    val out = canonicalByName(inputs: _*)
+    assert(out.keySet == inputs.toSet)
+    assert(out("nonexistent thing").isEmpty)
+    assert(out("asthma").map(_._1).contains("MONDO:0004979"))
+  }
+
+  test("curie-else-name fallback (J6)") {
+    val out = syn.canonicalCuriesFallback(
+        TestFixtures.inputsDf(spark, Seq("uniprotkb:P45059", "Asthma", "zzz")))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("uniprotkb:P45059").contains("UniProtKB:P45059"))
+    assert(out("Asthma").contains("MONDO:0004979"))
+    assert(out("zzz").isEmpty)
+  }
+
+  test("equivalent nodes (J7): member array sorted by uppercased id") {
+    val out = syn.equivalentNodes(
+        TestFixtures.inputsDf(spark, Seq("CHEBI:15365", "missing:1")))
+      .collect().map(r => r.getString(0) -> Option(r.getSeq[String](1))).toMap
+    assert(out("CHEBI:15365").contains(
+      Seq("CAS:50-78-2", "CHEBI:15365", "DRUGBANK:DB00945")))
+    assert(out("missing:1").isEmpty)
+  }
+
+  test("normalizer results: member detail + category histogram (A5)") {
+    val rows = syn.normalizerResults(
+        TestFixtures.inputsDf(spark, Seq("aspirin", "nope"))).collect()
+    val byInput = rows.map(r => r.getString(0) -> r).toMap
+    val asp = byInput("aspirin")
+    assert(asp.getString(1) == "CHEBI:15365")
+    val memberIds = asp.getSeq[Row](4).map(_.getString(0))
+    assert(memberIds == Seq("CAS:50-78-2", "CHEBI:15365", "DRUGBANK:DB00945"))
+    val cats = asp.getMap[String, Long](5)
+    assert(cats == Map("SmallMolecule" -> 2L, "Drug" -> 1L))
+    assert(byInput("nope").isNullAt(1))
+  }
+
+  test("suffix search (R2): fan-out then canonical resolution") {
+    val out = syn.suffixSearch(
+        TestFixtures.inputsDf(spark, Seq("15365", "notasuffix")),
+        Seq("CHEBI", "MESH"))
+      .collect()
+    val hits = out.filter(_.getString(1) != null)
+    assert(hits.length == 1)
+    assert(hits.head.getString(1) == "CHEBI:15365")
+    assert(hits.head.getString(2) == "CHEBI:15365")
+    // null-fill row for the miss
+    assert(out.exists(r => r.getString(0) == "notasuffix" && r.isNullAt(1)))
+  }
+
+  test("cluster table (U5 debug)") {
+    val (members, clusterEdges) = syn.clusterTable("CHEBI:15365")
+    assert(members.count() == 3)
+    assert(clusterEdges.count() == 2)
+  }
+}
