@@ -18,12 +18,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TextDemos.queries ++ RelationalDemos.queries
+    TextDemos.queries ++ RelationalDemos.queries ++ PipelineDemos.queries ++
+      StreamingDemos.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (impl-specific sketches) get
     * the driver's weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    TextDemos.oracleSql ++ RelationalDemos.oracleSql
+    TextDemos.oracleSql ++ RelationalDemos.oracleSql ++
+      PipelineDemos.oracleSql ++ StreamingDemos.oracleSql
 }

@@ -1,0 +1,94 @@
+package graft.extensions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All pure Column DSL (whole-stage codegen; no UDFs), engine-independent
+  * arithmetic (integer-derived doubles only), so every op is
+  * DuckDB-oracle-checkable and scales embarrassingly parallel — per-row
+  * expressions with no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count (long). */
+  def tokenCount(text: Column): Column =
+    size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one token.
+    */
+  val bpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeIshPattern), lit(0))).cast("long")
+
+  /** Stopword dictionaries for the n-gram/stopword language heuristic.
+    * Deliberately tiny — the operator shape (argmax over per-language
+    * evidence counts) is what scales; swap in real lists per deployment.
+    */
+  val langDicts: Seq[(String, Seq[String])] = Seq(
+    ("de", Seq("der", "die", "das", "und", "ist", "nicht", "mit")),
+    ("en", Seq("the", "a", "of", "and", "to", "in", "is")),
+    ("es", Seq("el", "la", "los", "de", "y", "que", "es")),
+    ("fr", Seq("le", "les", "des", "et", "une", "est", "dans")))
+
+  /** Evidence count for one language: tokens present in its dictionary. */
+  def langScore(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(lower(text)),
+      t => t.isin(words.map(x => x: Any): _*))).cast("long")
+
+  /** Language ID: argmax evidence count; ties break toward the
+    * lexicographically larger language code; all-zero → "und".
+    * greatest() over (score, lang) structs keeps this one codegen'd
+    * expression with a deterministic tie-break.
+    */
+  def langId(text: Column): Column = {
+    val scored = langDicts.map { case (lang, words) =>
+      struct(langScore(text, words).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Quality score in [0,1]: mix of stopword evidence, length band, and
+    * punctuation sparsity (ratios of integer counts → identical doubles on
+    * any IEEE-754 engine).
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = size(tokens(text)).cast("double")
+    val stopHits = langDicts.map { case (_, w) => langScore(text, w) }
+      .reduce(_ + _).cast("double")
+    val stopRatio = when(nTok > 0, stopHits / nTok).otherwise(lit(0.0))
+    val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
+    val punct = length(text) -
+      length(regexp_replace(text, "[\\p{Punct}]", ""))
+    val punctRatio = when(length(text) > 0,
+      punct.cast("double") / length(text).cast("double")).otherwise(lit(0.0))
+    stopRatio * lit(0.4) + lenScore * lit(0.4) +
+      (lit(1.0) - punctRatio) * lit(0.2)
+  }
+
+  /** Token 3-gram shingles ("rolling window" of the token stream);
+    * documents shorter than `n` tokens shingle to the whole text.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+  }
+
+  /** Document fingerprint: minimum md5 over the shingle set (winnowing-
+    * style rolling-hash selection with window = whole doc). Equal for
+    * near-identical docs that share their minimal shingle; used as the
+    * blocking key for pairwise dedup.
+    */
+  def fingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(text, n), s => md5(s)))
+}

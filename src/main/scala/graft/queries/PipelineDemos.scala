@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.extensions.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.tables.Tables
+
+/** Training-data pipeline demos over `documents` / `embeddings`:
+  * text analysis, dedup family, similarity search, multimodal plumbing.
+  * Oracles are generated alongside the Scala so both sides share the
+  * same constants (hash tags, thresholds, dictionaries).
+  */
+object PipelineDemos {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val jaccardThreshold = 0.5
+  private val cosineThreshold = 0.45
+  private val embedCap = 1000L
+
+  val queries: Map[String, Q] = Map(
+    // Language ID: stopword-evidence argmax.
+    "lang_id" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    // Token counting: whitespace + BPE-ish subword counts.
+    "token_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+                TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+                TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+    // Quality scoring: stopword/length/punctuation mix.
+    "quality_score" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+                TextAnalysis.qualityScore(col("text")).as("score"))
+        .orderBy("doc_id")
+    }),
+    // Rolling-hash document fingerprint (min shingle hash).
+    "doc_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+                TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+    // Exact dedup by content hash.
+    "dedup_exact" -> ((s, dir) => {
+      TextDedup.exact(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("content_hash")
+    }),
+    // MinHash signatures (k=8).
+    "dedup_minhash_sig" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+                TextDedup.minhashSignature(col("text")).as("sig"))
+        .orderBy("doc_id")
+    }),
+    // MinHash+LSH candidate pairs (4 bands of 2).
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      TextDedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
+    // SimHash 16-bit fingerprints.
+    "dedup_simhash" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextDedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+    // Blocked 3-gram Jaccard near-dup pairs (block = lang).
+    "dedup_jaccard" -> ((s, dir) => {
+      TextDedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          col("lang"), jaccardThreshold)
+        .orderBy("id_a", "id_b")
+    }),
+    // Exact-arithmetic embedding norms.
+    "embed_norm" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), Similarity.norm(col("embedding")).as("nrm"))
+        .orderBy("vec_id")
+    }),
+    // Embedding-cosine near-dup pairs (brute-force baseline, capped corpus).
+    "dedup_embed_cosine" -> ((s, dir) => {
+      Similarity.pairwiseCosine(
+          Tables.embeddings(s, dir).filter(col("vec_id") < embedCap),
+          "vec_id", "embedding", cosineThreshold)
+        .orderBy("id_a", "id_b")
+    }),
+    // Brute-force ANN top-3 for the first 5 query vectors.
+    "ann_bruteforce" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 3)
+        .orderBy("query_id", "rank")
+    }),
+    // Sign-LSH bucket assignment (8 planes) — the ANN index key.
+    "ann_lsh_bucket" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+                Similarity.lshBucket(col("embedding"), 8).as("bucket"))
+        .orderBy("vec_id")
+    }),
+    // LSH-bucketed near-neighbor pairs (4 tables × 3 planes; no SQL oracle
+    // — candidate set is index-specific; recall vs brute force is
+    // asserted in SimilaritySpec).
+    "ann_lsh_pairs" -> ((s, dir) => {
+      Similarity.lshNearNeighbors(Tables.embeddings(s, dir),
+          "vec_id", "embedding", cosineThreshold)
+        .orderBy("id_a", "id_b")
+    }),
+    // Multimodal metadata projection (payload stays unread — pruning).
+    "multimodal_meta" -> ((s, dir) => {
+      Multimodal.withPayload(Tables.documents(s, dir))
+        .select(col("doc_id"), col("format"), col("n_bytes"))
+        .orderBy("doc_id")
+    }),
+    // Multimodal stub decode (mapPartitions; rows-only check — the decode
+    // is a deterministic fake, asserted in MultimodalSpec).
+    "multimodal_decode" -> ((s, dir) => {
+      Multimodal.documentFeatures(Tables.documents(s, dir))
+        .toDF()
+        .select(col("doc_id"), col("format"), col("n_bytes"),
+                col("header_sum"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ---- generated DuckDB oracle SQL (shared constants with the Scala) ----
+
+  private val toksExpr =
+    """list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)"""
+  private val shinglesExpr =
+    """CASE WHEN len(toks) >= 3
+      | THEN list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))
+      | ELSE [array_to_string(toks, ' ')] END""".stripMargin
+
+  private def langScoreSql(words: Seq[String]): String =
+    s"len(list_filter(ltoks, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  private val langScores = TextAnalysis.langDicts
+    .map { case (lang, words) => lang -> langScoreSql(words) }
+
+  /** CASE chain implementing argmax with ties to the lexicographically
+    * larger language (matches greatest() over (score, lang) structs).
+    */
+  private val langCase: String = {
+    val desc = langScores.sortBy(_._1).reverse // fr, es, en, de
+    val whens = desc.zipWithIndex.map { case ((lang, _), i) =>
+      val rest = desc.drop(i + 1)
+      val geAll = (rest.map { case (o, _) => s"s_$lang >= s_$o" } :+
+        s"s_$lang > 0").mkString(" AND ")
+      s"WHEN $geAll THEN '$lang'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE 'und' END"
+  }
+
+  private val scoresSelect = langScores
+    .map { case (lang, sql) => s"$sql AS s_$lang" }.mkString(",\n  ")
+
+  /** Sequential-fold dot product of two list columns (matches Spark's
+    * aggregate() left-to-right double fold bit-for-bit). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> " +
+    s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)"
+
+  private val hexHigh = "('8','9','a','b','c','d','e','f')"
+
+  private val normsCte =
+    s"""norms AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "lang_id" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ltoks FROM documents),
+         |s AS (SELECT doc_id, $scoresSelect FROM t)
+         |SELECT doc_id, $langCase AS lang_pred FROM s ORDER BY doc_id""".stripMargin,
+    "token_stats" ->
+      s"""SELECT doc_id, len($toksExpr) AS n_tokens,
+         |  len(regexp_extract_all(text, '${TextAnalysis.bpeIshPattern}')) AS n_subwords
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks,
+         |  list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ltoks FROM documents),
+         |s AS (SELECT doc_id, text, CAST(len(toks) AS DOUBLE) AS n_tok,
+         |  CAST(${langScores.map(_._2).mkString(" + ")} AS DOUBLE) AS stop_hits FROM t)
+         |SELECT doc_id,
+         |  (CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END) * 0.4
+         |  + least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+         |  + (1.0 - (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.2 AS score
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesExpr AS shingles FROM t)
+         |SELECT doc_id, list_min(list_transform(shingles, s -> md5(s))) AS fingerprint
+         |FROM sh ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+    "dedup_minhash_sig" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesExpr AS shingles FROM t)
+         |SELECT doc_id, [${(0 until 8).map(i =>
+        s"list_min(list_transform(shingles, s -> md5('$i|' || s)))").mkString(", ")}] AS sig
+         |FROM sh ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesExpr AS shingles FROM t),
+         |sig AS (SELECT doc_id, [${(0 until 8).map(i =>
+        s"list_min(list_transform(shingles, s -> md5('$i|' || s)))").mkString(", ")}] AS sig FROM sh),
+         |bands AS (SELECT doc_id, unnest([${(0 until 4).map(b =>
+        s"'$b|' || md5(sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}])").mkString(", ")}]) AS band FROM sig)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b USING (band) WHERE a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |f AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |v AS (SELECT doc_id, ${(1 to 16).map(j =>
+        s"SUM(CASE WHEN substr(md5(tok), $j, 1) IN $hexHigh THEN 1 ELSE -1 END) AS v$j").mkString(", ")} FROM f GROUP BY doc_id)
+         |SELECT doc_id, ${(1 to 16).map(j =>
+        s"(CASE WHEN v$j >= 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS simhash
+         |FROM v ORDER BY doc_id""".stripMargin,
+    "dedup_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksExpr AS toks FROM documents),
+         |p AS (SELECT doc_id, lang AS block, list_distinct($shinglesExpr) AS sset FROM t)
+         |SELECT * FROM (
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.sset, b.sset)) AS BIGINT) AS n_common,
+         |  CAST(len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)) AS BIGINT) AS n_union,
+         |  CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) / CAST(len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)) AS DOUBLE) AS jaccard
+         |FROM p a JOIN p b USING (block) WHERE a.doc_id < b.doc_id)
+         |WHERE jaccard >= $jaccardThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
+    "embed_norm" ->
+      s"""WITH $normsCte
+         |SELECT vec_id, nrm FROM norms ORDER BY vec_id""".stripMargin,
+    "dedup_embed_cosine" ->
+      s"""WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |           FROM embeddings WHERE vec_id < $embedCap)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         |  FROM e a, e b WHERE a.vec_id < b.vec_id)
+         |WHERE cos >= $cosineThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
+    "ann_bruteforce" ->
+      s"""WITH $normsCte,
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM norms WHERE vec_id < 5),
+         |cs AS (SELECT query_id, n.vec_id AS neighbor_id,
+         |         ${dotSql("qe", "n.embedding")} / (qn * n.nrm) AS cos
+         |       FROM q, norms n WHERE n.vec_id <> query_id)
+         |SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |FROM cs QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "ann_lsh_bucket" ->
+      s"""WITH s AS (SELECT vec_id, ${(0 until 8).map(p =>
+        s"list_reduce(list_transform(generate_series(1, len(embedding)), i -> " +
+        s"CAST(embedding[i] AS DOUBLE) * (CASE WHEN substr(md5('plane$p|' || CAST(i - 1 AS VARCHAR)), 1, 1) IN $hexHigh THEN 1.0 ELSE -1.0 END)), (acc, x) -> acc + x) AS s$p").mkString(", ")}
+         |FROM embeddings)
+         |SELECT vec_id, ${(0 until 8).map(p =>
+        s"(CASE WHEN s$p >= 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS bucket
+         |FROM s ORDER BY vec_id""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id, 'img/' || source AS format,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.extensions.{Multimodal, Similarity, TextAnalysis, TextDedup}
+
+/** Unit coverage for the training-data extension operators. */
+class ExtensionsSpec extends SparkTestBase {
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps smallest id") {
+    val out = TextDedup.exact(
+        docsDf(1L -> "same text here", 2L -> "same text here",
+               3L -> "different text"),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash: identical docs share full signature; LSH finds the pair") {
+    val docs = docsDf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "totally unrelated words compose this one sentence")
+    val sigs = docs.select(col("doc_id"),
+        TextDedup.minhashSignature(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    val pairs = TextDedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("simhash: near-identical docs differ in few bits") {
+    def hamming(a: String, b: String): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    val out = docsDf(
+        1L -> "the quick brown fox jumps over the lazy dog again today",
+        2L -> "the quick brown fox jumps over the lazy dog again tonight",
+        3L -> "completely different vocabulary occupies this entire string")
+      .select(col("doc_id"), TextDedup.simhash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L).length == 16)
+    assert(hamming(out(1L), out(2L)) < hamming(out(1L), out(3L)))
+  }
+
+  test("jaccard pairs: near-dup above threshold, unrelated below") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "one two three four five six seven eight"),
+      (2L, "a", "one two three four five six seven nine"),
+      (3L, "a", "ten eleven twelve thirteen fourteen fifteen sixteen seven"))
+      .toDF("doc_id", "lang", "text")
+    val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",
+        col("lang"), 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("lang id + quality + fingerprint basics") {
+    val out = docsDf(
+        1L -> "the cat sat on a mat and the dog is here",
+        2L -> "der Hund ist nicht da und die Katze",
+        3L -> "zzz qqq www")
+      .select(col("doc_id"),
+              TextAnalysis.langId(col("text")).as("lang"),
+              TextAnalysis.qualityScore(col("text")).as("q"),
+              TextAnalysis.fingerprint(col("text")).as("fp"),
+              TextAnalysis.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getString(3), r.getLong(4))).toMap
+    assert(out(1L)._1 == "en")
+    assert(out(2L)._1 == "de")
+    assert(out(3L)._1 == "und")
+    assert(out(1L)._2 > out(3L)._2) // stopword-rich beats gibberish
+    assert(out(1L)._3.length == 32) // md5 hex
+    assert(out(1L)._4 == 11L)
+  }
+
+  test("LSH near-neighbor recall vs brute force on planted near-dups") {
+    import spark.implicits._
+    // 40 random-ish base vectors + 5 planted near-duplicates
+    val rng = new scala.util.Random(7)
+    val base = (0 until 40).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val planted = (0 until 5).map { i =>
+      val src = base(i)._2
+      (100L + i, src.zipWithIndex.map { case (v, j) =>
+        if (j == 0) v + 0.01f else v })
+    }
+    val vecs = (base ++ planted).toDF("vec_id", "embedding")
+    val exact = Similarity.pairwiseCosine(vecs, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 5) // the planted pairs
+    val viaLsh = Similarity.lshNearNeighbors(vecs, "vec_id", "embedding",
+        0.99, tables = 4, planesPerTable = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // banded LSH must recover a large fraction of true near-dups and
+    // introduce nothing false (cosine verification runs on candidates)
+    assert(viaLsh.subsetOf(exact))
+    assert(viaLsh.size >= exact.size * 3 / 5)
+  }
+
+  test("brute-force top-k ranks the planted near-dup first") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val base = (0 until 20).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val dup = (99L, base.head._2.map(v => v * 1.001f))
+    val vecs = (base :+ dup).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs,
+        vecs.filter(col("vec_id") === 0L), "vec_id", "embedding", 3)
+      .orderBy("rank").collect()
+    assert(top.head.getLong(1) == 99L) // nearest neighbor of 0 is its copy
+    assert(top.head.getDouble(2) > 0.999)
+  }
+
+  test("multimodal: stub decode is deterministic with real plumbing") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world", "en", "srcA", 11L),
+                   (2L, "another doc", "de", "srcB", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f1 = Multimodal.documentFeatures(docs).collect()
+      .map(f => f.doc_id -> f).toMap
+    val f2 = Multimodal.documentFeatures(docs).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(f1(1L).features.toSeq == f2(1L).features.toSeq) // deterministic
+    assert(f1(1L).format == "img/srcA")
+    assert(f1(1L).n_bytes == 11L)
+    assert(f1(1L).features.length == 8)
+    assert(math.abs(f1(1L).features.sum - 1.0f) < 1e-5) // normalized hist
+    assert(f1(1L).features.toSeq != f2(2L).features.toSeq)
+  }
+}
