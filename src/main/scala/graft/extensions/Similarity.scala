@@ -22,22 +22,20 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 object Similarity {
 
   /** Sequential left-to-right sum of an array<double> (deterministic,
-    * engine-independent; NOT a parallel SUM).
+    * engine-independent; NOT a parallel SUM). Interpreted HOF — use
+    * [[dot]] (codegen'd SeqDot) on hot paths.
     */
   def seqSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (a, x) => a + x)
 
-  /** Exact dot product of two float/double vectors. */
+  /** Sequential dot product of two float/double vectors — the codegen'd
+    * SeqDot Catalyst expression (graft.functions.VectorExpressions).
+    */
   def dot(a: Column, b: Column): Column =
-    seqSum(zip_with(
-      a.cast(ArrayType(DoubleType)), b.cast(ArrayType(DoubleType)),
-      (x, y) => x * y))
+    graft.functions.VectorExpressions.seqDot(a, b)
 
-  /** Exact-arithmetic L2 norm. */
-  def norm(a: Column): Column = {
-    val ad = a.cast(ArrayType(DoubleType))
-    sqrt(seqSum(zip_with(ad, ad, (x, y) => x * y)))
-  }
+  /** Sequential-fold L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity (exact dot/norms; null-safe on zero vectors). */
   def cosine(a: Column, b: Column): Column = {
@@ -54,8 +52,12 @@ object Similarity {
     */
   def pairwiseCosine(vecs: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = -1.0): DataFrame = {
-    val prepped = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"),
-                              norm(col(vecCol)).as("nrm"))
+    // spread the CPU-bound pair work across all cores even when the
+    // input is a single small parquet split
+    val prepped = vecs
+      .repartition(vecs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+              norm(col(vecCol)).as("nrm"))
     val l = prepped.select(col("id").as("id_a"), col("vec").as("vec_a"),
                            col("nrm").as("nrm_a"))
     val r = prepped.select(col("id").as("id_b"), col("vec").as("vec_b"),
@@ -80,6 +82,7 @@ object Similarity {
                                      col(vecCol).as("query_vec"),
                                      norm(col(vecCol)).as("query_nrm")))
     val scored = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
               norm(col(vecCol)).as("nrm"))
       .crossJoin(q)
@@ -93,28 +96,34 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic ±1 hyperplane component for plane p, dimension j:
-    * sign of an md5 nibble — reproducible in any engine, no RNG state.
+  /** Deterministic ±1 hyperplane for plane p: component j is the sign of
+    * an md5 nibble of "plane<p>|<j>" — reproducible in any engine (the
+    * SQL oracle recomputes the same md5), no RNG state. Materialized
+    * driver-side as a literal array so the per-row work is ONE codegen'd
+    * SeqDot against a constant.
     */
-  private def planeSign(p: Int, j: Column): Column =
-    when(substring(md5(concat(lit(s"plane$p|"), j.cast("string"))), 1, 1)
-      .isin("8", "9", "a", "b", "c", "d", "e", "f"), lit(1.0))
-      .otherwise(lit(-1.0))
+  private def planeArray(p: Int, dims: Int): Array[Double] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until dims).map { j =>
+      val hex = digest.digest(s"plane$p|$j".getBytes("UTF-8"))
+      // first hex char >= '8' ⇔ high bit of first byte set
+      if ((hex(0) & 0x80) != 0) 1.0 else -1.0
+    }.toArray
+  }
 
   /** Sign-LSH bucket key: `planes` hyperplanes of ±1 components starting
-    * at plane index `offset`; bit p = sign of Σ_j v[j]·plane_p[j] (exact
-    * decimal accumulation). Vectors in the same bucket are near-neighbor
+    * at plane index `offset`; bit p = sign of Σ_j v[j]·plane_p[j]
+    * (sequential fold). Vectors in the same bucket are near-neighbor
     * candidates. At scale this is the index: one map-side pass, then an
     * equi-join on the bucket; multiple tables (offsets) trade work for
-    * recall.
+    * recall. `dims` must cover the vector length (extra plane components
+    * are harmless; the dot stops at the shorter array).
     */
-  def lshBucket(vec: Column, planes: Int = 8, offset: Int = 0): Column = {
-    val vd = vec.cast(ArrayType(DoubleType))
+  def lshBucket(vec: Column, planes: Int = 8, offset: Int = 0,
+                dims: Int = 64): Column = {
     val bits = (offset until offset + planes).map { p =>
-      val signed = zip_with(vd,
-        transform(sequence(lit(0), size(vd) - 1), j => planeSign(p, j)),
-        (x, s) => x * s)
-      when(seqSum(signed) >= 0, lit("1")).otherwise(lit("0"))
+      val plane = lit(planeArray(p, dims))
+      when(dot(vec, plane) >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
   }
@@ -125,7 +134,9 @@ object Similarity {
   def lshNearNeighbors(vecs: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, tables: Int = 4,
                        planesPerTable: Int = 3): DataFrame = {
-    val bucketed = vecs.select(
+    val bucketed = vecs
+      .repartition(vecs.sparkSession.sparkContext.defaultParallelism)
+      .select(
       col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"),
       explode(array((0 until tables).map(t =>

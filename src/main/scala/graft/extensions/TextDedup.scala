@@ -23,16 +23,36 @@ object TextDedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signature: k independent permutations simulated as
-    * `min(md5(i || '|' || shingle))` per hash index i — one constant-size
-    * signature array per doc, computed map-side.
+  /** MinHash signature from a prepared shingles column: k independent
+    * permutations simulated as `min(md5(i || '|' || shingle))` per hash
+    * index i — one constant-size signature array per doc, map-side.
+    *
+    * Keep the shingles in their OWN projection (see [[withShingles]]):
+    * the signature references them k times, and Catalyst's
+    * CollapseProject correctly refuses to inline a non-cheap expression
+    * referenced k times — inline it yourself and the shingle array is
+    * recomputed k times per row.
     */
-  def minhashSignature(text: Column, k: Int = 8, shingleN: Int = 3): Column = {
-    val sh = TextAnalysis.shingles(text, shingleN)
-    array((0 until k).map(i =>
-      array_min(transform(sh,
-        s => md5(concat(lit(s"$i|"), s))))): _*)
-  }
+  def minhashSignatureFromShingles(sh: Column, k: Int = 8): Column =
+    graft.functions.MinHashSig(sh, k)
+
+  /** docs → (id, sh) with the shingle array materialized as a column.
+    * Repartitions to the session's default parallelism first: the
+    * shingle/minhash work is CPU-bound per row, and a small input (one
+    * parquet split) would otherwise pin the whole pass to one task —
+    * the classic small-file/large-compute mismatch. At real scale the
+    * scan already yields many splits and this is a cheap no-op shuffle
+    * of (id, text).
+    */
+  def withShingles(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"), col(textCol).as("t"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), TextAnalysis.shingles(col("t"), shingleN).as("sh"))
+
+  /** Convenience single-expression form (small inputs / tests). */
+  def minhashSignature(text: Column, k: Int = 8, shingleN: Int = 3): Column =
+    minhashSignatureFromShingles(TextAnalysis.shingles(text, shingleN), k)
 
   /** LSH band keys: the signature split into `bands` contiguous rows,
     * each band hashed to one bucket key. Docs sharing any band key are
@@ -51,15 +71,43 @@ object TextDedup {
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, bands: Int = 4): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"),
-        minhashSignature(col(textCol), k).as("sig"))
-      .select(col("id"), explode(bandKeys(col("sig"), k, bands)).as("band"))
+    // single-pass shingles→band-keys native expression: an explode over
+    // bandKeys(sig) would inline the signature into the generator and
+    // recompute it once per band-key reference
+    val sigs = withShingles(docs, idCol, textCol)
+      .select(col("id"),
+        explode(graft.functions.MinHashBands(col("sh"), k, bands)).as("band"))
     val l = sigs.select(col("id").as("id_a"), col("band"))
     val r = sigs.select(col("id").as("id_b"), col("band"))
     l.join(r, "band")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+  }
+
+  /** The production near-dup pipeline: MinHash+LSH candidate generation,
+    * then exact n-gram Jaccard verification on candidates only — the
+    * scale path (no blocked all-pairs). Recall for pairs at Jaccard J is
+    * 1-(1-J^rows)^bands (≈0.997 at J=0.9 with 4 bands of 2).
+    */
+  def jaccardVerified(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, k: Int = 8, bands: Int = 4,
+                      shingleN: Int = 3): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, k, bands)
+    val sets = withShingles(docs, idCol, textCol, shingleN)
+      .select(col("id"), array_distinct(col("sh")).as("sset"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sset").as("set_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sset").as("set_b")), "id_b")
+      .withColumn("n_common",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("set_a")) + size(col("set_b"))).cast("long")
+          - col("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / col("n_union").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "n_union", "jaccard")
   }
 
   /** SimHash: d-dimensional ±1 vote per token using md5 nibbles, sign →

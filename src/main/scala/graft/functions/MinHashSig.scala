@@ -1,0 +1,147 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass MinHash signature: for each hash index i in 0..k-1,
+  * `min(md5("<i>|" + shingle))` over the shingle array, emitted as k
+  * lowercase-hex strings — semantically identical to the k-fold
+  * `array_min(transform(sh, s -> md5('i|' || s)))` chain (and to the
+  * DuckDB `list_min(list_transform(...))` oracle) but one tight loop
+  * per row with a reused digest instance instead of k interpreted
+  * higher-order passes (~an order of magnitude faster on the dedup hot
+  * path; SURVEY §4.3 tier-b custom expression).
+  *
+  * Minimum selection compares raw 16-byte digests unsigned-lex, which
+  * orders exactly like the lowercase hex rendering.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(v: Any): Any = {
+    val mins = MinHashCore.minDigests(v.asInstanceOf[ArrayData], k)
+    if (mins == null) return null
+    new GenericArrayData(mins.map { d =>
+      if (d == null) null
+      else UTF8String.fromString(MinHashCore.hex(d))
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** Band keys straight from the shingles in one pass:
+  * `"<b>|" + md5(hex(sig[b·rows]) + "|" + … + hex(sig[b·rows+rows-1]))`
+  * for each of `bands` bands of `rows = k/bands` signature rows —
+  * identical to hashing the hex signature items with concat_ws("|"), but
+  * without materializing the signature column (which an explode-generator
+  * would otherwise inline and recompute once per band-key reference).
+  */
+case class MinHashBands(child: Expression, k: Int, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_bands"
+
+  override def nullSafeEval(v: Any): Any = {
+    val mins = MinHashCore.minDigests(v.asInstanceOf[ArrayData], k)
+    if (mins == null) return null
+    val rows = k / bands
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      val joined = (0 until rows)
+        .map(r => MinHashCore.hex(mins(b * rows + r)))
+        .mkString("|")
+      md.reset()
+      val d = md.digest(joined.getBytes("UTF-8"))
+      out(b) = UTF8String.fromString(s"$b|" + MinHashCore.hex(d))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashBands =
+    copy(child = c)
+}
+
+private[functions] object MinHashCore {
+
+  private def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** Per hash index i: the 16-byte digest min over `md5("<i>|"+shingle)`.
+    * Unsigned-lex byte order == lowercase-hex string order.
+    */
+  def minDigests(arr: ArrayData, k: Int): Array[Array[Byte]] = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val prefixes = Array.tabulate(k)(i => s"$i|".getBytes("UTF-8"))
+    val md = MessageDigest.getInstance("MD5")
+    val mins = new Array[Array[Byte]](k)
+    var s = 0
+    while (s < n) {
+      if (!arr.isNullAt(s)) {
+        val bytes = arr.getUTF8String(s).getBytes
+        var i = 0
+        while (i < k) {
+          md.reset()
+          md.update(prefixes(i))
+          md.update(bytes)
+          val d = md.digest()
+          if (mins(i) == null || lessThan(d, mins(i))) mins(i) = d
+          i += 1
+        }
+      }
+      s += 1
+    }
+    mins
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+}
+
+object MinHashSig {
+  /** Column API over a prepared array<string> shingles column. */
+  def apply(shingles: Column, k: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(shingles), k))
+}
+
+object MinHashBands {
+  /** Column API: band keys from shingles in one pass. */
+  def apply(shingles: Column, k: Int, bands: Int): Column =
+    GraftBridge.column(
+      MinHashBands(GraftBridge.expression(shingles), k, bands))
+}

@@ -51,11 +51,11 @@ object PipelineDemos {
       TextDedup.exact(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("content_hash")
     }),
-    // MinHash signatures (k=8).
+    // MinHash signatures (k=8; staged shingles→signature projections).
     "dedup_minhash_sig" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-                TextDedup.minhashSignature(col("text")).as("sig"))
+      TextDedup.withShingles(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"),
+                TextDedup.minhashSignatureFromShingles(col("sh")).as("sig"))
         .orderBy("doc_id")
     }),
     // MinHash+LSH candidate pairs (4 bands of 2).
@@ -69,10 +69,12 @@ object PipelineDemos {
         .select(col("doc_id"), TextDedup.simhash(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
-    // Blocked 3-gram Jaccard near-dup pairs (block = lang).
+    // Near-dup pairs: MinHash+LSH candidates → exact 3-gram Jaccard
+    // verification (the scale path — candidates only, no blocked
+    // all-pairs).
     "dedup_jaccard" -> ((s, dir) => {
-      TextDedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          col("lang"), jaccardThreshold)
+      TextDedup.jaccardVerified(Tables.documents(s, dir), "doc_id", "text",
+          jaccardThreshold)
         .orderBy("id_a", "id_b")
     }),
     // Exact-arithmetic embedding norms.
@@ -222,14 +224,21 @@ object PipelineDemos {
         s"(CASE WHEN v$j >= 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS simhash
          |FROM v ORDER BY doc_id""".stripMargin,
     "dedup_jaccard" ->
-      s"""WITH t AS (SELECT doc_id, lang, $toksExpr AS toks FROM documents),
-         |p AS (SELECT doc_id, lang AS block, list_distinct($shinglesExpr) AS sset FROM t)
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesExpr AS shingles FROM t),
+         |sig AS (SELECT doc_id, [${(0 until 8).map(i =>
+        s"list_min(list_transform(shingles, s -> md5('$i|' || s)))").mkString(", ")}] AS sig FROM sh),
+         |bands AS (SELECT doc_id, unnest([${(0 until 4).map(b =>
+        s"'$b|' || md5(sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}])").mkString(", ")}]) AS band FROM sig),
+         |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM bands a JOIN bands b USING (band) WHERE a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh)
          |SELECT * FROM (
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CAST(len(list_intersect(a.sset, b.sset)) AS BIGINT) AS n_common,
-         |  CAST(len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)) AS BIGINT) AS n_union,
-         |  CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) / CAST(len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)) AS DOUBLE) AS jaccard
-         |FROM p a JOIN p b USING (block) WHERE a.doc_id < b.doc_id)
+         |  SELECT id_a, id_b,
+         |    CAST(len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS n_common,
+         |    CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS n_union,
+         |    CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) AS jaccard
+         |  FROM cands JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)
          |WHERE jaccard >= $jaccardThreshold
          |ORDER BY id_a, id_b""".stripMargin,
     "embed_norm" ->

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into the `private[sql]` Column↔Expression conversions —
+  * the standard pattern for Spark extension libraries that define custom
+  * Catalyst expressions (the public API intentionally hides the
+  * expression-backed Column constructor since Spark 4's backend split).
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
