@@ -1,12 +1,26 @@
 package graft
 
 /** Plan inspector: prints the formatted physical plan (and optionally
-  * times two consecutive runs) for named SparkEntry queries.
+  * times two consecutive runs) for named SparkEntry queries, or runs ad
+  * hoc SQL with the GraftExtensions functions registered.
   *
   * Usage: Explain <sfDir> <query1> [query2 ...] [--time]
+  *        Explain --sql "SELECT seq_dot(array(1.0d,2.0d), array(3.0d,4.0d))"
   */
 object Explain {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--sql")) {
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-sql")
+        .withExtensions(new GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      spark.sql(args(1)).show(50, truncate = false)
+      spark.stop()
+      return
+    }
     val time = args.contains("--time")
     val rest = args.filterNot(_ == "--time")
     val sfDir = rest.head

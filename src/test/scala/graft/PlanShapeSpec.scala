@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Regression guards on physical plan shape — the properties that make
+  * these queries survive a 100× scale-up (SURVEY §4): filters pushed to
+  * the parquet scan, projections pruned to the read columns, dimension
+  * joins broadcast, custom expressions codegen-compatible.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("scan_parquet pushes the filter into the scan") {
+    val p = plan("scan_parquet")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"))
+  }
+
+  test("q1_agg prunes columns and does map-side partial aggregation") {
+    val p = plan("q1_agg")
+    assert(p.contains(
+      "ReadSchema: struct<l_quantity:double,l_extendedprice:double"))
+    assert(p.contains("partial_sum")) // map-side combine before the shuffle
+  }
+
+  test("join_enrich uses broadcast hash joins (no sort-merge shuffle)") {
+    val p = plan("join_enrich")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("join_lookup broadcasts the probe side") {
+    val p = plan("join_lookup")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("SQL extension functions resolve via GraftExtensions") {
+    val base = spark // force shared-session creation first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // NOTE spark.sql.extensions is a static conf read from the FIRST
+    // SparkContext of the JVM; in-process we attach programmatically.
+    val s2 = try SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+    val r = s2.sql(
+      "SELECT seq_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+      "minhash_sig(array('ab', 'cd'), 2) AS sig, " +
+      "minhash_bands(array('ab', 'cd'), 8, 4) AS bands")
+      .collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getSeq[String](1).length == 2)
+    assert(r.getSeq[String](2).length == 4)
+    assert(r.getSeq[String](2).head.startsWith("0|"))
+  }
+
+  test("SeqDot matches the interpreted sequential fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((Array(0.1f, 0.2f, 0.3f), Array(0.4f, 0.5f, 0.6f)))
+      .toDF("a", "b")
+    val native = df.select(
+      graft.functions.VectorExpressions.seqDot(col("a"), col("b")))
+      .collect().head.getDouble(0)
+    val interpreted = df.select(
+      graft.extensions.Similarity.seqSum(zip_with(
+        col("a").cast("array<double>"), col("b").cast("array<double>"),
+        (x, y) => x * y)))
+      .collect().head.getDouble(0)
+    assert(native == interpreted) // bit-identical, same fold order
+  }
+}
