@@ -94,8 +94,13 @@ object TextDedup {
                       threshold: Double, k: Int = 8, bands: Int = 4,
                       shingleN: Int = 3): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, k, bands)
+    // shuffle-hash hint: the shingle-set side is wide (array payload) —
+    // broadcasting it ships the whole corpus' shingles to every task,
+    // while the candidate set is tiny; hash-join on id keeps the big
+    // payload partitioned
     val sets = withShingles(docs, idCol, textCol, shingleN)
       .select(col("id"), array_distinct(col("sh")).as("sset"))
+      .hint("shuffle_hash")
     cands
       .join(sets.select(col("id").as("id_a"), col("sset").as("set_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sset").as("set_b")), "id_b")

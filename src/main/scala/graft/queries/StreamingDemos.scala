@@ -13,9 +13,27 @@ object StreamingDemos {
 
   val queries: Map[String, Q] = Map(
     "stream_window" -> ((s, dir) =>
-      EventsStream.batchDemo(Tables.events(s, dir))))
+      EventsStream.batchDemo(Tables.events(s, dir))),
+    // Sessionization (batch form; stateful flatMapGroupsWithState parity
+    // asserted in StreamingSpec).
+    "sessionize" -> ((s, dir) =>
+      EventsStream.sessionizeBatch(Tables.events(s, dir), 30)
+        .orderBy("user_id", "session_start")))
 
   val oracleSql: Map[String, String] = Map(
+    "sessionize" ->
+      """WITH l AS (SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events),
+        |s AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS new_session FROM l),
+        |c AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id FROM s)
+        |SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM c GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "stream_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         |  event_type, count(*) AS cnt,

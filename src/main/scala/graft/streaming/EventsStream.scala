@@ -41,6 +41,94 @@ object EventsStream {
   def streamingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     windowedCounts(events.withWatermark("ts", watermark))
 
+  /** Custom-state sessionization (KeyValueGroupedDataset +
+    * flatMapGroupsWithState): group events per user into sessions closed
+    * by a `gapMinutes` inactivity timeout. Batch variant below shares the
+    * session-assembly semantics for parity testing; the streaming variant
+    * is the production shape (state bounded by the timeout).
+    */
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
+                                value: Double)
+  final case class UserSession(user_id: Long, session_start: Long,
+                               session_end: Long, n_events: Long,
+                               sum_value: Double)
+
+  /** Batch sessionization via the classic lag/cumsum window pattern —
+    * same output contract as the stateful streaming form.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val gap = gapMinutes * 60L
+    events
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gap, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(unix_timestamp(min(col("ts"))).as("session_start"),
+           unix_timestamp(max(col("ts"))).as("session_end"),
+           count(lit(1)).as("n_events"),
+           graft.ops.AggOps.exactSum(col("value")).as("sum_value"))
+      .select("user_id", "session_start", "session_end", "n_events",
+              "sum_value")
+  }
+
+  /** Open-session state carried between micro-batches (seconds since
+    * epoch; money tracked in cents so the fold is exact and matches the
+    * batch variant's decimal-exact sum bit-for-bit).
+    */
+  final case class OpenSession(start: Long, end: Long, n: Long,
+                               sumCents: Long)
+
+  /** Custom-state sessionization via
+    * `KeyValueGroupedDataset.flatMapGroupsWithState`: per user, events
+    * more than `gapMinutes` apart open a new session. Works on batch
+    * Datasets (one invocation per key, used for the parity test) and on
+    * streams (state holds the open session across micro-batches; a
+    * production deployment adds a timeout to flush trailing sessions —
+    * here the final open session is emitted eagerly so batch output is
+    * complete).
+    */
+  def sessionizeStateful(events: org.apache.spark.sql.Dataset[SessionEvent],
+                         gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gap = gapMinutes * 60L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, it, state) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+          var cur = state.getOption
+          def close(s: OpenSession): Unit =
+            out += UserSession(user, s.start, s.end, s.n, s.sumCents / 100.0)
+          sorted.foreach { e =>
+            val t = java.lang.Math.floorDiv(e.ts.getTime, 1000L)
+            val cents = math.round(e.value * 100)
+            cur match {
+              case Some(s) if t - s.end <= gap =>
+                cur = Some(OpenSession(s.start, t, s.n + 1,
+                                       s.sumCents + cents))
+              case Some(s) =>
+                close(s)
+                cur = Some(OpenSession(t, t, 1, cents))
+              case None =>
+                cur = Some(OpenSession(t, t, 1, cents))
+            }
+          }
+          cur.foreach(close)
+          state.remove()
+          out.iterator
+      }
+  }
+
   /** Drive the streaming form synchronously over a parquet directory and
     * return the materialized result (used by tests and local parity
     * checks; `complete` output mode into a memory sink).

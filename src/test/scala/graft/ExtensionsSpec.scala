@@ -119,6 +119,29 @@ class ExtensionsSpec extends SparkTestBase {
     assert(top.head.getDouble(2) > 0.999)
   }
 
+  test("salted join matches plain join results on a skewed key") {
+    import spark.implicits._
+    import graft.ops.Joins
+    // hot key 1L carries 90% of the fact side
+    val fact = ((1 to 900).map(i => (1L, i.toLong)) ++
+        (1 to 100).map(i => (2L + i % 5, i.toLong)))
+      .toDF("k", "v")
+    val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c"),
+                  (5L, "d"), (6L, "e")).toDF("k", "name")
+    val plain = fact.join(dim, "k").groupBy("name")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Joins.saltedJoin(fact, dim, "k", saltFactor = 8)
+      .groupBy("name")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    val hot = Joins.hotKeys(fact, col("k"), 1).collect().head
+    assert(hot.getLong(0) == 1L && hot.getLong(1) == 900L)
+  }
+
   test("multimodal: stub decode is deterministic with real plumbing") {
     import spark.implicits._
     val docs = Seq((1L, "hello world", "en", "srcA", 11L),

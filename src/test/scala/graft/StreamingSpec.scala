@@ -9,6 +9,27 @@ import graft.tables.Tables
   */
 class StreamingSpec extends SparkTestBase {
 
+  test("stateful sessionization == batch window sessionization") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val typed = events
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[EventsStream.SessionEvent]
+    val stateful = EventsStream.sessionizeStateful(typed, 30)
+      .collect()
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events,
+                 s.sum_value))
+      .toSet
+    val batch = EventsStream.sessionizeBatch(events, 30)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getDouble(4)))
+      .toSet
+    assert(stateful == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming windowed counts == batch windowed counts") {
     val batchEvents = Tables.events(spark, "/root/testdata/sf0.001")
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
