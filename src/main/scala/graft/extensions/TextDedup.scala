@@ -132,6 +132,44 @@ object TextDedup {
     concat(bits: _*)
   }
 
+  /** SimHash near-dup pairs: candidates share at least one of `d/bandBits`
+    * fingerprint bands (pigeonhole: any pair within Hamming distance
+    * `bands-1` must collide on some band), then exact Hamming distance
+    * verification ≤ maxHamming. Banding keeps this an equi-join — the
+    * same no-all-pairs shape as MinHash LSH.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, d: Int = 16,
+                   bandBits: Int = 4): DataFrame = {
+    val nBands = d / bandBits
+    // pigeonhole completeness: a pair within Hamming h can only be
+    // guaranteed to share a band when h < nBands
+    require(maxHamming < nBands,
+      s"maxHamming=$maxHamming needs more than $nBands bands " +
+        s"(use bandBits <= ${d / (maxHamming + 1)})")
+    val fps = docs.select(col(idCol).as("id"), simhash(col(textCol), d).as("fp"))
+    val bands = fps.select(col("id"), col("fp"),
+      explode(array((0 until nBands).map(b =>
+        concat(lit(s"$b|"),
+          substring(col("fp"), b * bandBits + 1, bandBits))): _*)).as("band"))
+    val l = bands.select(col("id").as("id_a"), col("fp").as("fp_a"),
+                         col("band"))
+    val r = bands.select(col("id").as("id_b"), col("fp").as("fp_b"),
+                         col("band"))
+    val hamming = (1 to d).map(j =>
+        when(substring(col("fp_a"), j, 1) =!= substring(col("fp_b"), j, 1),
+          1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    // filter on the (cheap, per-row) Hamming BEFORE the distinct so the
+    // shuffle carries only surviving near-dup pairs, not every band
+    // collision with both fingerprints
+    l.join(r, "band")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Blocked n-gram Jaccard: candidates = docs sharing a blocking key
     * (default: the min-shingle fingerprint); verification = exact Jaccard
     * over distinct shingle sets. Counts are integers → the ratio is

@@ -69,6 +69,11 @@ object PipelineDemos {
         .select(col("doc_id"), TextDedup.simhash(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
+    // SimHash banded near-dup pairs (Hamming ≤ 3 over 16 bits).
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
     // Near-dup pairs: MinHash+LSH candidates → exact 3-gram Jaccard
     // verification (the scale path — candidates only, no blocked
     // all-pairs).
@@ -223,6 +228,23 @@ object PipelineDemos {
          |SELECT doc_id, ${(1 to 16).map(j =>
         s"(CASE WHEN v$j >= 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS simhash
          |FROM v ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |f AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |v AS (SELECT doc_id, ${(1 to 16).map(j =>
+        s"SUM(CASE WHEN substr(md5(tok), $j, 1) IN $hexHigh THEN 1 ELSE -1 END) AS v$j").mkString(", ")} FROM f GROUP BY doc_id),
+         |fp AS (SELECT doc_id, ${(1 to 16).map(j =>
+        s"(CASE WHEN v$j >= 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS simhash FROM v),
+         |bands AS (SELECT doc_id, simhash, unnest([${(0 until 4).map(b =>
+        s"'$b|' || substr(simhash, ${b * 4 + 1}, 4)").mkString(", ")}]) AS band FROM fp),
+         |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb
+         |          FROM bands a JOIN bands b USING (band) WHERE a.doc_id < b.doc_id)
+         |SELECT * FROM (
+         |  SELECT id_a, id_b, CAST(${(1 to 16).map(j =>
+        s"(CASE WHEN substr(sa, $j, 1) <> substr(sb, $j, 1) THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS hamming
+         |  FROM cands)
+         |WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
          |sh AS (SELECT doc_id, $shinglesExpr AS shingles FROM t),

@@ -48,6 +48,20 @@ class ExtensionsSpec extends SparkTestBase {
     assert(hamming(out(1L), out(2L)) < hamming(out(1L), out(3L)))
   }
 
+  test("simhash banded pairs find near-identical docs, guard invariants") {
+    val docs = docsDf(
+      1L -> "the quick brown fox jumps over the lazy dog again today",
+      2L -> "the quick brown fox jumps over the lazy dog again today",
+      3L -> "completely different vocabulary occupies this entire string")
+    val pairs = TextDedup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    // pigeonhole guard: maxHamming beyond bands-1 must fail fast
+    intercept[IllegalArgumentException] {
+      TextDedup.simhashPairs(docs, "doc_id", "text", maxHamming = 5)
+    }
+  }
+
   test("jaccard pairs: near-dup above threshold, unrelated below") {
     import spark.implicits._
     val docs = Seq(
