@@ -45,28 +45,11 @@ final class DictionaryNer(nodes: DataFrame, clusters: DataFrame,
 
   /** P2+P3+P4: text → gated, scrubbed sentences (perform_NER.py:22-28). */
   def sentences(docs: DataFrame, keyCol: String, textCol: String): DataFrame =
-    docs
-      .select(col(keyCol).as("doc_key"),
-              explode(StringOps.sentences(col(textCol))).as("sentence"))
-      .filter(StringOps.lengthOk(col("sentence")))
-      .select(col("doc_key"),
-              StringOps.dropLongTokens(col("sentence")).as("sentence"))
+    DictionaryNer.sentences(docs, keyCol, textCol)
 
-  /** Sentence → distinct candidate mentions: punctuation-stripped
-    * (NER.py:99-100) whitespace tokens recombined into 1..maxGram-grams.
-    */
-  def mentions(sentenceDf: DataFrame): DataFrame = {
-    val toks = split(trim(StringOps.stripPunct(col("sentence"))), "\\s+")
-    val grams = flatten(transform(sequence(lit(1), lit(maxGram)), n =>
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, n), " ")))
-        .otherwise(array(lit("")))))
-    sentenceDf
-      .select(col("doc_key"), explode(grams).as("mention"))
-      .filter(length(col("mention")) >= minMentionChars)
-      .distinct()
-  }
+  /** Sentence → distinct candidate mentions (instance-config n-grams). */
+  def mentions(sentenceDf: DataFrame): DataFrame =
+    DictionaryNer.mentions(sentenceDf, maxGram, minMentionChars)
 
   /** text_to_kg2_nodes (perform_NER.py:19-54): per document, curie →
     * {name = matched mention text, category}, category-filtered when
@@ -102,4 +85,33 @@ final class DictionaryNer(nodes: DataFrame, clusters: DataFrame,
         col("curie"),
         struct(col("name"), col("category")).as("info")))))
         .as("matches"))
+}
+
+object DictionaryNer {
+
+  /** P2+P3+P4: text → gated, scrubbed sentences (perform_NER.py:22-28). */
+  def sentences(docs: DataFrame, keyCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(keyCol).as("doc_key"),
+              explode(StringOps.sentences(col(textCol))).as("sentence"))
+      .filter(StringOps.lengthOk(col("sentence")))
+      .select(col("doc_key"),
+              StringOps.dropLongTokens(col("sentence")).as("sentence"))
+
+  /** Sentence → distinct candidate mentions: punctuation-stripped
+    * (NER.py:99-100) whitespace tokens recombined into 1..maxGram-grams.
+    */
+  def mentions(sentenceDf: DataFrame, maxGram: Int = 6,
+               minMentionChars: Int = 3): DataFrame = {
+    val toks = split(trim(StringOps.stripPunct(col("sentence"))), "\\s+")
+    val grams = flatten(transform(sequence(lit(1), lit(maxGram)), n =>
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, n), " ")))
+        .otherwise(array(lit("")))))
+    sentenceDf
+      .select(col("doc_key"), explode(grams).as("mention"))
+      .filter(length(col("mention")) >= minMentionChars)
+      .distinct()
+  }
 }

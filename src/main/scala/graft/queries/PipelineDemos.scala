@@ -46,6 +46,18 @@ object PipelineDemos {
                 TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")
     }),
+    // NER mention generator (U1 pipeline head): sentence gates + scrub +
+    // 1..3-gram candidate mentions, counted distinct per doc.
+    "ngram_mentions" -> ((s, dir) => {
+      graft.ner.DictionaryNer.mentions(
+          graft.ner.DictionaryNer.sentences(
+            Tables.documents(s, dir), "doc_id", "text"),
+          maxGram = 3)
+        .groupBy(col("doc_key").as("doc_id"))
+        .agg(count(lit(1)).as("n_mentions"))
+        .select(col("doc_id"), col("n_mentions"))
+        .orderBy("doc_id")
+    }),
     // Exact dedup by content hash.
     "dedup_exact" -> ((s, dir) => {
       TextDedup.exact(Tables.documents(s, dir), "doc_id", "text")
@@ -201,6 +213,21 @@ object PipelineDemos {
          |sh AS (SELECT doc_id, $shinglesExpr AS shingles FROM t)
          |SELECT doc_id, list_min(list_transform(shingles, s -> md5(s))) AS fingerprint
          |FROM sh ORDER BY doc_id""".stripMargin,
+    "ngram_mentions" ->
+      """WITH s AS (SELECT doc_id, unnest(string_split(text, '.')) AS sentence FROM documents),
+        |g AS (SELECT doc_id,
+        |        array_to_string(list_filter(string_split(sentence, ' '), t -> length(t) < 100), ' ') AS sentence
+        |      FROM s WHERE length(sentence) BETWEEN 15 AND 1000),
+        |tok AS (SELECT doc_id,
+        |          string_split_regex(trim(translate(sentence, '.,;:?!', '')), '\s+') AS toks FROM g),
+        |ng AS (SELECT DISTINCT doc_id, mention FROM (
+        |  SELECT doc_id, unnest(flatten([
+        |    list_transform(generate_series(1, len(toks)), i -> toks[i]),
+        |    list_transform(generate_series(1, len(toks) - 1), i -> array_to_string(toks[i:i+1], ' ')),
+        |    list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))
+        |  ])) AS mention FROM tok)
+        |  WHERE length(mention) >= 3)
+        |SELECT doc_id, count(*) AS n_mentions FROM ng GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
