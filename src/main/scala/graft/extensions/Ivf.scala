@@ -1,0 +1,95 @@
+package graft.extensions
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: partition the corpus
+  * into `k` Voronoi cells around KMeans centroids; a query scans only the
+  * `nProbe` nearest cells instead of the whole corpus.
+  *
+  * Scale design: training samples the corpus (KMeans on a bounded
+  * sample); assignment is one map-side pass (distance to k centroid
+  * literals, codegen'd SeqDot); the inverted lists are just the corpus
+  * partitioned by `cell` — at 100 TB that column is the partition/bucket
+  * key, so a probe touches nProbe/k of the data. Search = equi-join on
+  * the probed cell ids, then exact cosine rank within candidates.
+  *
+  * Deterministic: fixed seed, fixed sample, centroids materialized as
+  * literals (no RNG at query time). No SQL oracle (the index is
+  * model-derived); recall vs brute force is asserted in tests.
+  */
+object Ivf {
+
+  final case class IvfIndex(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  /** Train centroids with MLlib KMeans (cosine-friendly: vectors are
+    * L2-normalized first so Euclidean cells ≈ angular cells).
+    */
+  def train(vecs: DataFrame, vecCol: String, k: Int,
+            seed: Long = 42L, maxSampleRows: Int = 100000): IvfIndex = {
+    val normalized = vecs
+      .select(normalizeExpr(col(vecCol)).as("arr"))
+      .limit(maxSampleRows)
+      .select(array_to_vector(col("arr")).as("features"))
+    val model = new KMeans()
+      .setK(k).setSeed(seed).setMaxIter(20).setFeaturesCol("features")
+      .fit(normalized)
+    IvfIndex(model.clusterCenters.map(_.toArray))
+  }
+
+  private def normalizeExpr(vec: Column): Column = {
+    val nrm = Similarity.norm(vec)
+    transform(vec.cast("array<double>"),
+      x => when(nrm > 0, x / nrm).otherwise(lit(0.0)))
+  }
+
+  /** Distance-ranked cell ids for a vector: returns array of centroid
+    * indices ordered by ascending angular distance (descending dot with
+    * the normalized vector). Codegen'd SeqDot against centroid literals.
+    */
+  private def rankedCells(vec: Column, index: IvfIndex): Column = {
+    val nv = normalizeExpr(vec)
+    val scored = index.centroids.zipWithIndex.map { case (c, i) =>
+      struct(Similarity.dot(nv, lit(c)).as("dot"), lit(i).as("cell"))
+    }
+    // descending by dot = ascending by angle; reverse of ascending sort
+    reverse(array_sort(array(scored: _*)))
+  }
+
+  /** Cell assignment (the inverted-list / bucket key): nearest centroid. */
+  def assign(vecs: DataFrame, idCol: String, vecCol: String,
+             index: IvfIndex): DataFrame =
+    vecs.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      rankedCells(col(vecCol), index).getItem(0).getField("cell").as("cell"))
+
+  /** IVF top-k search: probe the `nProbe` nearest cells per query, rank
+    * candidates by exact cosine (desc, id tie-break).
+    */
+  def search(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, index: IvfIndex, nProbe: Int = 2,
+             topK: Int = 3): DataFrame = {
+    val lists = assign(corpus, idCol, vecCol, index)
+      .withColumn("nrm", Similarity.norm(col("vec")))
+    val probes = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+          Similarity.norm(col(vecCol)).as("query_nrm"),
+          explode(slice(rankedCells(col(vecCol), index), 1, nProbe))
+            .as("probe"))
+        .select(col("query_id"), col("query_vec"), col("query_nrm"),
+                col("probe.cell").as("cell")))
+    val scored = lists.join(probes, "cell")
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+              (Similarity.dot(col("query_vec"), col("vec"))
+                / (col("query_nrm") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+}

@@ -67,4 +67,48 @@ object Multimodal {
     import docs.sparkSession.implicits._
     decodeFeatures(withPayload(docs).as[MediaRow])
   }
+
+  final case class ResizedMedia(doc_id: Long, format: String,
+                                n_bytes: Long, payload: Array[Byte])
+  final case class Frame(doc_id: Long, frame_idx: Long,
+                         payload: Array[Byte])
+
+  /** STUB resize: deterministic payload downsampling (every k-th byte)
+    * standing in for an image resample. Real plumbing: per-partition
+    * batch pass, payload-typed in and out, metadata updated — a codec
+    * drops in at the marked line.
+    */
+  def resize(media: Dataset[MediaRow], factor: Int = 4): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    require(factor > 0, "factor must be positive")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        // ??? real resample goes here; deterministic fake below.
+        val out = Array.tabulate(
+          math.max(1, r.payload.length / factor))(i => r.payload(i * factor))
+        ResizedMedia(r.doc_id, r.format + s";x1/$factor", out.length.toLong,
+                     out)
+      }
+    }
+  }
+
+  /** STUB frame sampling: split the payload into fixed-size chunks and
+    * keep every `stride`-th chunk — the batch shape of video frame
+    * extraction (one input row → N frame rows, explode-like fan-out
+    * with per-frame index metadata).
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 32,
+                   stride: Int = 2): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    require(frameBytes > 0 && stride > 0, "frameBytes/stride must be positive")
+    media.flatMap { r =>
+      // ??? real frame decode goes here; deterministic chunking below.
+      val nFrames = math.max(1, r.payload.length / frameBytes)
+      (0L until nFrames by stride).map { f =>
+        val start = (f * frameBytes).toInt
+        val end = math.min(start + frameBytes, r.payload.length)
+        Frame(r.doc_id, f, java.util.Arrays.copyOfRange(r.payload, start, end))
+      }
+    }
+  }
 }

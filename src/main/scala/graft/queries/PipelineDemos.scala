@@ -129,6 +129,15 @@ object PipelineDemos {
           "vec_id", "embedding", cosineThreshold)
         .orderBy("id_a", "id_b")
     }),
+    // IVF ANN (KMeans cells + nProbe search; rows-only check — the index
+    // is model-derived; full-probe==bruteforce asserted in ExtensionsSpec).
+    "ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val index = graft.extensions.Ivf.train(e, "embedding", k = 8)
+      graft.extensions.Ivf.search(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", index, nProbe = 2, topK = 3)
+        .orderBy("query_id", "rank")
+    }),
     // Multimodal metadata projection (payload stays unread — pruning).
     "multimodal_meta" -> ((s, dir) => {
       Multimodal.withPayload(Tables.documents(s, dir))

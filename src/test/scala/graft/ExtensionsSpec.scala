@@ -119,6 +119,33 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaLsh.size >= exact.size * 3 / 5)
   }
 
+  test("IVF search: full-probe recall equals brute force; assignment total") {
+    import spark.implicits._
+    import graft.extensions.Ivf
+    val rng = new scala.util.Random(23)
+    val base = (0 until 60).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val dup = (99L, base.head._2.map(v => v * 1.001f))
+    val vecs = (base :+ dup).toDF("vec_id", "embedding")
+    val index = Ivf.train(vecs, "embedding", k = 4)
+    assert(index.k == 4)
+    // every vector lands in exactly one cell
+    assert(Ivf.assign(vecs, "vec_id", "embedding", index).count() == 61)
+    // probing ALL cells must reproduce brute force exactly
+    val queries = vecs.filter(col("vec_id") === 0L)
+    val ivfAll = Ivf.search(vecs, queries, "vec_id", "embedding", index,
+        nProbe = 4, topK = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id",
+        "embedding", 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(ivfAll.toSeq == brute.toSeq)
+    // the planted near-dup is found even with a single probed cell
+    val ivf1 = Ivf.search(vecs, queries, "vec_id", "embedding", index,
+        nProbe = 1, topK = 1).collect()
+    assert(ivf1.head.getLong(1) == 99L)
+  }
+
   test("brute-force top-k ranks the planted near-dup first") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
@@ -154,6 +181,21 @@ class ExtensionsSpec extends SparkTestBase {
     assert(salted == plain)
     val hot = Joins.hotKeys(fact, col("k"), 1).collect().head
     assert(hot.getLong(0) == 1L && hot.getLong(1) == 900L)
+  }
+
+  test("multimodal: resize + frame sampling plumbing") {
+    import spark.implicits._
+    val docs = Seq((1L, "0123456789" * 20, "en", "srcA", 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.withPayload(docs).as[Multimodal.MediaRow]
+    val resized = Multimodal.resize(media, 4).collect().head
+    assert(resized.n_bytes == 50L)
+    assert(resized.format == "img/srcA;x1/4")
+    assert(resized.payload(1) == '4'.toByte) // every 4th byte
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
+      .collect()
+    assert(frames.map(_.frame_idx).toSeq == Seq(0L, 2L, 4L))
+    assert(frames.forall(_.payload.length <= 32))
   }
 
   test("multimodal: stub decode is deterministic with real plumbing") {
