@@ -17,13 +17,25 @@ import org.apache.spark.sql.types.DecimalType
   */
 object AggOps {
 
-  /** Exact, engine-independent sum of a double column. */
+  /** Exact, engine-independent sum of a double column whose values carry
+    * ≤`scale` decimal digits (the cast is then unambiguous — the value
+    * sits ~1e-13 from a grid point, far from any rounding boundary, so
+    * even engines with sloppy double→decimal conversion agree).
+    */
   def exactSum(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
-  /** Exact sum for derived products (wider precision, scale 8). */
-  def exactSumWide(c: Column): Column =
-    sum(c.cast(DecimalType(28, 8))).cast("double")
+  /** Exact sum of a·b over rows where both columns carry ≤2 decimal
+    * digits: both sides scale to integer cents (unambiguous rounding),
+    * the product sum is exact BIGINT arithmetic, and the final /10⁴
+    * division is a single deterministic double op. Casting the raw
+    * double product to a decimal instead is NOT engine-independent —
+    * double→decimal conversions disagree in the last ulp across engines
+    * (observed Spark-vs-DuckDB at 600k rows).
+    */
+  def exactProductSum(a: Column, b: Column): Column =
+    (sum(round(a * 100).cast("long") * round(b * 100).cast("long"))
+      .cast("double") / lit(10000.0))
 
   /** A1 — argmax-per-group with the engine's deterministic tie-break:
     * max count, then lexicographically largest value

@@ -35,7 +35,8 @@ object RelationalDemos {
       li.groupBy("l_returnflag", "l_linestatus").agg(
           AggOps.exactSum(col("l_quantity")).as("sum_qty"),
           AggOps.exactSum(col("l_extendedprice")).as("sum_base_price"),
-          AggOps.exactSumWide(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          AggOps.exactProductSum(col("l_extendedprice"),
+              lit(1) - col("l_discount"))
             .as("sum_disc_price"),
           (AggOps.exactSum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
@@ -289,7 +290,7 @@ object RelationalDemos {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
