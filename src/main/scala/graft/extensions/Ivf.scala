@@ -17,9 +17,15 @@ import org.apache.spark.sql.functions._
   * key, so a probe touches nProbe/k of the data. Search = equi-join on
   * the probed cell ids, then exact cosine rank within candidates.
   *
+  * Per-row staging matters: the norm and the normalized vector are
+  * materialized as their own projections BEFORE any lambda references
+  * them — a norm expression inlined inside a `transform` lambda would be
+  * re-evaluated once per vector ELEMENT (O(d²) per row; measured 8s vs
+  * sub-second on 2k×64 vectors).
+  *
   * Deterministic: fixed seed, fixed sample, centroids materialized as
   * literals (no RNG at query time). No SQL oracle (the index is
-  * model-derived); recall vs brute force is asserted in tests.
+  * model-derived); full-probe search == brute force is asserted in tests.
   */
 object Ivf {
 
@@ -27,45 +33,55 @@ object Ivf {
     def k: Int = centroids.length
   }
 
+  /** (id, vec, nrm, nvec) with norm and normalized vector staged as
+    * attribute columns (computed once per row each), repartitioned off a
+    * possibly-single-split scan.
+    */
+  private def prepped(vecs: DataFrame, idCol: String,
+                      vecCol: String): DataFrame =
+    vecs
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .repartition(vecs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), col("vec"), Similarity.norm(col("vec")).as("nrm"))
+      .select(col("id"), col("vec"), col("nrm"),
+        transform(col("vec").cast("array<double>"),
+          x => when(col("nrm") > 0, x / col("nrm")).otherwise(lit(0.0)))
+          .as("nvec"))
+
   /** Train centroids with MLlib KMeans (cosine-friendly: vectors are
     * L2-normalized first so Euclidean cells ≈ angular cells).
     */
   def train(vecs: DataFrame, vecCol: String, k: Int,
             seed: Long = 42L, maxSampleRows: Int = 100000): IvfIndex = {
-    val normalized = vecs
-      .select(normalizeExpr(col(vecCol)).as("arr"))
+    val normalized = prepped(vecs.withColumn("__id", lit(0L)), "__id", vecCol)
       .limit(maxSampleRows)
-      .select(array_to_vector(col("arr")).as("features"))
+      .select(array_to_vector(col("nvec")).as("features"))
     val model = new KMeans()
       .setK(k).setSeed(seed).setMaxIter(20).setFeaturesCol("features")
       .fit(normalized)
     IvfIndex(model.clusterCenters.map(_.toArray))
   }
 
-  private def normalizeExpr(vec: Column): Column = {
-    val nrm = Similarity.norm(vec)
-    transform(vec.cast("array<double>"),
-      x => when(nrm > 0, x / nrm).otherwise(lit(0.0)))
-  }
-
-  /** Distance-ranked cell ids for a vector: returns array of centroid
-    * indices ordered by ascending angular distance (descending dot with
-    * the normalized vector). Codegen'd SeqDot against centroid literals.
+  /** Distance-ranked cell ids for a PRE-NORMALIZED vector column: array
+    * of centroid indices ordered by descending dot (ascending angle).
+    * Codegen'd SeqDot against centroid literals.
     */
-  private def rankedCells(vec: Column, index: IvfIndex): Column = {
-    val nv = normalizeExpr(vec)
+  private def rankedCells(nvec: Column, index: IvfIndex): Column = {
     val scored = index.centroids.zipWithIndex.map { case (c, i) =>
-      struct(Similarity.dot(nv, lit(c)).as("dot"), lit(i).as("cell"))
+      struct(Similarity.dot(nvec, lit(c)).as("dot"), lit(i).as("cell"))
     }
-    // descending by dot = ascending by angle; reverse of ascending sort
     reverse(array_sort(array(scored: _*)))
   }
 
-  /** Cell assignment (the inverted-list / bucket key): nearest centroid. */
+  /** Cell assignment (the inverted-list / bucket key): nearest centroid.
+    * Output: (id, vec, nrm, cell).
+    */
   def assign(vecs: DataFrame, idCol: String, vecCol: String,
              index: IvfIndex): DataFrame =
-    vecs.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      rankedCells(col(vecCol), index).getItem(0).getField("cell").as("cell"))
+    prepped(vecs, idCol, vecCol)
+      .select(col("id"), col("vec"), col("nrm"),
+        rankedCells(col("nvec"), index).getItem(0).getField("cell")
+          .as("cell"))
 
   /** IVF top-k search: probe the `nProbe` nearest cells per query, rank
     * candidates by exact cosine (desc, id tie-break).
@@ -74,12 +90,12 @@ object Ivf {
              vecCol: String, index: IvfIndex, nProbe: Int = 2,
              topK: Int = 3): DataFrame = {
     val lists = assign(corpus, idCol, vecCol, index)
-      .withColumn("nrm", Similarity.norm(col("vec")))
     val probes = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
-          Similarity.norm(col(vecCol)).as("query_nrm"),
-          explode(slice(rankedCells(col(vecCol), index), 1, nProbe))
-            .as("probe"))
+      prepped(queries, idCol, vecCol)
+        .select(col("id").as("query_id"), col("vec").as("query_vec"),
+                col("nrm").as("query_nrm"),
+                explode(slice(rankedCells(col("nvec"), index), 1, nProbe))
+                  .as("probe"))
         .select(col("query_id"), col("query_vec"), col("query_nrm"),
                 col("probe.cell").as("cell")))
     val scored = lists.join(probes, "cell")

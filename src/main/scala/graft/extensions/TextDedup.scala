@@ -115,22 +115,20 @@ object TextDedup {
       .select("id_a", "id_b", "n_common", "n_union", "jaccard")
   }
 
-  /** SimHash: d-dimensional ±1 vote per token using md5 nibbles, sign →
-    * bit. Near-duplicates differ in few bits (compare by Hamming
-    * distance). Emitted as a d-char '0'/'1' string. Expression-only —
+  /** SimHash over an arbitrary feature array: d-dimensional ±1 vote per
+    * feature using md5 nibbles, sign → bit, emitted as a d-char '0'/'1'
+    * string. Native single-pass expression (one md5 per feature) —
     * per-row, no shuffle.
     */
-  def simhash(text: Column, d: Int = 16): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val bits = (1 to d).map { j =>
-      val votes = aggregate(toks, lit(0),
-        (acc, t) => acc +
-          when(substring(md5(t), j, 1).isin("8", "9", "a", "b", "c", "d",
-            "e", "f"), 1).otherwise(-1))
-      when(votes >= 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(bits: _*)
-  }
+  def simhashOf(features: Column, d: Int): Column =
+    graft.functions.SimHashBits(features, d)
+
+  /** SimHash of a text's whitespace tokens. NOTE: unigram-token features
+    * collapse on small vocabularies (every doc looks alike) — pair
+    * detection uses shingle features instead (see [[simhashPairs]]).
+    */
+  def simhash(text: Column, d: Int = 16): Column =
+    simhashOf(TextAnalysis.tokens(text), d)
 
   /** SimHash near-dup pairs: candidates share at least one of `d/bandBits`
     * fingerprint bands (pigeonhole: any pair within Hamming distance
@@ -139,15 +137,21 @@ object TextDedup {
     * same no-all-pairs shape as MinHash LSH.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, d: Int = 16,
-                   bandBits: Int = 4): DataFrame = {
+                   maxHamming: Int = 3, d: Int = 32,
+                   bandBits: Int = 8): DataFrame = {
     val nBands = d / bandBits
     // pigeonhole completeness: a pair within Hamming h can only be
     // guaranteed to share a band when h < nBands
     require(maxHamming < nBands,
       s"maxHamming=$maxHamming needs more than $nBands bands " +
         s"(use bandBits <= ${d / (maxHamming + 1)})")
-    val fps = docs.select(col(idCol).as("id"), simhash(col(textCol), d).as("fp"))
+    // bandBits sizes the candidate volume: collisions of unrelated docs
+    // arrive at ~2^-bandBits per band — 8-bit bands keep the self-join
+    // linear-ish; 4-bit bands explode it (measured 3M pairs on 5k docs).
+    // Features are 3-gram shingles: unigram tokens collapse on small
+    // vocabularies (411k false "near-dups" on the testdata vs 227 real).
+    val fps = withShingles(docs, idCol, textCol)
+      .select(col("id"), simhashOf(col("sh"), d).as("fp"))
     val bands = fps.select(col("id"), col("fp"),
       explode(array((0 until nBands).map(b =>
         concat(lit(s"$b|"),

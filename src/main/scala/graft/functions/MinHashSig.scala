@@ -78,6 +78,60 @@ case class MinHashBands(child: Expression, k: Int, bands: Int)
     copy(child = c)
 }
 
+/** Single-pass SimHash bits: ONE md5 per feature, all `d` nibble votes
+  * extracted from that digest (bit j votes +1 iff hex digit j of
+  * md5(feature) is in 8..f) — semantically identical to the d-fold
+  * `aggregate(features, …substring(md5(t), j, 1)…)` chain and to the SQL
+  * oracle, but without re-hashing every feature d times.
+  */
+case class SimHashBits(child: Expression, d: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(d >= 1 && d <= 32, "d must be in 1..32 (md5 has 32 hex digits)")
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_bits"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](d)
+    val md = MessageDigest.getInstance("MD5")
+    var s = 0
+    while (s < n) {
+      if (!arr.isNullAt(s)) {
+        md.reset()
+        val digest = md.digest(arr.getUTF8String(s).getBytes)
+        var j = 0
+        while (j < d) {
+          val nibble =
+            if (j % 2 == 0) (digest(j / 2) >> 4) & 0xf
+            else digest(j / 2) & 0xf
+          votes(j) += (if (nibble >= 8) 1 else -1)
+          j += 1
+        }
+      }
+      s += 1
+    }
+    val out = new Array[Char](d)
+    var j = 0
+    while (j < d) {
+      out(j) = if (votes(j) >= 0) '1' else '0'
+      j += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHashBits =
+    copy(child = c)
+}
+
+object SimHashBits {
+  /** Column API over an array<string> feature column. */
+  def apply(features: Column, d: Int): Column =
+    GraftBridge.column(SimHashBits(GraftBridge.expression(features), d))
+}
+
 private[functions] object MinHashCore {
 
   private def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {

@@ -89,11 +89,16 @@ final class DictionaryNer(nodes: DataFrame, clusters: DataFrame,
 
 object DictionaryNer {
 
-  /** P2+P3+P4: text → gated, scrubbed sentences (perform_NER.py:22-28). */
+  /** P2+P3+P4: text → gated, scrubbed sentences (perform_NER.py:22-28).
+    * Repartitions first: the downstream n-gram explode is the pipeline's
+    * CPU/blow-up stage and must not inherit a single-split input layout.
+    */
   def sentences(docs: DataFrame, keyCol: String, textCol: String): DataFrame =
     docs
-      .select(col(keyCol).as("doc_key"),
-              explode(StringOps.sentences(col(textCol))).as("sentence"))
+      .select(col(keyCol).as("doc_key"), col(textCol).as("t"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_key"),
+              explode(StringOps.sentences(col("t"))).as("sentence"))
       .filter(StringOps.lengthOk(col("sentence")))
       .select(col("doc_key"),
               StringOps.dropLongTokens(col("sentence")).as("sentence"))
