@@ -92,3 +92,41 @@ object TextAnalysis {
   def fingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(text, n), s => md5(s)))
 }
+
+/** End-to-end corpus cleaning — the composite a training-data pipeline
+  * actually runs: language filter → quality threshold → exact dedup
+  * (keep smallest id) → near-dup removal (MinHash+LSH candidates,
+  * Jaccard-verified, keep the smaller id of each surviving pair).
+  * Entirely built from the operators above; one pass over the corpus
+  * plus the candidate joins — no all-pairs stage anywhere.
+  */
+object CorpusClean {
+  import org.apache.spark.sql.DataFrame
+
+  def run(docs: DataFrame, idCol: String, textCol: String,
+          keepLangs: Seq[String] = Seq("en"),
+          minQuality: Double = 0.5,
+          jaccardThreshold: Double = 0.5): DataFrame = {
+    val gated = docs
+      .filter(TextAnalysis.langId(col(textCol))
+        .isin(keepLangs.map(x => x: Any): _*))
+      .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+
+    // exact dedup: keep the smallest id per content hash
+    val exactKept = gated
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("keeper",
+        min(col("id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("content_hash")))
+      .filter(col("id") === col("keeper"))
+      .select("id", "text")
+
+    // near-dup removal: drop the larger id of every verified pair
+    val losers = TextDedup
+      .jaccardVerified(exactKept, "id", "text", jaccardThreshold)
+      .select(col("id_b").as("id"))
+      .distinct()
+    exactKept.join(losers, Seq("id"), "left_anti")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.extensions.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.extensions.{CorpusClean, Multimodal, Similarity, TextAnalysis, TextDedup}
 import graft.tables.Tables
 
 /** Training-data pipeline demos over `documents` / `embeddings`:
@@ -48,6 +48,13 @@ object PipelineDemos {
         .select(col("doc_id"),
                 TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")
+    }),
+    // End-to-end corpus cleaning composite: language filter → quality
+    // threshold → exact dedup → LSH-verified near-dup removal.
+    "corpus_clean" -> ((s, dir) => {
+      CorpusClean.run(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id"), md5(col("text")).as("content_hash"))
+        .orderBy("id")
     }),
     // NER mention generator (U1 pipeline head): sentence gates + scrub +
     // 1..3-gram candidate mentions, counted distinct per doc.
@@ -229,6 +236,35 @@ object PipelineDemos {
          |sh AS (SELECT doc_id, $shinglesExpr AS shingles FROM t)
          |SELECT doc_id, list_min(list_transform(shingles, s -> md5(s))) AS fingerprint
          |FROM sh ORDER BY doc_id""".stripMargin,
+    "corpus_clean" ->
+      s"""WITH lt AS (SELECT doc_id AS id, text,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ltoks,
+         |    $toksExpr AS toks FROM documents),
+         |sc AS (SELECT id, text, toks, $scoresSelect, CAST(len(toks) AS DOUBLE) AS n_tok FROM lt),
+         |base AS (SELECT id, text, toks FROM sc
+         |  WHERE $langCase = 'en'
+         |  AND (CASE WHEN n_tok > 0 THEN CAST(${langScores.map(_._1).map(l => s"s_$l").mkString(" + ")} AS DOUBLE) / n_tok ELSE 0.0 END) * 0.4
+         |    + least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+         |    + (1.0 - (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.2 >= 0.5),
+         |ex AS (SELECT id, text, toks FROM (
+         |    SELECT id, text, toks, min(id) OVER (PARTITION BY md5(text)) AS keeper FROM base)
+         |  WHERE id = keeper),
+         |sh AS (SELECT id, $shinglesExpr AS shingles FROM ex),
+         |sig AS (SELECT id, [${(0 until 8).map(i =>
+        s"list_min(list_transform(shingles, s -> md5('$i|' || s)))").mkString(", ")}] AS sig FROM sh),
+         |bands AS (SELECT id, unnest([${(0 until 4).map(b =>
+        s"'$b|' || md5(sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}])").mkString(", ")}]) AS band FROM sig),
+         |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |          FROM bands a JOIN bands b USING (band) WHERE a.id < b.id),
+         |sets AS (SELECT id, list_distinct(shingles) AS sset FROM sh),
+         |losers AS (SELECT DISTINCT id_b AS id FROM (
+         |    SELECT id_a, id_b,
+         |      CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) AS jaccard
+         |    FROM cands JOIN sets sa ON sa.id = id_a JOIN sets sb ON sb.id = id_b)
+         |  WHERE jaccard >= $jaccardThreshold)
+         |SELECT id, md5(text) AS content_hash FROM ex
+         |WHERE id NOT IN (SELECT id FROM losers)
+         |ORDER BY id""".stripMargin,
     "ngram_mentions" ->
       """WITH s AS (SELECT doc_id, unnest(string_split(text, '.')) AS sentence FROM documents),
         |g AS (SELECT doc_id,
