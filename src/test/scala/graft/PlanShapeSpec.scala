@@ -66,6 +66,23 @@ class PlanShapeSpec extends SparkTestBase {
     assert(r.getSeq[String](2).head.startsWith("0|"))
   }
 
+  test("driver entry smoke works on a PLAIN session (no custom confs)") {
+    // the driver calls SparkEntry.entry with its own vanilla session —
+    // entry must not depend on Sessions.local's confs (e.g. nanosAsLong)
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val plain = try SparkSession.builder()
+      .master("local[2]").appName("graft-plain")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+    assert(SparkEntry.entry(plain).count() > 0)
+  }
+
   test("SeqDot matches the interpreted sequential fold") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
