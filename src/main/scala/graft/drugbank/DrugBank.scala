@@ -56,6 +56,14 @@ object DrugBank {
         StructField("enzymes", StructType(Seq(
           StructField("uniprot-id", ArrayType(StringType))))))))))))))
 
+  /** map<curie, struct<name, category>> — the match-map type shared by
+    * the stage-1 NER maps and stage-2 mechanistic merge.
+    */
+  val matchMapType: DataType = MapType(StringType, StructType(Seq(
+    StructField("name", StringType), StructField("category", StringType))))
+
+  def emptyMatchMap: Column = map().cast(matchMapType)
+
   /** Streaming-friendly XML scan (Spark 4 native XML source). */
   def readXml(spark: SparkSession, path: String): DataFrame =
     spark.read.format("xml")
@@ -146,9 +154,12 @@ object DrugBank {
         crawlBioentities("carrier").as("carriers"),
         crawlPathways.as("pathways"))
       .groupBy("kg2_id")
-      .agg(max_by(
-        struct(col("*")),
-        col("drug_bank_id")).as("r"))
-      .select(col("r.*"))
+      // tie-break on the FULL record (struct ordering), not just
+      // drug_bank_id — two entries sharing kg2_id AND drug_bank_id (e.g.
+      // concatenated dumps) would otherwise pick a partition-order-
+      // dependent winner
+      .agg(max(struct(col("drug_bank_id").as("k"), struct(col("*")).as("r")))
+        .as("m"))
+      .select(col("m.r.*"))
   }
 }

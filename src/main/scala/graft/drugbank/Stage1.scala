@@ -19,10 +19,7 @@ import graft.synonymizer.Synonymizer
   */
 object Stage1 {
 
-  private val matchMapType: DataType = MapType(StringType, StructType(Seq(
-    StructField("name", StringType), StructField("category", StringType))))
-
-  private def emptyMap = map().cast(matchMapType)
+  private def emptyMap = DrugBank.emptyMatchMap
 
   def run(drugs: DataFrame, syn: Synonymizer, ner: DictionaryNer): DataFrame = {
     val recs = DrugBank.records(drugs, syn)
@@ -36,12 +33,19 @@ object Stage1 {
         "kg2_id", "text", Constants.IndicationCategories))
       .withColumnRenamed("matches", "indication_NER_aligned")
 
-    // mechanistic_intermediate_nodes (perform_NER.py:126-134): all six
-    // MOSTLY_TEXT_FIELDS bracket-scrubbed and concatenated ("\n "-joined;
-    // concat_ws skips nulls like the reference's `if text:` guard).
-    val mechText = concat_ws("\n ",
-      Constants.MostlyTextFields.map(f =>
-        StringOps.removeBrackets(col(f))): _*)
+    // mechanistic_intermediate_nodes (perform_NER.py:126-134): each
+    // truthy MOSTLY_TEXT_FIELDS value contributes
+    // `remove_brackets(text) + "\n "` — the reference's `if text:` guard
+    // skips null AND empty strings, and the separator TRAILS every
+    // contribution (concat_ws would drop the trailing one and keep
+    // empty-string fields, shifting sentence boundaries near the length
+    // gates).
+    val mechText = concat(
+      Constants.MostlyTextFields.map { f =>
+        when(col(f).isNotNull && length(col(f)) > 0,
+          concat(StringOps.removeBrackets(col(f)), lit("\n ")))
+          .otherwise(lit(""))
+      }: _*)
     val mechanistic = ner.asMap(ner.textToKg2Nodes(
         recs.select(col("kg2_id"), mechText.as("text")),
         "kg2_id", "text", Constants.MechanisticCategories))

@@ -63,12 +63,6 @@ object Stage2 {
       .drop("key")
       .withColumn("mechanistic_intermediate_nodes",
         coalesce(col("mechanistic_intermediate_nodes"),
-          map().cast(org.apache.spark.sql.types.MapType(
-            org.apache.spark.sql.types.StringType,
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("name",
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("category",
-                org.apache.spark.sql.types.StringType)))))))
+          DrugBank.emptyMatchMap))
   }
 }

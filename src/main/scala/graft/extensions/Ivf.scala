@@ -101,8 +101,10 @@ object Ivf {
     val scored = lists.join(probes, "cell")
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
-              (Similarity.dot(col("query_vec"), col("vec"))
-                / (col("query_nrm") * col("nrm"))).as("cos"))
+              when(col("query_nrm") > 0 && col("nrm") > 0,
+                Similarity.dot(col("query_vec"), col("vec"))
+                  / (col("query_nrm") * col("nrm")))
+                .otherwise(lit(0.0)).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

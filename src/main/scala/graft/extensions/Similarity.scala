@@ -37,6 +37,11 @@ object Similarity {
   /** Sequential-fold L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine from precomputed parts with the zero-norm guard (NaN would
+    * otherwise rank above every real value in Spark's ordering). */
+  private def safeCos(d: Column, na: Column, nb: Column): Column =
+    when(na > 0 && nb > 0, d / (na * nb)).otherwise(lit(0.0))
+
   /** Cosine similarity (exact dot/norms; null-safe on zero vectors). */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
@@ -65,8 +70,8 @@ object Similarity {
     l.crossJoin(r)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-              (dot(col("vec_a"), col("vec_b"))
-                / (col("nrm_a") * col("nrm_b"))).as("cos"))
+              safeCos(dot(col("vec_a"), col("vec_b")),
+                      col("nrm_a"), col("nrm_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -88,8 +93,8 @@ object Similarity {
       .crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-              (dot(col("query_vec"), col("vec"))
-                / (col("query_nrm") * col("nrm"))).as("cos"))
+              safeCos(dot(col("query_vec"), col("vec")),
+                      col("query_nrm"), col("nrm")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -153,8 +158,8 @@ object Similarity {
               col("nrm_a"), col("nrm_b"))
       .distinct()
       .select(col("id_a"), col("id_b"),
-              (dot(col("vec_a"), col("vec_b"))
-                / (col("nrm_a") * col("nrm_b"))).as("cos"))
+              safeCos(dot(col("vec_a"), col("vec_b")),
+                      col("nrm_a"), col("nrm_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -50,6 +50,9 @@ case class MinHashSig(child: Expression, k: Int)
   */
 case class MinHashBands(child: Expression, k: Int, bands: Int)
     extends UnaryExpression with CodegenFallback {
+  require(bands >= 1 && k >= bands && k % bands == 0,
+    s"bands ($bands) must divide k ($k) — a remainder silently drops " +
+      "signature rows, and bands > k degenerates every key to a constant")
 
   override def dataType: DataType = ArrayType(StringType)
   override def nullIntolerant: Boolean = true
@@ -63,12 +66,18 @@ case class MinHashBands(child: Expression, k: Int, bands: Int)
     val out = new Array[Any](bands)
     var b = 0
     while (b < bands) {
-      val joined = (0 until rows)
-        .map(r => MinHashCore.hex(mins(b * rows + r)))
-        .mkString("|")
-      md.reset()
-      val d = md.digest(joined.getBytes("UTF-8"))
-      out(b) = UTF8String.fromString(s"$b|" + MinHashCore.hex(d))
+      // an all-null input array leaves the min digests null — no band
+      // key, not an NPE (mirrors MinHashSig's null rows)
+      if ((0 until rows).exists(r => mins(b * rows + r) == null)) {
+        out(b) = null
+      } else {
+        val joined = (0 until rows)
+          .map(r => MinHashCore.hex(mins(b * rows + r)))
+          .mkString("|")
+        md.reset()
+        val d = md.digest(joined.getBytes("UTF-8"))
+        out(b) = UTF8String.fromString(s"$b|" + MinHashCore.hex(d))
+      }
       b += 1
     }
     new GenericArrayData(out)

@@ -304,9 +304,9 @@ object PipelineDemos {
          |f AS (SELECT doc_id, unnest(toks) AS tok FROM t),
          |v AS (SELECT doc_id, ${(1 to 16).map(j =>
         s"SUM(CASE WHEN substr(md5(tok), $j, 1) IN $hexHigh THEN 1 ELSE -1 END) AS v$j").mkString(", ")} FROM f GROUP BY doc_id)
-         |SELECT doc_id, ${(1 to 16).map(j =>
-        s"(CASE WHEN v$j >= 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS simhash
-         |FROM v ORDER BY doc_id""".stripMargin,
+         |SELECT t.doc_id, ${(1 to 16).map(j =>
+        s"(CASE WHEN v$j IS NULL OR v$j >= 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS simhash
+         |FROM t LEFT JOIN v USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dedup_simhash_pairs" -> {
       val d = 32; val bandBits = 8; val nBands = d / bandBits
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
@@ -353,7 +353,9 @@ object PipelineDemos {
          |           FROM embeddings WHERE vec_id < $embedCap)
          |SELECT * FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         |    CASE WHEN a.nrm > 0 AND b.nrm > 0
+         |      THEN ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+         |      ELSE 0.0 END AS cos
          |  FROM e a, e b WHERE a.vec_id < b.vec_id)
          |WHERE cos >= $cosineThreshold
          |ORDER BY id_a, id_b""".stripMargin,
@@ -361,7 +363,9 @@ object PipelineDemos {
       s"""WITH $normsCte,
          |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM norms WHERE vec_id < 5),
          |cs AS (SELECT query_id, n.vec_id AS neighbor_id,
-         |         ${dotSql("qe", "n.embedding")} / (qn * n.nrm) AS cos
+         |         CASE WHEN qn > 0 AND n.nrm > 0
+         |           THEN ${dotSql("qe", "n.embedding")} / (qn * n.nrm)
+         |           ELSE 0.0 END AS cos
          |       FROM q, norms n WHERE n.vec_id <> query_id)
          |SELECT query_id, neighbor_id, cos,
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank

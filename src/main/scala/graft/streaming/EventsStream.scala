@@ -137,11 +137,11 @@ object EventsStream {
               queryName: String = "events_stream"): DataFrame = {
     val schema = spark.read.parquet(parquetDir).schema
     val stream = spark.readStream.schema(schema).parquet(parquetDir)
-    // same nanos-as-long handling as Tables.events
+    // same nanos-as-long handling as Tables.events (integral div — long
+    // `/` routes through double and corrupts ns-scale values)
     val tsFixed =
       if (schema("ts").dataType == LongType)
-        stream.withColumn("ts",
-          timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else stream
     val q = streamingCounts(tsFixed)
       .writeStream

@@ -189,8 +189,8 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
       .select(col("input"),
               StringOps.curieCandidate(col("prefix"), col("input"))
                 .as("candidate"))
-    val hits = candidates
-      .withColumn("probe_key", StringOps.capitalizePrefix(col("candidate")))
+    val hits = broadcast(candidates
+        .withColumn("probe_key", StringOps.capitalizePrefix(col("candidate"))))
       .join(nodes, col("probe_key") === nodes("id_simplified"))
       .join(clustersPreferred, "cluster_id")
       .select("input", "candidate", "preferred_curie", "preferred_name",
