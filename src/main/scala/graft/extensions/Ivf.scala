@@ -34,14 +34,14 @@ object Ivf {
   }
 
   /** (id, vec, nrm, nvec) with norm and normalized vector staged as
-    * attribute columns (computed once per row each), repartitioned off a
-    * possibly-single-split scan.
+    * attribute columns (computed once per row each); conditionally
+    * repartitioned off a possibly-single-split scan (no-op when the scan
+    * is already well split).
     */
   private def prepped(vecs: DataFrame, idCol: String,
                       vecCol: String): DataFrame =
-    vecs
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .repartition(vecs.sparkSession.sparkContext.defaultParallelism)
+    graft.ops.Partitioning.ensureParallelism(
+        vecs.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .select(col("id"), col("vec"), Similarity.norm(col("vec")).as("nrm"))
       .select(col("id"), col("vec"), col("nrm"),
         transform(col("vec").cast("array<double>"),

@@ -43,12 +43,8 @@ object Similarity {
     when(na > 0 && nb > 0, d / (na * nb)).otherwise(lit(0.0))
 
   /** Cosine similarity (exact dot/norms; null-safe on zero vectors). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val na = norm(a)
-    val nb = norm(b)
-    when(na > 0 && nb > 0, d / (na * nb)).otherwise(lit(0.0))
-  }
+  def cosine(a: Column, b: Column): Column =
+    safeCos(dot(a, b), norm(a), norm(b))
 
   /** All-pairs cosine above a threshold — the embedding near-dup
     * verification kernel. Norms are computed ONCE per vector (map-side)
@@ -58,9 +54,9 @@ object Similarity {
   def pairwiseCosine(vecs: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = -1.0): DataFrame = {
     // spread the CPU-bound pair work across all cores even when the
-    // input is a single small parquet split
-    val prepped = vecs
-      .repartition(vecs.sparkSession.sparkContext.defaultParallelism)
+    // input is a single small parquet split (conditional — no-op on a
+    // well-split scan)
+    val prepped = graft.ops.Partitioning.ensureParallelism(vecs)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
               norm(col(vecCol)).as("nrm"))
     val l = prepped.select(col("id").as("id_a"), col("vec").as("vec_a"),
@@ -86,8 +82,7 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
                                      col(vecCol).as("query_vec"),
                                      norm(col(vecCol)).as("query_nrm")))
-    val scored = corpus
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val scored = graft.ops.Partitioning.ensureParallelism(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
               norm(col(vecCol)).as("nrm"))
       .crossJoin(q)
@@ -139,8 +134,7 @@ object Similarity {
   def lshNearNeighbors(vecs: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, tables: Int = 4,
                        planesPerTable: Int = 3): DataFrame = {
-    val bucketed = vecs
-      .repartition(vecs.sparkSession.sparkContext.defaultParallelism)
+    val bucketed = graft.ops.Partitioning.ensureParallelism(vecs)
       .select(
       col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"),

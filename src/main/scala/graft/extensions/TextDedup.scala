@@ -37,17 +37,16 @@ object TextDedup {
     graft.functions.MinHashSig(sh, k)
 
   /** docs → (id, sh) with the shingle array materialized as a column.
-    * Repartitions to the session's default parallelism first: the
-    * shingle/minhash work is CPU-bound per row, and a small input (one
-    * parquet split) would otherwise pin the whole pass to one task —
-    * the classic small-file/large-compute mismatch. At real scale the
-    * scan already yields many splits and this is a cheap no-op shuffle
-    * of (id, text).
+    * The shingle/minhash work is CPU-bound per row, and a small input
+    * (one parquet split) would otherwise pin the whole pass to one task
+    * — the classic small-file/large-compute mismatch. The repartition is
+    * CONDITIONAL (Partitioning.ensureParallelism): a well-split scan at
+    * real scale keeps its layout, no Exchange added.
     */
   def withShingles(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3): DataFrame =
-    docs.select(col(idCol).as("id"), col(textCol).as("t"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    graft.ops.Partitioning.ensureParallelism(
+        docs.select(col(idCol).as("id"), col(textCol).as("t")))
       .select(col("id"), TextAnalysis.shingles(col("t"), shingleN).as("sh"))
 
   /** Convenience single-expression form (small inputs / tests). */

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All contiguous 1..maxGram-grams of a token array, space-joined,
+  * length-gated, and deduplicated — in one pass per row.
+  *
+  * Semantically identical to the HOF chain
+  * `flatten(transform(sequence(1, maxGram), n -> transform(sequence(0,
+  * size-n), i -> array_join(slice(toks, i+1, n), " "))))` followed by
+  * `length(g) >= minChars` filtering and per-sentence dedup, but those
+  * interpreted higher-order functions sit outside whole-stage codegen and
+  * re-walk the token array maxGram·n times (the round-1 ngram_mentions
+  * pathology: NER.py:99-100 candidate generation); this is one tight loop
+  * with a dedup set. Join semantics match `array_join` (null tokens are
+  * skipped, no separator left behind); the length gate counts codepoints
+  * like Spark's `length()`.
+  *
+  * Emitting pre-deduped, pre-filtered arrays also shrinks the explode
+  * output ~2× before the global per-document `distinct()`, which is the
+  * shuffle that matters at corpus scale.
+  */
+case class NGramsExpr(child: Expression, maxGram: Int, minChars: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(maxGram >= 1, "maxGram must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ngrams"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var g = 1
+    while (g <= maxGram) {
+      var start = 0
+      while (start + g <= n) {
+        val window = java.util.Arrays.copyOfRange(toks, start, start + g)
+        val gram = UTF8String.concatWs(sep, window: _*)
+        if (gram != null && gram.numChars() >= minChars) seen.add(gram)
+        start += 1
+      }
+      g += 1
+    }
+    val out = new Array[Any](seen.size)
+    var k = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NGramsExpr =
+    copy(child = c)
+}
+
+object NGrams {
+  /** Column API over an array<string> token column. */
+  def apply(tokens: Column, maxGram: Int, minChars: Int): Column =
+    GraftBridge.column(
+      NGramsExpr(GraftBridge.expression(tokens), maxGram, minChars))
+}

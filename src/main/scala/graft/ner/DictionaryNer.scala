@@ -90,13 +90,13 @@ final class DictionaryNer(nodes: DataFrame, clusters: DataFrame,
 object DictionaryNer {
 
   /** P2+P3+P4: text → gated, scrubbed sentences (perform_NER.py:22-28).
-    * Repartitions first: the downstream n-gram explode is the pipeline's
-    * CPU/blow-up stage and must not inherit a single-split input layout.
+    * The downstream n-gram explode is the pipeline's CPU/blow-up stage
+    * and must not inherit a single-split input layout — conditional
+    * repartition (no-op on a well-split scan).
     */
   def sentences(docs: DataFrame, keyCol: String, textCol: String): DataFrame =
-    docs
-      .select(col(keyCol).as("doc_key"), col(textCol).as("t"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    graft.ops.Partitioning.ensureParallelism(
+        docs.select(col(keyCol).as("doc_key"), col(textCol).as("t")))
       .select(col("doc_key"),
               explode(StringOps.sentences(col("t"))).as("sentence"))
       .filter(StringOps.lengthOk(col("sentence")))
@@ -105,18 +105,17 @@ object DictionaryNer {
 
   /** Sentence → distinct candidate mentions: punctuation-stripped
     * (NER.py:99-100) whitespace tokens recombined into 1..maxGram-grams.
+    * Gram generation, the length gate, and per-sentence dedup run inside
+    * one native expression (graft.functions.NGramsExpr) — the interpreted
+    * HOF version of this was the engine's hottest query by 25×.
     */
   def mentions(sentenceDf: DataFrame, maxGram: Int = 6,
                minMentionChars: Int = 3): DataFrame = {
     val toks = split(trim(StringOps.stripPunct(col("sentence"))), "\\s+")
-    val grams = flatten(transform(sequence(lit(1), lit(maxGram)), n =>
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, n), " ")))
-        .otherwise(array(lit("")))))
     sentenceDf
-      .select(col("doc_key"), explode(grams).as("mention"))
-      .filter(length(col("mention")) >= minMentionChars)
+      .select(col("doc_key"),
+              explode(graft.functions.NGrams(toks, maxGram, minMentionChars))
+                .as("mention"))
       .distinct()
   }
 }

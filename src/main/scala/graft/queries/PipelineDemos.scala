@@ -74,10 +74,15 @@ object PipelineDemos {
         .orderBy("content_hash")
     }),
     // MinHash signatures (k=8; staged shingles→signature projections).
+    // Signature serialized in index order to a CSV string: the driver's
+    // pandas compare can't hash array cells; array form unit-tested in
+    // ExtensionsSpec.
     "dedup_minhash_sig" -> ((s, dir) => {
       TextDedup.withShingles(Tables.documents(s, dir), "doc_id", "text")
         .select(col("id").as("doc_id"),
-                TextDedup.minhashSignatureFromShingles(col("sh")).as("sig"))
+                array_join(
+                  TextDedup.minhashSignatureFromShingles(col("sh")), ",")
+                  .as("sig"))
         .orderBy("doc_id")
     }),
     // MinHash+LSH candidate pairs (4 bands of 2).
@@ -286,8 +291,8 @@ object PipelineDemos {
     "dedup_minhash_sig" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
          |sh AS (SELECT doc_id, $shinglesExpr AS shingles FROM t)
-         |SELECT doc_id, [${(0 until 8).map(i =>
-        s"list_min(list_transform(shingles, s -> md5('$i|' || s)))").mkString(", ")}] AS sig
+         |SELECT doc_id, array_to_string([${(0 until 8).map(i =>
+        s"list_min(list_transform(shingles, s -> md5('$i|' || s)))").mkString(", ")}], ',') AS sig
          |FROM sh ORDER BY doc_id""".stripMargin,
     "dedup_minhash_pairs" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),

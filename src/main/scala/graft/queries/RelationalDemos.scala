@@ -116,19 +116,26 @@ object RelationalDemos {
         .orderBy("o_custkey")
     }),
     // A2 — synonym-count ranking: collect per group, rank by size
-    // (NER.py:69-81).
+    // (NER.py:69-81). Array serialized to a sorted CSV string: the driver's
+    // pandas compare can't hash ndarray cells (map_histogram pattern); the
+    // array form stays unit-tested in AggOpsSpec.
     "rank_by_count" -> ((s, dir) => {
       Tables.orders(s, dir)
         .groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"),
-             array_sort(collect_list(col("o_orderkey"))).as("order_keys"))
+             array_join(
+               transform(array_sort(collect_list(col("o_orderkey"))),
+                         _.cast("string")),
+               ",").as("order_keys"))
         .orderBy(col("n_orders").desc, col("o_custkey"))
     }),
-    // A3 — set-dedup of collected lists (utils.py:103-111).
+    // A3 — set-dedup of collected lists (utils.py:103-111); sorted-CSV form
+    // for the same hash-stability reason as rank_by_count.
     "dedup_array" -> ((s, dir) => {
       Tables.customer(s, dir)
         .groupBy("c_nationkey")
-        .agg(array_sort(collect_set(col("c_mktsegment"))).as("segments"))
+        .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",")
+          .as("segments"))
         .orderBy("c_nationkey")
     }),
     // A4 — longest-name-wins merge (perform_NER.py:39-53).
@@ -178,11 +185,13 @@ object RelationalDemos {
           .as("first_event_id"))
         .orderBy("user_id", "event_type")
     }),
-    // A8 — entity → value-set accumulation (NER.py:103-108).
+    // A8 — entity → value-set accumulation (NER.py:103-108); sorted-CSV
+    // string form (see rank_by_count note).
     "collect_set_group" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy("user_id")
-        .agg(array_sort(collect_set(col("event_type"))).as("types"))
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+          .as("types"))
         .orderBy("user_id")
     }),
     // A9 — union-of-sets flatten (node_synonymizer.py:238).
@@ -331,11 +340,13 @@ object RelationalDemos {
         |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY count(*) DESC, o_orderpriority DESC) = 1
         |ORDER BY o_custkey""".stripMargin,
     "rank_by_count" ->
-      """SELECT o_custkey, count(*) AS n_orders, list_sort(list(o_orderkey)) AS order_keys
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys
         |FROM orders GROUP BY o_custkey
         |ORDER BY n_orders DESC, o_custkey""".stripMargin,
     "dedup_array" ->
-      """SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments
+      """SELECT c_nationkey,
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "maxby_len" ->
       """SELECT n_name, c_name AS longest_name
@@ -358,7 +369,8 @@ object RelationalDemos {
         |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
         |ORDER BY user_id, event_type""".stripMargin,
     "collect_set_group" ->
-      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "flatten_distinct" ->
       "SELECT DISTINCT event_type FROM events ORDER BY event_type",

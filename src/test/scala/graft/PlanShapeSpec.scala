@@ -83,6 +83,30 @@ class PlanShapeSpec extends SparkTestBase {
     assert(SparkEntry.entry(plain).count() > 0)
   }
 
+  test("ensureParallelism adds no Exchange on an already-split input") {
+    import org.apache.spark.sql.functions._
+    // 8 partitions on a local[2]-style session: already >= parallelism →
+    // the conditional repartition must keep the layout (no shuffle before
+    // the map-side signature work)
+    val wide = spark.range(0, 1000, 1,
+        spark.sparkContext.defaultParallelism + 4)
+      .select(col("id"), concat(lit("text "), col("id")).as("text"))
+    val out = graft.ops.Partitioning.ensureParallelism(wide)
+    assert(out.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism + 4)
+    val p = graft.extensions.TextDedup
+      .withShingles(wide, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"conditional repartition added a shuffle:\n$p")
+    // and the rescue still fires for a single-split input
+    val narrow = spark.range(0, 10, 1, 1)
+      .select(col("id"), concat(lit("t"), col("id")).as("text"))
+    assert(graft.ops.Partitioning.ensureParallelism(narrow)
+      .rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+  }
+
   test("SeqDot matches the interpreted sequential fold") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
