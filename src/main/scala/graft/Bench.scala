@@ -1,6 +1,11 @@
 package graft
+import java.nio.file.{Files, Paths}
 object Bench {
-  /** Per-query wall time at SPARK_GRAFT_SF_DIR, one JSON line on stdout.
+  /** Per-query wall time at SPARK_GRAFT_SF_DIR, one JSON line on stdout
+    * AND written to a file (`SPARK_GRAFT_BENCH_OUT`, default
+    * /root/repo/bench.json): stdout passes through sbt's `[info]` prefix,
+    * which broke the driver's parser two rounds running — the file is the
+    * machine-readable artifact (same pattern as Verify's oracle_sql.json).
     *
     * Methodology: each query runs once untimed (JIT + codegen + file
     * listing warm-up — multi-second on first execution and pure constant
@@ -9,7 +14,13 @@ object Bench {
     * noise; min-of-2 keeps the gate comparing engine work, not noisy
     * neighbors). Keep the methodology fixed across rounds so the 2×
     * regression gate compares like with like (BASELINE.md).
+    *
+    * A failed query records a large positive penalty (600s) so the total
+    * visibly DEGRADES — the previous -1.0 sentinel subtracted from the
+    * total, making a failing round look faster.
     */
+  val failurePenaltySec = 600.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -28,14 +39,16 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       if (failed) failures += 1
-      // a failed query must not masquerade as a fast one — record a
-      // sentinel so the total visibly degrades instead of shrinking
-      name -> (if (failed) -1.0 else times.min)
+      name -> (if (failed) failurePenaltySec else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failures}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failures}"""
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench.json")
+    Files.writeString(Paths.get(out), json + "\n")
     spark.stop()
   }
 }

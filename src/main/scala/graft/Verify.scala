@@ -9,6 +9,13 @@ object Verify {
     // the driver always runs the full set).
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // a misspelled filter name silently running zero queries looks like
+    // success during local iteration — fail fast instead
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local("graft-verify", cpus)
     new java.io.File(outDir).mkdirs()

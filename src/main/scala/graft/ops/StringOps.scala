@@ -62,4 +62,21 @@ object StringOps {
     */
   def curieCandidate(prefix: Column, input: Column): Column =
     concat(prefix, lit(":"), input)
+
+  /** Stringified-Python-list ingestion (node_synonymizer.py:172, 315-318):
+    * real synonymizer sqlite dumps store member-id lists as single-quoted
+    * Python list literals (`"['a', 'b']"`) parsed with ast.literal_eval;
+    * the `"nan"` sentinel (a pandas NaN round-trip, :316), empty strings
+    * and nulls all become EMPTY arrays. Implementation is a
+    * quote-translating `from_json` — pure Column DSL, codegen'd, no UDF.
+    * Best-effort by design: items containing apostrophes or double quotes
+    * are not representable after translation and parse to null (the
+    * reference's own dumps contain neither — curies are quote-free).
+    */
+  def parsePyList(s: Column): Column = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    when(s.isNull || s === "nan" || s === "",
+        array().cast(ArrayType(StringType)))
+      .otherwise(from_json(translate(s, "'", "\""), ArrayType(StringType)))
+  }
 }

@@ -279,6 +279,37 @@ object RelationalDemos {
         .agg(countDistinct(col("l_partkey")).as("n_parts"))
         .orderBy("l_returnflag")
     }),
+    // Canonical lookup with return_all_categories
+    // (node_synonymizer.py:121-141): probe → cluster (nation analogue)
+    // plus the per-cluster member-category histogram, serialized to the
+    // hash-stable sorted "k:v" CSV form (map_histogram lesson). The
+    // histogram is per-cluster (computed once over the big side), NOT
+    // per-input — probe fan-in joins it by cluster key.
+    "canonical_categories" -> ((s, dir) => {
+      import s.implicits._
+      val probe = Seq(1L, 2L, 3L, 42L, 999999999L).toDF("input")
+      val cust = Tables.customer(s, dir)
+      val histo = cust
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("c_nationkey").as("h_nationkey"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("c_mktsegment"), col("cnt")))),
+            x => concat(x.getField("c_mktsegment"), lit(":"),
+                        x.getField("cnt").cast("string"))),
+          ",").as("all_categories"))
+      // (no broadcast hint: the probe is the PRESERVED side of the left
+      // join — Spark can't broadcast-build the left of a left-outer)
+      probe
+        .join(cust, col("input") === col("c_custkey"), "left")
+        .join(broadcast(Tables.nation(s, dir)),
+              col("c_nationkey") === col("n_nationkey"), "left")
+        .join(histo, col("c_nationkey") === col("h_nationkey"), "left")
+        .select(col("input"), col("n_name").as("preferred_name"),
+                col("all_categories"))
+        .orderBy("input")
+    }),
     // Sketch-based distinct (north-star; no SQL oracle — impl-specific HLL,
     // driver records rows-only check).
     "approx_distinct" -> ((s, dir) => {
@@ -407,6 +438,19 @@ object RelationalDemos {
         |ORDER BY okey""".stripMargin,
     "count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "canonical_categories" ->
+      """WITH probe(input) AS (VALUES (1), (2), (3), (42), (999999999)),
+        |h AS (SELECT c_nationkey AS h_nationkey,
+        |        string_agg(c_mktsegment || ':' || CAST(cnt AS VARCHAR), ',' ORDER BY c_mktsegment) AS all_categories
+        |      FROM (SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+        |            FROM customer GROUP BY 1, 2)
+        |      GROUP BY c_nationkey)
+        |SELECT CAST(input AS BIGINT) AS input, n_name AS preferred_name, all_categories
+        |FROM probe
+        |LEFT JOIN customer ON input = c_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN h ON c_nationkey = h_nationkey
+        |ORDER BY input""".stripMargin
   )
 }

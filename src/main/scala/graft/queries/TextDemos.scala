@@ -123,6 +123,23 @@ object TextDemos {
                 StringOps.curieCandidate(col("prefix"), col("input")).as("candidate"))
         .orderBy("input", "pattern_name")
     }),
+    // Stringified-Python-list ingestion (node_synonymizer.py:172,
+    // 315-318): single-quoted list literals synthesized from customer
+    // columns, "nan" sentinel every 7th row, parsed via the
+    // quote-translating from_json fallback and re-serialized for the
+    // hash-stable compare. The oracle constructs the expected output
+    // independently from the same base columns.
+    "pylist_parse" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 7 === 0, lit("nan"))
+            .otherwise(concat(lit("['"), col("c_mktsegment"), lit("', '"),
+                              col("c_name"), lit("']")))
+            .as("raw"))
+        .select(col("c_custkey"),
+          array_join(StringOps.parsePyList(col("raw")), "|").as("parsed"))
+        .orderBy("c_custkey")
+    }),
     // R2 suffix → all-prefix expansion (node_synonymizer.py:43-56).
     "prefix_fanout" -> ((s, dir) => {
       import s.implicits._
@@ -183,6 +200,11 @@ object TextDemos {
          |SELECT input, pattern_name, prefix || ':' || input AS candidate
          |FROM ins, pats WHERE regexp_matches(input, pattern)
          |ORDER BY input, pattern_name""".stripMargin,
+    "pylist_parse" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 7 = 0 THEN ''
+        |       ELSE c_mktsegment || '|' || c_name END AS parsed
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "prefix_fanout" ->
       s"""WITH pre(prefix) AS (VALUES $fanoutSql)
          |SELECT suffix, prefix, prefix || ':' || suffix AS candidate

@@ -56,14 +56,17 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
       .withColumn("probe_key", StringOps.simplify(col("input")))
 
   /** input → cluster_id by exact (capitalized) curie
-    * (node_synonymizer.py:69-77). One row per (input, cluster); the same
-    * simplified id mapping to several nodes of one cluster collapses.
+    * (node_synonymizer.py:69-77). Exactly ONE row per input: the
+    * reference's dict build keeps a single entry per id_simplified
+    * (node_synonymizer.py:80-86); where an id_simplified collides across
+    * clusters we pick deterministically (smallest cluster_id) instead of
+    * inheriting sqlite row order.
     */
   private def clusterByCurie(inputs: DataFrame): DataFrame =
     broadcast(curieProbe(inputs))
       .join(nodes, col("probe_key") === nodes("id_simplified"))
-      .select(col("input"), col("cluster_id"))
-      .distinct()
+      .groupBy(col("input"))
+      .agg(min(col("cluster_id")).as("cluster_id"))
 
   /** input → argmax cluster by simplified name
     * (node_synonymizer.py:90-107 + 370-379). Engine tie-break per SURVEY
@@ -78,29 +81,61 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
       .agg(min_by(col("cluster_id"), struct(negate(col("cnt")), col("cluster_id")))
         .as("cluster_id"))
 
-  private def withPreferred(resolved: DataFrame, inputs: DataFrame): DataFrame =
-    inputs.select(col("input")).distinct()
-      .join(resolved.join(clustersPreferred, "cluster_id"), Seq("input"), "left")
-      .select("input", "preferred_curie", "preferred_name", "preferred_category")
+  /** Per-cluster member-category histogram, biolink:-prefixed keys with
+    * null categories keyed "null" (node_synonymizer.py:121-141: one extra
+    * query over nodes for the resolved clusters, counts per member
+    * category). The resolved side is probe-sized → broadcast into the
+    * nodes scan; the map is assembled sorted for determinism.
+    */
+  private def allCategories(resolved: DataFrame): DataFrame =
+    nodes
+      .join(broadcast(resolved.select("cluster_id").distinct()), "cluster_id")
+      .groupBy(col("cluster_id"),
+        coalesce(StringOps.withPrefix("biolink:", col("category")),
+                 lit("null")).as("cat"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cluster_id"))
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("cat"), col("cnt")))))
+        .as("all_categories"))
 
-  /** get_canonical_curies, curie path (node_synonymizer.py:58-86). */
-  def canonicalCuriesByCurie(inputs: DataFrame): DataFrame =
-    withPreferred(clusterByCurie(inputs), inputs)
+  private def withPreferred(resolved: DataFrame, inputs: DataFrame,
+                            returnAllCategories: Boolean = false): DataFrame = {
+    val joined = inputs.select(col("input")).distinct()
+      .join(resolved.join(clustersPreferred, "cluster_id"), Seq("input"), "left")
+    if (returnAllCategories)
+      joined.join(allCategories(resolved), Seq("cluster_id"), "left")
+        .select("input", "preferred_curie", "preferred_name",
+                "preferred_category", "all_categories")
+    else
+      joined.select("input", "preferred_curie", "preferred_name",
+                    "preferred_category")
+  }
+
+  /** get_canonical_curies, curie path (node_synonymizer.py:58-86);
+    * `returnAllCategories` appends the per-cluster member-category
+    * histogram (node_synonymizer.py:121-141).
+    */
+  def canonicalCuriesByCurie(inputs: DataFrame,
+                             returnAllCategories: Boolean = false): DataFrame =
+    withPreferred(clusterByCurie(inputs), inputs, returnAllCategories)
 
   /** get_canonical_curies, name path (node_synonymizer.py:88-116). */
-  def canonicalCuriesByName(inputs: DataFrame): DataFrame =
-    withPreferred(clusterByName(inputs), inputs)
+  def canonicalCuriesByName(inputs: DataFrame,
+                            returnAllCategories: Boolean = false): DataFrame =
+    withPreferred(clusterByName(inputs), inputs, returnAllCategories)
 
   /** get_canonical_curies with curie-else-name fallback
     * (node_synonymizer.py:229-234; CLI :468-477): resolve as curie, retry
     * the misses as names, coalesce.
     */
-  def canonicalCuriesFallback(inputs: DataFrame): DataFrame = {
+  def canonicalCuriesFallback(inputs: DataFrame,
+                              returnAllCategories: Boolean = false): DataFrame = {
     val byCurie = clusterByCurie(inputs)
     val misses = inputs.select(col("input")).distinct()
       .join(byCurie, Seq("input"), "left_anti")
     val byName = clusterByName(misses)
-    withPreferred(byCurie.unionByName(byName), inputs)
+    withPreferred(byCurie.unionByName(byName), inputs, returnAllCategories)
   }
 
   /** get_equivalent_nodes (node_synonymizer.py:150-214): input → sorted
@@ -124,10 +159,23 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
   /** get_normalizer_results (node_synonymizer.py:216-297): curie-else-name
     * fallback resolution, then per input the full member-node detail
     * (id + names/categories from each provenance, sorted by uppercased id)
-    * plus the per-category member histogram
-    * (node_synonymizer.py:121-141, 269-276).
+    * plus the per-category member histogram with biolink:-prefixed keys
+    * (node_synonymizer.py:246, 275-276: the tally is over the prefixed
+    * node categories). `preferred_category` comes from the cluster's
+    * REPRESENTATIVE member node — the node whose id equals the cluster id
+    * (node_synonymizer.py:262-267: `cluster_rep = nodes_dict[cluster_id]`)
+    * — falling back to the clusters-table category when the rep node is
+    * absent from the member list (the reference would KeyError there).
+    *
+    * `outputFormat="minimal"` keeps only the preferred-id block — input +
+    * preferred_curie/name/category, dropping the per-member `nodes` array
+    * and the `categories` histogram (node_synonymizer.py:288-295: every
+    * key except "id" is deleted).
     */
-  def normalizerResults(inputs: DataFrame): DataFrame = {
+  def normalizerResults(inputs: DataFrame,
+                        outputFormat: String = "full"): DataFrame = {
+    require(outputFormat == "full" || outputFormat == "minimal",
+      s"outputFormat must be 'full' or 'minimal', got '$outputFormat'")
     val distinctInputs = inputs.select(col("input")).distinct()
     val byCurie = clusterByCurie(inputs)
     val misses = distinctInputs.join(byCurie, Seq("input"), "left_anti")
@@ -140,6 +188,27 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
               explode(col("member_ids")).as("member_id"))
       .join(nodes.withColumnRenamed("cluster_id", "node_cluster_id"),
             col("member_id") === nodes("id"))
+
+    // representative node = the node whose id IS the cluster id
+    // (node_synonymizer.py:262: cluster_rep = nodes_dict[cluster_id]);
+    // probe-sized resolved side broadcast into the nodes scan
+    val repCategory = nodes
+      .join(broadcast(resolved), nodes("id") === resolved("cluster_id"))
+      .select(col("input"),
+        StringOps.withPrefix("biolink:", col("category")).as("rep_category"))
+
+    val preferredBase = resolved.join(clustersPreferred, "cluster_id")
+      .select(col("input"), col("preferred_name"), col("preferred_category"))
+
+    if (outputFormat == "minimal")
+      return distinctInputs
+        .join(resolved.select(col("input"),
+                col("cluster_id").as("preferred_curie")), Seq("input"), "left")
+        .join(preferredBase, Seq("input"), "left")
+        .join(repCategory, Seq("input"), "left")
+        .select(col("input"), col("preferred_curie"), col("preferred_name"),
+          coalesce(col("rep_category"), col("preferred_category"))
+            .as("preferred_category"))
 
     val assembled = memberRows
       .groupBy(col("input"), col("cluster_id"))
@@ -157,22 +226,24 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
         expr("transform(sorted, x -> x.node)").as("nodes"))
 
     val histo = memberRows
-      .groupBy(col("input"), col("category"))
+      .groupBy(col("input"),
+        coalesce(StringOps.withPrefix("biolink:", col("category")),
+                 lit("null")).as("cat"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("input"))
       .agg(map_from_entries(sort_array(collect_list(
-        struct(coalesce(col("category"), lit("null")), col("cnt")))))
+        struct(col("cat"), col("cnt")))))
         .as("categories"))
 
     distinctInputs
       .join(assembled, Seq("input"), "left")
       .join(histo, Seq("input"), "left")
-      .join(resolved.join(clustersPreferred, "cluster_id")
-              .select(col("input"), col("preferred_name"),
-                      col("preferred_category")),
-            Seq("input"), "left")
-      .select("input", "preferred_curie", "preferred_name",
-              "preferred_category", "nodes", "categories")
+      .join(preferredBase, Seq("input"), "left")
+      .join(repCategory, Seq("input"), "left")
+      .select(col("input"), col("preferred_curie"), col("preferred_name"),
+        coalesce(col("rep_category"), col("preferred_category"))
+          .as("preferred_category"),
+        col("nodes"), col("categories"))
   }
 
   /** R2 suffix → all-prefix expansion (node_synonymizer.py:43-56): bare

@@ -78,4 +78,29 @@ class StringOpsSpec extends SparkTestBase {
       assert(out.split(" ").filter(_.nonEmpty).forall(_.length < 8))
     }
   }
+
+  test("parsePyList: single-quoted lists, nan sentinel, empty, null " +
+       "(node_synonymizer.py:172, 315-318)") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", "['CHEBI:15365', 'DRUGBANK:DB00945']"),
+      ("b", "['solo']"),
+      ("c", "[]"),
+      ("d", "nan"),
+      ("e", ""),
+      ("f", null),
+      ("g", "not a list at all")).toDF("k", "raw")
+      .select(col("k"), StringOps.parsePyList(col("raw")).as("parsed"))
+      .collect()
+      .map(r => r.getString(0) ->
+        Option(r.get(1)).map(_ => r.getSeq[String](1)))
+      .toMap
+    assert(rows("a").contains(Seq("CHEBI:15365", "DRUGBANK:DB00945")))
+    assert(rows("b").contains(Seq("solo")))
+    assert(rows("c").contains(Seq()))
+    assert(rows("d").contains(Seq()))  // "nan" sentinel → empty
+    assert(rows("e").contains(Seq()))
+    assert(rows("f").contains(Seq()))
+    assert(rows("g").isEmpty)          // malformed → null, not a crash
+  }
 }

@@ -69,9 +69,73 @@ class SynonymizerSpec extends SparkTestBase {
     assert(asp.getString(1) == "CHEBI:15365")
     val memberIds = asp.getSeq[Row](4).map(_.getString(0))
     assert(memberIds == Seq("CAS:50-78-2", "CHEBI:15365", "DRUGBANK:DB00945"))
+    // histogram keys are biolink:-prefixed (node_synonymizer.py:275-276
+    // tallies the prefixed node categories)
     val cats = asp.getMap[String, Long](5)
-    assert(cats == Map("SmallMolecule" -> 2L, "Drug" -> 1L))
+    assert(cats == Map("biolink:SmallMolecule" -> 2L, "biolink:Drug" -> 1L))
+    // preferred_category comes from the representative node (the member
+    // whose id == cluster_id, node_synonymizer.py:262-267)
+    assert(asp.getString(3) == "biolink:SmallMolecule")
     assert(byInput("nope").isNullAt(1))
+  }
+
+  test("normalizer minimal output keeps only the preferred-id block " +
+       "(node_synonymizer.py:288-295)") {
+    val df = syn.normalizerResults(
+      TestFixtures.inputsDf(spark, Seq("aspirin", "nope")),
+      outputFormat = "minimal")
+    assert(df.columns.toSeq ==
+      Seq("input", "preferred_curie", "preferred_name", "preferred_category"))
+    val byInput = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(byInput("aspirin").getString(1) == "CHEBI:15365")
+    assert(byInput("aspirin").getString(3) == "biolink:SmallMolecule")
+    assert(byInput("nope").isNullAt(1))
+    intercept[IllegalArgumentException] {
+      syn.normalizerResults(
+        TestFixtures.inputsDf(spark, Seq("aspirin")), outputFormat = "huge")
+    }
+  }
+
+  test("return_all_categories on canonical lookup " +
+       "(node_synonymizer.py:121-141)") {
+    val df = syn.canonicalCuriesByCurie(
+      TestFixtures.inputsDf(spark, Seq("chebi:15365", "zzz")),
+      returnAllCategories = true)
+    assert(df.columns.toSeq ==
+      Seq("input", "preferred_curie", "preferred_name", "preferred_category",
+          "all_categories"))
+    val byInput = df.collect().map(r => r.getString(0) -> r).toMap
+    val cats = byInput("chebi:15365").getMap[String, Long](4)
+    assert(cats == Map("biolink:SmallMolecule" -> 2L, "biolink:Drug" -> 1L))
+    assert(byInput("zzz").isNullAt(4))
+    // fallback path carries the flag too
+    val fb = syn.canonicalCuriesFallback(
+        TestFixtures.inputsDf(spark, Seq("aspirin")),
+        returnAllCategories = true)
+      .collect().head
+    assert(fb.getMap[String, Long](4).nonEmpty)
+  }
+
+  test("clusterByCurie keeps ONE row per input on cross-cluster " +
+       "id_simplified collisions (node_synonymizer.py:80-86)") {
+    import spark.implicits._
+    // same id_simplified "DUP:1" maps to nodes in two different clusters
+    val nodes = Seq(
+      TestFixtures.Node("DUP:1", "DUP:1", "dup a", "dupa", "Drug", "CL:B",
+        "ChemicalEntity", null, null, null, null),
+      TestFixtures.Node("DUP:1b", "DUP:1", "dup b", "dupb", "Drug", "CL:A",
+        "ChemicalEntity", null, null, null, null)).toDF()
+    val clusters = Seq(
+      TestFixtures.Cluster("CL:A", "A", "Drug", Seq("DUP:1b"), Seq()),
+      TestFixtures.Cluster("CL:B", "B", "Drug", Seq("DUP:1"), Seq())).toDF()
+    val syn2 = new graft.synonymizer.Synonymizer(
+      nodes, clusters, TestFixtures.edgesDf(spark))
+    val out = syn2.canonicalCuriesByCurie(
+        TestFixtures.inputsDf(spark, Seq("dup:1")))
+      .collect()
+    assert(out.length == 1)
+    // deterministic pick: smallest cluster_id
+    assert(out.head.getString(1) == "CL:A")
   }
 
   test("suffix search (R2): fan-out then canonical resolution") {
