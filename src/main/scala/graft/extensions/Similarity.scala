@@ -129,28 +129,27 @@ object Similarity {
   }
 
   /** LSH-bucketed near-neighbor pairs above a cosine threshold: candidates
-    * from the bucket equi-join, verified with exact cosine.
+    * from the bucket equi-join (mega-bucket-capped, ids only — the wide
+    * vector payload no longer rides through the band join + distinct),
+    * then the two vectors join back for exact cosine verification.
     */
   def lshNearNeighbors(vecs: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, tables: Int = 4,
-                       planesPerTable: Int = 3): DataFrame = {
-    val bucketed = graft.ops.Partitioning.ensureParallelism(vecs)
-      .select(
-      col(idCol).as("id"), col(vecCol).as("vec"),
-      norm(col(vecCol)).as("nrm"),
+                       planesPerTable: Int = 3,
+                       maxBucket: Int = TextDedup.defaultMaxBucket): DataFrame = {
+    val prepped = graft.ops.Partitioning.ensureParallelism(vecs)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+              norm(col(vecCol)).as("nrm"))
+    val bandRows = prepped.select(col("id"),
       explode(array((0 until tables).map(t =>
         concat(lit(s"$t|"),
-          lshBucket(col(vecCol), planesPerTable, t * planesPerTable))): _*))
-        .as("bucket"))
-    val l = bucketed.select(col("id").as("id_a"), col("vec").as("vec_a"),
-                            col("nrm").as("nrm_a"), col("bucket"))
-    val r = bucketed.select(col("id").as("id_b"), col("vec").as("vec_b"),
-                            col("nrm").as("nrm_b"), col("bucket"))
-    l.join(r, "bucket")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"),
-              col("nrm_a"), col("nrm_b"))
-      .distinct()
+          lshBucket(col("vec"), planesPerTable, t * planesPerTable))): _*))
+        .as("band"))
+    TextDedup.bandCandidatePairs(bandRows, maxBucket)
+      .join(prepped.select(col("id").as("id_a"), col("vec").as("vec_a"),
+                           col("nrm").as("nrm_a")), "id_a")
+      .join(prepped.select(col("id").as("id_b"), col("vec").as("vec_b"),
+                           col("nrm").as("nrm_b")), "id_b")
       .select(col("id_a"), col("id_b"),
               safeCos(dot(col("vec_a"), col("vec_b")),
                       col("nrm_a"), col("nrm_b")).as("cos"))

@@ -113,7 +113,11 @@ object CorpusClean {
       .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
       .select(col(idCol).as("id"), col(textCol).as("text"))
 
-    // exact dedup: keep the smallest id per content hash
+    // exact dedup: keep the smallest id per content hash. Persisted —
+    // referenced by the shingle pass AND the final anti-join, and the
+    // gate expressions above it are the most expensive per-row work in
+    // the composite (spill-safe MEMORY_AND_DISK; CacheManager dedups the
+    // entry across repeated invocations by canonicalized plan).
     val exactKept = gated
       .withColumn("content_hash", md5(col("text")))
       .withColumn("keeper",
@@ -121,10 +125,16 @@ object CorpusClean {
           .partitionBy("content_hash")))
       .filter(col("id") === col("keeper"))
       .select("id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // near-dup removal: drop the larger id of every verified pair
+    // near-dup removal: drop the larger id of every verified pair. The
+    // shingle frame is computed ONCE and persisted — the candidate
+    // generator and the verification sets both read it (previously each
+    // branch recomputed the full shingle pass).
+    val shingled = TextDedup.withShingles(exactKept, "id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val losers = TextDedup
-      .jaccardVerified(exactKept, "id", "text", jaccardThreshold)
+      .jaccardVerifiedFromShingles(shingled, jaccardThreshold)
       .select(col("id_b").as("id"))
       .distinct()
     exactKept.join(losers, Seq("id"), "left_anti")

@@ -65,39 +65,83 @@ object TextDedup {
           (0 until rows).map(r => sig.getItem(b * rows + r)): _*)))): _*)
   }
 
-  /** MinHash+LSH candidate pairs: explode band keys, self-join on the
-    * bucket, dedup (a < b). The only shuffle is on the band key.
+  /** Mega-bucket cap for every banded candidate generator (SCALE.md
+    * "LSH band buckets" risk): a bucket of n near-identical docs
+    * (boilerplate, empty pages) otherwise yields n²/2 candidate pairs —
+    * the one spot where banding can go quadratic at corpus scale. Default
+    * trips only on degenerate buckets (testdata buckets are < 10²).
     */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 8, bands: Int = 4): DataFrame = {
+  val defaultMaxBucket: Int = 10000
+
+  /** Shared banded candidate generation with the mega-bucket cap:
+    * `bandRows` = (id, band) membership rows; output = distinct candidate
+    * id pairs (id_a < id_b).
+    *
+    * Buckets with ≤ maxBucket members emit ALL pairs (exact LSH
+    * semantics). Larger buckets emit STAR pairs against the bucket's
+    * smallest id — linear, not quadratic, and for the mega-bucket cause
+    * (mass-duplicated boilerplate) equally effective: every member still
+    * pairs with the representative, so downstream dedup keeps exactly one
+    * (transitive near-dups linked only through a capped bucket lose their
+    * direct pair — the documented recall trade-off).
+    *
+    * One shuffle: the window partitions by band, and the self-join's band
+    * key reuses that exchange (output partitioning already satisfies the
+    * join requirement); the final distinct carries bare id pairs.
+    */
+  def bandCandidatePairs(bandRows: DataFrame,
+                         maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band")
+    val annotated = bandRows
+      .withColumn("bsize", count(lit(1)).over(w))
+      .withColumn("rep", min(col("id")).over(w))
+    val small = annotated.filter(col("bsize") <= maxBucket)
+      .select("id", "band")
+    val allPairs = small.select(col("id").as("id_a"), col("band"))
+      .join(small.select(col("id").as("id_b"), col("band")), "band")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val starPairs = annotated
+      .filter(col("bsize") > maxBucket && col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    allPairs.unionByName(starPairs).distinct()
+  }
+
+  /** MinHash+LSH candidate pairs from a prepared (id, sh) frame. */
+  def minhashCandidatesFromShingles(shingled: DataFrame, k: Int = 8,
+                                    bands: Int = 4,
+                                    maxBucket: Int = defaultMaxBucket): DataFrame = {
     // single-pass shingles→band-keys native expression: an explode over
     // bandKeys(sig) would inline the signature into the generator and
     // recompute it once per band-key reference
-    val sigs = withShingles(docs, idCol, textCol)
-      .select(col("id"),
-        explode(graft.functions.MinHashBands(col("sh"), k, bands)).as("band"))
-    val l = sigs.select(col("id").as("id_a"), col("band"))
-    val r = sigs.select(col("id").as("id_b"), col("band"))
-    l.join(r, "band")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    val bandRows = shingled.select(col("id"),
+      explode(graft.functions.MinHashBands(col("sh"), k, bands)).as("band"))
+    bandCandidatePairs(bandRows, maxBucket)
   }
 
-  /** The production near-dup pipeline: MinHash+LSH candidate generation,
-    * then exact n-gram Jaccard verification on candidates only — the
-    * scale path (no blocked all-pairs). Recall for pairs at Jaccard J is
-    * 1-(1-J^rows)^bands (≈0.997 at J=0.9 with 4 bands of 2).
+  /** MinHash+LSH candidate pairs: explode band keys, self-join on the
+    * bucket (capped), dedup (a < b). The only shuffle is on the band key.
     */
-  def jaccardVerified(docs: DataFrame, idCol: String, textCol: String,
-                      threshold: Double, k: Int = 8, bands: Int = 4,
-                      shingleN: Int = 3): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, textCol, k, bands)
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, bands: Int = 4,
+                        maxBucket: Int = defaultMaxBucket): DataFrame =
+    minhashCandidatesFromShingles(withShingles(docs, idCol, textCol),
+                                  k, bands, maxBucket)
+
+  /** [[jaccardVerified]] over a prepared (id, sh) frame — the shingles
+    * are referenced by BOTH the candidate generator and the verification
+    * sets, so callers that already pay for them (corpus_clean) pass the
+    * frame once (persisted upstream) instead of recomputing per branch.
+    */
+  def jaccardVerifiedFromShingles(shingled: DataFrame, threshold: Double,
+                                  k: Int = 8, bands: Int = 4,
+                                  maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val cands = minhashCandidatesFromShingles(shingled, k, bands, maxBucket)
     // shuffle-hash hint: the shingle-set side is wide (array payload) —
     // broadcasting it ships the whole corpus' shingles to every task,
     // while the candidate set is tiny; hash-join on id keeps the big
     // payload partitioned
-    val sets = withShingles(docs, idCol, textCol, shingleN)
+    val sets = shingled
       .select(col("id"), array_distinct(col("sh")).as("sset"))
       .hint("shuffle_hash")
     cands
@@ -113,6 +157,17 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_common", "n_union", "jaccard")
   }
+
+  /** The production near-dup pipeline: MinHash+LSH candidate generation,
+    * then exact n-gram Jaccard verification on candidates only — the
+    * scale path (no blocked all-pairs). Recall for pairs at Jaccard J is
+    * 1-(1-J^rows)^bands (≈0.997 at J=0.9 with 4 bands of 2).
+    */
+  def jaccardVerified(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, k: Int = 8, bands: Int = 4,
+                      shingleN: Int = 3): DataFrame =
+    jaccardVerifiedFromShingles(withShingles(docs, idCol, textCol, shingleN),
+                                threshold, k, bands)
 
   /** SimHash over an arbitrary feature array: d-dimensional ±1 vote per
     * feature using md5 nibbles, sign → bit, emitted as a d-char '0'/'1'
@@ -137,7 +192,8 @@ object TextDedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, d: Int = 32,
-                   bandBits: Int = 8): DataFrame = {
+                   bandBits: Int = 8,
+                   maxBucket: Int = defaultMaxBucket): DataFrame = {
     val nBands = d / bandBits
     // pigeonhole completeness: a pair within Hamming h can only be
     // guaranteed to share a band when h < nBands
@@ -151,26 +207,22 @@ object TextDedup {
     // vocabularies (411k false "near-dups" on the testdata vs 227 real).
     val fps = withShingles(docs, idCol, textCol)
       .select(col("id"), simhashOf(col("sh"), d).as("fp"))
-    val bands = fps.select(col("id"), col("fp"),
+    val bandRows = fps.select(col("id"),
       explode(array((0 until nBands).map(b =>
         concat(lit(s"$b|"),
           substring(col("fp"), b * bandBits + 1, bandBits))): _*)).as("band"))
-    val l = bands.select(col("id").as("id_a"), col("fp").as("fp_a"),
-                         col("band"))
-    val r = bands.select(col("id").as("id_b"), col("fp").as("fp_b"),
-                         col("band"))
     val hamming = (1 to d).map(j =>
         when(substring(col("fp_a"), j, 1) =!= substring(col("fp_b"), j, 1),
           1).otherwise(0))
       .reduce(_ + _).cast("long")
-    // filter on the (cheap, per-row) Hamming BEFORE the distinct so the
-    // shuffle carries only surviving near-dup pairs, not every band
-    // collision with both fingerprints
-    l.join(r, "band")
-      .filter(col("id_a") < col("id_b"))
+    // candidate id pairs first (capped, deduped — the distinct carries
+    // bare ids, not fingerprints), THEN join the two fingerprints back
+    // for the exact Hamming verification
+    bandCandidatePairs(bandRows, maxBucket)
+      .join(fps.select(col("id").as("id_a"), col("fp").as("fp_a")), "id_a")
+      .join(fps.select(col("id").as("id_b"), col("fp").as("fp_b")), "id_b")
       .select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Blocked n-gram Jaccard: candidates = docs sharing a blocking key

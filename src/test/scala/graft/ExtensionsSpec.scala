@@ -35,6 +35,38 @@ class ExtensionsSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("mega-bucket cap: 1k-duplicate bucket yields linear star pairs " +
+       "and unchanged dedup survivors (SCALE.md LSH bucket risk)") {
+    import spark.implicits._
+    // 1000 identical boilerplate docs (one mega band bucket) + one
+    // unrelated doc; uncapped banding would emit 999*1000/2 ≈ 500k pairs
+    val boiler = (1L to 1000L).map(i => (i, "standard boilerplate footer " +
+      "text repeated across every page of the crawl"))
+    val docs = (boiler :+ (2000L, "completely different standalone text " +
+      "with no duplicate anywhere")).toDF("doc_id", "text")
+    val capped = TextDedup.minhashCandidates(docs, "doc_id", "text",
+        maxBucket = 100)
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // linear star: every member pairs exactly once, with the smallest id
+    assert(pairs.length == 999)
+    assert(pairs.forall(_._1 == 1L))
+    assert(pairs.map(_._2).toSet == (2L to 1000L).toSet)
+    // survivors identical to the uncapped path: verification + keep-min
+    // leaves exactly the representative and the unrelated doc
+    val losers = TextDedup.jaccardVerifiedFromShingles(
+        TextDedup.withShingles(docs, "doc_id", "text"), 0.5,
+        maxBucket = 100)
+      .select(col("id_b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val survivors = (1L to 1000L).toSet + 2000L -- losers
+    assert(survivors == Set(1L, 2000L))
+    // below the cap the same corpus prefix produces full all-pairs
+    val smallDocs = docs.filter(col("doc_id") <= 3 || col("doc_id") === 2000L)
+    val allPairs = TextDedup.minhashCandidates(smallDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(allPairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("simhash: near-identical docs differ in few bits") {
     def hamming(a: String, b: String): Int =
       a.zip(b).count { case (x, y) => x != y }
