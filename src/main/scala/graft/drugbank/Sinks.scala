@@ -24,24 +24,27 @@ object Sinks {
                      path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Keyed JSON object string `{"<keyCol>": {record}, ...}` (driver-side). */
-  def keyedJson(df: DataFrame, keyCol: String): String = {
-    val rows = df.toJSON.collect()
-    val keyed = rows.map { json =>
-      val key = ujsonKey(json, keyCol)
-      s""""$key": $json"""
-    }
-    keyed.sorted.mkString("{", ", ", "}")
-  }
-
-  /** Minimal extraction of a top-level string field from a JSON object
-    * (Spark's toJSON emits `"key":"value"` with no spaces).
+  /** Keyed JSON object string `{"<keyCol>": {record}, ...}` (driver-side,
+    * fixture-scale only — `maxRows` guards the collect). The key comes
+    * from the actual column and the record from `to_json(struct(*))`, so
+    * values containing `"<key>":"`-shaped text can't corrupt the
+    * extraction (the old indexOf surgery could).
     */
-  private def ujsonKey(json: String, keyCol: String): String = {
-    val marker = s""""$keyCol":""""
-    val i = json.indexOf(marker)
-    require(i >= 0, s"key column $keyCol missing in $json")
-    val start = i + marker.length
-    json.substring(start, json.indexOf('"', start))
+  def keyedJson(df: DataFrame, keyCol: String, maxRows: Int = 100000): String = {
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val pairs = df
+      .select(col(keyCol).cast("string").as("_key"),
+              to_json(struct(df.columns.map(col): _*)).as("_json"))
+      .limit(maxRows + 1)
+      .collect()
+    require(pairs.length <= maxRows,
+      s"keyedJson is a fixture-scale sink: > $maxRows rows (write " +
+        "JSON-lines with writeJson instead)")
+    pairs
+      .map { r =>
+        val key = r.getString(0).replace("\\", "\\\\").replace("\"", "\\\"")
+        s""""$key": ${r.getString(1)}"""
+      }
+      .sorted.mkString("{", ", ", "}")
   }
 }

@@ -28,6 +28,10 @@ import org.apache.spark.unsafe.types.UTF8String
 case class NGramsExpr(child: Expression, maxGram: Int, minChars: Int)
     extends UnaryExpression with CodegenFallback {
   require(maxGram >= 1, "maxGram must be >= 1")
+  // equivalence precondition with the replaced HOF chain: that chain
+  // emitted an empty-string placeholder for sentences shorter than n
+  // tokens, filtered out only when the length gate is active
+  require(minChars >= 1, "minChars must be >= 1")
 
   override def dataType: DataType = ArrayType(StringType)
   override def nullIntolerant: Boolean = true

@@ -87,45 +87,81 @@ object EventsStream {
 
   /** Custom-state sessionization via
     * `KeyValueGroupedDataset.flatMapGroupsWithState`: per user, events
-    * more than `gapMinutes` apart open a new session. Works on batch
-    * Datasets (one invocation per key, used for the parity test) and on
-    * streams (state holds the open session across micro-batches; a
-    * production deployment adds a timeout to flush trailing sessions —
-    * here the final open session is emitted eagerly so batch output is
-    * complete).
+    * more than `gapMinutes` apart open a new session.
+    *
+    * Two modes:
+    *  - `finalFlush = true` (batch / parity testing): every key is
+    *    invoked exactly once; the trailing open session is emitted
+    *    eagerly and no state survives — batch output is complete.
+    *  - `finalFlush = false` (the production streaming shape): the open
+    *    session is CARRIED ACROSS MICRO-BATCHES in the group state
+    *    (`state.update`) with an EVENT-TIME timeout at session end + gap
+    *    — a session spanning micro-batches stays one session; it is
+    *    emitted when a later event exceeds the gap or when the watermark
+    *    passes the timeout with no new events. The caller must put a
+    *    `withWatermark("ts", ...)` on the stream. State is bounded: one
+    *    OpenSession per active user, reaped by the timeout.
+    *    (Event-time, NOT processing-time, timeout: ProcessingTimeTimeout
+    *    makes `shouldRunAnotherBatch` permanently true, so the stream
+    *    livelocks running empty micro-batches back-to-back and
+    *    `processAllAvailable()` never returns; event-time timeouts only
+    *    re-trigger when the watermark actually advances.)
     */
   def sessionizeStateful(events: org.apache.spark.sql.Dataset[SessionEvent],
-                         gapMinutes: Int = 30)
+                         gapMinutes: Int = 30,
+                         finalFlush: Boolean = true)
       : org.apache.spark.sql.Dataset[UserSession] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val gap = gapMinutes * 60L
+    val timeoutConf =
+      if (finalFlush) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.EventTimeTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, UserSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (user, it, state) =>
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
-          var cur = state.getOption
-          def close(s: OpenSession): Unit =
-            out += UserSession(user, s.start, s.end, s.n, s.sumCents / 100.0)
-          sorted.foreach { e =>
-            val t = java.lang.Math.floorDiv(e.ts.getTime, 1000L)
-            val cents = math.round(e.value * 100)
-            cur match {
-              case Some(s) if t - s.end <= gap =>
-                cur = Some(OpenSession(s.start, t, s.n + 1,
-                                       s.sumCents + cents))
-              case Some(s) =>
-                close(s)
-                cur = Some(OpenSession(t, t, 1, cents))
-              case None =>
-                cur = Some(OpenSession(t, t, 1, cents))
+          def toSession(s: OpenSession): UserSession =
+            UserSession(user, s.start, s.end, s.n, s.sumCents / 100.0)
+          if (state.hasTimedOut) {
+            // gap elapsed with no new events → flush the open session
+            val out = state.getOption.map(toSession)
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = java.lang.Math.floorDiv(e.ts.getTime, 1000L)
+              val cents = math.round(e.value * 100)
+              cur match {
+                case Some(s) if t - s.end <= gap =>
+                  cur = Some(OpenSession(s.start, t, s.n + 1,
+                                         s.sumCents + cents))
+                case Some(s) =>
+                  out += toSession(s)
+                  cur = Some(OpenSession(t, t, 1, cents))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1, cents))
+              }
             }
+            if (finalFlush) {
+              cur.foreach(s => out += toSession(s))
+              state.remove()
+            } else {
+              cur.foreach { s =>
+                state.update(s)
+                // flush when the watermark passes session end + gap;
+                // clamp above the current watermark (a timeout at or
+                // below it is rejected by Spark)
+                state.setTimeoutTimestamp(
+                  math.max((s.end + gap) * 1000L + 1L,
+                           state.getCurrentWatermarkMs() + 1L))
+              }
+            }
+            out.iterator
           }
-          cur.foreach(close)
-          state.remove()
-          out.iterator
       }
   }
 

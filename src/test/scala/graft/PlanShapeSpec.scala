@@ -107,6 +107,18 @@ class PlanShapeSpec extends SparkTestBase {
       spark.sparkContext.defaultParallelism)
   }
 
+  test("ensureParallelism leaves non-scan-rooted plans untouched " +
+       "(ADVICE: the rdd probe would eagerly execute AQE query stages)") {
+    import org.apache.spark.sql.functions._
+    val a = spark.range(10).toDF("id")
+    val joined = a.join(a.withColumnRenamed("id", "id2"),
+                        col("id") === col("id2"))
+    // reference equality: the probe path must not even be entered
+    assert(graft.ops.Partitioning.ensureParallelism(joined) eq joined)
+    val agg = a.groupBy("id").count()
+    assert(graft.ops.Partitioning.ensureParallelism(agg) eq agg)
+  }
+
   test("SeqDot matches the interpreted sequential fold") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

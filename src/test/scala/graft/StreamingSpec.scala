@@ -30,6 +30,43 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty)
   }
 
+  test("stateful sessionizer carries the open session ACROSS micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(user: Long, tSec: Long, v: Double) =
+      EventsStream.SessionEvent(user, new java.sql.Timestamp(tSec * 1000L), v)
+
+    val input = MemoryStream[EventsStream.SessionEvent]
+    val q = EventsStream
+      .sessionizeStateful(input.toDS().withWatermark("ts", "0 seconds"),
+        gapMinutes = 30, finalFlush = false)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_xbatch").start()
+    try {
+      // t0 above 0: the initial watermark is 0 and the stateful late-data
+      // filter drops events at or below it
+      val t0 = 10000L
+      // micro-batch 1: two events, session open at the batch boundary
+      input.addData(ev(1L, t0, 1.0), ev(1L, t0 + 600L, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_xbatch").count() == 0,
+        "open session must NOT flush at the micro-batch boundary")
+      // micro-batch 2: within the gap → extends the SAME session
+      input.addData(ev(1L, t0 + 1200L, 3.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_xbatch").count() == 0)
+      // micro-batch 3: beyond the gap → closes the carried session
+      input.addData(ev(1L, t0 + 1200L + 1801L, 9.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_xbatch")
+        .as[EventsStream.UserSession].collect()
+      assert(out.toSeq == Seq(
+        EventsStream.UserSession(1L, t0, t0 + 1200L, 3L, 6.0)),
+        s"expected one session spanning micro-batches 1-2, got ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming windowed counts == batch windowed counts") {
     val batchEvents = Tables.events(spark, "/root/testdata/sf0.001")
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
