@@ -137,9 +137,12 @@ object Similarity {
                        threshold: Double, tables: Int = 4,
                        planesPerTable: Int = 3,
                        maxBucket: Int = TextDedup.defaultMaxBucket): DataFrame = {
+    // persisted: the normed vectors feed the bucket-bit pass AND both
+    // sides of the cosine verification join
     val prepped = graft.ops.Partitioning.ensureParallelism(vecs)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
               norm(col(vecCol)).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandRows = prepped.select(col("id"),
       explode(array((0 until tables).map(t =>
         concat(lit(s"$t|"),

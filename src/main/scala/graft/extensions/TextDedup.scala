@@ -91,14 +91,23 @@ object TextDedup {
     */
   def bandCandidatePairs(bandRows: DataFrame,
                          maxBucket: Int = defaultMaxBucket): DataFrame = {
+    // the (id, band) membership is consumed by THREE branches (join left,
+    // join right, star extraction); persisting the narrow frame pays the
+    // band/signature generator once instead of per branch (spill-safe;
+    // CacheManager dedups the entry across queries sharing the plan)
+    val cachedRows = bandRows
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band")
-    val annotated = bandRows
+    val annotated = cachedRows
       .withColumn("bsize", count(lit(1)).over(w))
       .withColumn("rep", min(col("id")).over(w))
     val small = annotated.filter(col("bsize") <= maxBucket)
       .select("id", "band")
+    // the right side joins the PLAIN rows: a mega bucket filtered out of
+    // the left side produces nothing in the inner join regardless, so
+    // only one side pays the window
     val allPairs = small.select(col("id").as("id_a"), col("band"))
-      .join(small.select(col("id").as("id_b"), col("band")), "band")
+      .join(cachedRows.select(col("id").as("id_b"), col("band")), "band")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
     val starPairs = annotated
@@ -140,9 +149,10 @@ object TextDedup {
     // shuffle-hash hint: the shingle-set side is wide (array payload) —
     // broadcasting it ships the whole corpus' shingles to every task,
     // while the candidate set is tiny; hash-join on id keeps the big
-    // payload partitioned
+    // payload partitioned. Persisted: joined twice (id_a and id_b side).
     val sets = shingled
       .select(col("id"), array_distinct(col("sh")).as("sset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .hint("shuffle_hash")
     cands
       .join(sets.select(col("id").as("id_a"), col("sset").as("set_a")), "id_a")
@@ -205,8 +215,11 @@ object TextDedup {
     // linear-ish; 4-bit bands explode it (measured 3M pairs on 5k docs).
     // Features are 3-gram shingles: unigram tokens collapse on small
     // vocabularies (411k false "near-dups" on the testdata vs 227 real).
+    // persisted: the fingerprint pass (d md5s per shingle) feeds the band
+    // rows AND both sides of the verification join
     val fps = withShingles(docs, idCol, textCol)
       .select(col("id"), simhashOf(col("sh"), d).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandRows = fps.select(col("id"),
       explode(array((0 until nBands).map(b =>
         concat(lit(s"$b|"),

@@ -29,6 +29,26 @@ import graft.ops.StringOps
   * returns one row per distinct input (SET1 anti-fill contract: misses
   * appear with nulls, node_synonymizer.py:143-148).
   */
+object Synonymizer {
+  /** Build from raw dump frames in the real synonymizer sqlite shape,
+    * where `clusters.member_ids` / `intra_cluster_edge_ids` are
+    * STRINGIFIED Python lists (`"['a', 'b']"`, `"nan"`, or empty —
+    * node_synonymizer.py:172, 199, 315-318 decode them with
+    * ast.literal_eval per query; here they are decoded ONCE at ingest
+    * with the quote-translating [[StringOps.parsePyList]]).
+    */
+  def fromRawDump(nodes: DataFrame, clustersRaw: DataFrame,
+                  edges: DataFrame): Synonymizer =
+    new Synonymizer(
+      nodes,
+      clustersRaw
+        .withColumn("member_ids",
+          StringOps.parsePyList(col("member_ids")))
+        .withColumn("intra_cluster_edge_ids",
+          StringOps.parsePyList(col("intra_cluster_edge_ids"))),
+      edges)
+}
+
 final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
                         edges: DataFrame) {
 

@@ -151,6 +151,31 @@ class SynonymizerSpec extends SparkTestBase {
     assert(out.exists(r => r.getString(0) == "notasuffix" && r.isNullAt(1)))
   }
 
+  test("fromRawDump: stringified-Python-list cluster columns resolve " +
+       "identically to the native-array fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // serialize the fixture clusters to the real sqlite dump shape
+    val raw = TestFixtures.clusters.map { c =>
+      val members =
+        if (c.member_ids.isEmpty) "nan"
+        else c.member_ids.map(m => s"'$m'").mkString("[", ", ", "]")
+      val edgeIds =
+        if (c.intra_cluster_edge_ids.isEmpty) "nan"
+        else c.intra_cluster_edge_ids.map(e => s"'$e'").mkString("[", ", ", "]")
+      (c.cluster_id, c.name, c.category, members, edgeIds)
+    }.toDF("cluster_id", "name", "category", "member_ids",
+           "intra_cluster_edge_ids")
+    val syn2 = graft.synonymizer.Synonymizer.fromRawDump(
+      TestFixtures.nodesDf(spark), raw, TestFixtures.edgesDf(spark))
+    val out = syn2.equivalentNodes(
+        TestFixtures.inputsDf(spark, Seq("CHEBI:15365")))
+      .collect().head.getSeq[String](1)
+    assert(out == Seq("CAS:50-78-2", "CHEBI:15365", "DRUGBANK:DB00945"))
+    val (members, clusterEdges) = syn2.clusterTable("CHEBI:15365")
+    assert(members.count() == 3 && clusterEdges.count() == 2)
+  }
+
   test("cluster table (U5 debug)") {
     val (members, clusterEdges) = syn.clusterTable("CHEBI:15365")
     assert(members.count() == 3)
