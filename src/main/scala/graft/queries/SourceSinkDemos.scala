@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.drugbank.Sinks
+import graft.ops.{AggOps, StringOps}
+import graft.tables.Tables
+
+/** Driver demos for the source/sink and robustness rows that previously
+  * had only unit coverage (SURVEY §2.1 S4/S5/S6, §2.8 U3): each query
+  * exercises the real sink/read path against testdata and lands on an
+  * oracle-checkable aggregate — the DuckDB oracle computes the same
+  * result DIRECTLY from the parquet tables, so a lossy round-trip breaks
+  * the hash.
+  */
+object SourceSinkDemos {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-sf scratch dir: deterministic, overwrite-safe. */
+  private def scratch(dir: String, tag: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${tag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  val queries: Map[String, Q] = Map(
+    // S4/S6 — parquet checkpoint write + re-read between stages
+    // (perform_NER.py:136-142 pickle checkpoint re-specified): the
+    // aggregate runs over the RE-READ data, so checkpoint fidelity is
+    // what the oracle hash checks.
+    "checkpoint_roundtrip" -> ((s, dir) => {
+      val stage = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 40)
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      val path = scratch(dir, "ckpt")
+      Sinks.writeCheckpoint(stage, path)
+      Sinks.readCheckpoint(s, path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+             AggOps.exactSum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+    // S5 — JSON sink write + schema-explicit re-read
+    // (look_for_identifiers.py:107-112): longs + strings only (doubles
+    // would test JSON float formatting, not the sink path).
+    "json_roundtrip" -> ((s, dir) => {
+      val path = scratch(dir, "json")
+      Sinks.writeJson(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"), path)
+      s.read.schema(StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderpriority", StringType))))
+        .json(path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+             min(col("o_orderkey")).as("min_key"),
+             max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderpriority")
+    }),
+    // U3 — failure tolerance as null-safety (the reference wraps per-row
+    // work in try/except, utils.py / perform_NER.py invoke guards): every
+    // string op null-propagates instead of throwing; downstream coalesce
+    // gives the recovery value.
+    "null_safety" -> ((s, dir) => {
+      val t = when(col("doc_id") % 10 === 0, lit(null).cast("string"))
+        .otherwise(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.extensions.TextAnalysis.tokenCount(t).as("n_tokens"),
+          coalesce(StringOps.simplify(t), lit("missing")).as("filled"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "checkpoint_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_quantity > 40
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "json_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "null_safety" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL
+        |       ELSE len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) END AS n_tokens,
+        |  coalesce(CASE WHEN doc_id % 10 = 0 THEN NULL
+        |       ELSE lower(regexp_replace(text, '[[:punct:][:space:]]', '', 'g')) END, 'missing') AS filled
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

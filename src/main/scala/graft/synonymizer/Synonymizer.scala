@@ -267,19 +267,26 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
   }
 
   /** R2 suffix → all-prefix expansion (node_synonymizer.py:43-56): bare
-    * suffixes fan out across `prefixes`, hits resolve canonically. Output:
-    * one row per (input, candidate_curie) hit; suffixes with no hit at all
-    * get a null-fill row.
+    * suffixes fan out across `prefixes`, hits resolve canonically. An
+    * input ALREADY containing ':' bypasses the fan-out and probes as a
+    * normal curie — its own value is the single candidate
+    * (node_synonymizer.py:44-46). Output: one row per
+    * (input, candidate_curie) hit; inputs with no hit at all get a
+    * null-fill row.
     */
   def suffixSearch(inputs: DataFrame, prefixes: Seq[String]): DataFrame = {
     val prefixDf = inputs.sparkSession
       .createDataset(prefixes)(org.apache.spark.sql.Encoders.STRING)
       .toDF("prefix")
-    val candidates = inputs.select(col("input")).distinct()
+    val distinctInputs = inputs.select(col("input")).distinct()
+    val bare = distinctInputs.filter(!col("input").contains(":"))
+    val candidates = bare
       .crossJoin(broadcast(prefixDf))
       .select(col("input"),
               StringOps.curieCandidate(col("prefix"), col("input"))
                 .as("candidate"))
+      .unionByName(distinctInputs.filter(col("input").contains(":"))
+        .select(col("input"), col("input").as("candidate")))
     val hits = broadcast(candidates
         .withColumn("probe_key", StringOps.capitalizePrefix(col("candidate"))))
       .join(nodes, col("probe_key") === nodes("id_simplified"))

@@ -151,6 +151,21 @@ class SynonymizerSpec extends SparkTestBase {
     assert(out.exists(r => r.getString(0) == "notasuffix" && r.isNullAt(1)))
   }
 
+  test("suffix search: input containing ':' bypasses the fan-out and " +
+       "probes as a curie (node_synonymizer.py:44-46)") {
+    val out = syn.suffixSearch(
+        // drugbank:DB00945 would NOT resolve via the CHEBI/MESH fan-out;
+        // the colon passthrough probes it directly (capitalized)
+        TestFixtures.inputsDf(spark, Seq("drugbank:DB00945", "x:y")),
+        Seq("CHEBI", "MESH"))
+      .collect()
+    val hit = out.filter(_.getString(0) == "drugbank:DB00945")
+    assert(hit.length == 1)
+    assert(hit.head.getString(1) == "drugbank:DB00945") // own value = candidate
+    assert(hit.head.getString(2) == "CHEBI:15365")
+    assert(out.exists(r => r.getString(0) == "x:y" && r.isNullAt(1)))
+  }
+
   test("fromRawDump: stringified-Python-list cluster columns resolve " +
        "identically to the native-array fixture") {
     import spark.implicits._
