@@ -145,25 +145,46 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
                             returnAllCategories: Boolean = false): DataFrame =
     withPreferred(clusterByName(inputs), inputs, returnAllCategories)
 
-  /** get_canonical_curies with curie-else-name fallback
-    * (node_synonymizer.py:229-234; CLI :468-477): resolve as curie, retry
-    * the misses as names, coalesce.
+  /** Curie-else-name fallback resolution (node_synonymizer.py:229-234;
+    * CLI :468-477): resolve as curie, retry the misses as names.
     */
-  def canonicalCuriesFallback(inputs: DataFrame,
-                              returnAllCategories: Boolean = false): DataFrame = {
+  private def resolveFallback(inputs: DataFrame): DataFrame = {
     val byCurie = clusterByCurie(inputs)
     val misses = inputs.select(col("input")).distinct()
       .join(byCurie, Seq("input"), "left_anti")
-    val byName = clusterByName(misses)
-    withPreferred(byCurie.unionByName(byName), inputs, returnAllCategories)
+    byCurie.unionByName(clusterByName(misses))
   }
+
+  /** get_canonical_curies with curie-else-name fallback
+    * (node_synonymizer.py:229-234; CLI :468-477).
+    */
+  def canonicalCuriesFallback(inputs: DataFrame,
+                              returnAllCategories: Boolean = false): DataFrame =
+    withPreferred(resolveFallback(inputs), inputs, returnAllCategories)
 
   /** get_equivalent_nodes (node_synonymizer.py:150-214): input → sorted
     * array of the resolved cluster's member curies (sort key = uppercased
-    * id, node_synonymizer.py:280-281); unresolved inputs → null array.
+    * id, node_synonymizer.py:280-281). With `includeUnrecognized` (the
+    * reference's include_unrecognized_entities default) unresolved inputs
+    * get a null-array row; without it they are DROPPED
+    * (node_synonymizer.py:208-214 — the internal mode normalizerResults
+    * uses for its miss-retry).
     */
-  def equivalentNodes(inputs: DataFrame, byName: Boolean = false): DataFrame = {
-    val resolved = if (byName) clusterByName(inputs) else clusterByCurie(inputs)
+  def equivalentNodes(inputs: DataFrame, byName: Boolean = false,
+                      includeUnrecognized: Boolean = true): DataFrame =
+    membersFor(if (byName) clusterByName(inputs) else clusterByCurie(inputs),
+               inputs, includeUnrecognized)
+
+  /** Equivalent nodes with curie-else-name fallback resolution — the
+    * CLI's `-e` behavior (node_synonymizer.py:473-477: retry the input
+    * as a name when the curie lookup comes back empty).
+    */
+  def equivalentNodesFallback(inputs: DataFrame,
+                              includeUnrecognized: Boolean = true): DataFrame =
+    membersFor(resolveFallback(inputs), inputs, includeUnrecognized)
+
+  private def membersFor(resolved: DataFrame, inputs: DataFrame,
+                         includeUnrecognized: Boolean): DataFrame = {
     val members = resolved
       .join(broadcast(clusters.select(col("cluster_id"), col("member_ids"))),
             "cluster_id")
@@ -172,8 +193,10 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
           (a, b) => when(upper(a) < upper(b), -1)
             .when(upper(a) > upper(b), 1).otherwise(0))
           .as("equivalent_curies"))
-    inputs.select(col("input")).distinct()
-      .join(members, Seq("input"), "left")
+    if (includeUnrecognized)
+      inputs.select(col("input")).distinct()
+        .join(members, Seq("input"), "left")
+    else members
   }
 
   /** get_normalizer_results (node_synonymizer.py:216-297): curie-else-name
@@ -197,9 +220,7 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
     require(outputFormat == "full" || outputFormat == "minimal",
       s"outputFormat must be 'full' or 'minimal', got '$outputFormat'")
     val distinctInputs = inputs.select(col("input")).distinct()
-    val byCurie = clusterByCurie(inputs)
-    val misses = distinctInputs.join(byCurie, Seq("input"), "left_anti")
-    val resolved = byCurie.unionByName(clusterByName(misses))
+    val resolved = resolveFallback(inputs)
 
     val memberRows = resolved
       .join(broadcast(clusters.select(col("cluster_id"), col("member_ids"))),

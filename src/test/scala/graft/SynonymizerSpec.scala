@@ -59,6 +59,26 @@ class SynonymizerSpec extends SparkTestBase {
     assert(out("CHEBI:15365").contains(
       Seq("CAS:50-78-2", "CHEBI:15365", "DRUGBANK:DB00945")))
     assert(out("missing:1").isEmpty)
+    // include_unrecognized_entities=False drops misses entirely
+    // (node_synonymizer.py:208-214)
+    val dropped = syn.equivalentNodes(
+        TestFixtures.inputsDf(spark, Seq("CHEBI:15365", "missing:1")),
+        includeUnrecognized = false)
+      .collect().map(_.getString(0))
+    assert(dropped.toSeq == Seq("CHEBI:15365"))
+  }
+
+  test("equivalent nodes fallback: name retry resolves what the curie " +
+       "path misses (CLI -e, node_synonymizer.py:473-477)") {
+    val out = syn.equivalentNodesFallback(
+        TestFixtures.inputsDf(spark, Seq("aspirin", "CHEBI:15365", "zzz")))
+      .collect().map(r => r.getString(0) -> Option(r.getSeq[String](1))).toMap
+    // "aspirin" fails as a curie, resolves as a name to the argmax cluster
+    assert(out("aspirin").contains(
+      Seq("CAS:50-78-2", "CHEBI:15365", "DRUGBANK:DB00945")))
+    assert(out("CHEBI:15365").contains(
+      Seq("CAS:50-78-2", "CHEBI:15365", "DRUGBANK:DB00945")))
+    assert(out("zzz").isEmpty)
   }
 
   test("normalizer results: member detail + category histogram (A5)") {
