@@ -319,6 +319,19 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
       .join(hits, Seq("input"), "left")
   }
 
+  /** U5 debug helper in the CLI's shape (node_synonymizer.py:301-310):
+    * resolve the input curie-else-name FIRST, then fetch that cluster's
+    * table; None when the input is unrecognized.
+    */
+  def clusterTableFor(curieOrName: String): Option[(DataFrame, DataFrame)] = {
+    val spark = nodes.sparkSession
+    val one = spark.createDataset(Seq(curieOrName))(
+      org.apache.spark.sql.Encoders.STRING).toDF("input")
+    canonicalCuriesFallback(one).collect().headOption
+      .flatMap(r => Option(r.getString(1)))
+      .map(clusterTable)
+  }
+
   /** U5 debug helper: a cluster's member nodes and intra-cluster edges
     * (node_synonymizer.py:301-339) — dev utility, driver-side collect OK.
     */

@@ -215,5 +215,9 @@ class SynonymizerSpec extends SparkTestBase {
     val (members, clusterEdges) = syn.clusterTable("CHEBI:15365")
     assert(members.count() == 3)
     assert(clusterEdges.count() == 2)
+    // CLI shape: name resolves first, then the cluster prints
+    val byName = syn.clusterTableFor("aspirin")
+    assert(byName.map(_._1.count()).contains(3L))
+    assert(syn.clusterTableFor("no such thing").isEmpty)
   }
 }
