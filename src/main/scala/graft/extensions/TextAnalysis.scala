@@ -91,6 +91,47 @@ object TextAnalysis {
     */
   def fingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(text, n), s => md5(s)))
+
+  /** Repeated-n-gram ratio (the Gopher/C4-style repetition quality rule):
+    * 1 - distinct/total over the token n-gram stream; 0.0 for docs too
+    * short to form one n-gram. Ratio of longs — engine-independent.
+    */
+  def repetitionRatio(text: Column, n: Int = 2): Column = {
+    val grams = shingles(text, n)
+    val total = size(grams).cast("long")
+    val distinctN = size(array_distinct(grams)).cast("long")
+    when(total > 0,
+      (total - distinctN).cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** PII scrubbing: emails, then dotted-quad IPs, then long digit runs
+    * (phone-ish) replaced by typed placeholders, in that fixed order so
+    * the digits rule can't eat IP octets first. Patterns stay in the
+    * Java∩RE2 common subset (no lookaround, no backrefs) so the same
+    * regex drives Spark (java.util.regex) and the DuckDB oracle (RE2).
+    */
+  def piiScrub(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    val ip = regexp_replace(email,
+      "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "[IP]")
+    regexp_replace(ip, "[0-9]{7,}", "[NUM]")
+  }
+
+  /** Deterministic hash sampling: keep a row iff the md5(key) hex prefix
+    * is lexicographically below `thresholdHex` (lowercase hex digits
+    * compare like their numeric values, so "4000" keeps 0x0000-0x3fff ≈
+    * 25%). A stable, engine-independent Bernoulli sample — no RNG state,
+    * reproducible across runs/engines, per-key stable as the corpus
+    * grows: the standard held-out / train-val split for training corpora.
+    */
+  def hashSample(key: Column, thresholdHex: String): Column = {
+    require(thresholdHex.nonEmpty &&
+      thresholdHex.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"thresholdHex must be lowercase hex, got '$thresholdHex'")
+    substring(md5(key.cast("string")), 1, thresholdHex.length) < thresholdHex
+  }
 }
 
 /** End-to-end corpus cleaning — the composite a training-data pipeline

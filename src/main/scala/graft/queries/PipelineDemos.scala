@@ -157,6 +157,55 @@ object PipelineDemos {
           "vec_id", "embedding", index, nProbe = 2, topK = 3)
         .orderBy("query_id", "rank")
     }),
+    // Gopher/C4-style repeated-2-gram quality rule; the text is doubled
+    // so the demo exercises non-trivial ratios on every row.
+    "repetition_ratio" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.repetitionRatio(
+            concat(col("text"), lit(" "), col("text")), 2).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+    // PII scrubbing over text with planted email/IP/phone (synthesized
+    // from doc_id so the oracle constructs the identical input).
+    "pii_scrub" -> ((s, dir) => {
+      val planted = concat(
+        lit("contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 10.0.0."), (col("doc_id") % 256).cast("string"),
+        lit(" tel 55512340"), col("doc_id").cast("string"),
+        lit(" | "), col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.piiScrub(planted).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+    // Paragraph-level exact dedup across the corpus: explode paragraphs
+    // (sentence-split on the testdata), keep the first (doc_id, pos)
+    // occurrence of each distinct paragraph, count survivors per doc.
+    "paragraph_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val paras = Tables.documents(s, dir)
+        .select(col("doc_id"),
+                posexplode(graft.ops.StringOps.sentences(col("text"))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+                col("col").as("para"))
+        .filter(length(trim(col("para"))) > 0)
+      val w = Window.partitionBy(md5(col("para")))
+      paras
+        .withColumn("keeper", min(struct(col("doc_id"), col("pos"))).over(w))
+        .filter(col("keeper.doc_id") === col("doc_id") &&
+                col("keeper.pos") === col("pos"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_unique_paras"))
+        .orderBy("doc_id")
+    }),
+    // Deterministic md5-prefix Bernoulli sample (~25%): the stable
+    // held-out split — no RNG, reproducible on any engine.
+    "hash_sample" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(TextAnalysis.hashSample(col("doc_id"), "4000"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
     // Multimodal metadata projection (payload stays unread — pruning).
     "multimodal_meta" -> ((s, dir) => {
       Multimodal.withPayload(Tables.documents(s, dir))
@@ -386,6 +435,37 @@ object PipelineDemos {
     "multimodal_meta" ->
       """SELECT doc_id, 'img/' || source AS format,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "repetition_ratio" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text || ' ' || text, '\s+'), x -> length(x) > 0) AS toks FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) >= 2
+        |        THEN list_transform(generate_series(1, len(toks) - 1), i -> array_to_string(toks[i:i+1], ' '))
+        |        ELSE [array_to_string(toks, ' ')] END AS grams FROM t)
+        |SELECT doc_id, CASE WHEN len(grams) > 0
+        |  THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+        |  ELSE 0.0 END AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "pii_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |  'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || ' tel 55512340' || CAST(doc_id AS VARCHAR) || ' | ' || text AS planted FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(planted,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
+        |    '[0-9]{7,}', '[NUM]', 'g') AS scrubbed
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "paragraph_dedup" ->
+      """WITH p AS (SELECT doc_id, CAST(generate_subscripts(parts, 1) - 1 AS BIGINT) AS pos, unnest(parts) AS para
+        |           FROM (SELECT doc_id, string_split(text, '.') AS parts FROM documents)),
+        |f AS (SELECT * FROM p WHERE length(trim(para)) > 0),
+        |k AS (SELECT doc_id, pos FROM f
+        |      QUALIFY row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) = 1)
+        |SELECT doc_id, count(*) AS n_unique_paras FROM k
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -107,6 +107,36 @@ class ExtensionsSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("repetition ratio, PII scrub, hash sample semantics") {
+    import spark.implicits._
+    // repetition: "a b a b a" → 2-grams [a b, b a, a b, b a] → 2 dups / 4
+    val rep = Seq(("a b a b a", 1)).toDF("t", "k")
+      .select(TextAnalysis.repetitionRatio(col("t"), 2).as("r"))
+      .collect().head.getDouble(0)
+    assert(rep == 0.5)
+    // no repeats → 0; too-short doc → 0
+    val zeros = Seq("unique words only here", "x").toDF("t")
+      .select(TextAnalysis.repetitionRatio(col("t"), 2).as("r"))
+      .collect().map(_.getDouble(0))
+    assert(zeros.forall(_ == 0.0))
+    val scrubbed = Seq(
+        "mail bob.smith+x@foo.co.uk ip 192.168.001.1 tel 5551234567 ok 42")
+      .toDF("t")
+      .select(TextAnalysis.piiScrub(col("t")).as("s"))
+      .collect().head.getString(0)
+    assert(scrubbed == "mail [EMAIL] ip [IP] tel [NUM] ok 42")
+    // hash sample: deterministic, and the kept fraction tracks the
+    // threshold (md5 prefix < "8000" ≈ half)
+    val keys = (1L to 1000L).toDF("k")
+    val kept = keys.filter(TextAnalysis.hashSample(col("k"), "8000")).count()
+    assert(kept > 400 && kept < 600)
+    val again = keys.filter(TextAnalysis.hashSample(col("k"), "8000")).count()
+    assert(kept == again)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hashSample(col("k"), "XYZ")
+    }
+  }
+
   test("lang id + quality + fingerprint basics") {
     val out = docsDf(
         1L -> "the cat sat on a mat and the dog is here",
