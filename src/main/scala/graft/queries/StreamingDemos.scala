@@ -18,7 +18,14 @@ object StreamingDemos {
     // asserted in StreamingSpec).
     "sessionize" -> ((s, dir) =>
       EventsStream.sessionizeBatch(Tables.events(s, dir), 30)
-        .orderBy("user_id", "session_start")))
+        .orderBy("user_id", "session_start")),
+    // Exactly-once dedup by event_id (batch form over a self-union, so
+    // every id arrives twice and the dedup provably halves it; streaming
+    // dropDuplicatesWithinWatermark parity asserted in StreamingSpec).
+    "stream_dedup" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      EventsStream.dedupedCounts(e.unionByName(e))
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "sessionize" ->
@@ -39,5 +46,10 @@ object StreamingDemos {
         |  event_type, count(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY window_start, event_type
-        |ORDER BY window_start, event_type""".stripMargin)
+        |ORDER BY window_start, event_type""".stripMargin,
+    // the self-union collapses back to the plain per-type aggregate
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

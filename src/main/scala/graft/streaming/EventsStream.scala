@@ -41,6 +41,28 @@ object EventsStream {
   def streamingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     windowedCounts(events.withWatermark("ts", watermark))
 
+  /** Exactly-once event dedup by id, then per-type totals — the batch
+    * form (plain dropDuplicates; the `stream_dedup` demo feeds it a
+    * self-union so the dedup provably removes rows).
+    */
+  def dedupedCounts(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+           graft.ops.AggOps.exactSum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+
+  /** Streaming exactly-once dedup: `dropDuplicatesWithinWatermark` keys
+    * state by event_id and reaps it once the watermark passes — bounded
+    * state, and a duplicate arriving in a LATER micro-batch (within the
+    * horizon) is still dropped. Parity with the batch form asserted in
+    * StreamingSpec across micro-batches.
+    */
+  def streamingDeduped(events: DataFrame,
+                       watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom-state sessionization (KeyValueGroupedDataset +
     * flatMapGroupsWithState): group events per user into sessions closed
     * by a `gapMinutes` inactivity timeout. Batch variant below shares the

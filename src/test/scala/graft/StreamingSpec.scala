@@ -67,6 +67,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate ids arriving in LATER micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, tSec: Long) =
+      (id, new java.sql.Timestamp(tSec * 1000L), 1.0)
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = graft.streaming.EventsStream
+      .streamingDeduped(input.toDS().toDF("event_id", "ts", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_xbatch").start()
+    try {
+      input.addData(ev(1L, 10000L), ev(2L, 10010L), ev(2L, 10011L))
+      q.processAllAvailable()
+      // batch 2: id 2 repeats across the batch boundary, id 3 is new
+      input.addData(ev(2L, 10020L), ev(3L, 10030L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_xbatch")
+        .select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L),
+        s"cross-batch duplicate must be dropped, got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming windowed counts == batch windowed counts") {
     val batchEvents = Tables.events(spark, "/root/testdata/sf0.001")
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
