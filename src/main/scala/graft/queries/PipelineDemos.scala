@@ -206,6 +206,37 @@ object PipelineDemos {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
+    // Data-mixture curation: cap each language stratum at its top-3 docs
+    // by quality (deterministic doc_id tie-break) — the per-group window
+    // rank that sizes a training mixture.
+    "stratified_cap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(TextAnalysis.qualityScore(col("text")).desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "lang", "rn")
+        .orderBy("doc_id")
+    }),
+    // Benchmark decontamination: flag docs sharing ANY 3-gram shingle
+    // with the benchmark set (docs 0-4 stand in). Benchmark shingles are
+    // tiny → broadcast semi-join against the map-side doc-shingle
+    // explode; no shuffle of the corpus.
+    "decontam_flag" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val benchShingles = docs.filter(col("doc_id") < 5)
+        .select(explode(array_distinct(
+          TextAnalysis.shingles(col("text")))).as("sh"))
+        .distinct()
+      docs
+        .select(col("doc_id"), explode(array_distinct(
+          TextAnalysis.shingles(col("text")))).as("sh"))
+        .join(broadcast(benchShingles), Seq("sh"), "left_semi")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    }),
     // Multimodal metadata projection (payload stays unread — pruning).
     "multimodal_meta" -> ((s, dir) => {
       Multimodal.withPayload(Tables.documents(s, dir))
@@ -466,6 +497,27 @@ object PipelineDemos {
     "hash_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "stratified_cap" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $toksExpr AS toks,
+         |  list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ltoks FROM documents),
+         |s AS (SELECT doc_id, lang, text, CAST(len(toks) AS DOUBLE) AS n_tok,
+         |  CAST(${langScores.map(_._2).mkString(" + ")} AS DOUBLE) AS stop_hits FROM t),
+         |q AS (SELECT doc_id, lang,
+         |  (CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END) * 0.4
+         |  + least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+         |  + (1.0 - (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.2 AS score
+         |  FROM s)
+         |SELECT doc_id, lang, rn FROM (
+         |  SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+         |  FROM q)
+         |WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
+    "decontam_flag" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesExpr AS shingles FROM t),
+         |b AS (SELECT DISTINCT unnest(list_distinct(shingles)) AS sh2 FROM sh WHERE doc_id < 5),
+         |d AS (SELECT doc_id, unnest(list_distinct(shingles)) AS sh2 FROM sh)
+         |SELECT DISTINCT doc_id FROM d JOIN b USING (sh2) ORDER BY doc_id""".stripMargin
   )
 }
