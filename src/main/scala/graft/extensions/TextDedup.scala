@@ -47,7 +47,12 @@ object TextDedup {
                    shingleN: Int = 3): DataFrame =
     graft.ops.Partitioning.ensureParallelism(
         docs.select(col(idCol).as("id"), col(textCol).as("t")))
-      .select(col("id"), TextAnalysis.shingles(col("t"), shingleN).as("sh"))
+      // tokens staged as an attribute: the shingle CASE references the
+      // token array four times, and inlined tokens(t) would re-run
+      // split+filter per reference
+      .select(col("id"), TextAnalysis.tokens(col("t")).as("toks"))
+      .select(col("id"),
+        TextAnalysis.shinglesOfTokens(col("toks"), shingleN).as("sh"))
 
   /** Convenience single-expression form (small inputs / tests). */
   def minhashSignature(text: Column, k: Int = 8, shingleN: Int = 3): Column =

@@ -224,14 +224,16 @@ object PipelineDemos {
     // tiny → broadcast semi-join against the map-side doc-shingle
     // explode; no shuffle of the corpus.
     "decontam_flag" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val benchShingles = docs.filter(col("doc_id") < 5)
-        .select(explode(array_distinct(
-          TextAnalysis.shingles(col("text")))).as("sh"))
-        .distinct()
-      docs
+      // tokens staged BEFORE the explode: an inlined tokens(text) lands
+      // inside the generator's slice lambda and re-runs per shingle
+      def docShingles(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
         .select(col("doc_id"), explode(array_distinct(
-          TextAnalysis.shingles(col("text")))).as("sh"))
+          TextAnalysis.shinglesOfTokens(col("toks")))).as("sh"))
+      val docs = Tables.documents(s, dir)
+      val benchShingles = docShingles(docs.filter(col("doc_id") < 5))
+        .select("sh").distinct()
+      docShingles(docs)
         .join(broadcast(benchShingles), Seq("sh"), "left_semi")
         .select("doc_id")
         .distinct()
