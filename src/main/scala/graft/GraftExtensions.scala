@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
-import graft.functions.{MinHashBands, MinHashSig, SeqDot}
+import graft.functions.{MinHashBands, MinHashSig, NGramsExpr, SeqDot, SimHashBits}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions for SQL use —
@@ -42,5 +42,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         MinHashBands(exprs.head, intArg(exprs(1), "k"),
                      intArg(exprs(2), "bands"))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_bits"),
+      new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
+      (exprs: Seq[Expression]) =>
+        SimHashBits(exprs.head, intArg(exprs(1), "d"))))
+    ext.injectFunction((
+      FunctionIdentifier("ngrams"),
+      new ExpressionInfo(classOf[NGramsExpr].getName, "ngrams"),
+      (exprs: Seq[Expression]) =>
+        NGramsExpr(exprs.head, intArg(exprs(1), "maxGram"),
+                   intArg(exprs(2), "minChars"))))
   }
 }

@@ -58,12 +58,18 @@ class PlanShapeSpec extends SparkTestBase {
     val r = s2.sql(
       "SELECT seq_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
       "minhash_sig(array('ab', 'cd'), 2) AS sig, " +
-      "minhash_bands(array('ab', 'cd'), 8, 4) AS bands")
+      "minhash_bands(array('ab', 'cd'), 8, 4) AS bands, " +
+      "simhash_bits(array('ab', 'cd'), 16) AS fp, " +
+      "ngrams(array('alpha', 'beta', 'gamma'), 2, 3) AS grams")
       .collect().head
     assert(r.getDouble(0) == 11.0)
     assert(r.getSeq[String](1).length == 2)
     assert(r.getSeq[String](2).length == 4)
     assert(r.getSeq[String](2).head.startsWith("0|"))
+    assert(r.getString(3).length == 16 &&
+      r.getString(3).forall(c => c == '0' || c == '1'))
+    assert(r.getSeq[String](4).toSet ==
+      Set("alpha", "beta", "gamma", "alpha beta", "beta gamma"))
   }
 
   test("driver entry smoke works on a PLAIN session (no custom confs)") {

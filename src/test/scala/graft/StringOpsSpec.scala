@@ -13,10 +13,10 @@ import graft.ops.StringOps
 class StringOpsSpec extends SparkTestBase {
 
   /** Deterministic sample batch from a generator. */
-  private def samples(g: Gen[String], n: Int = 100): Seq[String] =
+  private def samples[A](g: Gen[A], n: Int = 100): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
-  private def forAll(g: Gen[String])(check: String => Unit): Unit =
+  private def forAll[A](g: Gen[A])(check: A => Unit): Unit =
     samples(g).foreach(check)
 
   private def eval1(c: org.apache.spark.sql.Column, input: String): String = {
@@ -102,5 +102,23 @@ class StringOpsSpec extends SparkTestBase {
     assert(rows("e").contains(Seq()))
     assert(rows("f").contains(Seq()))
     assert(rows("g").isEmpty)          // malformed → null, not a crash
+  }
+
+  test("property: parsePyList round-trips python-repr lists of " +
+       "quote-free tokens") {
+    import spark.implicits._
+    val token: Gen[String] = Gen.nonEmptyListOf(
+        Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(':', '.', '-', '_')))
+      .map(_.mkString)
+    val pyList: Gen[List[String]] = Gen.listOf(token)
+    forAll(pyList) { xs =>
+      val repr =
+        if (xs.isEmpty) "nan"
+        else xs.map(x => s"'$x'").mkString("[", ", ", "]")
+      val parsed = Seq(repr).toDF("raw")
+        .select(StringOps.parsePyList(col("raw")).as("p"))
+        .collect().head.getSeq[String](0)
+      assert(parsed == xs)
+    }
   }
 }
