@@ -42,6 +42,8 @@ object Sinks {
         "JSON-lines with writeJson instead)")
     pairs
       .map { r =>
+        require(!r.isNullAt(0),
+          s"keyedJson: null value in key column '$keyCol'")
         val key = r.getString(0).replace("\\", "\\\\").replace("\"", "\\\"")
         s""""$key": ${r.getString(1)}"""
       }

@@ -106,8 +106,16 @@ object TextAnalysis {
     * 1 - distinct/total over the token n-gram stream; 0.0 for docs too
     * short to form one n-gram. Ratio of longs — engine-independent.
     */
-  def repetitionRatio(text: Column, n: Int = 2): Column = {
-    val grams = shingles(text, n)
+  def repetitionRatio(text: Column, n: Int = 2): Column =
+    repetitionRatioOfShingles(shingles(text, n))
+
+  /** Ratio form over a PRE-STAGED shingle array column. Prefer this on
+    * hot paths: `grams` is referenced four times below (condition, two
+    * sizes, divisor), and an inlined `shingles(text)` re-runs the whole
+    * tokenize+shingle chain per reference (same pathology class as
+    * [[shinglesOfTokens]]'s docstring).
+    */
+  def repetitionRatioOfShingles(grams: Column): Column = {
     val total = size(grams).cast("long")
     val distinctN = size(array_distinct(grams)).cast("long")
     when(total > 0,

@@ -160,10 +160,18 @@ object PipelineDemos {
     // Gopher/C4-style repeated-2-gram quality rule; the text is doubled
     // so the demo exercises non-trivial ratios on every row.
     "repetition_ratio" -> ((s, dir) => {
+      // tokens and grams staged as their own projections: each is
+      // referenced 4x downstream, and CollapseProject keeps non-cheap
+      // multi-referenced aliases staged (same pattern as decontam_flag)
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          TextAnalysis.repetitionRatio(
-            concat(col("text"), lit(" "), col("text")), 2).as("rep_ratio"))
+          TextAnalysis.tokens(
+            concat(col("text"), lit(" "), col("text"))).as("toks"))
+        .select(col("doc_id"),
+          TextAnalysis.shinglesOfTokens(col("toks"), 2).as("grams"))
+        .select(col("doc_id"),
+          TextAnalysis.repetitionRatioOfShingles(col("grams"))
+            .as("rep_ratio"))
         .orderBy("doc_id")
     }),
     // PII scrubbing over text with planted email/IP/phone (synthesized

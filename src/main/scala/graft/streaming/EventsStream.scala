@@ -158,12 +158,21 @@ object EventsStream {
               val t = java.lang.Math.floorDiv(e.ts.getTime, 1000L)
               val cents = math.round(e.value * 100)
               cur match {
-                case Some(s) if t - s.end <= gap =>
-                  cur = Some(OpenSession(s.start, t, s.n + 1,
-                                         s.sumCents + cents))
-                case Some(s) =>
+                case Some(s) if t > s.end + gap =>
                   out += toSession(s)
                   cur = Some(OpenSession(t, t, 1, cents))
+                case Some(s) if t >= s.start - gap =>
+                  // in (or adjacent to) the open window; a late arrival
+                  // from an earlier micro-batch may have t < s.end, so
+                  // merge with min/max rather than assuming order
+                  cur = Some(OpenSession(math.min(s.start, t),
+                                         math.max(s.end, t),
+                                         s.n + 1, s.sumCents + cents))
+                case Some(_) =>
+                  // straggler > gap BEFORE the open session: nothing it
+                  // could merge with is still open — emit it as its own
+                  // session, leave the open session untouched
+                  out += UserSession(user, t, t, 1, cents / 100.0)
                 case None =>
                   cur = Some(OpenSession(t, t, 1, cents))
               }

@@ -119,8 +119,16 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
         sort_array(collect_list(struct(col("cat"), col("cnt")))))
         .as("all_categories"))
 
-  private def withPreferred(resolved: DataFrame, inputs: DataFrame,
+  private def withPreferred(resolved0: DataFrame, inputs: DataFrame,
                             returnAllCategories: Boolean = false): DataFrame = {
+    // two consumers when returnAllCategories (preferred join + histogram):
+    // persist the narrow (input, cluster_id) frame so the resolve joins
+    // against the nodes table run once, not per branch
+    val resolved =
+      if (returnAllCategories)
+        resolved0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else resolved0
     val joined = inputs.select(col("input")).distinct()
       .join(resolved.join(clustersPreferred, "cluster_id"), Seq("input"), "left")
     if (returnAllCategories)
@@ -149,10 +157,16 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
     * CLI :468-477): resolve as curie, retry the misses as names.
     */
   private def resolveFallback(inputs: DataFrame): DataFrame = {
-    val byCurie = clusterByCurie(inputs)
+    // byCurie feeds both the union and the miss left_anti; the union is
+    // consumed from up to four branches in normalizerResults. Both are
+    // narrow (input, cluster_id) frames — persist so each full resolve
+    // (two aggregated joins into the nodes scan) runs exactly once.
+    val byCurie = clusterByCurie(inputs).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val misses = inputs.select(col("input")).distinct()
       .join(byCurie, Seq("input"), "left_anti")
-    byCurie.unionByName(clusterByName(misses))
+    byCurie.unionByName(clusterByName(misses)).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** get_canonical_curies with curie-else-name fallback
@@ -222,6 +236,8 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
     val distinctInputs = inputs.select(col("input")).distinct()
     val resolved = resolveFallback(inputs)
 
+    // consumed by both the per-member assembly and the histogram below —
+    // persist so the member explode + nodes join runs once
     val memberRows = resolved
       .join(broadcast(clusters.select(col("cluster_id"), col("member_ids"))),
             "cluster_id")
@@ -229,6 +245,7 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
               explode(col("member_ids")).as("member_id"))
       .join(nodes.withColumnRenamed("cluster_id", "node_cluster_id"),
             col("member_id") === nodes("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // representative node = the node whose id IS the cluster id
     // (node_synonymizer.py:262: cluster_rep = nodes_dict[cluster_id]);
@@ -277,11 +294,19 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
         .as("categories"))
 
     distinctInputs
+      .join(resolved.select(col("input"), col("cluster_id")),
+            Seq("input"), "left")
       .join(assembled, Seq("input"), "left")
       .join(histo, Seq("input"), "left")
       .join(preferredBase, Seq("input"), "left")
       .join(repCategory, Seq("input"), "left")
-      .select(col("input"), col("preferred_curie"), col("preferred_name"),
+      .select(col("input"),
+        // fall back to the resolved cluster id when the cluster has no
+        // joinable members (e.g. a raw dump's 'nan' member list) — keeps
+        // 'full' and 'minimal' agreeing on preferred_curie
+        coalesce(col("preferred_curie"), col("cluster_id"))
+          .as("preferred_curie"),
+        col("preferred_name"),
         coalesce(col("rep_category"), col("preferred_category"))
           .as("preferred_category"),
         col("nodes"), col("categories"))

@@ -67,6 +67,79 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateful sessionizer merges an out-of-order late event with min/max") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(user: Long, tSec: Long, v: Double) =
+      EventsStream.SessionEvent(user, new java.sql.Timestamp(tSec * 1000L), v)
+
+    val input = MemoryStream[EventsStream.SessionEvent]
+    // 2h watermark delay so an out-of-order event from an earlier point
+    // in time is still admitted in a later micro-batch
+    val q = EventsStream
+      .sessionizeStateful(input.toDS().withWatermark("ts", "2 hours"),
+        gapMinutes = 30, finalFlush = false)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_late").start()
+    try {
+      val t0 = 20000L
+      input.addData(ev(1L, t0, 1.0))
+      q.processAllAvailable()
+      // late event 10 min EARLIER than the open session's end: must
+      // min/max-merge (not regress end backward to t0-600)
+      input.addData(ev(1L, t0 - 600L, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_late").count() == 0)
+      // past the gap → closes the merged session
+      input.addData(ev(1L, t0 + 1801L, 9.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_late")
+        .as[EventsStream.UserSession].collect()
+      assert(out.toSeq == Seq(
+        EventsStream.UserSession(1L, t0 - 600L, t0, 2L, 3.0)),
+        s"late event must extend the session backward, got ${out.toSeq}")
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer emits a straggler older than the gap as its own session") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(user: Long, tSec: Long, v: Double) =
+      EventsStream.SessionEvent(user, new java.sql.Timestamp(tSec * 1000L), v)
+
+    val input = MemoryStream[EventsStream.SessionEvent]
+    val q = EventsStream
+      .sessionizeStateful(input.toDS().withWatermark("ts", "2 hours"),
+        gapMinutes = 30, finalFlush = false)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_straggler").start()
+    try {
+      val t0 = 20000L
+      input.addData(ev(1L, t0, 1.0))
+      q.processAllAvailable()
+      // 50 min before the open session's start (> gap): cannot belong to
+      // it — emitted as a complete single-event session immediately, the
+      // open session untouched
+      input.addData(ev(1L, t0 - 3000L, 5.0))
+      q.processAllAvailable()
+      val afterStraggler = spark.table("sess_straggler")
+        .as[EventsStream.UserSession].collect()
+      assert(afterStraggler.toSeq == Seq(
+        EventsStream.UserSession(1L, t0 - 3000L, t0 - 3000L, 1L, 5.0)),
+        s"straggler must emit alone, got ${afterStraggler.toSeq}")
+      input.addData(ev(1L, t0 + 1801L, 9.0))
+      q.processAllAvailable()
+      val all = spark.table("sess_straggler")
+        .as[EventsStream.UserSession].collect().sortBy(_.session_start)
+      assert(all.toSeq == Seq(
+        EventsStream.UserSession(1L, t0 - 3000L, t0 - 3000L, 1L, 5.0),
+        EventsStream.UserSession(1L, t0, t0, 1L, 1.0)),
+        s"open session must survive the straggler, got ${all.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate ids arriving in LATER micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

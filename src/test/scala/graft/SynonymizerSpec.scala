@@ -211,6 +211,32 @@ class SynonymizerSpec extends SparkTestBase {
     assert(members.count() == 3 && clusterEdges.count() == 2)
   }
 
+  test("full and minimal formats agree on preferred_curie for a " +
+       "memberless cluster (raw dump 'nan' member list)") {
+    import spark.implicits._
+    // cluster resolvable by curie but with member_ids='nan' → the full
+    // format's member-derived preferred_curie is null pre-coalesce
+    val rawClusters = Seq(("XTEST:1", "xthing", "SmallMolecule",
+                           "nan", "nan"))
+      .toDF("cluster_id", "name", "category", "member_ids",
+            "intra_cluster_edge_ids")
+    val nodes = Seq(TestFixtures.Node("XTEST:1", "XTEST:1", "xthing",
+        "xthing", "SmallMolecule", "XTEST:1", "ChemicalEntity",
+        "xthing", "SmallMolecule", "xthing", "SmallMolecule"))
+      .toDF()
+    val syn2 = graft.synonymizer.Synonymizer.fromRawDump(
+      nodes, rawClusters, TestFixtures.edgesDf(spark).limit(0))
+    val inputs = TestFixtures.inputsDf(spark, Seq("XTEST:1"))
+    val full = syn2.normalizerResults(inputs)
+      .select("input", "preferred_curie").collect().head
+    val minimal = syn2.normalizerResults(inputs, outputFormat = "minimal")
+      .select("input", "preferred_curie").collect().head
+    assert(full.getString(1) == "XTEST:1",
+      s"full-format preferred_curie must fall back to the cluster id, " +
+        s"got $full")
+    assert(minimal.getString(1) == full.getString(1))
+  }
+
   test("cluster table (U5 debug)") {
     val (members, clusterEdges) = syn.clusterTable("CHEBI:15365")
     assert(members.count() == 3)
