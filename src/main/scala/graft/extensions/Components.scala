@@ -1,0 +1,84 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge list — the step that
+  * turns near-dup candidate PAIRS (minhash/simhash/jaccard output) into
+  * dedup CLUSTERS: transitive chains A~B~C collapse to one component,
+  * and `min(id)` per component is the canonical survivor.
+  *
+  * Algorithm: iterative min-label propagation. Each round every vertex
+  * takes the minimum label among itself and its neighbors (one shuffle
+  * join + one aggregation per round); convergence needs O(graph
+  * diameter) rounds. Near-dup graphs are unions of small
+  * quasi-cliques — diameters of 2-4 — so the round count stays tiny at
+  * any corpus size; the per-round work is a pair of key-partitioned
+  * shuffles that AQE sizes. (For adversarial long-path graphs the
+  * alternating large-star/small-star scheme halves the exponent, but
+  * dedup graphs never look like that; documented here so the scale
+  * trade-off is explicit.) Labels are persisted per round and the
+  * previous round unpersisted, so lineage is read from cache, not
+  * recomputed.
+  *
+  * No counterpart in the reference (it dedups nothing); this is part of
+  * the training-data pipeline surface.
+  */
+object Components {
+
+  /** @param edges  candidate pairs, undirected (each pair listed once in
+    *               either direction)
+    * @return (id, comp) — one row per vertex that appears in `edges`,
+    *         comp = min vertex id in its connected component. Vertices
+    *         with no edges don't appear (a doc with no near-dup is its
+    *         own singleton; callers left-join and coalesce to id).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    // symmetrize once: propagation below only follows a->b
+    val sym = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // init fused with the first propagation round: label = min of self
+    // and direct neighbors. Star/clique-shaped dedup clusters converge
+    // here, so the loop usually runs a single verification round.
+    var labels = sym
+      .groupBy(col("a").as("id"))
+      .agg(min(least(col("a"), col("b"))).as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val fromNeighbors = sym
+        .join(labels, sym("b") === labels("id"))
+        .select(sym("a").as("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp"))
+        .union(fromNeighbors)
+        .groupBy("id")
+        .agg(min("comp").as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.select(col("id"), col("comp").as("old")), "id")
+        .filter(col("comp") =!= col("old"))
+        .count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Dedup-cluster view over candidate pairs: every paired doc with its
+    * component id and whether it is the component's survivor (the min
+    * id). Downstream removal = anti-join the non-survivors.
+    */
+  def dedupClusters(pairs: DataFrame, idA: String = "id_a",
+                    idB: String = "id_b"): DataFrame =
+    connectedComponents(pairs, idA, idB)
+      .select(col("id"), col("comp"),
+              (col("id") === col("comp")).as("survivor"))
+}

@@ -150,6 +150,40 @@ object TextAnalysis {
       s"thresholdHex must be lowercase hex, got '$thresholdHex'")
     substring(md5(key.cast("string")), 1, thresholdHex.length) < thresholdHex
   }
+
+  /** Top-k salient terms per document by TF-IDF with a LINEAR idf
+    * (tf * N/df, no logarithm): multiplication and division are
+    * IEEE-exact so scores are bit-identical across engines (`ln` is not
+    * correctly-rounded and would break oracle hash parity in the last
+    * ulp); the ranking is the same monotone order in 1/df. Ties break by
+    * term ascending.
+    *
+    * Scale shape: map-side explode → partial-agg tf keyed (doc, term) →
+    * df keyed term → tf⋈df shuffles on term (both pre-keyed) → corpus
+    * size N joined as a broadcast 1-row frame (never a driver collect) →
+    * top-k window keyed doc. No all-pairs stage anywhere.
+    */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfByTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfByTerm, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+  }
 }
 
 /** End-to-end corpus cleaning — the composite a training-data pipeline

@@ -50,4 +50,42 @@ object AggOps {
     */
   def longestWins(name: Column): Column =
     max_by(name, struct(length(name), name))
+
+  /** Exact per-group discrete quantiles, engine-independent: the q-th
+    * quantile is the value at sorted rank ceil(q*n) (ties split by
+    * `tieCol`, so the picked ROW is deterministic, not just the value).
+    * One output row per group: (group, n, p<q1>, p<q2>, ...).
+    *
+    * This is the EXACT path — one shuffle on the group key plus a
+    * per-group window sort (the irreducible cost of exactness; a skewed
+    * giant group sorts on one partition's worth of its key range).
+    * `approx_percentile` (t-digest, mergeable map-side sketches, no
+    * per-group sort) is the cheap path when ±ε is acceptable; this
+    * operator is for the quantile that must be reproducible bit-for-bit
+    * across engines and runs. ceil(q*n) in double is exact for n < 2^52.
+    */
+  def exactQuantiles(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                     valueCol: String, tieCol: String,
+                     qs: Seq[Double] = Seq(0.5, 0.9, 0.99))
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1], got $qs")
+    val ranked = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col(valueCol), col(tieCol)))
+        .cast("long"))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy(groupCol)).cast("long"))
+    val qAggs = qs.map { q =>
+      // BigDecimal over the shortest decimal repr: 0.99 names "p99", not
+      // the double artifact "p99_00000000000001"
+      val name = "p" + (BigDecimal(q.toString) * 100).underlying
+        .stripTrailingZeros.toPlainString.replace(".", "_")
+      max(when(col("rn") === ceil(lit(q) * col("cnt")).cast("long"),
+               col(valueCol))).as(name)
+    }
+    ranked.groupBy(groupCol)
+      .agg(max(col("cnt")).as("n"), qAggs: _*)
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.extensions.{CorpusClean, Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.extensions.{Components, CorpusClean, Multimodal, Similarity, TextAnalysis, TextDedup}
 import graft.tables.Tables
 
 /** Training-data pipeline demos over `documents` / `embeddings`:
@@ -108,6 +108,31 @@ object PipelineDemos {
       TextDedup.jaccardVerified(Tables.documents(s, dir), "doc_id", "text",
           jaccardThreshold)
         .orderBy("id_a", "id_b")
+    }),
+    // Verified near-dup pairs → connected components: transitive chains
+    // collapse to one cluster; survivor = min doc_id per cluster.
+    "dedup_components" -> ((s, dir) => {
+      Components.dedupClusters(
+          TextDedup.jaccardVerified(Tables.documents(s, dir), "doc_id",
+              "text", jaccardThreshold)
+            .select(col("id_a"), col("id_b")))
+        .orderBy("id")
+    }),
+    // Exact token-count quantiles per detected language (the exact path;
+    // approx_percentile is the sketch path — see AggOps.exactQuantiles).
+    "lang_quantiles" -> ((s, dir) => {
+      graft.ops.AggOps.exactQuantiles(
+          Tables.documents(s, dir).select(col("doc_id"),
+            TextAnalysis.langId(col("text")).as("lang"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          "lang", "n_tokens", "doc_id")
+        .orderBy("lang")
+    }),
+    // Top-3 salient terms per doc, linear-idf TF-IDF (see the operator's
+    // doc for why no logarithm).
+    "tfidf_terms" -> ((s, dir) => {
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "rank")
     }),
     // Exact-arithmetic embedding norms.
     "embed_norm" -> ((s, dir) => {
@@ -304,6 +329,26 @@ object PipelineDemos {
 
   private val hexHigh = "('8','9','a','b','c','d','e','f')"
 
+  /** CTE chain ending in `jpairs` = the LSH-candidate, Jaccard-verified
+    * near-dup pairs (shared by dedup_jaccard and dedup_components). */
+  private val jaccardPairsCtes: String =
+    s"""t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesExpr AS shingles FROM t),
+       |sig AS (SELECT doc_id, [${(0 until 8).map(i =>
+      s"list_min(list_transform(shingles, s -> md5('$i|' || s)))").mkString(", ")}] AS sig FROM sh),
+       |bands AS (SELECT doc_id, unnest([${(0 until 4).map(b =>
+      s"'$b|' || md5(sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}])").mkString(", ")}]) AS band FROM sig),
+       |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM bands a JOIN bands b USING (band) WHERE a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh),
+       |jpairs AS (SELECT * FROM (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS n_common,
+       |    CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS n_union,
+       |    CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) AS jaccard
+       |  FROM cands JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)
+       |WHERE jaccard >= $jaccardThreshold)""".stripMargin
+
   private val normsCte =
     s"""norms AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)"""
 
@@ -423,23 +468,52 @@ object PipelineDemos {
          |ORDER BY id_a, id_b""".stripMargin
     },
     "dedup_jaccard" ->
-      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
-         |sh AS (SELECT doc_id, $shinglesExpr AS shingles FROM t),
-         |sig AS (SELECT doc_id, [${(0 until 8).map(i =>
-        s"list_min(list_transform(shingles, s -> md5('$i|' || s)))").mkString(", ")}] AS sig FROM sh),
-         |bands AS (SELECT doc_id, unnest([${(0 until 4).map(b =>
-        s"'$b|' || md5(sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}])").mkString(", ")}]) AS band FROM sig),
-         |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |          FROM bands a JOIN bands b USING (band) WHERE a.doc_id < b.doc_id),
-         |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh)
-         |SELECT * FROM (
-         |  SELECT id_a, id_b,
-         |    CAST(len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS n_common,
-         |    CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS n_union,
-         |    CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) AS jaccard
-         |  FROM cands JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)
-         |WHERE jaccard >= $jaccardThreshold
+      s"""WITH $jaccardPairsCtes
+         |SELECT id_a, id_b, n_common, n_union, jaccard FROM jpairs
          |ORDER BY id_a, id_b""".stripMargin,
+    // min-label reachability to a fixpoint: the recursive UNION dedups
+    // (node, comp) rows, so it terminates; min(comp) per node == the
+    // component's minimum id, matching Components.connectedComponents
+    "dedup_components" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         |sym AS (SELECT id_a AS a, id_b AS b FROM jpairs
+         |        UNION SELECT id_b, id_a FROM jpairs),
+         |reach AS (
+         |  SELECT a AS node, a AS comp FROM sym
+         |  UNION
+         |  SELECT s.a, r.comp FROM sym s JOIN reach r ON r.node = s.b)
+         |SELECT node AS id, min(comp) AS comp,
+         |       node = min(comp) AS survivor
+         |FROM reach GROUP BY node ORDER BY id""".stripMargin,
+    // CAST(q AS DOUBLE): DuckDB parses 0.9 as DECIMAL; Spark's lit(0.9)
+    // is DOUBLE — forcing double keeps ceil(q*n) bit-identical
+    "lang_quantiles" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks, list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ltoks FROM documents),
+         |s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, $scoresSelect FROM t),
+         |v AS (SELECT doc_id, n_tokens, $langCase AS lang FROM s),
+         |r AS (SELECT lang, n_tokens,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS cnt FROM v)
+         |SELECT lang, max(cnt) AS n,
+         |  max(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * cnt) AS BIGINT) THEN n_tokens END) AS p50,
+         |  max(CASE WHEN rn = CAST(ceil(CAST(0.9 AS DOUBLE) * cnt) AS BIGINT) THEN n_tokens END) AS p90,
+         |  max(CASE WHEN rn = CAST(ceil(CAST(0.99 AS DOUBLE) * cnt) AS BIGINT) THEN n_tokens END) AS p99
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    "tfidf_terms" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |f AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM f GROUP BY doc_id, term),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY term),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, term, tf, df,
+         |    CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+         |SELECT doc_id, rank, term, tf, df, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term) AS rank FROM scored)
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "embed_norm" ->
       s"""WITH $normsCte
          |SELECT vec_id, nrm FROM norms ORDER BY vec_id""".stripMargin,

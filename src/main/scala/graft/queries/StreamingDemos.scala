@@ -25,7 +25,13 @@ object StreamingDemos {
     "stream_dedup" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       EventsStream.dedupedCounts(e.unionByName(e))
-    }))
+    }),
+    // Stream-static enrichment join (batch form; per-micro-batch
+    // broadcast parity asserted in StreamingSpec).
+    "stream_enrich" -> ((s, dir) =>
+      EventsStream.enrichedCounts(Tables.events(s, dir),
+          Tables.customer(s, dir))
+        .orderBy("c_mktsegment", "event_type")))
 
   val oracleSql: Map[String, String] = Map(
     "sessionize" ->
@@ -51,5 +57,11 @@ object StreamingDemos {
     "stream_dedup" ->
       """SELECT event_type, count(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin)
 }

@@ -52,6 +52,22 @@ object EventsStream {
            graft.ops.AggOps.exactSum(col("value")).as("sum_value"))
       .orderBy("event_type")
 
+  /** Stream-static enrichment join — the canonical Structured Streaming
+    * dimension-lookup pattern: the static side is re-planned (and
+    * re-broadcast) each micro-batch, so dim updates are picked up
+    * without restarting the query, and the stream side never shuffles
+    * for the join. Works identically on a batch frame (the registered
+    * demo form; streaming parity asserted in StreamingSpec).
+    */
+  def enrichedCounts(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(broadcast(customers.select(col("c_custkey"),
+                                       col("c_mktsegment"))),
+            events("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("cnt"),
+           graft.ops.AggOps.exactSum(col("value")).as("sum_value"))
+
   /** Streaming exactly-once dedup: `dropDuplicatesWithinWatermark` keys
     * state by event_id and reaps it once the watermark passes — bounded
     * state, and a duplicate arriving in a LATER micro-batch (within the

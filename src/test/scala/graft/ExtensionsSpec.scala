@@ -107,6 +107,47 @@ class ExtensionsSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("exact quantiles: discrete ranks, singleton group, q=1 = max") {
+    import spark.implicits._
+    import graft.ops.AggOps
+    // group a: values 1..10 → p50 = value at ceil(0.5*10)=rank 5,
+    // p90 = rank 9, p99 = rank 10; group b: singleton
+    val df = ((1L to 10L).map(v => ("a", v, v)) :+ (("b", 42L, 99L)))
+      .toDF("g", "v", "tie")
+    val out = AggOps.exactQuantiles(df, "g", "v", "tie")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(out.toSeq == Seq(("a", 10L, 5L, 9L, 10L),
+                            ("b", 1L, 42L, 42L, 42L)))
+    val maxOut = AggOps.exactQuantiles(df, "g", "v", "tie", Seq(1.0))
+      .collect().map(r => (r.getString(0), r.getLong(2))).sortBy(_._1)
+    assert(maxOut.toSeq == Seq(("a", 10L), ("b", 42L)),
+      "p100 must equal the group max")
+    intercept[IllegalArgumentException] {
+      AggOps.exactQuantiles(df, "g", "v", "tie", Seq(0.0))
+    }
+  }
+
+  test("connected components: transitive chain collapses, disjoint " +
+       "clusters stay apart, survivor = min id") {
+    import spark.implicits._
+    import graft.extensions.Components
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round) + pair 10-11
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = Components.dedupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+    // string ids work too (component label = lexicographic min)
+    val sPairs = Seq(("b", "a"), ("b", "c")).toDF("id_a", "id_b")
+    val sOut = Components.connectedComponents(sPairs, "id_a", "id_b")
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(sOut.toSeq == Seq(("a", "a"), ("b", "a"), ("c", "a")))
+  }
+
   test("repetition ratio, PII scrub, hash sample semantics") {
     import spark.implicits._
     // repetition: "a b a b a" → 2-grams [a b, b a, a b, b a] → 2 dups / 4

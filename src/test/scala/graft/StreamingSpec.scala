@@ -140,6 +140,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join matches the batch form across " +
+       "micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val customers = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val batchEvents = Seq(
+      (1L, "click", 1.5), (1L, "click", 2.5), (2L, "buy", 10.0),
+      (1L, "buy", 4.0), (99L, "click", 7.0)) // 99 has no dim row → dropped
+      .toDF("user_id", "event_type", "value")
+
+    val input = MemoryStream[(Long, String, Double)]
+    val q = EventsStream
+      .enrichedCounts(input.toDS().toDF("user_id", "event_type", "value"),
+                      customers)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("enrich_out").start()
+    try {
+      input.addData((1L, "click", 1.5), (1L, "click", 2.5),
+                    (2L, "buy", 10.0))
+      q.processAllAvailable()
+      input.addData((1L, "buy", 4.0), (99L, "click", 7.0))
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                             r.getDouble(3))).toSet
+      val batch = EventsStream.enrichedCounts(batchEvents, customers)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                             r.getDouble(3))).toSet
+      assert(streamed == batch && batch.size == 3,
+        s"stream/batch enrichment must agree, got $streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate ids arriving in LATER micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
