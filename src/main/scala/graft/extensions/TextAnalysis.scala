@@ -151,6 +151,35 @@ object TextAnalysis {
     substring(md5(key.cast("string")), 1, thresholdHex.length) < thresholdHex
   }
 
+  /** Sequence packing: assign each document to a fixed token-budget pack
+    * (the pre-training step that concatenates docs into context-length
+    * chunks). Docs are ordered deterministically inside each stream by
+    * md5(id) (stable epoch shuffle, no RNG state), the running token
+    * total accumulates per stream, and pack_id = start-offset div budget
+    * — a doc straddling a boundary belongs to the pack its first token
+    * lands in (concat-then-chunk semantics). Integer `div` keeps the
+    * assignment engine-exact.
+    *
+    * Scale shape: ONE window keyed by `stream` — the sort is
+    * per-stream-partition, never global, so streams (language, shard,
+    * source) bound the sort size; a corpus packs with as many parallel
+    * streams as it has partitions.
+    */
+  def packByTokenBudget(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, streamCol: Column, budget: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"budget must be positive, got $budget")
+    docs
+      .select(col(idCol).as("doc_id"), streamCol.as("stream"),
+              tokenCount(col(textCol)).as("n_tokens"),
+              md5(col(idCol).cast("string")).as("ord"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.partitionBy("stream").orderBy(col("ord"))))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $budget"))
+      .select("doc_id", "stream", "n_tokens", "pack_id")
+  }
+
   /** Top-k salient terms per document by TF-IDF with a LINEAR idf
     * (tf * N/df, no logarithm): multiplication and division are
     * IEEE-exact so scores are bit-identical across engines (`ln` is not

@@ -118,6 +118,13 @@ object PipelineDemos {
             .select(col("id_a"), col("id_b")))
         .orderBy("id")
     }),
+    // Sequence packing: per-language streams, 512-token packs,
+    // md5-ordered (deterministic epoch shuffle).
+    "token_pack" -> ((s, dir) => {
+      TextAnalysis.packByTokenBudget(Tables.documents(s, dir), "doc_id",
+          "text", TextAnalysis.langId(col("text")), 512)
+        .orderBy("doc_id")
+    }),
     // Exact token-count quantiles per detected language (the exact path;
     // approx_percentile is the sketch path — see AggOps.exactQuantiles).
     "lang_quantiles" -> ((s, dir) => {
@@ -485,6 +492,15 @@ object PipelineDemos {
          |SELECT node AS id, min(comp) AS comp,
          |       node = min(comp) AS survivor
          |FROM reach GROUP BY node ORDER BY id""".stripMargin,
+    "token_pack" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks, list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ltoks FROM documents),
+         |s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, $scoresSelect FROM t),
+         |v AS (SELECT doc_id, n_tokens, $langCase AS lang, md5(CAST(doc_id AS VARCHAR)) AS ord FROM s),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY ord) AS cum FROM v)
+         |SELECT doc_id, lang AS stream, n_tokens,
+         |  (cum - n_tokens) // 512 AS pack_id
+         |FROM c ORDER BY doc_id""".stripMargin,
     // CAST(q AS DOUBLE): DuckDB parses 0.9 as DECIMAL; Spark's lit(0.9)
     // is DOUBLE — forcing double keeps ceil(q*n) bit-identical
     "lang_quantiles" ->

@@ -55,6 +55,25 @@ object SourceSinkDemos {
              max(col("o_orderkey")).as("max_key"))
         .orderBy("o_orderpriority")
     }),
+    // S1 — XML source round-trip (DrugBank.scala's corpus scan uses the
+    // same built-in Spark 4 XML source against full_database.xml,
+    // extract_kg2_node_info.py:24-38): write documents as XML, read back
+    // with an explicit schema, aggregate over the RE-READ frame so
+    // escaping/fidelity is what the oracle hash checks.
+    "xml_roundtrip" -> ((s, dir) => {
+      val path = scratch(dir, "xml")
+      Tables.documents(s, dir).select("doc_id", "text")
+        .write.mode("overwrite").option("rowTag", "doc")
+        .format("xml").save(path)
+      s.read.schema(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .option("rowTag", "doc").format("xml").load(path)
+        .agg(count(lit(1)).as("n_docs"),
+             min(col("doc_id")).as("min_id"),
+             max(col("doc_id")).as("max_id"),
+             sum(length(col("text")).cast("long")).as("sum_len"))
+    }),
     // U3 — failure tolerance as null-safety (the reference wraps per-row
     // work in try/except, utils.py / perform_NER.py invoke guards): every
     // string op null-propagates instead of throwing; downstream coalesce
@@ -80,6 +99,11 @@ object SourceSinkDemos {
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "xml_roundtrip" ->
+      """SELECT count(*) AS n_docs, min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_len
+        |FROM documents""".stripMargin,
     "null_safety" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN NULL

@@ -107,6 +107,28 @@ class ExtensionsSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("token packing: budget boundaries, straddle, per-stream isolation") {
+    import spark.implicits._
+    // texts of 3 tokens each, budget 5: pack boundaries at offsets 0,3,6
+    // → packs 0,0,1 within a stream (offset 3 straddles into pack 0;
+    // concat-then-chunk assigns by first token)
+    val docs = Seq(
+      (1L, "a b c", "x"), (2L, "d e f", "x"), (3L, "g h i", "x"),
+      (10L, "j k l", "y"))
+      .toDF("doc_id", "text", "grp")
+    val out = TextAnalysis.packByTokenBudget(docs, "doc_id", "text",
+        col("grp"), 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).sortBy(_._1)
+    // md5 order within stream x: doc 1 (md5("1")=c4ca..), doc 2
+    // (c81e..), doc 3 (eccb..) → offsets 0, 3, 6
+    assert(out.toSeq == Seq((1L, "x", 0L), (2L, "x", 0L), (3L, "x", 1L),
+                            (10L, "y", 0L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.packByTokenBudget(docs, "doc_id", "text", col("grp"), 0)
+    }
+  }
+
   test("exact quantiles: discrete ranks, singleton group, q=1 = max") {
     import spark.implicits._
     import graft.ops.AggOps
