@@ -31,6 +31,51 @@ object Joins {
       .drop("__salt")
   }
 
+  /** As-of join: each left row matched to the LATEST right row with
+    * rightTime <= leftTime for the same key — the event-analytics join
+    * Spark has no native operator for.
+    *
+    * Union+window formulation, not a range join: both sides are tagged
+    * and unioned, sorted within each key by (time, tag) with right rows
+    * first at equal times (so "at or before" includes ties), and the
+    * right payload is carried forward with last(ignoreNulls). ONE
+    * shuffle on the key plus a per-key sort — no range-explosion join,
+    * no per-row probe, and it scales exactly like a window aggregation
+    * (skewed keys sort within their partition; salt the key upstream if
+    * one key dominates).
+    *
+    * `key`/`timeCol` must be named identically on both sides; right rows
+    * should be unique per (key, time) — payloads are carried column-wise,
+    * so duplicate right timestamps would mix rows nondeterministically
+    * (pre-aggregate them).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               timeCol: String, payloadCols: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+    val otherLeft = left.columns.filterNot(c => c == key || c == timeCol)
+    val leftSel = left.select(
+      (Seq(col(key), col(timeCol), lit(1).as("__tag")) ++
+       otherLeft.map(col) ++
+       payloadCols.map(c =>
+         lit(null).cast(right.schema(c).dataType).as(prefix + c))): _*)
+    val rightSel = right.select(
+      (Seq(col(key), col(timeCol), lit(0).as("__tag")) ++
+       otherLeft.map(c =>
+         lit(null).cast(left.schema(c).dataType).as(c)) ++
+       payloadCols.map(c => col(c).as(prefix + c))): _*)
+    val w = Window.partitionBy(key)
+      .orderBy(col(timeCol), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(leftSel.unionByName(rightSel)) {
+      (df, c) =>
+        df.withColumn(prefix + c,
+          last(col(prefix + c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__tag") === 1).drop("__tag")
+  }
+
   /** Top-k hot keys of a column — the measurement step before deciding
     * to salt (drive skew decisions with data, not guesses).
     */

@@ -240,6 +240,24 @@ object RelationalDemos {
     // SET1 — anti-join: inputs with no match (node_synonymizer.py:143-148).
     // Orders with no lineitems (non-empty at every sf, unlike
     // customers-without-orders which the generator fully covers).
+    // As-of join (no native Spark operator; union+window — see
+    // Joins.asofJoin): each purchase matched to the user's latest
+    // signup at or before it. Time axis = epoch micros (exact on both
+    // engines: DuckDB truncates the parquet nanos exactly like
+    // `ts div 1000`); signups pre-aggregated to unique (user, t).
+    "asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("t_us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "t_us", "value")
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id", "t_us")
+        .agg(max(col("value")).as("sig_value"))
+      graft.ops.Joins.asofJoin(purchases, signups, "user_id", "t_us",
+          Seq("sig_value"))
+        .select("event_id", "user_id", "t_us", "value", "asof_sig_value")
+        .orderBy("event_id")
+    }),
     "anti_join" -> ((s, dir) => {
       Tables.orders(s, dir)
         .join(Tables.lineitem(s, dir),
@@ -418,6 +436,18 @@ object RelationalDemos {
         |ORDER BY c_acctbal DESC, c_custkey LIMIT 100""".stripMargin,
     "limit1" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey LIMIT 1",
+    "asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+        |             event_type, value FROM events),
+        |l AS (SELECT event_id, user_id, t_us, value FROM e
+        |      WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, t_us, max(value) AS sig_value FROM e
+        |      WHERE event_type = 'signup' GROUP BY user_id, t_us)
+        |SELECT l.event_id, l.user_id, l.t_us, l.value,
+        |       r.sig_value AS asof_sig_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.t_us >= r.t_us
+        |ORDER BY event_id""".stripMargin,
     "anti_join" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)

@@ -285,6 +285,27 @@ class ExtensionsSpec extends SparkTestBase {
     assert(top.head.getDouble(2) > 0.999)
   }
 
+  test("asof join: latest at-or-before match, ties included, " +
+       "no-prior-right is null, keys isolated") {
+    import spark.implicits._
+    import graft.ops.Joins
+    val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"),
+                   (2L, 10L, "e3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 99L, 999.0))
+      .toDF("k", "t", "v")
+    val out = Joins.asofJoin(left, right, "k", "t", Seq("v"))
+      .collect()
+      .map(r => (r.getString(2), Option(r.get(3)).map(_.toString)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("e0", None),          // before any right row for k=1
+      ("e1", Some("100.0")), // exact tie at t=10 matches
+      ("e2", Some("150.0")), // latest at-or-before 20 is t=15
+      ("e3", None)),         // k=2's only right row is later
+      s"got ${out.toSeq}")
+  }
+
   test("salted join matches plain join results on a skewed key") {
     import spark.implicits._
     import graft.ops.Joins

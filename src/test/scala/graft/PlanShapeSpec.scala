@@ -39,6 +39,35 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("stream_enrich broadcasts the dimension (no shuffle of the " +
+       "stream side for the join)") {
+    val p = plan("stream_enrich")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+  }
+
+  test("token_pack shuffles once on the stream key — no global sort " +
+       "under the window") {
+    // the op directly — the registered demo appends a presentation
+    // orderBy, which legitimately range-partitions at the very end
+    val df = graft.extensions.TextAnalysis.packByTokenBudget(
+      graft.tables.Tables.documents(spark, dir), "doc_id", "text",
+      graft.extensions.TextAnalysis.langId(
+        org.apache.spark.sql.functions.col("text")), 512)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(stream"))
+    assert(!p.contains("rangepartitioning"),
+      "the pack window must sort per stream partition, not globally")
+  }
+
+  test("tfidf corpus size joins as a broadcast one-row frame, tf/df " +
+       "aggregations are partial (map-side) first") {
+    val p = plan("tfidf_terms")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+           p.contains("BroadcastExchange"))
+    assert(p.contains("partial_count"))
+  }
+
   test("SQL extension functions resolve via GraftExtensions") {
     val base = spark // force shared-session creation first
     SparkSession.clearActiveSession()
