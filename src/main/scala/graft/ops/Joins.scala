@@ -76,6 +76,33 @@ object Joins {
     carried.filter(col("__tag") === 1).drop("__tag")
   }
 
+  /** Range (interval) join at scale: point-in-interval matching WITHOUT
+    * a theta join (a naive `t BETWEEN start AND end` condition forces a
+    * broadcast-nested-loop or cartesian plan). Intervals are exploded to
+    * every fixed-width bin they overlap, each point maps to exactly one
+    * bin, the join is a plain equi-join on (key, bin), and the exact
+    * containment predicate runs on candidates only. A point's bin lies
+    * inside its containing interval's bin range by construction, so each
+    * containment match is produced exactly once — no dedup pass.
+    *
+    * `binWidth` trades interval replication (≈ width/binWidth copies)
+    * against candidate precision; pick it near the median interval
+    * width. Both time columns must be integral (epoch seconds/micros).
+    */
+  def rangeJoinBinned(points: DataFrame, intervals: DataFrame, key: String,
+                      pointCol: String, startCol: String, endCol: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(expr(s"$startCol div $binWidth"),
+                       expr(s"$endCol div $binWidth"))))
+    points.withColumn("__bin", expr(s"$pointCol div $binWidth"))
+      .join(binned, Seq(key, "__bin"))
+      .filter(col(pointCol) >= col(startCol) &&
+              col(pointCol) <= col(endCol))
+      .drop("__bin")
+  }
+
   /** Top-k hot keys of a column — the measurement step before deciding
     * to salt (drive skew decisions with data, not guesses).
     */

@@ -258,6 +258,39 @@ object RelationalDemos {
         .select("event_id", "user_id", "t_us", "value", "asof_sig_value")
         .orderBy("event_id")
     }),
+    // Range join via interval binning (no theta join — see
+    // Joins.rangeJoinBinned): each error event matched to its containing
+    // user session (intervals derived by the sessionizer itself).
+    "range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sessions = graft.streaming.EventsStream.sessionizeBatch(ev, 30)
+        .select("user_id", "session_start", "session_end")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"),
+                expr("unix_micros(ts) div 1000000").as("t_s"))
+      graft.ops.Joins.rangeJoinBinned(errors, sessions, "user_id",
+          "t_s", "session_start", "session_end", 600L)
+        .select("event_id", "user_id", "t_s",
+                "session_start", "session_end")
+        .orderBy("event_id")
+    }),
+    // Signup → purchase funnel: first signup, first purchase at or
+    // after it, 24h conversion flag (null when never converted).
+    "funnel_conversion" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("t", unix_micros(col("ts")))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("t")).as("t_signup"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(su, "user_id")
+        .filter(col("t") >= col("t_signup"))
+        .groupBy("user_id").agg(min(col("t")).as("t_first_purchase"))
+      su.join(pu, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_signup"), col("t_first_purchase"),
+          (col("t_first_purchase") - col("t_signup") <=
+            lit(86400000000L)).as("converted_24h"))
+        .orderBy("user_id")
+    }),
     "anti_join" -> ((s, dir) => {
       Tables.orders(s, dir)
         .join(Tables.lineitem(s, dir),
@@ -448,6 +481,38 @@ object RelationalDemos {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.t_us >= r.t_us
         |ORDER BY event_id""".stripMargin,
+    "range_join" ->
+      """WITH l AS (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        |s AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+        |    THEN 1 ELSE 0 END AS new_session FROM l),
+        |c AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id FROM s),
+        |sess AS (SELECT user_id,
+        |    CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        |    CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end
+        |  FROM c GROUP BY user_id, session_id),
+        |err AS (SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t_s
+        |  FROM events WHERE event_type = 'error')
+        |SELECT event_id, err.user_id, t_s, session_start, session_end
+        |FROM err JOIN sess ON err.user_id = sess.user_id
+        |  AND t_s BETWEEN session_start AND session_end
+        |ORDER BY event_id""".stripMargin,
+    "funnel_conversion" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t
+        |           FROM events),
+        |su AS (SELECT user_id, min(t) AS t_signup FROM e
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |pu AS (SELECT e.user_id, min(t) AS t_first_purchase
+        |       FROM e JOIN su USING (user_id)
+        |       WHERE event_type = 'purchase' AND t >= t_signup
+        |       GROUP BY e.user_id)
+        |SELECT user_id, t_signup, t_first_purchase,
+        |  (t_first_purchase - t_signup <= 86400000000) AS converted_24h
+        |FROM su LEFT JOIN pu USING (user_id) ORDER BY user_id""".stripMargin,
     "anti_join" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)

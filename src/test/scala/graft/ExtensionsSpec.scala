@@ -306,6 +306,24 @@ class ExtensionsSpec extends SparkTestBase {
       s"got ${out.toSeq}")
   }
 
+  test("binned range join: boundaries inclusive, multi-bin intervals " +
+       "match once, non-contained points drop") {
+    import spark.implicits._
+    import graft.ops.Joins
+    val points = Seq((1L, 0L, "p0"), (1L, 10L, "p10"), (1L, 35L, "p35"),
+                     (1L, 36L, "p36"), (2L, 10L, "other"))
+      .toDF("k", "t", "tag")
+    // interval [10, 35] spans bins 1..3 at width 10; k=2 has none
+    val intervals = Seq((1L, 10L, 35L, "iv"))
+      .toDF("k", "lo", "hi", "name")
+    val out = Joins.rangeJoinBinned(points, intervals, "k", "t",
+        "lo", "hi", 10L)
+      .select("tag", "name").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq(("p10", "iv"), ("p35", "iv")),
+      s"inclusive bounds, single match each, got ${out.toSeq}")
+  }
+
   test("salted join matches plain join results on a skewed key") {
     import spark.implicits._
     import graft.ops.Joins
