@@ -36,11 +36,13 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
-    // symmetrize once: propagation below only follows a->b
+    // symmetrize once: propagation below only follows a->b. NO distinct
+    // — every consumer is a min aggregation, which is idempotent to
+    // duplicate edges, so deduping here would buy nothing for the cost
+    // of a full shuffle of the edge list.
     val sym = edges
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // init fused with the first propagation round: label = min of self
     // and direct neighbors. Star/clique-shaped dedup clusters converge
@@ -49,23 +51,28 @@ object Components {
       .groupBy(col("a").as("id"))
       .agg(min(least(col("a"), col("b"))).as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var prev = labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val fromNeighbors = sym
+      // change detection fused into the propagation round: the merged
+      // frame carries old + new labels, so convergence is a filter-count
+      // on the SAME persisted frame — no separate old-vs-new join.
+      val nbrMin = sym
         .join(labels, sym("b") === labels("id"))
         .select(sym("a").as("id"), col("comp"))
-      val next = labels.select(col("id"), col("comp"))
-        .union(fromNeighbors)
         .groupBy("id")
-        .agg(min("comp").as("comp"))
+        .agg(min("comp").as("nbr"))
+      val merged = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("__old"),
+                least(col("comp"), coalesce(col("nbr"), col("comp")))
+                  .as("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next
-        .join(labels.select(col("id"), col("comp").as("old")), "id")
-        .filter(col("comp") =!= col("old"))
-        .count()
-      labels.unpersist()
-      labels = next
+      changed = merged.filter(col("comp") < col("__old")).count()
+      prev.unpersist()
+      prev = merged
+      labels = merged.select("id", "comp")
       iter += 1
     }
     sym.unpersist()
