@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
-import graft.functions.{MinHashBands, MinHashSig, NGramsExpr, SeqDot, SimHashBits}
+import graft.functions.{MinHashBands, MinHashSig, NGramsExpr, NormalizeTextExpr, SeqDot, SimHashBits}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions for SQL use —
@@ -53,5 +53,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         NGramsExpr(exprs.head, intArg(exprs(1), "maxGram"),
                    intArg(exprs(2), "minChars"))))
+    ext.injectFunction((
+      FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeTextExpr].getName,
+                         "normalize_text"),
+      (exprs: Seq[Expression]) =>
+        NormalizeTextExpr(exprs.head,
+          if (exprs.length > 1) strArg(exprs(1), "form") else "NFC")))
+    // Spark's own Bloom sketch expressions (the machinery behind runtime
+    // join filtering), surfaced for SQL: build the filter with
+    // bloom_filter_agg(xxhash64(x)) and probe with might_contain(bf,
+    // xxhash64(x)) — the Decontam scale path in pure SQL. NOTE the
+    // scalar-subquery probe form trips a codegen fallback (interpreted
+    // projection, correct results); the Decontam Column API embeds the
+    // serialized filter as a BINARY literal, which stays codegen'd.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, est) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, est)
+        case Seq(c, est, bits) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, est, bits)
+        case _ => throw new IllegalArgumentException(
+          "bloom_filter_agg takes 1-3 arguments")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))))
+  }
+
+  private def strArg(e: Expression, what: String): String = e match {
+    case Literal(v, _) if v != null => v.toString
+    case other =>
+      throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
   }
 }

@@ -137,6 +137,21 @@ object TextAnalysis {
     regexp_replace(ip, "[0-9]{7,}", "[NUM]")
   }
 
+  /** HTML boilerplate strip: drop tags, decode the common entities,
+    * collapse runs of whitespace. Like [[piiScrub]], patterns stay in
+    * the Java∩RE2 common subset, and the whitespace class is written
+    * explicitly ([ \t\n\r] — Java's \s also eats \x0B, RE2's doesn't)
+    * so the same expressions drive Spark and the DuckDB oracle.
+    */
+  def stripHtml(text: Column): Column = {
+    val untagged = regexp_replace(text, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+                      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(untagged) { case (c, (ent, ch)) =>
+        replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
+  }
+
   /** Deterministic hash sampling: keep a row iff the md5(key) hex prefix
     * is lexicographically below `thresholdHex` (lowercase hex digits
     * compare like their numeric values, so "4000" keeps 0x0000-0x3fff ≈

@@ -272,4 +272,67 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_common", "n_union", "jaccard")
   }
+
+  /** Incremental near-dup matching: flag documents of a NEW batch that
+    * near-duplicate an already-ingested HISTORICAL corpus — the
+    * steady-state ingest shape, where re-running the full self-join over
+    * history every batch would be quadratic in corpus age.
+    *
+    * Only new-vs-historical candidates are generated (no new-vs-new, no
+    * hist-vs-hist): the historical (id, band) rows ARE the persistent
+    * index at scale — precomputed once per corpus snapshot, stored
+    * bucketed by band so the candidate join is co-located; the new
+    * batch pays one shingle/minhash pass over ITSELF only. Historical
+    * mega-buckets (mass-duplicated boilerplate) are capped to their min
+    * id — each new doc still verifies against that representative, the
+    * same trade-off as [[bandCandidatePairs]].
+    *
+    * @return one row per flagged new document: (id, dup_of = min
+    *         matching historical id, n_matches, best_jaccard). Clean new
+    *         docs don't appear (callers anti-join to admit them).
+    */
+  def incrementalNearDups(newDocs: DataFrame, hist: DataFrame,
+                          idCol: String, textCol: String, threshold: Double,
+                          k: Int = 8, bands: Int = 4, shingleN: Int = 3,
+                          maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val newSh = withShingles(newDocs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val histSh = withShingles(hist, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bandRows(sh: DataFrame) = sh.select(col("id"),
+      explode(graft.functions.MinHashBands(col("sh"), k, bands)).as("band"))
+    // cap HISTORICAL buckets only (that side grows without bound); a
+    // capped bucket keeps its min-id representative
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band")
+    val histBands = bandRows(histSh)
+      .withColumn("bsize", count(lit(1)).over(w))
+      .withColumn("rep", min(col("id")).over(w))
+      .filter(col("bsize") <= maxBucket || col("id") === col("rep"))
+      .select(col("id").as("hist_id"), col("band"))
+    val cands = bandRows(newSh)
+      .join(histBands, "band")
+      .select(col("id"), col("hist_id"))
+      .distinct()
+    val newSets = newSh
+      .select(col("id"), array_distinct(col("sh")).as("set_a"))
+      .hint("shuffle_hash")
+    val histSets = histSh
+      .select(col("id").as("hist_id"), array_distinct(col("sh")).as("set_b"))
+      .hint("shuffle_hash")
+    cands
+      .join(newSets, "id")
+      .join(histSets, "hist_id")
+      .withColumn("n_common",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("set_a")) + size(col("set_b"))).cast("long")
+          - col("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / col("n_union").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy("id")
+      .agg(min(col("hist_id")).as("dup_of"),
+           count(lit(1)).as("n_matches"),
+           max(col("jaccard")).as("best_jaccard"))
+  }
 }

@@ -276,6 +276,31 @@ object RelationalDemos {
     }),
     // Signup → purchase funnel: first signup, first purchase at or
     // after it, 24h conversion flag (null when never converted).
+    // Multi-level aggregation: ROLLUP over (lang, source) with explicit
+    // grouping-flag arithmetic (bit order pinned in both engines) —
+    // subtotal/total rows carry NULL group keys.
+    "rollup_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("n_chars_sum"),
+             (grouping(col("lang")) * 2 + grouping(col("source")))
+               .cast("long").as("gid"))
+        .orderBy(col("gid"), col("lang").asc_nulls_first,
+                 col("source").asc_nulls_first)
+    }),
+    // Pivot: per-user event counts spread across a fixed event-type
+    // column set (explicit value list — no collect-distinct pass; absent
+    // combinations land 0, matching the oracle's CASE-count).
+    "pivot_events" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .orderBy("user_id")
+    }),
     "funnel_conversion" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .withColumn("t", unix_micros(col("ts")))
@@ -501,6 +526,20 @@ object RelationalDemos {
         |FROM err JOIN sess ON err.user_id = sess.user_id
         |  AND t_s BETWEEN session_start AND session_end
         |ORDER BY event_id""".stripMargin,
+    "rollup_stats" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+        |  CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid
+        |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    "pivot_events" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "funnel_conversion" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t
         |           FROM events),

@@ -378,4 +378,65 @@ class ExtensionsSpec extends SparkTestBase {
     assert(math.abs(f1(1L).features.sum - 1.0f) < 1e-5) // normalized hist
     assert(f1(1L).features.toSeq != f2(2L).features.toSeq)
   }
+
+  test("bloom decontamination: superset of the exact semi-join, zero " +
+       "false negatives") {
+    import graft.extensions.Decontam
+    val bench = docsDf(100L -> "the quick brown fox jumps over lazy dogs")
+    val docs = docsDf(
+      1L -> "quick brown fox tails",             // shares "quick brown fox"
+      2L -> "entirely unrelated clean content here",
+      3L -> "jumps over lazy dogs again today")  // shares two shingles
+    val bloom = Decontam.benchmarkBloom(bench, "text",
+      expectedItems = 1000L, numBits = 1L << 16)
+    val flagged = Decontam.flagContaminated(docs, "doc_id", "text", bloom)
+      .filter(col("contaminated")).collect().map(_.getLong(0)).toSet
+    // exact contaminated set: docs sharing any 3-shingle with bench
+    assert(Set(1L, 3L).subsetOf(flagged),
+      s"bloom must never miss a contaminated doc, got $flagged")
+    // the filter is sized generously here, so no false positives either
+    assert(flagged == Set(1L, 3L))
+  }
+
+  test("incremental near-dup: new batch flagged only against history, " +
+       "clean new docs absent") {
+    import graft.extensions.TextDedup
+    val hist = docsDf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "some other historical document lives here peacefully")
+    val fresh = docsDf(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta", // dup of 1
+      11L -> "completely novel content with no match anywhere")
+    val out = TextDedup.incrementalNearDups(fresh, hist, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 1L),
+      s"only the near-dup new doc may be flagged, got $out")
+  }
+
+  test("unicode normalization: NFC composes, NFKC folds compatibility " +
+       "forms, accent strip folds to ASCII") {
+    import spark.implicits._
+    import graft.functions.NormalizeText
+    val df = Seq(("café", "ﬁne Ａ")).toDF("a", "b")
+    val row = df.select(
+        NormalizeText.nfc(col("a")).as("nfc"),
+        NormalizeText.nfkc(col("b")).as("nfkc"),
+        NormalizeText.stripAccents(col("a")).as("folded"))
+      .collect().head
+    assert(row.getString(0) == "café")        // e+combining -> é
+    assert(row.getString(1) == "fine A")           // ligature + fullwidth
+    assert(row.getString(2) == "cafe")
+    // (SQL registration paths are covered in PlanShapeSpec, whose
+    //  dedicated session attaches GraftExtensions)
+  }
+
+  test("html strip: tags out, entities decoded, whitespace collapsed") {
+    import spark.implicits._
+    val out = Seq("<div>a  &amp;\n<b>bold</b>&nbsp;&#39;q&#39;</div>")
+      .toDF("t")
+      .select(graft.extensions.TextAnalysis.stripHtml(col("t")))
+      .collect().head.getString(0)
+    assert(out == "a & bold 'q'", s"got '$out'")
+  }
 }

@@ -99,6 +99,17 @@ class PlanShapeSpec extends SparkTestBase {
       r.getString(3).forall(c => c == '0' || c == '1'))
     assert(r.getSeq[String](4).toSet ==
       Set("alpha", "beta", "gamma", "alpha beta", "beta gamma"))
+    // round-3 registrations: unicode normalization + the Bloom sketch
+    // pair (build with bloom_filter_agg, probe with might_contain)
+    val r2 = s2.sql(
+      "SELECT normalize_text('café', 'NFC') AS nfc, " +
+      "might_contain(" +
+      "  (SELECT bloom_filter_agg(xxhash64(cast(id AS string)))" +
+      "   FROM range(100)), " +
+      "  xxhash64(cast(42 AS string))) AS hit")
+      .collect().head
+    assert(r2.getString(0) == "café")
+    assert(r2.getBoolean(1), "present element must hit the bloom filter")
   }
 
   test("driver entry smoke works on a PLAIN session (no custom confs)") {
