@@ -276,6 +276,22 @@ object RelationalDemos {
     }),
     // Signup → purchase funnel: first signup, first purchase at or
     // after it, 24h conversion flag (null when never converted).
+    // Spark's native session_window aggregate (gap-merged sessions as a
+    // grouping key — in batch a regular hash aggregate with window
+    // merge, in streaming backed by the session state store). Same
+    // 30-minute-gap semantics as the flatMapGroupsWithState sessionizer;
+    // sessions merge while consecutive gaps are STRICTLY below the gap
+    // (the oracle's new-session rule is diff >= gap).
+    "session_window_builtin" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"),
+                 session_window(col("ts"), "30 minutes").as("w"))
+        .agg(min(unix_micros(col("ts"))).as("first_us"),
+             max(unix_micros(col("ts"))).as("last_us"),
+             count(lit(1)).as("n_events"))
+        .select("user_id", "first_us", "last_us", "n_events")
+        .orderBy("user_id", "first_us")
+    }),
     // Multi-level aggregation: ROLLUP over (lang, source) with explicit
     // grouping-flag arithmetic (bit order pinned in both engines) —
     // subtotal/total rows carry NULL group keys.
@@ -526,6 +542,18 @@ object RelationalDemos {
         |FROM err JOIN sess ON err.user_id = sess.user_id
         |  AND t_s BETWEEN session_start AND session_end
         |ORDER BY event_id""".stripMargin,
+    "session_window_builtin" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS t,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_t
+        |  FROM events),
+        |s AS (SELECT user_id, t, CASE WHEN prev_t IS NULL
+        |    OR t - prev_t >= 1800000000 THEN 1 ELSE 0 END AS new_s FROM l),
+        |c AS (SELECT user_id, t, SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+        |SELECT user_id, min(t) AS first_us, max(t) AS last_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM c GROUP BY user_id, sid
+        |ORDER BY user_id, first_us""".stripMargin,
     "rollup_stats" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,

@@ -22,6 +22,24 @@ object SourceSinkDemos {
     s"${sys.props("java.io.tmpdir")}/graft_${tag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
   val queries: Map[String, Q] = Map(
+    // Hive-style partitioned layout round-trip: write partitioned by
+    // lang, read back with a partition filter. At scale this is THE
+    // mechanism that turns a 100 TB scan into a per-language slice —
+    // PlanShapeSpec asserts the re-read plan prunes to the one
+    // partition directory (no full-table listing in the plan).
+    "partition_prune" -> ((s, dir) => {
+      val path = scratch(dir, "partlang")
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        Tables.documents(s, dir).write.mode("overwrite")
+          .partitionBy("lang").parquet(path)
+      }
+      s.read.parquet(path)
+        .filter(col("lang") === "en")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("n_chars_sum"))
+        .orderBy("lang")
+    }),
     // S4/S6 — parquet checkpoint write + re-read between stages
     // (perform_NER.py:136-142 pickle checkpoint re-specified): the
     // aggregate runs over the RE-READ data, so checkpoint fidelity is
@@ -90,6 +108,11 @@ object SourceSinkDemos {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "partition_prune" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "checkpoint_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n_rows,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty

@@ -68,6 +68,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_count"))
   }
 
+  test("partition_prune reads only the matching lang= directory") {
+    val df = SparkEntry.queries("partition_prune")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(lang"),
+      "the lang predicate must land in PartitionFilters (directory " +
+        s"pruning), not a post-scan Filter — plan:\n$p")
+    // the pruned scan reads exactly one of the lang=* directories
+    val scanned = df.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.toString.linesIterator.filter(_.contains("Location")))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("en"))
+  }
+
   test("SQL extension functions resolve via GraftExtensions") {
     val base = spark // force shared-session creation first
     SparkSession.clearActiveSession()
