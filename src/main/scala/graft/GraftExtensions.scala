@@ -54,6 +54,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NGramsExpr(exprs.head, intArg(exprs(1), "maxGram"),
                    intArg(exprs(2), "minChars"))))
     ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[graft.functions.WordShingles].getName,
+                         "word_shingles"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.WordShingles(exprs.head, intArg(exprs(1), "n"))))
+    ext.injectFunction((
       FunctionIdentifier("normalize_text"),
       new ExpressionInfo(classOf[NormalizeTextExpr].getName,
                          "normalize_text"),

@@ -73,18 +73,18 @@ object TextAnalysis {
       (lit(1.0) - punctRatio) * lit(0.2)
   }
 
-  /** Shingles from a PRE-STAGED token array column. Prefer this (with
-    * `tokens(...)` materialized as its own projection) anywhere the
-    * shingle array feeds a generator: `toks` is referenced four times
-    * below, and an inlined `tokens(text)` is re-evaluated per reference —
-    * inside an explode's slice lambda that becomes per-SHINGLE, i.e.
-    * O(tokens²) per row (measured 4.2s → 0.6s on 5k docs).
+  /** Shingles of a token array — native single-pass expression
+    * ([[graft.functions.WordShingles]]). Referencing the input ONCE
+    * makes this immune to the projection-collapse re-substitution that
+    * made the old interpreted CASE/transform/slice chain O(tokens²) per
+    * row whenever the optimizer inlined it into a filter predicate or
+    * generator lambda (bit-equivalence with that chain is asserted in
+    * ExtensionsSpec).
     */
   def shinglesOfTokens(toks: Column, n: Int = 3): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array(array_join(toks, " ")))
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.GraftBridge.expression(toks), n))
 
   /** Token 3-gram shingles ("rolling window" of the token stream);
     * documents shorter than `n` tokens shingle to the whole text.

@@ -76,3 +76,59 @@ object NGrams {
     GraftBridge.column(
       NGramsExpr(GraftBridge.expression(tokens), maxGram, minChars))
 }
+
+/** Exactly-n word shingles of a token array (documents shorter than n
+  * tokens shingle to the whole joined text), space-joined, NOT deduped —
+  * the single-pass native form of the interpreted chain
+  * `CASE WHEN size(toks) >= n THEN transform(sequence(0, size-n),
+  * i -> array_join(slice(toks, i+1, n), ' ')) ELSE
+  * array(array_join(toks, ' ')) END`.
+  *
+  * Two reasons this is an expression and not that Column chain:
+  * (1) the chain references `toks` four times, so whenever the optimizer
+  * collapses the staging projection into a consumer (a pushed-down
+  * filter predicate, a generator lambda), `tokens(text)` re-evaluates
+  * per reference — per SHINGLE inside a slice lambda, i.e. O(tokens²)
+  * per row (measured 5.0s → sub-second on the bloom decontamination
+  * pass, whose `Filter(exists(...))` collapse re-substituted the whole
+  * stack); a single-child expression is immune to that re-substitution
+  * by construction. (2) one tight loop per row beats four interpreted
+  * higher-order passes. Join semantics match `array_join` (null tokens
+  * skipped).
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    if (len >= n) {
+      val out = new Array[Any](len - n + 1)
+      var s = 0
+      while (s + n <= len) {
+        out(s) = UTF8String.concatWs(sep,
+          java.util.Arrays.copyOfRange(toks, s, s + n): _*)
+        s += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      new GenericArrayData(
+        Array[Any](UTF8String.concatWs(sep, toks: _*)))
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}

@@ -431,6 +431,31 @@ class ExtensionsSpec extends SparkTestBase {
     //  dedicated session attaches GraftExtensions)
   }
 
+  test("word shingles native expression is bit-equivalent to the " +
+       "interpreted CASE/transform/slice chain") {
+    import spark.implicits._
+    val texts = Seq(
+      "alpha beta gamma delta epsilon",
+      "one two three",   // exactly n
+      "short pair",      // < n -> whole-text shingle
+      "single",
+      "",                // zero tokens -> [""]
+      "a  b   c d e f g whitespace   runs")
+    val df = texts.toDF("text")
+      .select(graft.extensions.TextAnalysis.tokens(col("text")).as("toks"))
+    val interpreted = df.select(
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => array_join(slice(col("toks"), i + 1, lit(3)), " ")))
+          .otherwise(array(array_join(col("toks"), " "))).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    val native = df.select(
+        graft.extensions.TextAnalysis.shinglesOfTokens(col("toks"), 3)
+          .as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(native.toSeq == interpreted.toSeq)
+  }
+
   test("html strip: tags out, entities decoded, whitespace collapsed") {
     import spark.implicits._
     val out = Seq("<div>a  &amp;\n<b>bold</b>&nbsp;&#39;q&#39;</div>")
