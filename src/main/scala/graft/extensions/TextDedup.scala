@@ -206,8 +206,8 @@ object TextDedup {
     * same no-all-pairs shape as MinHash LSH.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, d: Int = 32,
-                   bandBits: Int = 8,
+                   maxHamming: Int = 3, d: Int = 64,
+                   bandBits: Int = 16,
                    maxBucket: Int = defaultMaxBucket): DataFrame = {
     val nBands = d / bandBits
     // pigeonhole completeness: a pair within Hamming h can only be
@@ -215,9 +215,13 @@ object TextDedup {
     require(maxHamming < nBands,
       s"maxHamming=$maxHamming needs more than $nBands bands " +
         s"(use bandBits <= ${d / (maxHamming + 1)})")
-    // bandBits sizes the candidate volume: collisions of unrelated docs
-    // arrive at ~2^-bandBits per band — 8-bit bands keep the self-join
-    // linear-ish; 4-bit bands explode it (measured 3M pairs on 5k docs).
+    // Defaults are the classic web-dedup configuration (64-bit simhash,
+    // Hamming <= 3, 4 tables of 16 bits). bandBits sizes the RANDOM
+    // candidate volume — unrelated docs collide per band at ~2^-bandBits,
+    // so expected collisions grow as n²/2^bandBits: at 5k docs, 8-bit
+    // bands already produced 201k chance candidates vs ~800 at 16 bits
+    // (2.6s -> sub-second); at corpus scale bandBits must track
+    // log2(corpus) or the "candidates" become the corpus product itself.
     // Features are 3-gram shingles: unigram tokens collapse on small
     // vocabularies (411k false "near-dups" on the testdata vs 227 real).
     // persisted: the fingerprint pass (d md5s per shingle) feeds the band

@@ -87,15 +87,18 @@ case class MinHashBands(child: Expression, k: Int, bands: Int)
     copy(child = c)
 }
 
-/** Single-pass SimHash bits: ONE md5 per feature, all `d` nibble votes
-  * extracted from that digest (bit j votes +1 iff hex digit j of
-  * md5(feature) is in 8..f) — semantically identical to the d-fold
+/** Single-pass SimHash bits: ONE md5 per feature for d <= 32 (all `d`
+  * nibble votes extracted from that digest — bit j votes +1 iff hex
+  * digit j of md5(feature) is in 8..f), a second SALTED digest
+  * md5("1|" + feature) for bits 33..64 (block 0 stays unsalted so d <=
+  * 32 fingerprints are unchanged). Semantically identical to the d-fold
   * `aggregate(features, …substring(md5(t), j, 1)…)` chain and to the SQL
   * oracle, but without re-hashing every feature d times.
   */
 case class SimHashBits(child: Expression, d: Int)
     extends UnaryExpression with CodegenFallback {
-  require(d >= 1 && d <= 32, "d must be in 1..32 (md5 has 32 hex digits)")
+  require(d >= 1 && d <= 64,
+    "d must be in 1..64 (two md5 digests of 32 hex digits)")
 
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
@@ -106,18 +109,34 @@ case class SimHashBits(child: Expression, d: Int)
     val n = arr.numElements()
     val votes = new Array[Int](d)
     val md = MessageDigest.getInstance("MD5")
+    val salt = "1|".getBytes
     var s = 0
     while (s < n) {
       if (!arr.isNullAt(s)) {
+        val bytes = arr.getUTF8String(s).getBytes
         md.reset()
-        val digest = md.digest(arr.getUTF8String(s).getBytes)
+        val digest = md.digest(bytes)
         var j = 0
-        while (j < d) {
+        val lim = math.min(d, 32)
+        while (j < lim) {
           val nibble =
             if (j % 2 == 0) (digest(j / 2) >> 4) & 0xf
             else digest(j / 2) & 0xf
           votes(j) += (if (nibble >= 8) 1 else -1)
           j += 1
+        }
+        if (d > 32) {
+          md.reset()
+          md.update(salt)
+          val digest1 = md.digest(bytes)
+          while (j < d) {
+            val k = j - 32
+            val nibble =
+              if (k % 2 == 0) (digest1(k / 2) >> 4) & 0xf
+              else digest1(k / 2) & 0xf
+            votes(j) += (if (nibble >= 8) 1 else -1)
+            j += 1
+          }
         }
       }
       s += 1

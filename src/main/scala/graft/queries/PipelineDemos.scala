@@ -543,12 +543,17 @@ object PipelineDemos {
         s"(CASE WHEN v$j IS NULL OR v$j >= 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS simhash
          |FROM t LEFT JOIN v USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dedup_simhash_pairs" -> {
-      val d = 32; val bandBits = 8; val nBands = d / bandBits
+      val d = 64; val bandBits = 16; val nBands = d / bandBits
+      // bits 1..32 vote from md5(tok), 33..64 from the salted
+      // md5('1|' || tok) — mirrors SimHashBits' two-digest extension
+      def nibbleSrc(j: Int): String =
+        if (j <= 32) s"substr(md5(tok), $j, 1)"
+        else s"substr(md5('1|' || tok), ${j - 32}, 1)"
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
          |shg AS (SELECT doc_id, $shinglesExpr AS shingles FROM t),
          |f AS (SELECT doc_id, unnest(shingles) AS tok FROM shg),
          |v AS (SELECT doc_id, ${(1 to d).map(j =>
-        s"SUM(CASE WHEN substr(md5(tok), $j, 1) IN $hexHigh THEN 1 ELSE -1 END) AS v$j").mkString(", ")} FROM f GROUP BY doc_id),
+        s"SUM(CASE WHEN ${nibbleSrc(j)} IN $hexHigh THEN 1 ELSE -1 END) AS v$j").mkString(", ")} FROM f GROUP BY doc_id),
          |fp AS (SELECT doc_id, ${(1 to d).map(j =>
         s"(CASE WHEN v$j >= 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS simhash FROM v),
          |bands AS (SELECT doc_id, simhash, unnest([${(0 until nBands).map(b =>
