@@ -456,6 +456,65 @@ class ExtensionsSpec extends SparkTestBase {
     assert(native.toSeq == interpreted.toSeq)
   }
 
+  test("word shingles: randomized equivalence with the interpreted chain " +
+       "(lengths 0..12, n in 1..4, empty tokens included)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val words = Vector("a", "bb", "ccc", "", "dd ee", "Ω", "tok")
+    val cases = (0 until 60).map { _ =>
+      (0 until rng.nextInt(13)).map(_ => words(rng.nextInt(words.size)))
+    }
+    for (n <- 1 to 4) {
+      val df = cases.map(Tuple1(_)).toDF("toks")
+      val interpreted = df.select(
+          when(size(col("toks")) >= n,
+            transform(sequence(lit(0), size(col("toks")) - n),
+              i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
+            .otherwise(array(array_join(col("toks"), " "))).as("sh"))
+        .collect().map(_.getSeq[String](0))
+      val native = df.select(
+          graft.extensions.TextAnalysis.shinglesOfTokens(col("toks"), n)
+            .as("sh"))
+        .collect().map(_.getSeq[String](0))
+      assert(native.toSeq == interpreted.toSeq, s"divergence at n=$n")
+    }
+  }
+
+  test("simhash d>32: bits match an independent two-digest reference " +
+       "implementation") {
+    import spark.implicits._
+    def refSimhash(feats: Seq[String], d: Int): String = {
+      val votes = new Array[Int](d)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      for (f <- feats) {
+        def nibbles(input: String): Array[Int] = {
+          md.reset()
+          md.digest(input.getBytes("UTF-8")).flatMap(b =>
+            Array((b >> 4) & 0xf, b & 0xf))
+        }
+        val n0 = nibbles(f)
+        val n1 = if (d > 32) nibbles("1|" + f) else Array.empty[Int]
+        for (j <- 0 until d) {
+          val nib = if (j < 32) n0(j) else n1(j - 32)
+          votes(j) += (if (nib >= 8) 1 else -1)
+        }
+      }
+      votes.take(d).map(v => if (v >= 0) '1' else '0').mkString
+    }
+    val featSets = Seq(
+      Seq("alpha", "beta", "gamma"),
+      Seq("one two", "two three", "three four", "four five"),
+      Seq("solo"))
+    val df = featSets.map(Tuple1(_)).toDF("feats")
+    for (d <- Seq(16, 32, 40, 64)) {
+      val got = df.select(
+          graft.extensions.TextDedup.simhashOf(col("feats"), d).as("fp"))
+        .collect().map(_.getString(0))
+      val want = featSets.map(refSimhash(_, d))
+      assert(got.toSeq == want, s"divergence at d=$d")
+    }
+  }
+
   test("html strip: tags out, entities decoded, whitespace collapsed") {
     import spark.implicits._
     val out = Seq("<div>a  &amp;\n<b>bold</b>&nbsp;&#39;q&#39;</div>")
