@@ -41,11 +41,16 @@ object Bench {
       if (failed) failures += 1
       name -> (if (failed) failurePenaltySec else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal times: r01-r03 all came back "parsed": null — the driver
+    // reads a bounded stdout tail, and 85 queries at full double precision
+    // overflow it, truncating the JSON line mid-object. ~1ms resolution is
+    // far below this host's scheduling noise, and the line stays < 2.5 KB.
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failures}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failures}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench.json")
     Files.writeString(Paths.get(out), json + "\n")

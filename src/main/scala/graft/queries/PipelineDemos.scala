@@ -592,7 +592,7 @@ object PipelineDemos {
          |c AS (SELECT doc_id, lang, n_tokens,
          |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY ord) AS cum FROM v)
          |SELECT doc_id, lang AS stream, n_tokens,
-         |  (cum - n_tokens) // 512 AS pack_id
+         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
          |FROM c ORDER BY doc_id""".stripMargin,
     // CAST(q AS DOUBLE): DuckDB parses 0.9 as DECIMAL; Spark's lit(0.9)
     // is DOUBLE — forcing double keeps ceil(q*n) bit-identical

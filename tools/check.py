@@ -11,6 +11,7 @@ normalized by sorting rows). Reports per-query PASS/FAIL with diffs.
 import json
 import math
 import sys
+from decimal import Decimal
 
 import duckdb
 import pyarrow.parquet as pq
@@ -24,6 +25,11 @@ def norm(v):
     # the presence of NULLs / NaNs mixed with real values.
     if v is None:
         return (0,)
+    # DuckDB SUM(BIGINT) → HUGEINT → arrow decimal128: python's int==Decimal
+    # equality would hide the type drift the driver's hash catches — keep
+    # Decimal distinct so local checks mirror the driver (r03 token_pack).
+    if isinstance(v, Decimal):
+        return (5, str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return (1, "NaN")
