@@ -71,6 +71,33 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * ANN-index compression step (4× smaller than float32, 8× smaller
+    * than float64): scale = 127/max|x|, q_i = floor(x_i·scale + 0.5).
+    * Output range is exactly [-127, 127] (x_i = ±max|x| maps to ±127 via
+    * the floor), so no clamp is needed; the all-zero vector quantizes to
+    * zeros with scale 0. Every step — float→double widening, abs, max,
+    * one division, one multiply, +0.5, floor — is a single IEEE-exact
+    * operation, so results are bit-identical across engines (round()
+    * would not be: its half-case tie-break is engine-specific).
+    * Pure map-side: no shuffle at any corpus size.
+    */
+  def quantizeInt8(vecs: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    // staged projections: maxabs is referenced per element in the
+    // quantize lambda and scale references maxabs — keeping each in its
+    // own Project means they are computed once per ROW, not per element
+    val vd = vecs.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("vd"))
+    vd.withColumn("maxabs", array_max(transform(col("vd"), x => abs(x))))
+      .withColumn("scale",
+        when(col("maxabs") === 0.0, lit(0.0))
+          .otherwise(lit(127.0) / col("maxabs")))
+      .select(col("vec_id"), col("scale"),
+        transform(col("vd"),
+          x => floor(x * col("scale") + lit(0.5)).cast("int")).as("q"))
+  }
+
   /** Brute-force top-k: every query row against the full corpus
     * (broadcast the query side; norms precomputed per side), rank by
     * (cos desc, id). The correctness baseline — O(|queries| × |corpus|);

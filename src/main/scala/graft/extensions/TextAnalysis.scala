@@ -73,6 +73,21 @@ object TextAnalysis {
       (lit(1.0) - punctRatio) * lit(0.2)
   }
 
+  /** Leakage-safe split assignment from a GROUP key (source, domain, or
+    * near-dup cluster representative — not the row id): every member of a
+    * group lands on the same side, so eval never sees a train-set
+    * sibling of its documents. First hex digit of md5(key) → 2/16 test,
+    * 2/16 val, 12/16 train; deterministic and seedless, so re-runs and
+    * backfills agree without coordination. Pure map-side — no shuffle at
+    * any corpus size.
+    */
+  def groupSplit(groupKey: Column): Column = {
+    val h = substring(md5(groupKey.cast("string")), 1, 1)
+    when(h.isin("0", "1"), "test")
+      .when(h.isin("2", "3"), "val")
+      .otherwise("train")
+  }
+
   /** Shingles of a token array — native single-pass expression
     * ([[graft.functions.WordShingles]]). Referencing the input ONCE
     * makes this immune to the projection-collapse re-substitution that
@@ -227,6 +242,38 @@ object TextAnalysis {
           .orderBy(col("score").desc, col("term"))).cast("long"))
       .filter(col("rank") <= k)
       .select("doc_id", "rank", "term", "tf", "df", "score")
+  }
+
+  /** Per-document out-of-vocabulary rate against the corpus' own
+    * top-`vocabSize` vocabulary (count desc, term asc — a total order, so
+    * the cut at the boundary is deterministic). The standard
+    * tokenizer-fit / domain-shift diagnostic for a training corpus.
+    *
+    * Scale shape: one token explode feeds BOTH the vocab build (map-side
+    * partial agg keyed term) and the per-doc totals (keyed doc); the
+    * vocab is `vocabSize` rows by construction → broadcast to the anti
+    * join, so the exploded stream is never shuffled a second time. The
+    * oov_rate division is one exact IEEE op over two longs. Docs with
+    * zero tokens have no rate (0/0) and drop out, matching SQL unnest.
+    */
+  def vocabOovRates(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, vocabSize: Int = 1000)
+      : org.apache.spark.sql.DataFrame = {
+    val terms = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val vocab = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(vocabSize)
+      .select("term")
+    val perDoc = terms.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val oov = terms.join(broadcast(vocab), Seq("term"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+    perDoc.join(oov, Seq("doc_id"), "left")
+      .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate")
   }
 }
 

@@ -348,6 +348,36 @@ object PipelineDemos {
         .select(col("doc_id"), col("format"), col("n_bytes"),
                 col("header_sum"))
         .orderBy("doc_id")
+    }),
+    // Leakage-safe train/val/test split: the split key is the document
+    // GROUP (source), not the row — near-duplicate docs from one source
+    // land on the same side, so eval never sees a train sibling.
+    // Deterministic (md5 of the group key), seedless, pure map-side:
+    // no shuffle at any corpus size.
+    "group_split" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.groupSplit(col("source")).as("split"))
+        .orderBy("doc_id")
+    }),
+    // Vocabulary coverage: top-1000 corpus vocabulary (count desc, term
+    // asc), then per-doc OOV-token rate — the standard tokenizer-fit
+    // diagnostic. The vocab is tiny by construction → broadcast anti
+    // join; token explode stays map-side partial-aggregated.
+    "vocab_oov" -> ((s, dir) => {
+      TextAnalysis.vocabOovRates(Tables.documents(s, dir), "doc_id", "text",
+          vocabSize = 1000)
+        .orderBy("doc_id")
+    }),
+    // Symmetric int8 embedding quantization (127/max|x| scaling — the
+    // standard ANN-index compression step). Exact cross-engine: float→
+    // double widening, max/abs, one division, one multiply, +0.5, floor
+    // are all IEEE-exact single operations (no round(), whose half-case
+    // tie-break differs between engines).
+    "embed_quantize" -> ((s, dir) => {
+      Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id",
+          "embedding")
+        .orderBy("vec_id")
     })
   )
 
@@ -711,6 +741,33 @@ object PipelineDemos {
          |sh AS (SELECT doc_id, $shinglesExpr AS shingles FROM t),
          |b AS (SELECT DISTINCT unnest(list_distinct(shingles)) AS sh2 FROM sh WHERE doc_id < 5),
          |d AS (SELECT doc_id, unnest(list_distinct(shingles)) AS sh2 FROM sh)
-         |SELECT DISTINCT doc_id FROM d JOIN b USING (sh2) ORDER BY doc_id""".stripMargin
+         |SELECT DISTINCT doc_id FROM d JOIN b USING (sh2) ORDER BY doc_id""".stripMargin,
+    "group_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN substr(md5(source), 1, 1) IN ('0', '1') THEN 'test'
+        |       WHEN substr(md5(source), 1, 1) IN ('2', '3') THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "vocab_oov" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |f AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |vc AS (SELECT term FROM (SELECT term, count(*) AS cnt FROM f GROUP BY term)
+         |       ORDER BY cnt DESC, term LIMIT 1000),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(count(*) FILTER (WHERE v.term IS NULL) AS BIGINT) AS n_oov
+         |       FROM f LEFT JOIN vc v ON f.term = v.term GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_oov,
+         |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+         |FROM pd ORDER BY doc_id""".stripMargin,
+    // floor(x*scale + 0.5), NOT round(): round's half-case tie-break is
+    // engine-specific; every op here is single-instruction IEEE-exact
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+        |m AS (SELECT vec_id, vd, list_max(list_transform(vd, x -> abs(x))) AS maxabs FROM e),
+        |s AS (SELECT vec_id, vd, CASE WHEN maxabs = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+        |        ELSE CAST(127 AS DOUBLE) / maxabs END AS scale FROM m)
+        |SELECT vec_id, scale,
+        |  list_transform(vd, x -> CAST(floor(x * scale + CAST(0.5 AS DOUBLE)) AS INTEGER)) AS q
+        |FROM s ORDER BY vec_id""".stripMargin
   )
 }

@@ -223,6 +223,19 @@ object RelationalDemos {
             .cast("double").as("running"))
         .orderBy("event_id")
     }),
+    // lag/lead navigation: per-user inter-event gap in micros (the
+    // retention/dwell-time primitive). Time axis = epoch micros (exact
+    // long arithmetic on both engines); first event per user keeps a
+    // NULL gap. One shuffle, keyed user_id.
+    "window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("t_us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"))
+        .withColumn("gap_us", col("t_us") - lag(col("t_us"), 1).over(w))
+        .orderBy("event_id")
+    }),
     // W2 — global sort (+ top-k limit).
     "sort_global" -> ((s, dir) => {
       Tables.customer(s, dir)
@@ -505,6 +518,11 @@ object RelationalDemos {
       """SELECT event_id, user_id, value,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
         |FROM events ORDER BY event_id""".stripMargin,
+    "window_lag" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events)
+        |SELECT event_id, user_id, t_us,
+        |  t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS gap_us
+        |FROM e ORDER BY event_id""".stripMargin,
     "sort_global" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |ORDER BY c_acctbal DESC, c_custkey LIMIT 100""".stripMargin,

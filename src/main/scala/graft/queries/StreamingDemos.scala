@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.streaming.EventsStream
 import graft.tables.Tables
 
@@ -31,7 +32,17 @@ object StreamingDemos {
     "stream_enrich" -> ((s, dir) =>
       EventsStream.enrichedCounts(Tables.events(s, dir),
           Tables.customer(s, dir))
-        .orderBy("c_mktsegment", "event_type")))
+        .orderBy("c_mktsegment", "event_type")),
+    // Stream-stream event-time interval join: purchases ⋈ same-user
+    // views within the previous hour (batch form; two-watermarked-stream
+    // parity asserted in StreamingSpec).
+    "stream_stream_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      EventsStream.attributionJoin(
+          e.filter(col("event_type") === "view"),
+          e.filter(col("event_type") === "purchase"))
+        .orderBy("purchase_id", "view_id")
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "sessionize" ->
@@ -63,5 +74,17 @@ object StreamingDemos {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
-        |ORDER BY c_mktsegment, event_type""".stripMargin)
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
+    // epoch_us on both sides of the condition: Spark compares at its
+    // native µs precision (ts already ns→µs truncated), so the oracle
+    // must too — raw TIMESTAMP_NS comparison could flip a boundary pair
+    "stream_stream_join" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_us
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, purchase_id, view_id, p_us - v_us AS lag_us
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v_us <= p_us AND v_us >= p_us - 3600000000
+        |ORDER BY purchase_id, view_id""".stripMargin)
 }

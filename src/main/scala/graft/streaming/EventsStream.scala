@@ -68,6 +68,46 @@ object EventsStream {
       .agg(count(lit(1)).as("cnt"),
            graft.ops.AggOps.exactSum(col("value")).as("sum_value"))
 
+  /** Stream-stream event-time interval join — view→purchase attribution:
+    * each purchase joins the same user's views in the preceding
+    * `horizonMinutes`. The canonical two-stream join shape: with a
+    * watermark on both sides plus this time-bound condition, Spark
+    * derives a state watermark per side, so join state is reaped as
+    * event time advances — bounded state, append-mode output. Identical
+    * transform works on batch frames (the registered `stream_stream_join`
+    * demo form; two-stream parity asserted in StreamingSpec).
+    *
+    * Timestamps compare at Spark's native microsecond precision; the
+    * lag is emitted as epoch-micro longs (exact on both engines).
+    */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+                      horizonMinutes: Int = 60): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"),
+      col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    p.join(v,
+        col("p_user") === col("v_user") &&
+          col("view_ts") <= col("purchase_ts") &&
+          col("view_ts") >= col("purchase_ts") -
+            expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("view_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("lag_us"))
+  }
+
+  /** Streaming form over one event stream: watermark once, split by
+    * type, self-join (Spark plans the two filtered branches as a
+    * stream-stream join with per-side state watermarks).
+    */
+  def streamingAttribution(events: DataFrame, horizonMinutes: Int = 60,
+                           watermark: String = "2 hours"): DataFrame = {
+    val wm = events.withWatermark("ts", watermark)
+    attributionJoin(wm.filter(col("event_type") === "view"),
+      wm.filter(col("event_type") === "purchase"), horizonMinutes)
+  }
+
   /** Streaming exactly-once dedup: `dropDuplicatesWithinWatermark` keys
     * state by event_id and reaps it once the watermark passes — bounded
     * state, and a duplicate arriving in a LATER micro-batch (within the

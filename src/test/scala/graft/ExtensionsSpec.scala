@@ -523,4 +523,62 @@ class ExtensionsSpec extends SparkTestBase {
       .collect().head.getString(0)
     assert(out == "a & bold 'q'", s"got '$out'")
   }
+
+  test("int8 quantization: extremes map to ±127, zero vector to zeros, " +
+       "dequantized values within half a step") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(2.0f, -4.0f, 1.0f)),   // max|x|=4 → scale 31.75
+      (2L, Seq(0.0f, 0.0f)),          // zero vector → zeros, scale 0
+      (3L, Seq(-0.5f))                // single negative → -127
+    ).toDF("vec_id", "embedding")
+    val out = graft.extensions.Similarity
+      .quantizeInt8(vecs, "vec_id", "embedding")
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2)))
+    assert(out(0)._3 == Seq(64, -127, 32), s"got ${out(0)}") // floor(x*31.75+.5)
+    assert(out(1) == ((2L, 0.0, Seq(0, 0))))
+    assert(out(2)._3 == Seq(-127))
+    // dequantization error bound: |q/scale - x| <= 0.5/scale
+    val (_, s0, q0) = out(0)
+    Seq(2.0, -4.0, 1.0).zip(q0).foreach { case (x, q) =>
+      assert(math.abs(q / s0 - x) <= 0.5 / s0 + 1e-12) }
+  }
+
+  test("group split: deterministic, every member of a group on one side") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"src${i % 20}"))
+      .toDF("doc_id", "source")
+    val out = docs.select(col("source"),
+        graft.extensions.TextAnalysis.groupSplit(col("source")).as("split"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    // one split per group (no group straddles sides) and all three sides
+    // exist over 20 groups with overwhelming probability under md5
+    assert(out.length == 20, s"a group landed on two sides: ${out.toSeq}")
+    assert(out.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // repeat run identical (seedless determinism)
+    val again = docs.select(col("source"),
+        graft.extensions.TextAnalysis.groupSplit(col("source")).as("split"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSet == again.toSet)
+  }
+
+  test("vocab OOV: rare terms count as OOV, all-vocab docs rate 0, " +
+       "empty docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa aa bb"),   // both in top-2 vocab → 0 OOV
+      (2L, "aa zz"),      // zz below the cut → 1/2
+      (3L, "   ")         // no tokens → no row
+    ).toDF("doc_id", "text")
+    val out = graft.extensions.TextAnalysis
+      .vocabOovRates(docs, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // vocab by (count desc, term asc): aa(3), bb(1) — zz(1) loses the
+    // tie to bb alphabetically
+    assert(out.toSeq == Seq((1L, 3L, 0L, 0.0), (2L, 2L, 1L, 0.5)),
+      s"got ${out.toSeq}")
+  }
 }

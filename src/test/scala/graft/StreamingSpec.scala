@@ -200,6 +200,50 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches batch, with a view and its " +
+       "purchase arriving in DIFFERENT micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, user: Long, typ: String, tSec: Long) =
+      (id, user, typ, new java.sql.Timestamp(tSec * 1000L))
+    val t0 = 100000L
+    val rows = Seq(
+      ev(1L, 1L, "view", t0),                // matched by purchase 3 and 5
+      ev(2L, 2L, "view", t0 + 60),           // other user
+      ev(3L, 1L, "purchase", t0 + 600),      // batch 1: same-batch match
+      ev(4L, 2L, "purchase", t0 + 7200),     // > 1h after view 2 → no pair
+      ev(5L, 1L, "purchase", t0 + 3000),     // batch 2: view 1 from batch 1
+      ev(6L, 1L, "view", t0 + 2900))         // batch 2: matches purchase 5
+
+    val input = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val q = EventsStream
+      .streamingAttribution(
+        input.toDS().toDF("event_id", "user_id", "event_type", "ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_out").start()
+    try {
+      input.addData(rows.take(4): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(4): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                             r.getLong(3))).toSet
+      val batchE = rows.toDF("event_id", "user_id", "event_type", "ts")
+      val batch = EventsStream.attributionJoin(
+          batchE.filter($"event_type" === "view"),
+          batchE.filter($"event_type" === "purchase"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                             r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"stream/batch attribution must agree, got $streamed vs $batch")
+      // purchases 3 and 5 each attribute to view 1; 5 also to view 6
+      assert(batch.map(t => (t._2, t._3)) ==
+        Set((3L, 1L), (5L, 1L), (5L, 6L)))
+    } finally q.stop()
+  }
+
   test("streaming windowed counts == batch windowed counts") {
     val batchEvents = Tables.events(spark, "/root/testdata/sf0.001")
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
