@@ -92,6 +92,37 @@ object SourceSinkDemos {
              max(col("doc_id")).as("max_id"),
              sum(length(col("text")).cast("long")).as("sum_len"))
     }),
+    // CSV sink round-trip (the reference's vestigial CSV surface, SURVEY
+    // §2.1 S9, re-specified as a live path): quoted/multiline-safe write,
+    // schema-explicit re-read, fidelity checked by the length aggregate
+    // (document text embeds commas, quotes, and newlines).
+    "csv_roundtrip" -> ((s, dir) => {
+      val path = scratch(dir, "csv")
+      Tables.documents(s, dir).select("doc_id", "text")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read.schema(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .option("header", "true").option("multiLine", "true")
+        .csv(path)
+        .agg(count(lit(1)).as("n_docs"),
+             min(col("doc_id")).as("min_id"),
+             max(col("doc_id")).as("max_id"),
+             sum(length(col("text")).cast("long")).as("sum_len"))
+    }),
+    // ORC sink round-trip: the second columnar format next to parquet —
+    // same pushdown/pruning story, exercised through a real write+read.
+    "orc_roundtrip" -> ((s, dir) => {
+      val path = scratch(dir, "orc")
+      Tables.documents(s, dir)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("n_chars_sum"))
+        .orderBy("lang")
+    }),
     // U3 — failure tolerance as null-safety (the reference wraps per-row
     // work in try/except, utils.py / perform_NER.py invoke guards): every
     // string op null-propagates instead of throwing; downstream coalesce
@@ -127,6 +158,15 @@ object SourceSinkDemos {
         |  max(doc_id) AS max_id,
         |  CAST(SUM(length(text)) AS BIGINT) AS sum_len
         |FROM documents""".stripMargin,
+    "csv_roundtrip" ->
+      """SELECT count(*) AS n_docs, min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_len
+        |FROM documents""".stripMargin,
+    "orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "null_safety" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN NULL

@@ -177,6 +177,32 @@ class PlanShapeSpec extends SparkTestBase {
     assert(graft.ops.Partitioning.ensureParallelism(agg) eq agg)
   }
 
+  test("bucketed tables join WITHOUT a shuffle (co-located join — the " +
+       "100 TB repeated-join mechanism)") {
+    import org.apache.spark.sql.functions._
+    // pre-bucketing both sides on the join key is how a 100 TB fact ⋈
+    // fact join avoids re-shuffling per query: each bucket file pair
+    // joins locally. External tables (path option) keep the warehouse
+    // out of the repo; bucket metadata lives in the session catalog.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+    val facts = spark.range(0, 1000).toDF("k")
+      .withColumn("v", col("k") * 2)
+    val dims = spark.range(0, 100).toDF("k")
+      .withColumn("w", col("k") + 1)
+    spark.sql("DROP TABLE IF EXISTS bkt_facts")
+    spark.sql("DROP TABLE IF EXISTS bkt_dims")
+    facts.write.bucketBy(8, "k").sortBy("k")
+      .option("path", s"$tmp/facts").saveAsTable("bkt_facts")
+    dims.write.bucketBy(8, "k").sortBy("k")
+      .option("path", s"$tmp/dims").saveAsTable("bkt_dims")
+    val joined = spark.table("bkt_facts")
+      .join(spark.table("bkt_dims").hint("merge"), "k")
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n$physical")
+    assert(joined.count() == 100)
+  }
+
   test("SeqDot matches the interpreted sequential fold") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
