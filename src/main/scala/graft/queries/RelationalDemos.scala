@@ -223,6 +223,25 @@ object RelationalDemos {
             .cast("double").as("running"))
         .orderBy("event_id")
     }),
+    // Custom typed UDAF (§2.8): bounded-state k-smallest per group —
+    // explicit mergeable buffer, so partials combine map-side and any
+    // merge tree gives the same answer (the distributed-correctness
+    // contract a custom aggregation must satisfy at 1000 executors).
+    "udaf_mink" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(graft.ops.Udafs.minK(col("doc_id"), 5).as("min_ids"))
+        .orderBy("lang")
+    }),
+    // Distributed global row numbering: two-pass zipWithIndex (range
+    // shuffle + count-only job + per-partition stamp) — NOT the
+    // single-task `row_number() OVER (ORDER BY ...)` global window,
+    // which funnels the whole dataset through one task.
+    "global_index" -> ((s, dir) => {
+      graft.ops.Indexing.globalIndex(
+          Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+        .orderBy("doc_id")
+    }),
     // lag/lead navigation: per-user inter-event gap in micros (the
     // retention/dwell-time primitive). Time axis = epoch micros (exact
     // long arithmetic on both engines); first event per user keeps a
@@ -518,6 +537,13 @@ object RelationalDemos {
       """SELECT event_id, user_id, value,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
         |FROM events ORDER BY event_id""".stripMargin,
+    "udaf_mink" ->
+      """SELECT lang, (list(doc_id ORDER BY doc_id))[1:5] AS min_ids
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "global_index" ->
+      """SELECT doc_id, lang,
+        |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "window_lag" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events)
         |SELECT event_id, user_id, t_us,

@@ -564,6 +564,52 @@ class ExtensionsSpec extends SparkTestBase {
     assert(out.toSet == again.toSet)
   }
 
+  test("MinK aggregator: merge-tree independent, bounded buffer, " +
+       "matches sort-take") {
+    val agg = new graft.ops.Udafs.MinK(3)
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val xs = Vector.fill(rnd.nextInt(30) + 1)(rnd.nextInt(100).toLong)
+      val want = xs.sorted.take(3)
+      // sequential reduce
+      assert(xs.foldLeft(agg.zero)(agg.reduce) == want)
+      // arbitrary two-way split merge (any partitioning must agree)
+      val cut = rnd.nextInt(xs.length)
+      val (l, r) = xs.splitAt(cut)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+                             r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged == want, s"split at $cut of $xs")
+      assert(merged.length <= 3)
+    }
+    // distributed path: 8 partitions, forced partial aggregation
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 1000).toDF("id")
+      .repartition(8)
+      .withColumn("g", col("id") % 4)
+    val got = df.groupBy("g")
+      .agg(graft.ops.Udafs.minK(col("id"), 5).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    (0L until 4L).foreach { g =>
+      assert(got(g) == (g until 1000L by 4L).take(5).toSeq) }
+  }
+
+  test("globalIndex: contiguous 0..n-1 in key order across partitions, " +
+       "no single-partition window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // shuffled input, multiple partitions, non-contiguous keys
+    val df = spark.range(0, 500).toDF("k")
+      .withColumn("k", col("k") * 7 % 501) // permutation of 0..500 minus one residue
+      .repartition(8)
+    val out = graft.ops.Indexing.globalIndex(df, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = out.map(_._1).sorted.zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }
+    assert(out.sortBy(_._1).toSeq == want.toSeq)
+    assert(out.map(_._2).sorted.toSeq == (0L until 500L))
+  }
+
   test("vocab OOV: rare terms count as OOV, all-vocab docs rate 0, " +
        "empty docs drop") {
     import spark.implicits._
