@@ -369,6 +369,20 @@ object PipelineDemos {
           vocabSize = 1000)
         .orderBy("doc_id")
     }),
+    // Mixture reweighting: per-group KEEP RATES (en 100%, de 50%, rest
+    // 25%) via the doc-id hash prefix — deterministic proportional
+    // downsampling toward a target domain mixture. Distinct from
+    // stratified_cap (top-k per group) and hash_sample (global rate);
+    // map-side, no shuffle, stable across re-runs and backfills.
+    "mixture_sample" -> ((s, dir) => {
+      val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+      Tables.documents(s, dir)
+        .filter(when(col("lang") === "en", lit(true))
+          .when(col("lang") === "de", h < "80")
+          .otherwise(h < "40"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
     // Symmetric int8 embedding quantization (127/max|x| scaling — the
     // standard ANN-index compression step). Exact cross-engine: float→
     // double widening, max/abs, one division, one multiply, +0.5, floor
@@ -759,6 +773,12 @@ object PipelineDemos {
          |SELECT doc_id, n_tokens, n_oov,
          |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
          |FROM pd ORDER BY doc_id""".stripMargin,
+    "mixture_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CASE WHEN lang = 'en' THEN TRUE
+        |  WHEN lang = 'de' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+        |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40' END
+        |ORDER BY doc_id""".stripMargin,
     // floor(x*scale + 0.5), NOT round(): round's half-case tie-break is
     // engine-specific; every op here is single-instruction IEEE-exact
     "embed_quantize" ->

@@ -177,6 +177,28 @@ class PlanShapeSpec extends SparkTestBase {
     assert(graft.ops.Partitioning.ensureParallelism(agg) eq agg)
   }
 
+  test("vocab_oov checks OOV with a broadcast anti-join (the exploded " +
+       "token stream is never shuffled for the vocab probe)") {
+    val p = plan("vocab_oov")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"vocab probe must be a broadcast anti-join:\n$p")
+  }
+
+  test("group_split and embed_quantize stay map-side (zero Exchange)") {
+    Seq("group_split", "embed_quantize").foreach { name =>
+      // strip the final presentation orderBy: a demo-only range exchange
+      val df = SparkEntry.queries(name)(spark, dir)
+      val core = df.queryExecution.optimizedPlan match {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.child
+        case other => other
+      }
+      val physical = org.apache.spark.sql.GraftBridge.ofRows(spark, core)
+        .queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"),
+        s"$name must be pure map-side:\n$physical")
+    }
+  }
+
   test("bucketed tables join WITHOUT a shuffle (co-located join — the " +
        "100 TB repeated-join mechanism)") {
     import org.apache.spark.sql.functions._
