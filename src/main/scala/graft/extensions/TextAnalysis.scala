@@ -244,6 +244,35 @@ object TextAnalysis {
       .select("doc_id", "rank", "term", "tf", "df", "score")
   }
 
+  /** C4-style intra-document repeated-line removal WITH reassembly:
+    * split on `.`, drop blank segments, keep each distinct line's FIRST
+    * occurrence, and rebuild the document in original order. (The
+    * cross-corpus variant is `paragraph_dedup`; this one is per-doc —
+    * boilerplate repeated inside a page, nav text, chat echoes.)
+    *
+    * Scale shape: one explode, one (doc, line)-keyed window for the
+    * first-occurrence pick, one doc-keyed reassembly agg — all
+    * partition-local to the doc key after a single shuffle;
+    * `array_sort` on (pos, line) structs restores original order
+    * deterministically.
+    */
+  def dedupLinesWithin(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"), col("para")).orderBy("pos")
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\\."))).toDF("doc_id", "pos", "para")
+      .filter(length(trim(col("para"))) > 0)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          s => s.getField("para")), ".").as("cleaned"))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus' own
     * top-`vocabSize` vocabulary (count desc, term asc — a total order, so
     * the cut at the boundary is deterministic). The standard

@@ -369,6 +369,34 @@ object PipelineDemos {
           vocabSize = 1000)
         .orderBy("doc_id")
     }),
+    // Intra-document repeated-line removal + reassembly (C4 rule; the
+    // text is doubled so every doc has real repeats to drop).
+    "line_dedup" -> ((s, dir) => {
+      TextAnalysis.dedupLinesWithin(
+          Tables.documents(s, dir)
+            .select(col("doc_id"),
+              concat(col("text"), lit("."), col("text")).as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // Near-dup survivor selection by QUALITY (not min-id): verified
+    // pairs → connected components → per-cluster argmax quality score
+    // (ties to the smaller id). The production dedup policy — keep the
+    // best copy, not an arbitrary one.
+    "dedup_survivors" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val comps = Components.dedupClusters(
+        TextDedup.jaccardVerified(docs, "doc_id", "text", jaccardThreshold)
+          .select(col("id_a"), col("id_b")))
+      comps
+        .join(docs.select(col("doc_id").as("id"),
+          TextAnalysis.qualityScore(col("text")).as("score")), "id")
+        .groupBy("comp")
+        .agg(max_by(col("id"), struct(col("score"), negate(col("id"))))
+               .as("keeper_id"),
+             count(lit(1)).as("n_members"))
+        .orderBy("comp")
+    }),
     // Mixture reweighting: per-group KEEP RATES (en 100%, de 50%, rest
     // 25%) via the doc-id hash prefix — deterministic proportional
     // downsampling toward a target domain mixture. Distinct from
@@ -773,6 +801,42 @@ object PipelineDemos {
          |SELECT doc_id, n_tokens, n_oov,
          |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
          |FROM pd ORDER BY doc_id""".stripMargin,
+    "line_dedup" ->
+      """WITH p AS (SELECT doc_id, CAST(generate_subscripts(parts, 1) - 1 AS BIGINT) AS pos, unnest(parts) AS para
+        |           FROM (SELECT doc_id, string_split(text || '.' || text, '.') AS parts FROM documents)),
+        |f AS (SELECT * FROM p WHERE length(trim(para)) > 0),
+        |k AS (SELECT doc_id, pos, para FROM f
+        |      QUALIFY row_number() OVER (PARTITION BY doc_id, para ORDER BY pos) = 1)
+        |SELECT doc_id, string_agg(para, '.' ORDER BY pos) AS cleaned
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // components (recursive min-label reach, as dedup_components) joined
+    // with the quality score (as stratified_cap), keeper = argmax score
+    // with ties to the smaller id — QUALIFY-style pick because DuckDB's
+    // arg_max rejects struct ordering keys
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         |sym AS (SELECT id_a AS a, id_b AS b FROM jpairs
+         |        UNION SELECT id_b, id_a FROM jpairs),
+         |reach AS (
+         |  SELECT a AS node, a AS comp FROM sym
+         |  UNION
+         |  SELECT s.a, r.comp FROM sym s JOIN reach r ON r.node = s.b),
+         |comps AS (SELECT node AS id, min(comp) AS comp FROM reach GROUP BY node),
+         |qt AS (SELECT doc_id, text, $toksExpr AS toks2,
+         |       list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ltoks FROM documents),
+         |qs AS (SELECT doc_id, text, CAST(len(toks2) AS DOUBLE) AS n_tok,
+         |       CAST(${langScores.map(_._2).mkString(" + ")} AS DOUBLE) AS stop_hits FROM qt),
+         |qq AS (SELECT doc_id,
+         |  (CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END) * 0.4
+         |  + least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+         |  + (1.0 - (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.2 AS score
+         |  FROM qs),
+         |ranked AS (SELECT c.comp, c.id, q.score,
+         |  row_number() OVER (PARTITION BY c.comp ORDER BY q.score DESC, c.id) AS rn,
+         |  count(*) OVER (PARTITION BY c.comp) AS nm
+         |  FROM comps c JOIN qq q ON q.doc_id = c.id)
+         |SELECT comp, id AS keeper_id, CAST(nm AS BIGINT) AS n_members
+         |FROM ranked WHERE rn = 1 ORDER BY comp""".stripMargin,
     "mixture_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CASE WHEN lang = 'en' THEN TRUE

@@ -564,6 +564,21 @@ class ExtensionsSpec extends SparkTestBase {
     assert(out.toSet == again.toSet)
   }
 
+  test("intra-doc line dedup: first occurrence kept, original order " +
+       "preserved, blanks dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a.b.a.c.b.a"),     // repeats of a and b
+      (2L, "x..x. .x"),        // blanks and spaces between repeats
+      (3L, "..")               // nothing survives → no row
+    ).toDF("doc_id", "text")
+    val out = graft.extensions.TextAnalysis
+      .dedupLinesWithin(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a.b.c"), (2L, "x")), s"got ${out.toSeq}")
+  }
+
   test("MinK aggregator: merge-tree independent, bounded buffer, " +
        "matches sort-take") {
     val agg = new graft.ops.Udafs.MinK(3)
