@@ -123,6 +123,28 @@ object SourceSinkDemos {
              sum(col("n_chars")).as("n_chars_sum"))
         .orderBy("lang")
     }),
+    // binaryFile source — the multimodal ingestion path: raw files on
+    // disk → (path, length, content) rows, no decode on the scan.
+    // Payload files are derived from document text so the oracle can
+    // compute the same byte totals straight from the parquet table.
+    "binary_source" -> ((s, dir) => {
+      val path = scratch(dir, "bin")
+      val marker = new java.io.File(s"$path/_DONE")
+      if (!marker.exists()) {
+        new java.io.File(path).mkdirs()
+        Tables.documents(s, dir).filter(col("doc_id") < 5)
+          .select("doc_id", "text").collect().foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$path/doc_${r.getLong(0)}.bin"),
+              r.getString(1).getBytes("UTF-8"))
+          }
+        marker.createNewFile()
+      }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(path)
+        .agg(count(lit(1)).as("n_files"),
+             sum(length(col("content")).cast("long")).as("sum_bytes"))
+    }),
     // U3 — failure tolerance as null-safety (the reference wraps per-row
     // work in try/except, utils.py / perform_NER.py invoke guards): every
     // string op null-propagates instead of throwing; downstream coalesce
@@ -167,6 +189,10 @@ object SourceSinkDemos {
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "binary_source" ->
+      """SELECT count(*) AS n_files,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes
+        |FROM documents WHERE doc_id < 5""".stripMargin,
     "null_safety" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN NULL
