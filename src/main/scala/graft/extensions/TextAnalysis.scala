@@ -244,6 +244,44 @@ object TextAnalysis {
       .select("doc_id", "rank", "term", "tf", "df", "score")
   }
 
+  /** Sliding-window token chunking (the retrieval/context-window prep
+    * op): overlapping chunks of `window` tokens at `stride` offsets —
+    * chunk o covers tokens [o·stride, o·stride + window); every token
+    * lands in at least one chunk; the tail chunk may be short. Output:
+    * (doc_id, chunk_id, n_chunk_tokens, chunk_md5). Pure map-side
+    * explode — no shuffle; the chunk array is built in ONE staged
+    * projection over the staged token array (generator-inlining trap:
+    * an explode over an expression that recomputes `toks` re-tokenizes
+    * per chunk).
+    */
+  def slidingChunks(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, window: Int = 64, stride: Int = 32)
+      : org.apache.spark.sql.DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n"))
+      // `div`, not `/`: long `/` routes through double division
+      .select(col("doc_id"), col("toks"), col("n"),
+        expr(s"(n - 1) div $stride").as("max_o"))
+      .select(col("doc_id"),
+        transform(
+          sequence(lit(0L), col("max_o")),
+          o => struct(
+            o.cast("long").as("chunk_id"),
+            least(lit(window.toLong),
+              col("n") - o * lit(stride.toLong)).as("n_chunk_tokens"),
+            md5(array_join(
+              slice(col("toks"), (o * stride + 1).cast("int"), lit(window)),
+              " ")).as("chunk_md5"))).as("chunks"))
+      .select(col("doc_id"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.n_chunk_tokens"),
+              col("c.chunk_md5"))
+  }
+
   /** C4-style intra-document repeated-line removal WITH reassembly:
     * split on `.`, drop blank segments, keep each distinct line's FIRST
     * occurrence, and rebuild the document in original order. (The

@@ -369,6 +369,13 @@ object PipelineDemos {
           vocabSize = 1000)
         .orderBy("doc_id")
     }),
+    // Sliding-window token chunking (retrieval/context-window prep):
+    // 64-token chunks at stride 32, chunk text compared by md5.
+    "chunk_sliding" -> ((s, dir) => {
+      TextAnalysis.slidingChunks(Tables.documents(s, dir), "doc_id", "text",
+          window = 64, stride = 32)
+        .orderBy("doc_id", "chunk_id")
+    }),
     // Intra-document repeated-line removal + reassembly (C4 rule; the
     // text is doubled so every doc has real repeats to drop).
     "line_dedup" -> ((s, dir) => {
@@ -801,6 +808,17 @@ object PipelineDemos {
          |SELECT doc_id, n_tokens, n_oov,
          |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
          |FROM pd ORDER BY doc_id""".stripMargin,
+    "chunk_sliding" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, unnest(list_transform(generate_series(0, (n - 1) // 32),
+         |        o -> struct_pack(chunk_id := CAST(o AS BIGINT),
+         |          n_chunk_tokens := least(CAST(64 AS BIGINT), n - o * 32),
+         |          chunk_md5 := md5(array_to_string(toks[o*32+1 : o*32+64], ' '))))) AS ch
+         |      FROM n)
+         |SELECT doc_id, ch.chunk_id AS chunk_id,
+         |  ch.n_chunk_tokens AS n_chunk_tokens, ch.chunk_md5 AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "line_dedup" ->
       """WITH p AS (SELECT doc_id, CAST(generate_subscripts(parts, 1) - 1 AS BIGINT) AS pos, unnest(parts) AS para
         |           FROM (SELECT doc_id, string_split(text || '.' || text, '.') AS parts FROM documents)),

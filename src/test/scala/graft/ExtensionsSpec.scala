@@ -564,6 +564,25 @@ class ExtensionsSpec extends SparkTestBase {
     assert(out.toSet == again.toSet)
   }
 
+  test("sliding chunks: full coverage, stride overlap, short tail, " +
+       "exact-boundary doc gets no empty chunk") {
+    import spark.implicits._
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ")     // 10 tokens
+    val exact = (1 to 8).map(i => s"x$i").mkString(" ")    // 8 = 2 strides
+    val docs = Seq((1L, doc), (2L, exact), (3L, " "))
+      .toDF("doc_id", "text")
+    val out = graft.extensions.TextAnalysis
+      .slidingChunks(docs, "doc_id", "text", window = 6, stride = 4)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 (10 toks): chunks at 0,4,8 → sizes 6,6,2 (short tail kept)
+    // doc 2 (8 toks): chunks at 0,4 → sizes 6,4 — NO empty chunk at 8
+    // doc 3: no tokens → no rows
+    assert(out.toSeq == Seq(
+      (1L, 0L, 6L), (1L, 1L, 6L), (1L, 2L, 2L),
+      (2L, 0L, 6L), (2L, 1L, 4L)), s"got ${out.toSeq}")
+  }
+
   test("intra-doc line dedup: first occurrence kept, original order " +
        "preserved, blanks dropped") {
     import spark.implicits._
