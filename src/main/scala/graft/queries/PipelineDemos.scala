@@ -173,9 +173,9 @@ object PipelineDemos {
                 Similarity.lshBucket(col("embedding"), 8).as("bucket"))
         .orderBy("vec_id")
     }),
-    // LSH-bucketed near-neighbor pairs (4 tables × 3 planes; no SQL oracle
+    // LSH-bucketed near-neighbor pairs (6 tables × 4 planes; no SQL oracle
     // — candidate set is index-specific; recall vs brute force is
-    // asserted in SimilaritySpec).
+    // asserted in ExtensionsSpec).
     "ann_lsh_pairs" -> ((s, dir) => {
       Similarity.lshNearNeighbors(Tables.embeddings(s, dir),
           "vec_id", "embedding", cosineThreshold)
