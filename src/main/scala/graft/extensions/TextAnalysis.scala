@@ -311,6 +311,34 @@ object TextAnalysis {
           s => s.getField("para")), ".").as("cleaned"))
   }
 
+  /** Unigram-LM-proxy document score: the mean corpus frequency of the
+    * doc's tokens — Σ cnt(term) / (total_tokens · n_doc_tokens) — the
+    * log-free stand-in for unigram log-likelihood (same ranking per
+    * doc length; `ln` is not correctly-rounded across engines, this
+    * is: long sums, one long product, ONE double division). Low score =
+    * tokens the corpus rarely uses = gibberish/OCR noise candidate —
+    * the classic cheap perplexity-proxy quality gate.
+    *
+    * Scale shape: one explode → corpus term counts (map-side partial,
+    * keyed term) → join back keyed term → per-doc sum keyed doc; the
+    * corpus-total frame is 1 row, broadcast.
+    */
+  def unigramScores(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    val terms = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val cnt = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = terms.agg(count(lit(1)).as("n_total"))
+    terms.join(cnt, "term")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("s"), count(lit(1)).as("n_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("s").cast("double") /
+          (col("n_total") * col("n_tokens")).cast("double")).as("lm_score"))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus' own
     * top-`vocabSize` vocabulary (count desc, term asc — a total order, so
     * the cut at the boundary is deterministic). The standard

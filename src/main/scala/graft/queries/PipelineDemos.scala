@@ -369,6 +369,12 @@ object PipelineDemos {
           vocabSize = 1000)
         .orderBy("doc_id")
     }),
+    // Unigram-LM-proxy quality score (log-free perplexity stand-in;
+    // exact integer arithmetic until one double division).
+    "unigram_score" -> ((s, dir) => {
+      TextAnalysis.unigramScores(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // Sliding-window token chunking (retrieval/context-window prep):
     // 64-token chunks at stride 32, chunk text compared by md5.
     "chunk_sliding" -> ((s, dir) => {
@@ -808,6 +814,19 @@ object PipelineDemos {
          |SELECT doc_id, n_tokens, n_oov,
          |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
          |FROM pd ORDER BY doc_id""".stripMargin,
+    // CAST(sum(...) AS BIGINT): DuckDB SUM(BIGINT) yields HUGEINT →
+    // decimal128, which hashes unequal to Spark's int64 (r03 token_pack)
+    "unigram_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |f AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM f GROUP BY term),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM f),
+         |d AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS s,
+         |        CAST(count(*) AS BIGINT) AS n_tokens
+         |      FROM f JOIN c USING (term) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  CAST(s AS DOUBLE) / CAST(n_total * n_tokens AS DOUBLE) AS lm_score
+         |FROM d CROSS JOIN tot ORDER BY doc_id""".stripMargin,
     "chunk_sliding" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
          |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) > 0),
