@@ -430,8 +430,14 @@ object PipelineDemos {
     // are all IEEE-exact single operations (no round(), whose half-case
     // tie-break differs between engines).
     "embed_quantize" -> ((s, dir) => {
+      // q serialized in index order to a CSV string: the driver's pandas
+      // compare can't hash array cells (same rule as dedup_minhash_sig);
+      // the array form stays unit-tested in ExtensionsSpec.
       Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id",
           "embedding")
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("q"), x => x.cast("string")), ",")
+            .as("q"))
         .orderBy("vec_id")
     })
   )
@@ -888,7 +894,7 @@ object PipelineDemos {
         |s AS (SELECT vec_id, vd, CASE WHEN maxabs = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
         |        ELSE CAST(127 AS DOUBLE) / maxabs END AS scale FROM m)
         |SELECT vec_id, scale,
-        |  list_transform(vd, x -> CAST(floor(x * scale + CAST(0.5 AS DOUBLE)) AS INTEGER)) AS q
+        |  array_to_string(list_transform(vd, x -> CAST(floor(x * scale + CAST(0.5 AS DOUBLE)) AS INTEGER)), ',') AS q
         |FROM s ORDER BY vec_id""".stripMargin
   )
 }

@@ -228,9 +228,13 @@ object RelationalDemos {
     // merge tree gives the same answer (the distributed-correctness
     // contract a custom aggregation must satisfy at 1000 executors).
     "udaf_mink" -> ((s, dir) => {
+      // min_ids serialized to a CSV string (driver's pandas compare
+      // can't hash array cells); the array form stays typed in UdafsSpec.
       Tables.documents(s, dir)
         .groupBy("lang")
-        .agg(graft.ops.Udafs.minK(col("doc_id"), 5).as("min_ids"))
+        .agg(array_join(
+            transform(graft.ops.Udafs.minK(col("doc_id"), 5),
+              x => x.cast("string")), ",").as("min_ids"))
         .orderBy("lang")
     }),
     // Distributed global row numbering: two-pass zipWithIndex (range
@@ -538,7 +542,7 @@ object RelationalDemos {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
         |FROM events ORDER BY event_id""".stripMargin,
     "udaf_mink" ->
-      """SELECT lang, (list(doc_id ORDER BY doc_id))[1:5] AS min_ids
+      """SELECT lang, array_to_string((list(doc_id ORDER BY doc_id))[1:5], ',') AS min_ids
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "global_index" ->
       """SELECT doc_id, lang,
