@@ -173,9 +173,10 @@ object PipelineDemos {
                 Similarity.lshBucket(col("embedding"), 8).as("bucket"))
         .orderBy("vec_id")
     }),
-    // LSH-bucketed near-neighbor pairs (6 tables × 4 planes; no SQL oracle
-    // — candidate set is index-specific; recall vs brute force is
-    // asserted in ExtensionsSpec).
+    // LSH-bucketed near-neighbor pairs (6 tables × 4 planes). Oracle
+    // recomputes the md5-derived planes + band join + cosine gate in
+    // DuckDB; recall vs brute force additionally asserted in
+    // ExtensionsSpec.
     "ann_lsh_pairs" -> ((s, dir) => {
       Similarity.lshNearNeighbors(Tables.embeddings(s, dir),
           "vec_id", "embedding", cosineThreshold)
@@ -482,6 +483,13 @@ object PipelineDemos {
 
   private val hexHigh = "('8','9','a','b','c','d','e','f')"
 
+  /** Sign-LSH plane-p dot product over `embedding` — recomputes the same
+    * md5-derived ±1 hyperplane as Similarity.planeArray (that derivation
+    * is md5-based precisely so an independent engine can rebuild it). */
+  private def planeDotSql(p: Int): String =
+    s"list_reduce(list_transform(generate_series(1, len(embedding)), i -> " +
+    s"CAST(embedding[i] AS DOUBLE) * (CASE WHEN substr(md5('plane$p|' || CAST(i - 1 AS VARCHAR)), 1, 1) IN $hexHigh THEN 1.0 ELSE -1.0 END)), (acc, x) -> acc + x)"
+
   /** CTE chain ending in `jpairs` = the LSH-candidate, Jaccard-verified
     * near-dup pairs (shared by dedup_jaccard and dedup_components). */
   private val jaccardPairsCtes: String =
@@ -741,12 +749,35 @@ object PipelineDemos {
          |FROM cs QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "ann_lsh_bucket" ->
       s"""WITH s AS (SELECT vec_id, ${(0 until 8).map(p =>
-        s"list_reduce(list_transform(generate_series(1, len(embedding)), i -> " +
-        s"CAST(embedding[i] AS DOUBLE) * (CASE WHEN substr(md5('plane$p|' || CAST(i - 1 AS VARCHAR)), 1, 1) IN $hexHigh THEN 1.0 ELSE -1.0 END)), (acc, x) -> acc + x) AS s$p").mkString(", ")}
+        s"${planeDotSql(p)} AS s$p").mkString(", ")}
          |FROM embeddings)
          |SELECT vec_id, ${(0 until 8).map(p =>
         s"(CASE WHEN s$p >= 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS bucket
          |FROM s ORDER BY vec_id""".stripMargin,
+    // Full LSH near-neighbor pipeline rebuilt engine-independently: the
+    // 24 md5-derived planes -> 6 band keys of 4 sign bits -> distinct
+    // candidate pairs -> exact-cosine verification. Valid all-pairs form
+    // because no bucket on this testdata approaches the 10k mega-bucket
+    // cap (star-extraction never fires; ExtensionsSpec covers the cap).
+    "ann_lsh_pairs" ->
+      s"""WITH s AS (SELECT vec_id, ${(0 until 24).map(p =>
+        s"${planeDotSql(p)} AS s$p").mkString(", ")}
+         |FROM embeddings),
+         |b AS (SELECT vec_id, unnest([${(0 until 6).map(t =>
+        s"'$t|' || " + (t * 4 until t * 4 + 4).map(p =>
+          s"(CASE WHEN s$p >= 0 THEN '1' ELSE '0' END)").mkString(" || "))
+        .mkString(", ")}]) AS band FROM s),
+         |cands AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+         |          FROM b l JOIN b r USING (band) WHERE l.vec_id < r.vec_id),
+         |$normsCte
+         |SELECT * FROM (
+         |  SELECT id_a, id_b,
+         |    CASE WHEN na.nrm > 0 AND nb.nrm > 0
+         |      THEN ${dotSql("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm)
+         |      ELSE 0.0 END AS cos
+         |  FROM cands JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b)
+         |WHERE cos >= $cosineThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, 'img/' || source AS format,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
