@@ -288,9 +288,10 @@ object PipelineDemos {
     // Bloom-filter decontamination: the shuffle-free scale path next to
     // the exact semi-join above — benchmark shingles compressed into one
     // Bloom filter (offline index, memoized per sf dir), then a pure
-    // map-side probe. Rows-only driver check (the flag set depends on
-    // the filter's bit layout); ExtensionsSpec asserts it is a superset
-    // of the exact result with zero false negatives.
+    // map-side probe. Oracled by the exact variant's SQL: Bloom probes
+    // never miss (no false negatives) and ExtensionsSpec pins the
+    // FP-free equality on this testdata, so any divergence the gate
+    // sees is a real one.
     "decontam_bloom" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val bloom = bloomCache.getOrElseUpdate(dir,
@@ -341,8 +342,10 @@ object PipelineDemos {
         .select(col("doc_id"), col("format"), col("n_bytes"))
         .orderBy("doc_id")
     }),
-    // Multimodal stub decode (mapPartitions; rows-only check — the decode
-    // is a deterministic fake, asserted in MultimodalSpec).
+    // Multimodal stub decode (mapPartitions). The fake features are pure
+    // byte statistics of the UTF-8 payload, so the oracle recomputes
+    // header_sum from hex(encode(text)) — keeps the stub honest while
+    // the real-codec insertion point stays a mapPartitions drop-in.
     "multimodal_decode" -> ((s, dir) => {
       Multimodal.documentFeatures(Tables.documents(s, dir))
         .toDF()
@@ -509,6 +512,16 @@ object PipelineDemos {
        |    CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) AS jaccard
        |  FROM cands JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)
        |WHERE jaccard >= $jaccardThreshold)""".stripMargin
+
+  /** Exact shingle-overlap decontamination (shared: it oracles both the
+    * exact semi-join demo and the Bloom variant, which is FP-free on
+    * this testdata and never has false negatives). */
+  private val decontamExactSql =
+    s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesExpr AS shingles FROM t),
+       |b AS (SELECT DISTINCT unnest(list_distinct(shingles)) AS sh2 FROM sh WHERE doc_id < 5),
+       |d AS (SELECT doc_id, unnest(list_distinct(shingles)) AS sh2 FROM sh)
+       |SELECT DISTINCT doc_id FROM d JOIN b USING (sh2) ORDER BY doc_id""".stripMargin
 
   private val normsCte =
     s"""norms AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)"""
@@ -782,6 +795,17 @@ object PipelineDemos {
       """SELECT doc_id, 'img/' || source AS format,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // header_sum = sum of the first ≤8 payload bytes; bytes recovered
+    // from the hex dump of the UTF-8 blob (exact integer arithmetic —
+    // no engine-specific byte indexing needed)
+    "multimodal_decode" ->
+      """WITH h AS (SELECT doc_id, source, hex(encode(text)) AS hx,
+        |             octet_length(encode(text)) AS nb FROM documents)
+        |SELECT doc_id, 'img/' || source AS format, CAST(nb AS BIGINT) AS n_bytes,
+        |  CAST(list_reduce(list_transform(generate_series(1, least(nb, 8)), i ->
+        |    (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16 +
+        |    (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)), (a, x) -> a + x) AS BIGINT) AS header_sum
+        |FROM h ORDER BY doc_id""".stripMargin,
     "repetition_ratio" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text || ' ' || text, '\s+'), x -> length(x) > 0) AS toks FROM documents),
         |g AS (SELECT doc_id, CASE WHEN len(toks) >= 2
@@ -828,12 +852,14 @@ object PipelineDemos {
          |    CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS BIGINT) AS rn
          |  FROM q)
          |WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
-    "decontam_flag" ->
-      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
-         |sh AS (SELECT doc_id, $shinglesExpr AS shingles FROM t),
-         |b AS (SELECT DISTINCT unnest(list_distinct(shingles)) AS sh2 FROM sh WHERE doc_id < 5),
-         |d AS (SELECT doc_id, unnest(list_distinct(shingles)) AS sh2 FROM sh)
-         |SELECT DISTINCT doc_id FROM d JOIN b USING (sh2) ORDER BY doc_id""".stripMargin,
+    "decontam_flag" -> decontamExactSql,
+    // The Bloom probe has NO false negatives, so the exact semi-join SQL
+    // is a valid oracle whenever the filter has no false positives on
+    // the data under test — pinned by ExtensionsSpec ("bloom
+    // decontamination matches the exact flag set"); a genuine FP would
+    // surface here as a row-count mismatch, which is the behavior we
+    // want the gate to catch.
+    "decontam_bloom" -> decontamExactSql,
     "group_split" ->
       """SELECT doc_id, source,
         |  CASE WHEN substr(md5(source), 1, 1) IN ('0', '1') THEN 'test'

@@ -398,6 +398,28 @@ class ExtensionsSpec extends SparkTestBase {
     assert(flagged == Set(1L, 3L))
   }
 
+  test("bloom decontamination matches the exact flag set on testdata " +
+       "(FP-freedom that the shared DuckDB oracle relies on)") {
+    import graft.extensions.{Decontam, TextAnalysis, TextDedup}
+    import graft.tables.Tables
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = docs.filter(col("doc_id") < 5)
+    val bloom = Decontam.benchmarkBloom(bench, "text")
+    val flagged = Decontam.flagContaminated(docs, "doc_id", "text", bloom)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    def shingleSets(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.shinglesOfTokens(col("toks"))))
+          .as("sh"))
+    val exact = shingleSets(docs)
+      .join(shingleSets(bench).select("sh").distinct(), Seq("sh"), "left_semi")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(flagged == exact,
+      s"bloom/exact divergence: extra=${flagged -- exact}, missed=${exact -- flagged}")
+  }
+
   test("incremental near-dup: new batch flagged only against history, " +
        "clean new docs absent") {
     import graft.extensions.TextDedup
