@@ -62,6 +62,25 @@ object Ivf {
     IvfIndex(model.clusterCenters.map(_.toArray))
   }
 
+  /** Deterministic sampled coarse quantizer (the FAISS-style alternative
+    * to KMeans training): centroids are the normalized vectors of the k
+    * corpus ids with the smallest md5(id) — a seedless uniform sample,
+    * reproducible by ANY engine, so the full IVF search admits a SQL
+    * oracle. Collect is k rows (index build, bounded by k). KMeans
+    * [[train]] stays the quality path when reproducibility across
+    * engines isn't required.
+    */
+  def trainDeterministic(vecs: DataFrame, idCol: String, vecCol: String,
+                         k: Int): IvfIndex = {
+    val seeds = prepped(vecs, idCol, vecCol)
+      .select(col("id"), col("nvec"),
+              md5(col("id").cast("string")).as("h"))
+      .orderBy("h", "id")
+      .limit(k)
+      .collect()
+    IvfIndex(seeds.map(_.getSeq[Double](1).toArray))
+  }
+
   /** Distance-ranked cell ids for a PRE-NORMALIZED vector column: array
     * of centroid indices ordered by descending dot (ascending angle).
     * Codegen'd SeqDot against centroid literals.

@@ -182,14 +182,17 @@ object PipelineDemos {
           "vec_id", "embedding", cosineThreshold)
         .orderBy("id_a", "id_b")
     }),
-    // IVF ANN (KMeans cells + nProbe search; rows-only check — the index
-    // is model-derived; full-probe==bruteforce asserted in ExtensionsSpec).
-    // The trained index is memoized per sf dir: index construction is an
-    // offline step in production, not part of query latency.
+    // IVF ANN (8 cells + 2-probe search). The demo index uses the
+    // deterministic sampled coarse quantizer (md5-smallest ids), so the
+    // ENTIRE pipeline — centroid pick, cell assignment, probe, cosine
+    // rank — is recomputed by the DuckDB oracle; the KMeans quality path
+    // keeps its full-probe==bruteforce assertion in ExtensionsSpec. The
+    // index is memoized per sf dir: construction is an offline step in
+    // production, not query latency.
     "ann_ivf" -> ((s, dir) => {
       val index = ivfIndexCache.getOrElseUpdate(dir,
-        graft.extensions.Ivf.train(Tables.embeddings(s, dir), "embedding",
-          k = 8))
+        graft.extensions.Ivf.trainDeterministic(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8))
       val e = Tables.embeddings(s, dir)
       graft.extensions.Ivf.search(e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", index, nProbe = 2, topK = 3)
@@ -791,6 +794,38 @@ object PipelineDemos {
          |  FROM cands JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b)
          |WHERE cos >= $cosineThreshold
          |ORDER BY id_a, id_b""".stripMargin,
+    // Full IVF pipeline rebuilt engine-independently: centroids = the
+    // normalized vectors of the 8 md5-smallest ids (cell = rank in that
+    // order), assignment = argmax centroid dot (ties -> larger cell,
+    // matching reverse(array_sort) in Ivf.rankedCells), 2-probe search,
+    // exact-cosine top-3.
+    "ann_ivf" ->
+      s"""WITH $normsCte,
+         |nv AS (SELECT vec_id, embedding, nrm,
+         |         list_transform(embedding, x -> CASE WHEN nrm > 0 THEN CAST(x AS DOUBLE) / nrm ELSE 0.0 END) AS nvec
+         |       FROM norms),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cell,
+         |           nvec AS cvec
+         |         FROM nv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |scored AS (SELECT nv.vec_id, cent.cell, ${dotSql("nv.nvec", "cent.cvec")} AS d
+         |           FROM nv, cent),
+         |ranked AS (SELECT vec_id, cell,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS rn
+         |           FROM scored),
+         |ass AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM ranked
+         |           WHERE vec_id < 5 AND rn <= 2),
+         |cs AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |         CASE WHEN q.nrm > 0 AND n.nrm > 0
+         |           THEN ${dotSql("q.embedding", "n.embedding")} / (q.nrm * n.nrm)
+         |           ELSE 0.0 END AS cos
+         |       FROM probes p JOIN ass a USING (cell)
+         |       JOIN norms q ON q.vec_id = p.query_id
+         |       JOIN norms n ON n.vec_id = a.vec_id
+         |       WHERE a.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |FROM cs QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, 'img/' || source AS format,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
