@@ -166,15 +166,14 @@ object RelationalDemos {
           ",").as("hist"))
         .orderBy("n_name")
     }),
-    // A6 — last-wins upsert by key (utils.py:64-69).
+    // A6 — last-wins upsert by key (utils.py:64-69). max_by aggregate, not
+    // a row_number window: one hash shuffle with map-side partials and no
+    // per-partition sort (same shape as its dedup_firstwin twin below).
     "dedup_lastwin" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id", "event_type")
-        .orderBy(col("ts").desc, col("event_id").desc)
       Tables.events(s, dir)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_type"),
-                col("event_id").as("last_event_id"))
+        .groupBy("user_id", "event_type")
+        .agg(max_by(col("event_id"), struct(col("ts"), col("event_id")))
+          .as("last_event_id"))
         .orderBy("user_id", "event_type")
     }),
     // A7 — first-wins insert by key (look_for_identifiers.py:86-89, 102-105).
@@ -438,12 +437,18 @@ object RelationalDemos {
                 col("all_categories"))
         .orderBy("input")
     }),
-    // Sketch-based distinct (north-star; no SQL oracle — impl-specific HLL,
-    // driver records rows-only check).
+    // Sketch-based distinct. The HLL estimate itself is impl-specific, so
+    // the oracle-checked surface is (exact count, |approx-exact| <= 5%):
+    // deterministic on both engines, and the driver gate now pins the
+    // sketch's accuracy instead of falling back to a rows-only check.
     "approx_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+                (abs(col("approx_parts") - col("exact_parts")) <=
+                  col("exact_parts") * lit(0.05)).as("approx_ok"))
         .orderBy("l_returnflag")
     })
   )
@@ -661,6 +666,12 @@ object RelationalDemos {
         |LEFT JOIN customer ON input = c_custkey
         |LEFT JOIN nation ON c_nationkey = n_nationkey
         |LEFT JOIN h ON c_nationkey = h_nationkey
-        |ORDER BY input""".stripMargin
+        |ORDER BY input""".stripMargin,
+    // The HLL estimate is engine-specific; the checked contract is the
+    // exact count plus the 5%-accuracy flag the Spark side computes.
+    "approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -47,6 +47,24 @@ object Synonymizer {
         .withColumn("intra_cluster_edge_ids",
           StringOps.parsePyList(col("intra_cluster_edge_ids"))),
       edges)
+
+  /** Pipe-table markdown render of a (small, already-ordered) frame —
+    * pandas `to_markdown(index=False)` shape, which is what the
+    * reference's debug printer emits (node_synonymizer.py:332,334).
+    * Columns are left-aligned and padded to the widest cell.
+    */
+  private[synonymizer] def toMarkdown(df: DataFrame): String = {
+    val names = df.columns
+    val rows = df.collect().map(r =>
+      names.indices.map(i => Option(r.get(i)).map(_.toString).getOrElse("")))
+    val widths = names.indices.map(i =>
+      (names(i).length +: rows.map(_(i).length)).max)
+    def line(cells: Seq[String]): String =
+      cells.zip(widths).map { case (c, w) => c.padTo(w, ' ') }
+        .mkString("| ", " | ", " |")
+    val sep = widths.map(w => ":" + "-" * (w + 1)).mkString("|", "|", "|")
+    (line(names.toSeq) +: sep +: rows.map(line).toSeq).mkString("", "\n", "\n")
+  }
 }
 
 final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
@@ -371,4 +389,27 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
       .orderBy("id")
     (members, clusterEdges)
   }
+
+  /** U5 rendered form (node_synonymizer.py:331-339): the edges then nodes
+    * tables as markdown, same column subsets and headline counts as the
+    * reference's `print_cluster_table`. Dev utility — driver-side collect
+    * is intentional and bounded by cluster size. None = unrecognized input
+    * (the reference prints "Sorry, ... is not recognized").
+    */
+  def renderClusterTable(curieOrName: String): Option[String] =
+    clusterTableFor(curieOrName).map { case (members, clusterEdges) =>
+      val nodeTbl = Synonymizer.toMarkdown(
+        members.select("id", "category", "name"))
+      val edgeTbl = Synonymizer.toMarkdown(
+        clusterEdges.select("subject", "predicate", "object",
+                            "upstream_resource_id",
+                            "primary_knowledge_source"))
+      // newline count = header + separator + N data rows
+      val nEdges = edgeTbl.count(_ == '\n') - 2
+      val nNodes = nodeTbl.count(_ == '\n') - 2
+      // no stripMargin here: the margin char is '|', which would strip the
+      // leading pipe off every table row
+      s"Cluster for $curieOrName has $nEdges edges:\n\n" + edgeTbl +
+        s"\nCluster for $curieOrName has $nNodes nodes:\n\n" + nodeTbl
+    }
 }

@@ -246,4 +246,22 @@ class SynonymizerSpec extends SparkTestBase {
     assert(byName.map(_._1.count()).contains(3L))
     assert(syn.clusterTableFor("no such thing").isEmpty)
   }
+
+  test("cluster table markdown render (U5, node_synonymizer.py:331-339)") {
+    val md = syn.renderClusterTable("aspirin").getOrElse(fail("no cluster"))
+    // headline counts mirror the reference's print order: edges first
+    assert(md.indexOf("has 2 edges:") >= 0)
+    assert(md.indexOf("has 3 nodes:") > md.indexOf("has 2 edges:"))
+    // pipe-table header rows with the reference's column subsets
+    // (padding is width-dependent, so compare whitespace-collapsed)
+    val squashed = md.replaceAll(" +", " ")
+    assert(squashed.contains(
+      "| subject | predicate | object | upstream_resource_id |" +
+        " primary_knowledge_source |"))
+    assert(squashed.contains("| id | category | name |"))
+    // one data row spot-check, padded to column width
+    assert(md.contains("| CHEBI:15365"))
+    assert(md.contains("| same_as"))
+    assert(syn.renderClusterTable("no such thing").isEmpty)
+  }
 }
