@@ -1,0 +1,128 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding compression + approximate
+  * nearest-neighbor search (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011).
+  *
+  * The vector space is split into `m` contiguous subspaces of `d/m`
+  * dims; each subspace gets its own `nCodes`-entry codebook, and a
+  * vector is stored as `m` small codes (one nearest-centroid id per
+  * subspace). Search is asymmetric distance computation (ADC): the
+  * query precomputes a distance table per subspace (query-subvector →
+  * each centroid), and a candidate's approximate distance is just `m`
+  * table lookups summed — no corpus vector is ever touched.
+  *
+  * Scale design (100 TB): the corpus side carries ONLY (id, codes[m]) —
+  * a 64-dim float vector compresses 64×4 bytes → m bytes-ish of codes,
+  * so the scan that search touches is ~64× smaller than the raw
+  * embeddings; codes are computed in one map-side pass against centroid
+  * literals (codegen'd arithmetic, no shuffle, no UDF). The query side
+  * stages its `m` distance tables as array columns and broadcasts;
+  * candidate scoring is `element_at` lookups — O(m) per pair instead
+  * of O(d). Combine with [[Ivf]] cells for the classic IVF-PQ layout
+  * (cell = partition key, codes = payload).
+  *
+  * Deterministic ("trainDeterministic", same contract as
+  * [[Ivf.trainDeterministic]]): codebook entries are the subvectors of
+  * the `nCodes` corpus ids with the smallest md5(id) — a seedless
+  * uniform sample any engine can rebuild, which is what makes the full
+  * encode+search pipeline SQL-oracle-checkable. KMeans-per-subspace
+  * would give tighter cells but is impl-specific; the recall-vs-exact
+  * property is pinned in tests instead.
+  */
+object Pq {
+
+  /** centroids(j)(c) = codebook entry c of subspace j (dsub doubles). */
+  final case class PqIndex(centroids: Array[Array[Array[Double]]],
+                           dim: Int) {
+    def m: Int = centroids.length
+    def nCodes: Int = centroids.head.length
+    def dsub: Int = dim / m
+  }
+
+  /** Subvector j (0-based) of a vector column, as array<double>. */
+  private def subvec(vec: Column, j: Int, dsub: Int): Column =
+    slice(vec.cast("array<double>"), j * dsub + 1, dsub)
+
+  /** Sequential-fold squared L2 distance between a subvector column and
+    * a centroid literal — same left-to-right double fold as
+    * [[Similarity.dot]], so an independent engine can reproduce it
+    * bit-for-bit.
+    */
+  private def l2sq(sub: Column, centroid: Array[Double]): Column =
+    aggregate(
+      zip_with(sub, lit(centroid), (a, c) => (a - c) * (a - c)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministic codebooks: the subvectors of the `nCodes` md5-smallest
+    * ids. Collect is nCodes rows (index build — an offline step, bounded
+    * and memoizable, same stance as the IVF index).
+    */
+  def trainDeterministic(vecs: DataFrame, idCol: String, vecCol: String,
+                         m: Int = 4, nCodes: Int = 16): PqIndex = {
+    val seeds = vecs
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
+              md5(col(idCol).cast("string")).as("h"))
+      .orderBy("h", "id")
+      .limit(nCodes)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val centroids = Array.tabulate(m) { j =>
+      seeds.map(v => v.slice(j * dsub, j * dsub + dsub))
+    }
+    PqIndex(centroids, dim)
+  }
+
+  /** One map-side pass: (id, codes[m]) where codes(j) = argmin centroid
+    * of subspace j (ties → smaller code id). No shuffle — distances to
+    * centroid literals are codegen'd per row; array_sort on (dist, code)
+    * structs picks the argmin without a window.
+    */
+  def encode(vecs: DataFrame, idCol: String, vecCol: String,
+             index: PqIndex): DataFrame = {
+    val codeCols = (0 until index.m).map { j =>
+      val sub = subvec(col(vecCol), j, index.dsub)
+      val scored = index.centroids(j).zipWithIndex.map { case (c, i) =>
+        struct(l2sq(sub, c).as("d"), lit(i).as("code"))
+      }
+      array_sort(array(scored: _*)).getItem(0).getField("code").as(s"c$j")
+    }
+    vecs.select(col(idCol).as("id") +: codeCols: _*)
+      .select(col("id"),
+              array((0 until index.m).map(j => col(s"c$j")): _*).as("codes"))
+  }
+
+  /** ADC top-k: per query, approx dist = Σ_j dtable_j[codes_j]. The
+    * encoded corpus is the probe side (ids+codes only); queries with
+    * their staged distance tables broadcast.
+    */
+  def search(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, index: PqIndex, topK: Int = 3): DataFrame = {
+    val codes = encode(corpus, idCol, vecCol, index)
+    // distance tables staged as one array column per subspace
+    val dtCols = (0 until index.m).map { j =>
+      val sub = subvec(col(vecCol), j, index.dsub)
+      array(index.centroids(j).map(c => l2sq(sub, c)): _*).as(s"dt$j")
+    }
+    val probes = broadcast(
+      queries.select(col(idCol).as("query_id") +: dtCols: _*))
+    val approx = (0 until index.m)
+      .map(j => element_at(col(s"dt$j"), col("codes").getItem(j) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist"), col("neighbor_id"))
+    codes.crossJoin(probes)
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+              approx.as("approx_dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+}

@@ -339,4 +339,50 @@ object TextDedup {
            count(lit(1)).as("n_matches"),
            max(col("jaccard")).as("best_jaccard"))
   }
+
+  /** Cross-document repeated-SPAN detection (the substring-level dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022 — there with suffix arrays; here with fixed-width
+    * token windows, the Spark-native approximation): every w-token
+    * window of every document is hashed, and a span that appears in more
+    * than one document is flagged as duplicated. Unlike whole-doc or
+    * paragraph dedup this catches boilerplate embedded mid-document
+    * (license headers, navigation chrome, quoted tweets).
+    *
+    * Returns per-doc (doc_id, n_spans, n_dup_spans): total windows and
+    * windows whose hash occurs in ≥2 distinct docs.
+    *
+    * Scale design: stride-1 windows emit ~1 row per token — the honest
+    * cost of substring dedup (the suffix-array version pays the same
+    * linear blow-up). The exploded stream carries (hash, doc_id) ONLY —
+    * never the span text — so the shuffle payload is constant-width;
+    * the span-population aggregate is partial (map-side combine on the
+    * hash), and the dup-hash set rejoins the per-doc stream on the
+    * hash key. For 100 TB corpora raise the stride to w/2 (any
+    * duplicated region ≥ 2w tokens still collides on some window) to
+    * cut the row blow-up in half without losing long-span recall.
+    */
+  def spanStats(docs: DataFrame, idCol: String, textCol: String,
+                w: Int = 8): DataFrame = {
+    val toks = graft.ops.Partitioning.ensureParallelism(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("t")))
+      .select(col("doc_id"), TextAnalysis.tokens(col("t")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+    // (doc_id, span_hash) — one row per window; hash only, text dropped
+    // before anything shuffles
+    val spans = toks.filter(col("n") >= w)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), col("n") - (w - 1)),
+          i => md5(array_join(slice(col("toks"), i, lit(w)), " "))))
+          .as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupHashes = spans.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") > 1)
+      .select(col("h"), lit(1).as("is_dup"))
+    spans.join(dupHashes, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+           count(col("is_dup")).as("n_dup_spans"))
+  }
 }

@@ -1,8 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.extensions.{Components, CorpusClean, Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.extensions.{Components, CorpusClean, Multimodal, Pq, Similarity, TextAnalysis, TextDedup}
 import graft.tables.Tables
 
 /** Training-data pipeline demos over `documents` / `embeddings`:
@@ -19,6 +20,9 @@ object PipelineDemos {
 
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.extensions.Ivf.IvfIndex]
+
+  private val pqIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, Pq.PqIndex]
 
   // offline-index memo, same rationale as the IVF cache: the benchmark
   // Bloom filter is built once per corpus snapshot, not per query
@@ -197,6 +201,45 @@ object PipelineDemos {
       graft.extensions.Ivf.search(e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", index, nProbe = 2, topK = 3)
         .orderBy("query_id", "rank")
+    }),
+    // Product-quantization ANN (4 subspaces × 16 codes): corpus carries
+    // ids+codes only; search is ADC table lookups. Deterministic
+    // codebooks (md5-smallest seed ids), so encode + search are fully
+    // recomputed by the oracle. Index memoized like the IVF one.
+    "ann_pq" -> ((s, dir) => {
+      val index = pqIndexCache.getOrElseUpdate(dir,
+        Pq.trainDeterministic(Tables.embeddings(s, dir),
+          "vec_id", "embedding", m = 4, nCodes = 16))
+      val e = Tables.embeddings(s, dir)
+      Pq.search(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", index, topK = 3)
+        .orderBy("query_id", "rank")
+    }),
+    // Cross-document repeated-span stats (substring-level dedup — the
+    // fixed-window approximation of Lee et al. 2022 suffix arrays).
+    "span_dedup" -> ((s, dir) => {
+      TextDedup.spanStats(Tables.documents(s, dir), "doc_id", "text", w = 8)
+        .orderBy("doc_id")
+    }),
+    // Temperature-flattened mixture resampling (α = 0.5, the
+    // multilingual-LM sampling trick): per language keep ceil(3·√n_l)
+    // docs chosen in md5(doc_id) order — deterministic, map-side rate
+    // decision after one count-per-group pass; flattens the language
+    // distribution toward uniform exactly the way α-sampling flattens a
+    // training mix. √ is correctly-rounded IEEE so the target is
+    // engine-exact (no Σp^α normalizer: its float sum order would not
+    // be).
+    "temp_resample" -> ((s, dir) => {
+      val wOrd = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val wAll = Window.partitionBy("lang")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n_l", count(lit(1)).over(wAll))
+        .filter(col("rn") <= ceil(lit(3.0) * sqrt(col("n_l"))))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     }),
     // Gopher/C4-style repeated-2-gram quality rule; the text is doubled
     // so the demo exercises non-trivial ratios on every row.
@@ -486,6 +529,15 @@ object PipelineDemos {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> " +
     s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)"
+
+  /** Sequential-fold squared L2 distance between 16-dim subspace `j`
+    * (0-based SQL expression) of two list columns — matches Pq.l2sq's
+    * aggregate() fold bit-for-bit (0.0 + t1 ≡ t1 in IEEE). */
+  private def l2sqSql(a: String, b: String, j: String): String =
+    s"list_reduce(list_transform(generate_series(1, 16), i -> " +
+    s"(CAST($a[$j*16 + i] AS DOUBLE) - CAST($b[$j*16 + i] AS DOUBLE)) * " +
+    s"(CAST($a[$j*16 + i] AS DOUBLE) - CAST($b[$j*16 + i] AS DOUBLE)))," +
+    s" (acc, x) -> acc + x)"
 
   private val hexHigh = "('8','9','a','b','c','d','e','f')"
 
@@ -826,6 +878,49 @@ object PipelineDemos {
          |SELECT query_id, neighbor_id, cos,
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
          |FROM cs QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // Full PQ pipeline rebuilt engine-independently: codebook = the
+    // 16 md5-smallest ids' subvectors (code = rank in that order),
+    // encode = per-subspace argmin L2² (ties → smaller code), ADC
+    // search summed in subspace order (matches Spark's left-assoc +).
+    "ann_pq" ->
+      s"""WITH seeds AS (SELECT embedding AS sv,
+         |    CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS code
+         |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |subs AS (SELECT j FROM generate_series(0, 3) AS g(j)),
+         |encd AS (SELECT e.vec_id, s2.j, s.code,
+         |           ${l2sqSql("e.embedding", "s.sv", "s2.j")} AS d
+         |         FROM embeddings e, subs s2, seeds s),
+         |enc AS (SELECT vec_id, j, code,
+         |          row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+         |        FROM encd),
+         |codes AS (SELECT vec_id, j, code FROM enc WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |pairs AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.j,
+         |            ${l2sqSql("q.qv", "s.sv", "c.j")} AS dpart
+         |          FROM q, codes c JOIN seeds s ON s.code = c.code
+         |          WHERE c.vec_id <> q.query_id),
+         |approx AS (SELECT query_id, neighbor_id,
+         |             list_reduce(list(dpart ORDER BY j), (a, x) -> a + x) AS approx_dist
+         |           FROM pairs GROUP BY query_id, neighbor_id)
+         |SELECT query_id, neighbor_id, approx_dist,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS BIGINT) AS rank
+         |FROM approx QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |s AS (SELECT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS h
+         |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+         |            FROM t WHERE len(toks) >= 8)),
+         |d AS (SELECT h FROM s GROUP BY h HAVING count(DISTINCT doc_id) > 1)
+         |SELECT doc_id, count(*) AS n_spans,
+         |  count(*) FILTER (WHERE h IN (SELECT h FROM d)) AS n_dup_spans
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "temp_resample" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n_l
+        |  FROM documents)
+        |SELECT doc_id, lang FROM d
+        |WHERE rn <= ceil(3.0 * sqrt(CAST(n_l AS DOUBLE))) ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, 'img/' || source AS format,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

@@ -450,6 +450,82 @@ object RelationalDemos {
                 (abs(col("approx_parts") - col("exact_parts")) <=
                   col("exact_parts") * lit(0.05)).as("approx_ok"))
         .orderBy("l_returnflag")
+    }),
+    // SCD2 historization of a change log: collapse consecutive repeats
+    // of the tracked attribute (event_type) per key, then derive
+    // [valid_from, valid_to) intervals with lead(); the open interval is
+    // the current row. Both windows share (user_id, (t_us, event_id))
+    // partitioning+ordering, so Catalyst plans ONE shuffle+sort and
+    // evaluates lag and lead back to back. Time axis = epoch micros
+    // (exact long arithmetic cross-engine, same as window_lag).
+    "scd2_history" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+                unix_micros(col("ts")).as("t_us"), col("event_id"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull ||
+                col("prev_type") =!= col("event_type"))
+        .withColumn("valid_to", lead(col("t_us"), 1).over(w))
+        .select(col("user_id"), col("event_type"),
+                col("t_us").as("valid_from"), col("valid_to"),
+                col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from")
+    }),
+    // Count-min-sketch heavy hitters with an oracle-checkable accuracy
+    // contract (same pattern as approx_distinct): the CMS guarantees
+    // est >= exact and (w.p. 1-δ) est <= exact + ε·N; the demo emits the
+    // exact count plus that contract as a boolean. The estimate lookup is
+    // a UDF ON THE AGGREGATED FRAME ONLY — cardinality = distinct keys,
+    // post-shuffle — because the sketch has no SQL probe surface; the
+    // sketch build itself is Spark's distributed treeAggregate.
+    "heavy_hitters" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val eps = 0.001
+      val cms = ev.stat.countMinSketch(col("event_type"), eps, 0.99, 42)
+      val slack = eps * cms.totalCount()
+      val est = udf((t: String) => cms.estimateCount(t))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("exact_cnt"))
+        .withColumn("est", est(col("event_type")))
+        .select(col("event_type"), col("exact_cnt"),
+                (col("est") >= col("exact_cnt") &&
+                 col("est").cast("double") <=
+                   col("exact_cnt").cast("double") + lit(slack))
+                  .as("cms_ok"))
+        .orderBy("event_type")
+    }),
+    // Distributed approximate quantiles (Greenwald-Khanna via
+    // percentile_approx) with the rank-error contract checked in-query:
+    // for each (group, q) the returned element's rank must lie within
+    // ±ε·n of q·n (ε = 1/accuracy). Emitted columns are (group, q, ok) —
+    // stable even though WHICH element GK returns can vary with merge
+    // order, so the oracle row set is deterministic.
+    "approx_quantiles" -> ((s, dir) => {
+      val qs = Seq(0.25, 0.5, 0.75)
+      val accuracy = 1000
+      val eps = 1.0 / accuracy
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+                col("l_quantity").cast("double").as("v"))
+      val ests = li.groupBy("flag")
+        .agg(percentile_approx(col("v"),
+               array(qs.map(lit): _*), lit(accuracy)).as("ests"),
+             count(lit(1)).as("n"))
+        .select(col("flag"), col("n"),
+                posexplode(col("ests")).as(Seq("qi", "est")))
+      ests.join(li, Seq("flag"))
+        .groupBy("flag", "qi", "n", "est")
+        .agg(sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("n_le"),
+             sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("n_lt"))
+        .select(col("flag"),
+                element_at(lit(qs.toArray), col("qi") + 1).as("q"),
+                (col("n_le").cast("double") >=
+                   (col("q") - eps) * col("n").cast("double") - 1e-9 &&
+                 col("n_lt").cast("double") <=
+                   (col("q") + eps) * col("n").cast("double") + 1e-9)
+                  .as("within_ok"))
+        .orderBy("flag", "q")
     })
   )
 
@@ -672,6 +748,33 @@ object RelationalDemos {
     "approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS approx_ok
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "scd2_history" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id
+        |           FROM events),
+        |c AS (SELECT *, lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY t_us, event_id) AS prev_type
+        |      FROM e),
+        |ch AS (SELECT user_id, event_type, t_us, event_id FROM c
+        |       WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, t_us AS valid_from,
+        |  lead(t_us) OVER w AS valid_to,
+        |  (lead(t_us) OVER w IS NULL) AS is_current
+        |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+        |ORDER BY user_id, valid_from""".stripMargin,
+    // The CMS estimate is sketch-internal; the checked contract is the
+    // exact count plus the est∈[exact, exact+ε·N] flag the Spark side
+    // computes (ε = 0.001, fixed seed).
+    "heavy_hitters" ->
+      """SELECT event_type, count(*) AS exact_cnt, TRUE AS cms_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // GK returns SOME element within rank ±ε·n of the target — which one
+    // can vary with merge order, so the contract boolean (not the
+    // element) is the deterministic, oracle-checkable surface.
+    "approx_quantiles" ->
+      """SELECT l_returnflag AS flag, CAST(q AS DOUBLE) AS q, TRUE AS within_ok
+        |FROM (SELECT DISTINCT l_returnflag FROM lineitem),
+        |     (VALUES (0.25), (0.5), (0.75)) AS t(q)
+        |ORDER BY flag, q""".stripMargin
   )
 }

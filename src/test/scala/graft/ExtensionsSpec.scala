@@ -271,6 +271,76 @@ class ExtensionsSpec extends SparkTestBase {
     assert(ivf1.head.getLong(1) == 99L)
   }
 
+  test("PQ: codes in range, seeds encode to their own codebook entry, " +
+       "ADC distance to a seed equals the exact squared L2") {
+    import spark.implicits._
+    import graft.extensions.Pq
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Array.fill(32)(rng.nextGaussian().toFloat)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val index = Pq.trainDeterministic(vecs, "vec_id", "embedding",
+      m = 4, nCodes = 8)
+    assert(index.m == 4 && index.nCodes == 8 && index.dsub == 8)
+    val codes = Pq.encode(vecs, "vec_id", "embedding", index)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.size == 40)
+    assert(codes.values.forall(_.forall(c => c >= 0 && c < 8)))
+    // seed ids = the 8 md5-smallest; seed r's subvectors ARE codebook
+    // entry r in every subspace, so it must encode to (r, r, r, r)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val seedIds = rows.map(_._1).sortBy(id => (md5hex(id.toString), id))
+      .take(8)
+    seedIds.zipWithIndex.foreach { case (id, r) =>
+      assert(codes(id) == Seq(r, r, r, r),
+        s"seed $id (code $r) encoded to ${codes(id)}")
+    }
+    // ADC against a seeds-only corpus is EXACT: every corpus vector
+    // reconstructs to itself, so approx_dist == true squared L2
+    val seedVecs = vecs.filter(col("vec_id").isInCollection(seedIds))
+    val q = rows.find(r => !seedIds.contains(r._1)).get
+    val got = Pq.search(seedVecs, vecs.filter(col("vec_id") === q._1),
+        "vec_id", "embedding", index, topK = 8)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val byId = rows.toMap
+    got.foreach { case (nid, approx) =>
+      val (a, b) = (q._2, byId(nid))
+      // same arithmetic shape as Pq.l2sq: per-subspace sequential fold,
+      // then subspace partials summed left-to-right
+      val exact = (0 until 4).map { j =>
+        (0 until 8).foldLeft(0.0) { (acc, i) =>
+          val d = a(j * 8 + i).toDouble - b(j * 8 + i).toDouble
+          acc + d * d
+        }
+      }.foldLeft(0.0)(_ + _)
+      assert(math.abs(approx - exact) < 1e-12,
+        s"neighbor $nid: adc=$approx exact=$exact")
+    }
+  }
+
+  test("span dedup: planted cross-doc span flagged, unique docs clean, " +
+       "short docs emit no spans") {
+    val common = (1 to 8).map(i => s"tok$i").mkString(" ") // exactly w toks
+    val d = docsDf(
+      1L -> s"$common alpha beta gamma",
+      2L -> s"prefix words here $common",
+      3L -> "totally different content with many unique words making spans",
+      4L -> "short doc")
+    val r = TextDedup.spanStats(d, "doc_id", "text", w = 8)
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // doc1: 11 toks → 4 windows; only the first (the planted span) dups
+    assert(r(1L) == ((4L, 1L)))
+    // doc2: 11 toks → 4 windows; only the last dups
+    assert(r(2L) == ((4L, 1L)))
+    // doc3: 9 toks → 2 windows, none duplicated
+    assert(r(3L) == ((2L, 0L)))
+    // doc4: fewer than w tokens → contributes no spans at all
+    assert(!r.contains(4L))
+  }
+
   test("brute-force top-k ranks the planted near-dup first") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
