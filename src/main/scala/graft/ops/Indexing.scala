@@ -1,7 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed global row numbering (SURVEY §2.6 W-family, the scale
@@ -34,4 +34,19 @@ object Indexing {
       StructType(sorted.schema.fields :+
         StructField(idxCol, LongType, nullable = false)))
   }
+
+  /** Z-order (Morton) key: interleave the low `bits` bits of two
+    * non-negative integral columns — bit i of `x` lands at position
+    * 2i+1, bit i of `y` at 2i. Sorting or range-partitioning by the key
+    * co-locates rows that are close in BOTH dimensions, so a 2-D range
+    * predicate (x range × y range) prunes files/row-groups instead of
+    * reading full stripes of one dimension — the data-layout clustering
+    * trick behind Delta/Iceberg OPTIMIZE ZORDER, as a plain codegen'd
+    * column expression (map-side, shuffle-free).
+    */
+  def zOrderKey(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
 }

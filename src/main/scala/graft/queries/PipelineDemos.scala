@@ -241,6 +241,35 @@ object PipelineDemos {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
+    // Curriculum binning: per-language quality quartiles (ntile) —
+    // orders training data easy→hard for curriculum schedules; bin 1 =
+    // the best quartile. Deterministic tie-break on doc_id; one keyed
+    // shuffle.
+    "curriculum_bins" -> ((s, dir) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(col("score").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+                TextAnalysis.qualityScore(col("text")).as("score"))
+        .withColumn("bin", ntile(4).over(w).cast("long"))
+        .select("doc_id", "lang", "bin")
+        .orderBy("doc_id")
+    }),
+    // Weighted (importance) sampling: keep probability 0.25 + 0.5·score,
+    // decided by a per-doc md5 uniform (first 4 hex digits / 65536) —
+    // deterministic, map-side after the score projection, reproducible
+    // across backfills; the quality-weighted generalization of
+    // hash_sample's fixed rate.
+    "weighted_sample" -> ((s, dir) => {
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+                   16, 10).cast("double") / 65536.0
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+                TextAnalysis.qualityScore(col("text")).as("score"))
+        .filter(u < lit(0.25) + lit(0.5) * col("score"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
     // Gopher/C4-style repeated-2-gram quality rule; the text is doubled
     // so the demo exercises non-trivial ratios on every row.
     "repetition_ratio" -> ((s, dir) => {
@@ -580,6 +609,28 @@ object PipelineDemos {
 
   private val normsCte =
     s"""norms AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)"""
+
+  /** Shared quality-score CTE chain ending in q(doc_id, lang, score) —
+    * the same formula the quality_score / stratified_cap oracles use.
+    */
+  private val scoreCtes =
+    s"""t AS (SELECT doc_id, lang, text, $toksExpr AS toks,
+       |  list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ltoks FROM documents),
+       |sc AS (SELECT doc_id, lang, text, CAST(len(toks) AS DOUBLE) AS n_tok,
+       |  CAST(${langScores.map(_._2).mkString(" + ")} AS DOUBLE) AS stop_hits FROM t),
+       |q AS (SELECT doc_id, lang,
+       |  (CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END) * 0.4
+       |  + least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+       |  + (1.0 - (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.2 AS score
+       |  FROM sc)""".stripMargin
+
+  /** First-4-hex-digits-of-md5(doc_id) as an integer 0..65535 (the
+    * engine-independent uniform used by weighted_sample). */
+  private val hex4Sql = {
+    def nib(p: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $p, 1)) - 1)"
+    s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
+  }
 
   val oracleSql: Map[String, String] = Map(
     "lang_id" ->
@@ -921,6 +972,17 @@ object PipelineDemos {
         |  FROM documents)
         |SELECT doc_id, lang FROM d
         |WHERE rn <= ceil(3.0 * sqrt(CAST(n_l AS DOUBLE))) ORDER BY doc_id""".stripMargin,
+    "curriculum_bins" ->
+      s"""WITH $scoreCtes
+         |SELECT doc_id, lang,
+         |  CAST(ntile(4) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS BIGINT) AS bin
+         |FROM q ORDER BY doc_id""".stripMargin,
+    "weighted_sample" ->
+      s"""WITH $scoreCtes,
+         |u AS (SELECT doc_id, score,
+         |        CAST($hex4Sql AS DOUBLE) / 65536.0 AS uval FROM q)
+         |SELECT doc_id FROM u
+         |WHERE uval < 0.25 + 0.5 * score ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, 'img/' || source AS format,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

