@@ -103,6 +103,70 @@ object Joins {
       .drop("__bin")
   }
 
+  /** Deterministic pseudo-random pick via a consistent hash ring: every
+    * doc sits on the ring at md5(id); a probe resolves to the FIRST doc
+    * at-or-after its own hash position, wrapping around. No RNG state,
+    * reproducible across runs and engines, and stable under corpus
+    * growth except at ring-neighbor boundaries — the classic
+    * consistent-hashing property, used here for negative sampling in
+    * contrastive-training triplets.
+    *
+    * Scale design: the ring scan is NOT a global sort. Both sides bucket
+    * on the first 2 hex chars of the hash (256 buckets); the at-or-after
+    * successor is a per-bucket union + window carry (the asofJoin
+    * pattern, partitioned by bucket so it parallelizes). Probes whose
+    * bucket has no successor fall back through a broadcast ≤256-row
+    * bucket-minimum summary — bounded fan-out, no driver collect.
+    *
+    * `probes` keeps all its columns and gains `outCol`; `probeHashCol`
+    * must be an md5-style lowercase hex string. Probe ROWS must be
+    * distinct (the wrap-around fallback re-groups by the probe columns).
+    */
+  def hashRingLookup(probes: DataFrame, probeHashCol: String,
+                     docs: DataFrame, docIdCol: String,
+                     outCol: String = "ring_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col(docIdCol).as("__rid"),
+                        md5(col(docIdCol).cast("string")).as("__h"))
+    def bucketOf(h: Column): Column =
+      conv(substring(h, 1, 2), 16, 10).cast("int")
+    val probeCols = probes.columns
+    val idType = d.schema("__rid").dataType
+    val pSel = probes.select(
+      (probeCols.map(col) :+ col(probeHashCol).as("__h") :+
+        lit(0).as("__tag") :+ lit(null).cast(idType).as("__rid")): _*)
+    val dSel = d.select(
+      (probeCols.map(c =>
+        lit(null).cast(probes.schema(c).dataType).as(c)) :+
+        col("__h") :+ lit(1).as("__tag") :+ col("__rid")): _*)
+    // at equal hash the doc (tag 1) sorts after the probe, so the
+    // at-or-after frame includes an exact hash collision
+    val w = Window.partitionBy("__b").orderBy("__h", "__tag", "__rid")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val scanned = pSel.unionByName(dSel)
+      .withColumn("__b", bucketOf(col("__h")))
+      .withColumn("__succ", first(col("__rid"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 0)
+    // ≤256-row per-bucket minimum (wrap-around table), broadcast
+    val bucketMins = d
+      .groupBy(bucketOf(col("__h")).as("__mb"))
+      .agg(min_by(col("__rid"), struct(col("__h"), col("__rid")))
+        .as("__bmin"))
+    val hit = scanned.filter(col("__succ").isNotNull)
+      .select(probeCols.map(col) :+ col("__succ").as(outCol): _*)
+    val missed = scanned.filter(col("__succ").isNull)
+      .join(broadcast(bucketMins), col("__mb") > col("__b"), "left")
+      .groupBy(probeCols.map(col): _*)
+      .agg(min_by(col("__bmin"), col("__mb")).as("__next"))
+    val globalMin = broadcast(
+      d.agg(min_by(col("__rid"), struct(col("__h"), col("__rid")))
+        .as("__gmin")))
+    val missedResolved = missed.crossJoin(globalMin)
+      .select(probeCols.map(col) :+
+        coalesce(col("__next"), col("__gmin")).as(outCol): _*)
+    hit.unionByName(missedResolved)
+  }
+
   /** Top-k hot keys of a column — the measurement step before deciding
     * to salt (drive skew decisions with data, not guesses).
     */

@@ -241,6 +241,23 @@ object PipelineDemos {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
+    // Contrastive-training triplets: (anchor, positive) = verified
+    // near-dup pairs; negative = deterministic consistent-hash-ring pick
+    // (first doc at-or-after md5(anchor + ':neg') on the ring) — a
+    // reproducible pseudo-random negative with no RNG state, resolved by
+    // the bucketed ring scan in Joins.hashRingLookup (no global sort).
+    "contrastive_triplets" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = TextDedup.jaccardVerified(docs, "doc_id", "text",
+          jaccardThreshold)
+        .select(col("id_a").as("anchor"), col("id_b").as("positive"),
+                md5(concat(col("id_a").cast("string"), lit(":neg")))
+                  .as("h"))
+      graft.ops.Joins.hashRingLookup(pairs, "h",
+          docs.select("doc_id"), "doc_id", "negative")
+        .select("anchor", "positive", "negative")
+        .orderBy("anchor", "positive")
+    }),
     // Curriculum binning: per-language quality quartiles (ntile) —
     // orders training data easy→hard for curriculum schedules; bin 1 =
     // the best quartile. Deterministic tie-break on doc_id; one keyed
@@ -972,6 +989,21 @@ object PipelineDemos {
         |  FROM documents)
         |SELECT doc_id, lang FROM d
         |WHERE rn <= ceil(3.0 * sqrt(CAST(n_l AS DOUBLE))) ORDER BY doc_id""".stripMargin,
+    // ring semantics: first doc with md5(doc_id) >= probe hash, else
+    // wrap to the ring's global minimum; correlated ORDER+LIMIT
+    // subqueries express exactly that
+    "contrastive_triplets" ->
+      s"""WITH $jaccardPairsCtes,
+         |ring AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hd FROM documents),
+         |p AS (SELECT id_a AS anchor, id_b AS positive,
+         |        md5(CAST(id_a AS VARCHAR) || ':neg') AS h FROM jpairs)
+         |SELECT anchor, positive,
+         |  coalesce(
+         |    (SELECT r.doc_id FROM ring r WHERE r.hd >= p.h
+         |     ORDER BY r.hd, r.doc_id LIMIT 1),
+         |    (SELECT r.doc_id FROM ring r ORDER BY r.hd, r.doc_id LIMIT 1))
+         |    AS negative
+         |FROM p ORDER BY anchor, positive""".stripMargin,
     "curriculum_bins" ->
       s"""WITH $scoreCtes
          |SELECT doc_id, lang,

@@ -394,6 +394,33 @@ class ExtensionsSpec extends SparkTestBase {
       s"inclusive bounds, single match each, got ${out.toSeq}")
   }
 
+  test("hash ring lookup matches the brute-force at-or-after-else-min " +
+       "reference, including wrap-around") {
+    import spark.implicits._
+    import graft.ops.Joins
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val docIds = (0L until 200L).toSeq
+    val docs = docIds.toDF("doc_id")
+    // probes engineered to exercise hits, cross-bucket misses, and the
+    // wrap-around past the largest ring position
+    val probeHashes = (0 until 50).map(i => md5hex(s"probe$i")) ++
+      Seq("ff" + "f" * 30, "00" + "0" * 30) // past ring end; before start
+    val probes = probeHashes.zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }.toDF("pid", "h")
+    val got = Joins.hashRingLookup(probes, "h", docs, "doc_id", "neg")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // brute-force reference
+    val ring = docIds.map(id => md5hex(id.toString) -> id).sortBy(identity)
+    probeHashes.zipWithIndex.foreach { case (h, i) =>
+      val expect = ring.find(_._1 >= h).getOrElse(ring.head)._2
+      assert(got(i.toLong) == expect,
+        s"probe $i ($h): got ${got(i.toLong)}, want $expect")
+    }
+    assert(got.size == probeHashes.size)
+  }
+
   test("salted join matches plain join results on a skewed key") {
     import spark.implicits._
     import graft.ops.Joins
