@@ -85,7 +85,7 @@ object Ivf {
     * of centroid indices ordered by descending dot (ascending angle).
     * Codegen'd SeqDot against centroid literals.
     */
-  private def rankedCells(nvec: Column, index: IvfIndex): Column = {
+  private[extensions] def rankedCells(nvec: Column, index: IvfIndex): Column = {
     val scored = index.centroids.zipWithIndex.map { case (c, i) =>
       struct(Similarity.dot(nvec, lit(c)).as("dot"), lit(i).as("cell"))
     }

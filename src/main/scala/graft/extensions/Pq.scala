@@ -87,17 +87,36 @@ object Pq {
     */
   def encode(vecs: DataFrame, idCol: String, vecCol: String,
              index: PqIndex): DataFrame = {
-    val codeCols = (0 until index.m).map { j =>
-      val sub = subvec(col(vecCol), j, index.dsub)
+    vecs.select(col(idCol).as("id") +: codeCols(col(vecCol), index): _*)
+      .select(col("id"),
+              array((0 until index.m).map(j => col(s"c$j")): _*).as("codes"))
+  }
+
+  /** Per-subspace argmin-centroid code columns c0..c{m-1} (the staged
+    * form [[encode]] and the IVF-PQ composition both build on). */
+  private[extensions] def codeCols(vec: Column,
+                                   index: PqIndex): Seq[Column] =
+    (0 until index.m).map { j =>
+      val sub = subvec(vec, j, index.dsub)
       val scored = index.centroids(j).zipWithIndex.map { case (c, i) =>
         struct(l2sq(sub, c).as("d"), lit(i).as("code"))
       }
       array_sort(array(scored: _*)).getItem(0).getField("code").as(s"c$j")
     }
-    vecs.select(col(idCol).as("id") +: codeCols: _*)
-      .select(col("id"),
-              array((0 until index.m).map(j => col(s"c$j")): _*).as("codes"))
-  }
+
+  /** Query-side ADC distance tables dt0..dt{m-1} (one array<double> of
+    * nCodes entries per subspace). */
+  private[extensions] def dtCols(vec: Column, index: PqIndex): Seq[Column] =
+    (0 until index.m).map { j =>
+      val sub = subvec(vec, j, index.dsub)
+      array(index.centroids(j).map(c => l2sq(sub, c)): _*).as(s"dt$j")
+    }
+
+  /** Σ_j dtable_j[codes_j] — left-associative, matching the oracle. */
+  private[extensions] def adcDistance(index: PqIndex): Column =
+    (0 until index.m)
+      .map(j => element_at(col(s"dt$j"), col("codes").getItem(j) + 1))
+      .reduce(_ + _)
 
   /** ADC top-k: per query, approx dist = Σ_j dtable_j[codes_j]. The
     * encoded corpus is the probe side (ids+codes only); queries with
@@ -106,22 +125,54 @@ object Pq {
   def search(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, index: PqIndex, topK: Int = 3): DataFrame = {
     val codes = encode(corpus, idCol, vecCol, index)
-    // distance tables staged as one array column per subspace
-    val dtCols = (0 until index.m).map { j =>
-      val sub = subvec(col(vecCol), j, index.dsub)
-      array(index.centroids(j).map(c => l2sq(sub, c)): _*).as(s"dt$j")
-    }
     val probes = broadcast(
-      queries.select(col(idCol).as("query_id") +: dtCols: _*))
-    val approx = (0 until index.m)
-      .map(j => element_at(col(s"dt$j"), col("codes").getItem(j) + 1))
-      .reduce(_ + _)
+      queries.select(col(idCol).as("query_id") +: dtCols(col(vecCol), index): _*))
     val w = Window.partitionBy("query_id")
       .orderBy(col("approx_dist"), col("neighbor_id"))
     codes.crossJoin(probes)
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
-              approx.as("approx_dist"))
+              adcDistance(index).as("approx_dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** IVF-PQ: the FAISS-style combined layout. The corpus index is
+    * (id, cell, codes) — cell from the coarse quantizer (the
+    * partition/bucket key at scale), codes the PQ payload; a query
+    * probes its `nProbe` nearest cells and ranks ONLY those inverted
+    * lists by ADC lookups. Against plain [[search]] this cuts the
+    * scanned fraction to ~nProbe/k on top of PQ's per-pair O(m) cost;
+    * against [[Ivf.search]] it never touches a raw corpus vector after
+    * index build. Both quantizers deterministic → fully SQL-oracled.
+    */
+  def searchIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, ivf: Ivf.IvfIndex, pq: PqIndex,
+                  nProbe: Int = 2, topK: Int = 3): DataFrame = {
+    // one pass builds the combined index rows: coarse cell + PQ codes
+    val lists = Ivf.assign(corpus, idCol, vecCol, ivf)
+      .select(Seq(col("id"), col("cell")) ++ codeCols(col("vec"), pq): _*)
+      .select(col("id"), col("cell"),
+              array((0 until pq.m).map(j => col(s"c$j")): _*).as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = broadcast(
+      queries.select(col(idCol).as("query_id"),
+                     col(vecCol).as("__qv"),
+                     Similarity.norm(col(vecCol)).as("__qn"))
+        .select(col("query_id"), col("__qv"), col("__qn"),
+          explode(slice(Ivf.rankedCells(
+            transform(col("__qv").cast("array<double>"),
+              x => when(col("__qn") > 0, x / col("__qn"))
+                .otherwise(lit(0.0))), ivf), 1, nProbe))
+            .as("probe"))
+        .select(Seq(col("query_id"), col("probe.cell").as("cell")) ++
+          dtCols(col("__qv"), pq): _*))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist"), col("neighbor_id"))
+    lists.join(probes, "cell")
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+              adcDistance(pq).as("approx_dist"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
   }

@@ -241,6 +241,22 @@ object PipelineDemos {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
+    // IVF-PQ combined index (the FAISS layout): coarse cell = the
+    // partition key, PQ codes = the payload; a query probes 2 of 8
+    // cells and ranks candidates by ADC lookups — never touching a raw
+    // corpus vector after index build. Both quantizers deterministic,
+    // so the whole pipeline is recomputed by the oracle.
+    "ann_ivfpq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val ivf = ivfIndexCache.getOrElseUpdate(dir,
+        graft.extensions.Ivf.trainDeterministic(e, "vec_id", "embedding",
+          k = 8))
+      val pq = pqIndexCache.getOrElseUpdate(dir,
+        Pq.trainDeterministic(e, "vec_id", "embedding", m = 4, nCodes = 16))
+      Pq.searchIvfPq(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          ivf, pq, nProbe = 2, topK = 3)
+        .orderBy("query_id", "rank")
+    }),
     // Contrastive-training triplets: (anchor, positive) = verified
     // near-dup pairs; negative = deterministic consistent-hash-ring pick
     // (first doc at-or-after md5(anchor + ':neg') on the ring) — a
@@ -989,6 +1005,51 @@ object PipelineDemos {
         |  FROM documents)
         |SELECT doc_id, lang FROM d
         |WHERE rn <= ceil(3.0 * sqrt(CAST(n_l AS DOUBLE))) ORDER BY doc_id""".stripMargin,
+    // IVF assignment/probing CTEs from ann_ivf + codebook/ADC CTEs from
+    // ann_pq, composed: candidates = probed inverted lists, distance =
+    // ADC over the candidates' codes
+    "ann_ivfpq" ->
+      s"""WITH $normsCte,
+         |nv AS (SELECT vec_id, embedding, nrm,
+         |         list_transform(embedding, x -> CASE WHEN nrm > 0 THEN CAST(x AS DOUBLE) / nrm ELSE 0.0 END) AS nvec
+         |       FROM norms),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cell,
+         |           nvec AS cvec
+         |         FROM nv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |scored AS (SELECT nv.vec_id, cent.cell, ${dotSql("nv.nvec", "cent.cvec")} AS d
+         |           FROM nv, cent),
+         |ranked AS (SELECT vec_id, cell,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS rn
+         |           FROM scored),
+         |ass AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM ranked
+         |           WHERE vec_id < 5 AND rn <= 2),
+         |seeds AS (SELECT embedding AS sv,
+         |    CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS code
+         |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |subs AS (SELECT j FROM generate_series(0, 3) AS g(j)),
+         |encd AS (SELECT e.vec_id, s2.j, s.code,
+         |           ${l2sqSql("e.embedding", "s.sv", "s2.j")} AS d
+         |         FROM embeddings e, subs s2, seeds s),
+         |enc AS (SELECT vec_id, j, code,
+         |          row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+         |        FROM encd),
+         |codes AS (SELECT vec_id, j, code FROM enc WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         |         FROM probes p JOIN ass a USING (cell)
+         |         WHERE a.vec_id <> p.query_id),
+         |pairs AS (SELECT c.query_id, c.neighbor_id, cd.j,
+         |            ${l2sqSql("q.qv", "s.sv", "cd.j")} AS dpart
+         |          FROM cand c JOIN q USING (query_id)
+         |          JOIN codes cd ON cd.vec_id = c.neighbor_id
+         |          JOIN seeds s ON s.code = cd.code),
+         |approx AS (SELECT query_id, neighbor_id,
+         |             list_reduce(list(dpart ORDER BY j), (a, x) -> a + x) AS approx_dist
+         |           FROM pairs GROUP BY query_id, neighbor_id)
+         |SELECT query_id, neighbor_id, approx_dist,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS BIGINT) AS rank
+         |FROM approx QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
     // ring semantics: first doc with md5(doc_id) >= probe hash, else
     // wrap to the ring's global minimum; correlated ORDER+LIMIT
     // subqueries express exactly that

@@ -320,6 +320,31 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("IVF-PQ: probing ALL cells reproduces plain PQ ADC ranking") {
+    import spark.implicits._
+    import graft.extensions.{Ivf, Pq}
+    val rng = new scala.util.Random(13)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(32)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val ivf = Ivf.trainDeterministic(vecs, "vec_id", "embedding", k = 4)
+    val pq = Pq.trainDeterministic(vecs, "vec_id", "embedding",
+      m = 4, nCodes = 8)
+    val queries = vecs.filter(col("vec_id") < 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val full = rows(Pq.searchIvfPq(vecs, queries, "vec_id", "embedding",
+      ivf, pq, nProbe = 4, topK = 3))
+    val plain = rows(Pq.search(vecs, queries, "vec_id", "embedding", pq,
+      topK = 3))
+    assert(full == plain)
+    // partial probe returns a subset of cells' candidates, still ranked
+    val partial = rows(Pq.searchIvfPq(vecs, queries, "vec_id", "embedding",
+      ivf, pq, nProbe = 1, topK = 3))
+    assert(partial.map(_._1).distinct.sorted == Seq(0L, 1L))
+  }
+
   test("span dedup: planted cross-doc span flagged, unique docs clean, " +
        "short docs emit no spans") {
     val common = (1 to 8).map(i => s"tok$i").mkString(" ") // exactly w toks
