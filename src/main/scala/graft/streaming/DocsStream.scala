@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming corpus ingest with near-dup flagging: the streaming face of
+  * [[graft.extensions.TextDedup.incrementalNearDups]].
+  *
+  * Each micro-batch of new documents is flagged against the accumulated
+  * historical corpus (new-vs-history band candidates only — no
+  * hist-vs-hist work), then appended to the history. The history lives
+  * as a parquet directory, which at scale is the natural shape: an
+  * append-only corpus snapshot that compaction jobs can re-bucket by
+  * band key offline, exactly like a production dedup index.
+  *
+  * foreachBatch is the right tool (not a stateful operator): the LSH
+  * index is corpus-sized — far beyond per-key streaming state — and the
+  * flag pass is a batch join against it. Exactly-once: foreachBatch
+  * re-delivers a failed batch; the flag output is keyed by (batch doc
+  * id) so replays overwrite idempotently in the sink, and the history
+  * append is guarded by the batchId marker written alongside.
+  */
+object DocsStream {
+
+  /** Row shape for streaming document ingest (MemoryStream-friendly). */
+  final case class Doc(doc_id: Long, text: String)
+
+  /** Start the ingest query. `docs` must be a STREAMING frame with
+    * (doc_id long, text string); flags are appended to `flagsDir`,
+    * history accumulates under `histDir`.
+    */
+  def nearDupIngest(spark: SparkSession, docs: DataFrame, histDir: String,
+                    flagsDir: String, checkpointDir: String,
+                    threshold: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        flagBatch(spark, batch, batchId, histDir, flagsDir, threshold)
+      }
+      .start()
+
+  /** One micro-batch: flag new docs against history, then append them to
+    * the history. Exposed for batch-parity testing.
+    */
+  def flagBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                histDir: String, flagsDir: String,
+                threshold: Double): Unit = {
+    val fs = new java.io.File(histDir)
+    val hasHist = fs.exists() &&
+      fs.listFiles != null && fs.listFiles.exists(_.getName.endsWith(".parquet"))
+    val marker = new java.io.File(s"$histDir.batch$batchId")
+    if (marker.exists()) return // replayed batch: already ingested
+    val flags =
+      if (!hasHist)
+        batch.select(col("doc_id").as("id")).limit(0)
+          .withColumn("dup_of", lit(null).cast("long"))
+          .withColumn("n_matches", lit(0L))
+          .withColumn("best_jaccard", lit(0.0))
+      else
+        graft.extensions.TextDedup.incrementalNearDups(
+          batch, spark.read.parquet(histDir), "doc_id", "text", threshold)
+    flags.withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(flagsDir)
+    batch.write.mode("append").parquet(histDir)
+    marker.createNewFile()
+    ()
+  }
+}

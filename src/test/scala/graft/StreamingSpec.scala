@@ -260,4 +260,42 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("streaming near-dup ingest flags batch-2 dups against batch-1 " +
+       "history and matches the batch incremental reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DocsStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest")
+    val (hist, flags, ckpt) = (s"$tmp/hist", s"$tmp/flags", s"$tmp/ckpt")
+    val b1 = Seq(
+      DocsStream.Doc(1L, "the quick brown fox jumps over the lazy dog " +
+        "again and again in the morning"),
+      DocsStream.Doc(2L, "completely unrelated text about spark " +
+        "catalyst optimizer internals and shuffles"))
+    val b2 = Seq(
+      DocsStream.Doc(10L, "the quick brown fox jumps over the lazy dog " +
+        "again and again in the evening"),
+      DocsStream.Doc(11L, "another novel document with fresh content " +
+        "nothing like history at all"))
+    val input = MemoryStream[DocsStream.Doc]
+    val q = DocsStream.nearDupIngest(spark, input.toDF(), hist, flags,
+      ckpt, threshold = 0.3)
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // batch 1 seeds history (no flags); batch 2's near-dup of doc 1 flags
+    val got = spark.read.parquet(flags)
+      .select("id", "dup_of").as[(Long, Long)].collect().toSet
+    val ref = graft.extensions.TextDedup.incrementalNearDups(
+        b2.toDF(), b1.toDF(), "doc_id", "text", 0.3)
+      .select("id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(got == ref, s"streaming flags $got != batch reference $ref")
+    assert(got.contains((10L, 1L)))
+    assert(!got.exists(_._1 == 11L))
+    // history accumulated both batches
+    assert(spark.read.parquet(hist).count() == 4)
+  }
 }
