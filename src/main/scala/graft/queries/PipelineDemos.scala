@@ -241,6 +241,42 @@ object PipelineDemos {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
+    // Per-label embedding centroids (class prototypes, the retrieval /
+    // nearest-centroid-classifier primitive): element-wise mean computed
+    // in fixed-point (floor(v·1e6) longs) so the distributed sum is
+    // order-independent and engine-exact; emitted long-format
+    // (label, pos, mean_q) — values compare as doubles, no
+    // float-to-string serialization.
+    "embed_centroid" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("label"),
+                posexplode(col("embedding").cast("array<double>"))
+                  .as(Seq("pos", "v")))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+                floor(col("v") * 1e6).cast("long").as("q"))
+        .groupBy("label", "pos")
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .select(col("label"), col("pos"),
+                (col("sq").cast("double") /
+                  (col("n").cast("double") * 1e6)).as("mean_q"))
+        .orderBy("label", "pos")
+    }),
+    // k-NN classification: 3 nearest cosine neighbors vote; majority
+    // with ties to the smaller label. Queries (vec_id < 20) classify
+    // against the rest of the corpus.
+    "knn_classify" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val labels = e.select(col("vec_id").as("neighbor_id"), col("label"))
+      Similarity.bruteForceTopK(e.filter(col("vec_id") >= 20),
+          e.filter(col("vec_id") < 20), "vec_id", "embedding", 3)
+        .join(labels, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("query_id")
+        .agg(max_by(col("label"), struct(col("cnt"), negate(col("label"))))
+          .as("pred_label"))
+        .orderBy("query_id")
+    }),
     // IVF-PQ combined index (the FAISS layout): coarse cell = the
     // partition key, PQ codes = the payload; a query probes 2 of 8
     // cells and ranks candidates by ADC lookups — never touching a raw
@@ -1005,6 +1041,31 @@ object PipelineDemos {
         |  FROM documents)
         |SELECT doc_id, lang FROM d
         |WHERE rn <= ceil(3.0 * sqrt(CAST(n_l AS DOUBLE))) ORDER BY doc_id""".stripMargin,
+    "embed_centroid" ->
+      """WITH u AS (SELECT label, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+        |x AS (SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        |  FROM u)
+        |SELECT label, pos,
+        |  CAST(SUM(q) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_q
+        |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "knn_classify" ->
+      s"""WITH $normsCte,
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM norms WHERE vec_id < 20),
+         |cs AS (SELECT query_id, n.vec_id AS neighbor_id, n.nrm,
+         |         CASE WHEN qn > 0 AND n.nrm > 0
+         |           THEN ${dotSql("qe", "n.embedding")} / (qn * n.nrm)
+         |           ELSE 0.0 END AS cos
+         |       FROM q, norms n WHERE n.vec_id >= 20),
+         |top AS (SELECT query_id, neighbor_id FROM cs
+         |        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 3),
+         |v AS (SELECT t.query_id, e.label, count(*) AS cnt
+         |      FROM top t JOIN embeddings e ON e.vec_id = t.neighbor_id
+         |      GROUP BY t.query_id, e.label)
+         |SELECT query_id, label AS pred_label FROM v
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cnt DESC, label) = 1
+         |ORDER BY query_id""".stripMargin,
     // IVF assignment/probing CTEs from ann_ivf + codebook/ADC CTEs from
     // ann_pq, composed: candidates = probed inverted lists, distance =
     // ADC over the candidates' codes
