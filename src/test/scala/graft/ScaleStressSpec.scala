@@ -56,4 +56,57 @@ class ScaleStressSpec extends SparkTestBase {
     assert(pairs.length.toLong <= nCopies + 10,
       s"false near-dups survived verification: ${pairs.length}")
   }
+
+  test("span dedup on 20k synthetic docs: planted shared prefix flagged " +
+       "corpus-wide, span volume linear in tokens") {
+    val n = 20000L
+    // every doc: a SHARED 10-token boilerplate prefix (the license-header
+    // scenario) + 30 pseudo-random tokens of its own
+    val docs = spark.range(0, n).toDF("doc_id")
+      .withColumn("own",
+        concat_ws(" ",
+          transform(sequence(lit(0L), lit(29L)),
+            j => concat(lit("w"),
+              pmod(hash(col("doc_id") * 997L + j * 131L), lit(99991))))))
+      .withColumn("text",
+        concat(lit((1 to 10).map(i => s"hdr$i").mkString(" ")),
+               lit(" "), col("own")))
+      .select("doc_id", "text")
+    val stats = graft.extensions.TextDedup.spanStats(docs, "doc_id", "text",
+        w = 8)
+      .agg(sum(col("n_spans")), sum(col("n_dup_spans")),
+           min(col("n_dup_spans")))
+      .collect().head
+    // 40 tokens → 33 windows per doc, linear total
+    assert(stats.getLong(0) == n * 33)
+    // the 3 windows fully inside the 10-token header duplicate in EVERY
+    // doc; windows straddling into unique tokens must not
+    assert(stats.getLong(2) >= 3,
+      s"every doc shares the header spans, min was ${stats.getLong(2)}")
+    assert(stats.getLong(1) >= n * 3)
+    assert(stats.getLong(1) < n * 6,
+      s"random-token spans should not collide: ${stats.getLong(1)}")
+  }
+
+  test("IVF-PQ search on 5k vectors: probes bounded, ADC ranks the " +
+       "planted twin first") {
+    import spark.implicits._
+    import graft.extensions.{Ivf, Pq}
+    val rng = new scala.util.Random(41)
+    val base = (0 until 5000).map(i =>
+      (i.toLong, Array.fill(32)(rng.nextGaussian().toFloat)))
+    // vec 4999 ≈ vec 0 (planted twin)
+    val twin = (4999L, base.head._2.map(v => v * 1.0005f))
+    val vecs = (base.dropRight(1) :+ twin).toDF("vec_id", "embedding")
+    val ivf = Ivf.trainDeterministic(vecs, "vec_id", "embedding", k = 16)
+    val pq = Pq.trainDeterministic(vecs, "vec_id", "embedding",
+      m = 4, nCodes = 16)
+    val got = Pq.searchIvfPq(vecs, vecs.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", ivf, pq, nProbe = 16, topK = 1)
+      .collect()
+    // full probe: the twin encodes to the same codes as vec 0, so its
+    // ADC distance is the self-distance minimum
+    assert(got.head.getLong(1) == 4999L,
+      s"expected planted twin, got ${got.head}")
+  }
 }
