@@ -527,6 +527,24 @@ object RelationalDemos {
                   .as("within_ok"))
         .orderBy("flag", "q")
     }),
+    // ANALYZE-style column profile (the data-quality pass a pipeline
+    // runs before training): null count, distinct count, min/max per
+    // column in one aggregate scan per column, unioned long-format.
+    // min/max serialized via exact casts (long/string only — no
+    // float formatting ambiguity).
+    "table_profile" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      def prof(c: String) =
+        e.agg(sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+              countDistinct(col(c)).as("n_distinct"),
+              min(col(c)).cast("string").as("min_val"),
+              max(col(c)).cast("string").as("max_val"))
+          .select(lit(c).as("column"), col("n_nulls"), col("n_distinct"),
+                  col("min_val"), col("max_val"))
+      prof("user_id").unionByName(prof("event_type"))
+        .unionByName(prof("event_id"))
+        .orderBy("column")
+    }),
     // Z-order locality key: Morton-interleave (user bucket × hour
     // bucket). Writing data sorted by zkey makes BOTH user-range and
     // time-range scans prune — the layout-clustering primitive for
@@ -790,6 +808,20 @@ object RelationalDemos {
         |FROM (SELECT DISTINCT l_returnflag FROM lineitem),
         |     (VALUES (0.25), (0.5), (0.75)) AS t(q)
         |ORDER BY flag, q""".stripMargin,
+    "table_profile" ->
+      """SELECT 'event_id' AS "column",
+        |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  count(DISTINCT event_id) AS n_distinct,
+        |  CAST(min(event_id) AS VARCHAR) AS min_val, CAST(max(event_id) AS VARCHAR) AS max_val
+        |FROM events
+        |UNION ALL
+        |SELECT 'event_type', CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT event_type), min(event_type), max(event_type) FROM events
+        |UNION ALL
+        |SELECT 'user_id', CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT user_id),
+        |  CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM events
+        |ORDER BY "column"""".stripMargin,
     "zorder_key" -> {
       val interleave = (0 until 8).map(i =>
         s"((((xb >> $i) & 1) << ${2 * i + 1}) | (((yb >> $i) & 1) << ${2 * i}))")
