@@ -527,6 +527,28 @@ object RelationalDemos {
                   .as("within_ok"))
         .orderBy("flag", "q")
     }),
+    // Event-rate spike detection (data-quality / monitoring op): flag
+    // hours where a type's count exceeds 2× its trailing-24h average.
+    // The comparison is cross-multiplied to pure integers
+    // (n·n_trail > 2·sum_trail) — no float division, engine-exact.
+    // One shuffle keyed by event_type; the trailing frame is a bounded
+    // row window.
+    "spike_detect" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(-24, -1)
+      Tables.events(s, dir)
+        .select(col("event_type"),
+                expr("unix_micros(ts) div 3600000000").as("hour"))
+        .groupBy("event_type", "hour")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("sum_trail", sum(col("n")).over(w))
+        .withColumn("n_trail", count(col("n")).over(w))
+        .filter(col("n_trail") > 0 &&
+                col("n") * col("n_trail") > col("sum_trail") * 2)
+        .select(col("event_type"), col("hour"), col("n"),
+                col("sum_trail"), col("n_trail"))
+        .orderBy("event_type", "hour")
+    }),
     // ANALYZE-style column profile (the data-quality pass a pipeline
     // runs before training): null count, distinct count, min/max per
     // column in one aggregate scan per column, unioned long-format.
@@ -808,6 +830,17 @@ object RelationalDemos {
         |FROM (SELECT DISTINCT l_returnflag FROM lineitem),
         |     (VALUES (0.25), (0.5), (0.75)) AS t(q)
         |ORDER BY flag, q""".stripMargin,
+    "spike_detect" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |    count(*) AS n FROM events GROUP BY event_type, hour),
+        |t AS (SELECT *,
+        |    sum(n) OVER w AS sum_trail, count(n) OVER w AS n_trail
+        |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour, n, CAST(sum_trail AS BIGINT) AS sum_trail,
+        |  n_trail
+        |FROM t WHERE n_trail > 0 AND n * n_trail > sum_trail * 2
+        |ORDER BY event_type, hour""".stripMargin,
     "table_profile" ->
       """SELECT 'event_id' AS "column",
         |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,

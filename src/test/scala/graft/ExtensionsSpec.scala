@@ -419,6 +419,26 @@ class ExtensionsSpec extends SparkTestBase {
       s"inclusive bounds, single match each, got ${out.toSeq}")
   }
 
+  test("zOrderKey interleaves bits exactly: deinterleave recovers both " +
+       "inputs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val pts = (0 until 200).map(_ =>
+      (rng.nextInt(256).toLong, rng.nextInt(256).toLong))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.ops.Indexing.zOrderKey(col("x"), col("y"), 8).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val xr = (0 until 8).map(i => ((z >> (2 * i + 1)) & 1L) << i)
+        .reduce(_ | _)
+      val yr = (0 until 8).map(i => ((z >> (2 * i)) & 1L) << i)
+        .reduce(_ | _)
+      assert(xr == x && yr == y, s"($x,$y) -> $z -> ($xr,$yr)")
+    }
+  }
+
   test("hash ring lookup matches the brute-force at-or-after-else-min " +
        "reference, including wrap-around") {
     import spark.implicits._
