@@ -147,24 +147,28 @@ object Joins {
       .withColumn("__b", bucketOf(col("__h")))
       .withColumn("__succ", first(col("__rid"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 0)
-    // ≤256-row per-bucket minimum (wrap-around table), broadcast
+    // wrap-around tables, both bounded: per-bucket doc minimum (≤256
+    // rows) expanded to "min doc over any LATER bucket" for every
+    // possible probe bucket (256 × ≤256 bounded join), plus the global
+    // ring minimum. Resolving through one equi-join + coalesce keeps the
+    // probe pipeline single-pass — a hit/miss branch split would run the
+    // (possibly expensive) probe lineage twice.
     val bucketMins = d
       .groupBy(bucketOf(col("__h")).as("__mb"))
       .agg(min_by(col("__rid"), struct(col("__h"), col("__rid")))
         .as("__bmin"))
-    val hit = scanned.filter(col("__succ").isNotNull)
-      .select(probeCols.map(col) :+ col("__succ").as(outCol): _*)
-    val missed = scanned.filter(col("__succ").isNull)
-      .join(broadcast(bucketMins), col("__mb") > col("__b"), "left")
-      .groupBy(probeCols.map(col): _*)
+    val nextMin = probes.sparkSession.range(0, 256).toDF("__nb")
+      .join(broadcast(bucketMins), col("__mb") > col("__nb"))
+      .groupBy("__nb")
       .agg(min_by(col("__bmin"), col("__mb")).as("__next"))
     val globalMin = broadcast(
       d.agg(min_by(col("__rid"), struct(col("__h"), col("__rid")))
         .as("__gmin")))
-    val missedResolved = missed.crossJoin(globalMin)
+    scanned
+      .join(broadcast(nextMin), col("__b") === col("__nb"), "left")
+      .crossJoin(globalMin)
       .select(probeCols.map(col) :+
-        coalesce(col("__next"), col("__gmin")).as(outCol): _*)
-    hit.unionByName(missedResolved)
+        coalesce(col("__succ"), col("__next"), col("__gmin")).as(outCol): _*)
   }
 
   /** Top-k hot keys of a column — the measurement step before deciding
