@@ -65,6 +65,17 @@ object PipelineDemos {
         .select(col("id"), md5(col("text")).as("content_hash"))
         .orderBy("id")
     }),
+    // End-to-end training-data prep: language/quality gate → exact
+    // dedup → LSH near-dup removal (CorpusClean) → leakage-safe split
+    // assignment → token accounting. The one statement a user points at
+    // raw documents to get training-ready rows.
+    "pipeline_e2e" -> ((s, dir) => {
+      CorpusClean.run(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id"),
+                TextAnalysis.groupSplit(col("id")).as("split"),
+                TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("id")
+    }),
     // NER mention generator (U1 pipeline head): sentence gates + scrub +
     // 1..3-gram candidate mentions, counted distinct per doc.
     "ngram_mentions" -> ((s, dir) => {
@@ -693,6 +704,37 @@ object PipelineDemos {
        |  + (1.0 - (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.2 AS score
        |  FROM sc)""".stripMargin
 
+  /** The corpus-clean CTE chain (gate → exact dedup → LSH near-dup
+    * losers), shared by the corpus_clean and pipeline_e2e oracles:
+    * survivors = ex minus losers, with `toks` still in scope.
+    */
+  private lazy val corpusCleanCtes =
+    s"""lt AS (SELECT doc_id AS id, text,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ltoks,
+       |    $toksExpr AS toks FROM documents),
+       |sc AS (SELECT id, text, toks, $scoresSelect, CAST(len(toks) AS DOUBLE) AS n_tok FROM lt),
+       |base AS (SELECT id, text, toks FROM sc
+       |  WHERE $langCase = 'en'
+       |  AND (CASE WHEN n_tok > 0 THEN CAST(${langScores.map(_._1).map(l => s"s_$l").mkString(" + ")} AS DOUBLE) / n_tok ELSE 0.0 END) * 0.4
+       |    + least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+       |    + (1.0 - (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.2 >= 0.5),
+       |ex AS (SELECT id, text, toks FROM (
+       |    SELECT id, text, toks, min(id) OVER (PARTITION BY md5(text)) AS keeper FROM base)
+       |  WHERE id = keeper),
+       |sh AS (SELECT id, $shinglesExpr AS shingles FROM ex),
+       |sig AS (SELECT id, [${(0 until 8).map(i =>
+      s"list_min(list_transform(shingles, s -> md5('$i|' || s)))").mkString(", ")}] AS sig FROM sh),
+       |bands AS (SELECT id, unnest([${(0 until 4).map(b =>
+      s"'$b|' || md5(sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}])").mkString(", ")}]) AS band FROM sig),
+       |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |          FROM bands a JOIN bands b USING (band) WHERE a.id < b.id),
+       |sets AS (SELECT id, list_distinct(shingles) AS sset FROM sh),
+       |losers AS (SELECT DISTINCT id_b AS id FROM (
+       |    SELECT id_a, id_b,
+       |      CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) AS jaccard
+       |    FROM cands JOIN sets sa ON sa.id = id_a JOIN sets sb ON sb.id = id_b)
+       |  WHERE jaccard >= $jaccardThreshold)""".stripMargin
+
   /** First-4-hex-digits-of-md5(doc_id) as an integer 0..65535 (the
     * engine-independent uniform used by weighted_sample). */
   private val hex4Sql = {
@@ -759,32 +801,20 @@ object PipelineDemos {
         |    '[ \t\n\r]+', ' ', 'g')) AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
     "corpus_clean" ->
-      s"""WITH lt AS (SELECT doc_id AS id, text,
-         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ltoks,
-         |    $toksExpr AS toks FROM documents),
-         |sc AS (SELECT id, text, toks, $scoresSelect, CAST(len(toks) AS DOUBLE) AS n_tok FROM lt),
-         |base AS (SELECT id, text, toks FROM sc
-         |  WHERE $langCase = 'en'
-         |  AND (CASE WHEN n_tok > 0 THEN CAST(${langScores.map(_._1).map(l => s"s_$l").mkString(" + ")} AS DOUBLE) / n_tok ELSE 0.0 END) * 0.4
-         |    + least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
-         |    + (1.0 - (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.2 >= 0.5),
-         |ex AS (SELECT id, text, toks FROM (
-         |    SELECT id, text, toks, min(id) OVER (PARTITION BY md5(text)) AS keeper FROM base)
-         |  WHERE id = keeper),
-         |sh AS (SELECT id, $shinglesExpr AS shingles FROM ex),
-         |sig AS (SELECT id, [${(0 until 8).map(i =>
-        s"list_min(list_transform(shingles, s -> md5('$i|' || s)))").mkString(", ")}] AS sig FROM sh),
-         |bands AS (SELECT id, unnest([${(0 until 4).map(b =>
-        s"'$b|' || md5(sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}])").mkString(", ")}]) AS band FROM sig),
-         |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |          FROM bands a JOIN bands b USING (band) WHERE a.id < b.id),
-         |sets AS (SELECT id, list_distinct(shingles) AS sset FROM sh),
-         |losers AS (SELECT DISTINCT id_b AS id FROM (
-         |    SELECT id_a, id_b,
-         |      CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) AS jaccard
-         |    FROM cands JOIN sets sa ON sa.id = id_a JOIN sets sb ON sb.id = id_b)
-         |  WHERE jaccard >= $jaccardThreshold)
+      s"""WITH $corpusCleanCtes
          |SELECT id, md5(text) AS content_hash FROM ex
+         |WHERE id NOT IN (SELECT id FROM losers)
+         |ORDER BY id""".stripMargin,
+    // the clean chain's survivors, carried on into split assignment and
+    // token accounting — the whole prep pipeline as one statement
+    "pipeline_e2e" ->
+      s"""WITH $corpusCleanCtes
+         |SELECT id,
+         |  CASE WHEN substr(md5(CAST(id AS VARCHAR)), 1, 1) IN ('0', '1') THEN 'test'
+         |       WHEN substr(md5(CAST(id AS VARCHAR)), 1, 1) IN ('2', '3') THEN 'val'
+         |       ELSE 'train' END AS split,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens
+         |FROM ex
          |WHERE id NOT IN (SELECT id FROM losers)
          |ORDER BY id""".stripMargin,
     "ngram_mentions" ->
