@@ -419,6 +419,29 @@ class ExtensionsSpec extends SparkTestBase {
       s"inclusive bounds, single match each, got ${out.toSeq}")
   }
 
+  test("round-5 edge cases: empty span corpus, PQ dim divisibility, " +
+       "ring lookup against a single-doc ring") {
+    import spark.implicits._
+    // all docs shorter than the window → empty output, not an error
+    val tiny = docsDf(1L -> "too short", 2L -> "also brief")
+    assert(TextDedup.spanStats(tiny, "doc_id", "text", w = 8).count() == 0)
+    // PQ refuses a subspace count that doesn't divide the dimension
+    val vecs = Seq((1L, Array.fill(30)(0.5f)), (2L, Array.fill(30)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.extensions.Pq.trainDeterministic(vecs, "vec_id", "embedding",
+        m = 4, nCodes = 2)
+    }
+    assert(e.getMessage.contains("not divisible"))
+    // one-doc ring: every probe resolves to that doc (hit or wrap)
+    val oneDoc = Seq(7L).toDF("doc_id")
+    val probes = Seq(("lo", "0" * 32), ("hi", "f" * 32)).toDF("pid", "h")
+    val out = graft.ops.Joins.hashRingLookup(probes, "h", oneDoc,
+        "doc_id", "neg")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map("lo" -> 7L, "hi" -> 7L))
+  }
+
   test("zOrderKey interleaves bits exactly: deinterleave recovers both " +
        "inputs") {
     import spark.implicits._
