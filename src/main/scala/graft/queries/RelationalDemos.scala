@@ -527,6 +527,25 @@ object RelationalDemos {
                   .as("within_ok"))
         .orderBy("flag", "q")
     }),
+    // The spark.sql() API surface as a first-class path: a TPC-H
+    // Q3-shaped multi-join aggregation expressed entirely in SQL over
+    // temp views. Revenue in integer cents (the q1_agg exactness trick)
+    // so the double division is engine-exact.
+    "sql_q3" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT o_orderkey, o_orderdate, o_orderpriority,
+          |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+          |           * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+          |    / 10000.0 AS revenue
+          |FROM customer_v JOIN orders_v ON c_custkey = o_custkey
+          |JOIN lineitem_v ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+          |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
+    }),
     // Event-rate spike detection (data-quality / monitoring op): flag
     // hours where a type's count exceeds 2× its trailing-24h average.
     // The comparison is cross-multiplied to pure integers
@@ -830,6 +849,16 @@ object RelationalDemos {
         |FROM (SELECT DISTINCT l_returnflag FROM lineitem),
         |     (VALUES (0.25), (0.5), (0.75)) AS t(q)
         |ORDER BY flag, q""".stripMargin,
+    "sql_q3" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+        |    / 10000.0 AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "spike_detect" ->
       """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
         |    count(*) AS n FROM events GROUP BY event_type, hour),
