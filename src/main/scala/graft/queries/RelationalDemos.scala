@@ -527,6 +527,32 @@ object RelationalDemos {
                   .as("within_ok"))
         .orderBy("flag", "q")
     }),
+    // Equi-width value histogram (profiling op): integer-exact bin
+    // edges via floor division; one partial-aggregated shuffle.
+    "histogram_bins" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(floor(col("l_quantity") / 10.0).cast("long").as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"))
+        .select((col("bin") * 10).as("bin_lo"),
+                (col("bin") * 10 + 10).as("bin_hi"), col("n"))
+        .orderBy("bin_lo")
+    }),
+    // Fuzzy name matching (the synonymizer's name-alignment problem with
+    // typo tolerance): probes × broadcast dictionary gated by edit
+    // distance ≤ 1. The dictionary side is bounded (dimension-sized) —
+    // the classic scale shape for approximate dictionary lookup.
+    "fuzzy_match" -> ((s, dir) => {
+      import s.implicits._
+      val probes = Seq("NATON_3", "XATION_12", "NATION_7", "NOWHERE")
+        .toDF("probe")
+      probes.crossJoin(broadcast(Tables.nation(s, dir)))
+        .withColumn("dist",
+          levenshtein(col("probe"), col("n_name")).cast("long"))
+        .filter(col("dist") <= 1)
+        .select("probe", "n_name", "dist")
+        .orderBy("probe", "n_name")
+    }),
     // The spark.sql() API surface as a first-class path: a TPC-H
     // Q3-shaped multi-join aggregation expressed entirely in SQL over
     // temp views. Revenue in integer cents (the q1_agg exactness trick)
@@ -849,6 +875,17 @@ object RelationalDemos {
         |FROM (SELECT DISTINCT l_returnflag FROM lineitem),
         |     (VALUES (0.25), (0.5), (0.75)) AS t(q)
         |ORDER BY flag, q""".stripMargin,
+    "histogram_bins" ->
+      """WITH b AS (SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS bin
+        |           FROM lineitem)
+        |SELECT bin * 10 AS bin_lo, bin * 10 + 10 AS bin_hi, count(*) AS n
+        |FROM b GROUP BY bin ORDER BY bin_lo""".stripMargin,
+    "fuzzy_match" ->
+      """SELECT probe, n_name, CAST(levenshtein(probe, n_name) AS BIGINT) AS dist
+        |FROM (VALUES ('NATON_3'), ('XATION_12'), ('NATION_7'), ('NOWHERE')) AS t(probe),
+        |     nation
+        |WHERE levenshtein(probe, n_name) <= 1
+        |ORDER BY probe, n_name""".stripMargin,
     "sql_q3" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority,
         |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
