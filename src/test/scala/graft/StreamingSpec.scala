@@ -261,6 +261,36 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty)
   }
 
+  test("streaming spike detection: hour finalizes at the watermark, " +
+       "trailing-24 integer rule matches the batch semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SpikeStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(h: Long) =
+      SpikeStream.TypedEvent("a", new java.sql.Timestamp(h * 3600000L))
+    val input = MemoryStream[SpikeStream.TypedEvent]
+    val q = SpikeStream
+      .detectStateful(input.toDS().withWatermark("ts", "0 seconds"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("spikes").start()
+    try {
+      // 26 calm hours (1 event each), then a 5-event spike at hour 26
+      input.addData((0L to 25L).map(ev): _*)
+      q.processAllAvailable()
+      input.addData(Seq.fill(5)(ev(26L)): _*)
+      q.processAllAvailable()
+      // sentinels advance the watermark so hours 25 and 26 finalize
+      input.addData(ev(31L)); q.processAllAvailable()
+      input.addData(ev(32L)); q.processAllAvailable()
+      val out = spark.table("spikes").as[SpikeStream.Spike].collect().toSeq
+      // hour 26: n=5 against 24 trailing ones → 5·24 > 2·24 → spike;
+      // every calm hour: 1·k > 2·k never holds
+      assert(out == Seq(SpikeStream.Spike("a", 26L, 5L, 24L, 24L)),
+        s"expected exactly the hour-26 spike, got $out")
+    } finally q.stop()
+  }
+
   test("streaming near-dup ingest flags batch-2 dups against batch-1 " +
        "history and matches the batch incremental reference") {
     import spark.implicits._
