@@ -17,9 +17,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * foreachBatch is the right tool (not a stateful operator): the LSH
   * index is corpus-sized — far beyond per-key streaming state — and the
   * flag pass is a batch join against it. Exactly-once: foreachBatch
-  * re-delivers a failed batch; the flag output is keyed by (batch doc
-  * id) so replays overwrite idempotently in the sink, and the history
-  * append is guarded by the batchId marker written alongside.
+  * re-delivers a failed batch, and both sinks are batch-id-addressed
+  * partition directories written with overwrite, so replays (even of a
+  * half-written batch) are idempotent — see [[flagBatch]].
   */
 object DocsStream {
 
@@ -42,28 +42,38 @@ object DocsStream {
 
   /** One micro-batch: flag new docs against history, then append them to
     * the history. Exposed for batch-parity testing.
+    *
+    * Exactly-once by construction: both outputs land in
+    * batch-id-addressed subdirectories (`batch=<id>/`) written with
+    * overwrite, so a replayed batch — including one that crashed
+    * half-written — overwrites its own partition instead of appending a
+    * duplicate. History reads see `batch` as a partition column; the
+    * flag pass only projects (doc_id, text) so the extra column is
+    * pruned at scan.
     */
   def flagBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                 histDir: String, flagsDir: String,
                 threshold: Double): Unit = {
-    val fs = new java.io.File(histDir)
-    val hasHist = fs.exists() &&
-      fs.listFiles != null && fs.listFiles.exists(_.getName.endsWith(".parquet"))
-    val marker = new java.io.File(s"$histDir.batch$batchId")
-    if (marker.exists()) return // replayed batch: already ingested
+    val histRoot = new java.io.File(histDir)
+    // history = batches strictly BEFORE this one (a replay must not see
+    // its own half-written partition as history)
+    val priorBatches = Option(histRoot.listFiles).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .filter(_.getName.stripPrefix("batch=").toLong < batchId)
+      .map(_.getAbsolutePath)
     val flags =
-      if (!hasHist)
+      if (priorBatches.isEmpty)
         batch.select(col("doc_id").as("id")).limit(0)
           .withColumn("dup_of", lit(null).cast("long"))
           .withColumn("n_matches", lit(0L))
           .withColumn("best_jaccard", lit(0.0))
       else
         graft.extensions.TextDedup.incrementalNearDups(
-          batch, spark.read.parquet(histDir), "doc_id", "text", threshold)
-    flags.withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(flagsDir)
-    batch.write.mode("append").parquet(histDir)
-    marker.createNewFile()
+          batch,
+          spark.read.parquet(priorBatches: _*).select("doc_id", "text"),
+          "doc_id", "text", threshold)
+    flags.write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
+    batch.write.mode("overwrite").parquet(s"$histDir/batch=$batchId")
     ()
   }
 }

@@ -40,12 +40,16 @@ object SpikeStream {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key, it, state) =>
           val prev = state.getOption.getOrElse(SpikeState(Map.empty, Nil))
-          // merge this micro-batch's events into the open hours
+          val wm = state.getCurrentWatermarkMs()
+          // merge this micro-batch's events into the open hours,
+          // DROPPING events for hours the watermark already closed (the
+          // standard late-data contract — without it a straggler would
+          // re-open a judged hour and emit a duplicate, partial verdict)
           val open = it.foldLeft(prev.open) { (m, e) =>
             val h = java.lang.Math.floorDiv(e.ts.getTime, HourMs)
-            m.updated(h, m.getOrElse(h, 0L) + 1L)
+            if ((h + 1) * HourMs <= wm) m
+            else m.updated(h, m.getOrElse(h, 0L) + 1L)
           }
-          val wm = state.getCurrentWatermarkMs()
           // finalize closed hours in ascending order (cross-batch
           // determinism: each hour is judged exactly once, in sequence)
           val (closed, stillOpen) =

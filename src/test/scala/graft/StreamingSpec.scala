@@ -288,6 +288,10 @@ class StreamingSpec extends SparkTestBase {
       // every calm hour: 1·k > 2·k never holds
       assert(out == Seq(SpikeStream.Spike("a", 26L, 5L, 24L, 24L)),
         s"expected exactly the hour-26 spike, got $out")
+      // a straggler for a long-closed hour is dropped, not re-judged
+      input.addData(Seq.fill(9)(ev(20L)): _*); q.processAllAvailable()
+      assert(spark.table("spikes").count() == 1,
+        "late event re-opened a finalized hour")
     } finally q.stop()
   }
 
