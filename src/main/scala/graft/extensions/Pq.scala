@@ -58,6 +58,33 @@ object Pq {
       zip_with(sub, lit(centroid), (a, c) => (a - c) * (a - c)),
       lit(0.0), (acc, x) => acc + x)
 
+  /** KMeans codebooks per subspace — the quality path (tighter cells
+    * than the deterministic sample) when cross-engine reproducibility
+    * isn't required; same dual-path stance as [[Ivf.train]] vs
+    * [[Ivf.trainDeterministic]]. One bounded-sample KMeans fit per
+    * subspace; deterministic for a fixed seed.
+    */
+  def train(vecs: DataFrame, vecCol: String, m: Int = 4, nCodes: Int = 16,
+            seed: Long = 42L, maxSampleRows: Int = 100000): PqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = vecs.select(size(col(vecCol)).as("d")).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val centroids = Array.tabulate(m) { j =>
+      val sub = vecs
+        .select(array_to_vector(
+          slice(col(vecCol).cast("array<double>"), j * dsub + 1, dsub))
+          .as("features"))
+        .limit(maxSampleRows)
+      new KMeans()
+        .setK(nCodes).setSeed(seed + j).setMaxIter(20)
+        .setFeaturesCol("features")
+        .fit(sub).clusterCenters.map(_.toArray)
+    }
+    PqIndex(centroids, dim)
+  }
+
   /** Deterministic codebooks: the subvectors of the `nCodes` md5-smallest
     * ids. Collect is nCodes rows (index build — an offline step, bounded
     * and memoizable, same stance as the IVF index).

@@ -363,18 +363,30 @@ object TextDedup {
     * cut the row blow-up in half without losing long-span recall.
     */
   def spanStats(docs: DataFrame, idCol: String, textCol: String,
-                w: Int = 8): DataFrame = {
+                w: Int = 8, sample: Int = 1): DataFrame = {
+    require(sample >= 1, s"sample must be >= 1, got $sample")
     val toks = graft.ops.Partitioning.ensureParallelism(
         docs.select(col(idCol).as("doc_id"), col(textCol).as("t")))
       .select(col("doc_id"), TextAnalysis.tokens(col("t")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
     // (doc_id, span_hash) — one row per window; hash only, text dropped
-    // before anything shuffles
-    val spans = toks.filter(col("n") >= w)
+    // before anything shuffles. `sample` is the scale knob, and it is
+    // CONTENT-defined (winnowing-style: keep windows whose hash ≡ 0 mod
+    // sample), not positional — a positional stride samples a different
+    // phase of a shared span in each document and misses the collision;
+    // hash selection picks the SAME windows of a shared span everywhere
+    // it occurs. Shuffle volume drops ~sample×, map-side; a shared
+    // region with k internal windows is missed with prob (1-1/sample)^k.
+    // n_spans/n_dup_spans then count SELECTED windows.
+    val allSpans = toks.filter(col("n") >= w)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), col("n") - (w - 1)),
           i => md5(array_join(slice(col("toks"), i, lit(w)), " "))))
           .as("h"))
+    val spans =
+      (if (sample == 1) allSpans
+       else allSpans.filter(
+         conv(substring(col("h"), 1, 4), 16, 10) % sample === 0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupHashes = spans.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("ndocs"))

@@ -320,6 +320,26 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("PQ KMeans quality path: twin encodes to the original's codes, " +
+       "ADC search ranks it first") {
+    import spark.implicits._
+    import graft.extensions.Pq
+    val rng = new scala.util.Random(29)
+    val base = (0 until 60).map(i =>
+      (i.toLong, Array.fill(32)(rng.nextGaussian().toFloat)))
+    val twin = (99L, base.head._2.map(v => v * 1.0005f))
+    val vecs = (base :+ twin).toDF("vec_id", "embedding")
+    val index = Pq.train(vecs, "embedding", m = 4, nCodes = 8, seed = 5L)
+    assert(index.m == 4 && index.nCodes == 8 && index.dsub == 8)
+    val codes = Pq.encode(vecs, "vec_id", "embedding", index)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(0L) == codes(99L),
+      s"near-identical vectors must share codes: ${codes(0L)} vs ${codes(99L)}")
+    val top = Pq.search(vecs, vecs.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", index, topK = 1).collect()
+    assert(top.head.getLong(1) == 99L, s"expected twin first, got ${top.head}")
+  }
+
   test("IVF-PQ: probing ALL cells reproduces plain PQ ADC ranking") {
     import spark.implicits._
     import graft.extensions.{Ivf, Pq}
@@ -364,6 +384,30 @@ class ExtensionsSpec extends SparkTestBase {
     assert(r(3L) == ((2L, 0L)))
     // doc4: fewer than w tokens → contributes no spans at all
     assert(!r.contains(4L))
+  }
+
+  test("span dedup content-defined sampling: shared long region still " +
+       "collides at sample=4, window volume drops") {
+    val shared = (1 to 64).map(i => s"common$i").mkString(" ")
+    val d = docsDf(
+      1L -> s"$shared unique tail one here",
+      2L -> s"different head text $shared")
+    def stats(sample: Int) =
+      TextDedup.spanStats(d, "doc_id", "text", w = 8, sample = sample)
+        .collect()
+        .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    val full = stats(1)
+    val sampled = stats(4)
+    // the 64-token shared region has 57 internal windows: even keeping
+    // ~1/4 of windows, the SAME content-selected windows surface in
+    // both docs → dup spans found in both
+    assert(sampled.values.forall(_._2 > 0),
+      s"sampling lost the shared region: $sampled")
+    // and the selected-window volume really dropped
+    val fullTotal = full.values.map(_._1).sum
+    val sampledTotal = sampled.values.map(_._1).sum
+    assert(sampledTotal < fullTotal / 2,
+      s"expected ~4x fewer windows, got $sampledTotal of $fullTotal")
   }
 
   test("brute-force top-k ranks the planted near-dup first") {
