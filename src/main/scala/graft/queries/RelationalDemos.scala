@@ -527,6 +527,44 @@ object RelationalDemos {
                   .as("within_ok"))
         .orderBy("flag", "q")
     }),
+    // Calendar rollup: monthly revenue trend via date_trunc, month
+    // serialized as yyyy-MM (string-exact cross-engine), revenue in
+    // integer cents.
+    "monthly_trend" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg((sum(round(col("o_totalprice") * 100).cast("long"))
+                .cast("double") / 100.0).as("revenue"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("month")
+    }),
+    // Regex group capture: the priority rank digit extracted from
+    // '5-LOW'-style codes (the capture-group surface, distinct from the
+    // rlike predicates of R1).
+    "regex_extract" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+                regexp_extract(col("o_orderpriority"), "^([0-9])-", 1)
+                  .cast("long").as("prio_rank"))
+        .orderBy("o_orderkey")
+    }),
+    // Windowed distinct count: distinct event types in each user's
+    // trailing 5 events (sliding-engagement breadth). Spark has no
+    // DISTINCT window aggregate — size(array_distinct(collect_list))
+    // over the frame expresses it; the oracle uses DuckDB's native
+    // count(DISTINCT) OVER.
+    "window_distinct" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+                unix_micros(col("ts")).as("t_us"))
+        .withColumn("d",
+          size(array_distinct(collect_list(col("event_type")).over(w)))
+            .cast("long"))
+        .select("user_id", "event_id", "d")
+        .orderBy("event_id")
+    }),
     // Equi-width value histogram (profiling op): integer-exact bin
     // edges via floor division; one partial-aggregated shuffle.
     "histogram_bins" -> ((s, dir) => {
@@ -875,6 +913,21 @@ object RelationalDemos {
         |FROM (SELECT DISTINCT l_returnflag FROM lineitem),
         |     (VALUES (0.25), (0.5), (0.75)) AS t(q)
         |ORDER BY flag, q""".stripMargin,
+    "monthly_trend" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY month ORDER BY month""".stripMargin,
+    "regex_extract" ->
+      """SELECT o_orderkey,
+        |  CAST(regexp_extract(o_orderpriority, '^([0-9])-', 1) AS BIGINT) AS prio_rank
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "window_distinct" ->
+      """SELECT user_id, event_id,
+        |  CAST(count(DISTINCT event_type) OVER
+        |    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS d
+        |FROM events ORDER BY event_id""".stripMargin,
     "histogram_bins" ->
       """WITH b AS (SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS bin
         |           FROM lineitem)
