@@ -38,8 +38,8 @@ object Ivf {
     * repartitioned off a possibly-single-split scan (no-op when the scan
     * is already well split).
     */
-  private def prepped(vecs: DataFrame, idCol: String,
-                      vecCol: String): DataFrame =
+  private[extensions] def prepped(vecs: DataFrame, idCol: String,
+                                  vecCol: String): DataFrame =
     graft.ops.Partitioning.ensureParallelism(
         vecs.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .select(col("id"), col("vec"), Similarity.norm(col("vec")).as("nrm"))

@@ -182,18 +182,16 @@ object Pq {
       .select(col("id"), col("cell"),
               array((0 until pq.m).map(j => col(s"c$j")): _*).as("codes"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Ivf.prepped stages (id, vec, nrm, nvec) — reusing it keeps the
+    // normalize-with-zero-guard (and its O(d²) staging invariant)
+    // defined in exactly one place
     val probes = broadcast(
-      queries.select(col(idCol).as("query_id"),
-                     col(vecCol).as("__qv"),
-                     Similarity.norm(col(vecCol)).as("__qn"))
-        .select(col("query_id"), col("__qv"), col("__qn"),
-          explode(slice(Ivf.rankedCells(
-            transform(col("__qv").cast("array<double>"),
-              x => when(col("__qn") > 0, x / col("__qn"))
-                .otherwise(lit(0.0))), ivf), 1, nProbe))
+      Ivf.prepped(queries, idCol, vecCol)
+        .select(col("id").as("query_id"), col("vec"),
+          explode(slice(Ivf.rankedCells(col("nvec"), ivf), 1, nProbe))
             .as("probe"))
         .select(Seq(col("query_id"), col("probe.cell").as("cell")) ++
-          dtCols(col("__qv"), pq): _*))
+          dtCols(col("vec"), pq): _*))
     val w = Window.partitionBy("query_id")
       .orderBy(col("approx_dist"), col("neighbor_id"))
     lists.join(probes, "cell")

@@ -15,6 +15,9 @@ import graft.tables.Tables
 object RelationalDemos {
   type Q = (SparkSession, String) => DataFrame
 
+  private val cmsCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.util.sketch.CountMinSketch]
+
   val queries: Map[String, Q] = Map(
     // S2 — scan + projection + pushed filter.
     "scan_parquet" -> ((s, dir) => {
@@ -482,7 +485,11 @@ object RelationalDemos {
     "heavy_hitters" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val eps = 0.001
-      val cms = ev.stat.countMinSketch(col("event_type"), eps, 0.99, 42)
+      // sketch memoized per corpus dir (same offline-index stance as the
+      // bloom/IVF/PQ caches): building it runs a Spark job, which must
+      // not repeat on every registry construction / plan audit
+      val cms = cmsCache.getOrElseUpdate(dir,
+        ev.stat.countMinSketch(col("event_type"), eps, 0.99, 42))
       val slack = eps * cms.totalCount()
       val est = udf((t: String) => cms.estimateCount(t))
       ev.groupBy("event_type")

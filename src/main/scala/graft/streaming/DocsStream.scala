@@ -54,26 +54,37 @@ object DocsStream {
   def flagBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                 histDir: String, flagsDir: String,
                 threshold: Double): Unit = {
-    val histRoot = new java.io.File(histDir)
+    // Hadoop FS listing, not java.io.File: histDir may be HDFS/S3/file:
+    // URIs — a local-only listing would silently see no history and
+    // stream every batch through the empty-history branch unflagged.
+    val histPath = new org.apache.hadoop.fs.Path(histDir)
+    val fs = histPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // history = batches strictly BEFORE this one (a replay must not see
     // its own half-written partition as history)
-    val priorBatches = Option(histRoot.listFiles).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .filter(_.getName.stripPrefix("batch=").toLong < batchId)
-      .map(_.getAbsolutePath)
-    val flags =
-      if (priorBatches.isEmpty)
-        batch.select(col("doc_id").as("id")).limit(0)
-          .withColumn("dup_of", lit(null).cast("long"))
-          .withColumn("n_matches", lit(0L))
-          .withColumn("best_jaccard", lit(0.0))
-      else
-        graft.extensions.TextDedup.incrementalNearDups(
-          batch,
-          spark.read.parquet(priorBatches: _*).select("doc_id", "text"),
-          "doc_id", "text", threshold)
-    flags.write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
-    batch.write.mode("overwrite").parquet(s"$histDir/batch=$batchId")
+    val priorBatches =
+      if (!fs.exists(histPath)) Seq.empty[String]
+      else fs.listStatus(histPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .filter(_.getPath.getName.stripPrefix("batch=").toLong < batchId)
+        .map(_.getPath.toString)
+    // two actions follow (flags write + history write): persist so the
+    // micro-batch source is not fetched twice per trigger
+    batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val flags =
+        if (priorBatches.isEmpty)
+          batch.select(col("doc_id").as("id")).limit(0)
+            .withColumn("dup_of", lit(null).cast("long"))
+            .withColumn("n_matches", lit(0L))
+            .withColumn("best_jaccard", lit(0.0))
+        else
+          graft.extensions.TextDedup.incrementalNearDups(
+            batch,
+            spark.read.parquet(priorBatches: _*).select("doc_id", "text"),
+            "doc_id", "text", threshold)
+      flags.write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
+      batch.write.mode("overwrite").parquet(s"$histDir/batch=$batchId")
+    } finally batch.unpersist()
     ()
   }
 }

