@@ -386,6 +386,34 @@ class ExtensionsSpec extends SparkTestBase {
     assert(!r.contains(4L))
   }
 
+  test("span dedup: randomized equivalence with a brute-force reference") {
+    val rng = new scala.util.Random(17)
+    // small vocab forces genuine cross-doc window collisions
+    val docs = (0L until 40L).map { id =>
+      val n = 5 + rng.nextInt(20)
+      id -> (0 until n).map(_ => s"w${rng.nextInt(12)}").mkString(" ")
+    }
+    val w = 5
+    // brute-force reference
+    val windows = docs.map { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      id -> toks.sliding(w).filter(_.length == w)
+        .map(_.mkString(" ")).toSeq
+    }.toMap
+    val dupSpans = windows.values.flatten.toSeq
+      .groupBy(identity)
+      .filter { case (s, _) =>
+        windows.count { case (_, ws) => ws.contains(s) } > 1 }
+      .keySet
+    val expect = windows.collect { case (id, ws) if ws.nonEmpty =>
+      id -> ((ws.size.toLong, ws.count(dupSpans).toLong))
+    }
+    val got = TextDedup.spanStats(docsDf(docs: _*), "doc_id", "text", w = w)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+  }
+
   test("span dedup content-defined sampling: shared long region still " +
        "collides at sample=4, window volume drops") {
     val shared = (1 to 64).map(i => s"common$i").mkString(" ")

@@ -88,6 +88,30 @@ class ScaleStressSpec extends SparkTestBase {
       s"random-token spans should not collide: ${stats.getLong(1)}")
   }
 
+  test("hash ring lookup at 50k docs / 5k probes: every probe resolves, " +
+       "spot-checked against brute force") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val nDocs = 50000L
+    val docs = spark.range(0, nDocs).toDF("doc_id")
+    val probes = spark.range(0, 5000).toDF("pid")
+      .withColumn("h", md5(concat(col("pid").cast("string"), lit(":q"))))
+    val got = graft.ops.Joins.hashRingLookup(probes, "h", docs,
+        "doc_id", "pick")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.size == 5000)
+    // brute force a sample of probes against the full ring
+    val ring = (0L until nDocs).map(id => md5hex(id.toString) -> id)
+      .sortBy(identity)
+    (0 until 5000 by 250).foreach { p =>
+      val h = md5hex(s"$p:q")
+      val expect = ring.find(_._1 >= h).getOrElse(ring.head)._2
+      assert(got(p.toLong) == expect, s"probe $p: ${got(p.toLong)} != $expect")
+    }
+  }
+
   test("IVF-PQ search on 5k vectors: probes bounded, ADC ranks the " +
        "planted twin first") {
     import spark.implicits._
