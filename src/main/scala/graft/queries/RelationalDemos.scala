@@ -534,6 +534,19 @@ object RelationalDemos {
                   .as("within_ok"))
         .orderBy("flag", "q")
     }),
+    // Semi-structured extraction: the JSON props column pulled apart
+    // both ways — path extraction (get_json_object) and schema-on-read
+    // typed parsing (from_json). At scale the typed form wins: one
+    // parse per row into codegen'd struct fields vs one parse per path.
+    "json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+                get_json_object(col("props"), "$.k").cast("long")
+                  .as("k_path"),
+                from_json(col("props"), "k LONG",
+                    Map.empty[String, String]).getField("k").as("k_typed"))
+        .orderBy("event_id")
+    }),
     // Calendar rollup: monthly revenue trend via date_trunc, month
     // serialized as yyyy-MM (string-exact cross-engine), revenue in
     // integer cents.
@@ -920,6 +933,11 @@ object RelationalDemos {
         |FROM (SELECT DISTINCT l_returnflag FROM lineitem),
         |     (VALUES (0.25), (0.5), (0.75)) AS t(q)
         |ORDER BY flag, q""".stripMargin,
+    "json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
+        |FROM events ORDER BY event_id""".stripMargin,
     "monthly_trend" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
