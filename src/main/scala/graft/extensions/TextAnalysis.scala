@@ -14,7 +14,7 @@ object TextAnalysis {
 
   /** Whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+    graft.functions.Tokens(text)
 
   /** Whitespace token count (long). */
   def tokenCount(text: Column): Column =
@@ -37,10 +37,11 @@ object TextAnalysis {
     ("es", Seq("el", "la", "los", "de", "y", "que", "es")),
     ("fr", Seq("le", "les", "des", "et", "une", "est", "dans")))
 
-  /** Evidence count for one language: tokens present in its dictionary. */
+  /** Evidence count for one language: tokens present in its dictionary
+    * (native StopHits — semantically size(filter(toks, isin)), but
+    * whole-stage-codegen-compatible). */
   def langScore(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(lower(text)),
-      t => t.isin(words.map(x => x: Any): _*))).cast("long")
+    graft.functions.StopHits(tokens(lower(text)), words)
 
   /** Language ID: argmax evidence count; ties break toward the
     * lexicographically larger language code; all-zero → "und".

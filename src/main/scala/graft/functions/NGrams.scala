@@ -2,10 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
 
 /** All contiguous 1..maxGram-grams of a token array, space-joined,
   * length-gated, and deduplicated — in one pass per row.
@@ -19,14 +18,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * pathology: NER.py:99-100 candidate generation); this is one tight loop
   * with a dedup set. Join semantics match `array_join` (null tokens are
   * skipped, no separator left behind); the length gate counts codepoints
-  * like Spark's `length()`.
+  * like Spark's `length()`. Codegen'd via a static-call `doGenCode` so
+  * the surrounding projection stays inside whole-stage codegen (see
+  * [[MinHashSig]]'s note).
   *
   * Emitting pre-deduped, pre-filtered arrays also shrinks the explode
   * output ~2× before the global per-document `distinct()`, which is the
   * shuffle that matters at corpus scale.
   */
 case class NGramsExpr(child: Expression, maxGram: Int, minChars: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(maxGram >= 1, "maxGram must be >= 1")
   // equivalence precondition with the replaced HOF chain: that chain
   // emitted an empty-string placeholder for sentences shorter than n
@@ -37,34 +38,13 @@ case class NGramsExpr(child: Expression, maxGram: Int, minChars: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "ngrams"
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val toks = new Array[UTF8String](n)
-    var i = 0
-    while (i < n) {
-      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
-      i += 1
-    }
-    val sep = UTF8String.fromString(" ")
-    val seen = new java.util.LinkedHashSet[UTF8String]()
-    var g = 1
-    while (g <= maxGram) {
-      var start = 0
-      while (start + g <= n) {
-        val window = java.util.Arrays.copyOfRange(toks, start, start + g)
-        val gram = UTF8String.concatWs(sep, window: _*)
-        if (gram != null && gram.numChars() >= minChars) seen.add(gram)
-        start += 1
-      }
-      g += 1
-    }
-    val out = new Array[Any](seen.size)
-    var k = 0
-    val it = seen.iterator()
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(v: Any): Any =
+    NativeTextEval.ngrams(v.asInstanceOf[ArrayData], maxGram, minChars)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NativeTextEval.ngrams($c, $maxGram, $minChars)")
 
   override protected def withNewChildInternal(c: Expression): NGramsExpr =
     copy(child = c)
@@ -94,40 +74,23 @@ object NGrams {
   * stack); a single-child expression is immune to that re-substitution
   * by construction. (2) one tight loop per row beats four interpreted
   * higher-order passes. Join semantics match `array_join` (null tokens
-  * skipped).
+  * skipped). Codegen'd via static call (see [[MinHashSig]]).
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, s"n must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(StringType)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "word_shingles"
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val len = arr.numElements()
-    val toks = new Array[UTF8String](len)
-    var i = 0
-    while (i < len) {
-      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
-      i += 1
-    }
-    val sep = UTF8String.fromString(" ")
-    if (len >= n) {
-      val out = new Array[Any](len - n + 1)
-      var s = 0
-      while (s + n <= len) {
-        out(s) = UTF8String.concatWs(sep,
-          java.util.Arrays.copyOfRange(toks, s, s + n): _*)
-        s += 1
-      }
-      new GenericArrayData(out)
-    } else {
-      new GenericArrayData(
-        Array[Any](UTF8String.concatWs(sep, toks: _*)))
-    }
-  }
+  override def nullSafeEval(v: Any): Any =
+    NativeTextEval.wordShingles(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NativeTextEval.wordShingles($c, $n)")
 
   override protected def withNewChildInternal(c: Expression): WordShingles =
     copy(child = c)

@@ -690,6 +690,27 @@ class ExtensionsSpec extends SparkTestBase {
     //  dedicated session attaches GraftExtensions)
   }
 
+  test("native ws_tokens is bit-equivalent to filter(split(text, \\s+)) " +
+       "on randomized text incl. unicode, tabs, and edge whitespace") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val pieces = Seq("word", "héllo", "日本語", "a", "", "x1!",
+      "\t", "\n", " ", "", "\f", "\r", "  ", " nb")
+    val texts = (0 until 300).map { _ =>
+      (0 until rng.nextInt(12)).map(_ => pieces(rng.nextInt(pieces.size)))
+        .mkString(if (rng.nextBoolean()) " " else "")
+    } ++ Seq("", " ", "\t\n\r", "one", " lead", "trail ")
+    val df = texts.toDF("text")
+    val rows = df.select(
+        graft.functions.Tokens(col("text")).as("native"),
+        filter(split(col("text"), "\\s+"), t => length(t) > 0).as("hof"))
+      .collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"mismatch on ${t.map(c => f"\\u$c%04x" takeRight 6).mkString}")
+    }
+  }
+
   test("word shingles native expression is bit-equivalent to the " +
        "interpreted CASE/transform/slice chain") {
     import spark.implicits._

@@ -289,6 +289,32 @@ class PlanShapeSpec extends SparkTestBase {
         s"exchange, got $nShuffles:\n$physical")
   }
 
+  test("scalar hot paths stay inside WholeStageCodegen — every Project " +
+       "(incl. the custom MinHashSig/SimHashBits/SeqDot expressions) " +
+       "compiles, none falls back to interpreted eval") {
+    Seq("lang_id", "quality_score", "token_stats", "dedup_minhash_sig",
+        "dedup_simhash", "embed_norm", "doc_fingerprint").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      // AQE collapses codegen stages at materialization — execute first
+      // or the inspected plan never shows WholeStageCodegen nodes
+      df.collect()
+      val physical = unwrapped(df.queryExecution.executedPlan)
+      val naked = physical.collect {
+        case p: org.apache.spark.sql.execution.ProjectExec
+          // a ProjectExec whose direct parent chain lacks codegen shows
+          // up here; inputRDDs-based check: codegen'd projects are
+          // wrapped, so they appear as WholeStageCodegenExec children
+          if !physical.exists {
+            case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+              w.collect { case q if q eq p => q }.nonEmpty
+            case _ => false
+          } => p
+      }
+      assert(naked.isEmpty,
+        s"$name has Project(s) outside WholeStageCodegen:\n$physical")
+    }
+  }
+
   test("SeqDot matches the interpreted sequential fold") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
