@@ -48,4 +48,33 @@ class RegistryAuditSpec extends SparkTestBase {
     }
     assert(bad.isEmpty, s"queries with CartesianProduct plans: $bad")
   }
+
+  test("registry-wide whole-stage-codegen audit: NO query leaves a " +
+       "Project outside WholeStageCodegen (a single CodegenFallback " +
+       "expression silently drops its whole operator to interpreted " +
+       "row-at-a-time eval)") {
+    // executes every query at sf0.001 — AQE only collapses codegen
+    // stages at materialization, so a plan-only check can't see them
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val df = fn(spark, dir)
+        df.collect()
+        val phys = df.queryExecution.executedPlan match {
+          case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            ad.executedPlan
+          case other => other
+        }
+        val naked = phys.collect {
+          case p: org.apache.spark.sql.execution.ProjectExec
+            if !phys.exists {
+              case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+                w.collect { case x if x eq p => x }.nonEmpty
+              case _ => false
+            } => p
+        }
+        if (naked.nonEmpty) Some(s"$name(${naked.size})") else None
+    }
+    assert(offenders.isEmpty,
+      s"queries with interpreted projections: $offenders")
+  }
 }
