@@ -60,6 +60,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         graft.functions.WordShingles(exprs.head, intArg(exprs(1), "n"))))
     ext.injectFunction((
+      FunctionIdentifier("ws_tokens"),
+      new ExpressionInfo(classOf[graft.functions.TokensExpr].getName,
+                         "ws_tokens"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.TokensExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("stop_hits"),
+      new ExpressionInfo(classOf[graft.functions.StopHits].getName,
+                         "stop_hits"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.StopHits(exprs.head,
+          exprs.drop(1).map(e => strArg(e, "stop word")))))
+    ext.injectFunction((
       FunctionIdentifier("normalize_text"),
       new ExpressionInfo(classOf[NormalizeTextExpr].getName,
                          "normalize_text"),

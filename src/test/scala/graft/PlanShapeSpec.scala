@@ -122,6 +122,14 @@ class PlanShapeSpec extends SparkTestBase {
       .collect().head
     assert(r2.getString(0) == "café")
     assert(r2.getBoolean(1), "present element must hit the bloom filter")
+    // round-5 registrations: native tokenizer + stopword counter
+    val r3 = s2.sql(
+      "SELECT ws_tokens('  the  quick\tfox ') AS toks, " +
+      "stop_hits(ws_tokens('the quick fox and the dog'), 'the', 'and') " +
+      "  AS hits")
+      .collect().head
+    assert(r3.getSeq[String](0) == Seq("the", "quick", "fox"))
+    assert(r3.getLong(1) == 3L)
   }
 
   test("driver entry smoke works on a PLAIN session (no custom confs)") {
