@@ -321,6 +321,23 @@ object PipelineDemos {
         .select("anchor", "positive", "negative")
         .orderBy("anchor", "positive")
     }),
+    // N-gram novelty score (curation metric: how much of a document is
+    // text seen nowhere else): fraction of its 3-gram shingles whose
+    // corpus-wide occurrence count is exactly 1. Low novelty = mostly
+    // boilerplate/duplicated phrasing. Exact integer ratio → exact
+    // double cross-engine. Two shuffles: gram counts + per-doc rollup.
+    "novelty_score" -> ((s, dir) => {
+      val grams = TextDedup
+        .withShingles(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), explode(col("sh")).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val counts = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+      grams.join(counts, "g")
+        .groupBy("doc_id")
+        .agg((sum(when(col("cnt") === 1, 1L).otherwise(0L)).cast("double")
+                / count(lit(1)).cast("double")).as("novelty"))
+        .orderBy("doc_id")
+    }),
     // Curriculum binning: per-language quality quartiles (ntile) —
     // orders training data easy→hard for curriculum schedules; bin 1 =
     // the best quartile. Deterministic tie-break on doc_id; one keyed
@@ -1156,6 +1173,16 @@ object PipelineDemos {
          |    (SELECT r.doc_id FROM ring r ORDER BY r.hd, r.doc_id LIMIT 1))
          |    AS negative
          |FROM p ORDER BY anchor, positive""".stripMargin,
+    "novelty_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesExpr AS shingles FROM t),
+         |g AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+         |c AS (SELECT g, count(*) AS cnt FROM g GROUP BY g)
+         |SELECT doc_id,
+         |  CAST(count(*) FILTER (WHERE cnt = 1) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS novelty
+         |FROM g JOIN c USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "curriculum_bins" ->
       s"""WITH $scoreCtes
          |SELECT doc_id, lang,
