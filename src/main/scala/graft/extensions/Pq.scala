@@ -181,6 +181,11 @@ object Pq {
       .select(Seq(col("id"), col("cell")) ++ codeCols(col("vec"), pq): _*)
       .select(col("id"), col("cell"),
               array((0 until pq.m).map(j => col(s"c$j")): _*).as("codes"))
+      // Cache ownership: the coded inverted lists ARE the index —
+      // persisted once per corpus for the probe join; CacheManager
+      // dedups repeat searches over the same corpus/plan, and the
+      // entry lives for the session (spark.catalog.clearCache() to
+      // reclaim between corpora — same stance as Ivf.search).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Ivf.prepped stages (id, vec, nrm, nvec) — reusing it keeps the
     // normalize-with-zero-guard (and its O(d²) staging invariant)

@@ -377,12 +377,21 @@ object TextDedup {
     // hash selection picks the SAME windows of a shared span everywhere
     // it occurs. Shuffle volume drops ~sample×, map-side; a shared
     // region with k internal windows is missed with prob (1-1/sample)^k.
-    // n_spans/n_dup_spans then count SELECTED windows.
-    val allSpans = toks.filter(col("n") >= w)
+    // n_spans/n_dup_spans then count SELECTED windows; a doc whose
+    // selected set is empty still emits (0, 0) — the row set is the
+    // docs with >= w tokens, independent of the sampling knob.
+    val eligible = toks.filter(col("n") >= w)
+    val allSpans = eligible
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), col("n") - (w - 1)),
           i => md5(array_join(slice(col("toks"), i, lit(w)), " "))))
           .as("h"))
+    // Cache ownership: persisted for the two consumers below (the
+    // dup-hash aggregate and the per-doc rejoin); the entry lives for
+    // the session — CacheManager dedups repeat calls over the same
+    // corpus, and callers that need the memory back can
+    // spark.catalog.clearCache() between corpora (same stance as
+    // Ivf.search's inverted lists).
     val spans =
       (if (sample == 1) allSpans
        else allSpans.filter(
@@ -392,9 +401,20 @@ object TextDedup {
       .agg(count_distinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") > 1)
       .select(col("h"), lit(1).as("is_dup"))
-    spans.join(dupHashes, Seq("h"), "left")
+    val perDoc = spans.join(dupHashes, Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
            count(col("is_dup")).as("n_dup_spans"))
+    // Rejoin to the eligible docs so sampling never drops a doc from
+    // the output (with sample > 1 a doc's selected window set can be
+    // empty). At sample=1 every eligible doc has >= 1 window, so the
+    // rejoin would be an identity — skip it to keep the unsampled
+    // plan (the registry path) a single pass over the tokens.
+    if (sample == 1) perDoc
+    else eligible.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
   }
 }

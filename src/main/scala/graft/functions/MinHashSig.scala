@@ -32,6 +32,13 @@ case class MinHashSig(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(StringType)
   override def nullIntolerant: Boolean = true
+  // Eval returns null for an EMPTY (non-null) shingle array, so the
+  // output is nullable even over a non-nullable child. Without this
+  // override, nullSafeCodeGen's non-nullable branch never declares
+  // ev.isNull and the `${ev.isNull} = true;` assignment is a Janino
+  // compile error — whole-stage codegen silently falls back to
+  // interpreted eval (and UnsafeProjection can NPE on the null).
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
 
   override def nullSafeEval(v: Any): Any =
@@ -64,6 +71,9 @@ case class MinHashBands(child: Expression, k: Int, bands: Int)
 
   override def dataType: DataType = ArrayType(StringType)
   override def nullIntolerant: Boolean = true
+  // Null for empty shingle arrays regardless of child nullability —
+  // see the MinHashSig.nullable note.
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_bands"
 
   override def nullSafeEval(v: Any): Any =

@@ -330,6 +330,8 @@ object PipelineDemos {
       val grams = TextDedup
         .withShingles(Tables.documents(s, dir), "doc_id", "text")
         .select(col("id").as("doc_id"), explode(col("sh")).as("g"))
+        // session-lived cache entry (CacheManager dedups repeats over
+        // the same corpus); clearCache() reclaims it — see Ivf.search
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val counts = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
       grams.join(counts, "g")

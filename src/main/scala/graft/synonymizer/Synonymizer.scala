@@ -49,9 +49,13 @@ object Synonymizer {
       edges)
 
   /** Pipe-table markdown render of a (small, already-ordered) frame —
-    * pandas `to_markdown(index=False)` shape, which is what the
-    * reference's debug printer emits (node_synonymizer.py:332,334).
-    * Columns are left-aligned and padded to the widest cell.
+    * pandas `to_markdown(index=False)` shape for ALL-STRING frames,
+    * which is what the reference's debug printer emits
+    * (node_synonymizer.py:332,334) and all this renderer is fed.
+    * Columns are left-aligned (`:---`) and padded to the widest cell;
+    * pandas/tabulate right-aligns NUMERIC columns (`---:`) and applies
+    * number formatting, so a numeric column would need per-type
+    * alignment before the equivalence claim extends to it.
     */
   private[synonymizer] def toMarkdown(df: DataFrame): String = {
     val names = df.columns

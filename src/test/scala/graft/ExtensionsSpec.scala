@@ -941,4 +941,49 @@ class ExtensionsSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 3L, 0L, 0.0), (2L, 2L, 1L, 0.5)),
       s"got ${out.toSeq}")
   }
+
+  test("minhash expressions over a NON-nullable child: codegen compiles " +
+       "(no silent fallback) and empty shingles yield null") {
+    import graft.functions.{MinHashBands, MinHashSig}
+    // when/otherwise over two non-nullable arrays stays non-nullable —
+    // the exact shape that broke nullSafeCodeGen when the expressions
+    // inherited nullable=false from the child (ADVICE r5: ev.isNull
+    // never declared → Janino error → silent interpreted fallback)
+    val df = spark.range(2).select(col("id"),
+      when(col("id") === 0, slice(split(lit("x y"), " "), 1, 0))
+        .otherwise(split(lit("alpha beta gamma delta"), " ")).as("sh"))
+    assert(!df.schema("sh").nullable, "fixture must be non-nullable")
+    val out = df.select(col("id"), MinHashSig(col("sh"), 4).as("sig"),
+      MinHashBands(col("sh"), 8, 4).as("bands"))
+    assert(out.schema("sig").nullable && out.schema("bands").nullable)
+    // fail loudly if the generated code doesn't compile instead of
+    // letting Spark fall back to interpreted eval
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = out.orderBy("id").collect()
+      assert(rows(0).isNullAt(1) && rows(0).isNullAt(2),
+        "empty shingle array must produce null sig/bands")
+      assert(rows(1).getSeq[String](1).size == 4)
+      assert(rows(1).getSeq[String](2).size == 4)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("span dedup sampling keeps docs whose selected window set is " +
+       "empty: row set is sample-invariant") {
+    // doc 1 has exactly w tokens → 1 window; at sample=997 that single
+    // window's hash is (deterministically) not selected, so before the
+    // round-6 fix the doc vanished from the output
+    val d = docsDf(
+      1L -> (1 to 8).map(i => s"only$i").mkString(" "),
+      2L -> (1 to 64).map(i => s"body$i").mkString(" "),
+      3L -> "too short")
+    val got = TextDedup.spanStats(d, "doc_id", "text", w = 8, sample = 997)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set(1L, 2L),
+      s"eligible docs (>= w tokens) must all appear, got ${got.keySet}")
+    assert(got(1L)._1 == 0L && got(1L)._2 == 0L,
+      s"unselected doc reports zero counts, got ${got(1L)}")
+  }
 }
