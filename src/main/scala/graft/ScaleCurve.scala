@@ -1,0 +1,292 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-curve artifact generator: runs the three scale-critical
+  * pipeline shapes (MinHash/LSH near-dup, cross-doc span dedup, IVF-PQ
+  * ANN) on synthetic corpora at 5k/50k/200k documents and writes
+  * SCALECURVE.md with rows-in / candidate-volume / wall-time per point.
+  *
+  * Purpose: the sf0.1 registry proves CORRECTNESS; this proves the
+  * SCALE SHAPE — the band join must stay non-quadratic (candidate
+  * volume ~ planted duplicates, not ~ n²) and runtime must grow
+  * near-linearly as the corpus grows 40×. The generators are the
+  * ScaleStressSpec fixtures (hash-derived pseudo-random tokens and
+  * vectors — fully distributed, no driver-side data generation, so the
+  * same program would drive a 1000-executor run unchanged).
+  *
+  * Methodology: one full pass at the smallest point warms JIT/codegen;
+  * every (pipeline, size) then records min-of-2 timed runs with the
+  * cache cleared before each so a persisted frame from run 1 can't
+  * flatter run 2 (the registry bench keeps caches hot on purpose; a
+  * scale curve must not).
+  *
+  * Usage: tools/run.sh graft.ScaleCurve [outFile]
+  *   SPARK_GRAFT_SCALE_POINTS=5000,50000,200000 (override points)
+  */
+object ScaleCurve {
+
+  /** ScaleStressSpec's corpus: 40 hash-derived tokens per doc from a
+    * ~100k vocabulary; the last 5% of ids are near-dup copies of the
+    * first 5% (same 40 tokens + one extra → jaccard ≈ 0.93).
+    */
+  def nearDupCorpus(spark: SparkSession, n: Long): DataFrame = {
+    val nCopies = n / 20
+    val nBase = n - nCopies
+    spark.range(0, n).toDF("doc_id")
+      .withColumn("k",
+        when(col("doc_id") >= nBase, col("doc_id") - nBase)
+          .otherwise(col("doc_id")))
+      .withColumn("text",
+        concat_ws(" ",
+          transform(sequence(lit(0L), lit(39L)),
+            j => concat(lit("w"),
+              pmod(hash(col("k") * 997L + j * 131L), lit(99991))))))
+      .withColumn("text",
+        when(col("doc_id") >= nBase, concat(col("text"), lit(" extra")))
+          .otherwise(col("text")))
+      .select("doc_id", "text")
+  }
+
+  /** License-header corpus: a shared 10-token boilerplate prefix on
+    * EVERY doc (the worst-case span-population key: one hash held by
+    * the whole corpus) + 30 unique hash-derived tokens.
+    */
+  def spanCorpus(spark: SparkSession, n: Long): DataFrame =
+    spark.range(0, n).toDF("doc_id")
+      .withColumn("own",
+        concat_ws(" ",
+          transform(sequence(lit(0L), lit(29L)),
+            j => concat(lit("w"),
+              pmod(hash(col("doc_id") * 997L + j * 131L), lit(99991))))))
+      .withColumn("text",
+        concat(lit((1 to 10).map(i => s"hdr$i").mkString(" ")),
+               lit(" "), col("own")))
+      .select("doc_id", "text")
+
+  /** Hash-derived embeddings in [-1, 1]^32, generated on executors.
+    * The last 100 ids are planted twins of ids 0..99 (same direction,
+    * ×1.0005) so ANN recall is measurable at every corpus size.
+    */
+  def vectorCorpus(spark: SparkSession, n: Long, d: Int = 32): DataFrame = {
+    val twinBase = n - 100
+    spark.range(0, n).toDF("vec_id")
+      .withColumn("k",
+        when(col("vec_id") >= twinBase, col("vec_id") - twinBase)
+          .otherwise(col("vec_id")))
+      .withColumn("s",
+        when(col("vec_id") >= twinBase, lit(1.0005)).otherwise(lit(1.0)))
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(d - 1)),
+          j => (((pmod(hash(col("k") * 31L + j.cast("long") * 7L),
+                       lit(2001)) - lit(1000)).cast("double") / lit(1000.0))
+            * col("s")).cast("float")))
+      .select("vec_id", "embedding")
+  }
+
+  private def timeIt(spark: SparkSession)(action: => Long): (Double, Long) = {
+    var rows = 0L
+    val samples = (1 to 2).map { _ =>
+      // each timed run starts cold: a frame persisted inside run 1
+      // must not turn run 2 into a cache read
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      rows = action
+      (System.nanoTime() - t0) / 1e9
+    }
+    (samples.min, rows)
+  }
+
+  final case class Point(n: Long, metrics: Seq[(String, String)])
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/root/repo/SCALECURVE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.local("graft-scalecurve", cpus)
+    val points = sys.env.get("SPARK_GRAFT_SCALE_POINTS")
+      .map(_.split(",").map(_.trim.toLong).toSeq)
+      .getOrElse(Seq(5000L, 50000L, 200000L))
+
+    import graft.extensions.{Ivf, Pq, TextDedup}
+
+    // ---- warm-up: full smallest-point pass, untimed (JIT + codegen) --
+    locally {
+      val n = points.min
+      TextDedup.jaccardVerified(nearDupCorpus(spark, n),
+        "doc_id", "text", 0.5).count()
+      TextDedup.spanStats(spanCorpus(spark, n), "doc_id", "text", w = 8)
+        .agg(sum("n_spans")).count()
+      val vecs = vectorCorpus(spark, n)
+      val ivf = Ivf.trainDeterministic(vecs, "vec_id", "embedding", 32)
+      val pq = Pq.trainDeterministic(vecs, "vec_id", "embedding",
+        m = 8, nCodes = 256)
+      Pq.searchIvfPq(vecs, vecs.filter(col("vec_id") < 100L),
+        "vec_id", "embedding", ivf, pq, nProbe = 8, topK = 10).count()
+      spark.catalog.clearCache()
+    }
+
+    // ---- 1. MinHash/LSH near-dup (dedup_jaccard shape) ---------------
+    val jaccardPts = points.map { n =>
+      val docs = nearDupCorpus(spark, n)
+      val nPlanted = n / 20
+      val nCands = TextDedup.minhashCandidates(docs, "doc_id", "text").count()
+      spark.catalog.clearCache()
+      val (sec, nPairs) = timeIt(spark) {
+        TextDedup.jaccardVerified(docs, "doc_id", "text", 0.5).count()
+      }
+      val nBase = n - nPlanted
+      val planted = TextDedup.jaccardVerified(docs, "doc_id", "text", 0.5)
+        .filter(col("id_b") - col("id_a") === nBase).count()
+      spark.catalog.clearCache()
+      Point(n, Seq(
+        "docs" -> n.toString,
+        "planted pairs" -> nPlanted.toString,
+        "LSH candidates" -> nCands.toString,
+        "cands/doc" -> f"${nCands.toDouble / n}%.3f",
+        "verified pairs" -> nPairs.toString,
+        "planted recall" -> f"${planted.toDouble / nPlanted}%.4f",
+        "wall (s)" -> f"$sec%.2f"))
+    }
+
+    // ---- 2. Cross-doc span dedup (span_dedup shape) -------------------
+    val spanPts = points.map { n =>
+      val docs = spanCorpus(spark, n)
+      var totals: (Long, Long) = (0L, 0L)
+      val (sec, _) = timeIt(spark) {
+        val r = TextDedup.spanStats(docs, "doc_id", "text", w = 8)
+          .agg(sum("n_spans").as("s"), sum("n_dup_spans").as("d"))
+          .collect().head
+        totals = (r.getLong(0), r.getLong(1))
+        1L
+      }
+      Point(n, Seq(
+        "docs" -> n.toString,
+        "windows" -> totals._1.toString,
+        "windows/doc" -> f"${totals._1.toDouble / n}%.1f",
+        "dup windows" -> totals._2.toString,
+        "wall (s)" -> f"$sec%.2f"))
+    }
+
+    // ---- 3. IVF-PQ ANN search (ann_ivfpq shape) -----------------------
+    val annPts = points.map { n =>
+      val vecs = vectorCorpus(spark, n)
+      val kCells = math.max(16, (math.sqrt(n.toDouble) / 2).toInt)
+      val nProbe = 8
+      val ivf = Ivf.trainDeterministic(vecs, "vec_id", "embedding", kCells)
+      val pq = Pq.trainDeterministic(vecs, "vec_id", "embedding",
+        m = 8, nCodes = 256)
+      val queries = vecs.filter(col("vec_id") < 100L)
+      val (sec, _) = timeIt(spark) {
+        Pq.searchIvfPq(vecs, queries, "vec_id", "embedding", ivf, pq,
+          nProbe = nProbe, topK = 10).count()
+      }
+      // planted-twin recall: query q's true nearest neighbor is its
+      // ×1.0005 copy at id (n-100)+q — it should surface at rank 1
+      val twinHits = Pq.searchIvfPq(vecs, queries, "vec_id", "embedding",
+          ivf, pq, nProbe = nProbe, topK = 10)
+        .filter(col("rank") === 1 &&
+                col("neighbor_id") === col("query_id") + (n - 100))
+        .count()
+      spark.catalog.clearCache()
+      Point(n, Seq(
+        "vectors" -> n.toString,
+        "cells" -> kCells.toString,
+        "probed frac" -> f"${nProbe.toDouble / kCells}%.3f",
+        "twin recall@1" -> f"${twinHits / 100.0}%.2f",
+        "wall 100q (s)" -> f"$sec%.2f"))
+    }
+
+    // ---- render ------------------------------------------------------
+    def table(pts: Seq[Point]): String = {
+      val headers = pts.head.metrics.map(_._1)
+      val rows = pts.map(_.metrics.map(_._2))
+      (headers.mkString("| ", " | ", " |") ::
+        headers.map(_ => "---").mkString("|", "|", "|") ::
+        rows.map(_.mkString("| ", " | ", " |")).toList).mkString("\n")
+    }
+    def growth(pts: Seq[Point], key: String): String =
+      pts.sliding(2).map { case Seq(a, b) =>
+        val va = a.metrics.find(_._1 == key).get._2.toDouble
+        val vb = b.metrics.find(_._1 == key).get._2.toDouble
+        f"${b.n}/${a.n} data ×${b.n.toDouble / a.n}%.0f → $key ×${vb / va}%.1f"
+      }.mkString("; ")
+
+    val md = s"""# SCALECURVE — dedup/ANN pipelines at ${points.mkString("/")} docs
+       ^
+       ^Generated by `tools/run.sh graft.ScaleCurve` (local[$cpus],
+       ^min-of-2 timed runs, cache cleared before every timed run, JIT
+       ^warmed by one untimed full pass at the smallest point). Corpora
+       ^are the ScaleStressSpec generators — hash-derived tokens/vectors
+       ^computed ON THE EXECUTORS, so the identical program shape drives
+       ^a multi-node run. Times are single-host local[$cpus] and matter
+       ^only RELATIVELY (the growth factor between points, not the
+       ^absolute seconds).
+       ^
+       ^## 1. MinHash/LSH near-dup (`dedup_jaccard` shape)
+       ^
+       ^40-token docs, ~100k vocabulary, 5% planted near-dup pairs
+       ^(jaccard ≈ 0.93). `TextDedup.jaccardVerified` end-to-end:
+       ^shingle → minhash sig → banded LSH candidates → exact-jaccard
+       ^verification.
+       ^
+       ^${table(jaccardPts)}
+       ^
+       ^Growth: ${growth(jaccardPts, "wall (s)")}.
+       ^Candidates: ${growth(jaccardPts, "LSH candidates")}.
+       ^
+       ^The quadratic failure mode this guards against: an unbanded (or
+       ^mega-bucket-unbounded) design pairs all docs — ${points.max} docs
+       ^would emit ~${points.max * (points.max - 1) / 2} candidates. The
+       ^band join instead keeps candidates ~ planted duplicates
+       ^(cands/doc stays flat), so candidate volume AND wall time grow
+       ^with the DATA, not its square.
+       ^
+       ^## 2. Cross-doc span dedup (`span_dedup` shape)
+       ^
+       ^Every doc carries a shared 10-token license-header prefix — the
+       ^worst-case span population (one window hash held by the entire
+       ^corpus) — plus 30 unique tokens. `TextDedup.spanStats(w=8)`.
+       ^
+       ^${table(spanPts)}
+       ^
+       ^Growth: ${growth(spanPts, "wall (s)")}.
+       ^
+       ^Window volume is exactly linear (33/doc); the dup-hash aggregate
+       ^is a map-side-combined count on constant-width (hash, doc_id)
+       ^rows, so the corpus-wide header key never concentrates span TEXT
+       ^on one reducer — only its 16-byte hash counts.
+       ^
+       ^## 3. IVF-PQ ANN (`ann_ivfpq` shape)
+       ^
+       ^32-dim hash-derived vectors; cells ~ sqrt(n)/2 (the knob that
+       ^must track corpus size); nProbe=8 fixed; 100 queries, top-10 by
+       ^asymmetric-distance over 8×256 codebooks. Search cost per query
+       ^~ n × nProbe/cells × O(m) table lookups — the probed fraction
+       ^SHRINKS as cells grow, which is what keeps per-query cost
+       ^sublinear in n.
+       ^
+       ^${table(annPts)}
+       ^
+       ^Growth: ${growth(annPts, "wall 100q (s)")}.
+       ^
+       ^## Reading the curves at 100 TB
+       ^
+       ^- LSH: `bandBits`/`bands` must track log2(corpus) (TextDedup
+       ^  scaladoc) — these runs hold the sf-registry defaults and stay
+       ^  candidate-bounded through 40× growth.
+       ^- Span dedup: raise `sample` (content-defined winnowing) to shed
+       ^  window volume linearly once the token stream, not the band
+       ^  join, is the bottleneck.
+       ^- IVF-PQ: grow `cells` with sqrt(n); the corpus side of the probe
+       ^  join carries (id, cell, codes[8]) only — the raw-vector payload
+       ^  never shuffles (PlanShapeSpec guard).
+       ^""".stripMargin('^')
+
+    Files.writeString(Paths.get(out), md)
+    println(md)
+    spark.stop()
+  }
+}
