@@ -8,12 +8,17 @@ import org.apache.spark.sql.functions._
   * feature-extraction runs as a batched per-partition pass over the typed
   * Dataset (the Scala analogue of an arrow-batched Python UDF).
   *
-  * The decode step itself is a STUB — media codecs aren't available in
-  * this environment — implemented as a deterministic fake (byte
-  * statistics standing in for pixel decoding). The Spark-side plumbing is
-  * real and load-bearing: binary schema, per-partition batching,
-  * column pruning (payload only read when features are computed), and a
-  * fixed-width feature vector output ready for the Similarity operators.
+  * Two decode tiers:
+  *  - [[decodeImages]] — a REAL image decode over the JDK's
+  *    `javax.imageio` codecs (PNG/BMP/GIF/JPEG ship with the JDK, no
+  *    external dependency): width, height, per-channel means. Payloads
+  *    no registered codec can read fall back to the deterministic byte
+  *    stub, flagged `decoded = false`.
+  *  - [[decodeFeatures]] / [[resize]] / [[sampleFrames]] — deterministic
+  *    byte-level STUBS standing in for codec families the JDK does not
+  *    ship (video, audio, resampling); the Spark-side plumbing (binary
+  *    schema, per-partition batching, one-to-many frame fan-out, column
+  *    pruning) is real and is what a production codec drops into.
   */
 object Multimodal {
 
@@ -66,6 +71,74 @@ object Multimodal {
   def documentFeatures(docs: DataFrame): Dataset[MediaFeatures] = {
     import docs.sparkSession.implicits._
     decodeFeatures(withPayload(docs).as[MediaRow])
+  }
+
+  final case class ImageStats(doc_id: Long, format: String, n_bytes: Long,
+                              decoded: Boolean, width: Long, height: Long,
+                              r_mean: Double, g_mean: Double, b_mean: Double)
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/BMP/GIF/JPEG
+    * readers ship with the JDK): dimensions + per-channel (R, G, B)
+    * pixel means in 0..255, alpha ignored, grayscale replicated across
+    * the three channels — `getRGB` normalizes every color model to
+    * sRGB, so the stats are codec-independent. A payload no registered
+    * reader accepts (or that throws mid-decode) falls back to the
+    * deterministic byte stub with `decoded = false`, width/height -1
+    * and the raw byte mean in all three channels: the no-codec
+    * degradation is a flagged row, never a lost one (same stance as
+    * the reference's failure-tolerant invoke, SURVEY §2.8 U3).
+    *
+    * Scale shape: mapPartitions, one reused stream per row, no decode
+    * on scan (binaryFile lists + reads lazily); stats are O(pixels)
+    * per row and the output is fixed-width — the same batching a
+    * production embed/resize pass needs. Per-pixel `getRGB` trades a
+    * color-model conversion per pixel for codec independence; a
+    * throughput-critical decode would grab the raster buffer per band
+    * instead (same plumbing, different inner loop).
+    */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload)))
+          catch { case _: Exception => None }
+        img match {
+          case Some(im) =>
+            val w = im.getWidth
+            val h = im.getHeight
+            var rs = 0.0; var gs = 0.0; var bs = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = im.getRGB(x, y)
+                rs += (p >> 16) & 0xff
+                gs += (p >> 8) & 0xff
+                bs += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toDouble * h
+            ImageStats(r.doc_id, r.format, r.n_bytes, decoded = true,
+              w.toLong, h.toLong, rs / n, gs / n, bs / n)
+          case None =>
+            var sum = 0L
+            var i = 0
+            while (i < r.payload.length) {
+              sum += r.payload(i) & 0xff
+              i += 1
+            }
+            val mean =
+              if (r.payload.length == 0) 0.0
+              else sum.toDouble / r.payload.length
+            ImageStats(r.doc_id, r.format, r.n_bytes, decoded = false,
+              -1L, -1L, mean, mean, mean)
+        }
+      }
+    }
   }
 
   final case class ResizedMedia(doc_id: Long, format: String,

@@ -93,6 +93,27 @@ object RelationalDemos {
                 coalesce(col("k_name"), col("m_name")).as("resolved_nation"))
         .orderBy("c_custkey")
     }),
+    // Salted join for pathological key skew (SURVEY §4.3, the ref's
+    // ubiquitous-"aspirin" dictionary key): the fact side's entire mass
+    // sits on 3 l_returnflag values, so an unsalted shuffle join lands
+    // on ≤3 reducers no matter the cluster size. saltedJoin spreads
+    // each hot key over (key, salt) reducer slots; the shuffle_hash
+    // hint forces the skew-relevant plan (a 3-row dim would otherwise
+    // broadcast and hide the mechanism). Result is salt-invariant —
+    // the oracle is the plain join semantics.
+    "join_salted" -> ((s, dir) => {
+      val fact = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("rf"), col("l_quantity"))
+      val dim = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("rf")).distinct()
+        .withColumn("label", concat(lit("flag_"), col("rf")))
+        .hint("shuffle_hash")
+      graft.ops.Joins.saltedJoin(fact, dim, "rf", saltFactor = 16)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_rows"),
+             AggOps.exactSum(col("l_quantity")).as("sum_qty"))
+        .orderBy("label")
+    }),
     // J7 — cluster-member-style array build → explode → join
     // (node_synonymizer.py:236-256, 311-329).
     "explode_join" -> ((s, dir) => {
@@ -724,6 +745,10 @@ object RelationalDemos {
         |LEFT JOIN nation k ON probe.nk = k.n_nationkey
         |LEFT JOIN nation m ON probe.nname = m.n_name
         |ORDER BY c_custkey""".stripMargin,
+    "join_salted" ->
+      """SELECT 'flag_' || l_returnflag AS label, count(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY label""".stripMargin,
     "explode_join" ->
       """WITH arr AS (SELECT l_orderkey, list(DISTINCT l_partkey) AS pids FROM lineitem GROUP BY 1),
         |ex AS (SELECT l_orderkey, unnest(pids) AS pk FROM arr)

@@ -145,6 +145,47 @@ object SourceSinkDemos {
         .agg(count(lit(1)).as("n_files"),
              sum(length(col("content")).cast("long")).as("sum_bytes"))
     }),
+    // REAL image decode (javax.imageio) over binaryFile: solid-color
+    // PNG and BMP fixtures whose dimensions and channel values are pure
+    // functions of doc_id, so the DuckDB oracle computes the expected
+    // stats arithmetically while Spark must actually parse the codec
+    // bytes to reproduce them — a wrong decode breaks the hash.
+    "image_decode" -> ((s, dir) => {
+      val path = scratch(dir, "img")
+      val marker = new java.io.File(s"$path/_DONE")
+      if (!marker.exists()) {
+        new java.io.File(path).mkdirs()
+        (0 until 8).foreach { id =>
+          val w = 8 + 3 * id
+          val h = 5 + 2 * id
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = ((37 * id + 13) % 256 << 16) |
+            ((59 * id + 11) % 256 << 8) | ((83 * id + 29) % 256)
+          (0 until h).foreach(y => (0 until w).foreach(x =>
+            img.setRGB(x, y, rgb)))
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          val ok = javax.imageio.ImageIO.write(
+            img, fmt, new java.io.File(s"$path/doc_$id.$fmt"))
+          require(ok, s"no JDK $fmt writer registered")
+        }
+        marker.createNewFile()
+      }
+      import s.implicits._
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*.*").load(path)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("content").as("payload"),
+          regexp_extract(col("path"), "\\.(png|bmp)$", 1).as("format"),
+          col("length").as("n_bytes"))
+        .as[graft.extensions.Multimodal.MediaRow]
+      graft.extensions.Multimodal.decodeImages(media).toDF()
+        .select(col("doc_id"), col("format").as("fmt"), col("width"),
+                col("height"), col("r_mean"), col("g_mean"), col("b_mean"))
+        .orderBy("doc_id")
+    }),
     // U3 — failure tolerance as null-safety (the reference wraps per-row
     // work in try/except, utils.py / perform_NER.py invoke guards): every
     // string op null-propagates instead of throwing; downstream coalesce
@@ -193,6 +234,15 @@ object SourceSinkDemos {
       """SELECT count(*) AS n_files,
         |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes
         |FROM documents WHERE doc_id < 5""".stripMargin,
+    "image_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+        |  CAST(8 + 3*doc_id AS BIGINT) AS width,
+        |  CAST(5 + 2*doc_id AS BIGINT) AS height,
+        |  CAST((37*doc_id + 13) % 256 AS DOUBLE) AS r_mean,
+        |  CAST((59*doc_id + 11) % 256 AS DOUBLE) AS g_mean,
+        |  CAST((83*doc_id + 29) % 256 AS DOUBLE) AS b_mean
+        |FROM documents WHERE doc_id < 8 ORDER BY doc_id""".stripMargin,
     "null_safety" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN NULL

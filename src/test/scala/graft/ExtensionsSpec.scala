@@ -582,6 +582,25 @@ class ExtensionsSpec extends SparkTestBase {
     assert(salted == plain)
     val hot = Joins.hotKeys(fact, col("k"), 1).collect().head
     assert(hot.getLong(0) == 1L && hot.getLong(1) == 900L)
+    // the point of salting, asserted at runtime: the hot key's rows
+    // leave the (forced-shuffle) join spread over several reducers,
+    // where the unsalted join necessarily lands them on ONE. AQE off:
+    // its small-partition coalescing would re-merge the tiny test
+    // partitions and hide the spread this asserts.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dimH = dim.hint("shuffle_hash")
+      def hotParts(df: org.apache.spark.sql.DataFrame): Long = df
+        .filter(col("k") === 1L)
+        .select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+        .distinct().count()
+      assert(hotParts(fact.join(dimH, "k")) == 1L,
+        "unsalted shuffle join must concentrate the hot key")
+      val spread = hotParts(Joins.saltedJoin(fact, dimH, "k", saltFactor = 8))
+      assert(spread > 1L,
+        s"salted join must split the hot key across reducers, got $spread")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
   test("multimodal: resize + frame sampling plumbing") {
@@ -967,6 +986,46 @@ class ExtensionsSpec extends SparkTestBase {
       assert(rows(1).getSeq[String](1).size == 4)
       assert(rows(1).getSeq[String](2).size == 4)
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("image decode (javax.imageio): gradient PNG and solid BMP stats " +
+       "match the pre-encoding pixels; garbage payload falls back flagged") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // gradient 6x4 PNG: channel values are known functions of (x, y)
+    val (w, h) = (6, 4)
+    val png = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var (rs, gs, bs) = (0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = (x * 40, y * 60, (x + y) * 20)
+      rs += r; gs += g; bs += b
+      png.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    def bytes(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val bmp = new BufferedImage(3, 2, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3) bmp.setRGB(x, y, 0x102030)
+    val media = Seq(
+      extensions.Multimodal.MediaRow(1L, bytes(png, "png"), "png", 0L),
+      extensions.Multimodal.MediaRow(2L, bytes(bmp, "bmp"), "bmp", 0L),
+      extensions.Multimodal.MediaRow(3L, Array[Byte](1, 2, 3), "junk", 3L))
+      .toDS()
+    val got = extensions.Multimodal.decodeImages(media)
+      .collect().map(s => s.doc_id -> s).toMap
+    val n = (w * h).toDouble
+    assert(got(1L).decoded && got(1L).width == w && got(1L).height == h)
+    assert(got(1L).r_mean == rs / n && got(1L).g_mean == gs / n &&
+           got(1L).b_mean == bs / n,
+      s"PNG means ${got(1L)} != ($rs/$n, $gs/$n, $bs/$n)")
+    assert(got(2L).decoded && got(2L).width == 3 && got(2L).height == 2 &&
+           got(2L).r_mean == 0x10 && got(2L).g_mean == 0x20 &&
+           got(2L).b_mean == 0x30)
+    // undecodable payload: flagged fallback row, byte-mean stub stats
+    assert(!got(3L).decoded && got(3L).width == -1L &&
+           got(3L).r_mean == 2.0)
   }
 
   test("span dedup sampling keeps docs whose selected window set is " +

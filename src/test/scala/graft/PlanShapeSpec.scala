@@ -39,6 +39,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("join_salted shuffles on (key, salt): the hot key is spread " +
+       "over saltFactor reducer slots, not broadcast away") {
+    val p = plan("join_salted")
+    assert(p.contains("ShuffledHashJoin"),
+      s"the skew demo must keep the shuffle (broadcast hides it):\n$p")
+    assert("hashpartitioning\\(rf#\\d+L?, __salt#\\d+".r.findFirstIn(p)
+             .isDefined,
+      s"shuffle must partition on (rf, __salt), not rf alone:\n$p")
+  }
+
   test("stream_enrich broadcasts the dimension (no shuffle of the " +
        "stream side for the join)") {
     val p = plan("stream_enrich")
