@@ -14,7 +14,7 @@ import graft.tables.Tables
 object PipelineDemos {
   type Q = (SparkSession, String) => DataFrame
 
-  private val jaccardThreshold = 0.5
+  private[queries] val jaccardThreshold = 0.5
   private val cosineThreshold = 0.45
   private val embedCap = 1000L
 
@@ -629,6 +629,33 @@ object PipelineDemos {
       | THEN list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))
       | ELSE [array_to_string(toks, ' ')] END""".stripMargin
 
+  /** Shared LSH CTE prologue over `documents` (tokens → shingles →
+    * 8-hash minhash signature → 4 band keys → distinct shingle sets):
+    * the DuckDB rendering of the TextDedup chain, used by
+    * `dedup_incremental` here and the multi-batch ingest oracle in
+    * [[StreamingDemos]].
+    */
+  private[queries] val lshCtes: String =
+    s"""t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesExpr AS shingles FROM t),
+       |sig AS (SELECT doc_id, [${(0 until 8).map(i =>
+      s"list_min(list_transform(shingles, s -> md5('$i|' || s)))").mkString(", ")}] AS sig FROM sh),
+       |bands AS (SELECT doc_id, unnest([${(0 until 4).map(b =>
+      s"'$b|' || md5(sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}])").mkString(", ")}]) AS band FROM sig),
+       |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh)""".stripMargin
+
+  /** Exact-jaccard verification + per-new-doc flag aggregate over a
+    * `cands(id, hist_id)` CTE — the shared tail of the incremental
+    * ingest oracles. */
+  private[queries] val incrementalFlagTail: String =
+    s"""j AS (SELECT id, hist_id,
+       |    CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) AS jaccard
+       |  FROM cands JOIN sets sa ON sa.doc_id = id JOIN sets sb ON sb.doc_id = hist_id)
+       |SELECT id, min(hist_id) AS dup_of, CAST(count(*) AS BIGINT) AS n_matches,
+       |  max(jaccard) AS best_jaccard
+       |FROM j WHERE jaccard >= $jaccardThreshold
+       |GROUP BY id ORDER BY id""".stripMargin
+
   private def langScoreSql(words: Seq[String]): String =
     s"len(list_filter(ltoks, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
@@ -787,24 +814,12 @@ object PipelineDemos {
          |SELECT doc_id, list_min(list_transform(shingles, s -> md5(s))) AS fingerprint
          |FROM sh ORDER BY doc_id""".stripMargin,
     "dedup_incremental" ->
-      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
-         |sh AS (SELECT doc_id, $shinglesExpr AS shingles FROM t),
-         |sig AS (SELECT doc_id, [${(0 until 8).map(i =>
-        s"list_min(list_transform(shingles, s -> md5('$i|' || s)))").mkString(", ")}] AS sig FROM sh),
-         |bands AS (SELECT doc_id, unnest([${(0 until 4).map(b =>
-        s"'$b|' || md5(sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}])").mkString(", ")}]) AS band FROM sig),
+      s"""WITH $lshCtes,
          |cands AS (SELECT DISTINCT n.doc_id AS id, h.doc_id AS hist_id
          |          FROM bands n JOIN bands h USING (band)
          |          WHERE substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 1) >= '8'
          |            AND substr(md5(CAST(h.doc_id AS VARCHAR)), 1, 1) < '8'),
-         |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh),
-         |j AS (SELECT id, hist_id,
-         |    CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) AS jaccard
-         |  FROM cands JOIN sets sa ON sa.doc_id = id JOIN sets sb ON sb.doc_id = hist_id)
-         |SELECT id, min(hist_id) AS dup_of, CAST(count(*) AS BIGINT) AS n_matches,
-         |  max(jaccard) AS best_jaccard
-         |FROM j WHERE jaccard >= $jaccardThreshold
-         |GROUP BY id ORDER BY id""".stripMargin,
+         |$incrementalFlagTail""".stripMargin,
     "unicode_clean" ->
       """SELECT doc_id,
         |  md5(nfc_normalize(text || ' cafe' || chr(769))) AS nfc_md5,

@@ -1,8 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
-import graft.streaming.EventsStream
+import org.apache.spark.sql.functions.{col, md5, substring}
+import graft.streaming.{DocsStream, EventsStream, SpikeStream}
 import graft.tables.Tables
 
 /** Streaming-shaped demo: the tumbling-window aggregation registered in
@@ -42,6 +42,33 @@ object StreamingDemos {
           e.filter(col("event_type") === "view"),
           e.filter(col("event_type") === "purchase"))
         .orderBy("purchase_id", "view_id")
+    }),
+    // SpikeStream's batch-parity face — the stream's exact semantics
+    // including the lapse reap (a >7-day gap restarts a key's trail);
+    // detectStateful equivalence asserted in StreamingSpec.
+    "spike_stream_batch" -> ((s, dir) =>
+      SpikeStream.detectBatch(Tables.events(s, dir))
+        .orderBy("event_type", "hour")),
+    // DocsStream's batch-parity face: the documents table ingested as 3
+    // deterministic micro-batches (md5-split) through the REAL
+    // foreachBatch body — batch 0 seeds history, batch 1 flags against
+    // batch 0, batch 2 against batches 0+1; the accumulated flags
+    // directory is the result. flagBatch's batch-id-addressed overwrite
+    // makes re-runs idempotent, so the registry re-execution pattern
+    // (warm-up + timed runs) reads back identical state every time.
+    "stream_ingest_flags" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val hex1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val base = s"${sys.props("java.io.tmpdir")}/graft_ingest_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Seq(hex1 < "8", hex1 >= "8" && hex1 < "c", hex1 >= "c")
+        .zipWithIndex.foreach { case (cond, i) =>
+          DocsStream.flagBatch(s, docs.filter(cond), i.toLong,
+            s"$base/hist", s"$base/flags", PipelineDemos.jaccardThreshold)
+        }
+      s.read.parquet(s"$base/flags")
+        .select("id", "dup_of", "n_matches", "best_jaccard")
+        .orderBy("id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -75,6 +102,35 @@ object StreamingDemos {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+    "spike_stream_batch" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |    count(*) AS n FROM events GROUP BY event_type, hour),
+        |g AS (SELECT *, CASE WHEN lag(hour) OVER tw IS NULL
+        |    OR hour - lag(hour) OVER tw > 168 THEN 1 ELSE 0 END AS ne
+        |  FROM h WINDOW tw AS (PARTITION BY event_type ORDER BY hour)),
+        |e AS (SELECT *, sum(ne) OVER (PARTITION BY event_type ORDER BY hour
+        |    ROWS UNBOUNDED PRECEDING) AS epoch FROM g),
+        |t AS (SELECT *,
+        |    sum(n) OVER w AS sum_trail, count(n) OVER w AS n_trail
+        |  FROM e WINDOW w AS (PARTITION BY event_type, epoch ORDER BY hour
+        |                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour, n, CAST(sum_trail AS BIGINT) AS sum_trail,
+        |  n_trail
+        |FROM t WHERE n_trail > 0 AND n * n_trail > sum_trail * 2
+        |ORDER BY event_type, hour""".stripMargin,
+    "stream_ingest_flags" ->
+      s"""WITH ${PipelineDemos.lshCtes},
+         |c1 AS (SELECT DISTINCT n.doc_id AS id, h.doc_id AS hist_id
+         |       FROM bands n JOIN bands h USING (band)
+         |       WHERE substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 1) >= '8'
+         |         AND substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 1) < 'c'
+         |         AND substr(md5(CAST(h.doc_id AS VARCHAR)), 1, 1) < '8'),
+         |c2 AS (SELECT DISTINCT n.doc_id AS id, h.doc_id AS hist_id
+         |       FROM bands n JOIN bands h USING (band)
+         |       WHERE substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 1) >= 'c'
+         |         AND substr(md5(CAST(h.doc_id AS VARCHAR)), 1, 1) < 'c'),
+         |cands AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+         |${PipelineDemos.incrementalFlagTail}""".stripMargin,
     // epoch_us on both sides of the condition: Spark compares at its
     // native µs precision (ts already ns→µs truncated), so the oracle
     // must too — raw TIMESTAMP_NS comparison could flip a boundary pair

@@ -295,6 +295,56 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("spike lapse reap: trail survives short idles (spikes on resume), " +
+       "reaps after the 7-day lapse, and matches detectBatch exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SpikeStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(k: String, h: Long, n: Int = 1) = Seq.fill(n)(
+      SpikeStream.TypedEvent(k, new java.sql.Timestamp(h * 3600000L)))
+    // a: 3 calm hours, resumes with a burst AFTER the 168h lapse → its
+    //    trail must be gone, so the resume burst must NOT spike.
+    // c: same 3 calm hours, resumes with the same burst at hour 100
+    //    (idle ~97h < lapse) → trail must have SURVIVED the idle
+    //    batches (the premature-reap fix), so the burst spikes.
+    // b: single events that only advance the watermark between steps.
+    // hours start at 10, not 0: an event at ts=0 is judged late
+    // against the initial watermark (also 0) and dropped on arrival
+    val batches = Seq(
+      ev("a", 10) ++ ev("a", 11) ++ ev("a", 12) ++
+        ev("c", 10) ++ ev("c", 11) ++ ev("c", 12) ++ ev("b", 13),
+      ev("b", 14),
+      ev("c", 110, 5) ++ ev("b", 111),
+      ev("b", 112),
+      ev("b", 300),
+      ev("b", 301), // a's lapse deadline (13h+168h) long passed → reap
+      ev("a", 310, 5) ++ ev("b", 311),
+      ev("b", 312),
+      ev("b", 313))
+    val input = MemoryStream[SpikeStream.TypedEvent]
+    val q = SpikeStream
+      .detectStateful(input.toDS().withWatermark("ts", "0 seconds"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lapse_spikes").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("lapse_spikes").as[SpikeStream.Spike]
+        .collect().toSet
+      // c's resume spikes against its surviving 3-hour trail; a's does
+      // not — its trail lapsed. No other hour comes close.
+      assert(streamed == Set(SpikeStream.Spike("c", 110L, 5L, 3L, 3L)),
+        s"got $streamed")
+      // batch parity: detectBatch's epoch split renders the same lapse
+      val batchDf = batches.flatten
+        .map(e => (e.event_type, e.ts)).toDF("event_type", "ts")
+      val batch = SpikeStream.detectBatch(batchDf)
+        .as[SpikeStream.Spike].collect().toSet
+      assert(batch == streamed,
+        s"batch $batch != streamed $streamed")
+    } finally q.stop()
+  }
+
   test("streaming near-dup ingest flags batch-2 dups against batch-1 " +
        "history and matches the batch incremental reference") {
     import spark.implicits._
