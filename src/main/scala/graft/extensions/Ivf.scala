@@ -81,26 +81,28 @@ object Ivf {
     IvfIndex(seeds.map(_.getSeq[Double](1).toArray))
   }
 
-  /** Distance-ranked cell ids for a PRE-NORMALIZED vector column: array
-    * of centroid indices ordered by descending dot (ascending angle).
-    * Codegen'd SeqDot against centroid literals.
+  /** Top-`take` cell ids for a PRE-NORMALIZED vector column, ordered by
+    * descending dot (ascending angle), ties to the larger cell id — one
+    * native codegen'd kernel (graft.functions.TopCells). The composed
+    * form this replaced (`reverse(array_sort(array(k × struct(SeqDot,
+    * lit))))`) carried k expression subtrees and an O(k log k)
+    * struct-array sort per corpus row, and its generated code grew with
+    * k — at the sqrt(n) cell counts real corpora need (SCALECURVE.md ran
+    * k=223), that meant 16 MiB task binaries and the sort rivaling the
+    * distance arithmetic itself.
     */
-  private[extensions] def rankedCells(nvec: Column, index: IvfIndex): Column = {
-    val scored = index.centroids.zipWithIndex.map { case (c, i) =>
-      struct(Similarity.dot(nvec, lit(c)).as("dot"), lit(i).as("cell"))
-    }
-    reverse(array_sort(array(scored: _*)))
-  }
+  private[extensions] def topCells(nvec: Column, index: IvfIndex,
+                                   take: Int): Column =
+    graft.functions.TopCells(nvec, index.centroids, take)
 
   /** Cell assignment (the inverted-list / bucket key): nearest centroid.
-    * Output: (id, vec, nrm, cell).
+    * Output: (id, vec, nrm, cell). Argmin scan — no per-row sort.
     */
   def assign(vecs: DataFrame, idCol: String, vecCol: String,
              index: IvfIndex): DataFrame =
     prepped(vecs, idCol, vecCol)
       .select(col("id"), col("vec"), col("nrm"),
-        rankedCells(col("nvec"), index).getItem(0).getField("cell")
-          .as("cell"))
+        topCells(col("nvec"), index, 1).getItem(0).as("cell"))
 
   /** IVF top-k search: probe the `nProbe` nearest cells per query, rank
     * candidates by exact cosine (desc, id tie-break).
@@ -121,10 +123,7 @@ object Ivf {
       prepped(queries, idCol, vecCol)
         .select(col("id").as("query_id"), col("vec").as("query_vec"),
                 col("nrm").as("query_nrm"),
-                explode(slice(rankedCells(col("nvec"), index), 1, nProbe))
-                  .as("probe"))
-        .select(col("query_id"), col("query_vec"), col("query_nrm"),
-                col("probe.cell").as("cell")))
+                explode(topCells(col("nvec"), index, nProbe)).as("cell")))
     val scored = lists.join(probes, "cell")
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),

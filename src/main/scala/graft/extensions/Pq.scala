@@ -44,20 +44,6 @@ object Pq {
     def dsub: Int = dim / m
   }
 
-  /** Subvector j (0-based) of a vector column, as array<double>. */
-  private def subvec(vec: Column, j: Int, dsub: Int): Column =
-    slice(vec.cast("array<double>"), j * dsub + 1, dsub)
-
-  /** Sequential-fold squared L2 distance between a subvector column and
-    * a centroid literal — same left-to-right double fold as
-    * [[Similarity.dot]], so an independent engine can reproduce it
-    * bit-for-bit.
-    */
-  private def l2sq(sub: Column, centroid: Array[Double]): Column =
-    aggregate(
-      zip_with(sub, lit(centroid), (a, c) => (a - c) * (a - c)),
-      lit(0.0), (acc, x) => acc + x)
-
   /** KMeans codebooks per subspace — the quality path (tighter cells
     * than the deterministic sample) when cross-engine reproducibility
     * isn't required; same dual-path stance as [[Ivf.train]] vs
@@ -108,41 +94,34 @@ object Pq {
   }
 
   /** One map-side pass: (id, codes[m]) where codes(j) = argmin centroid
-    * of subspace j (ties → smaller code id). No shuffle — distances to
-    * centroid literals are codegen'd per row; array_sort on (dist, code)
-    * structs picks the argmin without a window.
+    * of subspace j (ties → smaller code id). No shuffle — ONE native
+    * codegen'd kernel per row (graft.functions.PqCodes). The composed
+    * form this replaced (m × nCodes `array_sort(struct(aggregate(
+    * zip_with(...))))` trees) was ~4k expression subtrees at m=8,
+    * nCodes=256: 16 MiB task binaries and multi-second plan compiles.
+    * Same FP fold order, same tie-break (smaller code) — bit-identical
+    * results, verified by the unchanged ann_pq/ann_ivfpq oracles.
     */
   def encode(vecs: DataFrame, idCol: String, vecCol: String,
-             index: PqIndex): DataFrame = {
-    vecs.select(col(idCol).as("id") +: codeCols(col(vecCol), index): _*)
-      .select(col("id"),
-              array((0 until index.m).map(j => col(s"c$j")): _*).as("codes"))
-  }
+             index: PqIndex): DataFrame =
+    vecs.select(col(idCol).as("id"), codesCol(col(vecCol), index))
 
-  /** Per-subspace argmin-centroid code columns c0..c{m-1} (the staged
-    * form [[encode]] and the IVF-PQ composition both build on). */
-  private[extensions] def codeCols(vec: Column,
-                                   index: PqIndex): Seq[Column] =
-    (0 until index.m).map { j =>
-      val sub = subvec(vec, j, index.dsub)
-      val scored = index.centroids(j).zipWithIndex.map { case (c, i) =>
-        struct(l2sq(sub, c).as("d"), lit(i).as("code"))
-      }
-      array_sort(array(scored: _*)).getItem(0).getField("code").as(s"c$j")
-    }
+  /** The codes array column [[encode]] and the IVF-PQ composition both
+    * build on. */
+  private[extensions] def codesCol(vec: Column, index: PqIndex): Column =
+    graft.functions.PqCodes(vec, index.centroids).as("codes")
 
-  /** Query-side ADC distance tables dt0..dt{m-1} (one array<double> of
-    * nCodes entries per subspace). */
-  private[extensions] def dtCols(vec: Column, index: PqIndex): Seq[Column] =
-    (0 until index.m).map { j =>
-      val sub = subvec(vec, j, index.dsub)
-      array(index.centroids(j).map(c => l2sq(sub, c)): _*).as(s"dt$j")
-    }
+  /** Query-side flat ADC distance table (m·nCodes doubles, entry
+    * j·nCodes+c = l2²(subvec_j, centroid_c)) — one native kernel. */
+  private[extensions] def dtCol(vec: Column, index: PqIndex): Column =
+    graft.functions.PqDistTable(vec, index.centroids).as("dt")
 
-  /** Σ_j dtable_j[codes_j] — left-associative, matching the oracle. */
+  /** Σ_j dtable[j·nCodes + codes_j] — left-associative over j, the same
+    * add order as the per-subspace tables it replaced. */
   private[extensions] def adcDistance(index: PqIndex): Column =
     (0 until index.m)
-      .map(j => element_at(col(s"dt$j"), col("codes").getItem(j) + 1))
+      .map(j => element_at(col("dt"),
+        lit(j * index.nCodes) + col("codes").getItem(j) + 1))
       .reduce(_ + _)
 
   /** ADC top-k: per query, approx dist = Σ_j dtable_j[codes_j]. The
@@ -153,7 +132,7 @@ object Pq {
              vecCol: String, index: PqIndex, topK: Int = 3): DataFrame = {
     val codes = encode(corpus, idCol, vecCol, index)
     val probes = broadcast(
-      queries.select(col(idCol).as("query_id") +: dtCols(col(vecCol), index): _*))
+      queries.select(col(idCol).as("query_id"), dtCol(col(vecCol), index)))
     val w = Window.partitionBy("query_id")
       .orderBy(col("approx_dist"), col("neighbor_id"))
     codes.crossJoin(probes)
@@ -178,9 +157,7 @@ object Pq {
                   nProbe: Int = 2, topK: Int = 3): DataFrame = {
     // one pass builds the combined index rows: coarse cell + PQ codes
     val lists = Ivf.assign(corpus, idCol, vecCol, ivf)
-      .select(Seq(col("id"), col("cell")) ++ codeCols(col("vec"), pq): _*)
-      .select(col("id"), col("cell"),
-              array((0 until pq.m).map(j => col(s"c$j")): _*).as("codes"))
+      .select(col("id"), col("cell"), codesCol(col("vec"), pq))
       // Cache ownership: the coded inverted lists ARE the index —
       // persisted once per corpus for the probe join; CacheManager
       // dedups repeat searches over the same corpus/plan, and the
@@ -193,10 +170,8 @@ object Pq {
     val probes = broadcast(
       Ivf.prepped(queries, idCol, vecCol)
         .select(col("id").as("query_id"), col("vec"),
-          explode(slice(Ivf.rankedCells(col("nvec"), ivf), 1, nProbe))
-            .as("probe"))
-        .select(Seq(col("query_id"), col("probe.cell").as("cell")) ++
-          dtCols(col("vec"), pq): _*))
+          explode(Ivf.topCells(col("nvec"), ivf, nProbe)).as("cell"))
+        .select(col("query_id"), col("cell"), dtCol(col("vec"), pq)))
     val w = Window.partitionBy("query_id")
       .orderBy(col("approx_dist"), col("neighbor_id"))
     lists.join(probes, "cell")

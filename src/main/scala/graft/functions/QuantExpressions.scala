@@ -1,0 +1,259 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Native quantization kernels for the ANN index paths (SURVEY §4.3
+  * tier-b custom expressions). The composed-builtin forms they replace
+  * were correct but pathological at plan scale:
+  *
+  *  - cell ranking was `reverse(array_sort(array(k × struct(SeqDot,
+  *    lit))))` — k=200+ struct expressions per row, an O(k log k)
+  *    struct-array sort per CORPUS row during index assignment, and a
+  *    generated-code body that grows with k;
+  *  - PQ encoding was m × nCodes `aggregate(zip_with(...))` trees
+  *    (m·nCodes·dsub lambda nodes) and the query distance table another
+  *    m × nCodes — at m=8, nCodes=256 that is ~4k expression subtrees,
+  *    16 MiB task binaries, and multi-second Janino compiles per plan.
+  *
+  * Each expression here is ONE generated static call; the codebook rides
+  * the codegen references array (`ctx.addReferenceObj`, the StopHits
+  * pattern). Floating-point semantics are preserved bit-for-bit — every
+  * accumulation below is the same strict left-to-right double fold the
+  * builtin chains performed (and the DuckDB oracles replicate):
+  * dot = Σ a(i)·c(i), l2² = Σ (a(i)−c(i))², ascending i.
+  *
+  * Contract (all three): child must be array<double> (callers cast;
+  * float→double is exact) with no null elements; a vector shorter than
+  * the codebook dimension yields null (the composed chains degraded to
+  * null through zip_with padding on the same input).
+  *
+  * Codebooks are held as value-equal IndexedSeqs so Catalyst plan
+  * canonicalization / cache dedup see equal expressions for equal
+  * indexes (an Array field would compare by identity).
+  */
+object QuantEval {
+
+  /** Cell ids ordered by (dot desc, cell desc), truncated to `take` —
+    * exactly `slice(reverse(array_sort(struct(dot, cell))), 1, take)`.
+    */
+  def topCells(nvec: ArrayData, cents: Array[Array[Double]],
+               take: Int): ArrayData = {
+    val k = cents.length
+    val d = cents(0).length
+    if (nvec.numElements() < d) return null
+    val dots = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        acc += nvec.getDouble(i) * cent(i)
+        i += 1
+      }
+      dots(c) = acc
+      c += 1
+    }
+    val n = math.min(take, k)
+    if (n == 1) {
+      // argmax scan, ties to the LARGER cell id (reverse-sort order)
+      var best = 0
+      var j = 1
+      while (j < k) {
+        if (dots(j) > dots(best) || (dots(j) == dots(best) && j > best))
+          best = j
+        j += 1
+      }
+      new GenericArrayData(Array[Any](best))
+    } else {
+      val idx = Array.range(0, k)
+      // sort by (dot desc, cell desc); stable sort on reversed cell
+      // order is unnecessary — the comparator is total
+      val boxed = idx.sortWith { (a, b) =>
+        dots(a) > dots(b) || (dots(a) == dots(b) && a > b)
+      }
+      new GenericArrayData(boxed.take(n).map(x => x: Any))
+    }
+  }
+
+  /** codes(j) = argmin_c Σ_i (vec(j·dsub+i) − cent(c)(i))², ties to the
+    * SMALLER code — exactly `array_sort(struct(d, code)).getItem(0)`.
+    */
+  def pqCodes(vec: ArrayData,
+              cents: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cents.length
+    val dsub = cents(0)(0).length
+    if (vec.numElements() < m * dsub) return null
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val book = cents(j)
+      val base = j * dsub
+      var bestD = Double.PositiveInfinity
+      var best = 0
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = vec.getDouble(base + i) - cent(i)
+          acc += diff * diff
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c } // strict: ties keep
+        c += 1                                     // the smaller code
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Flat ADC table: entry j·nCodes+c = Σ_i (vec(j·dsub+i) − cent(c)(i))². */
+  def pqDistTable(vec: ArrayData,
+                  cents: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cents.length
+    val nCodes = cents(0).length
+    val dsub = cents(0)(0).length
+    if (vec.numElements() < m * dsub) return null
+    val out = new Array[Any](m * nCodes)
+    var j = 0
+    while (j < m) {
+      val book = cents(j)
+      val base = j * dsub
+      var c = 0
+      while (c < nCodes) {
+        val cent = book(c)
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = vec.getDouble(base + i) - cent(i)
+          acc += diff * diff
+          i += 1
+        }
+        out(j * nCodes + c) = acc
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Top-`take` coarse-quantizer cells by (dot desc, cell desc). */
+case class TopCells(child: Expression,
+                    centroids: IndexedSeq[IndexedSeq[Double]], take: Int)
+    extends UnaryExpression {
+  require(take >= 1, "take must be >= 1")
+
+  override def dataType: DataType = ArrayType(IntegerType, false)
+  override def nullIntolerant: Boolean = true
+  // null for a vector shorter than the centroid dimension
+  override def nullable: Boolean = true
+  override def prettyName: String = "top_cells"
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    QuantEval.topCells(v.asInstanceOf[ArrayData], cents, take)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCentroids", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.QuantEval.topCells($c, $ref, $take);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TopCells =
+    copy(child = c)
+}
+
+object TopCells {
+  def apply(nvec: Column, centroids: Array[Array[Double]],
+            take: Int): Column =
+    GraftBridge.column(TopCells(
+      Cast(GraftBridge.expression(nvec), ArrayType(DoubleType)),
+      centroids.map(_.toIndexedSeq).toIndexedSeq, take))
+}
+
+/** PQ encode: per-subspace argmin codes. */
+case class PqCodes(child: Expression,
+                   centroids: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_codes"
+
+  @transient private lazy val cents: Array[Array[Array[Double]]] =
+    centroids.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    QuantEval.pqCodes(v.asInstanceOf[ArrayData], cents)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCentroids", cents, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.QuantEval.pqCodes($c, $ref);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqCodes =
+    copy(child = c)
+}
+
+object PqCodes {
+  def apply(vec: Column,
+            centroids: Array[Array[Array[Double]]]): Column =
+    GraftBridge.column(PqCodes(
+      Cast(GraftBridge.expression(vec), ArrayType(DoubleType)),
+      centroids.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
+}
+
+/** Query-side flat ADC distance table (m·nCodes doubles). */
+case class PqDistTable(child: Expression,
+                       centroids: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_dist_table"
+
+  @transient private lazy val cents: Array[Array[Array[Double]]] =
+    centroids.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    QuantEval.pqDistTable(v.asInstanceOf[ArrayData], cents)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCentroids", cents, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.QuantEval.pqDistTable($c, $ref);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqDistTable =
+    copy(child = c)
+}
+
+object PqDistTable {
+  def apply(vec: Column,
+            centroids: Array[Array[Array[Double]]]): Column =
+    GraftBridge.column(PqDistTable(
+      Cast(GraftBridge.expression(vec), ArrayType(DoubleType)),
+      centroids.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
+}
