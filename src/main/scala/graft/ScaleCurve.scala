@@ -87,6 +87,46 @@ object ScaleCurve {
       .select("vec_id", "embedding")
   }
 
+  /** Docs for the dictionary-NER path: ~20 filler tokens + exactly one
+    * planted dictionary term per doc (the last token), so the expected
+    * match count is exactly n and every miss/false-positive is visible.
+    */
+  def nerCorpus(spark: SparkSession, n: Long, dictSize: Int): DataFrame =
+    spark.range(0, n).toDF("doc_id")
+      .withColumn("text",
+        concat(
+          concat_ws(" ",
+            transform(sequence(lit(0L), lit(19L)),
+              j => concat(lit("w"),
+                pmod(hash(col("doc_id") * 613L + j * 31L), lit(99991))))),
+          lit(" "), concat(lit("term"), pmod(col("doc_id"), lit(dictSize)))))
+
+  /** Synthetic synonymizer tables sized like a real dictionary: one
+    * node + one cluster per term, generated ON the executors.
+    */
+  def nerDictionary(spark: SparkSession,
+                    dictSize: Int): (DataFrame, DataFrame) = {
+    val nodes = spark.range(0, dictSize).select(
+      concat(lit("N:"), col("id")).as("id"),
+      concat(lit("N:"), col("id")).as("id_simplified"),
+      concat(lit("Term"), col("id")).as("name"),
+      concat(lit("term"), col("id")).as("name_simplified"),
+      lit("SmallMolecule").as("category"),
+      concat(lit("T:"), col("id")).as("cluster_id"),
+      lit("ChemicalEntity").as("major_branch"),
+      concat(lit("Term"), col("id")).as("name_sri"),
+      lit("SmallMolecule").as("category_sri"),
+      lit(null).cast("string").as("name_kg2pre"),
+      lit(null).cast("string").as("category_kg2pre"))
+    val clusters = spark.range(0, dictSize).select(
+      concat(lit("T:"), col("id")).as("cluster_id"),
+      concat(lit("Term"), col("id")).as("name"),
+      lit("SmallMolecule").as("category"),
+      array(concat(lit("N:"), col("id"))).as("member_ids"),
+      array().cast("array<string>").as("intra_cluster_edge_ids"))
+    (nodes, clusters)
+  }
+
   private def timeIt(spark: SparkSession)(action: => Long): (Double, Long) = {
     var rows = 0L
     val samples = (1 to 2).map { _ =>
@@ -125,6 +165,10 @@ object ScaleCurve {
         m = 8, nCodes = 256)
       Pq.searchIvfPq(vecs, vecs.filter(col("vec_id") < 100L),
         "vec_id", "embedding", ivf, pq, nProbe = 8, topK = 10).count()
+      val (nn, cc) = nerDictionary(spark, 10000)
+      new graft.ner.DictionaryNer(nn, cc)
+        .textToKg2Nodes(nerCorpus(spark, n, 10000), "doc_id", "text")
+        .count()
       spark.catalog.clearCache()
     }
 
@@ -199,6 +243,29 @@ object ScaleCurve {
         "wall 100q (s)" -> f"$sec%.2f"))
     }
 
+    // ---- 4. Dictionary NER (the reference's flagship path) -----------
+    val nerPts = points.map { n =>
+      val dictSize = 10000
+      val docs = nerCorpus(spark, n, dictSize)
+      val (nodes, clusters) = nerDictionary(spark, dictSize)
+      val ner = new graft.ner.DictionaryNer(nodes, clusters)
+      val nMentions = graft.ner.DictionaryNer
+        .mentions(ner.sentences(docs, "doc_id", "text")).count()
+      spark.catalog.clearCache()
+      var matches = 0L
+      val (sec, _) = timeIt(spark) {
+        matches = ner.textToKg2Nodes(docs, "doc_id", "text").count()
+        matches
+      }
+      Point(n, Seq(
+        "docs" -> n.toString,
+        "dict terms" -> dictSize.toString,
+        "candidate mentions" -> nMentions.toString,
+        "matches" -> matches.toString,
+        "match rate" -> f"${matches.toDouble / n}%.3f",
+        "wall (s)" -> f"$sec%.2f"))
+    }
+
     // ---- render ------------------------------------------------------
     def table(pts: Seq[Point]): String = {
       val headers = pts.head.metrics.map(_._1)
@@ -271,6 +338,20 @@ object ScaleCurve {
        ^${table(annPts)}
        ^
        ^Growth: ${growth(annPts, "wall 100q (s)")}.
+       ^
+       ^## 4. Dictionary NER (the reference's flagship path)
+       ^
+       ^The scispaCy-linker re-specification: sentence gates → n-gram
+       ^mention explode (native NGramsExpr) → equi-join against a
+       ^10k-term synonymizer dictionary → longest-wins per (doc, curie).
+       ^Each doc plants exactly ONE dictionary term, so matches == docs
+       ^is exact-recall evidence and the candidate-mention volume is the
+       ^honest explode cost (~120 n-grams/doc, deduped per sentence
+       ^before the join).
+       ^
+       ^${table(nerPts)}
+       ^
+       ^Growth: ${growth(nerPts, "wall (s)")}.
        ^
        ^## Reading the curves at 100 TB
        ^

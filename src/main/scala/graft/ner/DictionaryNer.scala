@@ -15,23 +15,38 @@ import graft.ops.{AggOps, StringOps}
   * the neural model; operator semantics are identical).
   *
   * Scale notes: the mention side explodes each sentence into ≤ maxGram ×
-  * tokens n-grams, then dedups per document BEFORE the join, so the join
-  * input is bounded by distinct mentions, not raw n-gram count. The
-  * dictionary (nodes ⋈ clusters) is the big side at real scale —
-  * shuffle-hash/sort-merge on the simplified key with AQE skew handling;
-  * common-word mentions are the classic skew keys. All expressions are
-  * built-ins → whole-stage codegen end to end.
+  * tokens n-grams (per-sentence-deduped inside NGramsExpr) and joins the
+  * dictionary RAW — the matching aggregate is duplicate-insensitive, so
+  * a pre-join distinct would only add a full-stream shuffle (measured
+  * superlinear at SCALECURVE's 200k-doc point before round 6 removed
+  * it). With a broadcast dictionary the whole candidate path is
+  * map-side; a dictionary too big to broadcast sort-merges on the
+  * simplified key with AQE skew handling (common-word mentions are the
+  * classic skew keys — dedup ahead with [[DictionaryNer.mentions]] if
+  * duplication is heavy). All expressions are built-ins or codegen'd
+  * natives → whole-stage codegen end to end.
   */
 final class DictionaryNer(nodes: DataFrame, clusters: DataFrame,
-                          maxGram: Int = 6, minMentionChars: Int = 3) {
+                          maxGram: Int = 6, minMentionChars: Int = 3,
+                          broadcastDict: Boolean = true) {
 
   /** mention_key (simplified) → canonical triple. One row per
     * (name_simplified, cluster): a mention with several clusters yields
     * several candidate curies, mirroring multi-candidate entity linking
     * (NER.py:110-120).
+    *
+    * The dictionary is ALWAYS the pinned build side of the mention
+    * join. Left to statistics, Catalyst under-estimates the exploded
+    * n-gram stream (explode fan-out isn't modeled) and at SCALECURVE's
+    * 200k-doc point chose to BROADCAST THE 22M-ROW MENTION SIDE —
+    * collecting the corpus-scale stream to the driver. `broadcastDict`
+    * picks the dictionary's distribution: broadcast (default — right up
+    * to ~100 MB of names) or a shuffle-hash hint (the real-KG2 path for
+    * dictionaries too big to ship; builds the dictionary hash table
+    * per-partition, streams the mentions, never sorts them).
     */
-  private val dictionary: DataFrame =
-    nodes.join(
+  private val dictionary: DataFrame = {
+    val base = nodes.join(
         broadcast(clusters.select(
           col("cluster_id"),
           col("name").as("preferred_name"),
@@ -42,6 +57,8 @@ final class DictionaryNer(nodes: DataFrame, clusters: DataFrame,
               col("cluster_id").as("curie"),
               col("preferred_name"), col("preferred_category"))
       .distinct()
+    if (broadcastDict) broadcast(base) else base.hint("shuffle_hash")
+  }
 
   /** P2+P3+P4: text → gated, scrubbed sentences (perform_NER.py:22-28). */
   def sentences(docs: DataFrame, keyCol: String, textCol: String): DataFrame =
@@ -59,7 +76,19 @@ final class DictionaryNer(nodes: DataFrame, clusters: DataFrame,
     */
   def textToKg2Nodes(docs: DataFrame, keyCol: String, textCol: String,
                      categories: Set[String] = Set.empty): DataFrame = {
-    val m = mentions(sentences(docs, keyCol, textCol))
+    // RAW (non-distinct) mention stream into the join: duplicate
+    // mentions cannot change the longest-wins/max aggregate below, and
+    // a pre-join distinct would shuffle the FULL n-gram stream (~120
+    // rows/doc — 22M rows at SCALECURVE's 200k-doc point, where it
+    // measured superlinear: 4x docs -> 6.8x wall from the spilling
+    // exchange) just to bound a join that is map-side anyway whenever
+    // the dictionary broadcasts. NGramsExpr already dedups within a
+    // sentence; cross-sentence duplicates ride through to the (tiny,
+    // hits-only) aggregate shuffle. For a dictionary too big to
+    // broadcast, dedup ahead of the sort-merge join with
+    // [[DictionaryNer.mentions]] explicitly.
+    val m = DictionaryNer.rawMentions(
+        sentences(docs, keyCol, textCol), maxGram, minMentionChars)
       .withColumn("mention_key", StringOps.simplify(col("mention")))
       .filter(length(col("mention_key")) > 0)
     val hits = m.join(dictionary, "mention_key")
@@ -110,12 +139,18 @@ object DictionaryNer {
     * HOF version of this was the engine's hottest query by 25×.
     */
   def mentions(sentenceDf: DataFrame, maxGram: Int = 6,
-               minMentionChars: Int = 3): DataFrame = {
+               minMentionChars: Int = 3): DataFrame =
+    rawMentions(sentenceDf, maxGram, minMentionChars).distinct()
+
+  /** The pre-distinct mention stream — what [[DictionaryNer.textToKg2Nodes]]
+    * joins (per-sentence-deduped by NGramsExpr; cross-sentence duplicates
+    * left in, the consuming aggregate being duplicate-insensitive). */
+  private[ner] def rawMentions(sentenceDf: DataFrame, maxGram: Int,
+                               minMentionChars: Int): DataFrame = {
     val toks = split(trim(StringOps.stripPunct(col("sentence"))), "\\s+")
     sentenceDf
       .select(col("doc_key"),
               explode(graft.functions.NGrams(toks, maxGram, minMentionChars))
                 .as("mention"))
-      .distinct()
   }
 }

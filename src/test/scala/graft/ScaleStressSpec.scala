@@ -112,6 +112,22 @@ class ScaleStressSpec extends SparkTestBase {
     }
   }
 
+  test("dictionary NER on 20k docs x 10k-term dictionary: exact recall " +
+       "on planted terms, zero false positives") {
+    val docs = ScaleCurve.nerCorpus(spark, 20000L, 10000)
+    val (nodes, clusters) = ScaleCurve.nerDictionary(spark, 10000)
+    val got = new graft.ner.DictionaryNer(nodes, clusters)
+      .textToKg2Nodes(docs, "doc_id", "text")
+      .select(col("doc_key").cast("long"), col("curie"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // every doc matches exactly its one planted term — nothing else in
+    // the ~120-n-gram/doc candidate stream may hit the dictionary
+    assert(got.length == 20000, s"expected 20000 matches, got ${got.length}")
+    got.foreach { case (id, curie) =>
+      assert(curie == s"T:${id % 10000}", s"doc $id matched $curie")
+    }
+  }
+
   test("IVF-PQ search on 5k vectors: probes bounded, ADC ranks the " +
        "planted twin first") {
     import spark.implicits._
