@@ -39,6 +39,43 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("NER mention join never broadcasts the exploded mention stream — " +
+       "the dictionary is the build side in both distribution modes") {
+    import org.apache.spark.sql.functions.col
+    def planOf(broadcastDict: Boolean): String =
+      new graft.ner.DictionaryNer(TestFixtures.nodesDf(spark),
+          TestFixtures.clustersDf(spark), broadcastDict = broadcastDict)
+        .textToKg2Nodes(
+          graft.tables.Tables.documents(spark, dir), "doc_id", "text")
+        .queryExecution.executedPlan.toString
+    // Catalyst under-estimates explode fan-out; left to stats it chose
+    // BuildLeft (broadcast the corpus-scale mention side) on synthetic
+    // inputs — SCALECURVE round-6 finding. Guard: no BroadcastExchange
+    // subtree may contain the n-gram generator.
+    Seq(true, false).foreach { mode =>
+      def indentOf(l: String): Int =
+        l.indexWhere(c => !" :+-*(".contains(c)) match {
+          case -1 => Int.MaxValue
+          case i  => i
+        }
+      def broadcastSubtreeHas(plan: String): Boolean = {
+        val lines = plan.linesIterator.toVector
+        lines.indices.exists { i =>
+          val at = lines(i).indexOf("BroadcastExchange")
+          at >= 0 && lines.drop(i + 1)
+            .takeWhile(nl => indentOf(nl) > at)
+            .exists(_.contains("ngrams("))
+        }
+      }
+      val p = planOf(mode)
+      assert(!broadcastSubtreeHas(p),
+        s"mention stream under a BroadcastExchange (mode=$mode):\n$p")
+      assert(p.contains("ngrams("), s"sanity: generator present\n$p")
+    }
+    assert(planOf(false).contains("ShuffledHashJoin"),
+      "broadcastDict=false must take the shuffle-hash path")
+  }
+
   test("join_salted shuffles on (key, salt): the hot key is spread " +
        "over saltFactor reducer slots, not broadcast away") {
     val p = plan("join_salted")
