@@ -127,6 +127,41 @@ object ScaleCurve {
     (nodes, clusters)
   }
 
+  /** Synonymizer tables at KG2-ish shape: 1M nodes over 500k two-member
+    * clusters; names repeat with period `nameMod` so 400k of the 600k
+    * name keys resolve through the argmax-across-clusters path (two
+    * competing single-count clusters → deterministic tie-break) and the
+    * rest through the single-cluster path.
+    */
+  def synTables(spark: SparkSession, nNodes: Long,
+                nameMod: Long): (DataFrame, DataFrame, DataFrame) = {
+    val nodes = spark.range(0, nNodes).select(
+      concat(lit("N:"), col("id")).as("id"),
+      concat(lit("N:"), col("id")).as("id_simplified"),
+      concat(lit("Name"), pmod(col("id"), lit(nameMod))).as("name"),
+      concat(lit("name"), pmod(col("id"), lit(nameMod)))
+        .as("name_simplified"),
+      lit("SmallMolecule").as("category"),
+      concat(lit("C:"), expr("id div 2")).as("cluster_id"),
+      lit("ChemicalEntity").as("major_branch"),
+      lit(null).cast("string").as("name_sri"),
+      lit(null).cast("string").as("category_sri"),
+      lit(null).cast("string").as("name_kg2pre"),
+      lit(null).cast("string").as("category_kg2pre"))
+    val clusters = spark.range(0, nNodes / 2).select(
+      concat(lit("C:"), col("id")).as("cluster_id"),
+      concat(lit("Pref"), col("id")).as("name"),
+      lit("SmallMolecule").as("category"),
+      array(concat(lit("N:"), col("id") * 2),
+            concat(lit("N:"), col("id") * 2 + 1)).as("member_ids"),
+      array().cast("array<string>").as("intra_cluster_edge_ids"))
+    val edges = spark.range(0, 0).select(
+      lit("").as("id"), lit("").as("subject"), lit("").as("predicate"),
+      lit("").as("object"), lit("").as("upstream_resource_id"),
+      lit("").as("primary_knowledge_source"))
+    (nodes, clusters, edges)
+  }
+
   private def timeIt(spark: SparkSession)(action: => Long): (Double, Long) = {
     var rows = 0L
     val samples = (1 to 2).map { _ =>
@@ -168,6 +203,12 @@ object ScaleCurve {
       val (nn, cc) = nerDictionary(spark, 10000)
       new graft.ner.DictionaryNer(nn, cc)
         .textToKg2Nodes(nerCorpus(spark, n, 10000), "doc_id", "text")
+        .count()
+      val (sn, sc, se) = synTables(spark, 100000L, 60000L)
+      new graft.synonymizer.Synonymizer(sn, sc, se)
+        .canonicalCuriesByName(spark.range(0, n)
+          .select(concat(lit("Name"), pmod(col("id"), lit(60000L)))
+            .as("input")))
         .count()
       spark.catalog.clearCache()
     }
@@ -266,6 +307,29 @@ object ScaleCurve {
         "wall (s)" -> f"$sec%.2f"))
     }
 
+    // ---- 5. Synonymizer canonical-curie lookup (name path) -----------
+    val synPts = points.map { n =>
+      val nNodes = 1000000L
+      val nameMod = 600000L
+      val (nodes, clusters, edges) = synTables(spark, nNodes, nameMod)
+      val syn = new graft.synonymizer.Synonymizer(nodes, clusters, edges)
+      val probes = spark.range(0, n).select(
+        concat(lit("Name"), pmod(col("id") * 3L, lit(nameMod)))
+          .as("input"))
+      var resolved = 0L
+      val (sec, _) = timeIt(spark) {
+        resolved = syn.canonicalCuriesByName(probes)
+          .filter(col("preferred_curie").isNotNull).count()
+        resolved
+      }
+      Point(n, Seq(
+        "probe names" -> n.toString,
+        "nodes" -> nNodes.toString,
+        "resolved" -> resolved.toString,
+        "resolve rate" -> f"${resolved.toDouble / n}%.3f",
+        "wall (s)" -> f"$sec%.2f"))
+    }
+
     // ---- render ------------------------------------------------------
     def table(pts: Seq[Point]): String = {
       val headers = pts.head.metrics.map(_._1)
@@ -352,6 +416,20 @@ object ScaleCurve {
        ^${table(nerPts)}
        ^
        ^Growth: ${growth(nerPts, "wall (s)")}.
+       ^
+       ^## 5. Synonymizer canonical-curie lookup (name path)
+       ^
+       ^The reference's core query (get_canonical_curies by name): probe
+       ^batches of 5k/50k/200k names against a 1M-node / 500k-cluster
+       ^synonymizer where 2/3 of the name keys resolve through the
+       ^argmax-across-competing-clusters path. The probe side broadcasts
+       ^(the API's bounded-batch contract); the node table streams
+       ^through one broadcast join + two-level aggregation — probe batch
+       ^size, not node-table size, is what the wall time tracks.
+       ^
+       ^${table(synPts)}
+       ^
+       ^Growth: ${growth(synPts, "wall (s)")}.
        ^
        ^## Reading the curves at 100 TB
        ^
