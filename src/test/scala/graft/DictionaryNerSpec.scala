@@ -68,6 +68,25 @@ class DictionaryNerSpec extends SparkTestBase {
     assert(out.contains("MONDO:0004979"))
   }
 
+  test("both dictionary distribution modes (broadcast / shuffle-hash) " +
+       "produce identical matches") {
+    val d = docs(
+      1L -> "Also known as acetylsalicylic acid, aspirin is common today.",
+      2L -> "Relief of asthma; also binds PBP3 in most tissue samples.",
+      3L -> "Nothing from the dictionary appears in this sentence at all.")
+    def run(mode: Boolean) = new DictionaryNer(
+        TestFixtures.nodesDf(spark), TestFixtures.clustersDf(spark),
+        broadcastDict = mode)
+      .textToKg2Nodes(d, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+                 r.getString(3))).toSet
+    val broadcastOut = run(true)
+    assert(broadcastOut == run(false),
+      "shuffle-hash dictionary mode must be result-identical")
+    assert(broadcastOut.exists(_._2 == "CHEBI:15365"))
+  }
+
   test("map-form output (perform_NER.py:119-134 shape)") {
     val m = ner.asMap(ner.textToKg2Nodes(
         docs(7L -> "Indicated for treatment of asthma in adults."),
