@@ -5,10 +5,11 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-curve artifact generator: runs the three scale-critical
-  * pipeline shapes (MinHash/LSH near-dup, cross-doc span dedup, IVF-PQ
-  * ANN) on synthetic corpora at 5k/50k/200k documents and writes
-  * SCALECURVE.md with rows-in / candidate-volume / wall-time per point.
+/** Scale-curve artifact generator: runs six scale-critical pipeline
+  * shapes (MinHash/LSH near-dup, cross-doc span dedup, IVF-PQ ANN,
+  * dictionary NER, synonymizer name lookup, connected components) on
+  * synthetic corpora at 5k → 800k rows and writes SCALECURVE.md with
+  * rows-in / candidate-volume / wall-time per point.
   *
   * Purpose: the sf0.1 registry proves CORRECTNESS; this proves the
   * SCALE SHAPE — the band join must stay non-quadratic (candidate
@@ -334,6 +335,32 @@ object ScaleCurve {
         "wall (s)" -> f"$sec%.2f"))
     }
 
+    // ---- 6. Connected components (pairs → dedup clusters) ------------
+    val compPts = points.map { n =>
+      // groups of 4 consecutive ids wired as a PATH (diameter 3, so
+      // min-label propagation must actually iterate, not converge on
+      // the fused init round)
+      val edges = spark.range(0, n).toDF("src")
+        .filter(col("src") % 4 =!= 3)
+        .select(col("src"), (col("src") + 1).as("dst"))
+      val nEdges = edges.count()
+      var mislabeled = 0L
+      val (sec, _) = timeIt(spark) {
+        val labels = graft.extensions.Components
+          .connectedComponents(edges, "src", "dst")
+        mislabeled = labels
+          .filter(col("comp") =!= (col("id") - pmod(col("id"), lit(4L))))
+          .count()
+        labels.count()
+      }
+      Point(n, Seq(
+        "vertices" -> n.toString,
+        "edges" -> nEdges.toString,
+        "components" -> (n / 4).toString,
+        "mislabeled" -> mislabeled.toString,
+        "wall (s)" -> f"$sec%.2f"))
+    }
+
     // ---- render ------------------------------------------------------
     def table(pts: Seq[Point]): String = {
       val headers = pts.head.metrics.map(_._1)
@@ -434,6 +461,19 @@ object ScaleCurve {
        ^${table(synPts)}
        ^
        ^Growth: ${growth(synPts, "wall (s)")}.
+       ^
+       ^## 6. Connected components (near-dup pairs → dedup clusters)
+       ^
+       ^Min-label propagation over planted 4-vertex PATH groups —
+       ^diameter 3, so the loop must run real propagation rounds (the
+       ^quasi-clique graphs real dedup produces converge faster). Each
+       ^round is one keyed join + aggregation; `mislabeled` counts
+       ^vertices whose final component differs from the arithmetic
+       ^ground truth (must be 0).
+       ^
+       ^${table(compPts)}
+       ^
+       ^Growth: ${growth(compPts, "wall (s)")}.
        ^
        ^## Reading the curves at 100 TB
        ^
