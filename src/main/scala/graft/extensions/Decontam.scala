@@ -68,6 +68,41 @@ object Decontam {
           .as("contaminated"))
   }
 
+  /** N-gram overlap decontamination — the GPT-3/PaLM-style rule: a
+    * training document is contaminated when it shares ANY n-token
+    * window (n ≈ 13) with a benchmark document, which catches benchmark
+    * text quoted or paraphrase-wrapped inside a larger page that exact
+    * whole-doc matching misses, while the long window keeps common
+    * phrases from flagging everything (3-gram shingles would).
+    *
+    * Output: (doc_id, n_hits) for contaminated docs only — n_hits =
+    * how many distinct benchmark windows the doc contains (the triage
+    * signal: 1 hit ≈ a quote, hundreds ≈ the whole benchmark doc).
+    *
+    * Scale shape: the benchmark window set is the small side by
+    * definition — hashed, deduped, broadcast; the corpus stream
+    * explodes to one md5 per window and semi-joins map-side (no corpus
+    * shuffle before the per-doc count). Windows use stride 1; a doc
+    * shorter than n tokens has no window and can never flag, matching
+    * the benchmark side's own gate.
+    */
+  def flagNgramContaminated(docs: DataFrame, idCol: String,
+                            textCol: String, bench: DataFrame,
+                            benchTextCol: String, n: Int = 13): DataFrame = {
+    def windows(df: DataFrame, cols: Seq[Column], textC: Column) = df
+      .select(cols :+ TextAnalysis.tokens(textC).as("toks"): _*)
+      .filter(size(col("toks")) >= n)
+      .select(cols :+ explode(
+        TextAnalysis.shinglesOfTokens(col("toks"), n)).as("w"): _*)
+      .select(cols :+ md5(col("w")).as("wh"): _*)
+    val benchWindows = broadcast(
+      windows(bench, Seq.empty, col(benchTextCol)).select("wh").distinct())
+    windows(docs, Seq(col(idCol)), col(textCol))
+      .join(benchWindows, "wh")
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("wh")).as("n_hits"))
+  }
+
   /** xxhash64 of a value — the hash `BloomFilterAggregate` expects. */
   def hashed(c: Column): Column =
     GraftBridge.column(new XxHash64(Seq(GraftBridge.expression(c))))

@@ -477,6 +477,17 @@ object PipelineDemos {
         .select("doc_id")
         .orderBy("doc_id")
     }),
+    // N-gram overlap decontamination (GPT-3/PaLM 13-gram rule): flag
+    // docs sharing ANY 13-token window with the benchmark side —
+    // catches embedded/quoted benchmark text that exact matching
+    // misses. Benchmark windows broadcast; corpus never shuffles
+    // before the per-doc hit count.
+    "decontam_ngram" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.extensions.Decontam.flagNgramContaminated(
+          docs, "doc_id", "text", docs.filter(col("doc_id") < 5), "text")
+        .orderBy("doc_id")
+    }),
     // Incremental near-dup ingest: new batch (md5-split) vs historical
     // corpus — only new-vs-hist candidates, the steady-state shape where
     // the historical band rows are a precomputed index.
@@ -813,6 +824,16 @@ object PipelineDemos {
          |sh AS (SELECT doc_id, $shinglesExpr AS shingles FROM t)
          |SELECT doc_id, list_min(list_transform(shingles, s -> md5(s))) AS fingerprint
          |FROM sh ORDER BY doc_id""".stripMargin,
+    "decontam_ngram" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(
+         |        generate_series(1, len(toks) - 12),
+         |        i -> md5(array_to_string(toks[i:i+12], ' ')))) AS wh
+         |      FROM t WHERE len(toks) >= 13),
+         |b AS (SELECT DISTINCT wh FROM g WHERE doc_id < 5)
+         |SELECT doc_id, CAST(count(DISTINCT g.wh) AS BIGINT) AS n_hits
+         |FROM g JOIN b USING (wh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_incremental" ->
       s"""WITH $lshCtes,
          |cands AS (SELECT DISTINCT n.doc_id AS id, h.doc_id AS hist_id

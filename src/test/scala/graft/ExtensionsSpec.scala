@@ -961,6 +961,27 @@ class ExtensionsSpec extends SparkTestBase {
       s"got ${out.toSeq}")
   }
 
+  test("n-gram decontamination: embedded 15-token benchmark run flags " +
+       "with exactly its 3 interior windows; clean and short docs don't") {
+    import spark.implicits._
+    val benchToks = (1 to 20).map(i => s"bt$i")
+    val bench = Seq((0L, benchToks.mkString(" "))).toDF("bid", "btext")
+    val embedded = ("own1 own2 " +
+      benchToks.slice(3, 18).mkString(" ") + " own3 own4")
+    val docs = Seq(
+      1L -> embedded,                                   // 15-token run
+      2L -> (1 to 30).map(i => s"cl$i").mkString(" "),  // clean
+      3L -> benchToks.take(12).mkString(" "))           // < 13 tokens
+      .toDF("doc_id", "text")
+    val got = graft.extensions.Decontam
+      .flagNgramContaminated(docs, "doc_id", "text", bench, "btext")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a 15-token shared run contains 15-13+1 = 3 complete 13-gram
+    // windows; windows straddling into own* tokens are not benchmark
+    // windows and must not count
+    assert(got == Map(1L -> 3L), s"got $got")
+  }
+
   test("minhash expressions over a NON-nullable child: codegen compiles " +
        "(no silent fallback) and empty shingles yield null") {
     import graft.functions.{MinHashBands, MinHashSig}
