@@ -75,6 +75,16 @@ object Components {
       labels = merged.select("id", "comp")
       iter += 1
     }
+    if (changed > 0)
+      // an unconverged exit means some component is still split across
+      // labels — for dedup that silently UNDER-dedups. Loud, not fatal:
+      // graphs this deep aren't dedup graphs, and the caller may be
+      // running a deliberately capped approximation; raise maxIter
+      // (rounds needed ~ graph diameter) to converge.
+      System.err.println(
+        s"[graft.Components] label propagation did NOT converge after " +
+          s"$maxIter rounds ($changed labels still moving) — components " +
+          "are split; raise maxIter (~ graph diameter) for exact clusters")
     sym.unpersist()
     labels
   }
