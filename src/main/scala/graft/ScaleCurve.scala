@@ -285,6 +285,38 @@ object ScaleCurve {
         "wall 100q (s)" -> f"$sec%.2f"))
     }
 
+    // ---- 3b. ANN recall ladder: nProbe vs brute-force truth ----------
+    val recallRows = {
+      val n = math.min(50000L, points.max)
+      val vecs = vectorCorpus(spark, n)
+      val queries = vecs.filter(col("vec_id") < 100L)
+      val kCells = math.max(16, (math.sqrt(n.toDouble) / 2).toInt)
+      val ivf = Ivf.trainDeterministic(vecs, "vec_id", "embedding", kCells)
+      val pq = Pq.trainDeterministic(vecs, "vec_id", "embedding",
+        m = 8, nCodes = 256)
+      val exact = graft.extensions.Similarity
+        .bruteForceTopK(vecs, queries, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      exact.count()
+      def recall(df: org.apache.spark.sql.DataFrame): Double =
+        df.select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id")).count() / 1000.0
+      val rows = Seq(1, 2, 4, 8, 16).map { nProbe =>
+        val rIvf = recall(Ivf.search(vecs, queries, "vec_id", "embedding",
+          ivf, nProbe = nProbe, topK = 10))
+        val rPq = recall(Pq.searchIvfPq(vecs, queries, "vec_id",
+          "embedding", ivf, pq, nProbe = nProbe, topK = 10))
+        Point(nProbe.toLong, Seq(
+          "nProbe" -> nProbe.toString,
+          "probed frac" -> f"${nProbe.toDouble / kCells}%.3f",
+          "IVF recall@10" -> f"$rIvf%.3f",
+          "IVF-PQ recall@10" -> f"$rPq%.3f"))
+      }
+      spark.catalog.clearCache()
+      (n, kCells, rows)
+    }
+
     // ---- 4. Dictionary NER (the reference's flagship path) -----------
     val nerPts = points.map { n =>
       val dictSize = 10000
@@ -433,6 +465,21 @@ object ScaleCurve {
        ^${table(annPts)}
        ^
        ^Growth: ${growth(annPts, "wall 100q (s)")}.
+       ^
+       ^### Recall ladder (corpus ${recallRows._1}, ${recallRows._2} cells,
+       ^100 queries, vs exact brute-force top-10)
+       ^
+       ^IVF re-ranks candidates by exact cosine, so its recall is pure
+       ^probe coverage; IVF-PQ ranks by quantized ADC distance, so its
+       ^ceiling is the 8×256 codebook resolution — the gap between the
+       ^two columns IS the quantization cost, and the rows price recall
+       ^in probed fraction. Hash-uniform vectors are ANN's adversarial
+       ^case (no cluster structure, so true neighbors spread across
+       ^cells near-uniformly and probe coverage ≈ recall): read these as
+       ^FLOOR numbers — clustered real embeddings concentrate neighbors
+       ^into the probed cells and sit far above this line at equal cost.
+       ^
+       ^${table(recallRows._3)}
        ^
        ^## 4. Dictionary NER (the reference's flagship path)
        ^
