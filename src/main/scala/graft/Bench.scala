@@ -33,20 +33,34 @@ object Bench {
   val failurePenaltySec = 600.0
 
   private val entryRe = """"([^"]+)":([0-9.]+)""".r
+  private val sfTagRe = """"_sf":"([^"]+)"""".r
 
-  /** Tiny flat {"name":sec,...} parser — the only JSON this reads is the
-    * one this file writes. */
-  def readMins(path: String): Map[String, Double] =
+  /** Tiny flat {"_sf":dir,"name":sec,...} parser — the only JSON this
+    * reads is the one this file writes. Mins are NAMESPACED BY SF DIR: a
+    * run against a smaller sf must not permanently lower the shared
+    * minimums (mins only ever decrease), or every later full-sf run flags
+    * its heavy queries as steal suspects and silently switches to the
+    * extra-retry methodology. A file recorded under a different sfDir is
+    * ignored wholesale (fresh namespace, rewritten on save); legacy files
+    * without the `_sf` tag were all recorded at the sf0.1 default.
+    */
+  def readMins(path: String, sfDir: String): Map[String, Double] =
     if (!Files.exists(Paths.get(path))) Map.empty
-    else entryRe.findAllMatchIn(Files.readString(Paths.get(path)))
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    else {
+      val text = Files.readString(Paths.get(path))
+      val recordedSf = sfTagRe.findFirstMatchIn(text)
+        .map(_.group(1)).getOrElse("/root/testdata/sf0.1")
+      if (recordedSf != sfDir) Map.empty
+      else entryRe.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val minsPath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MINS", "/root/repo/bench_mins.json")
-    val histMins = readMins(minsPath)
+    val histMins = readMins(minsPath, sfDir)
     val spark = Sessions.local("graft-bench", cpus)
     var failures = 0
     var stealSuspects = 0
@@ -88,11 +102,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val summary =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failures":$failures,"steal_suspect":$stealSuspects}"""
     val json =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failures,"steal_suspect":$stealSuspects}"""
     println(json)
+    // a second, summary-only line AFTER the big per-query object: the
+    // driver captures a bounded stdout TAIL, and r03-r06 artifacts all
+    // lost the leading `"value":` total to head-truncation of the long
+    // line — the trailing compact line always survives the tail window
+    println(summary)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench.json")
-    Files.writeString(Paths.get(out), json + "\n")
+    Files.writeString(Paths.get(out), json + "\n" + summary + "\n")
     // roll this run into the historical minimums (clean samples only)
     val merged = (histMins.keySet ++ results.map(_._1)).toSeq.sorted.flatMap {
       k =>
@@ -105,7 +126,7 @@ object Bench {
         }
     }
     Files.writeString(Paths.get(minsPath),
-      merged.map { case (k, v) => s"\"$k\":${f(v)}" }
+      (s"\"_sf\":\"$sfDir\"" +: merged.map { case (k, v) => s"\"$k\":${f(v)}" })
         .mkString("{", ",", "}\n"))
     spark.stop()
   }

@@ -27,9 +27,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * dot = Σ a(i)·c(i), l2² = Σ (a(i)−c(i))², ascending i.
   *
   * Contract (all three): child must be array<double> (callers cast;
-  * float→double is exact) with no null elements; a vector shorter than
-  * the codebook dimension yields null (the composed chains degraded to
-  * null through zip_with padding on the same input).
+  * float→double is exact) with no null elements; a vector whose length
+  * differs from the codebook dimension IN EITHER DIRECTION yields null
+  * (the composed chains degraded to null through zip_with padding on any
+  * length mismatch — computing over a silent d-length prefix of a longer
+  * vector would make malformed input look plausible). Double ordering is
+  * java.lang.Double.compare throughout, the same total order array_sort
+  * uses: NaN sorts greatest deterministically, and the sortWith
+  * comparator stays transitive (a NaN under `>`/`==` is not, and TimSort
+  * may throw on a non-transitive comparator).
   *
   * Codebooks are held as value-equal IndexedSeqs so Catalyst plan
   * canonicalization / cache dedup see equal expressions for equal
@@ -44,7 +50,7 @@ object QuantEval {
                take: Int): ArrayData = {
     val k = cents.length
     val d = cents(0).length
-    if (nvec.numElements() < d) return null
+    if (nvec.numElements() != d) return null
     val dots = new Array[Double](k)
     var c = 0
     while (c < k) {
@@ -60,21 +66,22 @@ object QuantEval {
     }
     val n = math.min(take, k)
     if (n == 1) {
-      // argmax scan, ties to the LARGER cell id (reverse-sort order)
+      // argmax scan, ties to the LARGER cell id (reverse-sort order);
+      // Double.compare so a NaN dot wins like array_sort's NaN-greatest
       var best = 0
       var j = 1
       while (j < k) {
-        if (dots(j) > dots(best) || (dots(j) == dots(best) && j > best))
-          best = j
+        val cmp = java.lang.Double.compare(dots(j), dots(best))
+        if (cmp > 0 || (cmp == 0 && j > best)) best = j
         j += 1
       }
       new GenericArrayData(Array[Any](best))
     } else {
       val idx = Array.range(0, k)
-      // sort by (dot desc, cell desc); stable sort on reversed cell
-      // order is unnecessary — the comparator is total
+      // sort by (dot desc, cell desc) under Double.compare's total order
       val boxed = idx.sortWith { (a, b) =>
-        dots(a) > dots(b) || (dots(a) == dots(b) && a > b)
+        val cmp = java.lang.Double.compare(dots(a), dots(b))
+        cmp > 0 || (cmp == 0 && a > b)
       }
       new GenericArrayData(boxed.take(n).map(x => x: Any))
     }
@@ -87,7 +94,7 @@ object QuantEval {
               cents: Array[Array[Array[Double]]]): ArrayData = {
     val m = cents.length
     val dsub = cents(0)(0).length
-    if (vec.numElements() < m * dsub) return null
+    if (vec.numElements() != m * dsub) return null
     val out = new Array[Any](m)
     var j = 0
     while (j < m) {
@@ -120,7 +127,7 @@ object QuantEval {
     val m = cents.length
     val nCodes = cents(0).length
     val dsub = cents(0)(0).length
-    if (vec.numElements() < m * dsub) return null
+    if (vec.numElements() != m * dsub) return null
     val out = new Array[Any](m * nCodes)
     var j = 0
     while (j < m) {

@@ -72,7 +72,13 @@ object SpikeStream {
       .rowsBetween(-24, -1)
     events
       .select(col("event_type"),
-              expr("unix_micros(ts) div 3600000000").as("hour"))
+              // FLOOR division, exact in long arithmetic: `div` alone
+              // truncates toward zero, so a pre-1970 timestamp would land
+              // one hour later here than in detectStateful's
+              // Math.floorDiv and the oracle's flooring `//`; subtracting
+              // the positive remainder first makes truncation == floor
+              expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000))" +
+                   " div 3600000000").as("hour"))
       .groupBy("event_type", "hour")
       .agg(count(lit(1)).as("n"))
       .withColumn("gap", col("hour") - lag(col("hour"), 1).over(byType))
