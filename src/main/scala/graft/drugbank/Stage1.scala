@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.constants.Constants
-import graft.ner.DictionaryNer
+import graft.ner.EntityLinker
 import graft.ops.StringOps
 import graft.synonymizer.Synonymizer
 
@@ -21,7 +21,9 @@ object Stage1 {
 
   private def emptyMap = DrugBank.emptyMatchMap
 
-  def run(drugs: DataFrame, syn: Synonymizer, ner: DictionaryNer): DataFrame = {
+  // `ner` is the TRAIT: a user can run the whole pipeline over the
+  // external-model linker (ModelNer) instead of the dictionary matcher
+  def run(drugs: DataFrame, syn: Synonymizer, ner: EntityLinker): DataFrame = {
     val recs = DrugBank.records(drugs, syn)
 
     // indication_NER_aligned (perform_NER.py:117-125): bracket-scrubbed

@@ -28,7 +28,8 @@ import graft.ops.{AggOps, StringOps}
   */
 final class DictionaryNer(nodes: DataFrame, clusters: DataFrame,
                           maxGram: Int = 6, minMentionChars: Int = 3,
-                          broadcastDict: Boolean = true) {
+                          dictBuild: DictionaryNer.Build = DictionaryNer.Auto)
+    extends EntityLinker {
 
   /** mention_key (simplified) → canonical triple. One row per
     * (name_simplified, cluster): a mention with several clusters yields
@@ -39,26 +40,18 @@ final class DictionaryNer(nodes: DataFrame, clusters: DataFrame,
     * join. Left to statistics, Catalyst under-estimates the exploded
     * n-gram stream (explode fan-out isn't modeled) and at SCALECURVE's
     * 200k-doc point chose to BROADCAST THE 22M-ROW MENTION SIDE —
-    * collecting the corpus-scale stream to the driver. `broadcastDict`
-    * picks the dictionary's distribution: broadcast (default — right up
-    * to ~100 MB of names) or a shuffle-hash hint (the real-KG2 path for
+    * collecting the corpus-scale stream to the driver. `dictBuild`
+    * picks the dictionary's distribution: broadcast (right up to
+    * ~100 MB of names), a shuffle-hash hint (the real-KG2 path for
     * dictionaries too big to ship; builds the dictionary hash table
-    * per-partition, streams the mentions, never sorts them).
+    * per-partition, streams the mentions, never sorts them), or — the
+    * default — an [[DictionaryNer.Auto]] pick from the nodes relation's
+    * estimated size, so real-KG2-scale callers degrade to the
+    * distributed join instead of hitting the broadcast limit.
     */
-  private val dictionary: DataFrame = {
-    val base = nodes.join(
-        broadcast(clusters.select(
-          col("cluster_id"),
-          col("name").as("preferred_name"),
-          StringOps.withPrefix("biolink:", col("category"))
-            .as("preferred_category"))),
-        "cluster_id")
-      .select(col("name_simplified").as("mention_key"),
-              col("cluster_id").as("curie"),
-              col("preferred_name"), col("preferred_category"))
-      .distinct()
-    if (broadcastDict) broadcast(base) else base.hint("shuffle_hash")
-  }
+  private val dictionary: DataFrame =
+    DictionaryNer.distribute(
+      DictionaryNer.dictionaryOf(nodes, clusters), nodes, dictBuild)
 
   /** P2+P3+P4: text → gated, scrubbed sentences (perform_NER.py:22-28). */
   def sentences(docs: DataFrame, keyCol: String, textCol: String): DataFrame =
@@ -92,6 +85,65 @@ final class DictionaryNer(nodes: DataFrame, clusters: DataFrame,
       .withColumn("mention_key", StringOps.simplify(col("mention")))
       .filter(length(col("mention_key")) > 0)
     val hits = m.join(dictionary, "mention_key")
+    DictionaryNer.filterAndMerge(hits, categories)
+  }
+}
+
+object DictionaryNer {
+
+  /** Distribution of the dictionary build side of the mention join. */
+  sealed trait Build
+  /** Ship the whole dictionary to every executor (map-side join). */
+  case object BroadcastDict extends Build
+  /** Per-partition hash build + streamed probe side, no sort — the
+    * real-KG2-scale path for dictionaries too big to broadcast. */
+  case object ShuffleHashDict extends Build
+  /** Pick from the nodes relation's Catalyst size estimate (file size
+    * for a parquet source, exact bytes for an in-memory relation):
+    * broadcast under [[AutoBroadcastMaxBytes]], shuffle-hash above. The
+    * estimate is of the FULL nodes relation, an upper bound on the
+    * two-column pruned dictionary actually shipped. */
+  case object Auto extends Build
+
+  /** Auto cliff — ~100 MB of names broadcasts fine on multi-GB
+    * executors; real KG2 nodes dumps (GBs) must not be collected. */
+  val AutoBroadcastMaxBytes: Long = 100L << 20
+
+  /** The (name_simplified → canonical triple) dictionary both linkers
+    * share: [[DictionaryNer]] joins mentions against it directly;
+    * [[ModelNer]] uses it for the empty-candidate name fallback.
+    */
+  private[ner] def dictionaryOf(nodes: DataFrame,
+                                clusters: DataFrame): DataFrame =
+    nodes.join(
+        broadcast(clusters.select(
+          col("cluster_id"),
+          col("name").as("preferred_name"),
+          StringOps.withPrefix("biolink:", col("category"))
+            .as("preferred_category"))),
+        "cluster_id")
+      .select(col("name_simplified").as("mention_key"),
+              col("cluster_id").as("curie"),
+              col("preferred_name"), col("preferred_category"))
+      .distinct()
+
+  private[ner] def distribute(dict: DataFrame, nodes: DataFrame,
+                              build: Build): DataFrame = build match {
+    case BroadcastDict   => broadcast(dict)
+    case ShuffleHashDict => dict.hint("shuffle_hash")
+    case Auto =>
+      val bytes = nodes.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (bytes <= AutoBroadcastMaxBytes) broadcast(dict)
+      else dict.hint("shuffle_hash")
+  }
+
+  /** Shared tail of text_to_kg2_nodes (perform_NER.py:34-53): category
+    * filter + per-(doc, curie) longest-mention-wins merge. Input needs
+    * (doc_key, curie, mention, preferred_category); duplicate hits are
+    * harmless — the aggregate is duplicate-insensitive.
+    */
+  private[ner] def filterAndMerge(hits: DataFrame,
+                                  categories: Set[String]): DataFrame = {
     val filtered =
       if (categories.isEmpty) hits
       else hits.filter(col("preferred_category")
@@ -101,22 +153,6 @@ final class DictionaryNer(nodes: DataFrame, clusters: DataFrame,
       .agg(AggOps.longestWins(col("mention")).as("name"),
            max(col("preferred_category")).as("category"))
   }
-
-  /** Map-form result (`indication_NER_aligned` /
-    * `mechanistic_intermediate_nodes` shape, perform_NER.py:119-134):
-    * doc_key → map<curie, struct<name, category>> with deterministically
-    * sorted keys.
-    */
-  def asMap(matches: DataFrame): DataFrame =
-    matches
-      .groupBy("doc_key")
-      .agg(map_from_entries(sort_array(collect_list(struct(
-        col("curie"),
-        struct(col("name"), col("category")).as("info")))))
-        .as("matches"))
-}
-
-object DictionaryNer {
 
   /** P2+P3+P4: text → gated, scrubbed sentences (perform_NER.py:22-28).
     * The downstream n-gram explode is the pipeline's CPU/blow-up stage

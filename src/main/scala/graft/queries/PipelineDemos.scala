@@ -14,6 +14,32 @@ import graft.tables.Tables
 object PipelineDemos {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Inline KG over the synthetic corpus vocabulary for the
+    * `ner_linker_adapter` demo: multiword mentions ("fast table",
+    * "hash value", "merge batch") exercise n-grams + longest-wins;
+    * "spark" maps to TWO clusters (multi-candidate linking); "window"'s
+    * Gadget category is filtered by the demo's category set.
+    */
+  private def nerVocabKg(s: SparkSession)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    val nodes = Seq(
+      ("N:1", "N:1", "fast table", "fasttable", "W:1"),
+      ("N:2", "N:2", "table", "table", "W:1"),
+      ("N:3", "N:3", "hash value", "hashvalue", "W:2"),
+      ("N:4", "N:4", "spark", "spark", "W:3"),
+      ("N:5", "N:5", "spark", "spark", "W:4"),
+      ("N:6", "N:6", "merge batch", "mergebatch", "W:5"),
+      ("N:7", "N:7", "window", "window", "W:6"))
+      .toDF("id", "id_simplified", "name", "name_simplified", "cluster_id")
+    val clusters = Seq(
+      ("W:1", "FastTable", "Widget"), ("W:2", "HashValue", "Widget"),
+      ("W:3", "SparkEngine", "Engine"), ("W:4", "SparkWidget", "Widget"),
+      ("W:5", "MergeBatch", "Engine"), ("W:6", "Window", "Gadget"))
+      .toDF("cluster_id", "name", "category")
+    (nodes, clusters)
+  }
+
   private[queries] val jaccardThreshold = 0.5
   private val cosineThreshold = 0.45
   private val embedCap = 1000L
@@ -87,6 +113,22 @@ object PipelineDemos {
         .agg(count(lit(1)).as("n_mentions"))
         .select(col("doc_id"), col("n_mentions"))
         .orderBy("doc_id")
+    }),
+    // U1 escape hatch e2e: the external-model adapter (ModelNer) running
+    // the deterministic dictionary test-double over `documents` against
+    // an inline corpus-vocabulary KG — mapPartitions batch inference →
+    // canonicalization join → category filter → longest-mention-wins.
+    // The double replicates dictionary-match semantics, so the whole
+    // adapter (batching, member-curie join, merge) oracles in SQL.
+    "ner_linker_adapter" -> ((s, dir) => {
+      val (nodes, clusters) = nerVocabKg(s)
+      new graft.ner.ModelNer(nodes, clusters,
+          Seq(graft.ner.DictionaryDouble.fromNodes(nodes, maxGram = 3)),
+          graft.ner.NerConfig(threshold = 0.5, maxEntitiesPerMention = 8,
+                              batchSize = 32))
+        .textToKg2Nodes(Tables.documents(s, dir), "doc_id", "text",
+          categories = Set("biolink:Widget", "biolink:Engine"))
+        .orderBy("doc_key", "curie")
     }),
     // Exact dedup by content hash.
     "dedup_exact" -> ((s, dir) => {
@@ -887,6 +929,45 @@ object PipelineDemos {
         |  ])) AS mention FROM tok)
         |  WHERE length(mention) >= 3)
         |SELECT doc_id, count(*) AS n_mentions FROM ng GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same n-gram CTE stack as ngram_mentions, joined to the inline
+    // vocabulary KG (dict dedups (name, cluster) like dictionaryOf);
+    // longest-mention-wins via the maxby_len QUALIFY idiom
+    "ner_linker_adapter" ->
+      """WITH n(name_simplified, curie) AS (VALUES
+        |    ('fasttable','W:1'),('table','W:1'),('hashvalue','W:2'),
+        |    ('spark','W:3'),('spark','W:4'),('mergebatch','W:5'),
+        |    ('window','W:6')),
+        |c(cluster_id, category) AS (VALUES
+        |    ('W:1','Widget'),('W:2','Widget'),('W:3','Engine'),
+        |    ('W:4','Widget'),('W:5','Engine'),('W:6','Gadget')),
+        |dict AS (SELECT DISTINCT name_simplified AS mention_key, curie,
+        |                'biolink:' || category AS preferred_category
+        |         FROM n JOIN c ON curie = cluster_id),
+        |s AS (SELECT doc_id, unnest(string_split(text, '.')) AS sentence FROM documents),
+        |g AS (SELECT doc_id,
+        |        array_to_string(list_filter(string_split(sentence, ' '), t -> length(t) < 100), ' ') AS sentence
+        |      FROM s WHERE length(sentence) BETWEEN 15 AND 1000),
+        |tok AS (SELECT doc_id,
+        |          string_split_regex(trim(translate(sentence, '.,;:?!', '')), '\s+') AS toks FROM g),
+        |ng AS (SELECT DISTINCT doc_id, mention FROM (
+        |  SELECT doc_id, unnest(flatten([
+        |    list_transform(generate_series(1, len(toks)), i -> toks[i]),
+        |    list_transform(generate_series(1, len(toks) - 1), i -> array_to_string(toks[i:i+1], ' ')),
+        |    list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))
+        |  ])) AS mention FROM tok)
+        |  WHERE length(mention) >= 3),
+        |hits AS (SELECT doc_id, curie, mention, preferred_category
+        |         FROM (SELECT doc_id, mention,
+        |                 lower(regexp_replace(mention, '[[:punct:]\s]', '', 'g')) AS mention_key
+        |               FROM ng) k
+        |         JOIN dict USING (mention_key)
+        |         WHERE preferred_category IN ('biolink:Widget', 'biolink:Engine'))
+        |SELECT doc_id AS doc_key, curie, mention AS name,
+        |       preferred_category AS category
+        |FROM hits
+        |QUALIFY row_number() OVER (PARTITION BY doc_id, curie
+        |  ORDER BY length(mention) DESC, mention DESC) = 1
+        |ORDER BY doc_key, curie""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,

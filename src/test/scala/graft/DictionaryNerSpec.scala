@@ -74,15 +74,15 @@ class DictionaryNerSpec extends SparkTestBase {
       1L -> "Also known as acetylsalicylic acid, aspirin is common today.",
       2L -> "Relief of asthma; also binds PBP3 in most tissue samples.",
       3L -> "Nothing from the dictionary appears in this sentence at all.")
-    def run(mode: Boolean) = new DictionaryNer(
+    def run(mode: DictionaryNer.Build) = new DictionaryNer(
         TestFixtures.nodesDf(spark), TestFixtures.clustersDf(spark),
-        broadcastDict = mode)
+        dictBuild = mode)
       .textToKg2Nodes(d, "doc_id", "text")
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
                  r.getString(3))).toSet
-    val broadcastOut = run(true)
-    assert(broadcastOut == run(false),
+    val broadcastOut = run(DictionaryNer.BroadcastDict)
+    assert(broadcastOut == run(DictionaryNer.ShuffleHashDict),
       "shuffle-hash dictionary mode must be result-identical")
     assert(broadcastOut.exists(_._2 == "CHEBI:15365"))
   }

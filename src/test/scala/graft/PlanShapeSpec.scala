@@ -42,9 +42,9 @@ class PlanShapeSpec extends SparkTestBase {
   test("NER mention join never broadcasts the exploded mention stream — " +
        "the dictionary is the build side in both distribution modes") {
     import org.apache.spark.sql.functions.col
-    def planOf(broadcastDict: Boolean): String =
+    def planOf(mode: graft.ner.DictionaryNer.Build): String =
       new graft.ner.DictionaryNer(TestFixtures.nodesDf(spark),
-          TestFixtures.clustersDf(spark), broadcastDict = broadcastDict)
+          TestFixtures.clustersDf(spark), dictBuild = mode)
         .textToKg2Nodes(
           graft.tables.Tables.documents(spark, dir), "doc_id", "text")
         .queryExecution.executedPlan.toString
@@ -52,7 +52,9 @@ class PlanShapeSpec extends SparkTestBase {
     // BuildLeft (broadcast the corpus-scale mention side) on synthetic
     // inputs — SCALECURVE round-6 finding. Guard: no BroadcastExchange
     // subtree may contain the n-gram generator.
-    Seq(true, false).foreach { mode =>
+    Seq(graft.ner.DictionaryNer.BroadcastDict,
+        graft.ner.DictionaryNer.ShuffleHashDict,
+        graft.ner.DictionaryNer.Auto).foreach { mode =>
       def indentOf(l: String): Int =
         l.indexWhere(c => !" :+-*(".contains(c)) match {
           case -1 => Int.MaxValue
@@ -72,8 +74,13 @@ class PlanShapeSpec extends SparkTestBase {
         s"mention stream under a BroadcastExchange (mode=$mode):\n$p")
       assert(p.contains("ngrams("), s"sanity: generator present\n$p")
     }
-    assert(planOf(false).contains("ShuffledHashJoin"),
-      "broadcastDict=false must take the shuffle-hash path")
+    assert(planOf(graft.ner.DictionaryNer.ShuffleHashDict)
+             .contains("ShuffledHashJoin"),
+      "ShuffleHashDict must take the shuffle-hash path")
+    // Auto on a small in-memory fixture must still broadcast (stats of a
+    // LocalRelation are exact and far under the 100 MB cliff)
+    assert(planOf(graft.ner.DictionaryNer.Auto).contains("BroadcastHashJoin"),
+      "Auto must broadcast a small dictionary")
   }
 
   test("join_salted shuffles on (key, salt): the hot key is spread " +
