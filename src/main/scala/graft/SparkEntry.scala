@@ -19,7 +19,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TextDemos.queries ++ RelationalDemos.queries ++ PipelineDemos.queries ++
-      StreamingDemos.queries ++ SourceSinkDemos.queries
+      StreamingDemos.queries ++ SourceSinkDemos.queries ++
+      DrugBankDemos.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (impl-specific sketches) get
@@ -28,5 +29,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     TextDemos.oracleSql ++ RelationalDemos.oracleSql ++
       PipelineDemos.oracleSql ++ StreamingDemos.oracleSql ++
-      SourceSinkDemos.oracleSql
+      SourceSinkDemos.oracleSql ++ DrugBankDemos.oracleSql
 }
