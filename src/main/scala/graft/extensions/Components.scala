@@ -1,6 +1,6 @@
 package graft.extensions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -9,26 +9,44 @@ import org.apache.spark.storage.StorageLevel
   * dedup CLUSTERS: transitive chains A~B~C collapse to one component,
   * and `min(id)` per component is the canonical survivor.
   *
-  * Algorithm: iterative min-label propagation. Each round every vertex
-  * takes the minimum label among itself and its neighbors (one shuffle
-  * join + one aggregation per round); convergence needs O(graph
-  * diameter) rounds. Near-dup graphs are unions of small
-  * quasi-cliques — diameters of 2-4 — so the round count stays tiny at
-  * any corpus size; the per-round work is a pair of key-partitioned
-  * shuffles that AQE sizes. (For adversarial long-path graphs the
-  * alternating large-star/small-star scheme halves the exponent, but
-  * dedup graphs never look like that; documented here so the scale
-  * trade-off is explicit.) Labels are persisted per round and the
-  * previous round unpersisted, so lineage is read from cache, not
-  * recomputed.
+  * Two-phase algorithm:
+  *
+  *  1. Min-label propagation (fused init + up to 4 rounds): each round
+  *     every vertex takes the minimum label among itself and its
+  *     neighbors (one shuffle join + one aggregation). Near-dup graphs
+  *     are unions of small quasi-cliques — diameters of 2-4 — so this
+  *     phase almost always converges in one or two rounds; it is the
+  *     cheap path and it sees the FULL edge list exactly as before.
+  *  2. If labels are still moving (diameter > ~5 — an adversarial
+  *     graph, not a dedup graph), the edge list is CONTRACTED by the
+  *     current labels (edges between label representatives, deduped —
+  *     far smaller than the input) and finished with the alternating
+  *     large-star/small-star scheme (Kiveris et al., "Connected
+  *     Components in MapReduce and Beyond"): O(log² n) rounds on ANY
+  *     graph, independent of diameter, so the default budget converges
+  *     on inputs of any legal shape (ScaleStressSpec plants a
+  *     1,000-hop path — phase 2 closes it in ~10 rounds where pure
+  *     propagation would need 1,000).
+  *
+  * Per-round frames are persisted and the previous round unpersisted,
+  * so lineage is read from cache, not recomputed; phase-2 rounds also
+  * rebuild from their RDDs (constant-size logical plans — the star
+  * steps reference their input twice, which would otherwise double the
+  * plan tree every round).
   *
   * No counterpart in the reference (it dedups nothing); this is part of
   * the training-data pipeline surface.
   */
 object Components {
 
+  /** Rounds of plain propagation before contracting to phase 2. */
+  private val PropagationBudget = 4
+
   /** @param edges  candidate pairs, undirected (each pair listed once in
     *               either direction)
+    * @param maxIter phase-2 round budget (log²-scale: 20 covers any
+    *               physically possible graph; the warning below fires
+    *               only if it is LOWERED below what the input needs)
     * @return (id, comp) — one row per vertex that appears in `edges`,
     *         comp = min vertex id in its connected component. Vertices
     *         with no edges don't appear (a doc with no near-dup is its
@@ -54,7 +72,7 @@ object Components {
     var prev = labels
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (changed > 0 && iter < PropagationBudget) {
       // change detection fused into the propagation round: the merged
       // frame carries old + new labels, so convergence is a filter-count
       // on the SAME persisted frame — no separate old-vs-new join.
@@ -75,17 +93,96 @@ object Components {
       labels = merged.select("id", "comp")
       iter += 1
     }
-    if (changed > 0)
-      // an unconverged exit means some component is still split across
-      // labels — for dedup that silently UNDER-dedups. Loud, not fatal:
-      // graphs this deep aren't dedup graphs, and the caller may be
-      // running a deliberately capped approximation; raise maxIter
-      // (rounds needed ~ graph diameter) to converge.
-      System.err.println(
-        s"[graft.Components] label propagation did NOT converge after " +
-          s"$maxIter rounds ($changed labels still moving) — components " +
-          "are split; raise maxIter (~ graph diameter) for exact clusters")
+    val out =
+      if (changed == 0) labels
+      else {
+        // phase 2: contract edges to the label graph (small — one node
+        // per surviving label) and close it with star alternation
+        val la = labels.select(col("id").as("ea"), col("comp").as("lca"))
+        val lb = labels.select(col("id").as("eb"), col("comp").as("lcb"))
+        val contracted = sym
+          .join(la, sym("a") === col("ea"))
+          .join(lb, sym("b") === col("eb"))
+          .select(least(col("lca"), col("lcb")).as("a"),
+                  greatest(col("lca"), col("lcb")).as("b"))
+          .filter(col("a") =!= col("b"))
+          .distinct()
+        val starComp = alternatingStar(contracted, maxIter)
+          .withColumnRenamed("id", "sid")
+        // compose: comp(u) = starComp(label(u)); labels whose
+        // representative is isolated in the contracted graph already
+        // name a whole component
+        labels.join(starComp, col("comp") === col("sid"), "left")
+          .select(col("id"),
+                  coalesce(col("scomp"), col("comp")).as("comp"))
+      }
     sym.unpersist()
+    out
+  }
+
+  /** One star round over a canonical (a < b, distinct) edge list.
+    * large: for each u, connect every LARGER neighbor to
+    * m = min(N(u) ∪ {u}). small: connect every smaller-or-self vertex
+    * to the min of that set. Both emit canonical pairs.
+    */
+  private def star(e: DataFrame, large: Boolean): DataFrame = {
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    val base =
+      if (large) sym
+      else // N≤(u) ∪ {u}: self-rows for every vertex
+        sym.filter(col("v") < col("u"))
+          .union(e.select(col("a").as("u"), col("a").as("v"))
+            .union(e.select(col("b").as("u"), col("b").as("v")))
+            .distinct())
+    val m = base.groupBy("u")
+      .agg(min(least(col("u"), col("v"))).as("m"))
+    val emitted = base.join(m, "u")
+    val kept =
+      if (large) emitted.filter(col("v") > col("u"))
+      else emitted.filter(col("v") =!= col("m"))
+    kept
+      .select(least(col("v"), col("m")).as("a"),
+              greatest(col("v"), col("m")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Alternate large-star/small-star until the edge set is stable (a
+    * disjoint union of min-centered stars), then read components off
+    * the star edges. O(log² n) rounds on any graph.
+    */
+  private def alternatingStar(edges0: DataFrame,
+                              maxRounds: Int): DataFrame = {
+    val spark = edges0.sparkSession
+    var e = edges0.persist(StorageLevel.MEMORY_AND_DISK)
+    var eCount = e.count()
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      val round = star(star(e, large = true), large = false)
+      // rebuild from the RDD: each star references its input twice, so
+      // without the cut the logical plan doubles every round
+      val next = spark.createDataFrame(round.rdd, round.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.except(e).isEmpty
+      e.unpersist()
+      e = next
+      eCount = nextCount
+      r += 1
+    }
+    if (!converged)
+      // unreachable at the default budget on legal inputs (star
+      // alternation is O(log² n) regardless of diameter); fires only if
+      // the caller LOWERED maxIter below what the graph needs
+      System.err.println(
+        s"[graft.Components] star alternation did NOT stabilize after " +
+          s"$maxRounds rounds — components are split; raise maxIter")
+    val labels = e.select(col("b").as("id"), col("a").as("scomp"))
+      .union(e.select(col("a").as("id"), col("a").as("scomp")))
+      .distinct()
+    e.unpersist()
     labels
   }
 

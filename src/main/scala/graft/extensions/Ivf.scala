@@ -50,10 +50,24 @@ object Ivf {
 
   /** Train centroids with MLlib KMeans (cosine-friendly: vectors are
     * L2-normalized first so Euclidean cells ≈ angular cells).
+    *
+    * The fit is a BOUNDED, UNIFORM, DETERMINISTIC sample: the
+    * `maxSampleRows` vectors with the smallest seed-keyed md5 — a
+    * TakeOrdered (per-partition top-k + merge, no full sort shuffle), so
+    * a 100 TB corpus contributes a layout-independent sample in one
+    * bounded pass. A bare `limit(maxSampleRows)` is NOT that: it takes
+    * whatever splits come first, and on a corpus whose layout correlates
+    * with content (time-partitioned, cluster-sorted) the fit only ever
+    * sees the first stratum (ExtensionsSpec plants exactly that layout
+    * and checks recall parity with a full fit).
     */
   def train(vecs: DataFrame, vecCol: String, k: Int,
             seed: Long = 42L, maxSampleRows: Int = 100000): IvfIndex = {
     val normalized = prepped(vecs.withColumn("__id", lit(0L)), "__id", vecCol)
+      .select(col("nvec"),
+              md5(concat(lit(seed.toString), lit("|"),
+                         col("nvec").cast("string"))).as("__h"))
+      .orderBy("__h")
       .limit(maxSampleRows)
       .select(array_to_vector(col("nvec")).as("features"))
     val model = new KMeans()

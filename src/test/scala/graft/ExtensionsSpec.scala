@@ -271,6 +271,43 @@ class ExtensionsSpec extends SparkTestBase {
     assert(ivf1.head.getLong(1) == 99L)
   }
 
+  test("IVF sampled fit: the bounded hash-sample KMeans fit matches a " +
+       "full-corpus fit's recall on a CLUSTER-SORTED corpus — the layout " +
+       "where a prefix limit() would only ever see the first stratum") {
+    import spark.implicits._
+    import graft.extensions.Ivf
+    val rng = new scala.util.Random(11)
+    // 4 well-separated clusters, rows ORDERED by cluster (adversarial
+    // content-correlated layout: a prefix sample sees only cluster 0)
+    val rows = (0 until 4).flatMap { c =>
+      (0 until 100).map { i =>
+        val v = Array.fill(16)(0.05f * rng.nextGaussian().toFloat)
+        v(c * 4) += 1f
+        (c * 100L + i, v)
+      }
+    }
+    val vecs = rows.toDF("vec_id", "embedding").orderBy("vec_id").coalesce(2)
+    val queries = vecs.filter(col("vec_id") % 100 < 3) // 3 per cluster
+    def recall(index: Ivf.IvfIndex): Double = {
+      val got = Ivf.search(vecs, queries, "vec_id", "embedding", index,
+          nProbe = 1, topK = 3)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = Similarity.bruteForceTopK(vecs, queries, "vec_id",
+          "embedding", 3)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    // 60-row sample of 400 (≈15 per cluster) must see every stratum
+    val sampled = recall(Ivf.train(vecs, "embedding", k = 4,
+                                   maxSampleRows = 60))
+    val full = recall(Ivf.train(vecs, "embedding", k = 4))
+    assert(sampled >= 0.9, s"sampled-fit recall only $sampled")
+    assert(sampled >= full - 0.05,
+      s"sampled-fit recall $sampled lags full-fit recall $full")
+  }
+
   test("PQ: codes in range, seeds encode to their own codebook entry, " +
        "ADC distance to a seed equals the exact squared L2") {
     import spark.implicits._

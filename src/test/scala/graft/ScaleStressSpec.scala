@@ -11,6 +11,27 @@ import org.apache.spark.sql.functions._
   */
 class ScaleStressSpec extends SparkTestBase {
 
+  test("connected components on a planted 1,000-hop PATH graph — the " +
+       "adversarial-diameter case — converges inside the default budget " +
+       "(phase-2 large-star/small-star: O(log² n) rounds, any diameter)") {
+    import spark.implicits._
+    // worst case for plain min-propagation (needs ~1000 rounds); ids
+    // permuted by a multiplicative shuffle so the min sits mid-path and
+    // labels can't ride a monotone id layout to an easy win
+    val n = 1000
+    def perm(i: Int): Long = ((i.toLong * 571 + 13) % (n + 1))
+    val edges = (0 until n).map(i => (perm(i), perm(i + 1)))
+      .toDF("id_a", "id_b")
+    val comps = graft.extensions.Components
+      .connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comps.length == n + 1)
+    // one component, labeled by the global min vertex id
+    assert(comps.map(_._2).distinct.toSeq == Seq(0L),
+      s"path graph split into ${comps.map(_._2).distinct.length} labels " +
+        "— propagation did not converge")
+  }
+
   test("minhash near-dup pipeline on 20k synthetic docs: planted pairs " +
        "found, candidate volume bucket-bounded") {
     val nBase = 19000L
