@@ -345,6 +345,90 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: sessionizeStateful killed with a session " +
+       "OPEN in state resumes from the checkpoint and emits the carried " +
+       "session exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(user: Long, tSec: Long, v: Double) =
+      EventsStream.SessionEvent(user, new java.sql.Timestamp(tSec * 1000L), v)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess-ckpt")
+    val (out, ckpt) = (s"$tmp/out", s"$tmp/ckpt")
+    val input = MemoryStream[EventsStream.SessionEvent]
+    // exactly-once sink: parquet file sink (its commit log dedups
+    // replayed batches); same checkpoint dir across both incarnations
+    def start() = EventsStream
+      .sessionizeStateful(input.toDS().withWatermark("ts", "0 seconds"),
+        gapMinutes = 30, finalFlush = false)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+    val t0 = 10000L
+    val q1 = start()
+    try {
+      input.addData(ev(1L, t0, 1.0), ev(1L, t0 + 600L, 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop() // kill with the session still open in state
+    val q2 = start()    // restart from the checkpoint
+    try {
+      // within the gap → must extend the RESTORED session, not a new one
+      input.addData(ev(1L, t0 + 1200L, 3.0))
+      q2.processAllAvailable()
+      // beyond the gap → closes the session carried across the restart
+      input.addData(ev(1L, t0 + 1200L + 1801L, 9.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(out)
+      .as[EventsStream.UserSession].collect().toSeq
+    assert(got == Seq(
+      EventsStream.UserSession(1L, t0, t0 + 1200L, 3L, 6.0)),
+      s"expected exactly one session spanning the restart, got $got")
+  }
+
+  test("checkpoint recovery: nearDupIngest killed between micro-batches " +
+       "resumes, flags against pre-restart history, and appends history " +
+       "exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DocsStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt")
+    val (hist, flags, ckpt) = (s"$tmp/hist", s"$tmp/flags", s"$tmp/ckpt")
+    val b1 = Seq(
+      DocsStream.Doc(1L, "the quick brown fox jumps over the lazy dog " +
+        "again and again in the morning"),
+      DocsStream.Doc(2L, "completely unrelated text about spark " +
+        "catalyst optimizer internals and shuffles"))
+    val b2 = Seq(
+      DocsStream.Doc(10L, "the quick brown fox jumps over the lazy dog " +
+        "again and again in the evening"),
+      DocsStream.Doc(11L, "another novel document with fresh content " +
+        "nothing like history at all"))
+    val input = MemoryStream[DocsStream.Doc]
+    val q1 = DocsStream.nearDupIngest(spark, input.toDF(), hist, flags,
+      ckpt, threshold = 0.3)
+    try {
+      input.addData(b1: _*); q1.processAllAvailable()
+    } finally q1.stop() // kill after history is seeded
+    val q2 = DocsStream.nearDupIngest(spark, input.toDF(), hist, flags,
+      ckpt, threshold = 0.3)
+    try {
+      input.addData(b2: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(flags)
+      .select("id", "dup_of").as[(Long, Long)].collect().toSet
+    val ref = graft.extensions.TextDedup.incrementalNearDups(
+        b2.toDF(), b1.toDF(), "doc_id", "text", 0.3)
+      .select("id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(got == ref,
+      s"flags across restart $got != batch reference $ref")
+    assert(got.contains((10L, 1L)))
+    // history appended exactly once per batch across the restart
+    assert(spark.read.parquet(hist).count() == 4,
+      "history must not double-append after recovery")
+  }
+
   test("streaming near-dup ingest flags batch-2 dups against batch-1 " +
        "history and matches the batch incremental reference") {
     import spark.implicits._
