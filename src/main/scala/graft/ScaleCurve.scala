@@ -340,6 +340,59 @@ object ScaleCurve {
         "wall (s)" -> f"$sec%.2f"))
     }
 
+    // ---- 4b. Dictionary NER, SHUFFLE-HASH dictionary (real-KG2 path) -
+    val nerShufflePts = points.map { n =>
+      val dictSize = 1000000
+      val docs = nerCorpus(spark, n, dictSize)
+      val (nodes, clusters) = nerDictionary(spark, dictSize)
+      val ner = new graft.ner.DictionaryNer(nodes, clusters,
+        dictBuild = graft.ner.DictionaryNer.ShuffleHashDict)
+      var matches = 0L
+      val (sec, _) = timeIt(spark) {
+        matches = ner.textToKg2Nodes(docs, "doc_id", "text").count()
+        matches
+      }
+      Point(n, Seq(
+        "docs" -> n.toString,
+        "dict terms" -> dictSize.toString,
+        "matches" -> matches.toString,
+        "match rate" -> f"${matches.toDouble / n}%.3f",
+        "wall (s)" -> f"$sec%.2f"))
+    }
+
+    // ---- 4c. External-model adapter (ModelNer) batching --------------
+    val adapterPts = points.map { n =>
+      val dictSize = 10000
+      val docs = nerCorpus(spark, n, dictSize)
+      val (nodes, clusters) = nerDictionary(spark, dictSize)
+      val opens = spark.sparkContext.longAccumulator("scale-ner-opens")
+      val batches = spark.sparkContext.longAccumulator("scale-ner-batches")
+      val linker = new graft.ner.ModelNer(nodes, clusters,
+        Seq(graft.ner.DictionaryDouble.fromNodes(nodes,
+          opens = Some(opens), batches = Some(batches))),
+        graft.ner.NerConfig(threshold = 0.5, maxEntitiesPerMention = 8,
+          batchSize = 256))
+      var matches = 0L
+      val (sec, _) = timeIt(spark) {
+        matches = linker.textToKg2Nodes(docs, "doc_id", "text").count()
+        matches
+      }
+      // counts from ONE clean run (timeIt samples twice)
+      opens.reset(); batches.reset()
+      linker.textToKg2Nodes(docs, "doc_id", "text").count()
+      val nSentences = graft.ner.DictionaryNer
+        .sentences(docs, "doc_id", "text").count()
+      spark.catalog.clearCache()
+      Point(n, Seq(
+        "docs" -> n.toString,
+        "sentences" -> nSentences.toString,
+        "model opens" -> opens.value.toString,
+        "linkBatch calls" -> batches.value.toString,
+        "sents/call" -> f"${nSentences.toDouble / batches.value}%.1f",
+        "matches" -> matches.toString,
+        "wall (s)" -> f"$sec%.2f"))
+    }
+
     // ---- 5. Synonymizer canonical-curie lookup (name path) -----------
     val synPts = points.map { n =>
       val nNodes = 1000000L
@@ -392,6 +445,31 @@ object ScaleCurve {
         "mislabeled" -> mislabeled.toString,
         "wall (s)" -> f"$sec%.2f"))
     }
+
+    // ---- 6b. Components, adversarial LONG PATH (phase-2 star rounds) -
+    val pathPts = Seq(16384L, 65536L, 262144L).filter(_ <= points.max * 2)
+      .map { n =>
+        // single path over n vertices with XOR-permuted ids, so labels
+        // can't ride a monotone layout; diameter n-1 → pure propagation
+        // would need n rounds; the star phase closes it in O(log² n)
+        val mask = (n >> 1) | (n >> 3)
+        val p = (c: org.apache.spark.sql.Column) =>
+          c.bitwiseXOR(lit(mask))
+        val edges = spark.range(0, n - 1).toDF("i")
+          .select(p(col("i")).as("src"), p(col("i") + 1).as("dst"))
+        var mislabeled = 0L
+        val (sec, _) = timeIt(spark) {
+          val labels = graft.extensions.Components
+            .connectedComponents(edges, "src", "dst")
+          mislabeled = labels.filter(col("comp") =!= 0L).count()
+          labels.count()
+        }
+        Point(n, Seq(
+          "vertices" -> n.toString,
+          "diameter" -> (n - 1).toString,
+          "mislabeled" -> mislabeled.toString,
+          "wall (s)" -> f"$sec%.2f"))
+      }
 
     // ---- render ------------------------------------------------------
     def table(pts: Seq[Point]): String = {
@@ -495,6 +573,36 @@ object ScaleCurve {
        ^
        ^Growth: ${growth(nerPts, "wall (s)")}.
        ^
+       ^### 4b. Shuffle-hash dictionary (the real-KG2-scale path)
+       ^
+       ^Same pipeline, 1M-term dictionary, `dictBuild = ShuffleHashDict`
+       ^— the distribution the Auto heuristic picks when the dictionary
+       ^is too big to broadcast. The dictionary hash table builds
+       ^per-partition and the mention stream probes it without ever
+       ^being sorted or collected (PlanShapeSpec asserts the
+       ^ShuffledHashJoin with the dictionary as build side); AQE handles
+       ^mention-key skew. Match rate 1.000 = exact recall against the
+       ^planted terms through the distributed join.
+       ^
+       ^${table(nerShufflePts)}
+       ^
+       ^Growth: ${growth(nerShufflePts, "wall (s)")}.
+       ^
+       ^### 4c. External-model adapter (ModelNer, U1 escape hatch)
+       ^
+       ^The mapPartitions-hosted model adapter running the deterministic
+       ^dictionary double at batchSize=256: `model opens` counts
+       ^open() calls (exactly one per sentence-stage partition — the
+       ^per-partition handle contract), `sents/call` shows the batch
+       ^amortization (≥100× fewer model calls than sentences — never
+       ^per-row). `matches` equals docs: the adapter path reproduces the
+       ^dictionary matcher's exact recall through the candidate →
+       ^canonicalization join.
+       ^
+       ^${table(adapterPts)}
+       ^
+       ^Growth: ${growth(adapterPts, "wall (s)")}.
+       ^
        ^## 5. Synonymizer canonical-curie lookup (name path)
        ^
        ^The reference's core query (get_canonical_curies by name): probe
@@ -511,8 +619,8 @@ object ScaleCurve {
        ^
        ^## 6. Connected components (near-dup pairs → dedup clusters)
        ^
-       ^Min-label propagation over planted 4-vertex PATH groups —
-       ^diameter 3, so the loop must run real propagation rounds (the
+       ^Phase-1 min-label propagation over planted 4-vertex PATH groups
+       ^— diameter 3, so the loop must run real propagation rounds (the
        ^quasi-clique graphs real dedup produces converge faster). Each
        ^round is one keyed join + aggregation; `mislabeled` counts
        ^vertices whose final component differs from the arithmetic
@@ -521,6 +629,20 @@ object ScaleCurve {
        ^${table(compPts)}
        ^
        ^Growth: ${growth(compPts, "wall (s)")}.
+       ^
+       ^### 6b. Adversarial long path (phase-2 large-star/small-star)
+       ^
+       ^A single XOR-permuted path over ALL vertices — diameter n-1,
+       ^the shape where pure propagation needs n rounds. After the
+       ^4-round propagation budget, the edge list contracts to the label
+       ^graph and the alternating large-star/small-star phase closes it
+       ^in O(log² n) rounds — wall time grows with log-rounds × linear
+       ^shuffles, not with the diameter. `mislabeled` counts vertices
+       ^whose component is not the global min (must be 0).
+       ^
+       ^${table(pathPts)}
+       ^
+       ^Growth: ${growth(pathPts, "wall (s)")}.
        ^
        ^## Reading the curves at 100 TB
        ^
