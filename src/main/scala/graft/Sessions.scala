@@ -18,6 +18,14 @@ object Sessions {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // honor advisoryPartitionSizeInBytes when coalescing instead of
+      // keeping defaultParallelism partitions: post-shuffle partitions
+      // are sized to data volume, so a tiny shuffle collapses to one
+      // task instead of `cpus` near-empty ones (the composite pipelines
+      // were paying ~50 ms of scheduling per empty task), while a 100 TB
+      // shuffle still fans out to volume/64 MB partitions
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+              "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

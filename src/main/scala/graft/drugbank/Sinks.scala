@@ -24,6 +24,23 @@ object Sinks {
                      path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** In-memory stage boundary: persist + cut the logical lineage.
+    *
+    * A stage whose output feeds N downstream branches would otherwise
+    * contribute N copies of its whole subtree to every downstream plan —
+    * Catalyst re-analyzes each copy, so driver time (not just execution)
+    * grows with the product of the branch counts (drugbank_e2e: 1,126
+    * Exchanges, ~26 s of driver-side analysis). Wrapping the persisted
+    * frame's RDD as a fresh leaf makes downstream plans see one shared
+    * scan — the in-memory analogue of the reference's pickle checkpoint
+    * (perform_NER.py:141-142 → look_for_identifiers.py:65-66). For a
+    * restart-safe boundary across jobs use writeCheckpoint/readCheckpoint.
+    */
+  def stageBoundary(df: DataFrame): DataFrame = {
+    val cached = df.persist()
+    cached.sparkSession.createDataFrame(cached.rdd, cached.schema)
+  }
+
   /** Keyed JSON object string `{"<keyCol>": {record}, ...}` (driver-side,
     * fixture-scale only — `maxRows` guards the collect). The key comes
     * from the actual column and the record from `to_json(struct(*))`, so

@@ -24,7 +24,12 @@ object Stage1 {
   // `ner` is the TRAIT: a user can run the whole pipeline over the
   // external-model linker (ModelNer) instead of the dictionary matcher
   def run(drugs: DataFrame, syn: Synonymizer, ner: EntityLinker): DataFrame = {
-    val recs = DrugBank.records(drugs, syn)
+    // The record frame feeds three branches (itself + both NER passes);
+    // un-persisted, each branch re-expands the XML parse + synonymizer
+    // join — the composite plan blew up to >1,000 Exchanges and ~26 s of
+    // driver-side analysis. The reference materializes this boundary too
+    // (pickle checkpoint, perform_NER.py:141-142).
+    val recs = Sinks.stageBoundary(DrugBank.records(drugs, syn))
 
     // indication_NER_aligned (perform_NER.py:117-125): bracket-scrubbed
     // indication → disease-category matches.

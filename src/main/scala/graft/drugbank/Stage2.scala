@@ -20,23 +20,37 @@ object Stage2 {
 
   private val bioFields = Seq("transporters", "enzymes", "targets", "carriers")
 
+  private def emptyStrArray = array().cast("array<string>")
+
+  // Both miners make ONE pass over the records: a union of per-field
+  // selects scans the stage-1 frame once per field (4-5 scans — at
+  // fixture scale that was 128-160 near-empty tasks per execution, at
+  // 100 TB it is 4-5 full passes); flatten-then-explode emits the same
+  // multiset from a single scan. A null struct/array field contributes
+  // nothing, exactly like explode of a null array did.
+
   /** (key, name) pairs from every names-bearing identifier field. */
   def minedNames(records: DataFrame): DataFrame =
-    bioFields.map(f =>
-        records.select(col("kg2_id").as("key"),
-                       explode(col(s"$f.names")).as("name")))
-      .reduce(_ unionByName _)
+    records.select(col("kg2_id").as("key"),
+      explode(flatten(array(bioFields.map(f =>
+        coalesce(col(s"$f.names"), emptyStrArray)): _*))).as("name"))
 
   /** (key, id) pairs from every ids-bearing identifier field. */
   def minedIds(records: DataFrame): DataFrame =
-    (bioFields.map(f =>
-        records.select(col("kg2_id").as("key"),
-                       explode(col(s"$f.ids")).as("id")))
-      :+ records.select(col("kg2_id").as("key"),
-                        explode(col("pathways.ids")).as("id")))
-      .reduce(_ unionByName _)
+    records.select(col("kg2_id").as("key"),
+      explode(flatten(array((bioFields.map(f => col(s"$f.ids"))
+        :+ col("pathways.ids"))
+        .map(c => coalesce(c, emptyStrArray)): _*))).as("id"))
 
-  def run(stage1: DataFrame, align: IdentifierAlignment): DataFrame = {
+  def run(stage1Input: DataFrame, align: IdentifierAlignment): DataFrame = {
+    // The stage-1 frame is referenced four times below (existing entries,
+    // mined names, mined ids, final join). The reference materializes this
+    // exact boundary as a pickle checkpoint (perform_NER.py:141-142 →
+    // look_for_identifiers.py:65-66); without it each branch re-expands
+    // the full stage-1 subtree including BOTH NER dictionary passes.
+    // A caller restarting across jobs can instead pass a frame re-read
+    // via Sinks.writeCheckpoint/readCheckpoint (the S4 path).
+    val stage1 = Sinks.stageBoundary(stage1Input)
     // Existing stage-1 NER entries (priority 0 — they win).
     val existing = stage1
       .select(col("kg2_id").as("drug_key"),
