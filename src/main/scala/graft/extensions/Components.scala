@@ -54,6 +54,15 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    // lineage cut: persisted-frame RDD wrapped as a fresh leaf. Every
+    // round below references its predecessor 2+ times, so without the
+    // cut the LOGICAL tree doubles per round — Catalyst re-analyzes the
+    // exponentially-growing tree on every new Dataset, and the driver
+    // (not the executors) became the floor: 70 of the 107 s at the r7
+    // 16k-vertex SCALECURVE point were pure plan analysis.
+    def cut(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
     // symmetrize once: propagation below only follows a->b. NO distinct
     // — every consumer is a min aggregation, which is idempotent to
     // duplicate edges, so deduping here would buy nothing for the cost
@@ -65,11 +74,11 @@ object Components {
     // init fused with the first propagation round: label = min of self
     // and direct neighbors. Star/clique-shaped dedup clusters converge
     // here, so the loop usually runs a single verification round.
-    var labels = sym
+    var prev = sym
       .groupBy(col("a").as("id"))
       .agg(min(least(col("a"), col("b"))).as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var prev = labels
+    var labels = cut(prev)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < PropagationBudget) {
@@ -90,7 +99,7 @@ object Components {
       changed = merged.filter(col("comp") < col("__old")).count()
       prev.unpersist()
       prev = merged
-      labels = merged.select("id", "comp")
+      labels = cut(merged.select("id", "comp"))
       iter += 1
     }
     val out =
@@ -148,6 +157,27 @@ object Components {
       .distinct()
   }
 
+  /** Order-independent fingerprint of a canonical edge SET in one
+    * aggregation pass: row count plus three independent hash XORs
+    * (bit_xor never overflows — ANSI-safe — and the edge list is
+    * distinct, so pairwise cancellation can't hide changes that keep
+    * multiset parity). Equal fingerprints between rounds declare
+    * convergence — replacing the old `next.except(e).isEmpty`
+    * anti-join, which re-shuffled BOTH edge frames every round and
+    * dominated the per-round floor (r7 SCALECURVE 6b: ~107 s at 16k
+    * vertices, almost all round latency). A false positive needs three
+    * simultaneous 64-bit hash-XOR collisions on a set that also kept
+    * its cardinality — ~2^-192.
+    */
+  private def edgeFingerprint(e: DataFrame): Seq[Long] = {
+    val row = e.agg(
+      count(lit(1)),
+      bit_xor(xxhash64(col("a"), col("b"))),
+      bit_xor(xxhash64(col("a"))),
+      bit_xor(xxhash64(col("b"), col("a")))).collect().head
+    (0 until 4).map(i => if (row.isNullAt(i)) 0L else row.getLong(i))
+  }
+
   /** Alternate large-star/small-star until the edge set is stable (a
     * disjoint union of min-centered stars), then read components off
     * the star edges. O(log² n) rounds on any graph.
@@ -155,22 +185,33 @@ object Components {
   private def alternatingStar(edges0: DataFrame,
                               maxRounds: Int): DataFrame = {
     val spark = edges0.sparkSession
-    var e = edges0.persist(StorageLevel.MEMORY_AND_DISK)
-    var eCount = e.count()
+    // cut the INPUT lineage before the first star round: star(star(e))
+    // references e ~20 times, so an uncut contraction subtree would be
+    // re-analyzed 20-fold in round 1 (the dominant share of the r7
+    // 107 s floor); each subsequent round re-cuts its own output
+    var cached = edges0.persist(StorageLevel.MEMORY_AND_DISK)
+    var eFp = edgeFingerprint(cached)
+    var e = spark.createDataFrame(cached.rdd, cached.schema)
     var converged = false
     var r = 0
     while (!converged && r < maxRounds) {
+      val t0 = System.nanoTime()
+      // localCheckpoint truncates BOTH lineages per round: the logical
+      // plan (each star references its input twice — uncut, the tree
+      // doubles every round) and the RDD dependency graph (uncut, the
+      // DAG scheduler re-walks r rounds of stages on round r — the
+      // per-round creep in the r7 curve). Blocks are MEMORY_AND_DISK
+      // and released by the ContextCleaner as rounds drop references.
       val round = star(star(e, large = true), large = false)
-      // rebuild from the RDD: each star references its input twice, so
-      // without the cut the logical plan doubles every round
-      val next = spark.createDataFrame(round.rdd, round.schema)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextCount = next.count()
-      converged = nextCount == eCount && next.except(e).isEmpty
-      e.unpersist()
-      e = next
-      eCount = nextCount
+        .localCheckpoint(true)
+      val nextFp = edgeFingerprint(round)
+      converged = nextFp == eFp
+      e = round
+      eFp = nextFp
       r += 1
+      if (sys.env.contains("GRAFT_PROFILE"))
+        System.err.println(f"[components] round $r: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s edges=${nextFp.head}")
     }
     if (!converged)
       // unreachable at the default budget on legal inputs (star
@@ -182,7 +223,7 @@ object Components {
     val labels = e.select(col("b").as("id"), col("a").as("scomp"))
       .union(e.select(col("a").as("id"), col("a").as("scomp")))
       .distinct()
-    e.unpersist()
+    cached.unpersist()
     labels
   }
 

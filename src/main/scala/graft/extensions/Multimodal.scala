@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   *    external dependency): width, height, per-channel means. Payloads
   *    no registered codec can read fall back to the deterministic byte
   *    stub, flagged `decoded = false`.
-  *  - [[decodeFeatures]] / [[resize]] / [[sampleFrames]] — deterministic
-  *    byte-level STUBS standing in for codec families the JDK does not
-  *    ship (video, audio, resampling); the Spark-side plumbing (binary
-  *    schema, per-partition batching, one-to-many frame fan-out, column
+  *  - [[resize]] — a REAL integer box-filter area-average downsample
+  *    over the decoded raster, PNG re-encode; non-decodable payloads
+  *    fall back to the byte stub, flagged `decoded = false`.
+  *  - [[decodeFeatures]] / [[sampleFrames]] — deterministic byte-level
+  *    STUBS standing in for codec families the JDK does not ship
+  *    (video, audio); the Spark-side plumbing (binary schema,
+  *    per-partition batching, one-to-many frame fan-out, column
   *    pruning) is real and is what a production codec drops into.
   */
 object Multimodal {
@@ -142,25 +145,79 @@ object Multimodal {
   }
 
   final case class ResizedMedia(doc_id: Long, format: String,
-                                n_bytes: Long, payload: Array[Byte])
+                                n_bytes: Long, decoded: Boolean,
+                                payload: Array[Byte])
   final case class Frame(doc_id: Long, frame_idx: Long,
                          payload: Array[Byte])
 
-  /** STUB resize: deterministic payload downsampling (every k-th byte)
-    * standing in for an image resample. Real plumbing: per-partition
-    * batch pass, payload-typed in and out, metadata updated — a codec
-    * drops in at the marked line.
+  /** REAL image resize: integer box-filter area average over the
+    * `javax.imageio` raster. Each output pixel is the per-channel mean
+    * (truncating integer division — fully deterministic, no FP) of its
+    * `factor`×`factor` source block; edge blocks absorb the remainder so
+    * every source pixel is counted exactly once. Output re-encodes as
+    * PNG (lossless, ships with the JDK).
+    *
+    * A payload no registered reader accepts falls back to the
+    * deterministic byte-stride stub with `decoded = false` — a flagged
+    * row, never a lost one (same stance as [[decodeImages]]).
     */
   def resize(media: Dataset[MediaRow], factor: Int = 4): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     require(factor > 0, "factor must be positive")
     media.mapPartitions { rows =>
       rows.map { r =>
-        // ??? real resample goes here; deterministic fake below.
-        val out = Array.tabulate(
-          math.max(1, r.payload.length / factor))(i => r.payload(i * factor))
-        ResizedMedia(r.doc_id, r.format + s";x1/$factor", out.length.toLong,
-                     out)
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload)))
+          catch { case _: Exception => None }
+        img match {
+          case Some(im) if im.getWidth > 0 && im.getHeight > 0 =>
+            val w = im.getWidth
+            val h = im.getHeight
+            val ow = math.max(1, w / factor)
+            val oh = math.max(1, h / factor)
+            val out = new java.awt.image.BufferedImage(
+              ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var yy = 0
+            while (yy < oh) {
+              val y0 = yy * factor
+              val y1 = if (yy == oh - 1) h else (yy + 1) * factor
+              var xx = 0
+              while (xx < ow) {
+                val x0 = xx * factor
+                val x1 = if (xx == ow - 1) w else (xx + 1) * factor
+                var rs = 0L; var gs = 0L; var bs = 0L
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    val p = im.getRGB(x, y)
+                    rs += (p >> 16) & 0xff
+                    gs += (p >> 8) & 0xff
+                    bs += p & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = (x1 - x0).toLong * (y1 - y0)
+                out.setRGB(xx, yy,
+                  (((rs / n) << 16) | ((gs / n) << 8) | (bs / n)).toInt)
+                xx += 1
+              }
+              yy += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            val bytes = bos.toByteArray
+            ResizedMedia(r.doc_id, r.format + s";x1/$factor",
+              bytes.length.toLong, decoded = true, bytes)
+          case _ =>
+            val out = Array.tabulate(
+              math.max(1, r.payload.length / factor))(i =>
+                r.payload(i * factor))
+            ResizedMedia(r.doc_id, r.format + s";x1/$factor",
+              out.length.toLong, decoded = false, out)
+        }
       }
     }
   }

@@ -88,4 +88,85 @@ object Ingest {
       FetchResult(fetched = true, remoteHash)
     }
   }
+
+  final case class ExtractedEntry(name: String, bytes: Long, sha256: String)
+
+  /** S8-shaped archive extraction (download_data.sh:1-20: the reference's
+    * first command unzips the DrugBank release zip): stream the archive's
+    * entries out of any Hadoop FileSystem and write them under `destDir`,
+    * hashing each entry DURING the copy and re-hashing the written file
+    * after — the same verify-after-transfer stance as
+    * [[ensureFetchedAndVerified]], applied per entry. Entry names are
+    * confined to `destDir` (zip-slip names raise), directory entries are
+    * skipped, `entryFilter` selects by name.
+    */
+  def extractZip(conf: Configuration, archive: String, destDir: String,
+                 entryFilter: String => Boolean = _ => true)
+      : Seq[ExtractedEntry] = {
+    val aPath = new Path(archive)
+    val dPath = new Path(destDir)
+    val aFs = aPath.getFileSystem(conf)
+    val dFs = dPath.getFileSystem(conf)
+    dFs.mkdirs(dPath)
+    val zin = new java.util.zip.ZipInputStream(aFs.open(aPath))
+    try {
+      val out = Seq.newBuilder[ExtractedEntry]
+      var entry = zin.getNextEntry
+      while (entry != null) {
+        if (!entry.isDirectory && entryFilter(entry.getName)) {
+          val name = entry.getName
+          if (name.split('/').contains("..") ||
+              name.startsWith("/") || name.contains(":"))
+            throw new IllegalArgumentException(
+              s"archive entry escapes the destination directory: $name")
+          out += writeVerified(dFs, new Path(dPath, name), zin)
+            .copy(name = name)
+        }
+        zin.closeEntry()
+        entry = zin.getNextEntry
+      }
+      out.result()
+    } finally zin.close()
+  }
+
+  /** Single-file gzip extraction with the same verify-after pattern. */
+  def extractGzip(conf: Configuration, archive: String, local: String)
+      : ExtractedEntry = {
+    val aPath = new Path(archive)
+    val lPath = new Path(local)
+    val aFs = aPath.getFileSystem(conf)
+    val lFs = lPath.getFileSystem(conf)
+    val gin = new java.util.zip.GZIPInputStream(aFs.open(aPath))
+    try writeVerified(lFs, lPath, gin).copy(name = lPath.getName)
+    finally gin.close()
+  }
+
+  /** Stream `in` to `target`, hashing in-flight; re-hash the written
+    * file and raise on mismatch (a torn write must not be trusted).
+    */
+  private def writeVerified(fs: FileSystem, target: Path,
+                            in: java.io.InputStream): ExtractedEntry = {
+    val md = MessageDigest.getInstance("SHA-256")
+    var total = 0L
+    val out = fs.create(target, true)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) {
+          md.update(buf, 0, n)
+          out.write(buf, 0, n)
+          total += n
+        }
+        n = in.read(buf)
+      }
+    } finally out.close()
+    val streamed = md.digest().map("%02x".format(_)).mkString
+    val written = sha256(fs, target)
+    if (!written.equalsIgnoreCase(streamed))
+      throw new IllegalStateException(
+        s"Hash verification failed after extraction of $target.\n" +
+          s"Written:  $written\nStreamed: $streamed")
+    ExtractedEntry(target.getName, total, streamed)
+  }
 }

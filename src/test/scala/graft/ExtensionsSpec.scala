@@ -645,7 +645,9 @@ class ExtensionsSpec extends SparkTestBase {
     val docs = Seq((1L, "0123456789" * 20, "en", "srcA", 200L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val media = Multimodal.withPayload(docs).as[Multimodal.MediaRow]
+    // text payload: no image codec accepts it → flagged byte-stride stub
     val resized = Multimodal.resize(media, 4).collect().head
+    assert(!resized.decoded)
     assert(resized.n_bytes == 50L)
     assert(resized.format == "img/srcA;x1/4")
     assert(resized.payload(1) == '4'.toByte) // every 4th byte
@@ -653,6 +655,37 @@ class ExtensionsSpec extends SparkTestBase {
       .collect()
     assert(frames.map(_.frame_idx).toSeq == Seq(0L, 2L, 4L))
     assert(frames.forall(_.payload.length <= 32))
+  }
+
+  test("multimodal: resize is a REAL box-filter area average — " +
+       "hand-computed 4×4 → 2×2") {
+    import spark.implicits._
+    // 4×4 grayscale ramp: pixel (x, y) = 16*y + 4*x (values 0..60)
+    val src = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val v = 16 * y + 4 * x
+      src.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val media = Seq(
+      Multimodal.MediaRow(7L, bos.toByteArray, "img/png",
+                          bos.size().toLong)).toDS()
+    val out = Multimodal.resize(media, 2).collect().head
+    assert(out.decoded)
+    assert(out.format == "img/png;x1/2")
+    val im = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.payload))
+    assert(im.getWidth == 2 && im.getHeight == 2)
+    // block averages: (0,0) = (0+4+16+20)/4 = 10; (1,0) = (8+12+24+28)/4
+    // = 18; (0,1) = (32+36+48+52)/4 = 42; (1,1) = (40+44+56+60)/4 = 50
+    def gray(x: Int, y: Int): Int = im.getRGB(x, y) & 0xff
+    assert(gray(0, 0) == 10 && gray(1, 0) == 18)
+    assert(gray(0, 1) == 42 && gray(1, 1) == 50)
+    // all three channels carry the same mean (grayscale input)
+    assert(((im.getRGB(1, 1) >> 16) & 0xff) == 50 &&
+           ((im.getRGB(1, 1) >> 8) & 0xff) == 50)
   }
 
   test("multimodal: stub decode is deterministic with real plumbing") {
