@@ -163,6 +163,109 @@ object ScaleCurve {
     (nodes, clusters, edges)
   }
 
+  /** Distributed DrugBank fixture: n raw drug records (the drug-frame
+    * shape `DrugBank.records` parses) + the matching KG. Planted truths
+    * (exact arithmetic, n divisible by 8):
+    *  - description = "drug {d} interacts with term{d mod T}": the NER
+    *    mech pass matches the drug's own name (cluster CHEM:d, category
+    *    Drug) and one shared term (TC:{d mod T}, Protein) → 2n entries;
+    *  - even d: indication "this causes malady{d mod D} badly" →
+    *    DIS:{d mod D} (Disease) in the indication map (n/2) AND in the
+    *    mech map (indication is a MOSTLY_TEXT_FIELD) → +n/2;
+    *  - d mod 4 == 0: target NAME "prot name" → stage-2 names branch →
+    *    PROTN:0 → +n/4;
+    *  - d mod 8 == 0: bare target id "P12345" → UniProt detector →
+    *    member UNIPROTKB:P12345 → PROTU:0 → +n/8.
+    */
+  def drugCorpus(spark: SparkSession, n: Long, T: Long, D: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val schema = graft.drugbank.DrugBank.drugSchema
+    def bio(field: String, cond: org.apache.spark.sql.Column,
+            id: org.apache.spark.sql.Column,
+            name: org.apache.spark.sql.Column) = {
+      val singular = field.dropRight(1)
+      when(cond, struct(array(struct(id.as("id"), name.as("name"),
+        lit(null).as("polypeptide"))).as(singular)))
+        .cast(schema(field).dataType).as(field)
+    }
+    val d = col("doc_id")
+    val nullStr = lit(null).cast("string")
+    val drugs = spark.range(0, n).toDF("doc_id").select(
+      array(struct(
+        concat(lit("DB"), lpad(d.cast("string"), 7, "0")).as("_VALUE"),
+        lit("true").as("_primary"))).as("drugbank-id"),
+      concat(lit("Drug "), d).as("name"),
+      concat(lit("drug "), d, lit(" interacts with term"), pmod(d, lit(T)))
+        .as("description"),
+      when(d % 2 === 0,
+        concat(lit("this causes malady"), pmod(d, lit(D)), lit(" badly")))
+        .as("indication"),
+      nullStr.as("pharmacodynamics"),
+      nullStr.as("mechanism-of-action"),
+      nullStr.as("metabolism"),
+      nullStr.as("protein-binding"),
+      bio("targets", d % 4 === 0,
+          when(d % 8 === 0, lit("P12345")), lit("prot name")),
+      bio("enzymes", lit(false), nullStr, nullStr),
+      bio("carriers", lit(false), nullStr, nullStr),
+      bio("transporters", lit(false), nullStr, nullStr),
+      lit(null).cast(schema("pathways").dataType).as("pathways"))
+    val drugNodes = spark.range(0, n).select(
+      concat(lit("DRUGBANK:DB"), lpad(col("id").cast("string"), 7, "0"))
+        .as("id"),
+      concat(lit("DRUGBANK:DB"), lpad(col("id").cast("string"), 7, "0"))
+        .as("id_simplified"),
+      concat(lit("Drug "), col("id")).as("name"),
+      concat(lit("drug"), col("id")).as("name_simplified"),
+      lit("Drug").as("category"),
+      concat(lit("CHEM:"), col("id")).as("cluster_id"))
+    val termNodes = spark.range(0, T).select(
+      concat(lit("T:"), col("id")).as("id"),
+      concat(lit("T:"), col("id")).as("id_simplified"),
+      concat(lit("term"), col("id")).as("name"),
+      concat(lit("term"), col("id")).as("name_simplified"),
+      lit("Protein").as("category"),
+      concat(lit("TC:"), col("id")).as("cluster_id"))
+    val diseaseNodes = spark.range(0, D).select(
+      concat(lit("M:"), col("id")).as("id"),
+      concat(lit("M:"), col("id")).as("id_simplified"),
+      concat(lit("malady"), col("id")).as("name"),
+      concat(lit("malady"), col("id")).as("name_simplified"),
+      lit("Disease").as("category"),
+      concat(lit("DIS:"), col("id")).as("cluster_id"))
+    val fixedNodes = spark.range(0, 1).select(
+      lit("PN:0").as("id"), lit("PN:0").as("id_simplified"),
+      lit("prot name").as("name"), lit("protname").as("name_simplified"),
+      lit("Protein").as("category"), lit("PROTN:0").as("cluster_id"))
+      .unionByName(spark.range(0, 1).select(
+        lit("UniProtKB:P12345").as("id"),
+        lit("UNIPROTKB:P12345").as("id_simplified"),
+        lit("TargetProt").as("name"),
+        lit("targetprot").as("name_simplified"),
+        lit("Protein").as("category"), lit("PROTU:0").as("cluster_id")))
+    val nodes = drugNodes.unionByName(termNodes)
+      .unionByName(diseaseNodes).unionByName(fixedNodes)
+    val clusters = spark.range(0, n).select(
+        concat(lit("CHEM:"), col("id")).as("cluster_id"),
+        concat(lit("Drug "), col("id")).as("name"),
+        lit("Drug").as("category"))
+      .unionByName(spark.range(0, T).select(
+        concat(lit("TC:"), col("id")).as("cluster_id"),
+        concat(lit("Term "), col("id")).as("name"),
+        lit("Protein").as("category")))
+      .unionByName(spark.range(0, D).select(
+        concat(lit("DIS:"), col("id")).as("cluster_id"),
+        concat(lit("Malady "), col("id")).as("name"),
+        lit("Disease").as("category")))
+      .unionByName(spark.range(0, 1).select(
+        lit("PROTN:0").as("cluster_id"), lit("ProtName").as("name"),
+        lit("Protein").as("category")))
+      .unionByName(spark.range(0, 1).select(
+        lit("PROTU:0").as("cluster_id"), lit("TargetProt").as("name"),
+        lit("Protein").as("category")))
+    (drugs, nodes, clusters)
+  }
+
   private def timeIt(spark: SparkSession)(action: => Long): (Double, Long) = {
     var rows = 0L
     val samples = (1 to 2).map { _ =>
@@ -505,6 +608,52 @@ object ScaleCurve {
           "wall (s)" -> f"$sec%.2f"))
       }
 
+    // ---- 7. DrugBank two-stage composite at corpus scale -------------
+    // The reference pipeline end-to-end (perform_NER.py → look_for_
+    // identifiers.py) over a distributed synthetic corpus with planted
+    // truths: drug d's description plants its own name ("drug {d}") and
+    // one of T shared terms; even drugs carry a diseased indication;
+    // every 4th drug mines a bioentity NAME, every 8th also a bare
+    // UniProt id. All expected map sizes are exact arithmetic.
+    val drugPts = Seq(12800L, 51200L, 102400L).map { n =>
+      val T = 1000L
+      val D = 500L
+      val (drugs, nodes, clusters) = drugCorpus(spark, n, T, D)
+      val edges = spark.range(0, 0).select(
+        lit("").as("id"), lit("").as("subject"), lit("").as("predicate"),
+        lit("").as("object"), lit("").as("upstream_resource_id"),
+        lit("").as("primary_knowledge_source"))
+      def composite() = {
+        val syn = new graft.synonymizer.Synonymizer(nodes, clusters, edges)
+        graft.drugbank.Stage2.run(
+          graft.drugbank.Stage1.run(drugs, syn,
+            new graft.ner.DictionaryNer(nodes, clusters)),
+          new graft.stage2.IdentifierAlignment(syn))
+      }
+      var recs = 0L
+      val (sec, _) = timeIt(spark) {
+        recs = composite().count()
+        recs
+      }
+      val s2 = composite()
+      val mechEntries = s2.select(
+        explode(col("mechanistic_intermediate_nodes"))).count()
+      val indEntries = s2.select(
+        explode(col("indication_NER_aligned"))).count()
+      spark.catalog.clearCache()
+      val expMech = 2 * n + n / 2 + n / 4 + n / 8
+      val expInd = n / 2
+      Point(n, Seq(
+        "drugs" -> n.toString,
+        "records" -> s"$recs/$n",
+        "mech entries" -> s"$mechEntries/$expMech",
+        "ind entries" -> s"$indEntries/$expInd",
+        "planted ok" ->
+          (recs == n && mechEntries == expMech && indEntries == expInd)
+            .toString,
+        "wall (s)" -> f"$sec%.2f"))
+    }
+
     // ---- render ------------------------------------------------------
     def table(pts: Seq[Point]): String = {
       val headers = pts.head.metrics.map(_._1)
@@ -693,6 +842,24 @@ object ScaleCurve {
        ^${table(pathPts)}
        ^
        ^Growth: ${growth(pathPts, "wall (s)")}.
+       ^
+       ^## 7. DrugBank two-stage composite (Stage1 → Stage2)
+       ^
+       ^The reference's full pipeline — synonymizer alignment, both NER
+       ^dictionary passes, stage-2 name/id mining and first-wins merge —
+       ^over a distributed corpus with exact planted truths: every drug
+       ^plants its own name + one shared term in the mech map (2n),
+       ^even drugs plant a disease in BOTH maps (+n/2 each), every 4th
+       ^mines a bioentity name (+n/4), every 8th a bare UniProt id
+       ^(+n/8). The reference corpus is ~17.4k drugs; the 102k point is
+       ^~6× that. Stage boundaries materialize once per run
+       ^(Sinks.stageBoundary — PlanShapeSpec guards the plan shape).
+       ^`planted ok` requires records == n AND both map-entry totals to
+       ^hit their closed-form expectations exactly.
+       ^
+       ^${table(drugPts)}
+       ^
+       ^Growth: ${growth(drugPts, "wall (s)")}.
        ^
        ^## Reading the curves at 100 TB
        ^
