@@ -91,6 +91,39 @@ class ModelNerSpec extends SparkTestBase {
     assert(both.sameElements(dictOut(Set.empty)))
   }
 
+  test("ensemble plan contract: FIVE providers still plan exactly one " +
+       "sentence-stage mapPartitions pass and one canonicalization " +
+       "join (perform_NER.py:79-99 — k models must not mean k passes)") {
+    def planOf(k: Int): org.apache.spark.sql.execution.SparkPlan = {
+      val providers = (0 until k).map(_ => DictionaryDouble.fromNodes(nodes))
+      new ModelNer(nodes, clusters, providers, parityConfig)
+        .textToKg2Nodes(corpus, "doc_id", "text")
+        .queryExecution.executedPlan
+    }
+    def shape(p: org.apache.spark.sql.execution.SparkPlan): (Int, Int) = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val passes = inner.collect {
+        case m: org.apache.spark.sql.execution.MapPartitionsExec => m
+      }.size
+      val joins = inner.collect {
+        case j if j.nodeName.contains("Join") => j
+      }.size
+      (passes, joins)
+    }
+    val one = shape(planOf(1))
+    val five = shape(planOf(5))
+    assert(one._1 == 1 && five._1 == 1,
+      s"model stage must be ONE mapPartitions pass: 1-provider=$one, " +
+        s"5-provider=$five")
+    assert(five._2 == one._2,
+      s"join count must not grow with ensemble size: 1-provider=$one, " +
+        s"5-provider=$five")
+  }
+
   test("batching contract: one model open per partition per provider, " +
        "batch calls ~ sentences/batchSize — never per-sentence") {
     val opens = spark.sparkContext.longAccumulator("ner-opens")
