@@ -65,11 +65,27 @@ object DrugBank {
   def emptyMatchMap: Column = map().cast(matchMapType)
 
   /** Streaming-friendly XML scan (Spark 4 native XML source). */
-  def readXml(spark: SparkSession, path: String): DataFrame =
+  def readXml(spark: SparkSession, paths: String*): DataFrame =
     spark.read.format("xml")
       .option("rowTag", "drug")
       .schema(drugSchema)
-      .load(path)
+      .load(paths: _*)
+
+  /** The reference's literal first-command flow (`download_data.sh:1-20`:
+    * unzip the release, read `full database.xml`): extract the archive's
+    * XML entries under `workDir` (hash-verified per entry — S8,
+    * [[graft.sources.Ingest.extractZip]]) and scan them. One extraction
+    * per release, then every query runs off the extracted files.
+    */
+  def readXmlFromZip(spark: SparkSession, zipPath: String,
+                     workDir: String): DataFrame = {
+    val extracted = graft.sources.Ingest.extractZip(
+      spark.sparkContext.hadoopConfiguration, zipPath, workDir,
+      _.toLowerCase(java.util.Locale.ROOT).endsWith(".xml"))
+    require(extracted.nonEmpty, s"no .xml entries in $zipPath")
+    readXml(spark, extracted.map(e =>
+      new org.apache.hadoop.fs.Path(workDir, e.name).toString): _*)
+  }
 
   /** Bioentity crawl (utils.py:129-169): names = entry names ∪ polypeptide
     * names ∪ gene-names; ids = entry ids ∪ polypeptide @ids; set-dedup

@@ -115,6 +115,28 @@ class XmlScaleSpec extends SparkTestBase {
     Stage2.run(s1, new IdentifierAlignment(syn)).cache()
   }
 
+  test("release-zip flow (download_data.sh:1-20): zip the corpus, " +
+       "extract via S8 Ingest, scan the XML — byte-identical frame") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-xmlzip")
+    val zip = tmp.resolve("release.zip")
+    val zout = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(zip))
+    zout.putNextEntry(new java.util.zip.ZipEntry("full database.xml"))
+    zout.write(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(xmlPath)))
+    zout.closeEntry()
+    zout.putNextEntry(new java.util.zip.ZipEntry("LICENSE.txt"))
+    zout.write("terms".getBytes); zout.closeEntry()
+    zout.close()
+    val viaZip = DrugBank.readXmlFromZip(spark, zip.toString,
+      tmp.resolve("extracted").toString)
+    val direct = DrugBank.readXml(spark, xmlPath)
+    assert(viaZip.count() == nDrugs.toLong)
+    assert(viaZip.select(col("drugbank-id").getItem(0).getField("_VALUE"))
+      .except(direct.select(col("drugbank-id").getItem(0)
+        .getField("_VALUE"))).isEmpty)
+  }
+
   test("1k-drug XML e2e: 900 resolved records, every record's maps " +
        "match the arithmetic model, sampled values exact") {
     val rows = stage2Out
