@@ -42,6 +42,19 @@ object Stage2 {
         :+ col("pathways.ids"))
         .map(c => coalesce(c, emptyStrArray)): _*))).as("id"))
 
+  /** The restart-safe variant of [[run]]: write the stage-1 frame to a
+    * parquet checkpoint and run stage 2 off the re-read — the exact
+    * reference flow (stage 1 pickles, stage 2 reloads;
+    * perform_NER.py:141-142 → look_for_identifiers.py:65-66). Use this
+    * when the two stages run as separate jobs: a stage-2 failure
+    * restarts from the checkpoint without recomputing stage 1.
+    */
+  def runCheckpointed(stage1: DataFrame, align: IdentifierAlignment,
+                      checkpointDir: String): DataFrame = {
+    Sinks.writeCheckpoint(stage1, checkpointDir)
+    run(Sinks.readCheckpoint(stage1.sparkSession, checkpointDir), align)
+  }
+
   def run(stage1Input: DataFrame, align: IdentifierAlignment): DataFrame = {
     // The stage-1 frame is referenced four times below (existing entries,
     // mined names, mined ids, final join). The reference materializes this

@@ -115,6 +115,25 @@ class DrugBankSpec extends SparkTestBase {
     assert(aspMech("UniProtKB:P45059").getString(0) == "PBP3")
   }
 
+  test("stage 2 via parquet checkpoint (S4 restart boundary) matches " +
+       "the in-memory composition row for row") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-s2-ckpt").toString + "/stage1"
+    val direct = Stage2.run(stage1, new IdentifierAlignment(syn))
+    val viaCkpt = Stage2.runCheckpointed(
+      stage1, new IdentifierAlignment(syn), dir)
+    import org.apache.spark.sql.functions.{col, map_entries, sort_array}
+    // parquet round-trips map key order; compare sorted entry lists
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("kg2_id"),
+      sort_array(map_entries(col("indication_NER_aligned"))).as("ind"),
+      sort_array(map_entries(col("mechanistic_intermediate_nodes")))
+        .as("mech"))
+    assert(canon(viaCkpt).except(canon(direct)).isEmpty &&
+           canon(direct).except(canon(viaCkpt)).isEmpty)
+    assert(viaCkpt.count() == direct.count())
+  }
+
   test("sinks: keyed JSON object shape (S5) + parquet checkpoint (S6)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft").toString
     Sinks.writeCheckpoint(stage1, s"$tmp/ckpt")
