@@ -54,15 +54,6 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
-    val spark = edges.sparkSession
-    // lineage cut: persisted-frame RDD wrapped as a fresh leaf. Every
-    // round below references its predecessor 2+ times, so without the
-    // cut the LOGICAL tree doubles per round — Catalyst re-analyzes the
-    // exponentially-growing tree on every new Dataset, and the driver
-    // (not the executors) became the floor: 70 of the 107 s at the r7
-    // 16k-vertex SCALECURVE point were pure plan analysis.
-    def cut(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.rdd, df.schema)
     // symmetrize once: propagation below only follows a->b. NO distinct
     // — every consumer is a min aggregation, which is idempotent to
     // duplicate edges, so deduping here would buy nothing for the cost
@@ -74,11 +65,18 @@ object Components {
     // init fused with the first propagation round: label = min of self
     // and direct neighbors. Star/clique-shaped dedup clusters converge
     // here, so the loop usually runs a single verification round.
-    var prev = sym
+    //
+    // NO per-round lineage cut here: the tree doubles per round but the
+    // budget bounds it at 2^4 copies of a tiny subtree — an eager .rdd
+    // cut per round costs MORE in forced physical planning than the
+    // bounded re-analysis (r8: it tripled the fast-converging dedup
+    // demos). The cut that matters is at the phase-2 entry, where
+    // star(star(...)) would otherwise multiply this tree ~20×.
+    var labels = sym
       .groupBy(col("a").as("id"))
       .agg(min(least(col("a"), col("b"))).as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = cut(prev)
+    var prev = labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < PropagationBudget) {
@@ -99,7 +97,7 @@ object Components {
       changed = merged.filter(col("comp") < col("__old")).count()
       prev.unpersist()
       prev = merged
-      labels = cut(merged.select("id", "comp"))
+      labels = merged.select("id", "comp")
       iter += 1
     }
     val out =
