@@ -17,10 +17,20 @@ import org.apache.spark.sql.functions._
   *  - [[resize]] — a REAL integer box-filter area-average downsample
   *    over the decoded raster, PNG re-encode; non-decodable payloads
   *    fall back to the byte stub, flagged `decoded = false`.
-  *  - [[decodeFeatures]] / [[sampleFrames]] — deterministic byte-level
-  *    STUBS standing in for codec families the JDK does not ship
-  *    (video, audio); the Spark-side plumbing (binary schema,
-  *    per-partition batching, one-to-many frame fan-out, column
+  *  - [[sampleFrames]] / [[frameStats]] — REAL multi-frame sampling for
+  *    the sequence container the JDK ships a codec for (animated GIF):
+  *    every stride-th frame decoded and re-encoded standalone, then
+  *    reduced to per-frame stats. Single-image payloads yield one
+  *    frame; codec-less payloads fall back to the byte-chunk stub,
+  *    flagged `decoded = false`.
+  *  - [[decodeAudio]] — a REAL audio decode over the JDK's
+  *    `javax.sound.sampled` codecs (WAV/AIFF/AU PCM): header fields +
+  *    exact integer sample statistics, byte-stub fallback flagged
+  *    `decoded = false`.
+  *  - [[decodeFeatures]] — deterministic byte-level STUB standing in
+  *    for codec families the JDK does not ship (video elementary
+  *    streams, compressed audio); the Spark-side plumbing (binary
+  *    schema, per-partition batching, one-to-many fan-out, column
   *    pruning) is real and is what a production codec drops into.
   */
 object Multimodal {
@@ -147,7 +157,7 @@ object Multimodal {
   final case class ResizedMedia(doc_id: Long, format: String,
                                 n_bytes: Long, decoded: Boolean,
                                 payload: Array[Byte])
-  final case class Frame(doc_id: Long, frame_idx: Long,
+  final case class Frame(doc_id: Long, frame_idx: Long, decoded: Boolean,
                          payload: Array[Byte])
 
   /** REAL image resize: integer box-filter area average over the
@@ -222,22 +232,180 @@ object Multimodal {
     }
   }
 
-  /** STUB frame sampling: split the payload into fixed-size chunks and
-    * keep every `stride`-th chunk — the batch shape of video frame
-    * extraction (one input row → N frame rows, explode-like fan-out
-    * with per-frame index metadata).
+  /** REAL frame sampling for multi-frame containers the JDK ships a
+    * codec for (animated GIF via `javax.imageio`'s `ImageReader`
+    * sequence API): every `stride`-th frame is decoded and re-encoded
+    * as a standalone PNG row, `decoded = true`. The one-row → N-rows
+    * fan-out, per-frame index metadata, and per-partition reader reuse
+    * are exactly the batch shape a video codec (absent from the JDK)
+    * drops into; payloads no registered reader accepts fall back to the
+    * deterministic byte-chunk stub (`frameBytes`-sized chunks, every
+    * `stride`-th kept) with `decoded = false` — a flagged row, never a
+    * lost one.
     */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 32,
                    stride: Int = 2): Dataset[Frame] = {
     import media.sparkSession.implicits._
     require(frameBytes > 0 && stride > 0, "frameBytes/stride must be positive")
     media.flatMap { r =>
-      // ??? real frame decode goes here; deterministic chunking below.
-      val nFrames = math.max(1, r.payload.length / frameBytes)
-      (0L until nFrames by stride).map { f =>
-        val start = (f * frameBytes).toInt
-        val end = math.min(start + frameBytes, r.payload.length)
-        Frame(r.doc_id, f, java.util.Arrays.copyOfRange(r.payload, start, end))
+      val decoded =
+        try {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); None }
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis) // seekForwardOnly=false: allows search
+              val n = reader.getNumImages(true)
+              if (n < 1) None
+              else Some((0 until n by stride).map { f =>
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(reader.read(f), "png", bos)
+                Frame(r.doc_id, f.toLong, decoded = true, bos.toByteArray)
+              })
+            } finally { reader.dispose(); iis.close() }
+          }
+        } catch { case _: Exception => None }
+      decoded.getOrElse {
+        val nFrames = math.max(1, r.payload.length / frameBytes)
+        (0L until nFrames by stride).map { f =>
+          val start = (f * frameBytes).toInt
+          val end = math.min(start + frameBytes, r.payload.length)
+          Frame(r.doc_id, f, decoded = false,
+            java.util.Arrays.copyOfRange(r.payload, start, end))
+        }
+      }
+    }
+  }
+
+  final case class FrameStats(doc_id: Long, frame_idx: Long,
+                              decoded: Boolean, width: Long, height: Long,
+                              r_mean: Double, g_mean: Double, b_mean: Double)
+
+  /** Per-frame stats over a sampled-frame set: each PNG frame payload is
+    * decoded and reduced to dimensions + per-channel means (the same
+    * reduction as [[decodeImages]], keyed by `(doc_id, frame_idx)`).
+    * Composes `sampleFrames → frameStats` into the decode→featurize
+    * ladder a video pipeline runs per sampled frame. Undecodable frame
+    * payloads (byte-chunk fallback rows) reduce to the flagged byte-mean
+    * stub, `decoded = false`.
+    */
+  def frameStats(frames: Dataset[Frame]): Dataset[FrameStats] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions { rows =>
+      rows.map { fr =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(fr.payload)))
+          catch { case _: Exception => None }
+        img match {
+          case Some(im) if im.getWidth > 0 && im.getHeight > 0 =>
+            val w = im.getWidth
+            val h = im.getHeight
+            var rs = 0.0; var gs = 0.0; var bs = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = im.getRGB(x, y)
+                rs += (p >> 16) & 0xff
+                gs += (p >> 8) & 0xff
+                bs += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toDouble * h
+            FrameStats(fr.doc_id, fr.frame_idx, decoded = true,
+              w.toLong, h.toLong, rs / n, gs / n, bs / n)
+          case _ =>
+            var sum = 0L
+            var i = 0
+            while (i < fr.payload.length) { sum += fr.payload(i) & 0xff; i += 1 }
+            val mean =
+              if (fr.payload.length == 0) 0.0
+              else sum.toDouble / fr.payload.length
+            FrameStats(fr.doc_id, fr.frame_idx, decoded = false,
+              -1L, -1L, mean, mean, mean)
+        }
+      }
+    }
+  }
+
+  final case class AudioStats(doc_id: Long, format: String, n_bytes: Long,
+                              decoded: Boolean, sample_rate: Long,
+                              channels: Long, n_frames: Long,
+                              abs_sum: Long, zero_crossings: Long)
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * PCM codecs ship with the JDK, no external dependency): container
+    * header → (sample rate, channels, frame count), PCM payload →
+    * integer sample stats — `abs_sum` (sum of |sample| over every
+    * channel, 16-bit signed scale) and `zero_crossings` (strict sign
+    * flips on channel 0). All-integer reductions, so the result is
+    * exactly reproducible by closed-form arithmetic on synthetic
+    * fixtures — the registry oracle exploits that.
+    *
+    * Non-16-bit or unsigned PCM is routed through the JDK's format
+    * converter to 16-bit signed first; both endiannesses are handled
+    * directly (WAV is little-endian, AIFF/AU big-endian). A payload no
+    * audio reader accepts falls back to the deterministic byte stub
+    * (`abs_sum` = sum of unsigned bytes, header fields -1) with
+    * `decoded = false` — a flagged row, never a lost one (same stance
+    * as [[decodeImages]]).
+    */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val stats =
+          try {
+            val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            val f0 = raw.getFormat
+            val in =
+              if (f0.getEncoding ==
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                  f0.getSampleSizeInBits == 16) raw
+              else javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new javax.sound.sampled.AudioFormat(
+                  f0.getSampleRate, 16, f0.getChannels, true, false), raw)
+            val fmt = in.getFormat
+            val ch = fmt.getChannels
+            val big = fmt.isBigEndian
+            val data = in.readAllBytes()
+            in.close()
+            var absSum = 0L
+            var crossings = 0L
+            var prev = 0
+            var first = true
+            var i = 0
+            var s0 = 0 // sample index within the interleaved frame
+            while (i + 1 < data.length) {
+              val s =
+                if (big) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort.toInt
+                else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort.toInt
+              absSum += math.abs(s)
+              if (s0 % ch == 0) { // channel 0 only
+                if (!first && s.toLong * prev < 0) crossings += 1
+                prev = s; first = false
+              }
+              s0 += 1
+              i += 2
+            }
+            Some(AudioStats(r.doc_id, r.format, r.n_bytes, decoded = true,
+              fmt.getSampleRate.toLong, ch.toLong,
+              data.length.toLong / (2L * ch), absSum, crossings))
+          } catch { case _: Exception => None }
+        stats.getOrElse {
+          var sum = 0L
+          var i = 0
+          while (i < r.payload.length) { sum += r.payload(i) & 0xff; i += 1 }
+          AudioStats(r.doc_id, r.format, r.n_bytes, decoded = false,
+            -1L, -1L, -1L, sum, 0L)
+        }
       }
     }
   }

@@ -186,6 +186,108 @@ object SourceSinkDemos {
                 col("height"), col("r_mean"), col("g_mean"), col("b_mean"))
         .orderBy("doc_id")
     }),
+    // REAL multi-frame sampling (javax.imageio GIF sequence reader) over
+    // binaryFile: animated-GIF fixtures whose frame count and per-frame
+    // solid colors are pure functions of doc_id, so the DuckDB oracle
+    // enumerates the stride-sampled frames arithmetically while Spark
+    // must actually walk the GIF frame directory and decode each frame
+    // to reproduce them.
+    "gif_frames" -> ((s, dir) => {
+      val path = scratch(dir, "gif")
+      val marker = new java.io.File(s"$path/_DONE")
+      if (!marker.exists()) {
+        new java.io.File(path).mkdirs()
+        (0 until 6).foreach { id =>
+          val w = 5 + id
+          val h = 4 + id
+          val nf = 2 + (id % 4)
+          val ios = javax.imageio.ImageIO.createImageOutputStream(
+            new java.io.File(s"$path/doc_$id.gif"))
+          val wr = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          wr.setOutput(ios)
+          wr.prepareWriteSequence(null)
+          (0 until nf).foreach { f =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (((20 * id + 10 * f + 3) % 256) << 16) |
+              (((31 * id + 7 * f + 5) % 256) << 8) |
+              ((13 * id + 11 * f + 8) % 256)
+            (0 until h).foreach(y => (0 until w).foreach(x =>
+              img.setRGB(x, y, rgb)))
+            wr.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+          }
+          wr.endWriteSequence(); ios.close(); wr.dispose()
+        }
+        marker.createNewFile()
+      }
+      import s.implicits._
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*.gif").load(path)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("content").as("payload"),
+          lit("vid/gif").as("format"),
+          col("length").as("n_bytes"))
+        .as[graft.extensions.Multimodal.MediaRow]
+      graft.extensions.Multimodal.frameStats(
+          graft.extensions.Multimodal.sampleFrames(media, stride = 2))
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"),
+                col("height"), col("r_mean"), col("g_mean"), col("b_mean"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+    // REAL audio decode (javax.sound.sampled) over binaryFile: WAV PCM
+    // square-wave fixtures whose header fields and integer sample stats
+    // are pure functions of doc_id — the oracle computes rate/channels/
+    // frames/abs-sum/crossings in closed form, Spark must parse the RIFF
+    // header and the interleaved 16-bit PCM payload to match the hash.
+    "audio_decode" -> ((s, dir) => {
+      val path = scratch(dir, "wav")
+      val marker = new java.io.File(s"$path/_DONE")
+      if (!marker.exists()) {
+        new java.io.File(path).mkdirs()
+        (0 until 8).foreach { id =>
+          val ch = 1 + (id % 2)
+          val n = 64 + 16 * id
+          val amp = 100 + 7 * id
+          val rate = 8000 + 500 * id
+          val pcm = new Array[Byte](n * ch * 2)
+          (0 until n).foreach { i =>
+            val v = if (i % 2 == 0) amp else -amp
+            (0 until ch).foreach { c =>
+              val o = 2 * (i * ch + c)
+              pcm(o) = (v & 0xff).toByte
+              pcm(o + 1) = ((v >> 8) & 0xff).toByte
+            }
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            rate.toFloat, 16, ch, true, false)
+          javax.sound.sampled.AudioSystem.write(
+            new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+            javax.sound.sampled.AudioFileFormat.Type.WAVE,
+            new java.io.File(s"$path/doc_$id.wav"))
+        }
+        marker.createNewFile()
+      }
+      import s.implicits._
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*.wav").load(path)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("content").as("payload"),
+          lit("aud/wav").as("format"),
+          col("length").as("n_bytes"))
+        .as[graft.extensions.Multimodal.MediaRow]
+      graft.extensions.Multimodal.decodeAudio(media).toDF()
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+                col("n_frames"), col("abs_sum"), col("zero_crossings"))
+        .orderBy("doc_id")
+    }),
     // U3 — failure tolerance as null-safety (the reference wraps per-row
     // work in try/except, utils.py / perform_NER.py invoke guards): every
     // string op null-propagates instead of throwing; downstream coalesce
@@ -242,6 +344,30 @@ object SourceSinkDemos {
         |  CAST((37*doc_id + 13) % 256 AS DOUBLE) AS r_mean,
         |  CAST((59*doc_id + 11) % 256 AS DOUBLE) AS g_mean,
         |  CAST((83*doc_id + 29) % 256 AS DOUBLE) AS b_mean
+        |FROM documents WHERE doc_id < 8 ORDER BY doc_id""".stripMargin,
+    // stride-2 sample of the 2 + (doc_id % 4) frames; solid color per
+    // frame → channel means are the exact palette values
+    "gif_frames" ->
+      """WITH f AS (SELECT doc_id,
+        |             unnest(range(0, 2 + doc_id % 4, 2)) AS frame_idx
+        |           FROM documents WHERE doc_id < 6)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(5 + doc_id AS BIGINT) AS width,
+        |  CAST(4 + doc_id AS BIGINT) AS height,
+        |  CAST((20*doc_id + 10*frame_idx + 3) % 256 AS DOUBLE) AS r_mean,
+        |  CAST((31*doc_id + 7*frame_idx + 5) % 256 AS DOUBLE) AS g_mean,
+        |  CAST((13*doc_id + 11*frame_idx + 8) % 256 AS DOUBLE) AS b_mean
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // square wave at ±(100 + 7·id): abs_sum = channels·frames·amp,
+    // one strict sign flip per consecutive sample pair on channel 0
+    "audio_decode" ->
+      """SELECT doc_id,
+        |  CAST(8000 + 500*doc_id AS BIGINT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |  CAST(64 + 16*doc_id AS BIGINT) AS n_frames,
+        |  CAST((1 + doc_id % 2) * (64 + 16*doc_id) * (100 + 7*doc_id)
+        |       AS BIGINT) AS abs_sum,
+        |  CAST(63 + 16*doc_id AS BIGINT) AS zero_crossings
         |FROM documents WHERE doc_id < 8 ORDER BY doc_id""".stripMargin,
     "null_safety" ->
       """SELECT doc_id,

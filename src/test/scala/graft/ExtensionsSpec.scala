@@ -654,7 +654,74 @@ class ExtensionsSpec extends SparkTestBase {
     val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
       .collect()
     assert(frames.map(_.frame_idx).toSeq == Seq(0L, 2L, 4L))
+    assert(frames.forall(!_.decoded)) // no codec accepts text bytes
     assert(frames.forall(_.payload.length <= 32))
+  }
+
+  test("multimodal: frame sampling is REAL for animated GIF — " +
+       "stride-sampled frames with exact per-frame colors") {
+    import spark.implicits._
+    // 5-frame animated GIF, frame f solid color (40f+10, 30f+20, 20f+30)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    for (f <- 0 until 5) {
+      val img = new java.awt.image.BufferedImage(
+        6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = ((40 * f + 10) << 16) | ((30 * f + 20) << 8) | (20 * f + 30)
+      for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, rgb)
+      w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    w.endWriteSequence(); ios.close(); w.dispose()
+    val media = Seq(Multimodal.MediaRow(9L, bos.toByteArray, "vid/gif",
+                                        bos.size().toLong)).toDS()
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
+      .sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0L, 2L, 4L)) // stride 2 of 5
+    assert(frames.forall(_.decoded))
+    val stats = Multimodal.frameStats(
+      Multimodal.sampleFrames(media, stride = 2)).collect()
+      .sortBy(_.frame_idx)
+    for ((st, f) <- stats.zip(Seq(0, 2, 4))) {
+      assert(st.decoded && st.width == 6L && st.height == 4L)
+      assert(st.r_mean == 40.0 * f + 10 && st.g_mean == 30.0 * f + 20 &&
+             st.b_mean == 20.0 * f + 30) // solid color → exact means
+    }
+  }
+
+  test("multimodal: audio decode is REAL for WAV PCM — header fields + " +
+       "exact square-wave sample stats; byte-stub fallback flagged") {
+    import spark.implicits._
+    // mono 16-bit square wave: 64 samples alternating ±1234 at 8 kHz
+    val n = 64; val amp = 1234
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = if (i % 2 == 0) amp else -amp
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val wav = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wav)
+    val media = Seq(
+      Multimodal.MediaRow(3L, wav.toByteArray, "aud/wav", wav.size().toLong),
+      Multimodal.MediaRow(4L, "not audio".getBytes("UTF-8"), "aud/raw", 9L)
+    ).toDS()
+    val out = Multimodal.decodeAudio(media).collect()
+      .map(a => a.doc_id -> a).toMap
+    val ok = out(3L)
+    assert(ok.decoded && ok.sample_rate == 8000L && ok.channels == 1L &&
+           ok.n_frames == n.toLong)
+    assert(ok.abs_sum == n.toLong * amp)        // every sample is ±amp
+    assert(ok.zero_crossings == (n - 1).toLong) // sign flips each sample
+    val bad = out(4L)
+    assert(!bad.decoded && bad.sample_rate == -1L && bad.channels == -1L)
+    assert(bad.abs_sum == "not audio".getBytes("UTF-8").map(_ & 0xff).sum)
   }
 
   test("multimodal: resize is a REAL box-filter area average — " +
