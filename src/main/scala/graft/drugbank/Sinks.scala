@@ -30,16 +30,17 @@ object Sinks {
     * contribute N copies of its whole subtree to every downstream plan —
     * Catalyst re-analyzes each copy, so driver time (not just execution)
     * grows with the product of the branch counts (drugbank_e2e: 1,126
-    * Exchanges, ~26 s of driver-side analysis). Wrapping the persisted
-    * frame's RDD as a fresh leaf makes downstream plans see one shared
-    * scan — the in-memory analogue of the reference's pickle checkpoint
-    * (perform_NER.py:141-142 → look_for_identifiers.py:65-66). For a
-    * restart-safe boundary across jobs use writeCheckpoint/readCheckpoint.
+    * Exchanges, ~26 s of driver-side analysis). An eager localCheckpoint
+    * materializes the frame once and wraps its InternalRow RDD as a
+    * fresh leaf, so downstream plans see one shared scan — the in-memory
+    * analogue of the reference's pickle checkpoint (perform_NER.py:141-142
+    * → look_for_identifiers.py:65-66) — without the Row encode/decode a
+    * persist + createDataFrame(df.rdd) round-trip pays, and with the RDD
+    * dependency graph truncated too. For a restart-safe boundary across
+    * jobs use writeCheckpoint/readCheckpoint.
     */
-  def stageBoundary(df: DataFrame): DataFrame = {
-    val cached = df.persist()
-    cached.sparkSession.createDataFrame(cached.rdd, cached.schema)
-  }
+  def stageBoundary(df: DataFrame): DataFrame =
+    df.localCheckpoint(true)
 
   /** Keyed JSON object string `{"<keyCol>": {record}, ...}` (driver-side,
     * fixture-scale only — `maxRows` guards the collect). The key comes
