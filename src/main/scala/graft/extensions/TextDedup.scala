@@ -323,6 +323,16 @@ object TextDedup {
     val histSets = histSh
       .select(col("id").as("hist_id"), array_distinct(col("sh")).as("set_b"))
       .hint("shuffle_hash")
+    verifyIncremental(cands, newSets, histSets, threshold)
+  }
+
+  /** The shared verification tail of the incremental variants: exact
+    * Jaccard on candidate pairs only, folded to one row per flagged new
+    * doc.
+    */
+  private def verifyIncremental(cands: DataFrame, newSets: DataFrame,
+                                histSets: DataFrame,
+                                threshold: Double): DataFrame =
     cands
       .join(newSets, "id")
       .join(histSets, "hist_id")
@@ -338,6 +348,77 @@ object TextDedup {
       .agg(min(col("hist_id")).as("dup_of"),
            count(lit(1)).as("n_matches"),
            max(col("jaccard")).as("best_jaccard"))
+
+  /** The persistent near-dup index rows for a corpus slice: (id, band) —
+    * `bands` constant-width band keys per doc, computed in one map-side
+    * pass. Written once per ingested batch and accumulated, these rows
+    * are the whole candidate-generation input for every later batch, so
+    * steady-state ingest never re-shingles the corpus (see
+    * [[incrementalNearDupsIndexed]]).
+    */
+  def bandIndexOf(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8, bands: Int = 4, shingleN: Int = 3): DataFrame =
+    withShingles(docs, idCol, textCol, shingleN).select(col("id"),
+      explode(graft.functions.MinHashBands(col("sh"), k, bands)).as("band"))
+
+  /** [[incrementalNearDups]] against a PRECOMPUTED historical band index
+    * — the true steady-state ingest shape. The text-taking variant
+    * re-shingles the whole accumulated corpus every batch (O(corpus)
+    * CPU per batch, quadratic in corpus age overall); here candidate
+    * generation reads only the constant-width (id, band) index rows,
+    * and the corpus text is touched solely to re-shingle the MATCHED
+    * candidates (a broadcast semi-join of the small candidate id set
+    * against the history — only matched rows survive the scan, only
+    * they pay the shingle cost). Per-batch work is O(new batch +
+    * candidates), independent of corpus age.
+    *
+    * `histIndex` must be (id, band) rows built by [[bandIndexOf]] with
+    * the SAME k/bands/shingleN — mismatched parameters silently produce
+    * disjoint band keys and zero candidates.
+    *
+    * @param histIndex accumulated (id, band) rows for all prior batches
+    * @param hist      the corresponding (idCol, textCol) corpus rows,
+    *                  read only for candidate verification
+    */
+  def incrementalNearDupsIndexed(newDocs: DataFrame, histIndex: DataFrame,
+                                 hist: DataFrame, idCol: String,
+                                 textCol: String, threshold: Double,
+                                 k: Int = 8, bands: Int = 4,
+                                 shingleN: Int = 3,
+                                 maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val newSh = withShingles(newDocs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cap HISTORICAL buckets to their min-id representative — same
+    // trade as the text variant, but the window runs over the index's
+    // constant-width rows, not over recomputed shingle output
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band")
+    val histBands = histIndex.select(col("id"), col("band"))
+      .withColumn("bsize", count(lit(1)).over(w))
+      .withColumn("rep", min(col("id")).over(w))
+      .filter(col("bsize") <= maxBucket || col("id") === col("rep"))
+      .select(col("id").as("hist_id"), col("band"))
+    // persisted: consumed twice (the verification join and the matched-
+    // id broadcast below) — without it the band join re-runs per branch
+    val cands = newSh.select(col("id"),
+        explode(graft.functions.MinHashBands(col("sh"), k, bands)).as("band"))
+      .join(histBands, "band")
+      .select(col("id"), col("hist_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newSets = newSh
+      .select(col("id"), array_distinct(col("sh")).as("set_a"))
+      .hint("shuffle_hash")
+    // shingle ONLY the matched history docs: broadcast the candidate id
+    // set (small by construction — band-capped) into a semi-join, so
+    // the history scan streams past unmatched rows without shuffling
+    // or shingling them
+    val matchedIds = broadcast(
+      cands.select(col("hist_id").as(idCol)).distinct())
+    val histSets = withShingles(hist.join(matchedIds, idCol),
+        idCol, textCol, shingleN)
+      .select(col("id").as("hist_id"), array_distinct(col("sh")).as("set_b"))
+      .hint("shuffle_hash")
+    verifyIncremental(cands, newSets, histSets, threshold)
   }
 
   /** Cross-document repeated-SPAN detection (the substring-level dedup of

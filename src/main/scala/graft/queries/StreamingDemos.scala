@@ -64,7 +64,8 @@ object StreamingDemos {
       Seq(hex1 < "8", hex1 >= "8" && hex1 < "c", hex1 >= "c")
         .zipWithIndex.foreach { case (cond, i) =>
           DocsStream.flagBatch(s, docs.filter(cond), i.toLong,
-            s"$base/hist", s"$base/flags", PipelineDemos.jaccardThreshold)
+            s"$base/hist", s"$base/flags", s"$base/bands",
+            PipelineDemos.jaccardThreshold)
         }
       s.read.parquet(s"$base/flags")
         .select("id", "dup_of", "n_matches", "best_jaccard")

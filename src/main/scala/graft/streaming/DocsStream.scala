@@ -28,15 +28,20 @@ object DocsStream {
 
   /** Start the ingest query. `docs` must be a STREAMING frame with
     * (doc_id long, text string); flags are appended to `flagsDir`,
-    * history accumulates under `histDir`.
+    * history accumulates under `histDir`, and the (doc_id, band)
+    * near-dup index under `bandsDir` — the index is what later batches
+    * generate candidates from, so the corpus text is never re-shingled
+    * (see [[graft.extensions.TextDedup.incrementalNearDupsIndexed]]).
     */
   def nearDupIngest(spark: SparkSession, docs: DataFrame, histDir: String,
-                    flagsDir: String, checkpointDir: String,
+                    flagsDir: String, bandsDir: String,
+                    checkpointDir: String,
                     threshold: Double = 0.5): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        flagBatch(spark, batch, batchId, histDir, flagsDir, threshold)
+        flagBatch(spark, batch, batchId, histDir, flagsDir, bandsDir,
+          threshold)
       }
       .start()
 
@@ -52,7 +57,7 @@ object DocsStream {
     * pruned at scan.
     */
   def flagBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-                histDir: String, flagsDir: String,
+                histDir: String, flagsDir: String, bandsDir: String,
                 threshold: Double): Unit = {
     // Hadoop FS listing, not java.io.File: histDir may be HDFS/S3/file:
     // URIs — a local-only listing would silently see no history and
@@ -60,29 +65,39 @@ object DocsStream {
     val histPath = new org.apache.hadoop.fs.Path(histDir)
     val fs = histPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // history = batches strictly BEFORE this one (a replay must not see
-    // its own half-written partition as history)
-    val priorBatches =
-      if (!fs.exists(histPath)) Seq.empty[String]
+    // its own half-written partition as history). The HISTORY listing is
+    // authoritative for both dirs: bands are written before history
+    // (below), so every listed history batch has its index partition —
+    // the reverse order could leave a listed batch invisible to
+    // candidate generation after a mid-batch crash.
+    val priorIds =
+      if (!fs.exists(histPath)) Seq.empty[Long]
       else fs.listStatus(histPath).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-        .filter(_.getPath.getName.stripPrefix("batch=").toLong < batchId)
-        .map(_.getPath.toString)
-    // two actions follow (flags write + history write): persist so the
-    // micro-batch source is not fetched twice per trigger
+        .map(_.getPath.getName.stripPrefix("batch=").toLong)
+        .filter(_ < batchId)
+    // three actions follow (flags + bands + history writes): persist so
+    // the micro-batch source is not fetched once per sink
     batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val flags =
-        if (priorBatches.isEmpty)
+        if (priorIds.isEmpty)
           batch.select(col("doc_id").as("id")).limit(0)
             .withColumn("dup_of", lit(null).cast("long"))
             .withColumn("n_matches", lit(0L))
             .withColumn("best_jaccard", lit(0.0))
         else
-          graft.extensions.TextDedup.incrementalNearDups(
+          graft.extensions.TextDedup.incrementalNearDupsIndexed(
             batch,
-            spark.read.parquet(priorBatches: _*).select("doc_id", "text"),
+            spark.read.parquet(priorIds.map(i => s"$bandsDir/batch=$i"): _*)
+              .select(col("doc_id").as("id"), col("band")),
+            spark.read.parquet(priorIds.map(i => s"$histDir/batch=$i"): _*)
+              .select("doc_id", "text"),
             "doc_id", "text", threshold)
       flags.write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
+      graft.extensions.TextDedup.bandIndexOf(batch, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("band"))
+        .write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
       batch.write.mode("overwrite").parquet(s"$histDir/batch=$batchId")
     } finally batch.unpersist()
     ()

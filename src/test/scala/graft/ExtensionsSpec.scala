@@ -829,6 +829,28 @@ class ExtensionsSpec extends SparkTestBase {
       s"only the near-dup new doc may be flagged, got $out")
   }
 
+  test("indexed incremental near-dup (precomputed band index + " +
+       "candidate-only verification) is row-identical to the " +
+       "text-recomputing variant on a real corpus split") {
+    import graft.extensions.TextDedup
+    import graft.tables.Tables
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val isHist = substring(md5(col("doc_id").cast("string")), 1, 1) < "8"
+    val (hist, fresh) = (docs.filter(isHist), docs.filter(!isHist))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val ref = rows(TextDedup.incrementalNearDups(
+      fresh, hist, "doc_id", "text", threshold = 0.3))
+    val idx = TextDedup.bandIndexOf(hist, "doc_id", "text")
+    val got = rows(TextDedup.incrementalNearDupsIndexed(
+      fresh, idx, hist, "doc_id", "text", threshold = 0.3))
+    assert(ref.nonEmpty, "split must plant at least one near-dup pair")
+    assert(got == ref,
+      s"indexed path diverged: extra=${got -- ref}, missed=${ref -- got}")
+  }
+
   test("unicode normalization: NFC composes, NFKC folds compatibility " +
        "forms, accent strip folds to ASCII") {
     import spark.implicits._

@@ -394,7 +394,8 @@ class StreamingSpec extends SparkTestBase {
     import graft.streaming.DocsStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt")
-    val (hist, flags, ckpt) = (s"$tmp/hist", s"$tmp/flags", s"$tmp/ckpt")
+    val (hist, flags, bands, ckpt) =
+      (s"$tmp/hist", s"$tmp/flags", s"$tmp/bands", s"$tmp/ckpt")
     val b1 = Seq(
       DocsStream.Doc(1L, "the quick brown fox jumps over the lazy dog " +
         "again and again in the morning"),
@@ -407,12 +408,12 @@ class StreamingSpec extends SparkTestBase {
         "nothing like history at all"))
     val input = MemoryStream[DocsStream.Doc]
     val q1 = DocsStream.nearDupIngest(spark, input.toDF(), hist, flags,
-      ckpt, threshold = 0.3)
+      bands, ckpt, threshold = 0.3)
     try {
       input.addData(b1: _*); q1.processAllAvailable()
     } finally q1.stop() // kill after history is seeded
     val q2 = DocsStream.nearDupIngest(spark, input.toDF(), hist, flags,
-      ckpt, threshold = 0.3)
+      bands, ckpt, threshold = 0.3)
     try {
       input.addData(b2: _*); q2.processAllAvailable()
     } finally q2.stop()
@@ -436,7 +437,8 @@ class StreamingSpec extends SparkTestBase {
     import graft.streaming.DocsStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft-ingest")
-    val (hist, flags, ckpt) = (s"$tmp/hist", s"$tmp/flags", s"$tmp/ckpt")
+    val (hist, flags, bands, ckpt) =
+      (s"$tmp/hist", s"$tmp/flags", s"$tmp/bands", s"$tmp/ckpt")
     val b1 = Seq(
       DocsStream.Doc(1L, "the quick brown fox jumps over the lazy dog " +
         "again and again in the morning"),
@@ -449,7 +451,7 @@ class StreamingSpec extends SparkTestBase {
         "nothing like history at all"))
     val input = MemoryStream[DocsStream.Doc]
     val q = DocsStream.nearDupIngest(spark, input.toDF(), hist, flags,
-      ckpt, threshold = 0.3)
+      bands, ckpt, threshold = 0.3)
     try {
       input.addData(b1: _*); q.processAllAvailable()
       input.addData(b2: _*); q.processAllAvailable()
