@@ -52,6 +52,42 @@ object ScaleCurve {
       .select("doc_id", "text")
   }
 
+  /** §8 ingest history: n all-distinct docs (40 hash-derived tokens
+    * from k = doc_id, same recipe as [[nearDupCorpus]]).
+    */
+  def ingestHist(spark: SparkSession, n: Long): DataFrame =
+    spark.range(0, n).toDF("doc_id")
+      .withColumn("text", ingestTokens(col("doc_id")))
+      .select("doc_id", "text")
+
+  /** §8 new batch: b docs with ids past the history; EVEN ids near-dup
+    * history doc (id/2 mod dupMod) — dupMod = the smallest history size
+    * swept, so the planted truth is identical at every corpus age — and
+    * ODD ids draw from a disjoint k-space (novel).
+    */
+  def ingestBatch(spark: SparkSession, histN: Long, b: Long,
+                  dupMod: Long): DataFrame =
+    // k must stay LONG through both branches: `/` is double division in
+    // the Column DSL, and hash(double) ≠ hash(long) — the planted dup
+    // would silently never match the history recipe (caught when the §8
+    // flagged column read 0).
+    spark.range(histN, histN + b).toDF("doc_id")
+      .withColumn("k",
+        when(pmod(col("doc_id"), lit(2L)) === 0L,
+          pmod(floor(col("doc_id") / 2L).cast("long"), lit(dupMod)))
+        .otherwise(col("doc_id") + 1000000000L))
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(2L)) === 0L,
+          concat(ingestTokens(col("k")), lit(" extra")))
+        .otherwise(ingestTokens(col("k"))))
+      .select("doc_id", "text")
+
+  private def ingestTokens(k: org.apache.spark.sql.Column) =
+    concat_ws(" ",
+      transform(sequence(lit(0L), lit(39L)),
+        j => concat(lit("w"),
+          pmod(hash(k * 997L + j * 131L), lit(99991)))))
+
   /** License-header corpus: a shared 10-token boilerplate prefix on
     * EVERY doc (the worst-case span-population key: one hash held by
     * the whole corpus) + 30 unique hash-derived tokens.
@@ -654,6 +690,55 @@ object ScaleCurve {
         "wall (s)" -> f"$sec%.2f"))
     }
 
+    // ---- 8. Incremental ingest: per-batch cost vs corpus age ---------
+    // The steady-state question behind DocsStream.flagBatch: does
+    // flagging ONE fixed-size new batch get slower as the accumulated
+    // corpus grows? The text-recomputing variant re-shingles the whole
+    // history every batch; the indexed variant reads the persistent
+    // (doc_id, band) rows written at ingest time and shingles only
+    // MATCHED candidates. Both sides read history from parquet (the
+    // real ingest shape); the index write is ingest-time cost, so it is
+    // deliberately OUTSIDE the timed flag path. Smaller ages filter the
+    // max-age parquet by doc_id (predicate pushdown prunes the scan).
+    val ingestB = 10000L
+    val ingestAges = Seq(2L, 8L, 32L)
+    val ingestTmp = s"${sys.props("java.io.tmpdir")}/graft_scale_ingest"
+    locally {
+      val maxHist = ingestAges.max * ingestB
+      val hist = ingestHist(spark, maxHist)
+      hist.write.mode("overwrite").parquet(s"$ingestTmp/hist")
+      TextDedup.bandIndexOf(hist, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("band"))
+        .write.mode("overwrite").parquet(s"$ingestTmp/bands")
+      ingestBatch(spark, maxHist, ingestB, ingestAges.min * ingestB)
+        .write.mode("overwrite").parquet(s"$ingestTmp/batch")
+    }
+    val ingestPts = ingestAges.map { a =>
+      val nHist = a * ingestB
+      val hist = spark.read.parquet(s"$ingestTmp/hist")
+        .filter(col("doc_id") < nHist)
+      val idx = spark.read.parquet(s"$ingestTmp/bands")
+        .filter(col("doc_id") < nHist)
+        .select(col("doc_id").as("id"), col("band"))
+      val batch = spark.read.parquet(s"$ingestTmp/batch")
+      val (secText, flaggedText) = timeIt(spark) {
+        TextDedup.incrementalNearDups(
+          batch, hist, "doc_id", "text", 0.5).count()
+      }
+      val (secIdx, flaggedIdx) = timeIt(spark) {
+        TextDedup.incrementalNearDupsIndexed(
+          batch, idx, hist, "doc_id", "text", 0.5).count()
+      }
+      Point(nHist, Seq(
+        "history docs" -> nHist.toString,
+        "batch docs" -> ingestB.toString,
+        "planted dups" -> (ingestB / 2).toString,
+        "flagged text" -> flaggedText.toString,
+        "flagged indexed" -> flaggedIdx.toString,
+        "wall text (s)" -> f"$secText%.2f",
+        "wall indexed (s)" -> f"$secIdx%.2f"))
+    }
+
     // ---- render ------------------------------------------------------
     def table(pts: Seq[Point]): String = {
       val headers = pts.head.metrics.map(_._1)
@@ -860,6 +945,29 @@ object ScaleCurve {
        ^${table(drugPts)}
        ^
        ^Growth: ${growth(drugPts, "wall (s)")}.
+       ^
+       ^## 8. Incremental ingest: per-batch flag cost vs corpus age
+       ^
+       ^The steady-state ingest question (`DocsStream.flagBatch`): does
+       ^flagging ONE fixed 10k-doc batch get slower as the accumulated
+       ^corpus grows 16×? `wall text` is the text-recomputing
+       ^`incrementalNearDups` — it re-shingles the WHOLE history every
+       ^batch, O(corpus age) CPU per batch. `wall indexed` is
+       ^`incrementalNearDupsIndexed` (what flagBatch now runs): candidate
+       ^generation reads the persistent (doc_id, band) index written at
+       ^ingest time, pruned FIRST by a broadcast semi-join on the batch's
+       ^own band set (so the bucket-cap window shuffles only matched
+       ^bands, never the full index), and history text is re-shingled
+       ^only for MATCHED candidates via a broadcast semi-join of the
+       ^candidate id set.
+       ^Both flag the identical planted truth — half the batch near-dups
+       ^a history doc — so the flagged columns double as exact-recall
+       ^evidence.
+       ^
+       ^${table(ingestPts)}
+       ^
+       ^Growth: text ${growth(ingestPts, "wall text (s)")};
+       ^indexed ${growth(ingestPts, "wall indexed (s)")}.
        ^
        ^## Reading the curves at 100 TB
        ^

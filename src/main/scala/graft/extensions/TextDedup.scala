@@ -388,19 +388,31 @@ object TextDedup {
                                  maxBucket: Int = defaultMaxBucket): DataFrame = {
     val newSh = withShingles(newDocs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBands = newSh.select(col("id"),
+        explode(graft.functions.MinHashBands(col("sh"), k, bands)).as("band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // prune the history index to bands the BATCH actually holds before
+    // anything else: the batch's distinct band set is bounded by
+    // batch×bands (broadcastable by construction), and every history row
+    // outside it can produce no candidate. Without this the bucket-cap
+    // window below shuffles the FULL O(history) index every batch —
+    // measured as the dominant per-batch growth term in SCALECURVE §8.
+    // (At 100 TB the index is additionally bucketed/partitioned by band,
+    // so this semi-join prunes file scans, not just shuffle rows.)
+    val batchBandSet = broadcast(newBands.select("band").distinct())
     // cap HISTORICAL buckets to their min-id representative — same
-    // trade as the text variant, but the window runs over the index's
-    // constant-width rows, not over recomputed shingle output
+    // trade as the text variant; per-band row sets are unchanged by the
+    // semi-join (it keeps whole bands), so the cap decision is identical
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band")
     val histBands = histIndex.select(col("id"), col("band"))
+      .join(batchBandSet, Seq("band"), "left_semi")
       .withColumn("bsize", count(lit(1)).over(w))
       .withColumn("rep", min(col("id")).over(w))
       .filter(col("bsize") <= maxBucket || col("id") === col("rep"))
       .select(col("id").as("hist_id"), col("band"))
     // persisted: consumed twice (the verification join and the matched-
     // id broadcast below) — without it the band join re-runs per branch
-    val cands = newSh.select(col("id"),
-        explode(graft.functions.MinHashBands(col("sh"), k, bands)).as("band"))
+    val cands = newBands
       .join(histBands, "band")
       .select(col("id"), col("hist_id"))
       .distinct()
