@@ -133,6 +133,17 @@ object Ivf {
     // exists to prevent (measured 4.6s -> sub-second on 2k x 64).
     val lists = assign(corpus, idCol, vecCol, index)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    searchLists(lists, queries, idCol, vecCol, index, nProbe, topK)
+  }
+
+  /** Search PRE-ASSIGNED inverted lists ((id, vec, nrm, cell) from
+    * [[assign]] / [[appendAssign]]) — the maintenance-path entry point:
+    * at scale the lists are a cell-partitioned table that ingest jobs
+    * append to, and queries must not re-derive them from raw vectors.
+    */
+  def searchLists(lists: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, index: IvfIndex, nProbe: Int = 2,
+                  topK: Int = 3): DataFrame = {
     val probes = broadcast(
       prepped(queries, idCol, vecCol)
         .select(col("id").as("query_id"), col("vec").as("query_vec"),
@@ -149,5 +160,85 @@ object Ivf {
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
+  }
+
+  // -------- incremental maintenance (append without refit) ------------
+
+  /** Append a new vector batch to existing inverted lists WITHOUT
+    * refitting: assignment is a per-row argmin over the frozen
+    * centroids, so the append is one map-side pass over the batch and
+    * the merged lists are bit-identical to a from-scratch [[assign]] of
+    * the full corpus with the same index (asserted in ExtensionsSpec).
+    * This is the 100 TB ingest shape: the nightly batch lands in the
+    * cell-partitioned lists table with zero history reads; whether the
+    * FROZEN centroids still fit the data is what [[refitAdvisory]]
+    * measures.
+    */
+  def appendAssign(lists: DataFrame, newVecs: DataFrame, idCol: String,
+                   vecCol: String, index: IvfIndex): DataFrame =
+    lists.unionByName(assign(newVecs, idCol, vecCol, index))
+
+  /** The index's centroids as a k-row frame (cell, cvec, cnrm) — always
+    * the broadcast side of stats joins.
+    */
+  def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+                    index: IvfIndex): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(index.centroids.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "cvec")
+      .select(col("cell"), col("cvec"), Similarity.norm(col("cvec")).as("cnrm"))
+  }
+
+  /** Per-cell occupancy and quantization error over assigned lists:
+    * (cell, n, sum_qerr_q) where qerr = 1 − cos(vec, centroid) scaled to
+    * fixed-point micro-units (floor(qerr·1e6) longs) so the distributed
+    * sum is order-independent and engine-exact (the `embed_centroid`
+    * trick). One broadcast join against the k-row centroid frame + one
+    * k-row aggregate — index health at 100 TB costs a single scan of the
+    * lists' (vec, nrm, cell) columns.
+    */
+  def cellStats(lists: DataFrame, index: IvfIndex): DataFrame = {
+    val cents = broadcast(centroidFrame(lists.sparkSession, index))
+    lists.join(cents, "cell")
+      .select(col("cell"),
+        floor((lit(1.0) -
+          when(col("nrm") > 0 && col("cnrm") > 0,
+            Similarity.dot(col("vec"), col("cvec"))
+              / (col("nrm") * col("cnrm")))
+            .otherwise(lit(0.0))) * 1e6).cast("long").as("qerr_q"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum(col("qerr_q")).as("sum_qerr_q"))
+  }
+
+  /** Refit advisory: does a frozen index still fit newly ingested data?
+    * Joins history vs batch [[cellStats]] per cell and flags cells whose
+    * batch mean quantization error exceeds `ratio` × the history's —
+    * sustained drift there means the Voronoi partition no longer matches
+    * the data distribution and recall is silently decaying; the flag is
+    * the trigger for an offline re-[[train]], exactly the health check a
+    * production vector store runs at ingest. Pure fixed-point arithmetic
+    * end-to-end → recomputable by a SQL oracle. Cells the batch never
+    * touches are omitted (no evidence); cells with an empty history but
+    * batch mass are flagged (the index has never seen that region).
+    */
+  def refitAdvisory(histStats: DataFrame, batchStats: DataFrame,
+                    ratio: Double = 1.5): DataFrame = {
+    val h = histStats.select(col("cell"), col("n").as("hist_n"),
+      col("sum_qerr_q").as("hist_sum_q"))
+    val b = batchStats.select(col("cell"), col("n").as("batch_n"),
+      col("sum_qerr_q").as("batch_sum_q"))
+    b.join(h, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("hist_n"), lit(0L)).as("hist_n"),
+        (coalesce(col("hist_sum_q"), lit(0L)).cast("double") /
+          (greatest(coalesce(col("hist_n"), lit(0L)), lit(1L))
+            .cast("double") * 1e6)).as("hist_err"),
+        col("batch_n"),
+        (col("batch_sum_q").cast("double") /
+          (col("batch_n").cast("double") * 1e6)).as("batch_err"))
+      .withColumn("drifted",
+        col("hist_n") === 0L ||
+          col("batch_err") > col("hist_err") * ratio)
   }
 }

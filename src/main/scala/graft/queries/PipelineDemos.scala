@@ -50,6 +50,11 @@ object PipelineDemos {
   private val pqIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, Pq.PqIndex]
 
+  // history-only coarse quantizer for the incremental-maintenance demos
+  // (frozen index trained before the "new" batch ever arrives)
+  private val ivfHistIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.extensions.Ivf.IvfIndex]
+
   // offline-index memo, same rationale as the IVF cache: the benchmark
   // Bloom filter is built once per corpus snapshot, not per query
   private val bloomCache =
@@ -254,6 +259,52 @@ object PipelineDemos {
       graft.extensions.Ivf.search(e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", index, nProbe = 2, topK = 3)
         .orderBy("query_id", "rank")
+    }),
+    // Incremental IVF maintenance: the index is FROZEN on the historical
+    // 3/4 of the corpus (md5-smallest history ids as centroids); the
+    // "new" 1/4 batch is appended by map-side assignment alone
+    // (appendAssign — no refit, no history reads), and queries search
+    // the merged lists. Assignment is per-row, so the merged lists are
+    // bit-identical to a from-scratch assign with the same index — which
+    // is exactly what the oracle recomputes.
+    "ann_ivf_incremental" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val hist = e.filter(pmod(col("vec_id"), lit(4L)) < 3L)
+      val batch = e.filter(pmod(col("vec_id"), lit(4L)) === 3L)
+      val index = ivfHistIndexCache.getOrElseUpdate(dir,
+        graft.extensions.Ivf.trainDeterministic(hist, "vec_id", "embedding",
+          k = 8))
+      val lists = graft.extensions.Ivf.appendAssign(
+          graft.extensions.Ivf.assign(hist, "vec_id", "embedding", index),
+          batch, "vec_id", "embedding", index)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.extensions.Ivf.searchLists(lists, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", index, nProbe = 2, topK = 3)
+        .orderBy("query_id", "rank")
+    }),
+    // Refit advisory for the frozen index above: per-cell mean
+    // quantization error (fixed-point micro-units, order-independent) of
+    // the new batch vs the history; a cell whose batch error exceeds
+    // 1.5× its history error — or that the history never populated — is
+    // flagged as drifted (the trigger for an offline centroid refit).
+    // The whole chain (centroid pick → assignment → fixed-point error →
+    // flag) is arithmetic, so the oracle recomputes it end-to-end.
+    "ann_ivf_drift" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val hist = e.filter(pmod(col("vec_id"), lit(4L)) < 3L)
+      val batch = e.filter(pmod(col("vec_id"), lit(4L)) === 3L)
+      val index = ivfHistIndexCache.getOrElseUpdate(dir,
+        graft.extensions.Ivf.trainDeterministic(hist, "vec_id", "embedding",
+          k = 8))
+      val hs = graft.extensions.Ivf.cellStats(
+        graft.extensions.Ivf.assign(hist, "vec_id", "embedding", index), index)
+      val bs = graft.extensions.Ivf.cellStats(
+        graft.extensions.Ivf.assign(batch, "vec_id", "embedding", index), index)
+      graft.extensions.Ivf.refitAdvisory(hs, bs, ratio = 1.5)
+        .select(col("cell"), col("hist_n"), col("hist_err"),
+                col("batch_n"), col("batch_err"),
+                col("drifted").cast("long").as("drifted"))
+        .orderBy("cell")
     }),
     // Product-quantization ANN (4 subspaces × 16 codes): corpus carries
     // ids+codes only; search is ADC table lookups. Deterministic
@@ -1164,6 +1215,79 @@ object PipelineDemos {
          |SELECT query_id, neighbor_id, cos,
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
          |FROM cs QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // ann_ivf's CTEs with the centroid pick restricted to the HISTORY
+    // 3/4 (vec_id % 4 < 3): append-without-refit means assignment with
+    // the frozen history-trained centroids, so the merged lists equal a
+    // full assignment under that index and the search CTEs are unchanged.
+    "ann_ivf_incremental" ->
+      s"""WITH $normsCte,
+         |nv AS (SELECT vec_id, embedding, nrm,
+         |         list_transform(embedding, x -> CASE WHEN nrm > 0 THEN CAST(x AS DOUBLE) / nrm ELSE 0.0 END) AS nvec
+         |       FROM norms),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cell,
+         |           nvec AS cvec
+         |         FROM nv WHERE vec_id % 4 < 3
+         |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |scored AS (SELECT nv.vec_id, cent.cell, ${dotSql("nv.nvec", "cent.cvec")} AS d
+         |           FROM nv, cent),
+         |ranked AS (SELECT vec_id, cell,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS rn
+         |           FROM scored),
+         |ass AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM ranked
+         |           WHERE vec_id < 5 AND rn <= 2),
+         |cs AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |         CASE WHEN q.nrm > 0 AND n.nrm > 0
+         |           THEN ${dotSql("q.embedding", "n.embedding")} / (q.nrm * n.nrm)
+         |           ELSE 0.0 END AS cos
+         |       FROM probes p JOIN ass a USING (cell)
+         |       JOIN norms q ON q.vec_id = p.query_id
+         |       JOIN norms n ON n.vec_id = a.vec_id
+         |       WHERE a.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |FROM cs QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // Frozen-index health check recomputed end-to-end: history-trained
+    // centroids, full assignment, per-cell fixed-point quantization
+    // error (floor(qerr·1e6) BIGINTs — order-independent sums), then the
+    // history-vs-batch comparison with the 1.5× drift flag.
+    "ann_ivf_drift" ->
+      s"""WITH $normsCte,
+         |nv AS (SELECT vec_id, embedding, nrm,
+         |         list_transform(embedding, x -> CASE WHEN nrm > 0 THEN CAST(x AS DOUBLE) / nrm ELSE 0.0 END) AS nvec
+         |       FROM norms),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cell,
+         |           nvec AS cvec
+         |         FROM nv WHERE vec_id % 4 < 3
+         |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |cn AS (SELECT cell, cvec, sqrt(${dotSql("cvec", "cvec")}) AS cnrm FROM cent),
+         |scored AS (SELECT nv.vec_id, cn.cell, ${dotSql("nv.nvec", "cn.cvec")} AS d
+         |           FROM nv, cn),
+         |ranked AS (SELECT vec_id, cell,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS rn
+         |           FROM scored),
+         |ass AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+         |qe AS (SELECT a.vec_id, a.cell,
+         |         CAST(floor((1.0 - CASE WHEN n.nrm > 0 AND c.cnrm > 0
+         |             THEN ${dotSql("n.embedding", "c.cvec")} / (n.nrm * c.cnrm)
+         |             ELSE 0.0 END) * 1000000.0) AS BIGINT) AS qerr_q
+         |       FROM ass a JOIN norms n ON n.vec_id = a.vec_id
+         |       JOIN cn c ON c.cell = a.cell),
+         |h AS (SELECT cell, count(*) AS n, SUM(qerr_q) AS sum_q FROM qe
+         |      WHERE vec_id % 4 < 3 GROUP BY cell),
+         |b AS (SELECT cell, count(*) AS n, SUM(qerr_q) AS sum_q FROM qe
+         |      WHERE vec_id % 4 = 3 GROUP BY cell)
+         |SELECT b.cell, COALESCE(h.n, 0) AS hist_n,
+         |  CAST(COALESCE(h.sum_q, 0) AS DOUBLE)
+         |    / (CAST(GREATEST(COALESCE(h.n, 0), 1) AS DOUBLE) * 1000000.0) AS hist_err,
+         |  b.n AS batch_n,
+         |  CAST(b.sum_q AS DOUBLE) / (CAST(b.n AS DOUBLE) * 1000000.0) AS batch_err,
+         |  CAST(COALESCE(h.n, 0) = 0
+         |    OR CAST(b.sum_q AS DOUBLE) / (CAST(b.n AS DOUBLE) * 1000000.0)
+         |       > CAST(COALESCE(h.sum_q, 0) AS DOUBLE)
+         |         / (CAST(GREATEST(COALESCE(h.n, 0), 1) AS DOUBLE) * 1000000.0) * 1.5
+         |    AS BIGINT) AS drifted
+         |FROM b LEFT JOIN h ON h.cell = b.cell ORDER BY b.cell""".stripMargin,
     // Full PQ pipeline rebuilt engine-independently: codebook = the
     // 16 md5-smallest ids' subvectors (code = rank in that order),
     // encode = per-subspace argmin L2² (ties → smaller code), ADC

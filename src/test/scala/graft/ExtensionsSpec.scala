@@ -308,6 +308,72 @@ class ExtensionsSpec extends SparkTestBase {
       s"sampled-fit recall $sampled lags full-fit recall $full")
   }
 
+  test("IVF incremental append: map-side appendAssign equals a " +
+       "from-scratch assignment, and searchLists over the merged lists " +
+       "equals search over the full corpus") {
+    import spark.implicits._
+    import graft.extensions.Ivf
+    val rng = new scala.util.Random(31)
+    val rows = (0 until 80).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val all = rows.toDF("vec_id", "embedding")
+    val hist = all.filter(col("vec_id") < 60)
+    val batch = all.filter(col("vec_id") >= 60)
+    // index frozen on history only — the batch arrives later
+    val index = Ivf.trainDeterministic(hist, "vec_id", "embedding", k = 4)
+    val merged = Ivf.appendAssign(
+      Ivf.assign(hist, "vec_id", "embedding", index),
+      batch, "vec_id", "embedding", index)
+    val scratch = Ivf.assign(all, "vec_id", "embedding", index)
+    assert(merged.select("id", "cell").collect()
+             .map(r => (r.getLong(0), r.getInt(1))).toSet ==
+           scratch.select("id", "cell").collect()
+             .map(r => (r.getLong(0), r.getInt(1))).toSet)
+    val queries = all.filter(col("vec_id") < 3)
+    val viaLists = Ivf.searchLists(merged, queries, "vec_id", "embedding",
+        index, nProbe = 2, topK = 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaCorpus = Ivf.search(all, queries, "vec_id", "embedding",
+        index, nProbe = 2, topK = 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaLists == viaCorpus)
+  }
+
+  test("IVF refit advisory: an in-distribution batch raises no flag; a " +
+       "shifted batch (a region the centroids never saw) is flagged") {
+    import spark.implicits._
+    import graft.extensions.Ivf
+    val rng = new scala.util.Random(47)
+    def cluster(axis: Int, ids: Range): Seq[(Long, Array[Float])] =
+      ids.map { i =>
+        val v = Array.fill(16)(0.05f * rng.nextGaussian().toFloat)
+        v(axis) += 1f
+        (i.toLong, v)
+      }
+    val hist = (cluster(0, 0 until 50) ++ cluster(4, 50 until 100))
+      .toDF("vec_id", "embedding")
+    val index = Ivf.train(hist, "embedding", k = 2)
+    val histStats = Ivf.cellStats(
+      Ivf.assign(hist, "vec_id", "embedding", index), index)
+    // same-distribution batch: per-cell error comparable to history
+    val matched = (cluster(0, 200 until 230) ++ cluster(4, 230 until 260))
+      .toDF("vec_id", "embedding")
+    val okAdvisory = Ivf.refitAdvisory(histStats,
+      Ivf.cellStats(Ivf.assign(matched, "vec_id", "embedding", index), index),
+      ratio = 1.5)
+    assert(okAdvisory.filter(col("drifted")).count() == 0L)
+    // shifted batch: a cluster on an axis orthogonal to every centroid —
+    // its quantization error is ~1 vs the history's ~0, so whichever
+    // cell absorbs it must flag
+    val shifted = cluster(8, 300 until 330).toDF("vec_id", "embedding")
+    val badAdvisory = Ivf.refitAdvisory(histStats,
+      Ivf.cellStats(Ivf.assign(shifted, "vec_id", "embedding", index), index),
+      ratio = 1.5)
+    assert(badAdvisory.filter(col("drifted")).count() >= 1L)
+  }
+
   test("PQ: codes in range, seeds encode to their own codebook entry, " +
        "ADC distance to a seed equals the exact squared L2") {
     import spark.implicits._

@@ -287,6 +287,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(joined.count() == 100)
   }
 
+  test("IVF incremental append is pure map-side: assigning a new batch " +
+       "against frozen centroids plans zero Exchange (the nightly-ingest " +
+       "scale guarantee: appending never touches or shuffles history)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val batch = (0 until 50).map(i =>
+      (i.toLong, Array.fill(8)(i * 0.1f + 1f))).toDF("vec_id", "embedding")
+    val index = graft.extensions.Ivf.IvfIndex(
+      Array(Array.fill(8)(1.0), Array.fill(8)(-1.0)))
+    val physical = graft.extensions.Ivf
+      .assign(batch, "vec_id", "embedding", index)
+      .queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"),
+      s"batch assignment must be map-side:\n$physical")
+  }
+
   test("ann_pq corpus side carries only (id, codes) into the join — " +
        "the raw embedding never crosses the ADC scoring join") {
     val df = SparkEntry.queries("ann_pq")(spark, dir)
