@@ -71,6 +71,27 @@ object DrugBank {
       .schema(drugSchema)
       .load(paths: _*)
 
+  /** Corrupt-tolerant scan variant: PERMISSIVE parse with each damaged
+    * row's raw text quarantined in `_corrupt_record` instead of killing
+    * the scan — at a 17k-drug (or 100 TB) dump, one mangled entity or
+    * mismatched tag mid-file must cost one row, not the job. Good rows
+    * parse exactly as [[readXml]]; route `_corrupt_record IS NOT NULL`
+    * rows to a quarantine sink for offline repair.
+    *
+    * Scope: damage CONTAINED in a row (bad entities, encoding garbage,
+    * schema-type mismatches) costs exactly that row. Damage to the row
+    * DELIMITERS themselves (a mangled `</drug>` close tag) can swallow
+    * the following row into the quarantined record — the tokenizer can
+    * only resynchronize at the next intact row boundary.
+    */
+  def readXmlLenient(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.format("xml")
+      .option("rowTag", "drug")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(drugSchema.add(StructField("_corrupt_record", StringType)))
+      .load(paths: _*)
+
   /** The reference's literal first-command flow (`download_data.sh:1-20`:
     * unzip the release, read `full database.xml`): extract the archive's
     * XML entries under `workDir` (hash-verified per entry — S8,

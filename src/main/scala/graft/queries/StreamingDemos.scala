@@ -56,6 +56,26 @@ object StreamingDemos {
     // directory is the result. flagBatch's batch-id-addressed overwrite
     // makes re-runs idempotent, so the registry re-execution pattern
     // (warm-up + timed runs) reads back identical state every time.
+    // Streaming decontamination gate's batch-parity face: the documents
+    // table as 3 md5-split micro-batches through the REAL decontamBatch
+    // body against the static docs<5 benchmark. Stateless per batch, so
+    // the accumulated flags equal the one-shot batch result — the oracle
+    // is decontam_ngram's CTE verbatim.
+    "stream_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") < 5)
+      val hex1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val base = s"${sys.props("java.io.tmpdir")}/graft_decontam_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Seq(hex1 < "8", hex1 >= "8" && hex1 < "c", hex1 >= "c")
+        .zipWithIndex.foreach { case (cond, i) =>
+          DocsStream.decontamBatch(docs.filter(cond), i.toLong, bench,
+            s"$base/flags")
+        }
+      s.read.parquet(s"$base/flags")
+        .select("doc_id", "n_hits")
+        .orderBy("doc_id")
+    }),
     "stream_ingest_flags" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val hex1 = substring(md5(col("doc_id").cast("string")), 1, 1)
@@ -119,6 +139,9 @@ object StreamingDemos {
         |  n_trail
         |FROM t WHERE n_trail > 0 AND n * n_trail > sum_trail * 2
         |ORDER BY event_type, hour""".stripMargin,
+    // stateless gate: 3 micro-batches ∪ = the one-shot batch result,
+    // so the oracle is decontam_ngram's CTE verbatim
+    "stream_decontam" -> PipelineDemos.oracleSql("decontam_ngram"),
     "stream_ingest_flags" ->
       s"""WITH ${PipelineDemos.lshCtes},
          |c1 AS (SELECT DISTINCT n.doc_id AS id, h.doc_id AS hist_id

@@ -45,6 +45,39 @@ object DocsStream {
       }
       .start()
 
+  /** Streaming decontamination gate: each micro-batch of new documents
+    * is flagged against a STATIC benchmark's 13-gram window set (the
+    * GPT-3/PaLM rule, [[graft.extensions.Decontam.flagNgramContaminated]])
+    * — the gate a training corpus passes through continuously as new
+    * crawl data lands. The benchmark is an offline index fixed at query
+    * start (like the Bloom filter or the IVF centroids); per batch the
+    * work is one map-side window explode + broadcast semi-join + per-doc
+    * count. No cross-batch state at all, so exactly-once needs no
+    * stateful operator: flags land in batch-id-addressed partitions
+    * written with overwrite, and a replayed batch overwrites itself.
+    */
+  def decontamIngest(spark: SparkSession, docs: DataFrame,
+                     bench: DataFrame, flagsDir: String,
+                     checkpointDir: String, n: Int = 13): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        decontamBatch(batch, batchId, bench, flagsDir, n)
+      }
+      .start()
+
+  /** One decontamination micro-batch (exposed for batch-parity testing):
+    * flag vs the static benchmark, write to `flagsDir/batch=<id>` with
+    * overwrite — idempotent under foreachBatch replay.
+    */
+  def decontamBatch(batch: DataFrame, batchId: Long, bench: DataFrame,
+                    flagsDir: String, n: Int = 13): Unit = {
+    graft.extensions.Decontam.flagNgramContaminated(
+        batch, "doc_id", "text", bench, "text", n)
+      .write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
+    ()
+  }
+
   /** One micro-batch: flag new docs against history, then append them to
     * the history. Exposed for batch-parity testing.
     *

@@ -468,4 +468,48 @@ class StreamingSpec extends SparkTestBase {
     // history accumulated both batches
     assert(spark.read.parquet(hist).count() == 4)
   }
+
+  test("streaming decontamination gate flags quoted benchmark windows " +
+       "across micro-batches and replays idempotently") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DocsStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-decontam")
+    val (flags, ckpt) = (s"$tmp/flags", s"$tmp/ckpt")
+    val benchText = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike"              // exactly 13 tokens
+    val bench = Seq((0L, benchText)).toDF("doc_id", "text")
+    // batch 1: one doc QUOTING the benchmark inside a larger page, one
+    // clean doc; batch 2: another quoting doc (stateless gate must flag
+    // it identically — no cross-batch state to warm up)
+    val b1 = Seq(
+      DocsStream.Doc(1L, s"page header $benchText page footer trailing"),
+      DocsStream.Doc(2L, "twelve little tokens that never quote any " +
+        "benchmark text at all here"))
+    val b2 = Seq(
+      DocsStream.Doc(10L, s"$benchText and then some commentary"))
+    val input = MemoryStream[DocsStream.Doc]
+    val q = DocsStream.decontamIngest(spark, input.toDF(), bench, flags,
+      ckpt)
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def readFlags() = spark.read.parquet(flags)
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toSet
+    val got = readFlags()
+    // the quoting docs flag (exactly one distinct benchmark window
+    // each), the clean doc does not
+    assert(got == Set((1L, 1L), (10L, 1L)), s"got $got")
+    // parity with the one-shot batch rule
+    val ref = graft.extensions.Decontam.flagNgramContaminated(
+        (b1 ++ b2).toDF(), "doc_id", "text", bench, "text")
+      .as[(Long, Long)].collect().toSet
+    assert(got == ref)
+    // replaying batch 0 (foreachBatch redelivery) overwrites its own
+    // partition — no duplicate flags
+    DocsStream.decontamBatch(b1.toDF(), 0L, bench, flags)
+    assert(readFlags() == got)
+  }
 }

@@ -115,6 +115,38 @@ class XmlScaleSpec extends SparkTestBase {
     Stage2.run(s1, new IdentifierAlignment(syn)).cache()
   }
 
+  test("corrupt-tolerant scan: a mangled <drug> row is quarantined in " +
+       "_corrupt_record, good rows parse, the scan survives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xmlcorrupt")
+    val p = dir.resolve("damaged.xml")
+    java.nio.file.Files.writeString(p,
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<drugbank xmlns="http://www.drugbank.ca" version="5.1">
+        |  <drug type="small molecule">
+        |    <drugbank-id primary="true">DB90001</drugbank-id>
+        |    <name>GoodDrugA</name>
+        |  </drug>
+        |  <drug type="small molecule">
+        |    <drugbank-id primary="true">DB90002</drugbank-id>
+        |    <name>Bad &undeclared; Drug</name>
+        |  </drug>
+        |  <drug type="small molecule">
+        |    <drugbank-id primary="true">DB90003</drugbank-id>
+        |    <name>GoodDrugB</name>
+        |  </drug>
+        |</drugbank>
+        |""".stripMargin)
+    val df = DrugBank.readXmlLenient(spark, p.toString).cache()
+    // one quarantined row, both good rows intact with parsed fields
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 1L)
+    val goodNames = df.filter(col("_corrupt_record").isNull)
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(goodNames == Set("GoodDrugA", "GoodDrugB"))
+    // the strict-schema scan also survives (PERMISSIVE is the source
+    // default): no exception, damaged row nulls out instead
+    assert(DrugBank.readXml(spark, p.toString).count() >= 2L)
+  }
+
   test("release-zip flow (download_data.sh:1-20): zip the corpus, " +
        "extract via S8 Ingest, scan the XML — byte-identical frame") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-xmlzip")
