@@ -1,6 +1,6 @@
 package graft.extensions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -72,6 +72,46 @@ object TextAnalysis {
       punct.cast("double") / length(text).cast("double")).otherwise(lit(0.0))
     stopRatio * lit(0.4) + lenScore * lit(0.4) +
       (lit(1.0) - punctRatio) * lit(0.2)
+  }
+
+  /** Distribution-drift monitor over a bounded [0,1] score (quality,
+    * language confidence, toxicity): fixed equal-width buckets, then
+    * per-bucket total-variation and chi-square terms between a REFERENCE
+    * sample and the CURRENT batch — the continuous-ingest health check
+    * that catches a crawl source going bad (sum the terms; alert on a
+    * threshold). PSI is the industry name for the same shape but needs
+    * `ln`, which is not correctly-rounded across engines; TV distance
+    * (0.5·Σ|p−q|) and chi-square (Σ(q−p)²/p) carry the same signal in
+    * pure rational arithmetic, so the whole monitor is engine-exact and
+    * SQL-oracle-able. Laplace smoothing (+1 per bucket) keeps empty
+    * buckets finite; the bucket spine is always 0..n−1 so both sides'
+    * smoothed masses sum to 1.
+    *
+    * Scale shape: two map-side bucket projections + two n-bucket
+    * aggregates; the window total runs over the n-row result. Nothing
+    * here grows with corpus size except the two counting passes.
+    */
+  def distributionDrift(ref: DataFrame, cur: DataFrame, scoreCol: String,
+                        nBuckets: Int = 10): DataFrame = {
+    def bucketed(df: DataFrame, cnt: String) = df
+      .select(least(greatest(floor(col(scoreCol) * nBuckets), lit(0.0)),
+          lit((nBuckets - 1).toDouble)).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(cnt))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    ref.sparkSession.range(0, nBuckets).toDF("bucket")
+      .join(bucketed(ref, "ref_n"), Seq("bucket"), "left")
+      .join(bucketed(cur, "cur_n"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+      .withColumn("ref_p", (col("ref_n") + lit(1L)).cast("double") /
+        (sum(col("ref_n")).over(w) + lit(nBuckets.toLong)).cast("double"))
+      .withColumn("cur_p", (col("cur_n") + lit(1L)).cast("double") /
+        (sum(col("cur_n")).over(w) + lit(nBuckets.toLong)).cast("double"))
+      .withColumn("tv_term", abs(col("ref_p") - col("cur_p")) * lit(0.5))
+      .withColumn("chi2_term",
+        (col("cur_p") - col("ref_p")) * (col("cur_p") - col("ref_p"))
+          / col("ref_p"))
   }
 
   /** Leakage-safe split assignment from a GROUP key (source, domain, or

@@ -82,6 +82,20 @@ object PipelineDemos {
                 TextAnalysis.qualityScore(col("text")).as("score"))
         .orderBy("doc_id")
     }),
+    // Quality-score distribution drift (ingest health monitor): the
+    // md5-split "reference" half vs the "current" half, 10 fixed
+    // buckets, Laplace-smoothed TV + chi-square terms per bucket — the
+    // engine-exact stand-in for PSI (ln is not cross-engine-stable;
+    // these carry the same alerting signal in rational arithmetic).
+    "quality_drift" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"),
+                TextAnalysis.qualityScore(col("text")).as("score"))
+      val isRef = substring(md5(col("doc_id").cast("string")), 1, 1) < "8"
+      TextAnalysis.distributionDrift(
+          scored.filter(isRef), scored.filter(!isRef), "score")
+        .orderBy("bucket")
+    }),
     // Rolling-hash document fingerprint (min shingle hash).
     "doc_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -840,6 +854,20 @@ object PipelineDemos {
   private val normsCte =
     s"""norms AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)"""
 
+  /** The quality_score oracle as a standalone SELECT — also embedded as
+    * the score source of the quality_drift oracle.
+    */
+  private val oracleSqlQualityScore =
+    s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks,
+       |  list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ltoks FROM documents),
+       |s AS (SELECT doc_id, text, CAST(len(toks) AS DOUBLE) AS n_tok,
+       |  CAST(${langScores.map(_._2).mkString(" + ")} AS DOUBLE) AS stop_hits FROM t)
+       |SELECT doc_id,
+       |  (CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END) * 0.4
+       |  + least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+       |  + (1.0 - (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.2 AS score
+       |FROM s ORDER BY doc_id""".stripMargin
+
   /** Shared quality-score CTE chain ending in q(doc_id, lang, score) —
     * the same formula the quality_score / stratified_cap oracles use.
     */
@@ -902,16 +930,33 @@ object PipelineDemos {
       s"""SELECT doc_id, len($toksExpr) AS n_tokens,
          |  len(regexp_extract_all(text, '${TextAnalysis.bpeIshPattern}')) AS n_subwords
          |FROM documents ORDER BY doc_id""".stripMargin,
-    "quality_score" ->
-      s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks,
-         |  list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ltoks FROM documents),
-         |s AS (SELECT doc_id, text, CAST(len(toks) AS DOUBLE) AS n_tok,
-         |  CAST(${langScores.map(_._2).mkString(" + ")} AS DOUBLE) AS stop_hits FROM t)
-         |SELECT doc_id,
-         |  (CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END) * 0.4
-         |  + least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
-         |  + (1.0 - (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.2 AS score
-         |FROM s ORDER BY doc_id""".stripMargin,
+    "quality_score" -> oracleSqlQualityScore,
+    // quality_score's CTE wrapped as the score source; then fixed
+    // 10-bucket spine, Laplace-smoothed probabilities, TV/chi2 terms —
+    // all rational arithmetic, bit-reproducible cross-engine
+    "quality_drift" ->
+      s"""WITH scores AS (${oracleSqlQualityScore}),
+         |lbl AS (SELECT doc_id, score,
+         |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS is_ref
+         |        FROM scores),
+         |bk AS (SELECT is_ref,
+         |         CAST(least(greatest(floor(score * 10), 0.0), 9.0) AS BIGINT) AS bucket
+         |       FROM lbl),
+         |r AS (SELECT bucket, count(*) AS ref_n FROM bk WHERE is_ref GROUP BY bucket),
+         |c AS (SELECT bucket, count(*) AS cur_n FROM bk WHERE NOT is_ref GROUP BY bucket),
+         |sp AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+         |j AS (SELECT sp.bucket, COALESCE(r.ref_n, 0) AS ref_n,
+         |        COALESCE(c.cur_n, 0) AS cur_n
+         |      FROM sp LEFT JOIN r ON r.bucket = sp.bucket
+         |      LEFT JOIN c ON c.bucket = sp.bucket),
+         |p AS (SELECT bucket, ref_n, cur_n,
+         |        CAST(ref_n + 1 AS DOUBLE) / CAST(SUM(ref_n) OVER () + 10 AS DOUBLE) AS ref_p,
+         |        CAST(cur_n + 1 AS DOUBLE) / CAST(SUM(cur_n) OVER () + 10 AS DOUBLE) AS cur_p
+         |      FROM j)
+         |SELECT bucket, ref_n, cur_n, ref_p, cur_p,
+         |  abs(ref_p - cur_p) * 0.5 AS tv_term,
+         |  (cur_p - ref_p) * (cur_p - ref_p) / ref_p AS chi2_term
+         |FROM p ORDER BY bucket""".stripMargin,
     "doc_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
          |sh AS (SELECT doc_id, $shinglesExpr AS shingles FROM t)

@@ -308,6 +308,31 @@ class ExtensionsSpec extends SparkTestBase {
       s"sampled-fit recall $sampled lags full-fit recall $full")
   }
 
+  test("distribution drift: a same-distribution batch scores ~zero; a " +
+       "shifted batch lights up; the bucket spine is always complete") {
+    import spark.implicits._
+    import graft.extensions.TextAnalysis
+    val ref = (0 until 500).map(i => (i.toLong, (i % 100) / 100.0))
+      .toDF("id", "score")
+    val same = (0 until 500).map(i => (i.toLong, ((i + 7) % 100) / 100.0))
+      .toDF("id", "score")
+    val shifted = (0 until 500).map(i => (i.toLong, 0.9 + (i % 10) / 100.0))
+      .toDF("id", "score")
+    def chi2(cur: org.apache.spark.sql.DataFrame): Double =
+      TextAnalysis.distributionDrift(ref, cur, "score")
+        .agg(sum("chi2_term")).head().getDouble(0)
+    // identical per-bucket counts → exactly zero drift
+    assert(chi2(same) == 0.0)
+    assert(chi2(shifted) > 1.0)
+    val frame = TextAnalysis.distributionDrift(ref, shifted, "score")
+    assert(frame.count() == 10)
+    // smoothed masses each sum to 1 (the spine keeps empty buckets)
+    val (sp, sq) = frame.agg(sum("ref_p"), sum("cur_p")).head() match {
+      case r => (r.getDouble(0), r.getDouble(1))
+    }
+    assert(math.abs(sp - 1.0) < 1e-9 && math.abs(sq - 1.0) < 1e-9)
+  }
+
   test("IVF incremental append: map-side appendAssign equals a " +
        "from-scratch assignment, and searchLists over the merged lists " +
        "equals search over the full corpus") {
