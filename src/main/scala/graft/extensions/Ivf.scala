@@ -178,6 +178,33 @@ object Ivf {
                    vecCol: String, index: IvfIndex): DataFrame =
     lists.unionByName(assign(newVecs, idCol, vecCol, index))
 
+  /** Persist the frozen coarse quantizer as a k-row parquet artifact
+    * (cell, cvec): the index is state the engine must own across
+    * restarts — append-without-refit ([[appendAssign]]) only composes
+    * with yesterday's lists if today's job loads EXACTLY yesterday's
+    * centroids (assignment is argmin over them; a refit would silently
+    * orphan every existing cell id). Same artifact pattern as the Stage2
+    * parquet checkpoint and the Bloom decontamination index.
+    */
+  def saveIndex(spark: org.apache.spark.sql.SparkSession, index: IvfIndex,
+                dir: String): Unit =
+    centroidFrame(spark, index).select("cell", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Load a [[saveIndex]] artifact. Fails fast on a damaged artifact
+    * (missing/duplicated cell ids) rather than silently mis-assigning.
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                dir: String): IvfIndex = {
+    val rows = spark.read.parquet(dir).select("cell", "cvec")
+      .orderBy("cell").collect()
+    require(rows.nonEmpty, s"empty IVF index artifact at $dir")
+    val cells = rows.map(_.getInt(0)).toSeq
+    require(cells == (0 until rows.length),
+      s"IVF index artifact at $dir has non-contiguous cells: $cells")
+    IvfIndex(rows.map(_.getSeq[Double](1).toArray))
+  }
+
   /** The index's centroids as a k-row frame (cell, cvec, cnrm) — always
     * the broadcast side of stats joins.
     */

@@ -44,6 +44,42 @@ object Pq {
     def dsub: Int = dim / m
   }
 
+  /** Persist the frozen codebooks as an (m·nCodes)-row parquet artifact
+    * (j, code, sv, dim): encoded corpora only stay decodable/searchable
+    * against EXACTLY the codebooks that encoded them — a refit orphans
+    * every stored code — so the index is durable engine state, same
+    * stance as [[Ivf.saveIndex]].
+    */
+  def saveIndex(spark: org.apache.spark.sql.SparkSession, index: PqIndex,
+                dir: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      j <- index.centroids.indices
+      c <- index.centroids(j).indices
+    } yield (j, c, index.centroids(j)(c).toSeq, index.dim)
+    spark.createDataset(rows).toDF("j", "code", "sv", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a [[saveIndex]] artifact; fails fast on a damaged one (a
+    * missing (subspace, code) pair) rather than silently mis-encoding.
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                dir: String): PqIndex = {
+    val rows = spark.read.parquet(dir).select("j", "code", "sv", "dim")
+      .collect()
+    require(rows.nonEmpty, s"empty PQ index artifact at $dir")
+    val dim = rows.head.getInt(3)
+    val m = rows.map(_.getInt(0)).max + 1
+    val n = rows.map(_.getInt(1)).max + 1
+    require(rows.length == m * n,
+      s"PQ index artifact at $dir has ${rows.length} rows, expected ${m * n}")
+    val byKey = rows.map(r =>
+      (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    PqIndex(Array.tabulate(m)(j => Array.tabulate(n)(c => byKey((j, c)))),
+      dim)
+  }
+
   /** KMeans codebooks per subspace — the quality path (tighter cells
     * than the deterministic sample) when cross-engine reproducibility
     * isn't required; same dual-path stance as [[Ivf.train]] vs

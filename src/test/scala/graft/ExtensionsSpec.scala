@@ -399,6 +399,42 @@ class ExtensionsSpec extends SparkTestBase {
     assert(badAdvisory.filter(col("drifted")).count() >= 1L)
   }
 
+  test("IVF/PQ index persistence: parquet save/load roundtrips exactly " +
+       "(assignment and encoding identical), damaged artifacts fail fast") {
+    import spark.implicits._
+    import graft.extensions.{Ivf, Pq}
+    val rng = new scala.util.Random(53)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-index")
+    val ivf = Ivf.trainDeterministic(vecs, "vec_id", "embedding", k = 4)
+    Ivf.saveIndex(spark, ivf, s"$tmp/ivf")
+    val ivf2 = Ivf.loadIndex(spark, s"$tmp/ivf")
+    assert(ivf2.centroids.map(_.toSeq).toSeq ==
+           ivf.centroids.map(_.toSeq).toSeq)
+    assert(Ivf.assign(vecs, "vec_id", "embedding", ivf2)
+      .select("id", "cell").collect().map(r => (r.getLong(0), r.getInt(1)))
+      .toSet ==
+      Ivf.assign(vecs, "vec_id", "embedding", ivf)
+        .select("id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet)
+    val pq = Pq.trainDeterministic(vecs, "vec_id", "embedding",
+      m = 4, nCodes = 8)
+    Pq.saveIndex(spark, pq, s"$tmp/pq")
+    val pq2 = Pq.loadIndex(spark, s"$tmp/pq")
+    assert(pq2.dim == pq.dim)
+    assert(pq2.centroids.map(_.map(_.toSeq).toSeq).toSeq ==
+           pq.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+    // a damaged artifact (dropped cell row) must refuse to load
+    val cents = spark.read.parquet(s"$tmp/ivf")
+    cents.filter(col("cell") =!= 2).write.mode("overwrite")
+      .parquet(s"$tmp/ivf_damaged")
+    intercept[IllegalArgumentException] {
+      Ivf.loadIndex(spark, s"$tmp/ivf_damaged")
+    }
+  }
+
   test("PQ: codes in range, seeds encode to their own codebook entry, " +
        "ADC distance to a seed equals the exact squared L2") {
     import spark.implicits._
