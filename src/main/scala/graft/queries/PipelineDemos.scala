@@ -857,7 +857,7 @@ object PipelineDemos {
   /** The quality_score oracle as a standalone SELECT — also embedded as
     * the score source of the quality_drift oracle.
     */
-  private val oracleSqlQualityScore =
+  private[queries] val oracleSqlQualityScore =
     s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks,
        |  list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ltoks FROM documents),
        |s AS (SELECT doc_id, text, CAST(len(toks) AS DOUBLE) AS n_tok,

@@ -56,6 +56,31 @@ object StreamingDemos {
     // directory is the result. flagBatch's batch-id-addressed overwrite
     // makes re-runs idempotent, so the registry re-execution pattern
     // (warm-up + timed runs) reads back identical state every time.
+    // Streaming drift monitor's batch-parity face: the md5-smallest half
+    // of documents is the STATIC scored reference; the other half
+    // arrives as 2 micro-batches through the REAL qualityDriftBatch
+    // body, each landing its per-bucket drift frame in a batch-addressed
+    // partition. Stateless per batch; the oracle recomputes both
+    // batches' spines end-to-end.
+    "stream_quality_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val hex1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val refScores = docs.filter(hex1 < "8")
+        .select(graft.extensions.TextAnalysis.qualityScore(col("text"))
+          .as("score"))
+      val base = s"${sys.props("java.io.tmpdir")}/graft_qdrift_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Seq(hex1 >= "8" && hex1 < "c", hex1 >= "c")
+        .zipWithIndex.foreach { case (cond, i) =>
+          DocsStream.qualityDriftBatch(docs.filter(cond), i.toLong,
+            refScores, s"$base/drift")
+        }
+      s.read.parquet(s"$base/drift")
+        .select(col("batch").cast("long").as("batch"), col("bucket"),
+                col("ref_n"), col("cur_n"), col("ref_p"), col("cur_p"),
+                col("tv_term"), col("chi2_term"))
+        .orderBy("batch", "bucket")
+    }),
     // Streaming decontamination gate's batch-parity face: the documents
     // table as 3 md5-split micro-batches through the REAL decontamBatch
     // body against the static docs<5 benchmark. Stateless per batch, so
@@ -142,6 +167,43 @@ object StreamingDemos {
     // stateless gate: 3 micro-batches ∪ = the one-shot batch result,
     // so the oracle is decontam_ngram's CTE verbatim
     "stream_decontam" -> PipelineDemos.oracleSql("decontam_ngram"),
+    // both micro-batches' drift spines recomputed end-to-end against the
+    // md5-smallest-half reference (same arithmetic as quality_drift)
+    "stream_quality_drift" ->
+      s"""WITH scores AS (${PipelineDemos.oracleSqlQualityScore}),
+         |lbl AS (SELECT doc_id, score,
+         |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+         |        FROM scores),
+         |bk AS (SELECT h,
+         |         CAST(least(greatest(floor(score * 10), 0.0), 9.0) AS BIGINT) AS bucket
+         |       FROM lbl),
+         |r AS (SELECT bucket, count(*) AS ref_n FROM bk WHERE h < '8' GROUP BY bucket),
+         |c0 AS (SELECT bucket, count(*) AS cur_n FROM bk
+         |       WHERE h >= '8' AND h < 'c' GROUP BY bucket),
+         |c1 AS (SELECT bucket, count(*) AS cur_n FROM bk WHERE h >= 'c' GROUP BY bucket),
+         |sp AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+         |j0 AS (SELECT sp.bucket, COALESCE(r.ref_n, 0) AS ref_n,
+         |         COALESCE(c0.cur_n, 0) AS cur_n
+         |       FROM sp LEFT JOIN r ON r.bucket = sp.bucket
+         |       LEFT JOIN c0 ON c0.bucket = sp.bucket),
+         |j1 AS (SELECT sp.bucket, COALESCE(r.ref_n, 0) AS ref_n,
+         |         COALESCE(c1.cur_n, 0) AS cur_n
+         |       FROM sp LEFT JOIN r ON r.bucket = sp.bucket
+         |       LEFT JOIN c1 ON c1.bucket = sp.bucket),
+         |p0 AS (SELECT bucket, ref_n, cur_n,
+         |         CAST(ref_n + 1 AS DOUBLE) / CAST(SUM(ref_n) OVER () + 10 AS DOUBLE) AS ref_p,
+         |         CAST(cur_n + 1 AS DOUBLE) / CAST(SUM(cur_n) OVER () + 10 AS DOUBLE) AS cur_p
+         |       FROM j0),
+         |p1 AS (SELECT bucket, ref_n, cur_n,
+         |         CAST(ref_n + 1 AS DOUBLE) / CAST(SUM(ref_n) OVER () + 10 AS DOUBLE) AS ref_p,
+         |         CAST(cur_n + 1 AS DOUBLE) / CAST(SUM(cur_n) OVER () + 10 AS DOUBLE) AS cur_p
+         |       FROM j1),
+         |u AS (SELECT CAST(0 AS BIGINT) AS batch, * FROM p0
+         |      UNION ALL SELECT CAST(1 AS BIGINT) AS batch, * FROM p1)
+         |SELECT batch, bucket, ref_n, cur_n, ref_p, cur_p,
+         |  abs(ref_p - cur_p) * 0.5 AS tv_term,
+         |  (cur_p - ref_p) * (cur_p - ref_p) / ref_p AS chi2_term
+         |FROM u ORDER BY batch, bucket""".stripMargin,
     "stream_ingest_flags" ->
       s"""WITH ${PipelineDemos.lshCtes},
          |c1 AS (SELECT DISTINCT n.doc_id AS id, h.doc_id AS hist_id

@@ -78,6 +78,40 @@ object DocsStream {
     ()
   }
 
+  /** Streaming ingest health monitor: per micro-batch, the quality-score
+    * distribution of the new documents is compared against a STATIC
+    * scored reference sample
+    * ([[graft.extensions.TextAnalysis.distributionDrift]] — bucket
+    * spine + smoothed TV/chi-square terms), and the per-bucket drift
+    * frame lands in a batch-id-addressed partition. Alerting = read the
+    * latest partition, sum the terms, threshold. Stateless per batch
+    * (the reference is an offline artifact like the decontamination
+    * index), so replays overwrite themselves — same exactly-once stance
+    * as [[decontamIngest]].
+    */
+  def qualityDriftIngest(spark: SparkSession, docs: DataFrame,
+                         refScores: DataFrame, driftDir: String,
+                         checkpointDir: String,
+                         nBuckets: Int = 10): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        qualityDriftBatch(batch, batchId, refScores, driftDir, nBuckets)
+      }
+      .start()
+
+  /** One drift-monitor micro-batch (exposed for batch-parity testing). */
+  def qualityDriftBatch(batch: DataFrame, batchId: Long,
+                        refScores: DataFrame, driftDir: String,
+                        nBuckets: Int = 10): Unit = {
+    val scored = batch.select(
+      graft.extensions.TextAnalysis.qualityScore(col("text")).as("score"))
+    graft.extensions.TextAnalysis
+      .distributionDrift(refScores, scored, "score", nBuckets)
+      .write.mode("overwrite").parquet(s"$driftDir/batch=$batchId")
+    ()
+  }
+
   /** One micro-batch: flag new docs against history, then append them to
     * the history. Exposed for batch-parity testing.
     *

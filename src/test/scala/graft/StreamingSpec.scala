@@ -469,6 +469,39 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(hist).count() == 4)
   }
 
+  test("streaming quality-drift monitor: an in-distribution micro-batch " +
+       "scores low, a garbage batch scores high, partitions are " +
+       "batch-addressed") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DocsStream
+    import graft.extensions.TextAnalysis
+    import org.apache.spark.sql.functions.{col, sum}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qdrift")
+    val (drift, ckpt) = (s"$tmp/drift", s"$tmp/ckpt")
+    def prose(i: Int) = s"the quick brown fox number $i jumps over one " +
+      "lazy dog and writes a plain sentence about it"
+    val refScores = (0 until 50).map(prose).toDF("text")
+      .select(TextAnalysis.qualityScore(col("text")).as("score"))
+    val inDist = (100 until 130).map(i => DocsStream.Doc(i.toLong, prose(i)))
+    val garbage = (200 until 230).map(i =>
+      DocsStream.Doc(i.toLong, "!!! ??? *** %%% $$$ ### @@@ &&& ^^^ ~~~"))
+    val input = MemoryStream[DocsStream.Doc]
+    val q = DocsStream.qualityDriftIngest(spark, input.toDF(), refScores,
+      drift, ckpt)
+    try {
+      input.addData(inDist: _*); q.processAllAvailable()
+      input.addData(garbage: _*); q.processAllAvailable()
+    } finally q.stop()
+    def chi2(batch: Int): Double = spark.read
+      .parquet(s"$drift/batch=$batch")
+      .agg(sum("chi2_term")).head().getDouble(0)
+    val (ok, bad) = (chi2(0), chi2(1))
+    assert(ok < 0.5, s"in-distribution batch drift $ok")
+    assert(bad > 2 * ok && bad > 1.0, s"garbage batch drift $bad vs $ok")
+  }
+
   test("streaming decontamination gate flags quoted benchmark windows " +
        "across micro-batches and replays idempotently") {
     import spark.implicits._
