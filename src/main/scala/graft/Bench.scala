@@ -52,8 +52,33 @@ object Bench {
         .map(_.group(1)).getOrElse("/root/testdata/sf0.1")
       if (recordedSf != sfDir) Map.empty
       else entryRe.findAllMatchIn(text)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // tolerate a hand-mangled entry ("q":12..3): drop IT, not the
+        // whole table — one bad value must not crash the run or
+        // silently disable the steal check for every other query
+        .flatMap(m =>
+          scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+        .toMap
     }
+
+  /** Roll one run's samples into the historical minimums. Invariants
+    * (BenchSpec): failure penalties NEVER enter the table; a query new
+    * to the table re-seeds from its fresh clean sample; a query absent
+    * from this run (e.g. deregistered, or failed) keeps its historical
+    * floor; otherwise the floor only ever decreases.
+    */
+  def mergeMins(histMins: Map[String, Double],
+                results: Seq[(String, Double)]): Seq[(String, Double)] = {
+    val fresh = results.toMap
+    (histMins.keySet ++ results.map(_._1)).toSeq.sorted.flatMap { k =>
+      val clean = fresh.get(k).filter(_ < failurePenaltySec)
+      (histMins.get(k), clean) match {
+        case (Some(h), Some(v)) => Some(k -> math.min(h, v))
+        case (Some(h), None)    => Some(k -> h)
+        case (None, Some(v))    => Some(k -> v)
+        case _                  => None
+      }
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -115,16 +140,7 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench.json")
     Files.writeString(Paths.get(out), json + "\n" + summary + "\n")
     // roll this run into the historical minimums (clean samples only)
-    val merged = (histMins.keySet ++ results.map(_._1)).toSeq.sorted.flatMap {
-      k =>
-        val fresh = results.toMap.get(k).filter(_ < failurePenaltySec)
-        (histMins.get(k), fresh) match {
-          case (Some(h), Some(v)) => Some(k -> math.min(h, v))
-          case (Some(h), None)    => Some(k -> h)
-          case (None, Some(v))    => Some(k -> v)
-          case _                  => None
-        }
-    }
+    val merged = mergeMins(histMins, results)
     Files.writeString(Paths.get(minsPath),
       (s"\"_sf\":\"$sfDir\"" +: merged.map { case (k, v) => s"\"$k\":${f(v)}" })
         .mkString("{", ",", "}\n"))

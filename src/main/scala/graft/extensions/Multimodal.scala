@@ -27,11 +27,13 @@ import org.apache.spark.sql.functions._
   *    `javax.sound.sampled` codecs (WAV/AIFF/AU PCM): header fields +
   *    exact integer sample statistics, byte-stub fallback flagged
   *    `decoded = false`.
-  *  - [[decodeFeatures]] — deterministic byte-level STUB standing in
-  *    for codec families the JDK does not ship (video elementary
-  *    streams, compressed audio); the Spark-side plumbing (binary
-  *    schema, per-partition batching, one-to-many fan-out, column
-  *    pruning) is real and is what a production codec drops into.
+  *  - [[decodeFeatures]] — a REAL fixed-size feature vector from the
+  *    decoded raster (grid×grid box-filtered luminance map — the
+  *    classic tiny-thumbnail embedding); payloads no registered codec
+  *    reads fall back to the deterministic byte histogram, flagged
+  *    `decoded = false`, so codec families the JDK does not ship
+  *    (video elementary streams, compressed audio) still yield a
+  *    usable, clearly-flagged vector.
   */
 object Multimodal {
 
@@ -39,7 +41,7 @@ object Multimodal {
                             format: String, n_bytes: Long)
   final case class MediaFeatures(doc_id: Long, format: String,
                                  n_bytes: Long, header_sum: Long,
-                                 features: Array[Float])
+                                 decoded: Boolean, features: Array[Float])
 
   /** Attach a synthetic media payload to the documents table (the
     * testdata carries no real media): payload = UTF-8 bytes of `text`,
@@ -53,34 +55,92 @@ object Multimodal {
       concat(lit("img/"), col("source")).as("format"),
       octet_length(col("text")).cast("long").as("n_bytes"))
 
-  /** STUB decode: deterministic fake feature extraction — an 8-bin byte
-    * histogram normalized by length stands in for a real image decode +
-    * embed. Runs per-partition over the typed Dataset so a real codec
-    * drops in without touching the plumbing (batch shape, schema,
-    * partitioning are exactly what a production decode needs).
+  /** REAL feature extraction: payloads a registered `javax.imageio`
+    * codec decodes are reduced to a `grid`×`grid` box-filtered luminance
+    * map (row-major; each cell is the mean of (R+G+B)/3 over its pixel
+    * block, scaled to 0..1) — the classic tiny-thumbnail embedding that
+    * feeds the cosine/ANN operators directly, computed from the REAL
+    * raster with the same area-average arithmetic as [[resize]]. Cell
+    * bounds are `floor(c·dim/grid)` partitions, so every source pixel is
+    * counted exactly once when dim ≥ grid; smaller images widen each
+    * empty cell to its nearest pixel row/column (replicate-edge), so the
+    * vector is always fully populated.
+    *
+    * Payloads no registered reader accepts fall back to the
+    * deterministic 8-bin byte histogram with `decoded = false` — a
+    * flagged row, never a lost one (same stance as [[decodeImages]]).
+    * `header_sum` (sum of the first ≤8 payload bytes) is computed on
+    * both paths from the raw bytes, keeping the output oracle-checkable
+    * without a codec.
     */
-  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def decodeFeatures(media: Dataset[MediaRow],
+                     grid: Int = 4): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
+    require(grid > 0, "grid must be positive")
     media.mapPartitions { rows =>
       rows.map { r =>
-        // ??? real decode goes here; deterministic fake below.
-        val hist = new Array[Long](8)
         var headerSum = 0L
         var i = 0
-        while (i < r.payload.length) {
-          val b = r.payload(i) & 0xff
-          hist(b % 8) += 1
-          if (i < 8) headerSum += b
+        while (i < r.payload.length && i < 8) {
+          headerSum += r.payload(i) & 0xff
           i += 1
         }
-        val n = math.max(1L, r.payload.length.toLong)
-        MediaFeatures(r.doc_id, r.format, r.n_bytes, headerSum,
-          hist.map(h => h.toFloat / n))
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload)))
+          catch { case _: Exception => None }
+        img match {
+          case Some(im) if im.getWidth > 0 && im.getHeight > 0 =>
+            val w = im.getWidth
+            val h = im.getHeight
+            val feats = new Array[Float](grid * grid)
+            var cy = 0
+            while (cy < grid) {
+              val y0 = cy * h / grid
+              val y1 = math.max(y0 + 1, (cy + 1) * h / grid)
+              var cx = 0
+              while (cx < grid) {
+                val x0 = cx * w / grid
+                val x1 = math.max(x0 + 1, (cx + 1) * w / grid)
+                var lum3 = 0L // sum of (R+G+B) over the cell
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    val p = im.getRGB(x, y)
+                    lum3 += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = (x1 - x0).toLong * (y1 - y0)
+                // 765 = 3 channels × 255 full-scale
+                feats(cy * grid + cx) = (lum3 / (n * 765.0)).toFloat
+                cx += 1
+              }
+              cy += 1
+            }
+            MediaFeatures(r.doc_id, r.format, r.n_bytes, headerSum,
+              decoded = true, feats)
+          case _ =>
+            val hist = new Array[Long](8)
+            var j = 0
+            while (j < r.payload.length) {
+              hist((r.payload(j) & 0xff) % 8) += 1
+              j += 1
+            }
+            val n = math.max(1L, r.payload.length.toLong)
+            MediaFeatures(r.doc_id, r.format, r.n_bytes, headerSum,
+              decoded = false, hist.map(x => x.toFloat / n))
+        }
       }
     }
   }
 
-  /** End-to-end: documents → payload → batched stub decode → features. */
+  /** End-to-end: documents → payload → batched decode → features (text
+    * payloads are not images, so this lands on the flagged histogram
+    * path — the codec seam is exercised by the image-fixture demos).
+    */
   def documentFeatures(docs: DataFrame): Dataset[MediaFeatures] = {
     import docs.sparkSession.implicits._
     decodeFeatures(withPayload(docs).as[MediaRow])

@@ -51,8 +51,9 @@ object PipelineDemos {
     scala.collection.concurrent.TrieMap.empty[String, Pq.PqIndex]
 
   // history-only coarse quantizer for the incremental-maintenance demos
-  // (frozen index trained before the "new" batch ever arrives)
-  private val ivfHistIndexCache =
+  // (frozen index trained before the "new" batch ever arrives); shared
+  // with StreamingDemos' ivf-ingest face, which freezes the same index
+  private[queries] val ivfHistIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.extensions.Ivf.IvfIndex]
 
   // offline-index memo, same rationale as the IVF cache: the benchmark
@@ -303,6 +304,26 @@ object PipelineDemos {
     // flagged as drifted (the trigger for an offline centroid refit).
     // The whole chain (centroid pick → assignment → fixed-point error →
     // flag) is arithmetic, so the oracle recomputes it end-to-end.
+    // IVF index persistence: the frozen coarse quantizer round-trips
+    // through its k-row parquet artifact (saveIndex → loadIndex with
+    // fail-fast cell validation) and the search runs against the LOADED
+    // index — the restart path of the incremental-ingest story.
+    // Centroid components are IEEE doubles, stored exactly by parquet,
+    // so the search is bit-identical to ann_ivf and the oracle is
+    // shared verbatim.
+    "ann_ivf_persisted" -> ((s, dir) => {
+      val index = ivfIndexCache.getOrElseUpdate(dir,
+        graft.extensions.Ivf.trainDeterministic(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivfidx_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.extensions.Ivf.saveIndex(s, index, path)
+      val loaded = graft.extensions.Ivf.loadIndex(s, path)
+      val e = Tables.embeddings(s, dir)
+      graft.extensions.Ivf.search(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", loaded, nProbe = 2, topK = 3)
+        .orderBy("query_id", "rank")
+    }),
     "ann_ivf_drift" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val hist = e.filter(pmod(col("vec_id"), lit(4L)) < 3L)
@@ -634,15 +655,16 @@ object PipelineDemos {
         .select(col("doc_id"), col("format"), col("n_bytes"))
         .orderBy("doc_id")
     }),
-    // Multimodal stub decode (mapPartitions). The fake features are pure
-    // byte statistics of the UTF-8 payload, so the oracle recomputes
-    // header_sum from hex(encode(text)) — keeps the stub honest while
-    // the real-codec insertion point stays a mapPartitions drop-in.
+    // Multimodal decode over NON-image payloads (UTF-8 text bytes): the
+    // real codec rejects every row, so this demo pins the flagged
+    // fallback path — decoded=0 everywhere, header_sum recomputed by
+    // the oracle from hex(encode(text)). The decoded=1 raster path is
+    // oracle-checked by `media_features` over real PNG fixtures.
     "multimodal_decode" -> ((s, dir) => {
       Multimodal.documentFeatures(Tables.documents(s, dir))
         .toDF()
         .select(col("doc_id"), col("format"), col("n_bytes"),
-                col("header_sum"))
+                col("header_sum"), col("decoded").cast("long").as("decoded"))
         .orderBy("doc_id")
     }),
     // Leakage-safe train/val/test split: the split key is the document
@@ -799,7 +821,7 @@ object PipelineDemos {
 
   /** Sequential-fold dot product of two list columns (matches Spark's
     * aggregate() left-to-right double fold bit-for-bit). */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> " +
     s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)"
 
@@ -851,7 +873,7 @@ object PipelineDemos {
        |d AS (SELECT doc_id, unnest(list_distinct(shingles)) AS sh2 FROM sh)
        |SELECT DISTINCT doc_id FROM d JOIN b USING (sh2) ORDER BY doc_id""".stripMargin
 
-  private val normsCte =
+  private[queries] val normsCte =
     s"""norms AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)"""
 
   /** The quality_score oracle as a standalone SELECT — also embedded as
@@ -920,6 +942,41 @@ object PipelineDemos {
       s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $p, 1)) - 1)"
     s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
   }
+
+  /** Full IVF pipeline rebuilt engine-independently: centroids = the
+    * normalized vectors of the 8 md5-smallest ids (cell = rank in that
+    * order), assignment = argmax centroid dot (ties -> larger cell,
+    * matching Ivf.topCells), 2-probe search, exact-cosine top-3. Shared
+    * by `ann_ivf` and `ann_ivf_persisted` (parquet round-trips the
+    * centroid doubles exactly).
+    */
+  private lazy val annIvfOracle =
+    s"""WITH $normsCte,
+       |nv AS (SELECT vec_id, embedding, nrm,
+       |         list_transform(embedding, x -> CASE WHEN nrm > 0 THEN CAST(x AS DOUBLE) / nrm ELSE 0.0 END) AS nvec
+       |       FROM norms),
+       |cent AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cell,
+       |           nvec AS cvec
+       |         FROM nv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       |scored AS (SELECT nv.vec_id, cent.cell, ${dotSql("nv.nvec", "cent.cvec")} AS d
+       |           FROM nv, cent),
+       |ranked AS (SELECT vec_id, cell,
+       |             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS rn
+       |           FROM scored),
+       |ass AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM ranked
+       |           WHERE vec_id < 5 AND rn <= 2),
+       |cs AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         CASE WHEN q.nrm > 0 AND n.nrm > 0
+       |           THEN ${dotSql("q.embedding", "n.embedding")} / (q.nrm * n.nrm)
+       |           ELSE 0.0 END AS cos
+       |       FROM probes p JOIN ass a USING (cell)
+       |       JOIN norms q ON q.vec_id = p.query_id
+       |       JOIN norms n ON n.vec_id = a.vec_id
+       |       WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |FROM cs QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "lang_id" ->
@@ -1228,38 +1285,11 @@ object PipelineDemos {
          |  FROM cands JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b)
          |WHERE cos >= $cosineThreshold
          |ORDER BY id_a, id_b""".stripMargin,
-    // Full IVF pipeline rebuilt engine-independently: centroids = the
-    // normalized vectors of the 8 md5-smallest ids (cell = rank in that
-    // order), assignment = argmax centroid dot (ties -> larger cell,
-    // matching reverse(array_sort) in Ivf.rankedCells), 2-probe search,
-    // exact-cosine top-3.
-    "ann_ivf" ->
-      s"""WITH $normsCte,
-         |nv AS (SELECT vec_id, embedding, nrm,
-         |         list_transform(embedding, x -> CASE WHEN nrm > 0 THEN CAST(x AS DOUBLE) / nrm ELSE 0.0 END) AS nvec
-         |       FROM norms),
-         |cent AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cell,
-         |           nvec AS cvec
-         |         FROM nv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-         |scored AS (SELECT nv.vec_id, cent.cell, ${dotSql("nv.nvec", "cent.cvec")} AS d
-         |           FROM nv, cent),
-         |ranked AS (SELECT vec_id, cell,
-         |             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS rn
-         |           FROM scored),
-         |ass AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
-         |probes AS (SELECT vec_id AS query_id, cell FROM ranked
-         |           WHERE vec_id < 5 AND rn <= 2),
-         |cs AS (SELECT p.query_id, a.vec_id AS neighbor_id,
-         |         CASE WHEN q.nrm > 0 AND n.nrm > 0
-         |           THEN ${dotSql("q.embedding", "n.embedding")} / (q.nrm * n.nrm)
-         |           ELSE 0.0 END AS cos
-         |       FROM probes p JOIN ass a USING (cell)
-         |       JOIN norms q ON q.vec_id = p.query_id
-         |       JOIN norms n ON n.vec_id = a.vec_id
-         |       WHERE a.vec_id <> p.query_id)
-         |SELECT query_id, neighbor_id, cos,
-         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
-         |FROM cs QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf" -> annIvfOracle,
+    // persistence changes WHERE the centroids come from (the parquet
+    // artifact), not their values — doubles round-trip exactly, so the
+    // expected result is ann_ivf's, verbatim
+    "ann_ivf_persisted" -> annIvfOracle,
     // ann_ivf's CTEs with the centroid pick restricted to the HISTORY
     // 3/4 (vec_id % 4 < 3): append-without-refit means assignment with
     // the frozen history-trained centroids, so the merged lists equal a
@@ -1495,7 +1525,8 @@ object PipelineDemos {
         |SELECT doc_id, 'img/' || source AS format, CAST(nb AS BIGINT) AS n_bytes,
         |  CAST(list_reduce(list_transform(generate_series(1, least(nb, 8)), i ->
         |    (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16 +
-        |    (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)), (a, x) -> a + x) AS BIGINT) AS header_sum
+        |    (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)), (a, x) -> a + x) AS BIGINT) AS header_sum,
+        |  CAST(0 AS BIGINT) AS decoded
         |FROM h ORDER BY doc_id""".stripMargin,
     "repetition_ratio" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text || ' ' || text, '\s+'), x -> length(x) > 0) AS toks FROM documents),

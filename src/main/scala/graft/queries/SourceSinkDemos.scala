@@ -186,6 +186,52 @@ object SourceSinkDemos {
                 col("height"), col("r_mean"), col("g_mean"), col("b_mean"))
         .orderBy("doc_id")
     }),
+    // REAL raster feature extraction (the decoded=true path of
+    // Multimodal.decodeFeatures): 8×8 gradient PNGs whose pixel values
+    // are pure functions of (x, y, doc_id), reduced to the 4×4
+    // box-filtered luminance grid. Each feature is inverted back to the
+    // cell's exact integer (R+G+B) sum (feat × 4·765, round), so the
+    // DuckDB oracle re-derives every cell arithmetically from the pixel
+    // formula while Spark must actually decode the PNG bytes and run
+    // the box filter — a wrong raster or wrong cell bounds breaks the
+    // hash.
+    "media_features" -> ((s, dir) => {
+      val path = scratch(dir, "feat")
+      val marker = new java.io.File(s"$path/_DONE")
+      if (!marker.exists()) {
+        new java.io.File(path).mkdirs()
+        (0 until 6).foreach { id =>
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          (0 until 8).foreach(y => (0 until 8).foreach { x =>
+            val g = (23 * x + 7 * y + 11 * id) % 240
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          })
+          val ok = javax.imageio.ImageIO.write(
+            img, "png", new java.io.File(s"$path/doc_$id.png"))
+          require(ok, "no JDK png writer registered")
+        }
+        marker.createNewFile()
+      }
+      import s.implicits._
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*.png").load(path)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("content").as("payload"), lit("png").as("format"),
+          col("length").as("n_bytes"))
+        .as[graft.extensions.Multimodal.MediaRow]
+      graft.extensions.Multimodal.decodeFeatures(media).toDF()
+        .select(col("doc_id"), col("decoded").cast("long").as("decoded"),
+                posexplode(col("features")))
+        .select(col("doc_id"), col("decoded"),
+                col("pos").cast("long").as("cell"),
+                // invert the 0..1 luminance mean back to the exact
+                // integer cell sum: feat = lum3/(4·765) at 8×8/grid 4
+                round(col("col") * lit(3060.0)).cast("long").as("lum3"))
+        .orderBy("doc_id", "cell")
+    }),
     // REAL multi-frame sampling (javax.imageio GIF sequence reader) over
     // binaryFile: animated-GIF fixtures whose frame count and per-frame
     // solid colors are pure functions of doc_id, so the DuckDB oracle
@@ -345,6 +391,19 @@ object SourceSinkDemos {
         |  CAST((59*doc_id + 11) % 256 AS DOUBLE) AS g_mean,
         |  CAST((83*doc_id + 29) % 256 AS DOUBLE) AS b_mean
         |FROM documents WHERE doc_id < 8 ORDER BY doc_id""".stripMargin,
+    // per-pixel gray = (23x + 7y + 11·id) % 240 on an 8×8 raster; cell
+    // (row-major 4×4) sum of R+G+B = 3 × the gray sum of its 2×2 block
+    "media_features" ->
+      """WITH px AS (SELECT d.doc_id, x.x, y.y,
+        |    (23*x.x + 7*y.y + 11*d.doc_id) % 240 AS g
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 6) d,
+        |       (SELECT unnest(generate_series(0, 7)) AS x) x,
+        |       (SELECT unnest(generate_series(0, 7)) AS y) y)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS decoded,
+        |  CAST(floor(y/2)*4 + floor(x/2) AS BIGINT) AS cell,
+        |  CAST(3*SUM(g) AS BIGINT) AS lum3
+        |FROM px GROUP BY doc_id, floor(y/2)*4 + floor(x/2)
+        |ORDER BY doc_id, cell""".stripMargin,
     // stride-2 sample of the 2 + (doc_id % 4) frames; solid color per
     // frame → channel means are the exact palette values
     "gif_frames" ->

@@ -1,8 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, md5, substring}
-import graft.streaming.{DocsStream, EventsStream, SpikeStream}
+import org.apache.spark.sql.functions.{col, lit, md5, pmod, substring}
+import graft.streaming.{DocsStream, EventsStream, SpikeStream, VecsStream}
 import graft.tables.Tables
 
 /** Streaming-shaped demo: the tumbling-window aggregation registered in
@@ -101,6 +101,39 @@ object StreamingDemos {
         .select("doc_id", "n_hits")
         .orderBy("doc_id")
     }),
+    // Streaming IVF ingest's batch-parity face: the index is FROZEN on
+    // the history 3/4 of the embeddings corpus (same split and
+    // deterministic centroid pick as ann_ivf_incremental); the "new"
+    // 1/4 arrives as 2 micro-batches (vec_id % 8 = 3 then 7) through
+    // the REAL VecsStream.ivfIngestBatch body — map-side assignment
+    // lands the cell lists, and each batch's per-cell refit advisory
+    // (vs the static history error profile) lands in a batch-addressed
+    // partition. Stateless per batch; the oracle recomputes the whole
+    // chain (centroid pick → argmin assignment → fixed-point error →
+    // per-batch drift flag) arithmetically.
+    "stream_ivf_ingest" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val hist = e.filter(pmod(col("vec_id"), lit(4L)) < 3L)
+      val index = PipelineDemos.ivfHistIndexCache.getOrElseUpdate(dir,
+        graft.extensions.Ivf.trainDeterministic(hist, "vec_id", "embedding",
+          k = 8))
+      val histStats = graft.extensions.Ivf.cellStats(
+        graft.extensions.Ivf.assign(hist, "vec_id", "embedding", index),
+        index)
+      val base = s"${sys.props("java.io.tmpdir")}/graft_ivfing_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Seq(3L, 7L).zipWithIndex.foreach { case (m, i) =>
+        VecsStream.ivfIngestBatch(
+          e.filter(pmod(col("vec_id"), lit(8L)) === m), i.toLong,
+          index, histStats, s"$base/lists", s"$base/advisory")
+      }
+      s.read.parquet(s"$base/advisory")
+        .select(col("batch").cast("long").as("batch"), col("cell"),
+                col("hist_n"), col("hist_err"),
+                col("batch_n"), col("batch_err"),
+                col("drifted").cast("long").as("drifted"))
+        .orderBy("batch", "cell")
+    }),
     "stream_ingest_flags" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val hex1 = substring(md5(col("doc_id").cast("string")), 1, 1)
@@ -167,6 +200,50 @@ object StreamingDemos {
     // stateless gate: 3 micro-batches ∪ = the one-shot batch result,
     // so the oracle is decontam_ngram's CTE verbatim
     "stream_decontam" -> PipelineDemos.oracleSql("decontam_ngram"),
+    // ann_ivf_drift's CTE chain with the batch side split on
+    // vec_id % 8 (3 → batch 0, 7 → batch 1): the frozen history
+    // centroids, argmin assignment, and fixed-point quantization error
+    // are identical per batch — only the grouping key gains the batch
+    // tag, exactly what the stateless per-batch advisory computes.
+    "stream_ivf_ingest" ->
+      s"""WITH ${PipelineDemos.normsCte},
+         |nv AS (SELECT vec_id, embedding, nrm,
+         |         list_transform(embedding, x -> CASE WHEN nrm > 0 THEN CAST(x AS DOUBLE) / nrm ELSE 0.0 END) AS nvec
+         |       FROM norms),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cell,
+         |           nvec AS cvec
+         |         FROM nv WHERE vec_id % 4 < 3
+         |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |cn AS (SELECT cell, cvec, sqrt(${PipelineDemos.dotSql("cvec", "cvec")}) AS cnrm FROM cent),
+         |scored AS (SELECT nv.vec_id, cn.cell, ${PipelineDemos.dotSql("nv.nvec", "cn.cvec")} AS d
+         |           FROM nv, cn),
+         |ranked AS (SELECT vec_id, cell,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS rn
+         |           FROM scored),
+         |ass AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+         |qe AS (SELECT a.vec_id, a.cell,
+         |         CAST(floor((1.0 - CASE WHEN n.nrm > 0 AND c.cnrm > 0
+         |             THEN ${PipelineDemos.dotSql("n.embedding", "c.cvec")} / (n.nrm * c.cnrm)
+         |             ELSE 0.0 END) * 1000000.0) AS BIGINT) AS qerr_q
+         |       FROM ass a JOIN norms n ON n.vec_id = a.vec_id
+         |       JOIN cn c ON c.cell = a.cell),
+         |h AS (SELECT cell, count(*) AS n, SUM(qerr_q) AS sum_q FROM qe
+         |      WHERE vec_id % 4 < 3 GROUP BY cell),
+         |b AS (SELECT CAST(vec_id % 8 = 7 AS BIGINT) AS batch, cell,
+         |        count(*) AS n, SUM(qerr_q) AS sum_q FROM qe
+         |      WHERE vec_id % 4 = 3 GROUP BY batch, cell)
+         |SELECT b.batch, b.cell, COALESCE(h.n, 0) AS hist_n,
+         |  CAST(COALESCE(h.sum_q, 0) AS DOUBLE)
+         |    / (CAST(GREATEST(COALESCE(h.n, 0), 1) AS DOUBLE) * 1000000.0) AS hist_err,
+         |  b.n AS batch_n,
+         |  CAST(b.sum_q AS DOUBLE) / (CAST(b.n AS DOUBLE) * 1000000.0) AS batch_err,
+         |  CAST(COALESCE(h.n, 0) = 0
+         |    OR CAST(b.sum_q AS DOUBLE) / (CAST(b.n AS DOUBLE) * 1000000.0)
+         |       > CAST(COALESCE(h.sum_q, 0) AS DOUBLE)
+         |         / (CAST(GREATEST(COALESCE(h.n, 0), 1) AS DOUBLE) * 1000000.0) * 1.5
+         |    AS BIGINT) AS drifted
+         |FROM b LEFT JOIN h ON h.cell = b.cell
+         |ORDER BY b.batch, b.cell""".stripMargin,
     // both micro-batches' drift spines recomputed end-to-end against the
     // md5-smallest-half reference (same arithmetic as quality_drift)
     "stream_quality_drift" ->

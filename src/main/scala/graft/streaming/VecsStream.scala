@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.extensions.Ivf
+
+/** Streaming vector ingest against a FROZEN IVF index: the streaming
+  * face of [[graft.extensions.Ivf.appendAssign]] + [[Ivf.refitAdvisory]].
+  *
+  * Each micro-batch of new vectors is assigned to its inverted-list cell
+  * by a map-side argmin over the frozen centroids (no refit, no history
+  * reads — the 100 TB ingest shape), landed in the cell-keyed lists
+  * table, and simultaneously health-checked: the batch's per-cell
+  * quantization error is compared against a STATIC history profile
+  * ([[Ivf.cellStats]] of the corpus the index was fitted on) and the
+  * per-cell refit advisory lands next to the lists. A drifted batch
+  * flips `drifted = true` on the affected cells — the trigger for an
+  * offline re-train — without ever interrupting ingest.
+  *
+  * foreachBatch, not a stateful operator: the index is a broadcast-scale
+  * artifact fixed at query start (like the Bloom decontamination filter
+  * and the drift monitor's reference sample), and per batch the work is
+  * one map-side assignment pass + a k-row aggregate. Exactly-once: both
+  * sinks are batch-id-addressed partition directories written with
+  * overwrite, so foreachBatch replays — including of a half-written
+  * batch — are idempotent (same stance as [[DocsStream.flagBatch]]).
+  */
+object VecsStream {
+
+  /** Row shape for streaming vector ingest (MemoryStream-friendly). */
+  final case class Vec(vec_id: Long, embedding: Array[Float])
+
+  /** Start the ingest query. `vecs` must be a STREAMING frame with
+    * (vec_id long, embedding array&lt;float&gt;); assigned lists land
+    * under `listsDir/batch=&lt;id&gt;`, per-cell refit advisories under
+    * `advisoryDir/batch=&lt;id&gt;`. `histStats` is the frozen index's
+    * history error profile ([[Ivf.cellStats]] over the fitted corpus) —
+    * an offline artifact computed once, not per batch.
+    */
+  def ivfIngest(vecs: DataFrame, index: Ivf.IvfIndex, histStats: DataFrame,
+                listsDir: String, advisoryDir: String, checkpointDir: String,
+                ratio: Double = 1.5): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ivfIngestBatch(batch, batchId, index, histStats, listsDir,
+          advisoryDir, ratio)
+      }
+      .start()
+
+  /** One ingest micro-batch (exposed for batch-parity testing): assign
+    * vs the frozen centroids, land the lists, land the advisory. The
+    * assigned frame is persisted across its two consumers so the batch
+    * is scanned (and the argmin computed) once, not twice.
+    */
+  def ivfIngestBatch(batch: DataFrame, batchId: Long, index: Ivf.IvfIndex,
+                     histStats: DataFrame, listsDir: String,
+                     advisoryDir: String, ratio: Double = 1.5): Unit = {
+    val assigned = Ivf.assign(batch, "vec_id", "embedding", index)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assigned.write.mode("overwrite").parquet(s"$listsDir/batch=$batchId")
+      Ivf.refitAdvisory(histStats, Ivf.cellStats(assigned, index), ratio)
+        .write.mode("overwrite").parquet(s"$advisoryDir/batch=$batchId")
+    } finally {
+      assigned.unpersist()
+      ()
+    }
+  }
+}

@@ -2,7 +2,7 @@ package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish parquet testdata
   * (TESTDATA.md). Every `SparkEntry.queries` entry receives the sf
@@ -24,19 +24,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS) which Spark's
-    * parquet reader rejects; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see Sessions.base) so it
-    * arrives as nanos-since-epoch LongType, converted here to a micros
-    * TimestampType column (truncation — Spark's native precision).
+  /** events.parquet has shipped `ts` in three parquet flavors across
+    * testdata regenerations; all three must read to the same UTC-instant
+    * TimestampType column:
+    *   - INT64 TIMESTAMP(NANOS): Spark's reader rejects it natively, so
+    *     sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
+    *     (Sessions.base) and it arrives as nanos-since-epoch LongType,
+    *     converted here to micros (truncation — Spark's native precision);
+    *   - TIMESTAMP(MICROS) isAdjustedToUTC=true: already TimestampType;
+    *   - TIMESTAMP(MICROS) without tz metadata: arrives TIMESTAMP_NTZ,
+    *     cast to TimestampType — instant-exact because the session
+    *     timezone is pinned UTC (Sessions.base).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
-    // integral division — `/` on longs goes through double, whose ulp at
-    // ~1.7e18 ns is 256 ns (measured: 1,494/100k timestamps off by 1 µs)
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      // integral division — `/` on longs goes through double, whose ulp at
+      // ~1.7e18 ns is 256 ns (measured: 1,494/100k timestamps off by 1 µs)
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

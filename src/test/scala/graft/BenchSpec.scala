@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hygiene of the bench harness's historical-minimum table: the steal
+  * check silently degrades if a failure penalty ever becomes a "floor"
+  * (everything later looks clean) or if one malformed entry kills the
+  * whole table (no query gets the retry methodology). These are pure
+  * functions — no Spark session needed.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.1"
+
+  private def tmpMins(content: String): String = {
+    val f = Files.createTempFile("graft_bench_mins", ".json")
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  test("mergeMins: penalties never enter, floors only decrease, absent " +
+       "queries re-seed or persist") {
+    val hist = Map("q_slow" -> 2.0, "q_fast" -> 0.1, "q_gone" -> 5.0)
+    val run = Seq(
+      "q_slow" -> 1.5,                      // improved -> new floor
+      "q_fast" -> 0.4,                      // regressed -> floor kept
+      "q_failed" -> Bench.failurePenaltySec, // penalty -> never enters
+      "q_new" -> 0.7)                       // first sighting -> re-seeds
+    val merged = Bench.mergeMins(hist, run).toMap
+    assert(merged("q_slow") == 1.5)
+    assert(merged("q_fast") == 0.1)
+    assert(merged("q_gone") == 5.0)   // absent from run: floor persists
+    assert(merged("q_new") == 0.7)
+    assert(!merged.contains("q_failed")) // penalty excluded entirely
+    // a restored query (absent from mins, clean this run) re-seeds: the
+    // next run's steal check starts from its first clean sample
+    val restored = Bench.mergeMins(merged, Seq("q_failed" -> 0.9)).toMap
+    assert(restored("q_failed") == 0.9)
+  }
+
+  test("mergeMins: a failed run never creates an entry") {
+    val merged =
+      Bench.mergeMins(Map.empty, Seq("q" -> Bench.failurePenaltySec))
+    assert(merged.isEmpty)
+  }
+
+  test("readMins: sf-namespace isolation and legacy default") {
+    val path =
+      tmpMins(s"""{"_sf":"$sf","q1_agg":0.123,"join_inner":0.456}""")
+    assert(Bench.readMins(path, sf) ==
+      Map("q1_agg" -> 0.123, "join_inner" -> 0.456))
+    // a file recorded at another sf is ignored wholesale
+    assert(Bench.readMins(path, "/root/testdata/sf0.01").isEmpty)
+    // legacy file without the _sf tag was recorded at the sf0.1 default
+    val legacy = tmpMins("""{"q1_agg":0.5}""")
+    assert(Bench.readMins(legacy, sf) == Map("q1_agg" -> 0.5))
+    assert(Bench.readMins(legacy, "/elsewhere").isEmpty)
+    // missing file -> empty, not an exception
+    assert(Bench.readMins("/nonexistent/mins.json", sf).isEmpty)
+  }
+
+  test("readMins: one malformed entry drops that entry, not the table") {
+    val path = tmpMins(
+      s"""{"_sf":"$sf","good":0.25,"mangled":12..3,"also_good":1.75}""")
+    val mins = Bench.readMins(path, sf)
+    assert(mins == Map("good" -> 0.25, "also_good" -> 1.75))
+  }
+}

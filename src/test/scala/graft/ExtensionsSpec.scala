@@ -882,7 +882,8 @@ class ExtensionsSpec extends SparkTestBase {
            ((im.getRGB(1, 1) >> 8) & 0xff) == 50)
   }
 
-  test("multimodal: stub decode is deterministic with real plumbing") {
+  test("multimodal: non-image payloads take the flagged histogram " +
+       "fallback, deterministically") {
     import spark.implicits._
     val docs = Seq((1L, "hello world", "en", "srcA", 11L),
                    (2L, "another doc", "de", "srcB", 11L))
@@ -894,9 +895,58 @@ class ExtensionsSpec extends SparkTestBase {
     assert(f1(1L).features.toSeq == f2(1L).features.toSeq) // deterministic
     assert(f1(1L).format == "img/srcA")
     assert(f1(1L).n_bytes == 11L)
+    assert(!f1(1L).decoded && !f1(2L).decoded) // text bytes never decode
     assert(f1(1L).features.length == 8)
     assert(math.abs(f1(1L).features.sum - 1.0f) < 1e-5) // normalized hist
     assert(f1(1L).features.toSeq != f2(2L).features.toSeq)
+  }
+
+  test("multimodal: decodeFeatures computes the 4x4 luminance grid from " +
+       "the real raster") {
+    import spark.implicits._
+    // 8x8 grayscale gradient: gray(x, y) = 16x + 4y. Each 2x2 grid cell
+    // (cx, cy) then averages to 16(2cx) + 16/2 + 4(2cy) + 4/2 =
+    // 32cx + 8cy + 10, i.e. cell (R+G+B) sum = 12 * (32cx + 8cy + 10).
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 8).foreach(y => (0 until 8).foreach { x =>
+      val g = 16 * x + 4 * y
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    })
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val media = Seq(Multimodal.MediaRow(7L, png, "png", png.length.toLong)).toDS()
+    val out = Multimodal.decodeFeatures(media).collect()
+    assert(out.length == 1)
+    val f = out.head
+    assert(f.decoded && f.features.length == 16)
+    // PNG signature bytes: 137 80 78 71 13 10 26 10
+    assert(f.header_sum == 137L + 80 + 78 + 71 + 13 + 10 + 26 + 10)
+    (0 until 4).foreach(cy => (0 until 4).foreach { cx =>
+      val lum3 = 12L * (32 * cx + 8 * cy + 10)
+      assert(f.features(cy * 4 + cx) == (lum3 / (4 * 765.0)).toFloat,
+        s"cell ($cx, $cy)")
+    })
+    // 3x3 grid over a 2x2 image: replicate-edge keeps every cell filled
+    val tiny = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 2).foreach(y => (0 until 2).foreach { x =>
+      val g = 100 * x + 50 * y // 0, 100, 50, 150
+      tiny.setRGB(x, y, (g << 16) | (g << 8) | g)
+    })
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(tiny, "png", bos2)
+    val png2 = bos2.toByteArray
+    val media2 =
+      Seq(Multimodal.MediaRow(8L, png2, "png", png2.length.toLong)).toDS()
+    val t = Multimodal.decodeFeatures(media2, grid = 3).collect().head
+    assert(t.decoded && t.features.length == 9)
+    assert(t.features.forall(v => v >= 0f && v <= 1f))
+    // cell (0,0) covers pixel (0,0) alone -> gray 0; cell (2,2) covers
+    // pixel (1,1) alone -> gray 150
+    assert(t.features(0) == 0f)
+    assert(t.features(8) == (3 * 150L / (1 * 765.0)).toFloat)
   }
 
   test("bloom decontamination: superset of the exact semi-join, zero " +

@@ -545,4 +545,60 @@ class StreamingSpec extends SparkTestBase {
     DocsStream.decontamBatch(b1.toDF(), 0L, bench, flags)
     assert(readFlags() == got)
   }
+
+  test("streaming IVF ingest: in-distribution batch passes, a drifted " +
+       "batch flips the refit advisory, replays are idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.VecsStream
+    import graft.extensions.Ivf
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfing")
+    val (lists, adv, ckpt) = (s"$tmp/lists", s"$tmp/adv", s"$tmp/ckpt")
+    // frozen 2-cell index on the axes; history hugs the centroids with a
+    // small, nonzero quantization error
+    val index = Ivf.IvfIndex(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    def nearAxis(i: Int) = if (i % 2 == 0) v(1.0, 0.05) else v(0.05, 1.0)
+    val hist = (0 until 20).map(i => (i.toLong, nearAxis(i)))
+      .toDF("vec_id", "embedding")
+    val histStats = Ivf.cellStats(
+      Ivf.assign(hist, "vec_id", "embedding", index), index)
+    val inDist = (100 until 110).map(i =>
+      VecsStream.Vec(i.toLong, nearAxis(i)))
+    // 45° off both centroids: quantization error ~0.29 vs history's
+    // ~0.00125 — far past the 1.5x advisory threshold
+    val offAxis = (200 until 210).map(i =>
+      VecsStream.Vec(i.toLong, v(1.0, 1.0)))
+    val input = MemoryStream[VecsStream.Vec]
+    val q = VecsStream.ivfIngest(input.toDF(), index, histStats, lists,
+      adv, ckpt)
+    try {
+      input.addData(inDist: _*); q.processAllAvailable()
+      input.addData(offAxis: _*); q.processAllAvailable()
+    } finally q.stop()
+    def advisory(batch: Int): Map[Int, (Long, Boolean)] = spark.read
+      .parquet(s"$adv/batch=$batch")
+      .select("cell", "batch_n", "drifted").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // batch 0 repeats the history distribution: both cells healthy
+    val a0 = advisory(0)
+    assert(a0 == Map(0 -> ((5L, false)), 1 -> ((5L, false))), s"a0=$a0")
+    // batch 1: every vector ties to the larger cell id (topCells tie
+    // rule) and its error explodes -> advisory flips on cell 1 only
+    val a1 = advisory(1)
+    assert(a1 == Map(1 -> ((10L, true))), s"a1=$a1")
+    // the lists table accumulated both batches cell-keyed
+    val landed = spark.read.parquet(lists)
+    assert(landed.count() == 20)
+    assert(landed.filter(col("batch") === 1 && col("cell") === 1)
+      .count() == 10)
+    // foreachBatch replay of batch 1 overwrites its own partitions —
+    // advisory and lists unchanged
+    VecsStream.ivfIngestBatch(offAxis.toDF(), 1L, index, histStats,
+      lists, adv)
+    assert(advisory(1) == a1)
+    assert(spark.read.parquet(lists).count() == 20)
+  }
 }
