@@ -162,6 +162,54 @@ object Ivf {
       .filter(col("rank") <= topK)
   }
 
+  /** Embedding near-duplicate PAIRS via the IVF partition — the scale
+    * path for embedding-cosine dedup (the brute-force
+    * `Similarity.pairwiseCosine` is the capped baseline): candidate
+    * pairs are vectors sharing at least one of their `nProbe` nearest
+    * cells (multi-probe assignment recovers boundary-straddling
+    * near-dups that single-cell bucketing would split), verified by
+    * exact cosine ≥ `threshold`.
+    *
+    * Scale shape: the ONLY join key is the cell id — there is no
+    * all-pairs stage anywhere, and per-cell candidate volume is bounded
+    * by inverted-list size (cells track sqrt(n) like the search path).
+    * The exact cosine is computed map-side on the candidate row BEFORE
+    * any shuffle, and the multi-probe pair dedup aggregates (id_a,
+    * id_b, cos) only — vector payloads never cross the pair-dedup
+    * exchange. Sub-threshold candidates are filtered before that
+    * shuffle too, so the exchange carries surviving near-dups, not the
+    * candidate set.
+    */
+  def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                   index: IvfIndex, threshold: Double,
+                   nProbe: Int = 2): DataFrame = {
+    // persisted for the same reason search() persists its lists: the
+    // self-join infers isnotnull(cell) and would push it below the
+    // staged norm/nvec projections, re-inlining the O(d²)-per-row norm
+    // the staging exists to prevent — and the multi-probe assignment is
+    // computed once, not once per join side
+    val staged = prepped(vecs, idCol, vecCol)
+      .select(col("id"), col("vec"), col("nrm"),
+        explode(topCells(col("nvec"), index, nProbe)).as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = staged.select(col("cell"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = staged.select(col("cell"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(col("nrm_a") > 0 && col("nrm_b") > 0,
+          Similarity.dot(col("vec_a"), col("vec_b"))
+            / (col("nrm_a") * col("nrm_b")))
+          .otherwise(lit(0.0)).as("cos"))
+      .filter(col("cos") >= threshold)
+      // a pair sharing both probed cells appears twice with an
+      // identical exact cos — keep one
+      .groupBy("id_a", "id_b")
+      .agg(first(col("cos")).as("cos"))
+  }
+
   // -------- incremental maintenance (append without refit) ------------
 
   /** Append a new vector batch to existing inverted lists WITHOUT

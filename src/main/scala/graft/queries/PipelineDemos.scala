@@ -236,6 +236,20 @@ object PipelineDemos {
           "vec_id", "embedding", cosineThreshold)
         .orderBy("id_a", "id_b")
     }),
+    // Embedding near-dup via the IVF partition — the UNCAPPED scale
+    // path (dedup_embed_cosine above is the capped brute-force
+    // baseline): candidates share one of their 2 probed cells, exact
+    // cosine verifies, and the pair dedup shuffles (id_a, id_b, cos)
+    // only. The deterministic centroid pick makes the whole chain —
+    // probes, candidate pairs, cosine, threshold — oracle-recomputable.
+    "dedup_embed_ivf" -> ((s, dir) => {
+      val index = ivfIndexCache.getOrElseUpdate(dir,
+        graft.extensions.Ivf.trainDeterministic(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8))
+      graft.extensions.Ivf.nearDupPairs(Tables.embeddings(s, dir),
+          "vec_id", "embedding", index, cosineThreshold, nProbe = 2)
+        .orderBy("id_a", "id_b")
+    }),
     // Brute-force ANN top-3 for the first 5 query vectors.
     "ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1286,6 +1300,33 @@ object PipelineDemos {
          |WHERE cos >= $cosineThreshold
          |ORDER BY id_a, id_b""".stripMargin,
     "ann_ivf" -> annIvfOracle,
+    // ann_ivf's assignment CTEs widened to 2-probe for ALL vectors,
+    // then co-bucketed pairs, exact cosine, threshold
+    "dedup_embed_ivf" ->
+      s"""WITH $normsCte,
+         |nv AS (SELECT vec_id, embedding, nrm,
+         |         list_transform(embedding, x -> CASE WHEN nrm > 0 THEN CAST(x AS DOUBLE) / nrm ELSE 0.0 END) AS nvec
+         |       FROM norms),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cell,
+         |           nvec AS cvec
+         |         FROM nv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |scored AS (SELECT nv.vec_id, cent.cell, ${dotSql("nv.nvec", "cent.cvec")} AS d
+         |           FROM nv, cent),
+         |ranked AS (SELECT vec_id, cell,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS rn
+         |           FROM scored),
+         |probes AS (SELECT vec_id, cell FROM ranked WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM probes a JOIN probes b USING (cell)
+         |         WHERE a.vec_id < b.vec_id),
+         |pairs AS (SELECT id_a, id_b,
+         |            CASE WHEN na.nrm > 0 AND nb.nrm > 0
+         |              THEN ${dotSql("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm)
+         |              ELSE 0.0 END AS cos
+         |          FROM cand JOIN norms na ON na.vec_id = cand.id_a
+         |          JOIN norms nb ON nb.vec_id = cand.id_b)
+         |SELECT id_a, id_b, cos FROM pairs WHERE cos >= $cosineThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
     // persistence changes WHERE the centroids come from (the parquet
     // artifact), not their values — doubles round-trip exactly, so the
     // expected result is ann_ivf's, verbatim

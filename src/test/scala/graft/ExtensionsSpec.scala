@@ -399,6 +399,45 @@ class ExtensionsSpec extends SparkTestBase {
     assert(badAdvisory.filter(col("drifted")).count() >= 1L)
   }
 
+  test("IVF embedding near-dup: exact cosine over co-bucketed " +
+       "candidates; multi-probe recovers boundary-straddling pairs; " +
+       "full-probe equals brute force") {
+    import spark.implicits._
+    import graft.extensions.{Ivf, Similarity}
+    val index = Ivf.IvfIndex(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // two tight clusters on the centroid axes plus one near-dup pair
+    // STRADDLING the Voronoi boundary: 40° assigns to cell 0, 50° to
+    // cell 1, so single-probe bucketing splits them
+    val vecs = Seq(
+      1L -> v(5), 2L -> v(7),
+      3L -> v(85), 4L -> v(83),
+      5L -> v(40), 6L -> v(50)).toDF("vec_id", "embedding")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // cos(2°) ≈ 0.9994 and cos(10°) ≈ 0.985 pass 0.95; every
+    // cross-cluster angle is ≥ 33° (cos ≤ 0.84) and fails it
+    val got2 = ids(Ivf.nearDupPairs(vecs, "vec_id", "embedding", index,
+      threshold = 0.95, nProbe = 2))
+    assert(got2 == Set((1L, 2L), (3L, 4L), (5L, 6L)))
+    val got1 = ids(Ivf.nearDupPairs(vecs, "vec_id", "embedding", index,
+      threshold = 0.95, nProbe = 1))
+    assert(got1 == Set((1L, 2L), (3L, 4L)), "single-probe must split " +
+      "the boundary pair (this is the recall cost multi-probe buys back)")
+    // probing every cell makes the candidate set all-pairs: the result
+    // must equal brute force exactly, cos values included
+    val full = Ivf.nearDupPairs(vecs, "vec_id", "embedding", index,
+        threshold = 0.5, nProbe = index.k)
+      .as[(Long, Long, Double)].collect().toSet
+    val brute = Similarity.pairwiseCosine(vecs, "vec_id", "embedding",
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full == brute)
+  }
+
   test("IVF/PQ index persistence: parquet save/load roundtrips exactly " +
        "(assignment and encoding identical), damaged artifacts fail fast") {
     import spark.implicits._
