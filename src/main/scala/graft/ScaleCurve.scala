@@ -739,6 +739,69 @@ object ScaleCurve {
         "wall indexed (s)" -> f"$secIdx%.2f"))
     }
 
+    // ---- 9. Streaming IVF ingest: per-batch cost vs history size ----
+    // The steady-state question behind VecsStream.ivfIngest: does
+    // landing ONE fixed 20k-vector batch (map-side assignment + refit
+    // advisory) get slower as the indexed history grows 16×? The
+    // recompute variant rebuilds the history's per-cell error profile
+    // from the lists table every batch — O(history) per batch. The
+    // frozen variant compares against the k-row offline profile
+    // artifact (what ivfIngestBatch actually receives) — O(batch).
+    // Index build and the profile computation are ingest-time /
+    // fit-time cost, deliberately OUTSIDE the timed path.
+    val ivfIngB = 20000L
+    // 160k -> 2.56M: at 640k and below the history rescan still hides
+    // under the fixed per-batch overhead on this host (measured flat);
+    // the divergence needs millions of vectors to show
+    val ivfIngAges = Seq(8L, 32L, 128L)
+    val ivfIngTmp = s"${sys.props("java.io.tmpdir")}/graft_scale_ivfing"
+    val ivfIngIndex = locally {
+      val maxHist = ivfIngAges.max * ivfIngB
+      val all = vectorCorpus(spark, maxHist + ivfIngB)
+      val hist = all.filter(col("vec_id") < maxHist)
+      val idx = Ivf.trainDeterministic(hist, "vec_id", "embedding", 64)
+      Ivf.assign(hist, "vec_id", "embedding", idx)
+        .write.mode("overwrite").parquet(s"$ivfIngTmp/lists")
+      all.filter(col("vec_id") >= maxHist)
+        .write.mode("overwrite").parquet(s"$ivfIngTmp/batch")
+      idx
+    }
+    val ivfIngPts = ivfIngAges.map { a =>
+      val nHist = a * ivfIngB
+      def lists = spark.read.parquet(s"$ivfIngTmp/lists")
+        .filter(col("id") < nHist)
+      val batch = spark.read.parquet(s"$ivfIngTmp/batch")
+      // the k-row offline artifact for THIS history age (stream_ivf
+      // demo memoizes exactly this shape)
+      val profileRows = Ivf.cellStats(lists, ivfIngIndex).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      val profile = {
+        import spark.implicits._
+        profileRows.toDF("cell", "n", "sum_qerr_q")
+      }
+      val (secRecompute, _) = timeIt(spark) {
+        Ivf.refitAdvisory(
+            Ivf.cellStats(lists, ivfIngIndex),
+            Ivf.cellStats(
+              Ivf.assign(batch, "vec_id", "embedding", ivfIngIndex),
+              ivfIngIndex))
+          .filter(col("drifted")).count()
+      }
+      val (secFrozen, drifted) = timeIt(spark) {
+        Ivf.refitAdvisory(profile,
+            Ivf.cellStats(
+              Ivf.assign(batch, "vec_id", "embedding", ivfIngIndex),
+              ivfIngIndex))
+          .filter(col("drifted")).count()
+      }
+      Point(nHist, Seq(
+        "history vecs" -> nHist.toString,
+        "batch vecs" -> ivfIngB.toString,
+        "drifted cells" -> drifted.toString,
+        "wall recompute (s)" -> f"$secRecompute%.2f",
+        "wall frozen (s)" -> f"$secFrozen%.2f"))
+    }
+
     // ---- render ------------------------------------------------------
     def table(pts: Seq[Point]): String = {
       val headers = pts.head.metrics.map(_._1)
@@ -968,6 +1031,30 @@ object ScaleCurve {
        ^
        ^Growth: text ${growth(ingestPts, "wall text (s)")};
        ^indexed ${growth(ingestPts, "wall indexed (s)")}.
+       ^
+       ^## 9. Streaming IVF ingest: per-batch cost vs history size
+       ^
+       ^The steady-state vector-ingest question (`VecsStream.ivfIngest`):
+       ^does landing ONE fixed 20k-vector batch — map-side assignment
+       ^against the frozen 64-cell index plus the per-cell refit
+       ^advisory — get slower as the indexed history grows 16×?
+       ^`wall recompute` rebuilds the history's per-cell error profile
+       ^from the lists table every batch — it rescans the whole history
+       ^(an O(history) I/O term, though on this host's local NVMe the
+       ^rescan stays under the fixed per-batch overhead even at 2.56M
+       ^vectors, so its wall clock reads flat too); `wall frozen`
+       ^compares against the k-row offline profile artifact, which is
+       ^what `ivfIngestBatch` actually receives — structurally O(batch),
+       ^ZERO history reads per batch, which is the term that matters
+       ^when the lists table is 100 TB of object-store parquet rather
+       ^than local cache. The in-distribution batch keeps `drifted
+       ^cells` at zero (the planted twins sit inside history cells), so
+       ^the advisory's quiet state doubles as a correctness check.
+       ^
+       ^${table(ivfIngPts)}
+       ^
+       ^Growth: recompute ${growth(ivfIngPts, "wall recompute (s)")};
+       ^frozen ${growth(ivfIngPts, "wall frozen (s)")}.
        ^
        ^## Reading the curves at 100 TB
        ^
