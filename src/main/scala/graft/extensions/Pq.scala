@@ -191,15 +191,53 @@ object Pq {
   def searchIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, ivf: Ivf.IvfIndex, pq: PqIndex,
                   nProbe: Int = 2, topK: Int = 3): DataFrame = {
-    // one pass builds the combined index rows: coarse cell + PQ codes
-    val lists = Ivf.assign(corpus, idCol, vecCol, ivf)
-      .select(col("id"), col("cell"), codesCol(col("vec"), pq))
-      // Cache ownership: the coded inverted lists ARE the index —
-      // persisted once per corpus for the probe join; CacheManager
-      // dedups repeat searches over the same corpus/plan, and the
-      // entry lives for the session (spark.catalog.clearCache() to
-      // reclaim between corpora — same stance as Ivf.search).
+    // one pass builds the combined index rows: coarse cell + PQ codes.
+    // Cache ownership: the coded inverted lists ARE the index —
+    // persisted once per corpus for the probe join; CacheManager
+    // dedups repeat searches over the same corpus/plan, and the
+    // entry lives for the session (spark.catalog.clearCache() to
+    // reclaim between corpora — same stance as Ivf.search).
+    val lists = codedLists(corpus, idCol, vecCol, ivf, pq)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    searchIvfPqLists(lists, queries, idCol, vecCol, ivf, pq, nProbe, topK)
+  }
+
+  /** The combined IVF-PQ corpus index rows (id, cell, codes): one
+    * map-side pass — coarse-cell argmin + PQ encoding, both against
+    * frozen quantizers, no shuffle. At scale this is the table that
+    * ingest jobs append to, partitioned/bucketed by `cell`.
+    */
+  def codedLists(corpus: DataFrame, idCol: String, vecCol: String,
+                 ivf: Ivf.IvfIndex, pq: PqIndex): DataFrame =
+    Ivf.assign(corpus, idCol, vecCol, ivf)
+      .select(col("id"), col("cell"), codesCol(col("vec"), pq))
+
+  /** Append a new vector batch to existing coded lists WITHOUT
+    * refitting either quantizer — the IVF-PQ face of
+    * [[Ivf.appendAssign]]: assignment and encoding are per-row against
+    * the frozen centroids/codebooks, so the merged lists are
+    * bit-identical to a from-scratch [[codedLists]] of the full corpus
+    * under the same indexes (asserted in ExtensionsSpec), and the
+    * append is one map-side pass over the batch with zero history
+    * reads. Whether the frozen quantizers still fit the data is
+    * [[Ivf.refitAdvisory]]'s job — the advisory reads the same
+    * assignment this append produces.
+    */
+  def appendCoded(lists: DataFrame, newVecs: DataFrame, idCol: String,
+                  vecCol: String, ivf: Ivf.IvfIndex,
+                  pq: PqIndex): DataFrame =
+    lists.unionByName(codedLists(newVecs, idCol, vecCol, ivf, pq))
+
+  /** Search PRE-BUILT coded lists ((id, cell, codes) from
+    * [[codedLists]] / [[appendCoded]]) — the maintenance-path entry
+    * point: at scale the coded lists are a persistent cell-partitioned
+    * table that nightly appends extend, and queries must not re-encode
+    * the corpus to probe it.
+    */
+  def searchIvfPqLists(lists: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, ivf: Ivf.IvfIndex,
+                       pq: PqIndex, nProbe: Int = 2,
+                       topK: Int = 3): DataFrame = {
     // Ivf.prepped stages (id, vec, nrm, nvec) — reusing it keeps the
     // normalize-with-zero-guard (and its O(d²) staging invariant)
     // defined in exactly one place

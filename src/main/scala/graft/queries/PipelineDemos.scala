@@ -50,6 +50,11 @@ object PipelineDemos {
   private val pqIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, Pq.PqIndex]
 
+  // history-only PQ codebooks for the incremental IVF-PQ demo (frozen
+  // before the "new" batch arrives, like the coarse quantizer below)
+  private val pqHistIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, Pq.PqIndex]
+
   // history-only coarse quantizer for the incremental-maintenance demos
   // (frozen index trained before the "new" batch ever arrives); shared
   // with StreamingDemos' ivf-ingest face, which freezes the same index
@@ -444,6 +449,31 @@ object PipelineDemos {
         Pq.trainDeterministic(e, "vec_id", "embedding", m = 4, nCodes = 16))
       Pq.searchIvfPq(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
           ivf, pq, nProbe = 2, topK = 3)
+        .orderBy("query_id", "rank")
+    }),
+    // Incremental IVF-PQ maintenance: BOTH quantizers are frozen on the
+    // history 3/4 (md5-smallest history ids seed centroids and
+    // codebooks); the "new" 1/4 is appended by one map-side
+    // assign+encode pass (appendCoded — no refit, no history reads),
+    // and queries probe the merged coded lists. Per-row assignment and
+    // encoding make the merged lists equal a from-scratch build under
+    // the same indexes — exactly what the oracle recomputes.
+    "ann_ivfpq_incremental" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val hist = e.filter(pmod(col("vec_id"), lit(4L)) < 3L)
+      val batch = e.filter(pmod(col("vec_id"), lit(4L)) === 3L)
+      val ivf = ivfHistIndexCache.getOrElseUpdate(dir,
+        graft.extensions.Ivf.trainDeterministic(hist, "vec_id", "embedding",
+          k = 8))
+      val pq = pqHistIndexCache.getOrElseUpdate(dir,
+        Pq.trainDeterministic(hist, "vec_id", "embedding",
+          m = 4, nCodes = 16))
+      val lists = Pq.appendCoded(
+          Pq.codedLists(hist, "vec_id", "embedding", ivf, pq),
+          batch, "vec_id", "embedding", ivf, pq)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Pq.searchIvfPqLists(lists, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", ivf, pq, nProbe = 2, topK = 3)
         .orderBy("query_id", "rank")
     }),
     // Contrastive-training triplets: (anchor, positive) = verified
@@ -1494,6 +1524,55 @@ object PipelineDemos {
          |seeds AS (SELECT embedding AS sv,
          |    CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS code
          |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |subs AS (SELECT j FROM generate_series(0, 3) AS g(j)),
+         |encd AS (SELECT e.vec_id, s2.j, s.code,
+         |           ${l2sqSql("e.embedding", "s.sv", "s2.j")} AS d
+         |         FROM embeddings e, subs s2, seeds s),
+         |enc AS (SELECT vec_id, j, code,
+         |          row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+         |        FROM encd),
+         |codes AS (SELECT vec_id, j, code FROM enc WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         |         FROM probes p JOIN ass a USING (cell)
+         |         WHERE a.vec_id <> p.query_id),
+         |pairs AS (SELECT c.query_id, c.neighbor_id, cd.j,
+         |            ${l2sqSql("q.qv", "s.sv", "cd.j")} AS dpart
+         |          FROM cand c JOIN q USING (query_id)
+         |          JOIN codes cd ON cd.vec_id = c.neighbor_id
+         |          JOIN seeds s ON s.code = cd.code),
+         |approx AS (SELECT query_id, neighbor_id,
+         |             list_reduce(list(dpart ORDER BY j), (a, x) -> a + x) AS approx_dist
+         |           FROM pairs GROUP BY query_id, neighbor_id)
+         |SELECT query_id, neighbor_id, approx_dist,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS BIGINT) AS rank
+         |FROM approx QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // ann_ivfpq's CTEs with BOTH quantizer picks restricted to the
+    // HISTORY 3/4 (vec_id % 4 < 3): frozen-index assignment and
+    // encoding are per-row, so the appended lists equal a full build
+    // under the history-trained indexes and the search CTEs are
+    // unchanged.
+    "ann_ivfpq_incremental" ->
+      s"""WITH $normsCte,
+         |nv AS (SELECT vec_id, embedding, nrm,
+         |         list_transform(embedding, x -> CASE WHEN nrm > 0 THEN CAST(x AS DOUBLE) / nrm ELSE 0.0 END) AS nvec
+         |       FROM norms),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cell,
+         |           nvec AS cvec
+         |         FROM nv WHERE vec_id % 4 < 3
+         |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |scored AS (SELECT nv.vec_id, cent.cell, ${dotSql("nv.nvec", "cent.cvec")} AS d
+         |           FROM nv, cent),
+         |ranked AS (SELECT vec_id, cell,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS rn
+         |           FROM scored),
+         |ass AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM ranked
+         |           WHERE vec_id < 5 AND rn <= 2),
+         |seeds AS (SELECT embedding AS sv,
+         |    CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS code
+         |  FROM embeddings WHERE vec_id % 4 < 3
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
          |subs AS (SELECT j FROM generate_series(0, 3) AS g(j)),
          |encd AS (SELECT e.vec_id, s2.j, s.code,
          |           ${l2sqSql("e.embedding", "s.sv", "s2.j")} AS d

@@ -366,6 +366,41 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaLists == viaCorpus)
   }
 
+  test("IVF-PQ incremental append: map-side appendCoded equals a " +
+       "from-scratch coded build, and searchIvfPqLists over the merged " +
+       "lists equals searchIvfPq over the full corpus") {
+    import spark.implicits._
+    import graft.extensions.{Ivf, Pq}
+    val rng = new scala.util.Random(53)
+    val rows = (0 until 80).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val all = rows.toDF("vec_id", "embedding")
+    val hist = all.filter(col("vec_id") < 60)
+    val batch = all.filter(col("vec_id") >= 60)
+    // BOTH quantizers frozen on history only — the batch arrives later
+    val ivf = Ivf.trainDeterministic(hist, "vec_id", "embedding", k = 4)
+    val pq = Pq.trainDeterministic(hist, "vec_id", "embedding",
+      m = 4, nCodes = 8)
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cell", "codes").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toList))
+        .toSet
+    val merged = Pq.appendCoded(
+      Pq.codedLists(hist, "vec_id", "embedding", ivf, pq),
+      batch, "vec_id", "embedding", ivf, pq)
+    assert(rowSet(merged) ==
+      rowSet(Pq.codedLists(all, "vec_id", "embedding", ivf, pq)))
+    val queries = all.filter(col("vec_id") < 3)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaLists = hits(Pq.searchIvfPqLists(merged, queries,
+      "vec_id", "embedding", ivf, pq, nProbe = 2, topK = 3))
+    val viaCorpus = hits(Pq.searchIvfPq(all, queries,
+      "vec_id", "embedding", ivf, pq, nProbe = 2, topK = 3))
+    assert(viaLists == viaCorpus)
+  }
+
   test("IVF refit advisory: an in-distribution batch raises no flag; a " +
        "shifted batch (a region the centroids never saw) is flagged") {
     import spark.implicits._
