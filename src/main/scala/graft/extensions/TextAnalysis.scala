@@ -158,6 +158,31 @@ object TextAnalysis {
   def fingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(text, n), s => md5(s)))
 
+  /** Corpus snapshot diff — the crawl-to-crawl audit a continuously
+    * refreshed training corpus needs: classify every doc id across two
+    * snapshots as `added` / `removed` / `changed` / `unchanged` by
+    * comparing content fingerprints. Fingerprints are computed map-side
+    * ([[fingerprint]], with an exact md5-of-text fallback for docs too
+    * short to form one shingle — a null fingerprint must not
+    * masquerade as an add/remove); the classification is ONE
+    * full-outer join keyed by id, so at scale the only exchange
+    * carries (id, fingerprint) pairs — document text never shuffles —
+    * and id-bucketed snapshot tables make even that co-located.
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3): DataFrame = {
+    def fp(docs: DataFrame, out: String) = docs.select(
+      col(idCol).as("id"),
+      coalesce(fingerprint(col(textCol), n), md5(col(textCol))).as(out))
+    fp(oldDocs, "fp_old")
+      .join(fp(newDocs, "fp_new"), Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Repeated-n-gram ratio (the Gopher/C4-style repetition quality rule):
     * 1 - distinct/total over the token n-gram stream; 0.0 for docs too
     * short to form one n-gram. Ratio of longs — engine-independent.

@@ -109,6 +109,26 @@ object PipelineDemos {
                 TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")
     }),
+    // Corpus snapshot diff (crawl-to-crawl audit): snapshot B drops
+    // every id ≡ 0 (mod 7), edits the text of ids ≡ 1, and re-adds the
+    // ids ≡ 2 under shifted ids; the full-outer fingerprint join must
+    // classify each id. An edit only reads `changed` when it moves the
+    // min-shingle fingerprint — that near-identity semantic is the
+    // point of fingerprint diffing, and the oracle recomputes it
+    // exactly rather than assuming edit ⇒ changed.
+    "snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val kept = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L)
+      val mutated = kept.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7L)) === 1L,
+          concat(lit("aa edited prefix "), col("text")))
+          .otherwise(col("text")).as("text"))
+      val added = docs.filter(pmod(col("doc_id"), lit(7L)) === 2L)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      TextAnalysis.snapshotDiff(docs, mutated.unionByName(added),
+          "doc_id", "text")
+        .orderBy("id")
+    }),
     // End-to-end corpus cleaning composite: language filter → quality
     // threshold → exact dedup → LSH-verified near-dup removal.
     "corpus_clean" -> ((s, dir) => {
@@ -1063,6 +1083,34 @@ object PipelineDemos {
          |sh AS (SELECT doc_id, $shinglesExpr AS shingles FROM t)
          |SELECT doc_id, list_min(list_transform(shingles, s -> md5(s))) AS fingerprint
          |FROM sh ORDER BY doc_id""".stripMargin,
+    // snapshot B rebuilt in SQL (drop %7=0, prefix-edit %7=1, re-add
+    // %7=2 shifted), then the same fingerprint CTEs on both sides and
+    // the full-outer classification
+    "snapshot_diff" ->
+      s"""WITH newd AS (SELECT doc_id,
+         |           CASE WHEN doc_id % 7 = 1 THEN 'aa edited prefix ' || text
+         |                ELSE text END AS text
+         |         FROM documents WHERE doc_id % 7 <> 0
+         |         UNION ALL
+         |         SELECT doc_id + 1000000 AS doc_id, text
+         |         FROM documents WHERE doc_id % 7 = 2),
+         |o1 AS (SELECT doc_id, text, $toksExpr AS toks FROM documents),
+         |o2 AS (SELECT doc_id, text, $shinglesExpr AS shingles FROM o1),
+         |ofp AS (SELECT doc_id,
+         |          COALESCE(list_min(list_transform(shingles, s -> md5(s))), md5(text)) AS fp
+         |        FROM o2),
+         |n1 AS (SELECT doc_id, text, $toksExpr AS toks FROM newd),
+         |n2 AS (SELECT doc_id, text, $shinglesExpr AS shingles FROM n1),
+         |nfp AS (SELECT doc_id,
+         |          COALESCE(list_min(list_transform(shingles, s -> md5(s))), md5(text)) AS fp
+         |        FROM n2)
+         |SELECT COALESCE(o.doc_id, n.doc_id) AS id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN o.fp = n.fp THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM ofp o FULL JOIN nfp n ON o.doc_id = n.doc_id
+         |ORDER BY id""".stripMargin,
     "decontam_ngram" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
          |g AS (SELECT doc_id, unnest(list_transform(

@@ -975,6 +975,28 @@ class ExtensionsSpec extends SparkTestBase {
     assert(f1(1L).features.toSeq != f2(2L).features.toSeq)
   }
 
+  test("snapshot diff classifies added/removed/changed/unchanged, " +
+       "including docs too short to form a shingle") {
+    import spark.implicits._
+    import graft.extensions.TextAnalysis
+    val oldSnap = Seq(
+      (1L, "alpha bravo charlie delta"),
+      (2L, "echo foxtrot golf hotel"),
+      (3L, "india juliet kilo lima"),
+      (4L, "xy"),
+      (6L, "q")).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "alpha bravo charlie delta"),      // unchanged
+      (2L, "completely different text here"), // changed
+      (4L, "zz"),                             // short doc, still changed
+      (6L, "q"),                              // short doc, unchanged
+      (5L, "mike november oscar papa")).toDF("doc_id", "text") // added
+    val got = TextAnalysis.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "changed", 5L -> "added", 6L -> "unchanged"))
+  }
+
   test("multimodal: the magic-byte sniff admits every JDK image family " +
        "and rejects text payloads") {
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray

@@ -97,6 +97,37 @@ class TablesSpec extends SparkTestBase {
       .head.getLong(0) == 1700000000000000L)
   }
 
+  test("embeddings survive an element-type drift: array<float> and " +
+       "array<double> parquet yield identical vector-op results") {
+    import spark.implicits._
+    // every native vector expression casts its input to array<double>
+    // at construction (VectorExpressions/QuantExpressions), so the
+    // engine must not care which element width the generator shipped —
+    // the same defensive property Tables.events provides for ts
+    val vals = Seq(
+      (0L, Seq(1.0f, 0.5f, -0.25f)),
+      (1L, Seq(0.125f, -1.0f, 0.75f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)))
+    def results(dir: String): Seq[(Long, Double)] = {
+      val e = Tables.embeddings(spark, dir)
+      e.select(col("vec_id"),
+          graft.extensions.Similarity.norm(col("embedding")).as("nrm"))
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    val fdir = scratch("embf")
+    vals.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$fdir/embeddings.parquet")
+    val ddir = scratch("embd")
+    vals.map { case (id, v) => (id, v.map(_.toDouble)) }
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$ddir/embeddings.parquet")
+    // float->double widening is exact for these dyadic values, so the
+    // norms must be bit-identical, not merely close
+    assert(results(fdir) == results(ddir))
+    assert(results(fdir).map(_._2).last == 0.0) // zero vector guard
+  }
+
   test("the real testdata events table analyzes through unix_micros " +
        "at every shipped sf") {
     Seq("sf0.001", "sf0.01").foreach { sf =>
