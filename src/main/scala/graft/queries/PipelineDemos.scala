@@ -275,6 +275,19 @@ object PipelineDemos {
           "vec_id", "embedding", index, cosineThreshold, nProbe = 2)
         .orderBy("id_a", "id_b")
     }),
+    // Embedding-dedup pipeline completion: the IVF co-bucketed pairs
+    // feed connected components and the min-id keep-one rule — the
+    // uncapped embedding analogue of dedup_components.
+    "dedup_embed_components" -> ((s, dir) => {
+      val index = ivfIndexCache.getOrElseUpdate(dir,
+        graft.extensions.Ivf.trainDeterministic(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8))
+      Components.dedupClusters(
+          graft.extensions.Ivf.nearDupPairs(Tables.embeddings(s, dir),
+              "vec_id", "embedding", index, cosineThreshold, nProbe = 2)
+            .select(col("id_a"), col("id_b")))
+        .orderBy("id")
+    }),
     // Brute-force ANN top-3 for the first 5 query vectors.
     "ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1042,6 +1055,37 @@ object PipelineDemos {
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
        |FROM cs QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** CTE chain ending in `epairs` = the IVF co-bucketed, exact-cosine
+    * verified embedding near-dup pairs (shared by dedup_embed_ivf and
+    * dedup_embed_components): deterministic 8-centroid pick, 2-probe
+    * assignment for every vector, co-cell candidate pairs, threshold.
+    */
+  private lazy val embedIvfPairsCtes: String =
+    s"""$normsCte,
+       |nv AS (SELECT vec_id, embedding, nrm,
+       |         list_transform(embedding, x -> CASE WHEN nrm > 0 THEN CAST(x AS DOUBLE) / nrm ELSE 0.0 END) AS nvec
+       |       FROM norms),
+       |cent AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cell,
+       |           nvec AS cvec
+       |         FROM nv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       |scored AS (SELECT nv.vec_id, cent.cell, ${dotSql("nv.nvec", "cent.cvec")} AS d
+       |           FROM nv, cent),
+       |ranked AS (SELECT vec_id, cell,
+       |             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS rn
+       |           FROM scored),
+       |probes AS (SELECT vec_id, cell FROM ranked WHERE rn <= 2),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM probes a JOIN probes b USING (cell)
+       |         WHERE a.vec_id < b.vec_id),
+       |cpairs AS (SELECT id_a, id_b,
+       |            CASE WHEN na.nrm > 0 AND nb.nrm > 0
+       |              THEN ${dotSql("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm)
+       |              ELSE 0.0 END AS cos
+       |          FROM cand JOIN norms na ON na.vec_id = cand.id_a
+       |          JOIN norms nb ON nb.vec_id = cand.id_b),
+       |epairs AS (SELECT id_a, id_b, cos FROM cpairs
+       |           WHERE cos >= $cosineThreshold)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "lang_id" ->
       s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ltoks FROM documents),
@@ -1381,30 +1425,23 @@ object PipelineDemos {
     // ann_ivf's assignment CTEs widened to 2-probe for ALL vectors,
     // then co-bucketed pairs, exact cosine, threshold
     "dedup_embed_ivf" ->
-      s"""WITH $normsCte,
-         |nv AS (SELECT vec_id, embedding, nrm,
-         |         list_transform(embedding, x -> CASE WHEN nrm > 0 THEN CAST(x AS DOUBLE) / nrm ELSE 0.0 END) AS nvec
-         |       FROM norms),
-         |cent AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cell,
-         |           nvec AS cvec
-         |         FROM nv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-         |scored AS (SELECT nv.vec_id, cent.cell, ${dotSql("nv.nvec", "cent.cvec")} AS d
-         |           FROM nv, cent),
-         |ranked AS (SELECT vec_id, cell,
-         |             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS rn
-         |           FROM scored),
-         |probes AS (SELECT vec_id, cell FROM ranked WHERE rn <= 2),
-         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |         FROM probes a JOIN probes b USING (cell)
-         |         WHERE a.vec_id < b.vec_id),
-         |pairs AS (SELECT id_a, id_b,
-         |            CASE WHEN na.nrm > 0 AND nb.nrm > 0
-         |              THEN ${dotSql("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm)
-         |              ELSE 0.0 END AS cos
-         |          FROM cand JOIN norms na ON na.vec_id = cand.id_a
-         |          JOIN norms nb ON nb.vec_id = cand.id_b)
-         |SELECT id_a, id_b, cos FROM pairs WHERE cos >= $cosineThreshold
+      s"""WITH $embedIvfPairsCtes
+         |SELECT id_a, id_b, cos FROM epairs
          |ORDER BY id_a, id_b""".stripMargin,
+    // the same pair CTEs feeding the recursive-reach component closure
+    // and the min-id survivor rule (dedup_components' SQL over the
+    // embedding pair generator)
+    "dedup_embed_components" ->
+      s"""WITH RECURSIVE $embedIvfPairsCtes,
+         |sym AS (SELECT id_a AS a, id_b AS b FROM epairs
+         |        UNION SELECT id_b, id_a FROM epairs),
+         |reach AS (
+         |  SELECT a AS node, a AS comp FROM sym
+         |  UNION
+         |  SELECT s.a, r.comp FROM sym s JOIN reach r ON r.node = s.b)
+         |SELECT node AS id, min(comp) AS comp,
+         |       node = min(comp) AS survivor
+         |FROM reach GROUP BY node ORDER BY id""".stripMargin,
     // persistence changes WHERE the centroids come from (the parquet
     // artifact), not their values — doubles round-trip exactly, so the
     // expected result is ann_ivf's, verbatim
