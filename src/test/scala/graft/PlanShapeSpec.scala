@@ -351,6 +351,25 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("dedup_embed_ivf shuffles ids and cosines only: no vector " +
+       "payload crosses the pair-dedup exchange") {
+    val df = SparkEntry.queries("dedup_embed_ivf")(spark, dir)
+    val exchanges =
+      unwrapped(df.queryExecution.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.child.output.map(_.name)
+      }
+    assert(exchanges.nonEmpty)
+    // the only exchanges are the pair-dedup groupBy and the final sort;
+    // raw/normalized vectors stay inside the persisted assignment and
+    // the map-side cosine
+    exchanges.foreach { cols =>
+      assert(!cols.exists(c =>
+          c.startsWith("vec") || c.startsWith("nvec") || c == "embedding"),
+        s"vector payloads must not shuffle past assignment, got $cols")
+    }
+  }
+
   test("scd2_history plans ONE shuffle for both the lag and lead windows") {
     val df = SparkEntry.queries("scd2_history")(spark, dir)
     val core = df.queryExecution.optimizedPlan match {
