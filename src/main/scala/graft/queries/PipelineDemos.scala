@@ -406,6 +406,25 @@ object PipelineDemos {
           "vec_id", "embedding", index, topK = 3)
         .orderBy("query_id", "rank")
     }),
+    // PQ index persistence: codebooks round-trip through the parquet
+    // artifact (saveIndex → loadIndex with fail-fast (j, code)
+    // completeness validation) and ADC search runs against the LOADED
+    // codebooks — bit-identical to ann_pq (IEEE doubles store exactly),
+    // so the oracle is shared verbatim. The IVF face of the same story
+    // is ann_ivf_persisted.
+    "ann_pq_persisted" -> ((s, dir) => {
+      val index = pqIndexCache.getOrElseUpdate(dir,
+        Pq.trainDeterministic(Tables.embeddings(s, dir),
+          "vec_id", "embedding", m = 4, nCodes = 16))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_pqidx_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Pq.saveIndex(s, index, path)
+      val loaded = Pq.loadIndex(s, path)
+      val e = Tables.embeddings(s, dir)
+      Pq.search(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", loaded, topK = 3)
+        .orderBy("query_id", "rank")
+    }),
     // Cross-document repeated-span stats (substring-level dedup — the
     // fixed-window approximation of Lee et al. 2022 suffix arrays).
     "span_dedup" -> ((s, dir) => {
@@ -1086,6 +1105,36 @@ object PipelineDemos {
        |epairs AS (SELECT id_a, id_b, cos FROM cpairs
        |           WHERE cos >= $cosineThreshold)""".stripMargin
 
+  /** Full PQ ADC pipeline rebuilt engine-independently: deterministic
+    * 16-seed codebooks (md5-smallest ids), per-subspace nearest-code
+    * encoding, ADC distance as the j-ordered partial sum. Shared by
+    * `ann_pq` and `ann_pq_persisted` (parquet round-trips the codebook
+    * doubles exactly).
+    */
+  private lazy val annPqOracle: String =
+    s"""WITH seeds AS (SELECT embedding AS sv,
+       |    CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS code
+       |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |subs AS (SELECT j FROM generate_series(0, 3) AS g(j)),
+       |encd AS (SELECT e.vec_id, s2.j, s.code,
+       |           ${l2sqSql("e.embedding", "s.sv", "s2.j")} AS d
+       |         FROM embeddings e, subs s2, seeds s),
+       |enc AS (SELECT vec_id, j, code,
+       |          row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+       |        FROM encd),
+       |codes AS (SELECT vec_id, j, code FROM enc WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |pairs AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.j,
+       |            ${l2sqSql("q.qv", "s.sv", "c.j")} AS dpart
+       |          FROM q, codes c JOIN seeds s ON s.code = c.code
+       |          WHERE c.vec_id <> q.query_id),
+       |approx AS (SELECT query_id, neighbor_id,
+       |             list_reduce(list(dpart ORDER BY j), (a, x) -> a + x) AS approx_dist
+       |           FROM pairs GROUP BY query_id, neighbor_id)
+       |SELECT query_id, neighbor_id, approx_dist,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS BIGINT) AS rank
+       |FROM approx QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "lang_id" ->
       s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ltoks FROM documents),
@@ -1523,29 +1572,11 @@ object PipelineDemos {
     // 16 md5-smallest ids' subvectors (code = rank in that order),
     // encode = per-subspace argmin L2² (ties → smaller code), ADC
     // search summed in subspace order (matches Spark's left-assoc +).
-    "ann_pq" ->
-      s"""WITH seeds AS (SELECT embedding AS sv,
-         |    CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS code
-         |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-         |subs AS (SELECT j FROM generate_series(0, 3) AS g(j)),
-         |encd AS (SELECT e.vec_id, s2.j, s.code,
-         |           ${l2sqSql("e.embedding", "s.sv", "s2.j")} AS d
-         |         FROM embeddings e, subs s2, seeds s),
-         |enc AS (SELECT vec_id, j, code,
-         |          row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
-         |        FROM encd),
-         |codes AS (SELECT vec_id, j, code FROM enc WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-         |pairs AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.j,
-         |            ${l2sqSql("q.qv", "s.sv", "c.j")} AS dpart
-         |          FROM q, codes c JOIN seeds s ON s.code = c.code
-         |          WHERE c.vec_id <> q.query_id),
-         |approx AS (SELECT query_id, neighbor_id,
-         |             list_reduce(list(dpart ORDER BY j), (a, x) -> a + x) AS approx_dist
-         |           FROM pairs GROUP BY query_id, neighbor_id)
-         |SELECT query_id, neighbor_id, approx_dist,
-         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS BIGINT) AS rank
-         |FROM approx QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "ann_pq" -> annPqOracle,
+    // persistence changes WHERE the codebooks come from (the parquet
+    // artifact), not their values — doubles round-trip exactly, so the
+    // expected result is ann_pq's, verbatim
+    "ann_pq_persisted" -> annPqOracle,
     "span_dedup" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
          |s AS (SELECT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS h
