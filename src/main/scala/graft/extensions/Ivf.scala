@@ -173,12 +173,16 @@ object Ivf {
     * Scale shape: the ONLY join key is the cell id — there is no
     * all-pairs stage anywhere, and per-cell candidate volume is bounded
     * by inverted-list size (cells track sqrt(n) like the search path).
-    * The exact cosine is computed map-side on the candidate row BEFORE
-    * any shuffle, and the multi-probe pair dedup aggregates (id_a,
-    * id_b, cos) only — vector payloads never cross the pair-dedup
-    * exchange. Sub-threshold candidates are filtered before that
-    * shuffle too, so the exchange carries surviving near-dups, not the
-    * candidate set.
+    * Vector payloads move AT MOST ONCE: when the cell join shuffles
+    * (neither side broadcastable — the real corpus case), both join
+    * sides are the SAME persisted staged frame, so Spark plans one
+    * vector-carrying exchange and reuses it (ReusedExchange;
+    * PlanShapeSpec pins this with broadcast disabled) — exactly the
+    * co-location shuffle that a cell-bucketed lists table amortizes to
+    * zero at 100 TB. Past that point vectors never move again: the
+    * exact cosine is computed on the joined row, sub-threshold
+    * candidates are filtered immediately, and the multi-probe pair
+    * dedup aggregates (id_a, id_b, cos) only.
     */
   def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                    index: IvfIndex, threshold: Double,
@@ -192,9 +196,16 @@ object Ivf {
       .select(col("id"), col("vec"), col("nrm"),
         explode(topCells(col("nvec"), index, nProbe)).as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = staged.select(col("cell"), col("id").as("id_a"),
+    // co-locate by cell BEFORE the per-side renames: renamed sides
+    // canonicalize differently, so leaving the shuffle to the join
+    // plans one vector-carrying exchange PER SIDE; repartitioning the
+    // shared frame first gives two identical exchange subtrees that
+    // ReusedExchange collapses — vectors physically move once
+    // (PlanShapeSpec pins this with broadcast disabled)
+    val colocated = staged.repartition(col("cell"))
+    val a = colocated.select(col("cell"), col("id").as("id_a"),
       col("vec").as("vec_a"), col("nrm").as("nrm_a"))
-    val b = staged.select(col("cell"), col("id").as("id_b"),
+    val b = colocated.select(col("cell"), col("id").as("id_b"),
       col("vec").as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))

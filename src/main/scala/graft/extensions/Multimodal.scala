@@ -78,7 +78,10 @@ object Multimodal {
       (b0 == 'B' && b1 == 'M') ||                          // BMP
       (b0 == 'I' && b1 == 'I' && (p(2) & 0xff) == 0x2a) || // TIFF LE
       (b0 == 'M' && b1 == 'M' && (p(3) & 0xff) == 0x2a) || // TIFF BE
-      b0 == 0x00                                           // WBMP type 0
+      // WBMP: type 0 AND fixheader 0 — both bytes, not just the first,
+      // or every length-prefixed/zero-padded binary record pays the
+      // probe the sniff exists to skip
+      (b0 == 0x00 && b1 == 0x00)
     }
 
   /** REAL feature extraction: payloads a registered `javax.imageio`
@@ -92,12 +95,16 @@ object Multimodal {
     * empty cell to its nearest pixel row/column (replicate-edge), so the
     * vector is always fully populated.
     *
-    * Payloads no registered reader accepts fall back to the
-    * deterministic 8-bin byte histogram with `decoded = false` — a
-    * flagged row, never a lost one (same stance as [[decodeImages]]).
-    * `header_sum` (sum of the first ≤8 payload bytes) is computed on
-    * both paths from the raw bytes, keeping the output oracle-checkable
-    * without a codec.
+    * Payloads no registered reader accepts fall back to a
+    * deterministic byte histogram with `decoded = false` — a flagged
+    * row, never a lost one (same stance as [[decodeImages]]). The
+    * fallback uses grid² bins so EVERY row carries the same vector
+    * dimension: the column composes directly with the cosine/ANN
+    * operators (whose sequential folds run over the common length)
+    * instead of silently mixing 8- and 16-dim vectors. `header_sum`
+    * (sum of the first ≤8 payload bytes) is computed on both paths
+    * from the raw bytes, keeping the output oracle-checkable without a
+    * codec.
     */
   def decodeFeatures(media: Dataset[MediaRow],
                      grid: Int = 4): Dataset[MediaFeatures] = {
@@ -151,10 +158,11 @@ object Multimodal {
             MediaFeatures(r.doc_id, r.format, r.n_bytes, headerSum,
               decoded = true, feats)
           case _ =>
-            val hist = new Array[Long](8)
+            val bins = grid * grid
+            val hist = new Array[Long](bins)
             var j = 0
             while (j < r.payload.length) {
-              hist((r.payload(j) & 0xff) % 8) += 1
+              hist((r.payload(j) & 0xff) % bins) += 1
               j += 1
             }
             val n = math.max(1L, r.payload.length.toLong)

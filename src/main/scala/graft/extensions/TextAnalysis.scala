@@ -163,8 +163,11 @@ object TextAnalysis {
     * snapshots as `added` / `removed` / `changed` / `unchanged` by
     * comparing content fingerprints. Fingerprints are computed map-side
     * ([[fingerprint]], with an exact md5-of-text fallback for docs too
-    * short to form one shingle — a null fingerprint must not
-    * masquerade as an add/remove); the classification is ONE
+    * short to form one shingle, and a non-hex sentinel for NULL text —
+    * a null fingerprint must never masquerade as an add/remove, and
+    * md5(NULL) is NULL, so the sentinel is load-bearing: two null-text
+    * rows compare `unchanged`, null-vs-text compares `changed`); the
+    * classification is ONE
     * full-outer join keyed by id, so at scale the only exchange
     * carries (id, fingerprint) pairs — document text never shuffles —
     * and id-bucketed snapshot tables make even that co-located.
@@ -173,7 +176,8 @@ object TextAnalysis {
                    textCol: String, n: Int = 3): DataFrame = {
     def fp(docs: DataFrame, out: String) = docs.select(
       col(idCol).as("id"),
-      coalesce(fingerprint(col(textCol), n), md5(col(textCol))).as(out))
+      coalesce(fingerprint(col(textCol), n), md5(col(textCol)),
+        lit(":null:")).as(out))
     fp(oldDocs, "fp_old")
       .join(fp(newDocs, "fp_new"), Seq("id"), "full_outer")
       .select(col("id"),

@@ -1190,12 +1190,12 @@ object PipelineDemos {
          |o1 AS (SELECT doc_id, text, $toksExpr AS toks FROM documents),
          |o2 AS (SELECT doc_id, text, $shinglesExpr AS shingles FROM o1),
          |ofp AS (SELECT doc_id,
-         |          COALESCE(list_min(list_transform(shingles, s -> md5(s))), md5(text)) AS fp
+         |          COALESCE(list_min(list_transform(shingles, s -> md5(s))), md5(text), ':null:') AS fp
          |        FROM o2),
          |n1 AS (SELECT doc_id, text, $toksExpr AS toks FROM newd),
          |n2 AS (SELECT doc_id, text, $shinglesExpr AS shingles FROM n1),
          |nfp AS (SELECT doc_id,
-         |          COALESCE(list_min(list_transform(shingles, s -> md5(s))), md5(text)) AS fp
+         |          COALESCE(list_min(list_transform(shingles, s -> md5(s))), md5(text), ':null:') AS fp
          |        FROM n2)
          |SELECT COALESCE(o.doc_id, n.doc_id) AS id,
          |  CASE WHEN o.doc_id IS NULL THEN 'added'

@@ -970,7 +970,9 @@ class ExtensionsSpec extends SparkTestBase {
     assert(f1(1L).format == "img/srcA")
     assert(f1(1L).n_bytes == 11L)
     assert(!f1(1L).decoded && !f1(2L).decoded) // text bytes never decode
-    assert(f1(1L).features.length == 8)
+    // grid^2 bins: the fallback vector has the SAME dimension as the
+    // decoded path, so the column composes with cosine/ANN directly
+    assert(f1(1L).features.length == 16)
     assert(math.abs(f1(1L).features.sum - 1.0f) < 1e-5) // normalized hist
     assert(f1(1L).features.toSeq != f2(2L).features.toSeq)
   }
@@ -995,6 +997,15 @@ class ExtensionsSpec extends SparkTestBase {
       .as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
       4L -> "changed", 5L -> "added", 6L -> "unchanged"))
+    // NULL text must not masquerade as an add/remove: md5(NULL) is NULL,
+    // so only the sentinel keeps these ids classified by PRESENCE
+    val oldN = Seq((7L, null: String), (8L, "real text here"))
+      .toDF("doc_id", "text")
+    val newN = Seq((7L, null: String), (8L, null: String))
+      .toDF("doc_id", "text")
+    val gotN = TextAnalysis.snapshotDiff(oldN, newN, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(gotN == Map(7L -> "unchanged", 8L -> "changed"))
   }
 
   test("multimodal: the magic-byte sniff admits every JDK image family " +
@@ -1010,6 +1021,9 @@ class ExtensionsSpec extends SparkTestBase {
     assert(!Multimodal.looksLikeJdkImage("hello world".getBytes))
     assert(!Multimodal.looksLikeJdkImage(b(0xff, 0xd8))) // too short
     assert(!Multimodal.looksLikeJdkImage(Array.emptyByteArray))
+    // a single leading zero (length-prefixed records, mp4 size bytes)
+    // must NOT pay the probe — WBMP needs type AND fixheader zero
+    assert(!Multimodal.looksLikeJdkImage(b(0x00, 0x01, 0x02, 0x03)))
   }
 
   test("multimodal: decodeFeatures computes the 4x4 luminance grid from " +

@@ -351,22 +351,47 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
-  test("dedup_embed_ivf shuffles ids and cosines only: no vector " +
-       "payload crosses the pair-dedup exchange") {
-    val df = SparkEntry.queries("dedup_embed_ivf")(spark, dir)
-    val exchanges =
-      unwrapped(df.queryExecution.executedPlan).collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+  test("dedup_embed_ivf moves vectors at most once even without " +
+       "broadcast: the cell co-location exchange is shared by both " +
+       "join sides, and the pair-dedup exchanges carry ids+cosines only") {
+    def isVec(c: String) =
+      c.startsWith("vec") || c.startsWith("nvec") || c == "embedding"
+    // broadcast off = the 100 TB shape, where neither join side fits
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = unwrapped(SparkEntry.queries("dedup_embed_ivf")(spark, dir)
+        .queryExecution.executedPlan)
+      val vecExchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.child.output.map(_.name).exists(isVec) => e
+      }
+      // the one permitted vector move: co-locating the staged
+      // assignment by cell — the shuffle a cell-bucketed lists table
+      // amortizes to zero. Physically Spark plans one exchange per
+      // join side over the SAME persisted frame; dedup them by
+      // identical child output (ReusedExchange collapses them at
+      // execution when exchange reuse is enabled).
+      val distinctVecMoves =
+        vecExchanges.map(_.child.output.map(_.name)).distinct
+      assert(distinctVecMoves.size <= 1,
+        s"vectors must move at most once (cell co-location), got " +
+          s"$distinctVecMoves")
+      // everything after the join shuffles ids and cosines only
+      val postJoin = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if !e.child.output.map(_.name).exists(isVec) =>
           e.child.output.map(_.name)
       }
-    assert(exchanges.nonEmpty)
-    // the only exchanges are the pair-dedup groupBy and the final sort;
-    // raw/normalized vectors stay inside the persisted assignment and
-    // the map-side cosine
-    exchanges.foreach { cols =>
-      assert(!cols.exists(c =>
-          c.startsWith("vec") || c.startsWith("nvec") || c == "embedding"),
-        s"vector payloads must not shuffle past assignment, got $cols")
+      assert(postJoin.nonEmpty)
+      // (id_a, id_b) + the first(cos) agg buffer — fixed-width scalar
+      // rows, never a vector column
+      postJoin.foreach(cols => assert(
+        cols.length <= 4 && cols.forall(c => !isVec(c)),
+        s"pair-dedup exchanges must carry bounded scalar rows only, " +
+          s"got $cols"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }
   }
 
