@@ -546,6 +546,50 @@ class StreamingSpec extends SparkTestBase {
     assert(readFlags() == got)
   }
 
+  test("checkpoint recovery: ivfIngest killed between micro-batches " +
+       "resumes with batch ids intact — lists and advisories land " +
+       "exactly once per batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.VecsStream
+    import graft.extensions.Ivf
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfing-ckpt")
+    val (lists, adv, ckpt) = (s"$tmp/lists", s"$tmp/adv", s"$tmp/ckpt")
+    val index = Ivf.IvfIndex(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val hist = (0 until 10).map(i =>
+      (i.toLong, if (i % 2 == 0) v(1.0, 0.05) else v(0.05, 1.0)))
+      .toDF("vec_id", "embedding")
+    val histStats = Ivf.cellStats(
+      Ivf.assign(hist, "vec_id", "embedding", index), index)
+    val input = MemoryStream[VecsStream.Vec]
+    def start() = VecsStream.ivfIngest(input.toDF(), index, histStats,
+      lists, adv, ckpt)
+    val q1 = start()
+    try {
+      input.addData((100 until 110).map(i =>
+        VecsStream.Vec(i.toLong, v(1.0, 0.05))): _*)
+      q1.processAllAvailable()
+    } finally q1.stop() // kill between micro-batches
+    val q2 = start()    // restart from the checkpoint
+    try {
+      input.addData((200 until 210).map(i =>
+        VecsStream.Vec(i.toLong, v(0.05, 1.0))): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // each batch landed exactly once, under its own batch id, with no
+    // re-delivery duplicates after the restart
+    val landed = spark.read.parquet(lists)
+    assert(landed.count() == 20)
+    assert(landed.select("batch").distinct().collect()
+      .map(_.get(0).toString.toLong).toSet == Set(0L, 1L))
+    assert(landed.select("id").distinct().count() == 20)
+    val advBatches = spark.read.parquet(adv).select("batch").distinct()
+      .collect().map(_.get(0).toString.toLong).toSet
+    assert(advBatches == Set(0L, 1L))
+  }
+
   test("streaming IVF ingest: in-distribution batch passes, a drifted " +
        "batch flips the refit advisory, replays are idempotent") {
     import spark.implicits._
