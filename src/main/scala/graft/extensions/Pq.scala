@@ -83,8 +83,18 @@ object Pq {
   /** KMeans codebooks per subspace — the quality path (tighter cells
     * than the deterministic sample) when cross-engine reproducibility
     * isn't required; same dual-path stance as [[Ivf.train]] vs
-    * [[Ivf.trainDeterministic]]. One bounded-sample KMeans fit per
-    * subspace; deterministic for a fixed seed.
+    * [[Ivf.trainDeterministic]].
+    *
+    * The fit is the same BOUNDED, UNIFORM, DETERMINISTIC sample as
+    * [[Ivf.train]]: the `maxSampleRows` vectors with the smallest
+    * seed-keyed md5 — a TakeOrdered (per-partition top-k + merge, no
+    * full sort shuffle). A bare `limit(maxSampleRows)` takes whatever
+    * splits come first, and on a layout-correlated corpus
+    * (time-partitioned, cluster-sorted — the normal 100 TB case) the
+    * codebooks would only ever see the first stratum and quantization
+    * error silently balloons for the rest (ExtensionsSpec plants
+    * exactly that layout). The sample is taken ONCE and persisted; the
+    * m subspace fits slice it — one corpus scan, not m.
     */
   def train(vecs: DataFrame, vecCol: String, m: Int = 4, nCodes: Int = 16,
             seed: Long = 42L, maxSampleRows: Int = 100000): PqIndex = {
@@ -93,18 +103,26 @@ object Pq {
     val dim = vecs.select(size(col(vecCol)).as("d")).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
-    val centroids = Array.tabulate(m) { j =>
-      val sub = vecs
-        .select(array_to_vector(
-          slice(col(vecCol).cast("array<double>"), j * dsub + 1, dsub))
-          .as("features"))
-        .limit(maxSampleRows)
-      new KMeans()
-        .setK(nCodes).setSeed(seed + j).setMaxIter(20)
-        .setFeaturesCol("features")
-        .fit(sub).clusterCenters.map(_.toArray)
-    }
-    PqIndex(centroids, dim)
+    val sample = vecs
+      .select(col(vecCol).cast("array<double>").as("v"),
+              md5(concat(lit(seed.toString), lit("|"),
+                         col(vecCol).cast("string"))).as("__h"))
+      .orderBy("__h")
+      .limit(maxSampleRows)
+      .select("v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centroids = Array.tabulate(m) { j =>
+        val sub = sample
+          .select(array_to_vector(slice(col("v"), j * dsub + 1, dsub))
+            .as("features"))
+        new KMeans()
+          .setK(nCodes).setSeed(seed + j).setMaxIter(20)
+          .setFeaturesCol("features")
+          .fit(sub).clusterCenters.map(_.toArray)
+      }
+      PqIndex(centroids, dim)
+    } finally sample.unpersist()
   }
 
   /** Deterministic codebooks: the subvectors of the `nCodes` md5-smallest

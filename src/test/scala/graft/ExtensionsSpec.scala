@@ -578,6 +578,49 @@ class ExtensionsSpec extends SparkTestBase {
     assert(top.head.getLong(1) == 99L, s"expected twin first, got ${top.head}")
   }
 
+  test("PQ sampled fit: the bounded hash-sample fit matches a full fit's " +
+       "quantization error on a CLUSTER-SORTED corpus, where a prefix " +
+       "limit() fit (the pre-fix behavior) balloons it") {
+    import spark.implicits._
+    import graft.extensions.Pq
+    val rng = new scala.util.Random(37)
+    // 4 well-separated clusters, rows ORDERED by cluster; cluster c is
+    // displaced in subspace c, so codebooks fit on the cluster-0 prefix
+    // never see subspaces 1..3's displaced modes
+    val rows = (0 until 4).flatMap { c =>
+      (0 until 100).map { i =>
+        val v = Array.fill(32)(0.05f * rng.nextGaussian().toFloat)
+        v(c * 8) += 1f
+        (c * 100L + i, v)
+      }
+    }
+    val vecs = rows.toDF("vec_id", "embedding").orderBy("vec_id").coalesce(2)
+    def meanQerr(index: Pq.PqIndex): Double = {
+      val codes = Pq.encode(vecs, "vec_id", "embedding", index)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val errs = rows.map { case (id, v) =>
+        (0 until index.m).map { j =>
+          val cent = index.centroids(j)(codes(id)(j))
+          (0 until index.dsub).foldLeft(0.0) { (acc, i) =>
+            val d = v(j * index.dsub + i).toDouble - cent(i); acc + d * d
+          }
+        }.sum
+      }
+      errs.sum / errs.size
+    }
+    // 60-row sample of 400 (≈15 per cluster) must see every stratum
+    val sampled = meanQerr(Pq.train(vecs, "embedding", m = 4, nCodes = 8,
+      maxSampleRows = 60))
+    val full = meanQerr(Pq.train(vecs, "embedding", m = 4, nCodes = 8))
+    // the pre-fix behavior: codebooks fit on whatever rows come first
+    val biased = meanQerr(Pq.train(vecs.limit(60), "embedding",
+      m = 4, nCodes = 8))
+    assert(sampled <= full * 1.3,
+      s"sampled-fit qerr $sampled lags full-fit qerr $full")
+    assert(biased > sampled * 3,
+      s"prefix-biased qerr $biased should balloon vs sampled $sampled")
+  }
+
   test("IVF-PQ: probing ALL cells reproduces plain PQ ADC ranking") {
     import spark.implicits._
     import graft.extensions.{Ivf, Pq}
