@@ -191,7 +191,12 @@ object Ivf {
     // self-join infers isnotnull(cell) and would push it below the
     // staged norm/nvec projections, re-inlining the O(d²)-per-row norm
     // the staging exists to prevent — and the multi-probe assignment is
-    // computed once, not once per join side
+    // computed once, not once per join side. Cache ownership: this
+    // entry is nProbe× the corpus (vectors included — each vector
+    // appears once per probed cell) and lives for the session;
+    // CacheManager dedups repeat calls over the same corpus, and
+    // spark.catalog.clearCache() reclaims it between corpora — the
+    // same stance as search(), at nProbe× the footprint
     val staged = prepped(vecs, idCol, vecCol)
       .select(col("id"), col("vec"), col("nrm"),
         explode(topCells(col("nvec"), index, nProbe)).as("cell"))

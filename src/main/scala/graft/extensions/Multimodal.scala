@@ -78,11 +78,33 @@ object Multimodal {
       (b0 == 'B' && b1 == 'M') ||                          // BMP
       (b0 == 'I' && b1 == 'I' && (p(2) & 0xff) == 0x2a) || // TIFF LE
       (b0 == 'M' && b1 == 'M' && (p(3) & 0xff) == 0x2a) || // TIFF BE
-      // WBMP: type 0 AND fixheader 0 — both bytes, not just the first,
-      // or every length-prefixed/zero-padded binary record pays the
-      // probe the sniff exists to skip
-      (b0 == 0x00 && b1 == 0x00)
+      // WBMP has no magic beyond two zero bytes — a very common binary
+      // prefix (big-endian length fields < 65536, zero-padded records) —
+      // so replicate the JDK SPI's FULL plausibility check: nonzero
+      // uintvar width/height AND payload length == header + ceil(w/8)·h
+      (b0 == 0x00 && b1 == 0x00 && wbmpPlausible(p))
     }
+
+  /** The JDK WBMP SPI's `canDecodeInput` arithmetic: after the two zero
+    * header bytes, width and height parse as nonzero uintvars (7 bits
+    * per byte, high bit = continuation) and the payload length equals
+    * header + one-bit-per-pixel scanlines. Anything else would be
+    * rejected by the reader, so probing it is pure waste.
+    */
+  private def wbmpPlausible(p: Array[Byte]): Boolean = {
+    var off = 2
+    def uintvar(): Long = {
+      var v = 0L; var n = 0
+      while (off < p.length && n < 5) {
+        val b = p(off) & 0xff; off += 1; n += 1
+        v = (v << 7) | (b & 0x7f)
+        if ((b & 0x80) == 0) return v
+      }
+      -1L
+    }
+    val w = uintvar(); val h = uintvar()
+    w > 0 && h > 0 && p.length.toLong == ((w + 7) / 8) * h + off
+  }
 
   /** REAL feature extraction: payloads a registered `javax.imageio`
     * codec decodes are reduced to a `grid`×`grid` box-filtered luminance

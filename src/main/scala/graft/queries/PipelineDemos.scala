@@ -44,27 +44,28 @@ object PipelineDemos {
   private val cosineThreshold = 0.45
   private val embedCap = 1000L
 
+  // all index memos key on a content stamp of the backing parquet (not
+  // the dir path), so a driver-side testdata regeneration mid-session
+  // invalidates them instead of serving a stale index — see CorpusMemo
   private val ivfIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, graft.extensions.Ivf.IvfIndex]
+    new graft.tables.CorpusMemo[graft.extensions.Ivf.IvfIndex]("embeddings")
 
-  private val pqIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, Pq.PqIndex]
+  private val pqIndexCache = new graft.tables.CorpusMemo[Pq.PqIndex]("embeddings")
 
   // history-only PQ codebooks for the incremental IVF-PQ demo (frozen
   // before the "new" batch arrives, like the coarse quantizer below)
   private val pqHistIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, Pq.PqIndex]
+    new graft.tables.CorpusMemo[Pq.PqIndex]("embeddings")
 
   // history-only coarse quantizer for the incremental-maintenance demos
   // (frozen index trained before the "new" batch ever arrives); shared
   // with StreamingDemos' ivf-ingest face, which freezes the same index
   private[queries] val ivfHistIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, graft.extensions.Ivf.IvfIndex]
+    new graft.tables.CorpusMemo[graft.extensions.Ivf.IvfIndex]("embeddings")
 
   // offline-index memo, same rationale as the IVF cache: the benchmark
   // Bloom filter is built once per corpus snapshot, not per query
-  private val bloomCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
+  private val bloomCache = new graft.tables.CorpusMemo[Array[Byte]]("documents")
 
   val queries: Map[String, Q] = Map(
     // Language ID: stopword-evidence argmax.
@@ -367,7 +368,10 @@ object PipelineDemos {
       val index = ivfIndexCache.getOrElseUpdate(dir,
         graft.extensions.Ivf.trainDeterministic(Tables.embeddings(s, dir),
           "vec_id", "embedding", k = 8))
+      // pid-keyed: two concurrent processes on one host must not
+      // interleave saveIndex overwrite with loadIndex read
       val path = s"${sys.props("java.io.tmpdir")}/graft_ivfidx_" +
+        s"${ProcessHandle.current().pid()}_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       graft.extensions.Ivf.saveIndex(s, index, path)
       val loaded = graft.extensions.Ivf.loadIndex(s, path)
@@ -416,7 +420,9 @@ object PipelineDemos {
       val index = pqIndexCache.getOrElseUpdate(dir,
         Pq.trainDeterministic(Tables.embeddings(s, dir),
           "vec_id", "embedding", m = 4, nCodes = 16))
+      // pid-keyed for the same concurrent-process reason as the IVF one
       val path = s"${sys.props("java.io.tmpdir")}/graft_pqidx_" +
+        s"${ProcessHandle.current().pid()}_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       Pq.saveIndex(s, index, path)
       val loaded = Pq.loadIndex(s, path)

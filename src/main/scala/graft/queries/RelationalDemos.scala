@@ -15,8 +15,10 @@ import graft.tables.Tables
 object RelationalDemos {
   type Q = (SparkSession, String) => DataFrame
 
-  private val cmsCache = scala.collection.concurrent.TrieMap
-    .empty[String, org.apache.spark.util.sketch.CountMinSketch]
+  // content-stamp-keyed so a mid-session testdata regeneration
+  // invalidates the sketch (see CorpusMemo)
+  private val cmsCache =
+    new graft.tables.CorpusMemo[org.apache.spark.util.sketch.CountMinSketch]("events")
 
   val queries: Map[String, Q] = Map(
     // S2 — scan + projection + pushed filter.

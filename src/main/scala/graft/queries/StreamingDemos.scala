@@ -14,10 +14,19 @@ object StreamingDemos {
 
   // the frozen index's per-cell history error profile is an OFFLINE
   // artifact (computed once when the index is fitted, like the centroids
-  // themselves) — k rows, memoized per sf dir so repeated registry
-  // executions don't re-scan the history corpus to rebuild it
+  // themselves) — k rows, memoized per corpus content stamp (not dir
+  // path) so repeated registry executions don't re-scan the history
+  // corpus AND a mid-session testdata regeneration invalidates it
   private val ivfHistStatsCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Long, Long)]]
+    new graft.tables.CorpusMemo[Seq[(Int, Long, Long)]]("embeddings")
+
+  private def deleteDir(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
 
   val queries: Map[String, Q] = Map(
     "stream_window" -> ((s, dir) =>
@@ -136,6 +145,11 @@ object StreamingDemos {
       }
       val base = s"${sys.props("java.io.tmpdir")}/graft_ivfing_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
+      // fresh sink dirs: correctness relies on exactly batches {0, 1}
+      // existing, and batch-addressed overwrite only protects batches
+      // this run writes — a past run with a different split would leave
+      // stale batch=N partitions in the read-back otherwise
+      deleteDir(s"$base/lists"); deleteDir(s"$base/advisory")
       Seq(3L, 7L).zipWithIndex.foreach { case (m, i) =>
         VecsStream.ivfIngestBatch(
           e.filter(pmod(col("vec_id"), lit(8L)) === m), i.toLong,

@@ -48,4 +48,37 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Cheap content stamp of one table's parquet under `dir` (file
+    * names + sizes + mtimes, sorted): the memo key for per-corpus
+    * offline artifacts (index/Bloom/stats caches), so a driver-side
+    * testdata regeneration mid-session invalidates them instead of
+    * serving a stale index against the new data — the oracle always
+    * recomputes from the files on disk, so a path-keyed memo would
+    * silently diverge.
+    */
+  def contentStamp(dir: String, name: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val root = new java.io.File(s"$dir/$name.parquet")
+    val parts =
+      if (root.exists()) walk(root)
+        .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}").sorted
+      else Seq("missing")
+    s"$dir/$name.parquet|${parts.mkString(",")}"
+  }
+}
+
+/** Per-corpus memo for offline artifacts (frozen indexes, Bloom
+  * filters, history stats): callers key by the sf dir, but entries are
+  * stored under [[Tables.contentStamp]] of the backing table, so a
+  * driver-side regeneration of the parquet mid-session starts a fresh
+  * entry instead of serving an index fitted to data that no longer
+  * exists.
+  */
+final class CorpusMemo[V](table: String) {
+  private val entries = scala.collection.concurrent.TrieMap.empty[String, V]
+  def getOrElseUpdate(dir: String, v: => V): V =
+    entries.getOrElseUpdate(Tables.contentStamp(dir, table), v)
 }

@@ -1060,13 +1060,23 @@ class ExtensionsSpec extends SparkTestBase {
     assert(Multimodal.looksLikeJdkImage("BM1234".getBytes))
     assert(Multimodal.looksLikeJdkImage(b('I', 'I', 0x2a, 0x00))) // TIFF LE
     assert(Multimodal.looksLikeJdkImage(b('M', 'M', 0x00, 0x2a))) // TIFF BE
-    assert(Multimodal.looksLikeJdkImage(b(0x00, 0x00, 8, 8)))     // WBMP
+    // WBMP: 8x8 → header(4) + 1 byte/row × 8 rows = 12 bytes exactly
+    assert(Multimodal.looksLikeJdkImage(
+      b(Seq(0x00, 0x00, 8, 8) ++ Seq.fill(8)(0xaa): _*)))
+    // multi-byte uintvar width (200 = 0x81 0x48): 25 bytes/row × 2 rows
+    assert(Multimodal.looksLikeJdkImage(
+      b(Seq(0x00, 0x00, 0x81, 0x48, 2) ++ Seq.fill(50)(0x55): _*)))
     assert(!Multimodal.looksLikeJdkImage("hello world".getBytes))
     assert(!Multimodal.looksLikeJdkImage(b(0xff, 0xd8))) // too short
     assert(!Multimodal.looksLikeJdkImage(Array.emptyByteArray))
     // a single leading zero (length-prefixed records, mp4 size bytes)
     // must NOT pay the probe — WBMP needs type AND fixheader zero
     assert(!Multimodal.looksLikeJdkImage(b(0x00, 0x01, 0x02, 0x03)))
+    // two zero bytes alone don't buy a probe either: a 4-byte BE length
+    // field < 65536 fails the JDK SPI's scanline-length arithmetic
+    assert(!Multimodal.looksLikeJdkImage(b(0x00, 0x00, 0x01, 0x02, 0x03)))
+    // zero width/height is not a decodable WBMP
+    assert(!Multimodal.looksLikeJdkImage(b(0x00, 0x00, 0x00, 0x10)))
   }
 
   test("multimodal: decodeFeatures computes the 4x4 luminance grid from " +
