@@ -162,6 +162,34 @@ object Ivf {
       .filter(col("rank") <= topK)
   }
 
+  /** [[searchLists]] with the probed cells additionally pushed as a
+    * STATIC `cell IN (...)` predicate — the entry point for lists
+    * stored as a `partitionBy("cell")` table (SCALE.md's "the cell is
+    * the partition/bucket key at 100 TB" claim, made literal): the
+    * IN-list lands in the scan's `PartitionFilters`, so file listing
+    * itself skips every unprobed cell directory and the probe touches
+    * ~nProbe/k of the data AT THE SOURCE, before any reading happens
+    * (PlanShapeSpec pins this). Results are identical to
+    * [[searchLists]]: the static filter is the UNION of all queries'
+    * probed cells — a superset of each query's own — and the per-query
+    * cell equi-join still restricts candidates exactly as before.
+    *
+    * The driver-side collect is the distinct probed cells of the query
+    * BATCH — bounded by min(k, queries·nProbe) rows, the same
+    * bounded-index-build stance as [[trainDeterministic]]; at serving
+    * time this is the planner computing which partitions a query batch
+    * needs, which is exactly a driver's job.
+    */
+  def searchListsPruned(lists: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, index: IvfIndex,
+                        nProbe: Int = 2, topK: Int = 3): DataFrame = {
+    val cells = prepped(queries, idCol, vecCol)
+      .select(explode(topCells(col("nvec"), index, nProbe)).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    searchLists(lists.filter(col("cell").isInCollection(cells)),
+      queries, idCol, vecCol, index, nProbe, topK)
+  }
+
   /** Embedding near-duplicate PAIRS via the IVF partition — the scale
     * path for embedding-cosine dedup (the brute-force
     * `Similarity.pairwiseCosine` is the capped baseline): candidate

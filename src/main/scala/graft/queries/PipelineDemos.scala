@@ -67,6 +67,11 @@ object PipelineDemos {
   // Bloom filter is built once per corpus snapshot, not per query
   private val bloomCache = new graft.tables.CorpusMemo[Array[Byte]]("documents")
 
+  // path of the cell-partitioned on-disk inverted lists (the
+  // partition-pruned probe demo's offline build), memoized per corpus
+  // snapshot like the index that assigns them
+  private val ivfListsPathCache = new graft.tables.CorpusMemo[String]("embeddings")
+
   val queries: Map[String, Q] = Map(
     // Language ID: stopword-evidence argmax.
     "lang_id" -> ((s, dir) => {
@@ -378,6 +383,35 @@ object PipelineDemos {
       val e = Tables.embeddings(s, dir)
       graft.extensions.Ivf.search(e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", loaded, nProbe = 2, topK = 3)
+        .orderBy("query_id", "rank")
+    }),
+    // Partition-pruned IVF probe: the inverted lists land on disk as a
+    // Hive-partitioned table (write.partitionBy("cell") — the layout
+    // the 100 TB design names: cell IS the partition key), and the
+    // search pushes its probed cells as a static IN-list, so the
+    // scan's PartitionFilters skip every unprobed cell DIRECTORY at
+    // file-listing time — the probe touches ~nProbe/k of the data at
+    // the source (PlanShapeSpec pins the plan). Identical results to
+    // ann_ivf (the static filter is a superset of each query's probed
+    // cells; the per-query cell join is unchanged), so the oracle is
+    // shared verbatim. The lists write is the offline index build,
+    // memoized per corpus snapshot like the index itself.
+    "ann_ivf_pruned" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val index = ivfIndexCache.getOrElseUpdate(dir,
+        graft.extensions.Ivf.trainDeterministic(e, "vec_id", "embedding",
+          k = 8))
+      val path = ivfListsPathCache.getOrElseUpdate(dir, {
+        val p = s"${sys.props("java.io.tmpdir")}/graft_ivflists_" +
+          s"${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        graft.extensions.Ivf.assign(e, "vec_id", "embedding", index)
+          .write.mode("overwrite").partitionBy("cell").parquet(p)
+        p
+      })
+      graft.extensions.Ivf.searchListsPruned(s.read.parquet(path),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", index,
+          nProbe = 2, topK = 3)
         .orderBy("query_id", "rank")
     }),
     "ann_ivf_drift" -> ((s, dir) => {
@@ -1501,6 +1535,11 @@ object PipelineDemos {
     // artifact), not their values — doubles round-trip exactly, so the
     // expected result is ann_ivf's, verbatim
     "ann_ivf_persisted" -> annIvfOracle,
+    // partition pruning changes WHICH FILES the scan lists, never a
+    // value: floats/doubles round-trip parquet exactly and the static
+    // cell IN-list is a superset of every query's probed cells, so the
+    // expected result is ann_ivf's, verbatim
+    "ann_ivf_pruned" -> annIvfOracle,
     // ann_ivf's CTEs with the centroid pick restricted to the HISTORY
     // 3/4 (vec_id % 4 < 3): append-without-refit means assignment with
     // the frozen history-trained centroids, so the merged lists equal a

@@ -114,6 +114,25 @@ class PlanShapeSpec extends SparkTestBase {
       "the pack window must sort per stream partition, not globally")
   }
 
+  test("ann_ivf_pruned lands the probed cells in PartitionFilters — the " +
+       "scan skips unprobed cell= directories at file-listing time") {
+    val df = SparkEntry.queries("ann_ivf_pruned")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("cell#"),
+      s"the lists scan must carry a cell PartitionFilter — plan:\n$p")
+    assert(pf.contains(" IN ") || pf.contains("INSET") ||
+           pf.contains("in(cell"),
+      s"the probed-cell IN-list must be a PartitionFilter (directory " +
+        s"pruning), not a post-scan Filter — filters:\n$pf\nplan:\n$p")
+    // and the pruned search returns exactly ann_ivf's rows
+    val pruned = df.collect().map(_.toSeq).toSet
+    val full = SparkEntry.queries("ann_ivf")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(pruned == full, "pruned search must equal ann_ivf")
+  }
+
   test("tfidf corpus size joins as a broadcast one-row frame, tf/df " +
        "aggregations are partial (map-side) first") {
     val p = plan("tfidf_terms")
