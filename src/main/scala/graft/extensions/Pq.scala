@@ -246,6 +246,94 @@ object Pq {
                   pq: PqIndex): DataFrame =
     lists.unionByName(codedLists(newVecs, idCol, vecCol, ivf, pq))
 
+  /** Deterministic codebooks over NORMALIZED vectors — the
+    * cosine-metric PQ (FAISS's normalize-then-L2 handling of inner
+    * product/cosine): on unit vectors l2²(x̂, ŷ) = 2 − 2·cos(x, y), so
+    * ADC distances ORDER BY approximate cosine instead of raw L2,
+    * which is what every other ANN operator here ranks by. Pair with
+    * [[codedListsCosine]] / [[searchIvfPqRerank]].
+    */
+  def trainDeterministicCosine(vecs: DataFrame, idCol: String,
+                               vecCol: String, m: Int = 4,
+                               nCodes: Int = 16): PqIndex =
+    trainDeterministic(
+      Ivf.prepped(vecs, idCol, vecCol).select(col("id"),
+        col("nvec").as("vec")),
+      "id", "vec", m, nCodes)
+
+  /** The cosine-metric combined index rows (id, cell, codes): coarse
+    * cell + PQ codes of the NORMALIZED vector, one map-side pass —
+    * same cells as [[codedLists]] (the coarse quantizer always probes
+    * normalized), but codes that make ADC rank by approximate cosine.
+    */
+  def codedListsCosine(corpus: DataFrame, idCol: String, vecCol: String,
+                       ivf: Ivf.IvfIndex, pq: PqIndex): DataFrame =
+    Ivf.prepped(corpus, idCol, vecCol)
+      .select(col("id"),
+        Ivf.topCells(col("nvec"), ivf, 1).getItem(0).as("cell"),
+        codesCol(col("nvec"), pq))
+
+  /** Two-phase IVF-PQ search (ADC shortlist → exact re-rank) — the
+    * production retrieval pattern (FAISS "refine"): phase 1 probes
+    * `nProbe` cells of cosine-metric coded lists (from
+    * [[codedListsCosine]] — ADC on normalized vectors orders by
+    * approximate cosine) and keeps the best `shortlist` rows per
+    * query, never touching a raw corpus vector; phase 2 fetches exact
+    * vectors for ONLY those survivors via an id equi-join against the
+    * vector store and re-ranks them by exact cosine. PQ quantization
+    * error then decides NOTHING beyond shortlist membership — the
+    * returned order is exact, and because phase 1 approximates the
+    * SAME metric phase 2 ranks by, recall loss is confined to
+    * neighbors whose quantized cosine fell below R (tunable, monotone
+    * in R).
+    *
+    * Scale shape: the shortlist (queries × R rows, ids only) is
+    * BROADCAST into the vector-store scan, so the corpus is never
+    * shuffled for the fetch and the exchange after it carries R rows
+    * per query, not inverted lists; on an id-bucketed store the fetch
+    * is a point lookup. Query vectors ride the same broadcast stance
+    * as every probe side here.
+    */
+  def searchIvfPqRerank(lists: DataFrame, vecs: DataFrame,
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        ivf: Ivf.IvfIndex, pq: PqIndex, nProbe: Int = 2,
+                        shortlist: Int = 10, topK: Int = 3): DataFrame = {
+    // phase 1: the searchIvfPqLists join shape with the distance table
+    // built from the NORMALIZED query (matching the normalized codes)
+    val probes = broadcast(
+      Ivf.prepped(queries, idCol, vecCol)
+        .select(col("id").as("query_id"),
+          explode(Ivf.topCells(col("nvec"), ivf, nProbe)).as("cell"),
+          dtCol(col("nvec"), pq)))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist"), col("neighbor_id"))
+    val short = lists.join(probes, "cell")
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+              adcDistance(pq).as("approx_dist"))
+      .withColumn("srank", row_number().over(wAdc))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // phase 2: exact-vector fetch for the R survivors + exact re-rank
+    val store = Ivf.prepped(vecs, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("vec").as("n_vec"),
+              col("nrm").as("n_nrm"))
+    val qs = broadcast(Ivf.prepped(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("vec").as("q_vec"),
+              col("nrm").as("q_nrm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(short).join(store, "neighbor_id")
+      .join(qs, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("q_nrm") > 0 && col("n_nrm") > 0,
+          Similarity.dot(col("q_vec"), col("n_vec"))
+            / (col("q_nrm") * col("n_nrm")))
+          .otherwise(lit(0.0)).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   /** Search PRE-BUILT coded lists ((id, cell, codes) from
     * [[codedLists]] / [[appendCoded]]) — the maintenance-path entry
     * point: at scale the coded lists are a persistent cell-partitioned

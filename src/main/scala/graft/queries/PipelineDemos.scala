@@ -52,6 +52,10 @@ object PipelineDemos {
 
   private val pqIndexCache = new graft.tables.CorpusMemo[Pq.PqIndex]("embeddings")
 
+  // cosine-metric PQ codebooks (trained on normalized vectors) for the
+  // two-phase rerank demo
+  private val pqCosIndexCache = new graft.tables.CorpusMemo[Pq.PqIndex]("embeddings")
+
   // history-only PQ codebooks for the incremental IVF-PQ demo (frozen
   // before the "new" batch arrives, like the coarse quantizer below)
   private val pqHistIndexCache =
@@ -543,6 +547,37 @@ object PipelineDemos {
           ivf, pq, nProbe = 2, topK = 3)
         .orderBy("query_id", "rank")
     }),
+    // Two-phase IVF-PQ retrieval (ADC shortlist → exact re-rank): phase
+    // 1 probes 2 of 8 cells of the COSINE-METRIC coded lists (PQ over
+    // normalized vectors, so ADC = 2 − 2·approx-cos orders by the same
+    // metric the whole ANN family ranks by; 16 subspaces × 64 codes)
+    // and keeps a 100-row shortlist per query; phase 2 fetches exact
+    // vectors for ONLY those rows (the shortlist broadcasts into the
+    // id equi-join — the corpus never shuffles) and re-ranks by exact
+    // cosine. PQ quantization error decides shortlist membership,
+    // never final order — the production refine pattern; at this
+    // (m, nCodes, R) the top-3 equals ann_ivf's exactly on every sf of
+    // this testdata (verified against the ann_ivf oracle at
+    // sf0.001/0.01/0.1; the pin on a controlled fixture is in
+    // ExtensionsSpec). Both quantizers deterministic, so the oracle
+    // recomputes both phases end-to-end.
+    "ann_ivfpq_rerank" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val ivf = ivfIndexCache.getOrElseUpdate(dir,
+        graft.extensions.Ivf.trainDeterministic(e, "vec_id", "embedding",
+          k = 8))
+      val pq = pqCosIndexCache.getOrElseUpdate(dir,
+        Pq.trainDeterministicCosine(e, "vec_id", "embedding",
+          m = 16, nCodes = 64))
+      // the coded lists ARE the index — persisted once per corpus, same
+      // cache stance as searchIvfPq
+      val lists = Pq.codedListsCosine(e, "vec_id", "embedding", ivf, pq)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Pq.searchIvfPqRerank(lists, e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", ivf, pq, nProbe = 2, shortlist = 100,
+          topK = 3)
+        .orderBy("query_id", "rank")
+    }),
     // Incremental IVF-PQ maintenance: BOTH quantizers are frozen on the
     // history 3/4 (md5-smallest history ids seed centroids and
     // codebooks); the "new" 1/4 is appended by one map-side
@@ -961,13 +996,14 @@ object PipelineDemos {
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> " +
     s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)"
 
-  /** Sequential-fold squared L2 distance between 16-dim subspace `j`
-    * (0-based SQL expression) of two list columns — matches Pq.l2sq's
-    * aggregate() fold bit-for-bit (0.0 + t1 ≡ t1 in IEEE). */
-  private def l2sqSql(a: String, b: String, j: String): String =
-    s"list_reduce(list_transform(generate_series(1, 16), i -> " +
-    s"(CAST($a[$j*16 + i] AS DOUBLE) - CAST($b[$j*16 + i] AS DOUBLE)) * " +
-    s"(CAST($a[$j*16 + i] AS DOUBLE) - CAST($b[$j*16 + i] AS DOUBLE)))," +
+  /** Sequential-fold squared L2 distance between `dsub`-dim subspace
+    * `j` (0-based SQL expression) of two list columns — matches
+    * Pq.l2sq's aggregate() fold bit-for-bit (0.0 + t1 ≡ t1 in IEEE). */
+  private def l2sqSql(a: String, b: String, j: String,
+                      dsub: Int = 16): String =
+    s"list_reduce(list_transform(generate_series(1, $dsub), i -> " +
+    s"(CAST($a[$j*$dsub + i] AS DOUBLE) - CAST($b[$j*$dsub + i] AS DOUBLE)) * " +
+    s"(CAST($a[$j*$dsub + i] AS DOUBLE) - CAST($b[$j*$dsub + i] AS DOUBLE)))," +
     s" (acc, x) -> acc + x)"
 
   private val hexHigh = "('8','9','a','b','c','d','e','f')"
@@ -1174,6 +1210,52 @@ object PipelineDemos {
        |SELECT query_id, neighbor_id, approx_dist,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS BIGINT) AS rank
        |FROM approx QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** IVF-PQ composed CTE chain ending in `approx(query_id, neighbor_id,
+    * approx_dist)` — IVF assignment/probing from ann_ivf + codebook/ADC
+    * encoding from ann_pq; shared by the one-phase ann_ivfpq oracle and
+    * the two-phase rerank oracle (which cuts `approx` to a shortlist
+    * and re-ranks it by exact cosine).
+    */
+  private lazy val annIvfPqCtes: String =
+    s"""WITH $normsCte,
+       |nv AS (SELECT vec_id, embedding, nrm,
+       |         list_transform(embedding, x -> CASE WHEN nrm > 0 THEN CAST(x AS DOUBLE) / nrm ELSE 0.0 END) AS nvec
+       |       FROM norms),
+       |cent AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cell,
+       |           nvec AS cvec
+       |         FROM nv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       |scored AS (SELECT nv.vec_id, cent.cell, ${dotSql("nv.nvec", "cent.cvec")} AS d
+       |           FROM nv, cent),
+       |ranked AS (SELECT vec_id, cell,
+       |             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS rn
+       |           FROM scored),
+       |ass AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM ranked
+       |           WHERE vec_id < 5 AND rn <= 2),
+       |seeds AS (SELECT embedding AS sv,
+       |    CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS code
+       |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |subs AS (SELECT j FROM generate_series(0, 3) AS g(j)),
+       |encd AS (SELECT e.vec_id, s2.j, s.code,
+       |           ${l2sqSql("e.embedding", "s.sv", "s2.j")} AS d
+       |         FROM embeddings e, subs s2, seeds s),
+       |enc AS (SELECT vec_id, j, code,
+       |          row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+       |        FROM encd),
+       |codes AS (SELECT vec_id, j, code FROM enc WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+       |         FROM probes p JOIN ass a USING (cell)
+       |         WHERE a.vec_id <> p.query_id),
+       |pairs AS (SELECT c.query_id, c.neighbor_id, cd.j,
+       |            ${l2sqSql("q.qv", "s.sv", "cd.j")} AS dpart
+       |          FROM cand c JOIN q USING (query_id)
+       |          JOIN codes cd ON cd.vec_id = c.neighbor_id
+       |          JOIN seeds s ON s.code = cd.code),
+       |approx AS (SELECT query_id, neighbor_id,
+       |             list_reduce(list(dpart ORDER BY j), (a, x) -> a + x) AS approx_dist
+       |           FROM pairs GROUP BY query_id, neighbor_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "lang_id" ->
@@ -1667,6 +1749,16 @@ object PipelineDemos {
     // ann_pq, composed: candidates = probed inverted lists, distance =
     // ADC over the candidates' codes
     "ann_ivfpq" ->
+      s"""$annIvfPqCtes
+         |SELECT query_id, neighbor_id, approx_dist,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS BIGINT) AS rank
+         |FROM approx QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // the two-phase chain: ann_ivfpq's IVF CTEs, PQ seeds/encoding/ADC
+    // over the NORMALIZED vectors (cosine-metric codebooks, 16
+    // subspaces × 64 codes), the ADC ranking cut at the 100-row
+    // shortlist, then exact cosine recomputed for ONLY those rows and
+    // re-ranked — the same phase split the Spark side executes
+    "ann_ivfpq_rerank" ->
       s"""WITH $normsCte,
          |nv AS (SELECT vec_id, embedding, nrm,
          |         list_transform(embedding, x -> CASE WHEN nrm > 0 THEN CAST(x AS DOUBLE) / nrm ELSE 0.0 END) AS nvec
@@ -1682,32 +1774,40 @@ object PipelineDemos {
          |ass AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
          |probes AS (SELECT vec_id AS query_id, cell FROM ranked
          |           WHERE vec_id < 5 AND rn <= 2),
-         |seeds AS (SELECT embedding AS sv,
+         |seeds AS (SELECT nvec AS sv,
          |    CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS code
-         |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-         |subs AS (SELECT j FROM generate_series(0, 3) AS g(j)),
+         |  FROM nv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
+         |subs AS (SELECT j FROM generate_series(0, 15) AS g(j)),
          |encd AS (SELECT e.vec_id, s2.j, s.code,
-         |           ${l2sqSql("e.embedding", "s.sv", "s2.j")} AS d
-         |         FROM embeddings e, subs s2, seeds s),
+         |           ${l2sqSql("e.nvec", "s.sv", "s2.j", dsub = 4)} AS d
+         |         FROM nv e, subs s2, seeds s),
          |enc AS (SELECT vec_id, j, code,
          |          row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
          |        FROM encd),
          |codes AS (SELECT vec_id, j, code FROM enc WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |q AS (SELECT vec_id AS query_id, nvec AS qv FROM nv WHERE vec_id < 5),
          |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
          |         FROM probes p JOIN ass a USING (cell)
          |         WHERE a.vec_id <> p.query_id),
          |pairs AS (SELECT c.query_id, c.neighbor_id, cd.j,
-         |            ${l2sqSql("q.qv", "s.sv", "cd.j")} AS dpart
+         |            ${l2sqSql("q.qv", "s.sv", "cd.j", dsub = 4)} AS dpart
          |          FROM cand c JOIN q USING (query_id)
          |          JOIN codes cd ON cd.vec_id = c.neighbor_id
          |          JOIN seeds s ON s.code = cd.code),
          |approx AS (SELECT query_id, neighbor_id,
          |             list_reduce(list(dpart ORDER BY j), (a, x) -> a + x) AS approx_dist
-         |           FROM pairs GROUP BY query_id, neighbor_id)
-         |SELECT query_id, neighbor_id, approx_dist,
-         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS BIGINT) AS rank
-         |FROM approx QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
+         |           FROM pairs GROUP BY query_id, neighbor_id),
+         |short AS (SELECT query_id, neighbor_id FROM approx
+         |          QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY approx_dist, neighbor_id) <= 100),
+         |cs AS (SELECT s.query_id, s.neighbor_id,
+         |         CASE WHEN q2.nrm > 0 AND n.nrm > 0
+         |           THEN ${dotSql("q2.embedding", "n.embedding")} / (q2.nrm * n.nrm)
+         |           ELSE 0.0 END AS cos
+         |       FROM short s JOIN norms q2 ON q2.vec_id = s.query_id
+         |       JOIN norms n ON n.vec_id = s.neighbor_id)
+         |SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |FROM cs QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
     // ann_ivfpq's CTEs with BOTH quantizer picks restricted to the
     // HISTORY 3/4 (vec_id % 4 < 3): frozen-index assignment and
     // encoding are per-row, so the appended lists equal a full build

@@ -646,6 +646,47 @@ class ExtensionsSpec extends SparkTestBase {
     assert(partial.map(_._1).distinct.sorted == Seq(0L, 1L))
   }
 
+  test("IVF-PQ two-phase re-rank: a candidate-covering shortlist " +
+       "reproduces the exact IVF search bit-for-bit; a planted twin " +
+       "survives a tight shortlist and re-ranks first; no shuffle join") {
+    import spark.implicits._
+    import graft.extensions.{Ivf, Pq}
+    val rng = new scala.util.Random(61)
+    val base = (0 until 50).map(i =>
+      (i.toLong, Array.fill(32)(rng.nextGaussian().toFloat)))
+    val twin = (99L, base(1)._2.map(v => v * 1.0004f))
+    val vecs = (base :+ twin).toDF("vec_id", "embedding")
+    val ivf = Ivf.trainDeterministic(vecs, "vec_id", "embedding", k = 4)
+    val pq = Pq.trainDeterministicCosine(vecs, "vec_id", "embedding",
+      m = 4, nCodes = 8)
+    val lists = Pq.codedListsCosine(vecs, "vec_id", "embedding", ivf, pq)
+    val queries = vecs.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cos", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    // a shortlist covering every probed candidate makes phase 2 the
+    // exact cosine rank over the same candidate set as Ivf.search —
+    // identical output, cos values bit-for-bit (same fold, same guards)
+    val wide = Pq.searchIvfPqRerank(lists, vecs, queries, "vec_id",
+      "embedding", ivf, pq, nProbe = 2, shortlist = 60, topK = 3)
+    assert(rows(wide) == rows(Ivf.search(vecs, queries, "vec_id",
+      "embedding", ivf, nProbe = 2, topK = 3)))
+    // every join in the two-phase plan broadcasts (probes, shortlist,
+    // query vectors) — the corpus side never shuffles for a join
+    assert(!wide.queryExecution.executedPlan.toString
+      .contains("SortMergeJoin"))
+    // tight shortlist: the twin's ADC distance to its query is
+    // near-minimal, so it survives the R=5 cut and exact re-rank puts
+    // it first
+    val tight = Pq.searchIvfPqRerank(lists, vecs,
+        vecs.filter(col("vec_id") === 1L), "vec_id", "embedding",
+        ivf, pq, nProbe = 2, shortlist = 5, topK = 1)
+      .collect()
+    assert(tight.length == 1 && tight.head.getLong(1) == 99L,
+      s"expected the twin first after re-rank, got ${tight.toSeq}")
+  }
+
   test("span dedup: planted cross-doc span flagged, unique docs clean, " +
        "short docs emit no spans") {
     val common = (1 to 8).map(i => s"tok$i").mkString(" ") // exactly w toks
