@@ -330,6 +330,104 @@ object Ivf {
       .agg(count(lit(1)).as("n"), sum(col("qerr_q")).as("sum_qerr_q"))
   }
 
+  /** A completed [[refit]]: the new index (version to [[saveIndex]]
+    * under a new path), the migrated lists, and which cells were
+    * re-trained. */
+  final case class Refit(index: IvfIndex, lists: DataFrame,
+                         driftedCells: Seq[Int])
+
+  /** Close the refit loop: consume a [[refitAdvisory]] frame, SPLIT
+    * each drifted cell — a 2-way KMeans over that cell's own members
+    * (the [[train]] bounded-hash-sample fit), one child keeping the
+    * old cell id and one appended past `k` — and migrate the lists. A
+    * drifted cell is, by the advisory's definition, one whose single
+    * centroid now covers two populations (its history mode plus the
+    * newly ingested one), so the split plants a centroid on EACH mode;
+    * a re-pick of one centroid from the mixed membership could not
+    * recover recall for either. Undrifted centroids keep their cell
+    * ids untouched — their on-disk partitions stay addressable — and
+    * the migration reads every list row at most once:
+    *
+    *   - rows in a drifted cell re-assign by full argmin over the new
+    *     index (they must move — their centroid is gone);
+    *   - rows in an undrifted cell compare their CURRENT centroid
+    *     against only the 2·|D| NEW centroids (O(|D|) per row, not
+    *     O(k)): the original assignment already proved the current
+    *     cell beats every other undrifted centroid, so the global
+    *     argmin under the new index is exactly max(current, best-new)
+    *     under the same (dot desc, cell desc) order [[topCells]] uses.
+    *
+    * That case split makes the migrated lists EQUAL a from-scratch
+    * [[assign]] of all vectors under the new index — not approximately,
+    * row for row (asserted in ExtensionsSpec) — while the bulk of a
+    * 100 TB corpus (the undrifted cells) pays O(|D|) dot products per
+    * row and never shuffles: both branches are map-side against
+    * centroid literals, and on a cell-partitioned lists table the
+    * drifted branch is a partition-pruned scan.
+    *
+    * The advisory collect is ≤ k rows (bounded, like every index-build
+    * step here). A refit ORPHANS the drifted cell ids' history — codes
+    * and stats keyed to them must be rebuilt — which is why the result
+    * is an explicit new index version, not an in-place mutation.
+    */
+  def refit(lists: DataFrame, advisory: DataFrame, index: IvfIndex,
+            seed: Long = 42L, maxSampleRows: Int = 100000): Refit = {
+    val drifted = advisory.filter(col("drifted"))
+      .select("cell").collect().map(_.getInt(0)).toSet
+    if (drifted.isEmpty) return Refit(index, lists, Seq.empty)
+    val driftedSorted = drifted.toSeq.sorted
+    val k = index.k
+    val evidence = lists.filter(col("cell").isInCollection(drifted))
+    // split fit per drifted cell: 2 children from that cell's members
+    // (a singleton cell degenerates to a duplicated centroid — ties go
+    // to the larger id on BOTH the migration and the from-scratch
+    // side, so equality still holds)
+    val merged = Array.ofDim[Array[Double]](k + driftedSorted.size)
+    index.centroids.copyToArray(merged)
+    driftedSorted.zipWithIndex.foreach { case (cell, i) =>
+      val cs = train(lists.filter(col("cell") === cell), "vec", 2,
+        seed = seed + cell, maxSampleRows = maxSampleRows).centroids
+      merged(cell) = cs(0)
+      merged(k + i) = if (cs.length > 1) cs(1) else cs(0)
+    }
+    val newIndex = IvfIndex(merged)
+    // mini-index of ONLY the new centroids: undrifted rows probe 2·|D|
+    // candidates, not k; position order == real cell id order
+    // (driftedSorted ascending, then k, k+1, …), so the kernel's
+    // larger-position tie-break maps to the larger cell id
+    val realIds = driftedSorted ++ (k until k + driftedSorted.size)
+    val mini = IvfIndex(realIds.map(c => merged(c)).toArray)
+    val realId = array(realIds.map(lit): _*)
+    val moved = assign(evidence, "id", "vec", newIndex)
+    // SeqDot and the TopCells kernel share the same left-to-right fold,
+    // so d_cur/d_new here equal the dots a from-scratch assign would
+    // compare — the case split below reproduces its (dot desc, cell
+    // desc) pick bit-for-bit
+    val miniLit = typedlit(mini.centroids.map(_.toSeq).toSeq)
+    val cents = broadcast(centroidFrame(lists.sparkSession, index)
+      .select(col("cell"), col("cvec")))
+    val kept = lists.filter(!col("cell").isInCollection(drifted))
+      .join(cents, "cell")
+      .select(col("id"), col("vec"), col("nrm"), col("cell"), col("cvec"),
+        transform(col("vec").cast("array<double>"),
+          x => when(col("nrm") > 0, x / col("nrm")).otherwise(lit(0.0)))
+          .as("nvec"))
+      .select(col("id"), col("vec"), col("nrm"), col("cell"), col("nvec"),
+        Similarity.dot(col("nvec"), col("cvec")).as("d_cur"),
+        topCells(col("nvec"), mini, 1).getItem(0).as("pos"))
+      .select(col("id"), col("vec"), col("nrm"), col("cell"),
+        col("d_cur"),
+        element_at(realId, col("pos") + 1).as("best_new"),
+        Similarity.dot(col("nvec"), element_at(miniLit, col("pos") + 1))
+          .as("d_new"))
+      .select(col("id"), col("vec"), col("nrm"),
+        when(col("d_new") > col("d_cur") ||
+             (col("d_new") === col("d_cur") &&
+              col("best_new") > col("cell")),
+          col("best_new")).otherwise(col("cell")).as("cell"))
+    Refit(newIndex, moved.unionByName(kept), driftedSorted)
+  }
+
   /** Refit advisory: does a frozen index still fit newly ingested data?
     * Joins history vs batch [[cellStats]] per cell and flags cells whose
     * batch mean quantization error exceeds `ratio` × the history's —

@@ -646,6 +646,65 @@ class ExtensionsSpec extends SparkTestBase {
     assert(partial.map(_._1).distinct.sorted == Seq(0L, 1L))
   }
 
+  test("IVF refit: the advisory's drifted cell splits on its two " +
+       "populations, migrated lists equal a from-scratch assign under " +
+       "the new index row for row, and new-region recall recovers") {
+    import spark.implicits._
+    import graft.extensions.{Ivf, Similarity}
+    val rng = new scala.util.Random(71)
+    def cluster(axis: Int, ids: Range): Seq[(Long, Array[Float])] =
+      ids.map { i =>
+        val v = Array.fill(16)(0.05f * rng.nextGaussian().toFloat)
+        v(axis * 4) += 1f
+        (i.toLong, v)
+      }
+    // history occupies three separated clusters; the batch lands in a
+    // region the frozen index never saw
+    val hist = cluster(0, 0 until 40) ++ cluster(1, 40 until 80) ++
+      cluster(2, 80 until 120)
+    val batch = cluster(3, 200 until 240)
+    val all = (hist ++ batch).toDF("vec_id", "embedding")
+    val histDf = all.filter(col("vec_id") < 120)
+    val batchDf = all.filter(col("vec_id") >= 200)
+    val index = Ivf.trainDeterministic(histDf, "vec_id", "embedding", k = 3)
+    val lists = Ivf.appendAssign(
+        Ivf.assign(histDf, "vec_id", "embedding", index),
+        batchDf, "vec_id", "embedding", index)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val advisory = Ivf.refitAdvisory(
+      Ivf.cellStats(Ivf.assign(histDf, "vec_id", "embedding", index), index),
+      Ivf.cellStats(Ivf.assign(batchDf, "vec_id", "embedding", index), index))
+    assert(advisory.filter(col("drifted")).count() >= 1,
+      "the unseen-region batch must trip the advisory")
+    val r = Ivf.refit(lists, advisory, index)
+    assert(r.driftedCells.nonEmpty && r.index.k > index.k)
+    def cellsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cell").collect()
+        .map(x => (x.getLong(0), x.getInt(1))).toSet
+    // the migration's case split must reproduce a from-scratch assign
+    // under the new index exactly
+    assert(cellsOf(r.lists) ==
+      cellsOf(Ivf.assign(all, "vec_id", "embedding", r.index)))
+    // recall recovery in the drifted region, single-probe search
+    val queries = all.filter(col("vec_id") >= 200 && col("vec_id") < 205)
+    val truth = Similarity.bruteForceTopK(all, queries, "vec_id",
+        "embedding", 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    def recall(ls: org.apache.spark.sql.DataFrame,
+               idx: Ivf.IvfIndex): Double = {
+      val got = Ivf.searchLists(ls, queries, "vec_id", "embedding", idx,
+          nProbe = 1, topK = 3)
+        .select("query_id", "neighbor_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val after = recall(r.lists, r.index)
+    assert(after >= 0.9, s"post-refit recall only $after")
+    assert(after >= recall(lists, index),
+      "refit must not lose recall in the drifted region")
+  }
+
   test("IVF-PQ two-phase re-rank: a candidate-covering shortlist " +
        "reproduces the exact IVF search bit-for-bit; a planted twin " +
        "survives a tight shortlist and re-ranks first; no shuffle join") {
