@@ -157,6 +157,39 @@ object PipelineDemos {
                 TextAnalysis.tokenCount(col("text")).as("n_tokens"))
         .orderBy("id")
     }),
+    // The full curation composite a real pipeline runs over BOTH
+    // modalities: text gate + exact/LSH dedup (CorpusClean), then
+    // embedding near-dup removal over the SURVIVORS' vectors — IVF
+    // co-bucketed pairs (trained on the cleaned subset), connected
+    // components, drop every non-min member — then split assignment
+    // and token accounting on what remains. documents ⋈ embeddings on
+    // doc id; every stage is the registered operator it names, and the
+    // oracle recomputes the whole chain (clean CTEs → restricted IVF
+    // pairs → recursive components → anti-join).
+    "pipeline_embed_e2e" -> ((s, dir) => {
+      // persisted: the cleaned frame feeds BOTH the vector restriction
+      // and the final anti-join (one cleaning pass, not two); session
+      // cache stance as Ivf.search
+      val cleaned = CorpusClean.run(Tables.documents(s, dir), "doc_id",
+          "text")
+        .select(col("id"),
+                TextAnalysis.groupSplit(col("id")).as("split"),
+                TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vecs = Tables.embeddings(s, dir)
+        .join(cleaned.select(col("id").as("vec_id")), "vec_id")
+        .select("vec_id", "embedding")
+      val index = graft.extensions.Ivf.trainDeterministic(vecs, "vec_id",
+        "embedding", k = 8)
+      val losers = Components.dedupClusters(
+          graft.extensions.Ivf.nearDupPairs(vecs, "vec_id", "embedding",
+              index, cosineThreshold, nProbe = 2)
+            .select(col("id_a"), col("id_b")))
+        .filter(!col("survivor"))
+        .select(col("id"))
+      cleaned.join(losers, Seq("id"), "left_anti")
+        .orderBy("id")
+    }),
     // NER mention generator (U1 pipeline head): sentence gates + scrub +
     // 1..3-gram candidate mentions, counted distinct per doc.
     "ngram_mentions" -> ((s, dir) => {
@@ -1373,6 +1406,55 @@ object PipelineDemos {
          |  CAST(len(toks) AS BIGINT) AS n_tokens
          |FROM ex
          |WHERE id NOT IN (SELECT id FROM losers)
+         |ORDER BY id""".stripMargin,
+    // the clean chain's survivors (sv), the IVF pair CTEs RESTRICTED to
+    // them (centroid pick, 2-probe assignment, co-cell pairs, cosine
+    // gate — all over the cleaned subset only, exactly what the Spark
+    // side trains/probes on), the recursive component closure, and the
+    // final keep-the-min anti-join carried into split/token accounting
+    "pipeline_embed_e2e" ->
+      s"""WITH RECURSIVE $corpusCleanCtes,
+         |sv AS (SELECT id, toks FROM ex
+         |       WHERE id NOT IN (SELECT id FROM losers)),
+         |enorm AS (SELECT e.vec_id, e.embedding,
+         |            sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+         |          FROM embeddings e JOIN sv ON sv.id = e.vec_id),
+         |env AS (SELECT vec_id, embedding, nrm,
+         |          list_transform(embedding, x -> CASE WHEN nrm > 0 THEN CAST(x AS DOUBLE) / nrm ELSE 0.0 END) AS nvec
+         |        FROM enorm),
+         |ecent AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cell,
+         |            nvec AS cvec
+         |          FROM env ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |escored AS (SELECT env.vec_id, ecent.cell, ${dotSql("env.nvec", "ecent.cvec")} AS d
+         |            FROM env, ecent),
+         |eranked AS (SELECT vec_id, cell,
+         |              row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS rn
+         |            FROM escored),
+         |eprobes AS (SELECT vec_id, cell FROM eranked WHERE rn <= 2),
+         |ecand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |          FROM eprobes a JOIN eprobes b USING (cell)
+         |          WHERE a.vec_id < b.vec_id),
+         |ecp AS (SELECT id_a, id_b,
+         |          CASE WHEN na.nrm > 0 AND nb.nrm > 0
+         |            THEN ${dotSql("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm)
+         |            ELSE 0.0 END AS cos
+         |        FROM ecand JOIN enorm na ON na.vec_id = ecand.id_a
+         |        JOIN enorm nb ON nb.vec_id = ecand.id_b),
+         |epairs AS (SELECT id_a, id_b FROM ecp WHERE cos >= $cosineThreshold),
+         |esym AS (SELECT id_a AS a, id_b AS b FROM epairs
+         |         UNION SELECT id_b, id_a FROM epairs),
+         |ereach AS (
+         |  SELECT a AS node, a AS comp FROM esym
+         |  UNION
+         |  SELECT s.a, r.comp FROM esym s JOIN ereach r ON r.node = s.b),
+         |elosers AS (SELECT node AS id FROM ereach
+         |            GROUP BY node HAVING node <> min(comp))
+         |SELECT id,
+         |  CASE WHEN substr(md5(CAST(id AS VARCHAR)), 1, 1) IN ('0', '1') THEN 'test'
+         |       WHEN substr(md5(CAST(id AS VARCHAR)), 1, 1) IN ('2', '3') THEN 'val'
+         |       ELSE 'train' END AS split,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens
+         |FROM sv WHERE id NOT IN (SELECT id FROM elosers)
          |ORDER BY id""".stripMargin,
     "ngram_mentions" ->
       """WITH s AS (SELECT doc_id, unnest(string_split(text, '.')) AS sentence FROM documents),
