@@ -1,8 +1,8 @@
 package graft.tables
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated TPC-H-ish parquet testdata
   * (TESTDATA.md). Every `SparkEntry.queries` entry receives the sf
@@ -15,7 +15,85 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalized(spark.read.parquet(s"$dir/$name.parquet"), name)
+
+  /** The column types the current testdata generation ships (verified
+    * against sf0.01, 2026-08). The generator has already mutated
+    * `events.ts` through three parquet flavors across rounds (see
+    * [[events]]); this map lets the scan layer absorb the next drift
+    * axis — decimal-vs-double prices, int32-vs-int64 keys, date-vs-
+    * timestamp dates — instead of surfacing it as a registry-wide
+    * analysis error or type mismatch. On undrifted data [[normalized]]
+    * is an exact no-op (no Project is added), so pushdown is untouched.
+    */
+  private val canonicalTypes: Map[String, Map[String, DataType]] = Map(
+    "region" -> Map(
+      "r_regionkey" -> IntegerType),
+    "nation" -> Map(
+      "n_nationkey" -> IntegerType, "n_regionkey" -> IntegerType),
+    "customer" -> Map(
+      "c_custkey" -> LongType, "c_nationkey" -> IntegerType,
+      "c_acctbal" -> DoubleType),
+    "supplier" -> Map(
+      "s_suppkey" -> LongType, "s_nationkey" -> IntegerType,
+      "s_acctbal" -> DoubleType),
+    "part" -> Map(
+      "p_partkey" -> LongType, "p_size" -> IntegerType,
+      "p_retailprice" -> DoubleType),
+    "orders" -> Map(
+      "o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_totalprice" -> DoubleType, "o_orderdate" -> TimestampType),
+    "lineitem" -> Map(
+      "l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_shipdate" -> TimestampType),
+    "events" -> Map(
+      "event_id" -> LongType, "user_id" -> LongType,
+      "value" -> DoubleType, "ts" -> TimestampType),
+    "documents" -> Map(
+      "doc_id" -> LongType, "n_chars" -> LongType),
+    "embeddings" -> Map(
+      "vec_id" -> LongType, "label" -> IntegerType))
+
+  /** Coercion from a drifted parquet flavor back to the canonical type.
+    * None = not a recognized drift (leave the column alone rather than
+    * guess). LongType→TimestampType is the INT64 TIMESTAMP(NANOS)
+    * flavor: `spark.sql.legacy.parquet.nanosAsLong` (Sessions.base)
+    * lands it as nanos-since-epoch, truncated here to Spark's native
+    * micros — a plain cast would read it as SECONDS.
+    */
+  private def coerce(name: String, from: DataType, to: DataType): Option[Column] = {
+    val c = col(name)
+    (from, to) match {
+      case (LongType, TimestampType)         =>
+        // integral division — `/` on longs goes through double, whose
+        // ulp at ~1.7e18 ns is 256 ns (see [[events]])
+        Some(timestamp_micros(expr(s"`$name` div 1000")))
+      case (TimestampNTZType, TimestampType) => Some(c.cast(to))
+      case (DateType, TimestampType)         => Some(c.cast(to))
+      case (_: NumericType, _: NumericType)  => Some(c.cast(to))
+      case _                                 => None
+    }
+  }
+
+  /** Cast any drifted columns of `df` back to the canonical schema for
+    * `name`. No-op (same DataFrame instance, no extra Project) when
+    * nothing drifted — the common case.
+    */
+  def normalized(df: DataFrame, name: String): DataFrame = {
+    val canon = canonicalTypes.getOrElse(name, Map.empty)
+    val fixes: Map[String, Column] = df.schema.fields.flatMap { f =>
+      canon.get(f.name) match {
+        case Some(to) if to != f.dataType =>
+          coerce(f.name, f.dataType, to).map(c => f.name -> c.as(f.name))
+        case _ => None
+      }
+    }.toMap
+    if (fixes.isEmpty) df
+    else df.select(df.columns.map(c => fixes.getOrElse(c, col(c))): _*)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
@@ -35,17 +113,10 @@ object Tables {
     *   - TIMESTAMP(MICROS) without tz metadata: arrives TIMESTAMP_NTZ,
     *     cast to TimestampType — instant-exact because the session
     *     timezone is pinned UTC (Sessions.base).
+    * All three coercions live in [[normalized]]/[[coerce]], which now
+    * covers every table's likely drift axes, not just this one.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val df = load(s, d, "events")
-    df.schema("ts").dataType match {
-      // integral division — `/` on longs goes through double, whose ulp at
-      // ~1.7e18 ns is 256 ns (measured: 1,494/100k timestamps off by 1 µs)
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => df
-    }
-  }
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -128,6 +128,92 @@ class TablesSpec extends SparkTestBase {
     assert(results(fdir).map(_._2).last == 0.0) // zero vector guard
   }
 
+  test("lineitem absorbs a decimal-vs-double / int32-vs-int64 drift: " +
+       "both flavors load to the canonical schema with equal values") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 10L, 100L, 1, 17.0, 17017.25, 0.05, 0.02, "N", "O",
+        1700000000000000L),
+      (2L, 20L, 200L, 2, 36.5, 40040.50, 0.10, 0.04, "R", "F",
+        1712345678000000L))
+    def write(dir: String, drift: Boolean): Unit = {
+      val base = rows
+        .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "us")
+        .withColumn("l_shipdate", timestamp_micros(col("us"))).drop("us")
+      val out =
+        if (!drift) base
+        else base
+          // the classic TPC-H DDL flavors: DECIMAL(12,2) money columns,
+          // INT32 keys, DATE ship dates
+          .withColumn("l_quantity", col("l_quantity").cast(DecimalType(12, 2)))
+          .withColumn("l_extendedprice",
+            col("l_extendedprice").cast(DecimalType(12, 2)))
+          .withColumn("l_discount", col("l_discount").cast(DecimalType(12, 2)))
+          .withColumn("l_tax", col("l_tax").cast(DecimalType(12, 2)))
+          .withColumn("l_orderkey", col("l_orderkey").cast(IntegerType))
+          .withColumn("l_partkey", col("l_partkey").cast(IntegerType))
+          .withColumn("l_suppkey", col("l_suppkey").cast(IntegerType))
+          .withColumn("l_linenumber", col("l_linenumber").cast(LongType))
+          .withColumn("l_shipdate", col("l_shipdate").cast(DateType))
+      out.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    }
+    def loadCanon(dir: String) = {
+      val df = Tables.lineitem(spark, dir)
+      assert(df.schema("l_quantity").dataType == DoubleType)
+      assert(df.schema("l_extendedprice").dataType == DoubleType)
+      assert(df.schema("l_orderkey").dataType == LongType)
+      assert(df.schema("l_linenumber").dataType == IntegerType)
+      assert(df.schema("l_shipdate").dataType == TimestampType)
+      df.select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_linenumber"))
+        .orderBy("l_orderkey").collect().map(_.toSeq).toSeq
+    }
+    val cDir = scratch("li_canon"); write(cDir, drift = false)
+    val dDir = scratch("li_drift"); write(dDir, drift = true)
+    // dyadic-fraction fixture values survive decimal(2)->double exactly,
+    // so the two flavors must agree bit-for-bit, not merely approximately
+    assert(loadCanon(cDir) == loadCanon(dDir))
+    // undrifted load adds no Project over the scan (normalized is a no-op)
+    val plan = Tables.lineitem(spark, cDir).queryExecution.optimizedPlan
+    assert(plan.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LeafNode],
+      s"canonical-flavor load must stay a bare relation, got:\n$plan")
+  }
+
+  test("nation absorbs an int64-keys drift back to canonical int32") {
+    import spark.implicits._
+    val dir = scratch("nation64")
+    Seq((0L, "ALGERIA", 0L), (1L, "ARGENTINA", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val df = Tables.nation(spark, dir)
+    assert(df.schema("n_nationkey").dataType == IntegerType)
+    assert(df.schema("n_regionkey").dataType == IntegerType)
+    assert(df.orderBy("n_nationkey").collect().map(_.getInt(0)).toSeq
+      == Seq(0, 1))
+  }
+
+  test("orders absorbs an INT64-nanos o_orderdate exactly (div-1000 " +
+       "truncation, not double division)") {
+    import spark.implicits._
+    val dir = scratch("ordnanos")
+    // a micros value whose nanos form is near 2^60, where double ulp
+    // is 256 ns — double division would round some values up 1 µs
+    val us = Seq(1700000000000001L, 1700000000000003L, 1152921504606846L)
+    us.zipWithIndex.map { case (u, i) =>
+      (i.toLong, i.toLong, "O", 1.0, u * 1000L + 999L, "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val df = Tables.orders(spark, dir)
+    assert(df.schema("o_orderdate").dataType == TimestampType)
+    assert(df.orderBy("o_orderkey")
+      .select(unix_micros(col("o_orderdate")))
+      .collect().map(_.getLong(0)).toSeq == us)
+  }
+
   test("the real testdata events table analyzes through unix_micros " +
        "at every shipped sf") {
     Seq("sf0.001", "sf0.01").foreach { sf =>
