@@ -961,6 +961,30 @@ object PipelineDemos {
           array_join(transform(col("q"), x => x.cast("string")), ",")
             .as("q"))
         .orderBy("vec_id")
+    }),
+    // Link-graph centrality for mixture weighting (the CommonCrawl
+    // "rank domains before sampling" job): fixed-point integer PageRank
+    // (Graph.pageRankFixedPoint — bit-exact for any partitioning, so
+    // the iterative join pipeline verifies against an unrolled SQL
+    // oracle). The link graph is derived deterministically: each doc
+    // emits 3 out-links whose targets are md5-stride jumps over the id
+    // ring, so in-degree varies (hubs exist) while both engines build
+    // the identical edge list.
+    "pagerank" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id")
+      val n = docs.agg((max(col("doc_id")) + 1L).as("n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n"),
+          explode(array(lit(1), lit(2), lit(3))).as("j"))
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 1L +
+            (conv(substring(md5(concat(col("doc_id").cast("string"),
+                lit(":"), col("j").cast("string"))), 1, 4), 16, 10)
+              .cast("long") % (col("n") - 1L))) % col("n")).as("dst"))
+      graft.extensions.Graph.pageRankFixedPoint(edges, "src", "dst",
+          iterations = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -1146,6 +1170,41 @@ object PipelineDemos {
     def nib(p: Int) =
       s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $p, 1)) - 1)"
     s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
+  }
+
+  /** Unrolled fixed-point PageRank (4 iterations), matching
+    * Graph.pageRankFixedPoint integer step for integer step: `//` ==
+    * Spark `div` on positives, per-CTE CAST pins DuckDB's HUGEINT sums
+    * back to BIGINT.
+    */
+  private lazy val pagerankOracle: String = {
+    def nib(p: Int) = s"(strpos('0123456789abcdef', substr(h, $p, 1)) - 1)"
+    val iterCtes = (1 to 4).map { i =>
+      s"""c$i AS (SELECT e.dst AS id, CAST(sum(r.rank_fp // o.deg) AS BIGINT) AS contrib
+         |  FROM edges e JOIN r${i - 1} r ON r.id = e.src
+         |  JOIN outd o ON o.src = e.src GROUP BY e.dst),
+         |r$i AS (SELECT v.id,
+         |    (15 * base) // 100 + (85 * COALESCE(c.contrib, 0)) // 100 AS rank_fp
+         |  FROM verts v CROSS JOIN params LEFT JOIN c$i c ON c.id = v.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+       |js AS (SELECT * FROM (VALUES (1), (2), (3)) t(j)),
+       |hx AS (SELECT doc_id, n,
+       |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS h
+       |  FROM documents, nn, js),
+       |edges AS (SELECT doc_id AS src,
+       |    CAST((doc_id + 1 + ((${nib(1)} * 4096 + ${nib(2)} * 256 +
+       |      ${nib(3)} * 16 + ${nib(4)}) % (n - 1))) % n AS BIGINT) AS dst
+       |  FROM hx),
+       |verts AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)),
+       |params AS (SELECT (SELECT 1000000000000 // count(*) FROM verts) AS base),
+       |outd AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT id, base AS rank_fp FROM verts, params),
+       |$iterCtes
+       |SELECT id AS doc_id, CAST(rank_fp AS BIGINT) AS rank_fp FROM r4
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Full IVF pipeline rebuilt engine-independently: centroids = the
@@ -2137,6 +2196,7 @@ object PipelineDemos {
         |        ELSE CAST(127 AS DOUBLE) / maxabs END AS scale FROM m)
         |SELECT vec_id, scale,
         |  array_to_string(list_transform(vd, x -> CAST(floor(x * scale + CAST(0.5 AS DOUBLE)) AS INTEGER)), ',') AS q
-        |FROM s ORDER BY vec_id""".stripMargin
+        |FROM s ORDER BY vec_id""".stripMargin,
+    "pagerank" -> pagerankOracle
   )
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.extensions.Graph
+
+/** Fixed-point PageRank must be bit-exact against a sequential
+  * reference of the same integer recurrence — the whole point of the
+  * fixed-point design is that cluster layout cannot change the bits.
+  */
+class GraphSpec extends SparkTestBase {
+
+  /** Sequential reference: identical integer recurrence, no Spark. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+                          dampNum: Long = 85L, dampDen: Long = 100L)
+      : Map[Long, Long] = {
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val base = Graph.Scale / verts.size.toLong
+    val teleport = ((dampDen - dampNum) * base) / dampDen
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var rank = verts.map(_ -> base).toMap
+    for (_ <- 1 to iters) {
+      val contrib =
+        scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d) <- edges) contrib(d) += rank(s) / outdeg(s)
+      rank = verts.map(id =>
+        id -> (teleport + (dampNum * contrib(id)) / dampDen)).toMap
+    }
+    rank
+  }
+
+  // hub (0), multi-edge (0->1 twice), self-loop (2->2), dangling sink
+  // (3 has no out-edges), pure source (4 has no in-edges)
+  private val fixture: Seq[(Long, Long)] = Seq(
+    (0L, 1L), (0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L),
+    (2L, 0L), (2L, 2L), (4L, 0L), (4L, 2L))
+
+  private def run(edges: Seq[(Long, Long)], iters: Int,
+                  parts: Int = 1): Map[Long, Long] = {
+    import spark.implicits._
+    val e0 = edges.toDF("src", "dst")
+    val e = if (parts > 1) e0.repartition(parts) else e0
+    Graph.pageRankFixedPoint(e, "src", "dst", iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("matches the sequential integer reference bit-for-bit " +
+       "(hub, multi-edge, self-loop, dangling sink, pure source)") {
+    assert(run(fixture, 1) == refPageRank(fixture, 1))
+    assert(run(fixture, 4) == refPageRank(fixture, 4))
+  }
+
+  test("partitioning cannot change the bits") {
+    assert(run(fixture, 3, parts = 7) == refPageRank(fixture, 3))
+  }
+
+  test("rank semantics: the hub out-ranks the pure source, the sink " +
+       "keeps only teleport+inflow, total mass is conserved up to " +
+       "truncation") {
+    val r = run(fixture, 4)
+    val base = Graph.Scale / 5L
+    // vertex 4 has no in-edges: settles at exactly the teleport term
+    assert(r(4L) == (15L * base) / 100L)
+    // 2 has three in-edges incl. a hub — must out-rank the source
+    assert(r(2L) > r(4L))
+    // truncation only ever loses mass (≤ 1 unit per vertex per step,
+    // plus the dangling sink's damped outflow each round)
+    val total = r.values.sum
+    assert(total <= Graph.Scale)
+    // the sink leaks its damped mass each round; with ~20% of mass at
+    // the sink the fixed point is ≈0.47·Scale — assert a safe floor
+    assert(total > Graph.Scale / 3)
+  }
+
+  test("a larger random-ish graph stays exact through more rounds") {
+    // 400 vertices, 3 deterministic stride out-links each — the same
+    // ring-jump construction the pagerank registry demo uses
+    val n = 400L
+    val edges = for {
+      i <- 0L until n
+      j <- 1 to 3
+    } yield {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j".getBytes("UTF-8"))
+        .take(2).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      (i, (i + 1 + (h % (n - 1))) % n)
+    }
+    assert(run(edges, 6, parts = 5) == refPageRank(edges, 6))
+  }
+}
