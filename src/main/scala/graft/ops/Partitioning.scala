@@ -40,4 +40,30 @@ object Partitioning {
       if (df.rdd.getNumPartitions < target) df.repartition(target) else df
     }
   }
+
+  /** Write `df` as a bucketed, per-bucket-sorted parquet table and read
+    * it back through the catalog. Joins/aggregations keyed on `key`
+    * between tables sharing a bucket count then plan with ZERO
+    * ShuffleExchange on the bucketed sides — the write is the shuffle,
+    * paid once, reused by every subsequent query. This is the
+    * co-located-join layout the 100 TB design leans on: fact and
+    * dimension bucketed on the join key at ingest time make the daily
+    * join/agg jobs shuffle-free (and bucket pruning turns key-equality
+    * predicates into file skipping).
+    *
+    * The table is external (explicit `path`); `name` must be unique per
+    * (corpus, process) — callers key both by a corpus content stamp +
+    * pid, same stance as the ANN index artifacts.
+    */
+  def bucketedTable(df: DataFrame, name: String, key: String, buckets: Int,
+                    path: String): DataFrame = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    df.write.format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path)
+      .mode("overwrite")
+      .saveAsTable(name)
+    spark.table(name)
+  }
 }

@@ -20,6 +20,11 @@ object RelationalDemos {
   private val cmsCache =
     new graft.tables.CorpusMemo[org.apache.spark.util.sketch.CountMinSketch]("events")
 
+  // bucketed-table names per corpus: the write is the once-paid shuffle,
+  // every demo run after the first reads the co-located layout
+  private val bucketedCache =
+    new graft.tables.CorpusMemo[(String, String)]("orders")
+
   val queries: Map[String, Q] = Map(
     // S2 — scan + projection + pushed filter.
     "scan_parquet" -> ((s, dir) => {
@@ -115,6 +120,32 @@ object RelationalDemos {
         .agg(count(lit(1)).as("n_rows"),
              AggOps.exactSum(col("l_quantity")).as("sum_qty"))
         .orderBy("label")
+    }),
+    // Co-located join via bucketing: both sides written bucketBy(8) on
+    // the join key (Partitioning.bucketedTable, memoized per corpus —
+    // the write IS the shuffle, paid once at ingest), so the join
+    // itself plans with ZERO ShuffleExchange under the SortMergeJoin
+    // (PlanShapeSpec pins it; merge hint because at demo scale the dim
+    // would broadcast and hide the mechanism). The 100 TB daily-join
+    // layout made literal, like ann_ivf_pruned for partition pruning.
+    "join_bucketed" -> ((s, dir) => {
+      val (ordersTbl, custTbl) = bucketedCache.getOrElseUpdate(dir, {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()
+        val p = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$tag"
+        val (no, nc) = (s"g_orders_b_$tag", s"g_customer_b_$tag")
+        graft.ops.Partitioning.bucketedTable(Tables.orders(s, dir), no,
+          "o_custkey", buckets = 8, s"$p/orders")
+        graft.ops.Partitioning.bucketedTable(Tables.customer(s, dir), nc,
+          "c_custkey", buckets = 8, s"$p/customer")
+        (no, nc)
+      })
+      s.table(ordersTbl).hint("merge")
+        .join(s.table(custTbl), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+             AggOps.exactSum(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")
     }),
     // J7 — cluster-member-style array build → explode → join
     // (node_synonymizer.py:236-256, 311-329).
@@ -751,6 +782,11 @@ object RelationalDemos {
       """SELECT 'flag_' || l_returnflag AS label, count(*) AS n_rows,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY label""".stripMargin,
+    "join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "explode_join" ->
       """WITH arr AS (SELECT l_orderkey, list(DISTINCT l_partkey) AS pids FROM lineitem GROUP BY 1),
         |ex AS (SELECT l_orderkey, unnest(pids) AS pk FROM arr)

@@ -93,6 +93,19 @@ class PlanShapeSpec extends SparkTestBase {
       s"shuffle must partition on (rf, __salt), not rf alone:\n$p")
   }
 
+  test("join_bucketed: the bucketed layout IS the shuffle — the sort-" +
+       "merge join reads both bucketed scans with zero exchange on the " +
+       "join key") {
+    val p = plan("join_bucketed")
+    assert(p.contains("SortMergeJoin"),
+      s"merge hint must hold (broadcast would hide the layout):\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"both sides must read as bucketed scans:\n$p")
+    assert(!p.contains("hashpartitioning(o_custkey") &&
+           !p.contains("hashpartitioning(c_custkey"),
+      s"no exchange may partition on the join key:\n$p")
+  }
+
   test("stream_enrich broadcasts the dimension (no shuffle of the " +
        "stream side for the join)") {
     val p = plan("stream_enrich")
