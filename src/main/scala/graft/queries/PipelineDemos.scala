@@ -882,6 +882,33 @@ object PipelineDemos {
           TextAnalysis.groupSplit(col("source")).as("split"))
         .orderBy("doc_id")
     }),
+    // Dedup-aware split leakage guard: a per-doc hash split leaks eval
+    // data whenever a near-dup pair straddles the boundary — the fix is
+    // splitting by the doc's dedup COMPONENT (all near-dup siblings land
+    // together). Emits both assignments plus a leaky flag (component
+    // straddles ≥2 naive splits), i.e. the audit that quantifies how
+    // much contamination the naive split would have shipped. One
+    // components pass + one comp-keyed aggregation join; the split
+    // itself stays map-side.
+    "split_leakage_guard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val comps = Components.connectedComponents(
+        TextDedup.jaccardVerified(docs, "doc_id", "text", jaccardThreshold)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b")
+      val sp = docs.select("doc_id")
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
+        .withColumn("split_naive", TextAnalysis.groupSplit(col("doc_id")))
+        .withColumn("split_safe", TextAnalysis.groupSplit(col("comp")))
+      sp.join(
+          sp.groupBy("comp")
+            .agg((count_distinct(col("split_naive")) > 1).as("leaky")),
+          Seq("comp"))
+        .select("doc_id", "comp", "split_naive", "split_safe", "leaky")
+        .orderBy("doc_id")
+    }),
     // Vocabulary coverage: top-1000 corpus vocabulary (count desc, term
     // asc), then per-doc OOV-token rate — the standard tokenizer-fit
     // diagnostic. The vocab is tiny by construction → broadcast anti
@@ -2110,6 +2137,29 @@ object PipelineDemos {
         |       WHEN substr(md5(source), 1, 1) IN ('2', '3') THEN 'val'
         |       ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "split_leakage_guard" -> {
+      def splitCase(k: String) =
+        s"""CASE WHEN substr(md5(CAST($k AS VARCHAR)), 1, 1) IN ('0', '1') THEN 'test'
+           |     WHEN substr(md5(CAST($k AS VARCHAR)), 1, 1) IN ('2', '3') THEN 'val'
+           |     ELSE 'train' END""".stripMargin
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         |sym AS (SELECT id_a AS a, id_b AS b FROM jpairs
+         |        UNION SELECT id_b, id_a FROM jpairs),
+         |reach AS (
+         |  SELECT a AS node, a AS comp FROM sym
+         |  UNION
+         |  SELECT s.a, r.comp FROM sym s JOIN reach r ON r.node = s.b),
+         |cmp AS (SELECT node AS doc_id, min(comp) AS comp FROM reach GROUP BY node),
+         |base AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN cmp c ON c.doc_id = d.doc_id),
+         |sp AS (SELECT doc_id, comp,
+         |    ${splitCase("doc_id")} AS split_naive,
+         |    ${splitCase("comp")} AS split_safe FROM base),
+         |leak AS (SELECT comp, count(DISTINCT split_naive) > 1 AS leaky
+         |  FROM sp GROUP BY comp)
+         |SELECT sp.doc_id, sp.comp, sp.split_naive, sp.split_safe, l.leaky
+         |FROM sp JOIN leak l ON l.comp = sp.comp ORDER BY sp.doc_id""".stripMargin
+    },
     "vocab_oov" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
          |f AS (SELECT doc_id, unnest(toks) AS term FROM t),
