@@ -802,6 +802,50 @@ object ScaleCurve {
         "wall frozen (s)" -> f"$secFrozen%.2f"))
     }
 
+    // ---- 10. Fixed-point PageRank (pagerank shape) -------------------
+    // Ring-stride graphs: n vertices, 3 hash-stride out-links each (the
+    // registry demo's construction, generated ON the executors). The
+    // interesting properties at scale: wall ~ linear in |E| per
+    // iteration, and the fixed-point claim — a differently-partitioned
+    // rerun must reproduce the SAME BITS (sum + xxhash64 fingerprint
+    // over all (id, rank) pairs), which is what makes an iterative
+    // distributed job verifiable at any size.
+    val prPts = Seq(100000L, 400000L, 1600000L).filter(_ <= points.max * 8)
+      .map { n =>
+        def edges = spark.range(0, n).toDF("src")
+          .select(col("src"),
+            explode(array(lit(1), lit(2), lit(3))).as("j"))
+          .select(col("src"),
+            ((col("src") + 1L +
+              pmod(hash(col("src") * 31L + col("j")), lit(n - 1))) % n)
+              .as("dst"))
+        def fingerprint(r: DataFrame): (Long, Long) = {
+          // XOR-fold the per-row hashes (sum would overflow Long and
+          // trip ANSI mode); total mass is bounded by Scale, so ITS
+          // sum is safe
+          val row = r.agg(sum(col("rank_fp")).as("s"),
+            expr("bit_xor(xxhash64(id, rank_fp))").as("x"))
+            .collect().head
+          (row.getLong(0), row.getLong(1))
+        }
+        var fpA = (0L, 0L)
+        val (sec, _) = timeIt(spark) {
+          val r = graft.extensions.Graph
+            .pageRankFixedPoint(edges, "src", "dst", iterations = 4)
+          fpA = fingerprint(r)
+          1L
+        }
+        val fpB = fingerprint(graft.extensions.Graph
+          .pageRankFixedPoint(edges.repartition(17), "src", "dst",
+            iterations = 4))
+        Point(n, Seq(
+          "vertices" -> n.toString,
+          "edges" -> (3 * n).toString,
+          "iterations" -> "4",
+          "layout-invariant" -> (fpA == fpB).toString,
+          "wall 4 iters (s)" -> f"$sec%.2f"))
+      }
+
     // ---- render ------------------------------------------------------
     def table(pts: Seq[Point]): String = {
       val headers = pts.head.metrics.map(_._1)
@@ -1055,6 +1099,23 @@ object ScaleCurve {
        ^
        ^Growth: recompute ${growth(ivfIngPts, "wall recompute (s)")};
        ^frozen ${growth(ivfIngPts, "wall frozen (s)")}.
+       ^
+       ^## 10. Fixed-point PageRank (`pagerank` shape)
+       ^
+       ^Ring-stride graphs (3 hash-stride out-links per vertex,
+       ^executor-generated), 4 iterations of
+       ^`Graph.pageRankFixedPoint`. Each iteration = one join of the
+       ^once-hashed (src, dst, deg) frame against the rank vector + one
+       ^groupBy(dst); only the rank vector re-shuffles. `layout-
+       ^invariant` re-runs the whole job on a differently-partitioned
+       ^edge list and compares a full (id, rank) fingerprint — the
+       ^integer fixed point must reproduce identical BITS, which is the
+       ^property that makes iterative centrality verifiable (and its
+       ^backfills reproducible) at any cluster size.
+       ^
+       ^${table(prPts)}
+       ^
+       ^Growth: ${growth(prPts, "wall 4 iters (s)")}.
        ^
        ^## Reading the curves at 100 TB
        ^

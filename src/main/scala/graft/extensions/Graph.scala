@@ -57,37 +57,104 @@ object Graph {
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
                          iterations: Int = 4,
                          dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
-    require(iterations >= 1 && iterations <= 64, "fixed iteration budget")
-    require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
-    val spark = edges.sparkSession
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-                         col(dstCol).cast("long").as("dst"))
-
-    val verts = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (verts, linked) = prep(edges, srcCol, dstCol, iterations,
+      dampNum, dampDen)
     // bounded driver scalar (one long), same class as Ivf's k-row builds
     val v = verts.count()
     val base = Scale / v                      // == SQL `Scale div v`
     val teleport = ((dampDen - dampNum) * base) / dampDen
+    val vertsT = verts.select(col("id"), lit(teleport).as("tp"))
+    val init = verts.select(col("id"), lit(base).as("rank_fp"))
+    iterate(vertsT, linked, init, iterations, dampNum, dampDen,
+      release = Seq(verts, linked))
+  }
 
-    // static per-iteration probe side: (src, dst, deg), hashed by src
-    // once so each round shuffles only the rank vector against it
+  /** Personalized (seeded) PageRank — TrustRank-style propagation: the
+    * teleport mass flows ONLY to a seed set (hand-vetted quality
+    * domains, a topic's known-good docs), so rank measures proximity to
+    * the seeds through the link structure rather than global
+    * centrality. The standard curation move when "important" must mean
+    * "trusted", not "heavily linked": a link farm wins global PageRank
+    * but scores 0 here unless some seed-reachable path feeds it. Same
+    * fixed-point integer arithmetic, shuffle shape, and lineage stance
+    * as [[pageRankFixedPoint]]; vertices unreachable from the seeds
+    * settle at exactly 0 (integral, so exactly — no epsilon floor).
+    *
+    * @param seeds frame whose `seedIdCol` lists seed vertex ids; ids
+    *              absent from the graph are ignored (teleport mass
+    *              stays on the graph); duplicates dedup
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedIdCol: String,
+                           iterations: Int = 4,
+                           dampNum: Long = 85L, dampDen: Long = 100L)
+      : DataFrame = {
+    val (verts, linked) = prep(edges, srcCol, dstCol, iterations,
+      dampNum, dampDen)
+    val seedSet = seeds.select(col(seedIdCol).cast("long").as("id"))
+      .distinct()
+      .join(verts, Seq("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val s = seedSet.count()
+    require(s > 0, "personalized PageRank needs >=1 seed present in the graph")
+    val seedShare = Scale / s
+    val teleportSeed = ((dampDen - dampNum) * seedShare) / dampDen
+    val flagged = verts
+      .join(seedSet.select(col("id"), lit(true).as("is_seed")),
+        Seq("id"), "left")
+    // materialized once: iterate() references vertsT every round, and
+    // without the checkpoint each round would replay the seed join
+    val vertsT = flagged.select(col("id"),
+      when(col("is_seed"), lit(teleportSeed)).otherwise(lit(0L)).as("tp"))
+      .localCheckpoint(true)
+    // init = the seed distribution itself (the vector the teleport term
+    // anchors), so iteration k already carries k-hop trust flow
+    val init = flagged.select(col("id"),
+      when(col("is_seed"), lit(seedShare)).otherwise(lit(0L)).as("rank_fp"))
+    iterate(vertsT, linked, init, iterations, dampNum, dampDen,
+      release = Seq(verts, linked, seedSet))
+  }
+
+  /** Shared setup: canonical (src, dst) longs, the distinct vertex
+    * frame, and the static per-iteration probe side (src, dst, deg) —
+    * hashed by src ONCE so each round shuffles only the rank vector
+    * against it. Both frames come back persisted; [[iterate]] releases
+    * them via `release`.
+    */
+  private def prep(edges: DataFrame, srcCol: String, dstCol: String,
+                   iterations: Int, dampNum: Long, dampDen: Long)
+      : (DataFrame, DataFrame) = {
+    require(iterations >= 1 && iterations <= 64, "fixed iteration budget")
+    require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst"))
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val linked = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    (verts, linked)
+  }
 
-    var ranks = verts.select(col("id"), lit(base).as("rank_fp"))
-      .localCheckpoint(true)
+  /** The power iteration: rank' = tp + damp·inflow, all integral.
+    * `vertsT` = (id, tp) per-vertex teleport mass, `init` = (id,
+    * rank_fp) start vector; `release` frames are unpersisted once the
+    * final vector is materialized.
+    */
+  private def iterate(vertsT: DataFrame, linked: DataFrame, init: DataFrame,
+                      iterations: Int, dampNum: Long, dampDen: Long,
+                      release: Seq[DataFrame]): DataFrame = {
+    var ranks = init.localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val contribs = linked
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst"), expr("rank_fp div deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("contrib"))
-      val next = verts
+      val next = vertsT
         .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),
-          (lit(teleport) +
+          (col("tp") +
             expr(s"($dampNum * coalesce(contrib, 0L)) div $dampDen"))
             .as("rank_fp"))
       val old = ranks
@@ -97,8 +164,7 @@ object Graph {
       ranks = next.localCheckpoint(true)
       old.unpersist(false)
     }
-    linked.unpersist(false)
-    verts.unpersist(false)
+    release.foreach(_.unpersist(false))
     ranks
   }
 }

@@ -998,22 +998,43 @@ object PipelineDemos {
     // ring, so in-degree varies (hubs exist) while both engines build
     // the identical edge list.
     "pagerank" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select("doc_id")
-      val n = docs.agg((max(col("doc_id")) + 1L).as("n"))
-      val edges = docs.crossJoin(broadcast(n))
-        .select(col("doc_id"), col("n"),
-          explode(array(lit(1), lit(2), lit(3))).as("j"))
-        .select(col("doc_id").as("src"),
-          ((col("doc_id") + 1L +
-            (conv(substring(md5(concat(col("doc_id").cast("string"),
-                lit(":"), col("j").cast("string"))), 1, 4), 16, 10)
-              .cast("long") % (col("n") - 1L))) % col("n")).as("dst"))
-      graft.extensions.Graph.pageRankFixedPoint(edges, "src", "dst",
-          iterations = 4)
+      graft.extensions.Graph.pageRankFixedPoint(docLinkEdges(s, dir),
+          "src", "dst", iterations = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+    // TrustRank-style seeded centrality: teleport mass flows only to a
+    // vetted seed quarter of the corpus (md5 first hex < '4'), so rank
+    // measures link-proximity to trusted docs, not raw in-degree —
+    // docs unreachable from any seed score exactly 0 (integer fixed
+    // point, no epsilon floor). Same shuffle shape as `pagerank`.
+    "pagerank_seeded" -> ((s, dir) => {
+      val seeds = Tables.documents(s, dir).select("doc_id")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "4")
+      graft.extensions.Graph.personalizedPageRank(docLinkEdges(s, dir),
+          "src", "dst", seeds, "doc_id", iterations = 4)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     })
   )
+
+  /** Deterministic link graph over `documents`: each doc emits 3
+    * out-links whose targets are md5-stride jumps over the id ring —
+    * varying in-degree (hubs exist), never self-linking, and both
+    * engines rebuild the identical edge list (see the pagerank oracle).
+    */
+  private def docLinkEdges(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id")
+    val n = docs.agg((max(col("doc_id")) + 1L).as("n"))
+    docs.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n"),
+        explode(array(lit(1), lit(2), lit(3))).as("j"))
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") + 1L +
+          (conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit(":"), col("j").cast("string"))), 1, 4), 16, 10)
+            .cast("long") % (col("n") - 1L))) % col("n")).as("dst"))
+  }
 
   // ---- generated DuckDB oracle SQL (shared constants with the Scala) ----
 
@@ -1200,20 +1221,37 @@ object PipelineDemos {
   }
 
   /** Unrolled fixed-point PageRank (4 iterations), matching
-    * Graph.pageRankFixedPoint integer step for integer step: `//` ==
-    * Spark `div` on positives, per-CTE CAST pins DuckDB's HUGEINT sums
-    * back to BIGINT.
+    * Graph.pageRankFixedPoint / personalizedPageRank integer step for
+    * integer step: `//` == Spark `div` on positives, per-CTE CAST pins
+    * DuckDB's HUGEINT sums back to BIGINT. `seeded` switches the
+    * teleport/init to the md5<'4' seed-quarter distribution
+    * (TrustRank), exactly as the `pagerank_seeded` demo does.
     */
-  private lazy val pagerankOracle: String = {
+  private def pagerankOracleSql(seeded: Boolean): String = {
     def nib(p: Int) = s"(strpos('0123456789abcdef', substr(h, $p, 1)) - 1)"
+    val paramsCtes =
+      if (!seeded)
+        """params AS (SELECT (SELECT 1000000000000 // count(*) FROM verts) AS base),
+          |vt AS (SELECT id, (15 * base) // 100 AS tp FROM verts, params),
+          |r0 AS (SELECT id, base AS rank_fp FROM verts, params)""".stripMargin
+      else
+        """sd AS (SELECT doc_id AS id FROM documents
+          |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'),
+          |params AS (SELECT (SELECT 1000000000000 // count(*) FROM sd) AS base),
+          |vt AS (SELECT v.id,
+          |    CASE WHEN s.id IS NOT NULL THEN (15 * base) // 100 ELSE 0 END AS tp
+          |  FROM verts v CROSS JOIN params LEFT JOIN sd s ON s.id = v.id),
+          |r0 AS (SELECT v.id,
+          |    CASE WHEN s.id IS NOT NULL THEN base ELSE 0 END AS rank_fp
+          |  FROM verts v CROSS JOIN params LEFT JOIN sd s ON s.id = v.id)"""
+          .stripMargin
     val iterCtes = (1 to 4).map { i =>
       s"""c$i AS (SELECT e.dst AS id, CAST(sum(r.rank_fp // o.deg) AS BIGINT) AS contrib
          |  FROM edges e JOIN r${i - 1} r ON r.id = e.src
          |  JOIN outd o ON o.src = e.src GROUP BY e.dst),
          |r$i AS (SELECT v.id,
-         |    (15 * base) // 100 + (85 * COALESCE(c.contrib, 0)) // 100 AS rank_fp
-         |  FROM verts v CROSS JOIN params LEFT JOIN c$i c ON c.id = v.id)"""
-        .stripMargin
+         |    v.tp + (85 * COALESCE(c.contrib, 0)) // 100 AS rank_fp
+         |  FROM vt v LEFT JOIN c$i c ON c.id = v.id)""".stripMargin
     }.mkString(",\n")
     s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
        |js AS (SELECT * FROM (VALUES (1), (2), (3)) t(j)),
@@ -1226,9 +1264,8 @@ object PipelineDemos {
        |  FROM hx),
        |verts AS (SELECT DISTINCT id FROM
        |  (SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)),
-       |params AS (SELECT (SELECT 1000000000000 // count(*) FROM verts) AS base),
+       |$paramsCtes,
        |outd AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-       |r0 AS (SELECT id, base AS rank_fp FROM verts, params),
        |$iterCtes
        |SELECT id AS doc_id, CAST(rank_fp AS BIGINT) AS rank_fp FROM r4
        |ORDER BY doc_id""".stripMargin
@@ -2247,6 +2284,7 @@ object PipelineDemos {
         |SELECT vec_id, scale,
         |  array_to_string(list_transform(vd, x -> CAST(floor(x * scale + CAST(0.5 AS DOUBLE)) AS INTEGER)), ',') AS q
         |FROM s ORDER BY vec_id""".stripMargin,
-    "pagerank" -> pagerankOracle
+    "pagerank" -> pagerankOracleSql(seeded = false),
+    "pagerank_seeded" -> pagerankOracleSql(seeded = true)
   )
 }

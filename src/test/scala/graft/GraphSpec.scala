@@ -72,6 +72,59 @@ class GraphSpec extends SparkTestBase {
     assert(total > Graph.Scale / 3)
   }
 
+  /** Sequential reference for the seeded variant. */
+  private def refPersonalized(edges: Seq[(Long, Long)], seeds: Set[Long],
+                              iters: Int, dampNum: Long = 85L,
+                              dampDen: Long = 100L): Map[Long, Long] = {
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val inGraph = seeds.intersect(verts.toSet)
+    val share = Graph.Scale / inGraph.size.toLong
+    val tpSeed = ((dampDen - dampNum) * share) / dampDen
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var rank = verts.map(id =>
+      id -> (if (inGraph(id)) share else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val contrib =
+        scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d) <- edges) contrib(d) += rank(s) / outdeg(s)
+      rank = verts.map(id =>
+        id -> ((if (inGraph(id)) tpSeed else 0L) +
+          (dampNum * contrib(id)) / dampDen)).toMap
+    }
+    rank
+  }
+
+  private def runSeeded(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                        iters: Int, parts: Int = 1): Map[Long, Long] = {
+    import spark.implicits._
+    val e0 = edges.toDF("src", "dst")
+    val e = if (parts > 1) e0.repartition(parts) else e0
+    Graph.personalizedPageRank(e, "src", "dst",
+        seeds.toDF("doc_id"), "doc_id", iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("personalized: matches the sequential reference bit-for-bit; " +
+       "duplicate and off-graph seed ids are ignored") {
+    // seeds {0, 4} listed with a duplicate and a vertex (99) that is
+    // not in the graph — both must not change the mass distribution
+    val got = runSeeded(fixture, Seq(0L, 4L, 4L, 99L), 4, parts = 5)
+    assert(got == refPersonalized(fixture, Set(0L, 4L), 4))
+  }
+
+  test("personalized: vertices unreachable from the seeds settle at " +
+       "exactly zero — trust does not leak backwards over links") {
+    // seed only the dangling sink (3): nothing is reachable FROM it,
+    // so every other vertex must score exactly 0 (integral — not eps)
+    val got = runSeeded(fixture, Seq(3L), 3)
+    assert(got(3L) > 0L)
+    assert(got.filter(_._1 != 3L).values.forall(_ == 0L))
+    // and the seed keeps exactly the teleport term (no in-flow from
+    // the zeroed rest of the graph)
+    val share = Graph.Scale / 1L
+    assert(got(3L) == (15L * share) / 100L)
+  }
+
   test("a larger random-ish graph stays exact through more rounds") {
     // 400 vertices, 3 deterministic stride out-links each — the same
     // ring-jump construction the pagerank registry demo uses
