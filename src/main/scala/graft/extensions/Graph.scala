@@ -115,6 +115,60 @@ object Graph {
       release = Seq(verts, linked, seedSet))
   }
 
+  /** Deterministic random walks — the node2vec/DeepWalk corpus
+    * generator, derandomized: step t from vertex v follows out-edge
+    * number `md5(v + "#" + t) % outdeg(v)` (out-edges ranked by dst),
+    * so the same graph yields the same walks on any cluster — walk
+    * corpora become reproducible, diffable artifacts instead of
+    * seed-and-pray samples, and the whole pipeline verifies against a
+    * SQL oracle.
+    *
+    * Scale shape: the indexed edge frame (src, idx, dst, deg) is built
+    * once (one window over src) and hashed by src; each step is then
+    * ONE keyed equi-join of the walk frontier — (start, cur) pairs,
+    * two longs — against it, with the edge-pick predicate evaluated on
+    * the joined row. Walks from a dangling vertex (no out-edges) simply
+    * end at that step (inner join); `steps` is a fixed budget, matching
+    * how walk corpora are actually generated.
+    *
+    * @return (start, step, node) — step 0 is the start vertex itself;
+    *         one row per surviving walk position, so a walk that hits
+    *         a dangling vertex contributes fewer than `steps`+1 rows
+    */
+  def deterministicWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                         steps: Int = 3): DataFrame = {
+    require(steps >= 1 && steps <= 32, "fixed walk budget")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst"))
+    val w = Window.partitionBy("src")
+    val indexed = e
+      .withColumn("idx", row_number().over(w.orderBy("dst")) - 1)
+      .withColumn("deg", count(lit(1)).over(w))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = e.select(col("src").as("start")).distinct()
+      .select(col("start"), col("start").as("cur"))
+      .localCheckpoint(true)
+    var out = frontier.select(col("start"), lit(0).as("step"),
+      col("cur").as("node"))
+    for (t <- 1 to steps) {
+      // the edge pick: first 4 hex digits of md5("<cur>#<t>") mod deg —
+      // same integer the oracle rebuilds nibble by nibble
+      val h = conv(substring(md5(concat(col("cur").cast("string"),
+          lit(s"#$t"))), 1, 4), 16, 10).cast("long")
+      val stepped = frontier.withColumn("h", h)
+        .join(indexed, col("cur") === col("src") &&
+          col("idx") === col("h") % col("deg"))
+        .select(col("start"), col("dst").as("cur"))
+      frontier = stepped.localCheckpoint(true)
+      out = out.union(frontier.select(col("start"), lit(t).as("step"),
+        col("cur").as("node")))
+    }
+    indexed.unpersist(false)
+    out
+  }
+
   /** Shared setup: canonical (src, dst) longs, the distinct vertex
     * frame, and the static per-iteration probe side (src, dst, deg) —
     * hashed by src ONCE so each round shuffles only the rank vector

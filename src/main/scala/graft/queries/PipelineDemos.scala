@@ -1015,6 +1015,17 @@ object PipelineDemos {
           "src", "dst", seeds, "doc_id", iterations = 4)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    }),
+    // Derandomized node2vec/DeepWalk corpus generation: 3-step walks
+    // whose every step is an md5-indexed out-edge pick, so the walk
+    // corpus is a reproducible artifact (same graph → same walks on
+    // any cluster) rather than a seeded sample. One keyed join per
+    // step against the once-indexed edge frame.
+    "graph_walks" -> ((s, dir) => {
+      graft.extensions.Graph.deterministicWalks(docLinkEdges(s, dir),
+          "src", "dst", steps = 3)
+        .withColumnRenamed("start", "doc_id")
+        .orderBy("doc_id", "step")
     })
   )
 
@@ -1227,8 +1238,26 @@ object PipelineDemos {
     * teleport/init to the md5<'4' seed-quarter distribution
     * (TrustRank), exactly as the `pagerank_seeded` demo does.
     */
-  private def pagerankOracleSql(seeded: Boolean): String = {
+  /** First-4-hex-digits-of-md5 integer over a column named `h`. */
+  private def hex4OfH: String = {
     def nib(p: Int) = s"(strpos('0123456789abcdef', substr(h, $p, 1)) - 1)"
+    s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
+  }
+
+  /** The `docLinkEdges` ring-stride graph rebuilt in SQL (shared by the
+    * pagerank and graph-walk oracles). Exposes `edges(src, dst)`.
+    */
+  private def docEdgeCtes: String =
+    s"""nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+       |js AS (SELECT * FROM (VALUES (1), (2), (3)) t(j)),
+       |hx AS (SELECT doc_id, n,
+       |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS h
+       |  FROM documents, nn, js),
+       |edges AS (SELECT doc_id AS src,
+       |    CAST((doc_id + 1 + ($hex4OfH % (n - 1))) % n AS BIGINT) AS dst
+       |  FROM hx)""".stripMargin
+
+  private def pagerankOracleSql(seeded: Boolean): String = {
     val paramsCtes =
       if (!seeded)
         """params AS (SELECT (SELECT 1000000000000 // count(*) FROM verts) AS base),
@@ -1253,15 +1282,7 @@ object PipelineDemos {
          |    v.tp + (85 * COALESCE(c.contrib, 0)) // 100 AS rank_fp
          |  FROM vt v LEFT JOIN c$i c ON c.id = v.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
-       |js AS (SELECT * FROM (VALUES (1), (2), (3)) t(j)),
-       |hx AS (SELECT doc_id, n,
-       |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS h
-       |  FROM documents, nn, js),
-       |edges AS (SELECT doc_id AS src,
-       |    CAST((doc_id + 1 + ((${nib(1)} * 4096 + ${nib(2)} * 256 +
-       |      ${nib(3)} * 16 + ${nib(4)}) % (n - 1))) % n AS BIGINT) AS dst
-       |  FROM hx),
+    s"""WITH $docEdgeCtes,
        |verts AS (SELECT DISTINCT id FROM
        |  (SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)),
        |$paramsCtes,
@@ -1269,6 +1290,33 @@ object PipelineDemos {
        |$iterCtes
        |SELECT id AS doc_id, CAST(rank_fp AS BIGINT) AS rank_fp FROM r4
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Unrolled deterministic-walk oracle: indexed edges via window
+    * row_number/count, then one join per step with the md5-pick
+    * predicate — mirroring Graph.deterministicWalks exactly.
+    */
+  private def graphWalksOracle(steps: Int): String = {
+    val stepCtes = (1 to steps).map { t =>
+      s"""wh$t AS (SELECT start, cur,
+         |    md5(CAST(cur AS VARCHAR) || '#$t') AS h FROM w${t - 1}),
+         |w$t AS (SELECT w.start, e.dst AS cur
+         |  FROM (SELECT start, cur, $hex4OfH AS hh FROM wh$t) w
+         |  JOIN ie e ON e.src = w.cur AND e.idx = w.hh % e.deg)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = (0 to steps).map { t =>
+      s"SELECT start AS doc_id, $t AS step, cur AS node FROM w$t"
+    }.mkString("\nUNION ALL ")
+    s"""WITH $docEdgeCtes,
+       |ie AS (SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+       |    count(*) OVER (PARTITION BY src) AS deg FROM edges),
+       |w0 AS (SELECT DISTINCT src AS start, src AS cur FROM edges),
+       |$stepCtes
+       |SELECT doc_id, step, node FROM (
+       |$unions
+       |) ORDER BY doc_id, step""".stripMargin
   }
 
   /** Full IVF pipeline rebuilt engine-independently: centroids = the
@@ -2285,6 +2333,7 @@ object PipelineDemos {
         |  array_to_string(list_transform(vd, x -> CAST(floor(x * scale + CAST(0.5 AS DOUBLE)) AS INTEGER)), ',') AS q
         |FROM s ORDER BY vec_id""".stripMargin,
     "pagerank" -> pagerankOracleSql(seeded = false),
-    "pagerank_seeded" -> pagerankOracleSql(seeded = true)
+    "pagerank_seeded" -> pagerankOracleSql(seeded = true),
+    "graph_walks" -> graphWalksOracle(steps = 3)
   )
 }

@@ -125,6 +125,59 @@ class GraphSpec extends SparkTestBase {
     assert(got(3L) == (15L * share) / 100L)
   }
 
+  private def hex4(s: String): Long =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .take(2).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+
+  /** Sequential reference for deterministicWalks. */
+  private def refWalks(edges: Seq[(Long, Long)], steps: Int)
+      : Set[(Long, Int, Long)] = {
+    val bySrc = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._2).sorted }
+    val out = scala.collection.mutable.Set.empty[(Long, Int, Long)]
+    for (st <- edges.map(_._1).distinct) {
+      var cur = st
+      out += ((st, 0, st))
+      var alive = true
+      for (t <- 1 to steps if alive) {
+        bySrc.get(cur) match {
+          case Some(ds) =>
+            cur = ds((hex4(s"$cur#$t") % ds.size).toInt)
+            out += ((st, t, cur))
+          case None => alive = false
+        }
+      }
+    }
+    out.toSet
+  }
+
+  test("deterministic walks match the sequential md5-pick reference " +
+       "and are partitioning-independent") {
+    import spark.implicits._
+    def run(parts: Int): Set[(Long, Int, Long)] = {
+      val e0 = fixture.toDF("src", "dst")
+      val e = if (parts > 1) e0.repartition(parts) else e0
+      Graph.deterministicWalks(e, "src", "dst", steps = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    }
+    val expected = refWalks(fixture, 3)
+    assert(run(1) == expected)
+    assert(run(7) == expected)
+  }
+
+  test("walks end early at a dangling vertex instead of emitting " +
+       "padded or null steps") {
+    import spark.implicits._
+    // 0 -> 1 -> 2, vertex 2 dangling: walk from 0 has steps 0..2 only,
+    // walk from 1 has steps 0..1 only (deg=1 everywhere → md5-free)
+    val e = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val got = Graph.deterministicWalks(e, "src", "dst", steps = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 0, 0L), (0L, 1, 1L), (0L, 2, 2L),
+      (1L, 0, 1L), (1L, 1, 2L)))
+  }
+
   test("a larger random-ish graph stays exact through more rounds") {
     // 400 vertices, 3 deterministic stride out-links each — the same
     // ring-jump construction the pagerank registry demo uses
