@@ -318,6 +318,34 @@ object PipelineDemos {
           "vec_id", "embedding", index, cosineThreshold, nProbe = 2)
         .orderBy("id_a", "id_b")
     }),
+    // Embedding-space coverage sampling (the SemDeDup-adjacent
+    // diversity pick): per IVF cell keep the 3 vectors closest to the
+    // centroid — a k·m-row sample that spans the embedding space
+    // regardless of corpus size. Cost = one broadcast join against the
+    // k-row centroid frame + one per-cell window; qerr in fixed-point
+    // micro-units (the cellStats trick) so ranking is engine-exact.
+    "diversity_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val index = ivfIndexCache.getOrElseUpdate(dir,
+        graft.extensions.Ivf.trainDeterministic(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8))
+      val assigned = graft.extensions.Ivf.assign(Tables.embeddings(s, dir),
+        "vec_id", "embedding", index)
+      val cents = broadcast(graft.extensions.Ivf.centroidFrame(s, index))
+      val scored = assigned.join(cents, "cell")
+        .select(col("cell"), col("id").as("vec_id"),
+          floor((lit(1.0) -
+            when(col("nrm") > 0 && col("cnrm") > 0,
+              Similarity.dot(col("vec"), col("cvec"))
+                / (col("nrm") * col("cnrm")))
+              .otherwise(lit(0.0))) * 1e6).cast("long").as("qerr_q"))
+      val w = Window.partitionBy("cell")
+        .orderBy(col("qerr_q"), col("vec_id"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("cell", "vec_id", "qerr_q", "rnk")
+        .orderBy("cell", "rnk")
+    }),
     // Embedding-dedup pipeline completion: the IVF co-bucketed pairs
     // feed connected components and the min-id keep-one rule — the
     // uncapped embedding analogue of dedup_components.
@@ -1911,6 +1939,33 @@ object PipelineDemos {
     // centroids, full assignment, per-cell fixed-point quantization
     // error (floor(qerr·1e6) BIGINTs — order-independent sums), then the
     // history-vs-batch comparison with the 1.5× drift flag.
+    // same assignment + fixed-point qerr CTEs as ann_ivf_drift, over
+    // the FULL corpus's deterministic 8-cell index; per-cell top-3 by
+    // (qerr, vec_id)
+    "diversity_sample" ->
+      s"""WITH $normsCte,
+         |nv AS (SELECT vec_id, embedding, nrm,
+         |         list_transform(embedding, x -> CASE WHEN nrm > 0 THEN CAST(x AS DOUBLE) / nrm ELSE 0.0 END) AS nvec
+         |       FROM norms),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cell,
+         |           nvec AS cvec
+         |         FROM nv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |cn AS (SELECT cell, cvec, sqrt(${dotSql("cvec", "cvec")}) AS cnrm FROM cent),
+         |scored AS (SELECT nv.vec_id, cn.cell, ${dotSql("nv.nvec", "cn.cvec")} AS d
+         |           FROM nv, cn),
+         |ranked AS (SELECT vec_id, cell,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS rn
+         |           FROM scored),
+         |ass AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+         |qe AS (SELECT a.vec_id, a.cell,
+         |         CAST(floor((1.0 - CASE WHEN n.nrm > 0 AND c.cnrm > 0
+         |             THEN ${dotSql("n.embedding", "c.cvec")} / (n.nrm * c.cnrm)
+         |             ELSE 0.0 END) * 1000000.0) AS BIGINT) AS qerr_q
+         |       FROM ass a JOIN norms n ON n.vec_id = a.vec_id
+         |       JOIN cn c ON c.cell = a.cell)
+         |SELECT cell, vec_id, qerr_q,
+         |  CAST(row_number() OVER (PARTITION BY cell ORDER BY qerr_q, vec_id) AS BIGINT) AS rnk
+         |FROM qe QUALIFY rnk <= 3 ORDER BY cell, rnk""".stripMargin,
     "ann_ivf_drift" ->
       s"""WITH $normsCte,
          |nv AS (SELECT vec_id, embedding, nrm,
