@@ -838,12 +838,20 @@ object ScaleCurve {
         val fpB = fingerprint(graft.extensions.Graph
           .pageRankFixedPoint(edges.repartition(17), "src", "dst",
             iterations = 4))
+        var nWalkRows = 0L
+        val (secW, _) = timeIt(spark) {
+          nWalkRows = graft.extensions.Graph.deterministicWalks(edges,
+            "src", "dst", steps = 3, walksPerStart = 2).count()
+          nWalkRows
+        }
         Point(n, Seq(
           "vertices" -> n.toString,
           "edges" -> (3 * n).toString,
           "iterations" -> "4",
           "layout-invariant" -> (fpA == fpB).toString,
-          "wall 4 iters (s)" -> f"$sec%.2f"))
+          "wall 4 iters (s)" -> f"$sec%.2f",
+          "walk rows" -> nWalkRows.toString,
+          "wall walks (s)" -> f"$secW%.2f"))
       }
 
     // ---- render ------------------------------------------------------
@@ -1111,11 +1119,14 @@ object ScaleCurve {
        ^edge list and compares a full (id, rank) fingerprint — the
        ^integer fixed point must reproduce identical BITS, which is the
        ^property that makes iterative centrality verifiable (and its
-       ^backfills reproducible) at any cluster size.
+       ^backfills reproducible) at any cluster size. `wall walks` times
+       ^`Graph.deterministicWalks` (2 walks/start × 3 steps — one keyed
+       ^join per step) over the same graphs.
        ^
        ^${table(prPts)}
        ^
        ^Growth: ${growth(prPts, "wall 4 iters (s)")}.
+       ^Walks: ${growth(prPts, "wall walks (s)")}.
        ^
        ^## Reading the curves at 100 TB
        ^

@@ -131,39 +131,49 @@ object Graph {
     * end at that step (inner join); `steps` is a fixed budget, matching
     * how walk corpora are actually generated.
     *
-    * @return (start, step, node) — step 0 is the start vertex itself;
-    *         one row per surviving walk position, so a walk that hits
-    *         a dangling vertex contributes fewer than `steps`+1 rows
+    * @param walksPerStart number of independent walks per start vertex
+    *         (walk w picks by md5("<cur>#<w>#<t>")), the corpus-size
+    *         knob real walk generation turns
+    * @return (start, walk, step, node) — step 0 is the start vertex
+    *         itself; one row per surviving walk position, so a walk
+    *         that hits a dangling vertex contributes fewer than
+    *         `steps`+1 rows
     */
   def deterministicWalks(edges: DataFrame, srcCol: String, dstCol: String,
-                         steps: Int = 3): DataFrame = {
+                         steps: Int = 3, walksPerStart: Int = 1): DataFrame = {
     require(steps >= 1 && steps <= 32, "fixed walk budget")
+    require(walksPerStart >= 1 && walksPerStart <= 64, "bounded walk fanout")
     import org.apache.spark.sql.expressions.Window
     val e = edges.select(col(srcCol).cast("long").as("src"),
                          col(dstCol).cast("long").as("dst"))
+    // one shuffle builds idx AND deg AND leaves the frame hashed by src
+    // for every step join — no groupBy+join round trip, no explicit
+    // repartition on top of the window's own exchange
     val w = Window.partitionBy("src")
     val indexed = e
       .withColumn("idx", row_number().over(w.orderBy("dst")) - 1)
       .withColumn("deg", count(lit(1)).over(w))
-      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = e.select(col("src").as("start")).distinct()
-      .select(col("start"), col("start").as("cur"))
+      .select(col("start"),
+        explode(sequence(lit(0), lit(walksPerStart - 1))).as("walk"))
+      .select(col("start"), col("walk"), col("start").as("cur"))
       .localCheckpoint(true)
-    var out = frontier.select(col("start"), lit(0).as("step"),
-      col("cur").as("node"))
+    var out = frontier.select(col("start"), col("walk"),
+      lit(0).as("step"), col("cur").as("node"))
     for (t <- 1 to steps) {
-      // the edge pick: first 4 hex digits of md5("<cur>#<t>") mod deg —
-      // same integer the oracle rebuilds nibble by nibble
+      // the edge pick: first 4 hex digits of md5("<cur>#<walk>#<t>")
+      // mod deg — same integer the oracle rebuilds nibble by nibble
       val h = conv(substring(md5(concat(col("cur").cast("string"),
-          lit(s"#$t"))), 1, 4), 16, 10).cast("long")
+          lit("#"), col("walk").cast("string"), lit(s"#$t"))), 1, 4),
+        16, 10).cast("long")
       val stepped = frontier.withColumn("h", h)
         .join(indexed, col("cur") === col("src") &&
           col("idx") === col("h") % col("deg"))
-        .select(col("start"), col("dst").as("cur"))
+        .select(col("start"), col("walk"), col("dst").as("cur"))
       frontier = stepped.localCheckpoint(true)
-      out = out.union(frontier.select(col("start"), lit(t).as("step"),
-        col("cur").as("node")))
+      out = out.union(frontier.select(col("start"), col("walk"),
+        lit(t).as("step"), col("cur").as("node")))
     }
     indexed.unpersist(false)
     out
@@ -185,8 +195,13 @@ object Graph {
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val linked = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .repartition(col("src"))
+    // out-degree via a window, not groupBy+join: ONE shuffle of the
+    // edge list, and the window's exchange leaves the cached frame
+    // hashed by src — exactly the layout every iteration's rank join
+    // wants
+    val linked = e
+      .withColumn("deg", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     (verts, linked)
   }

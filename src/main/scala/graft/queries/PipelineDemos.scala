@@ -1044,16 +1044,16 @@ object PipelineDemos {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
-    // Derandomized node2vec/DeepWalk corpus generation: 3-step walks
-    // whose every step is an md5-indexed out-edge pick, so the walk
-    // corpus is a reproducible artifact (same graph → same walks on
-    // any cluster) rather than a seeded sample. One keyed join per
-    // step against the once-indexed edge frame.
+    // Derandomized node2vec/DeepWalk corpus generation: 2 independent
+    // 3-step walks per start, every step an md5-indexed out-edge pick,
+    // so the walk corpus is a reproducible artifact (same graph → same
+    // walks on any cluster) rather than a seeded sample. One keyed
+    // join per step against the once-indexed edge frame.
     "graph_walks" -> ((s, dir) => {
       graft.extensions.Graph.deterministicWalks(docLinkEdges(s, dir),
-          "src", "dst", steps = 3)
+          "src", "dst", steps = 3, walksPerStart = 2)
         .withColumnRenamed("start", "doc_id")
-        .orderBy("doc_id", "step")
+        .orderBy("doc_id", "walk", "step")
     })
   )
 
@@ -1324,27 +1324,31 @@ object PipelineDemos {
     * row_number/count, then one join per step with the md5-pick
     * predicate — mirroring Graph.deterministicWalks exactly.
     */
-  private def graphWalksOracle(steps: Int): String = {
+  private def graphWalksOracle(steps: Int, walks: Int): String = {
     val stepCtes = (1 to steps).map { t =>
-      s"""wh$t AS (SELECT start, cur,
-         |    md5(CAST(cur AS VARCHAR) || '#$t') AS h FROM w${t - 1}),
-         |w$t AS (SELECT w.start, e.dst AS cur
-         |  FROM (SELECT start, cur, $hex4OfH AS hh FROM wh$t) w
+      s"""wh$t AS (SELECT start, walk, cur,
+         |    md5(CAST(cur AS VARCHAR) || '#' || CAST(walk AS VARCHAR) || '#$t') AS h
+         |  FROM w${t - 1}),
+         |w$t AS (SELECT w.start, w.walk, e.dst AS cur
+         |  FROM (SELECT start, walk, cur, $hex4OfH AS hh FROM wh$t) w
          |  JOIN ie e ON e.src = w.cur AND e.idx = w.hh % e.deg)"""
         .stripMargin
     }.mkString(",\n")
+    val walkVals = (0 until walks).map(i => s"($i)").mkString(", ")
     val unions = (0 to steps).map { t =>
-      s"SELECT start AS doc_id, $t AS step, cur AS node FROM w$t"
+      s"SELECT start AS doc_id, walk, $t AS step, cur AS node FROM w$t"
     }.mkString("\nUNION ALL ")
     s"""WITH $docEdgeCtes,
        |ie AS (SELECT src, dst,
        |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
        |    count(*) OVER (PARTITION BY src) AS deg FROM edges),
-       |w0 AS (SELECT DISTINCT src AS start, src AS cur FROM edges),
+       |wk AS (SELECT * FROM (VALUES $walkVals) t(walk)),
+       |w0 AS (SELECT src AS start, walk, src AS cur
+       |  FROM (SELECT DISTINCT src FROM edges), wk),
        |$stepCtes
-       |SELECT doc_id, step, node FROM (
+       |SELECT doc_id, walk, step, node FROM (
        |$unions
-       |) ORDER BY doc_id, step""".stripMargin
+       |) ORDER BY doc_id, walk, step""".stripMargin
   }
 
   /** Full IVF pipeline rebuilt engine-independently: centroids = the
@@ -2389,6 +2393,6 @@ object PipelineDemos {
         |FROM s ORDER BY vec_id""".stripMargin,
     "pagerank" -> pagerankOracleSql(seeded = false),
     "pagerank_seeded" -> pagerankOracleSql(seeded = true),
-    "graph_walks" -> graphWalksOracle(steps = 3)
+    "graph_walks" -> graphWalksOracle(steps = 3, walks = 2)
   )
 }

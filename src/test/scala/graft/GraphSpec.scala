@@ -131,20 +131,20 @@ class GraphSpec extends SparkTestBase {
       .take(2).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
 
   /** Sequential reference for deterministicWalks. */
-  private def refWalks(edges: Seq[(Long, Long)], steps: Int)
-      : Set[(Long, Int, Long)] = {
+  private def refWalks(edges: Seq[(Long, Long)], steps: Int,
+                       walks: Int = 1): Set[(Long, Int, Int, Long)] = {
     val bySrc = edges.groupBy(_._1).map { case (s, es) =>
       s -> es.map(_._2).sorted }
-    val out = scala.collection.mutable.Set.empty[(Long, Int, Long)]
-    for (st <- edges.map(_._1).distinct) {
+    val out = scala.collection.mutable.Set.empty[(Long, Int, Int, Long)]
+    for (st <- edges.map(_._1).distinct; wk <- 0 until walks) {
       var cur = st
-      out += ((st, 0, st))
+      out += ((st, wk, 0, st))
       var alive = true
       for (t <- 1 to steps if alive) {
         bySrc.get(cur) match {
           case Some(ds) =>
-            cur = ds((hex4(s"$cur#$t") % ds.size).toInt)
-            out += ((st, t, cur))
+            cur = ds((hex4(s"$cur#$wk#$t") % ds.size).toInt)
+            out += ((st, wk, t, cur))
           case None => alive = false
         }
       }
@@ -152,30 +152,46 @@ class GraphSpec extends SparkTestBase {
     out.toSet
   }
 
+  private def runWalks(edges: Seq[(Long, Long)], steps: Int,
+                       walks: Int = 1, parts: Int = 1)
+      : Set[(Long, Int, Int, Long)] = {
+    import spark.implicits._
+    val e0 = edges.toDF("src", "dst")
+    val e = if (parts > 1) e0.repartition(parts) else e0
+    Graph.deterministicWalks(e, "src", "dst", steps = steps,
+        walksPerStart = walks)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+  }
+
   test("deterministic walks match the sequential md5-pick reference " +
        "and are partitioning-independent") {
-    import spark.implicits._
-    def run(parts: Int): Set[(Long, Int, Long)] = {
-      val e0 = fixture.toDF("src", "dst")
-      val e = if (parts > 1) e0.repartition(parts) else e0
-      Graph.deterministicWalks(e, "src", "dst", steps = 3)
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    }
     val expected = refWalks(fixture, 3)
-    assert(run(1) == expected)
-    assert(run(7) == expected)
+    assert(runWalks(fixture, 3) == expected)
+    assert(runWalks(fixture, 3, parts = 7) == expected)
+  }
+
+  test("multiple walks per start explore independently and still " +
+       "match the reference") {
+    val expected = refWalks(fixture, 3, walks = 3)
+    assert(runWalks(fixture, 3, walks = 3, parts = 5) == expected)
+    // the walk dimension must actually diversify: some start has two
+    // walks whose step-1 nodes differ (hub 0 and 1 both have deg > 1)
+    val byStartStep1 = expected.collect {
+      case (st, wk, 1, node) => (st, node)
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).size }
+    assert(byStartStep1.values.exists(_ > 1),
+      "3 walks over multi-out-degree vertices should split at step 1")
   }
 
   test("walks end early at a dangling vertex instead of emitting " +
        "padded or null steps") {
-    import spark.implicits._
     // 0 -> 1 -> 2, vertex 2 dangling: walk from 0 has steps 0..2 only,
     // walk from 1 has steps 0..1 only (deg=1 everywhere → md5-free)
-    val e = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
-    val got = Graph.deterministicWalks(e, "src", "dst", steps = 3)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    assert(got == Set((0L, 0, 0L), (0L, 1, 1L), (0L, 2, 2L),
-      (1L, 0, 1L), (1L, 1, 2L)))
+    val got = runWalks(Seq((0L, 1L), (1L, 2L)), 3)
+    assert(got == Set((0L, 0, 0, 0L), (0L, 0, 1, 1L), (0L, 0, 2, 2L),
+      (1L, 0, 0, 1L), (1L, 0, 1, 2L)))
   }
 
   test("a larger random-ish graph stays exact through more rounds") {
