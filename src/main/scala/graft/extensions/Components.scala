@@ -58,10 +58,17 @@ object Components {
     // — every consumer is a min aggregation, which is idempotent to
     // duplicate edges, so deduping here would buy nothing for the cost
     // of a full shuffle of the edge list.
+    // localCheckpoint, not persist: every round references sym, and a
+    // cached-but-lineage-bearing frame re-enters analysis/AQE planning
+    // per action — harmless when the input is a scan, a 6× slowdown
+    // when the pairs arrive from a composite pipeline (cleaning ⋈
+    // embeddings ⋈ IVF staging: 31 s → 1.2 s at 66 pairs, ProfilePairs
+    // r10). The checkpoint materializes the same bytes the persist did
+    // but presents them as an RDD leaf, so every round's plan is flat.
     val sym = edges
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // init fused with the first propagation round: label = min of self
     // and direct neighbors. Star/clique-shaped dedup clusters converge
     // here, so the loop usually runs a single verification round.
