@@ -58,17 +58,27 @@ object Components {
     // — every consumer is a min aggregation, which is idempotent to
     // duplicate edges, so deduping here would buy nothing for the cost
     // of a full shuffle of the edge list.
-    // localCheckpoint, not persist: every round references sym, and a
-    // cached-but-lineage-bearing frame re-enters analysis/AQE planning
-    // per action — harmless when the input is a scan, a 6× slowdown
-    // when the pairs arrive from a composite pipeline (cleaning ⋈
-    // embeddings ⋈ IVF staging: 31 s → 1.2 s at 66 pairs, ProfilePairs
-    // r10). The checkpoint materializes the same bytes the persist did
-    // but presents them as an RDD leaf, so every round's plan is flat.
-    val sym = edges
+    // Lineage policy (measured both ways, ProfilePairs r10): every
+    // round references sym and phase-1 label chains embed its plan up
+    // to 2^PropagationBudget times, so each round's action pays
+    // analysis/canonicalization of that multiplied tree BEFORE cache
+    // substitution collapses it — 66 composite-pipeline pairs
+    // (analyzed plan: 303 nodes) took 31 s under lazy persist vs 1.2 s
+    // as an RDD leaf. But an eager cut also discards CacheManager
+    // plan-matching across separate invocations, which ran the
+    // scan-rooted dedup demos 5× slower (0.57 s → 2.8 s; the band
+    // pipeline's analyzed plan is 76 nodes and re-analysis is cheap) —
+    // the same r8 finding that removed per-round cuts. So: cut to a
+    // leaf only when the input lineage is genuinely deep; keep the
+    // lazy persist otherwise.
+    val raw = edges
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-      .localCheckpoint(true)
+    val deepLineage =
+      edges.queryExecution.analyzed.collect { case p => p }.size > 128
+    val sym =
+      if (deepLineage) raw.localCheckpoint(true)
+      else raw.persist(StorageLevel.MEMORY_AND_DISK)
     // init fused with the first propagation round: label = min of self
     // and direct neighbors. Star/clique-shaped dedup clusters converge
     // here, so the loop usually runs a single verification round.

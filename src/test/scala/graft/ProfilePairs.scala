@@ -24,8 +24,13 @@ object ProfilePairs {
     val pairsB = graft.extensions.Ivf.nearDupPairs(vecs, "vec_id", "embedding", idxB, 0.45, 2).select(col("id_a"), col("id_b"))
     println("[profile] pairsB n=" + pairsB.count())
     t("components COMPOSITE")(Components.dedupClusters(pairsB).count())
-    println("[profile] planA nodes=" + pairsA.queryExecution.optimizedPlan.collect { case x => x }.size)
-    println("[profile] planB nodes=" + pairsB.queryExecution.optimizedPlan.collect { case x => x }.size)
+    println("[profile] planA nodes=" + pairsA.queryExecution.optimizedPlan.collect { case x => x }.size
+      + " analyzed=" + pairsA.queryExecution.analyzed.collect { case x => x }.size)
+    println("[profile] planB nodes=" + pairsB.queryExecution.optimizedPlan.collect { case x => x }.size
+      + " analyzed=" + pairsB.queryExecution.analyzed.collect { case x => x }.size)
+    val jp = graft.extensions.TextDedup.jaccardVerified(graft.tables.Tables.documents(spark, dir), "doc_id", "text", 0.5)
+      .select(col("id_a"), col("id_b"))
+    println("[profile] planJ analyzed=" + jp.queryExecution.analyzed.collect { case x => x }.size)
     val pairsBp = pairsB.persist()
     println("[profile] pairsBp n=" + pairsBp.count())
     t("components COMPOSITE-PERSISTED")(Components.dedupClusters(pairsBp).count())
