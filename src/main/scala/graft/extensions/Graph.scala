@@ -193,6 +193,79 @@ object Graph {
     out
   }
 
+  /** Semi-supervised label propagation — spread a small set of trusted
+    * labels (vetted language/topic/quality tags) through the link
+    * structure: each synchronous round, every non-seed vertex takes
+    * the MODE of its labeled neighbors' labels (ties → smallest
+    * label), seeds stay clamped, and a vertex with no labeled
+    * neighbor keeps what it has (null until reached). Deterministic
+    * by construction — no random order, no float scores — so the
+    * whole iteration verifies against an unrolled SQL oracle, like
+    * [[pageRankFixedPoint]].
+    *
+    * Scale shape: per round one join of the current labels against the
+    * symmetrized edge frame (persisted once) + one (vertex, label)
+    * count + one per-vertex top-1 window over that count frame (tiny:
+    * ≤ distinct-labels rows per vertex) + one left join back. Label
+    * frames persist per round, previous round unpersisted — the
+    * Components phase-1 stance, bounded by the fixed round budget.
+    *
+    * @param seeds  (id, label) rows; ids absent from the graph are
+    *               ignored, duplicate ids resolve to the smallest label
+    * @return (id, label, is_seed) — label null if no seed's influence
+    *         reached the vertex within `rounds`
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       seeds: DataFrame, seedIdCol: String,
+                       seedLabelCol: String, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "fixed round budget")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst"))
+    val sym = e.select(col("src").as("a"), col("dst").as("b"))
+      .union(e.select(col("dst").as("a"), col("src").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = sym.select(col("a").as("id")).distinct()
+    val sd = seeds
+      .select(col(seedIdCol).cast("long").as("id"),
+              col(seedLabelCol).cast("string").as("seed_label"))
+      .groupBy("id").agg(min(col("seed_label")).as("seed_label"))
+    var labels = verts.join(sd, Seq("id"), "left")
+      .select(col("id"), col("seed_label").as("label"),
+              col("seed_label").isNotNull.as("is_seed"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy("id")
+    for (r <- 1 to rounds) {
+      val picks = sym
+        .join(labels.filter(col("label").isNotNull)
+            .select(col("id").as("b"), col("label").as("nbr_label")),
+          Seq("b"))
+        .groupBy(col("a").as("id"), col("nbr_label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("c").desc, col("nbr_label").asc)))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("nbr_label"))
+      val next0 = labels.join(picks, Seq("id"), "left")
+        .select(col("id"),
+          when(col("is_seed"), col("label"))
+            .otherwise(coalesce(col("nbr_label"), col("label")))
+            .as("label"),
+          col("is_seed"))
+      val old = labels
+      // labels is referenced twice per round (neighbor join + keep
+      // fallback), so the plan doubles per round; a lineage cut every
+      // 4th round bounds the tree at 2^4 copies — the Components
+      // phase-1 budget — while fast 3-round demos never pay the cut
+      labels =
+        if (r % 4 == 0) next0.localCheckpoint(true)
+        else next0.persist(StorageLevel.MEMORY_AND_DISK)
+      old.unpersist(false)
+    }
+    sym.unpersist(false)
+    labels
+  }
+
   /** Shared setup: canonical (src, dst) longs, the distinct vertex
     * frame, and the static per-iteration probe side (src, dst, deg) —
     * hashed by src ONCE so each round shuffles only the rank vector

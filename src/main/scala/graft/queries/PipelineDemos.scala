@@ -1044,6 +1044,21 @@ object PipelineDemos {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    // Semi-supervised label spreading: the vetted quarter of the corpus
+    // carries trusted language tags; 3 synchronous rounds of
+    // neighbor-mode propagation (ties → smallest label, seeds clamped)
+    // extend them through the link graph — the label-budget stretcher
+    // for topic/quality tags at corpus scale. Deterministic by
+    // construction, so the iterative job verifies exactly.
+    "label_prop" -> ((s, dir) => {
+      val seeds = Tables.documents(s, dir)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "4")
+        .select(col("doc_id"), col("lang"))
+      graft.extensions.Graph.labelPropagation(docLinkEdges(s, dir),
+          "src", "dst", seeds, "doc_id", "lang", rounds = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // Derandomized node2vec/DeepWalk corpus generation: 2 independent
     // 3-step walks per start, every step an md5-indexed out-edge pick,
     // so the walk corpus is a reproducible artifact (same graph → same
@@ -1284,6 +1299,40 @@ object PipelineDemos {
        |edges AS (SELECT doc_id AS src,
        |    CAST((doc_id + 1 + ($hex4OfH % (n - 1))) % n AS BIGINT) AS dst
        |  FROM hx)""".stripMargin
+
+  /** Unrolled label-propagation oracle mirroring Graph.labelPropagation
+    * round for round: neighbor-label counts → per-vertex top-1 (count
+    * desc, label asc) → seeds clamped, unreached vertices keep null.
+    */
+  private def labelPropOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""cnt$i AS (SELECT e.a AS id, l.label AS nbr_label, count(*) AS c
+         |  FROM sym e JOIN l${i - 1} l ON l.id = e.b AND l.label IS NOT NULL
+         |  GROUP BY e.a, l.label),
+         |pick$i AS (SELECT id, nbr_label FROM (
+         |    SELECT id, nbr_label,
+         |      row_number() OVER (PARTITION BY id ORDER BY c DESC, nbr_label ASC) AS rn
+         |    FROM cnt$i) WHERE rn = 1),
+         |l$i AS (SELECT l.id,
+         |    CASE WHEN l.is_seed THEN l.label
+         |         ELSE COALESCE(p.nbr_label, l.label) END AS label,
+         |    l.is_seed
+         |  FROM l${i - 1} l LEFT JOIN pick$i p ON p.id = l.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $docEdgeCtes,
+       |sym AS (SELECT src AS a, dst AS b FROM edges
+       |        UNION ALL SELECT dst, src FROM edges),
+       |verts AS (SELECT DISTINCT a AS id FROM sym),
+       |sd AS (SELECT doc_id AS id, min(lang) AS seed_label FROM documents
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+       |  GROUP BY doc_id),
+       |l0 AS (SELECT v.id, s.seed_label AS label,
+       |    s.id IS NOT NULL AS is_seed
+       |  FROM verts v LEFT JOIN sd s ON s.id = v.id),
+       |$roundCtes
+       |SELECT id AS doc_id, label, is_seed FROM l$rounds
+       |ORDER BY doc_id""".stripMargin
+  }
 
   private def pagerankOracleSql(seeded: Boolean): String = {
     val paramsCtes =
@@ -2393,6 +2442,7 @@ object PipelineDemos {
         |FROM s ORDER BY vec_id""".stripMargin,
     "pagerank" -> pagerankOracleSql(seeded = false),
     "pagerank_seeded" -> pagerankOracleSql(seeded = true),
-    "graph_walks" -> graphWalksOracle(steps = 3, walks = 2)
+    "graph_walks" -> graphWalksOracle(steps = 3, walks = 2),
+    "label_prop" -> labelPropOracle(rounds = 3)
   )
 }

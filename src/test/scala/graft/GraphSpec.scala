@@ -194,6 +194,56 @@ class GraphSpec extends SparkTestBase {
       (1L, 0, 0, 1L), (1L, 0, 1, 2L)))
   }
 
+  /** Sequential reference for labelPropagation (synchronous rounds,
+    * neighbor mode, min-label tie-break, clamped seeds).
+    */
+  private def refLabelProp(edges: Seq[(Long, Long)],
+                           seeds: Map[Long, String], rounds: Int)
+      : Map[Long, (Option[String], Boolean)] = {
+    val sym = edges ++ edges.map(e => (e._2, e._1))
+    val verts = sym.map(_._1).distinct.sorted
+    var lab: Map[Long, Option[String]] =
+      verts.map(v => v -> seeds.get(v)).toMap
+    for (_ <- 1 to rounds) {
+      val next = verts.map { v =>
+        if (seeds.contains(v)) v -> lab(v)
+        else {
+          val nbrLabels = sym.collect { case (a, b) if a == v => lab(b) }
+            .flatten
+          if (nbrLabels.isEmpty) v -> lab(v)
+          else {
+            val counts = nbrLabels.groupBy(identity)
+              .map { case (l, xs) => (l, xs.size) }
+            val best = counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+            v -> Some(best)
+          }
+        }
+      }.toMap
+      lab = next
+    }
+    verts.map(v => v -> ((lab(v), seeds.contains(v)))).toMap
+  }
+
+  test("label propagation matches the sequential mode/tie reference; " +
+       "seeds stay clamped and unreached vertices stay null") {
+    import spark.implicits._
+    // fixture + an extra far vertex chain 5 -> 6 so that 6 is only
+    // reached at round 2 and 7 (isolated pair 7 <-> 8) never is
+    val edges = fixture ++ Seq((5L, 6L), (0L, 5L), (7L, 8L))
+    val seeds = Map(0L -> "en", 2L -> "de")
+    val got = graft.extensions.Graph.labelPropagation(
+        edges.toDF("src", "dst"), "src", "dst",
+        seeds.toSeq.toDF("doc_id", "lang"), "doc_id", "lang", rounds = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getBoolean(2)))).toMap
+    assert(got == refLabelProp(edges, seeds, 3))
+    // the isolated component never hears from a seed
+    assert(got(7L)._1.isEmpty && got(8L)._1.isEmpty)
+    // seeds keep their own labels whatever the neighborhood says
+    assert(got(0L)._1.contains("en") && got(2L)._1.contains("de"))
+  }
+
   test("a larger random-ish graph stays exact through more rounds") {
     // 400 vertices, 3 deterministic stride out-links each — the same
     // ring-jump construction the pagerank registry demo uses
