@@ -844,6 +844,18 @@ object ScaleCurve {
             "src", "dst", steps = 3, walksPerStart = 2).count()
           nWalkRows
         }
+        // label propagation over the same graph: ~14% seeds, 5 label
+        // classes; `labeled` counts vertices reached within 3 rounds
+        var nLabeled = 0L
+        val (secL, _) = timeIt(spark) {
+          val seeds = spark.range(0, n).toDF("id")
+            .filter(col("id") % 7 === 0)
+            .select(col("id"), (col("id") % 5).cast("string").as("lab"))
+          nLabeled = graft.extensions.Graph.labelPropagation(edges,
+              "src", "dst", seeds, "id", "lab", rounds = 3)
+            .filter(col("label").isNotNull).count()
+          nLabeled
+        }
         Point(n, Seq(
           "vertices" -> n.toString,
           "edges" -> (3 * n).toString,
@@ -851,7 +863,9 @@ object ScaleCurve {
           "layout-invariant" -> (fpA == fpB).toString,
           "wall 4 iters (s)" -> f"$sec%.2f",
           "walk rows" -> nWalkRows.toString,
-          "wall walks (s)" -> f"$secW%.2f"))
+          "wall walks (s)" -> f"$secW%.2f",
+          "labeled frac" -> f"${nLabeled.toDouble / n}%.3f",
+          "wall labelprop (s)" -> f"$secL%.2f"))
       }
 
     // ---- render ------------------------------------------------------
@@ -1121,12 +1135,15 @@ object ScaleCurve {
        ^property that makes iterative centrality verifiable (and its
        ^backfills reproducible) at any cluster size. `wall walks` times
        ^`Graph.deterministicWalks` (2 walks/start × 3 steps — one keyed
-       ^join per step) over the same graphs.
+       ^join per step); `wall labelprop` times 3 synchronous rounds of
+       ^`Graph.labelPropagation` from ~14% seeds (5 classes) — both
+       ^over the same graphs.
        ^
        ^${table(prPts)}
        ^
        ^Growth: ${growth(prPts, "wall 4 iters (s)")}.
        ^Walks: ${growth(prPts, "wall walks (s)")}.
+       ^Label propagation: ${growth(prPts, "wall labelprop (s)")}.
        ^
        ^## Reading the curves at 100 TB
        ^

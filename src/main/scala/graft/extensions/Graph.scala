@@ -219,7 +219,6 @@ object Graph {
                        seeds: DataFrame, seedIdCol: String,
                        seedLabelCol: String, rounds: Int = 3): DataFrame = {
     require(rounds >= 1 && rounds <= 16, "fixed round budget")
-    import org.apache.spark.sql.expressions.Window
     val e = edges.select(col(srcCol).cast("long").as("src"),
                          col(dstCol).cast("long").as("dst"))
     val sym = e.select(col("src").as("a"), col("dst").as("b"))
@@ -234,36 +233,46 @@ object Graph {
       .select(col("id"), col("seed_label").as("label"),
               col("seed_label").isNotNull.as("is_seed"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val w = Window.partitionBy("id")
+    val kept = scala.collection.mutable.Buffer[DataFrame](labels)
     for (r <- 1 to rounds) {
+      // per-vertex winner via min_by over (-count, label): max count,
+      // then smallest label — one map-side-combinable hash aggregate.
+      // (A row_number window is the same pick but WindowExec sorts and
+      // buffers per vertex group: 3.3× slower at 1.6M vertices.)
       val picks = sym
         .join(labels.filter(col("label").isNotNull)
             .select(col("id").as("b"), col("label").as("nbr_label")),
           Seq("b"))
         .groupBy(col("a").as("id"), col("nbr_label"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(
-          w.orderBy(col("c").desc, col("nbr_label").asc)))
-        .filter(col("rn") === 1)
-        .select(col("id"), col("nbr_label"))
+        .groupBy("id")
+        .agg(min_by(col("nbr_label"),
+          struct(negate(col("c")), col("nbr_label"))).as("nbr_label"))
       val next0 = labels.join(picks, Seq("id"), "left")
         .select(col("id"),
           when(col("is_seed"), col("label"))
             .otherwise(coalesce(col("nbr_label"), col("label")))
             .as("label"),
           col("is_seed"))
-      val old = labels
-      // labels is referenced twice per round (neighbor join + keep
-      // fallback), so the plan doubles per round; a lineage cut every
-      // 4th round bounds the tree at 2^4 copies — the Components
-      // phase-1 budget — while fast 3-round demos never pay the cut
+      // labels is referenced TWICE per round (neighbor join + keep
+      // fallback), so every intermediate round must stay cached until
+      // the final materialization — unpersisting a round before its
+      // lazy cache entry ever filled made the final action recompute
+      // the chain 2^rounds times (45 s instead of ~12 at 1.6M
+      // vertices). A lineage cut every 4th round bounds the ANALYZED
+      // plan at 2^4 copies for larger budgets; 3-round demos never pay
+      // it.
       labels =
         if (r % 4 == 0) next0.localCheckpoint(true)
         else next0.persist(StorageLevel.MEMORY_AND_DISK)
-      old.unpersist(false)
+      kept += labels
     }
+    // one materialization through the cached chain, then release all
+    // intermediates — callers get a self-contained leaf
+    val out = labels.localCheckpoint(true)
+    kept.foreach(_.unpersist(false))
     sym.unpersist(false)
-    labels
+    out
   }
 
   /** Shared setup: canonical (src, dst) longs, the distinct vertex

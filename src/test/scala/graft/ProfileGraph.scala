@@ -34,6 +34,14 @@ object ProfileGraph {
         steps = 3, walksPerStart = 2).count()
       println(f"[profile] walks    n=$n round=$round " +
         f"${(System.nanoTime() - t1) / 1e9}%.2f s")
+      spark.catalog.clearCache()
+      val t2 = System.nanoTime()
+      val seeds = spark.range(0, n).toDF("id").filter(col("id") % 7 === 0)
+        .select(col("id"), (col("id") % 5).cast("string").as("lab"))
+      graft.extensions.Graph.labelPropagation(edges, "src", "dst",
+        seeds, "id", "lab", rounds = 3).filter(col("label").isNotNull).count()
+      println(f"[profile] labelprop n=$n round=$round " +
+        f"${(System.nanoTime() - t2) / 1e9}%.2f s")
     }
     spark.stop()
   }
