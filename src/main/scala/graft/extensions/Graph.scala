@@ -23,9 +23,10 @@ import org.apache.spark.storage.StorageLevel
   * — the classic two-shuffle PageRank round. The edge frame is hashed by
   * src ONCE and persisted, so iterations re-shuffle only the rank
   * vector (|V| rows, two longs each), never the edges (|E| rows); at
-  * scale the same layout is a bucketed edges table. Per-round frames
-  * are localCheckpoint'd to cut lineage (constant-size plans, same
-  * stance as [[Components]]). Dangling vertices (no out-edges) simply
+  * scale the same layout is a bucketed edges table. The rounds chain
+  * lazily into one job (each rank vector feeds exactly one consumer —
+  * see [[iterate]]) with a single final lineage cut. Dangling
+  * vertices (no out-edges) simply
   * leak their damped mass — the standard simplification; it is applied
   * identically in the oracle so parity is exact.
   *
@@ -204,11 +205,12 @@ object Graph {
     * [[pageRankFixedPoint]].
     *
     * Scale shape: per round one join of the current labels against the
-    * symmetrized edge frame (persisted once) + one (vertex, label)
-    * count + one per-vertex top-1 window over that count frame (tiny:
-    * ≤ distinct-labels rows per vertex) + one left join back. Label
-    * frames persist per round, previous round unpersisted — the
-    * Components phase-1 stance, bounded by the fixed round budget.
+    * symmetrized edge frame (persisted once), one (vertex, label)
+    * count, one per-vertex min_by winner pick (both map-side-combined
+    * hash aggregates), and one left join back. Intermediate rounds
+    * stay cached until one final materialization (each is referenced
+    * twice downstream), then everything is released — see the in-loop
+    * comment for the measured failure modes either way.
     *
     * @param seeds  (id, label) rows; ids absent from the graph are
     *               ignored, duplicate ids resolve to the smallest label

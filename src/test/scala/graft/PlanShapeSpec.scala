@@ -106,6 +106,17 @@ class PlanShapeSpec extends SparkTestBase {
       s"no exchange may partition on the join key:\n$p")
   }
 
+  test("diversity_sample broadcasts the k-row centroid frame; the " +
+       "corpus side shuffles only for the per-cell window") {
+    val p = plan("diversity_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroid frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffle join may appear in the scoring path:\n$p")
+    assert("hashpartitioning\\(cell#\\d+".r.findFirstIn(p).isDefined,
+      s"the only corpus shuffle is the per-cell window partitioning:\n$p")
+  }
+
   test("stream_enrich broadcasts the dimension (no shuffle of the " +
        "stream side for the join)") {
     val p = plan("stream_enrich")
