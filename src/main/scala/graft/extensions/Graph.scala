@@ -194,6 +194,37 @@ object Graph {
     out
   }
 
+  /** Skip-gram co-occurrence pairs from a walk corpus — the word2vec-
+    * style training signal walk generation exists to produce: within
+    * each walk, every ordered (center, context) position pair at
+    * distance ≤ `window` contributes one count. Deterministic input
+    * ([[deterministicWalks]]) → deterministic counts, so graph-
+    * embedding training data is reproducible end to end.
+    *
+    * Scale shape: one self-join co-keyed on (start, walk) — each walk
+    * is ≤ steps+1 rows, so the join blowup is the bounded
+    * (steps+1)·2·window factor, never corpus-squared — followed by a
+    * map-side-combined (center, context) count. At 100 TB the walks
+    * table is written bucketed by start and the self-join is
+    * shuffle-free.
+    *
+    * @param walks output of [[deterministicWalks]] (start, walk, step,
+    *              node)
+    * @return (center, context, cnt) aggregated over all walks
+    */
+  def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1 && window <= 16, "bounded context window")
+    val a = walks.select(col("start"), col("walk"),
+      col("step").as("step_a"), col("node").as("center"))
+    val b = walks.select(col("start"), col("walk"),
+      col("step").as("step_b"), col("node").as("context"))
+    a.join(b, Seq("start", "walk"))
+      .filter(col("step_a") =!= col("step_b") &&
+        abs(col("step_a") - col("step_b")) <= window)
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Semi-supervised label propagation — spread a small set of trusted
     * labels (vetted language/topic/quality tags) through the link
     * structure: each synchronous round, every non-seed vertex takes

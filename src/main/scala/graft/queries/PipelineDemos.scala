@@ -1069,6 +1069,16 @@ object PipelineDemos {
           "src", "dst", steps = 3, walksPerStart = 2)
         .withColumnRenamed("start", "doc_id")
         .orderBy("doc_id", "walk", "step")
+    }),
+    // Skip-gram co-occurrence counts over the walk corpus (window=2) —
+    // the word2vec-style graph-embedding training signal, reproducible
+    // because the walks are. One (start, walk)-keyed self-join with a
+    // bounded per-walk blowup, then a map-side-combined pair count.
+    "walk_pairs" -> ((s, dir) => {
+      val walks = graft.extensions.Graph.deterministicWalks(
+        docLinkEdges(s, dir), "src", "dst", steps = 3, walksPerStart = 2)
+      graft.extensions.Graph.skipGramPairs(walks, window = 2)
+        .orderBy("center", "context")
     })
   )
 
@@ -1373,7 +1383,10 @@ object PipelineDemos {
     * row_number/count, then one join per step with the md5-pick
     * predicate — mirroring Graph.deterministicWalks exactly.
     */
-  private def graphWalksOracle(steps: Int, walks: Int): String = {
+  /** Shared WITH-chain ending in `allw(doc_id, walk, step, node)` = the
+    * full deterministic walk corpus (mirrors Graph.deterministicWalks).
+    */
+  private def walkCorpusCtes(steps: Int, walks: Int): String = {
     val stepCtes = (1 to steps).map { t =>
       s"""wh$t AS (SELECT start, walk, cur,
          |    md5(CAST(cur AS VARCHAR) || '#' || CAST(walk AS VARCHAR) || '#$t') AS h
@@ -1387,18 +1400,35 @@ object PipelineDemos {
     val unions = (0 to steps).map { t =>
       s"SELECT start AS doc_id, walk, $t AS step, cur AS node FROM w$t"
     }.mkString("\nUNION ALL ")
-    s"""WITH $docEdgeCtes,
+    s"""$docEdgeCtes,
        |ie AS (SELECT src, dst,
        |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
        |    count(*) OVER (PARTITION BY src) AS deg FROM edges),
        |wk AS (SELECT * FROM (VALUES $walkVals) t(walk)),
        |w0 AS (SELECT src AS start, walk, src AS cur
        |  FROM (SELECT DISTINCT src FROM edges), wk),
-       |$stepCtes
-       |SELECT doc_id, walk, step, node FROM (
-       |$unions
-       |) ORDER BY doc_id, walk, step""".stripMargin
+       |$stepCtes,
+       |allw AS ($unions)""".stripMargin
   }
+
+  private def graphWalksOracle(steps: Int, walks: Int): String =
+    s"""WITH ${walkCorpusCtes(steps, walks)}
+       |SELECT doc_id, walk, step, node FROM allw
+       |ORDER BY doc_id, walk, step""".stripMargin
+
+  /** Skip-gram pair counts over the walk corpus, mirroring
+    * Graph.skipGramPairs: (start, walk)-keyed self-join, |Δstep| ≤
+    * window, ordered (center, context) counts.
+    */
+  private def walkPairsOracle(steps: Int, walks: Int, window: Int): String =
+    s"""WITH ${walkCorpusCtes(steps, walks)}
+       |SELECT a.node AS center, b.node AS context,
+       |  count(*) AS cnt
+       |FROM allw a JOIN allw b
+       |  ON a.doc_id = b.doc_id AND a.walk = b.walk
+       |  AND a.step <> b.step AND abs(a.step - b.step) <= $window
+       |GROUP BY a.node, b.node
+       |ORDER BY center, context""".stripMargin
 
   /** Full IVF pipeline rebuilt engine-independently: centroids = the
     * normalized vectors of the 8 md5-smallest ids (cell = rank in that
@@ -2443,6 +2473,7 @@ object PipelineDemos {
     "pagerank" -> pagerankOracleSql(seeded = false),
     "pagerank_seeded" -> pagerankOracleSql(seeded = true),
     "graph_walks" -> graphWalksOracle(steps = 3, walks = 2),
+    "walk_pairs" -> walkPairsOracle(steps = 3, walks = 2, window = 2),
     "label_prop" -> labelPropOracle(rounds = 3)
   )
 }

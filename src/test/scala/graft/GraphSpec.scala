@@ -244,6 +244,24 @@ class GraphSpec extends SparkTestBase {
     assert(got(0L)._1.contains("en") && got(2L)._1.contains("de"))
   }
 
+  test("skip-gram pairs: window-bounded ordered co-occurrence counts " +
+       "per walk, repeated nodes accumulate") {
+    import spark.implicits._
+    // one walk 0 -> 5 -> 7 -> 5 (node 5 recurs) and an unrelated
+    // 1-step walk that must not cross-pair with it
+    val walks = Seq(
+      (0L, 0, 0, 0L), (0L, 0, 1, 5L), (0L, 0, 2, 7L), (0L, 0, 3, 5L),
+      (9L, 0, 0, 9L), (9L, 0, 1, 4L))
+      .toDF("start", "walk", "step", "node")
+    val got = Graph.skipGramPairs(walks, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      (0L, 5L) -> 1L, (0L, 7L) -> 1L, (5L, 0L) -> 1L, (5L, 7L) -> 2L,
+      (5L, 5L) -> 2L, (7L, 0L) -> 1L, (7L, 5L) -> 2L,
+      (9L, 4L) -> 1L, (4L, 9L) -> 1L))
+  }
+
   test("a larger random-ish graph stays exact through more rounds") {
     // 400 vertices, 3 deterministic stride out-links each — the same
     // ring-jump construction the pagerank registry demo uses
