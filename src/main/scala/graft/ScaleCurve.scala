@@ -869,15 +869,23 @@ object ScaleCurve {
       }
 
     // ---- render ------------------------------------------------------
-    def table(pts: Seq[Point]): String = {
-      val headers = pts.head.metrics.map(_._1)
-      val rows = pts.map(_.metrics.map(_._2))
-      (headers.mkString("| ", " | ", " |") ::
-        headers.map(_ => "---").mkString("|", "|", "|") ::
-        rows.map(_.mkString("| ", " | ", " |")).toList).mkString("\n")
-    }
+    // both renderers are total in the point count: a small
+    // SPARK_GRAFT_SCALE_POINTS override can filter a section's fixed
+    // point list to <2 (or zero) entries, and the run must degrade to a
+    // "skipped" note, not crash on pts.head / a 1-element sliding window
+    def table(pts: Seq[Point]): String =
+      if (pts.isEmpty) "_(skipped at this scale — section points all " +
+        "exceed the configured max)_"
+      else {
+        val headers = pts.head.metrics.map(_._1)
+        val rows = pts.map(_.metrics.map(_._2))
+        (headers.mkString("| ", " | ", " |") ::
+          headers.map(_ => "---").mkString("|", "|", "|") ::
+          rows.map(_.mkString("| ", " | ", " |")).toList).mkString("\n")
+      }
     def growth(pts: Seq[Point], key: String): String =
-      pts.sliding(2).map { case Seq(a, b) =>
+      if (pts.size < 2) "n/a (<2 points at this scale)"
+      else pts.sliding(2).collect { case Seq(a, b) =>
         val va = a.metrics.find(_._1 == key).get._2.toDouble
         val vb = b.metrics.find(_._1 == key).get._2.toDouble
         f"${b.n}/${a.n} data ×${b.n.toDouble / a.n}%.0f → $key ×${vb / va}%.1f"

@@ -62,6 +62,7 @@ object Graph {
       dampNum, dampDen)
     // bounded driver scalar (one long), same class as Ivf's k-row builds
     val v = verts.count()
+    require(v > 0, "pageRank needs a non-empty edge list")
     val base = Scale / v                      // == SQL `Scale div v`
     val teleport = ((dampDen - dampNum) * base) / dampDen
     val vertsT = verts.select(col("id"), lit(teleport).as("tp"))

@@ -59,6 +59,13 @@ object Partitioning {
                     path: String): DataFrame = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    // the drop above leaves an EXTERNAL table's files behind, and Spark
+    // rejects CTAS into a non-empty location (allowNonEmptyLocationInCTAS
+    // defaults false) — clear the path so a reused (name, path) pair
+    // rebuilds instead of failing
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(hp)) fs.delete(hp, true)
     df.write.format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .option("path", path)

@@ -69,8 +69,20 @@ object Tables {
     (from, to) match {
       case (LongType, TimestampType)         =>
         // integral division — `/` on longs goes through double, whose
-        // ulp at ~1.7e18 ns is 256 ns (see [[events]])
-        Some(timestamp_micros(expr(s"`$name` div 1000")))
+        // ulp at ~1.7e18 ns is 256 ns (see [[events]]). The div-1000
+        // assumes TIMESTAMP(NANOS) provenance (the only INT64 flavor
+        // the generator has shipped); an epoch-micros/millis long would
+        // load silently wrong by 1000×, so the magnitude is checked
+        // per row — post-1973 nanos are ≥1e17, while micros stay below
+        // that until year ~5138 — and anything else fails LOUDLY.
+        Some(when(c.isNull, lit(null).cast(to))
+          .when(abs(c) >= 100000000000000000L,
+            timestamp_micros(expr(s"`$name` div 1000")))
+          .otherwise(raise_error(concat(
+            lit(s"$name: INT64 value "), c.cast("string"),
+            lit(" is not nanos-since-epoch magnitude; refusing to " +
+              "guess the epoch unit — extend Tables.coerce for this " +
+              "drift flavor")))))
       case (TimestampNTZType, TimestampType) => Some(c.cast(to))
       case (DateType, TimestampType)         => Some(c.cast(to))
       case (_: NumericType, _: NumericType)  => Some(c.cast(to))
@@ -148,8 +160,23 @@ object Tables {
   * entry instead of serving an index fitted to data that no longer
   * exists.
   */
-final class CorpusMemo[V](table: String) {
+final class CorpusMemo[V](tables: String*) {
   private val entries = scala.collection.concurrent.TrieMap.empty[String, V]
+  private def key(dir: String): String =
+    tables.map(Tables.contentStamp(dir, _)).mkString(";")
   def getOrElseUpdate(dir: String, v: => V): V =
-    entries.getOrElseUpdate(Tables.contentStamp(dir, table), v)
+    entries.getOrElseUpdate(key(dir), v)
+
+  /** [[getOrElseUpdate]] whose cached value must ALSO pass `valid` to be
+    * reused — for entries naming session-scoped state (catalog table
+    * names, cached plans) that a later SparkSession in the same process
+    * won't have: a stale name would otherwise resolve to nothing (or to
+    * someone else's table) while the content stamp still matches.
+    */
+  def getOrElseValid(dir: String, valid: V => Boolean)(v: => V): V = {
+    val k = key(dir)
+    entries.get(k).filter(valid).getOrElse {
+      val nv = v; entries.put(k, nv); nv
+    }
+  }
 }

@@ -182,6 +182,25 @@ class TablesSpec extends SparkTestBase {
       s"canonical-flavor load must stay a bare relation, got:\n$plan")
   }
 
+  test("an INT64 epoch-MICROS timestamp column fails loudly instead of " +
+       "loading 1000x wrong under the nanos rule") {
+    import spark.implicits._
+    val dir = scratch("orders_micros_long")
+    // ~1.7e15: epoch-micros magnitude — the drift flavor coerce() must
+    // refuse to guess at (div-1000 would silently read it as ~1970)
+    Seq((1L, 1L, 100.0, 1700000000000000L))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val e = intercept[Exception] {
+      Tables.orders(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("not nanos-since-epoch")),
+      s"wanted the refusing-to-guess error, got: $e")
+  }
+
   test("nation absorbs an int64-keys drift back to canonical int32") {
     import spark.implicits._
     val dir = scratch("nation64")
