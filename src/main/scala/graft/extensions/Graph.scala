@@ -117,6 +117,57 @@ object Graph {
       release = Seq(verts, linked, seedSet))
   }
 
+  /** Warm-start (incremental) PageRank — the append-without-recompute
+    * story for the graph family, matching `appendAssign` (IVF) and
+    * `incrementalNearDups` (text dedup): resume the power iteration
+    * from a SAVED rank vector instead of the uniform start, so after an
+    * edge-batch append the job spends its iteration budget refining
+    * yesterday's converged vector rather than re-deriving it from
+    * scratch.
+    *
+    * Two exact properties (both provable because the arithmetic is
+    * integral — GraphSpec asserts them bit-for-bit):
+    *   - SPLIT EQUALITY on an unchanged graph: resume(resume(init, k),
+    *     m) == fromScratch(k + m). A checkpointed rank vector is a
+    *     resumable artifact, not an approximation.
+    *   - vertices NEW to the graph (absent from `prevRanks`) start at
+    *     the uniform base mass, exactly where a from-scratch run would
+    *     start them; existing vertices keep their saved rank.
+    * After an append the resumed vector is a warm start, not a replay:
+    * the fixed point it converges TO is the new graph's, and getting
+    * there needs a handful of refinement iterations instead of the full
+    * budget (the same reasoning as any power-iteration restart).
+    *
+    * Shuffle shape is identical to [[pageRankFixedPoint]] — the edge
+    * frame re-hashes once, each iteration moves only the rank vector —
+    * plus ONE extra left join to seed the start vector from
+    * `prevRanks`.
+    *
+    * @param prevRanks (id, rank_fp) — the output contract of
+    *                  [[pageRankFixedPoint]] / a previous resume, e.g.
+    *                  read back from a parquet checkpoint
+    */
+  def pageRankResume(edges: DataFrame, srcCol: String, dstCol: String,
+                     prevRanks: DataFrame, iterations: Int = 4,
+                     dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    val (verts, linked) = prep(edges, srcCol, dstCol, iterations,
+      dampNum, dampDen)
+    val v = verts.count()
+    require(v > 0, "pageRank needs a non-empty edge list")
+    val base = Scale / v
+    val teleport = ((dampDen - dampNum) * base) / dampDen
+    val vertsT = verts.select(col("id"), lit(teleport).as("tp"))
+    val prev = prevRanks.select(col("id").cast("long").as("id"),
+      col("rank_fp").cast("long").as("prev_fp"))
+    // left join: saved rank wins; vertices the append introduced (or
+    // ranks dropped from the artifact) fall back to the uniform base
+    val init = verts.join(prev, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("prev_fp"), lit(base)).as("rank_fp"))
+    iterate(vertsT, linked, init, iterations, dampNum, dampDen,
+      release = Seq(verts, linked))
+  }
+
   /** Deterministic random walks — the node2vec/DeepWalk corpus
     * generator, derandomized: step t from vertex v follows out-edge
     * number `md5(v + "#" + t) % outdeg(v)` (out-edges ranked by dst),

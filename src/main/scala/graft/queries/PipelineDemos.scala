@@ -1031,6 +1031,22 @@ object PipelineDemos {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    // Incremental (warm-start) PageRank: run 2 iterations from scratch,
+    // checkpoint the rank vector, resume 2 more from it — the
+    // append-without-recompute artifact story (ann_ivf_incremental /
+    // dedup_incremental for centrality). The fixed-point arithmetic
+    // makes the split PROVABLE: the result must hash-equal the plain
+    // 4-iteration oracle, so the resumable checkpoint is exact, not an
+    // approximation.
+    "pagerank_resume" -> ((s, dir) => {
+      val edges = docLinkEdges(s, dir)
+      val saved = graft.extensions.Graph.pageRankFixedPoint(edges,
+        "src", "dst", iterations = 2)
+      graft.extensions.Graph.pageRankResume(edges, "src", "dst", saved,
+          iterations = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // TrustRank-style seeded centrality: teleport mass flows only to a
     // vetted seed quarter of the corpus (md5 first hex < '4'), so rank
     // measures link-proximity to trusted docs, not raw in-degree —
@@ -2471,6 +2487,9 @@ object PipelineDemos {
         |  array_to_string(list_transform(vd, x -> CAST(floor(x * scale + CAST(0.5 AS DOUBLE)) AS INTEGER)), ',') AS q
         |FROM s ORDER BY vec_id""".stripMargin,
     "pagerank" -> pagerankOracleSql(seeded = false),
+    // the resume demo splits the same 4 iterations 2+2 across a saved
+    // rank vector — bit-equality with the unsplit oracle IS the claim
+    "pagerank_resume" -> pagerankOracleSql(seeded = false),
     "pagerank_seeded" -> pagerankOracleSql(seeded = true),
     "graph_walks" -> graphWalksOracle(steps = 3, walks = 2),
     "walk_pairs" -> walkPairsOracle(steps = 3, walks = 2, window = 2),

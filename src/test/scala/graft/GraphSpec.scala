@@ -125,6 +125,56 @@ class GraphSpec extends SparkTestBase {
     assert(got(3L) == (15L * share) / 100L)
   }
 
+  /** Sequential reference for a warm-started run: the same recurrence
+    * from an ARBITRARY init vector (absent ids start at base).
+    */
+  private def refPageRankFrom(edges: Seq[(Long, Long)],
+                              init: Map[Long, Long], iters: Int,
+                              dampNum: Long = 85L, dampDen: Long = 100L)
+      : Map[Long, Long] = {
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val base = Graph.Scale / verts.size.toLong
+    val teleport = ((dampDen - dampNum) * base) / dampDen
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var rank = verts.map(id => id -> init.getOrElse(id, base)).toMap
+    for (_ <- 1 to iters) {
+      val contrib =
+        scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d) <- edges) contrib(d) += rank(s) / outdeg(s)
+      rank = verts.map(id =>
+        id -> (teleport + (dampNum * contrib(id)) / dampDen)).toMap
+    }
+    rank
+  }
+
+  test("resume split equality: resume(fromScratch(2), 2) == " +
+       "fromScratch(4) bit-for-bit, under a different partitioning") {
+    import spark.implicits._
+    val e = fixture.toDF("src", "dst")
+    val first = Graph.pageRankFixedPoint(e, "src", "dst", iterations = 2)
+    val resumed = Graph.pageRankResume(e.repartition(7), "src", "dst",
+        first, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == refPageRank(fixture, 4))
+  }
+
+  test("resume after an edge-batch append: saved vertices warm-start " +
+       "at their rank, new vertices at the NEW uniform base — " +
+       "bit-equal to the sequential warm-start reference") {
+    import spark.implicits._
+    val e = fixture.toDF("src", "dst")
+    val saved = Graph.pageRankFixedPoint(e, "src", "dst", iterations = 3)
+    val savedMap =
+      saved.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the append introduces vertex 5 (new) and re-links the sink
+    val appended = fixture ++ Seq((5L, 0L), (3L, 5L))
+    val got = Graph.pageRankResume(appended.toDF("src", "dst"),
+        "src", "dst", saved, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPageRankFrom(appended, savedMap, 2))
+    assert(got.contains(5L), "appended vertex must be ranked")
+  }
+
   private def hex4(s: String): Long =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
