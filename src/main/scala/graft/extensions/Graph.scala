@@ -218,14 +218,18 @@ object Graph {
     // per-step scheduling — and measured ~4.7× slower at 1.6M
     // vertices (19 s vs 4 s, ProfileGraph); the plan chain is bounded
     // by the ≤32-step budget, so lineage depth is not a concern here
-    // (unlike the unbounded PageRank/Components loops). The cached
-    // frontiers stay registered until the session clears them — the
-    // same cache-ownership stance as Ivf.search's lists.
+    // (unlike the unbounded PageRank/Components loops). The lazy cache
+    // entries fill during the ONE materialization at the end, after
+    // which everything is released (labelPropagation's stance) — a
+    // walk-heavy session must not accumulate ≤32 frontier caches per
+    // call (ProfileGraph: wall unchanged, storage empty after).
+    val kept = scala.collection.mutable.Buffer[DataFrame](neighbors)
     var frontier = e.select(col("src").as("start")).distinct()
       .select(col("start"),
         explode(sequence(lit(0), lit(walksPerStart - 1))).as("walk"))
       .select(col("start"), col("walk"), col("start").as("cur"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    kept += frontier
     var out = frontier.select(col("start"), col("walk"),
       lit(0).as("step"), col("cur").as("node"))
     for (t <- 1 to steps) {
@@ -240,10 +244,15 @@ object Graph {
           element_at(col("dsts"),
             (col("h") % col("deg") + 1L).cast("int")).as("cur"))
       frontier = stepped.persist(StorageLevel.MEMORY_AND_DISK)
+      kept += frontier
       out = out.union(frontier.select(col("start"), col("walk"),
         lit(t).as("step"), col("cur").as("node")))
     }
-    out
+    // one materialization through the cached chain, then release all
+    // intermediates — callers get a self-contained leaf
+    val result = out.localCheckpoint(true)
+    kept.foreach(_.unpersist(false))
+    result
   }
 
   /** Skip-gram co-occurrence pairs from a walk corpus — the word2vec-
@@ -257,8 +266,14 @@ object Graph {
     * is ≤ steps+1 rows, so the join blowup is the bounded
     * (steps+1)·2·window factor, never corpus-squared — followed by a
     * map-side-combined (center, context) count. At 100 TB the walks
-    * table is written bucketed by start and the self-join is
-    * shuffle-free.
+    * table is written bucketed by the full join key (start, walk) and
+    * the self-join is shuffle-free: the SortMergeJoin consumes both
+    * bucketed scans with zero ShuffleExchange (the
+    * `walk_pairs_bucketed` demo runs exactly that layout; PlanShapeSpec
+    * pins the plan with broadcast disabled). Bucketing on start alone
+    * is NOT enough under Spark's default
+    * requireAllClusterKeysForCoPartition — the planner would re-shuffle
+    * on the composite and drop the bucketed read.
     *
     * @param walks output of [[deterministicWalks]] (start, walk, step,
     *              node)

@@ -56,7 +56,20 @@ object Partitioning {
     * pid, same stance as the ANN index artifacts.
     */
   def bucketedTable(df: DataFrame, name: String, key: String, buckets: Int,
-                    path: String): DataFrame = {
+                    path: String): DataFrame =
+    bucketedTable(df, name, Seq(key), buckets, path)
+
+  /** Multi-key variant: bucket (and per-bucket sort) on ALL of `keys`.
+    * Needed whenever the consuming join is keyed on a composite: with
+    * Spark's default `requireAllClusterKeysForCoPartition=true`, a scan
+    * bucketed on a strict subset of the join keys does NOT count as
+    * co-partitioned — the planner re-shuffles on the full key and then
+    * disables the bucketed read entirely. Bucketing on the full
+    * composite keeps the join shuffle-free.
+    */
+  def bucketedTable(df: DataFrame, name: String, keys: Seq[String],
+                    buckets: Int, path: String): DataFrame = {
+    require(keys.nonEmpty, "bucketedTable needs >=1 bucket key")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     // the drop above leaves an EXTERNAL table's files behind, and Spark
@@ -67,7 +80,8 @@ object Partitioning {
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(hp)) fs.delete(hp, true)
     df.write.format("parquet")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .option("path", path)
       .mode("overwrite")
       .saveAsTable(name)

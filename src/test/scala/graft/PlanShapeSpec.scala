@@ -438,6 +438,35 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("walk_pairs_bucketed: the bucketed walks table makes the " +
+       "skip-gram self-join shuffle-free even without broadcast — " +
+       "bucket hashing on start co-locates every (start, walk) group") {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = unwrapped(
+        SparkEntry.queries("walk_pairs_bucketed")(spark, dir)
+          .queryExecution.executedPlan)
+      assert(plan.toString.contains("Bucketed: true"),
+        s"both self-join sides must read as bucketed scans:\n$plan")
+      val smjs = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smjs.nonEmpty, s"self-join must sort-merge:\n$plan")
+      smjs.foreach { j =>
+        val shuffles = j.collect {
+          case e: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeExec => e
+        }
+        assert(shuffles.isEmpty,
+          s"the self-join over the bucketed walks table must plan ZERO " +
+            s"exchanges (the bucketed write was the shuffle):\n$j")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }
+  }
+
   test("scd2_history plans ONE shuffle for both the lag and lead windows") {
     val df = SparkEntry.queries("scd2_history")(spark, dir)
     val core = df.queryExecution.optimizedPlan match {

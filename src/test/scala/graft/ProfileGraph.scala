@@ -32,8 +32,10 @@ object ProfileGraph {
       val t1 = System.nanoTime()
       graft.extensions.Graph.deterministicWalks(edges, "src", "dst",
         steps = 3, walksPerStart = 2).count()
+      val leaked = spark.sparkContext.getPersistentRDDs.size
       println(f"[profile] walks    n=$n round=$round " +
-        f"${(System.nanoTime() - t1) / 1e9}%.2f s")
+        f"${(System.nanoTime() - t1) / 1e9}%.2f s " +
+        f"(persistent RDDs after: $leaked)")
       spark.catalog.clearCache()
       val t2 = System.nanoTime()
       val seeds = spark.range(0, n).toDF("id").filter(col("id") % 7 === 0)
