@@ -255,6 +255,116 @@ object Graph {
     result
   }
 
+  /** Node2vec-biased deterministic walks — [[deterministicWalks]] with
+    * the return/in-out bias real graph-embedding corpora use, still
+    * fully derandomized: from step 2 on, out-edge e from `cur` (given
+    * the previous node `prev`) carries an INTEGER weight
+    *   - dst == prev                     → `wReturn`  (node2vec 1/p)
+    *   - dst ∈ out-neighbors(prev)       → `wStay`    (distance-1, 1)
+    *   - otherwise                       → `wExplore` (node2vec 1/q)
+    * and the pick is `md5(...) mod totalWeight` mapped through the
+    * cumulative weight ranges over the dst-sorted out-edges — exact
+    * integer arithmetic, so the biased corpus is as reproducible and
+    * SQL-oracle-checkable as the uniform one. With all weights equal
+    * the ranges collapse to `mod deg`: biasedWalks(1,1,1) IS
+    * deterministicWalks row for row (asserted in GraphSpec). Step 1
+    * has no `prev` and stays uniform, exactly as node2vec's first hop.
+    *
+    * Adjacency is `prev`'s OUT-neighbors (this is a directed engine);
+    * `dst == prev` takes precedence over adjacency, mirroring
+    * node2vec's d=0 case. Multi-edges weight independently — a doubled
+    * link doubles its pick range in both the uniform and biased forms.
+    *
+    * Scale shape: identical to [[deterministicWalks]] — ONE keyed
+    * equi-join per step against the |V|-row adjacency frame. The
+    * distance-1 test needs prev's out-neighbor array, which the
+    * PREVIOUS step already probed, so the frontier carries it forward
+    * as a column (bounded by out-degree) instead of joining neighbors
+    * a second time per step. The weight fold is two codegen'd
+    * higher-order aggregates over that array — map-side, no extra
+    * shuffle.
+    */
+  def biasedWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                  steps: Int = 3, walksPerStart: Int = 1,
+                  wReturn: Int = 1, wStay: Int = 1,
+                  wExplore: Int = 1): DataFrame = {
+    require(steps >= 1 && steps <= 32, "fixed walk budget")
+    require(walksPerStart >= 1 && walksPerStart <= 64, "bounded walk fanout")
+    require(Seq(wReturn, wStay, wExplore).forall(w => w >= 1 && w <= 1000),
+      "integer biases in [1, 1000] (exact rationals over a common " +
+        "denominator; 0 would need dead-end handling the walk " +
+        "semantics don't define)")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst"))
+    val neighbors = e.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("dsts"),
+           count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val kept = scala.collection.mutable.Buffer[DataFrame](neighbors)
+    def hashAt(t: Int) = conv(substring(md5(concat(
+        col("cur").cast("string"), lit("#"),
+        col("walk").cast("string"), lit(s"#$t"))), 1, 4),
+      16, 10).cast("long")
+    val starts = e.select(col("src").as("start")).distinct()
+      .select(col("start"),
+        explode(sequence(lit(0), lit(walksPerStart - 1))).as("walk"))
+      .select(col("start"), col("walk"), col("start").as("cur"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    kept += starts
+    var out = starts.select(col("start"), col("walk"),
+      lit(0).as("step"), col("cur").as("node"))
+    // step 1: uniform (no prev); the frontier leaves carrying prev =
+    // the start and prev_dsts = the adjacency array just probed
+    var frontier = starts.withColumn("h", hashAt(1))
+      .join(neighbors, col("cur") === col("src"))
+      .select(col("start"), col("walk"),
+        element_at(col("dsts"),
+          (col("h") % col("deg") + 1L).cast("int")).as("cur"),
+        col("cur").as("prev"), col("dsts").as("prev_dsts"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    kept += frontier
+    out = out.union(frontier.select(col("start"), col("walk"),
+      lit(1).as("step"), col("cur").as("node")))
+    for (t <- 2 to steps) {
+      val stepped = frontier.withColumn("h", hashAt(t))
+        .join(neighbors, col("cur") === col("src"))
+        // weights elementwise over the dst-sorted candidates; staged as
+        // its own column so total and the range fold both read it
+        .withColumn("wts", transform(col("dsts"), d =>
+          when(d === col("prev"), lit(wReturn.toLong))
+            .when(array_contains(col("prev_dsts"), d), lit(wStay.toLong))
+            .otherwise(lit(wExplore.toLong))))
+        .withColumn("target",
+          col("h") % aggregate(col("wts"), lit(0L), (a, x) => a + x))
+        // fold the cumulative ranges: first index whose range covers
+        // target — (rem, found) accumulator, found = -1 until hit
+        .withColumn("pick", aggregate(col("wts"),
+          struct(col("target").as("rem"), lit(-1).as("found"),
+                 lit(0).as("pos")),
+          (acc, w) =>
+            when(acc.getField("found") >= 0, acc)
+              .when(acc.getField("rem") < w,
+                struct(acc.getField("rem").as("rem"),
+                       acc.getField("pos").as("found"),
+                       (acc.getField("pos") + 1).as("pos")))
+              .otherwise(
+                struct((acc.getField("rem") - w).as("rem"),
+                       lit(-1).as("found"),
+                       (acc.getField("pos") + 1).as("pos"))),
+          acc => acc.getField("found")))
+        .select(col("start"), col("walk"),
+          element_at(col("dsts"), col("pick") + 1).as("cur"),
+          col("cur").as("prev"), col("dsts").as("prev_dsts"))
+      frontier = stepped.persist(StorageLevel.MEMORY_AND_DISK)
+      kept += frontier
+      out = out.union(frontier.select(col("start"), col("walk"),
+        lit(t).as("step"), col("cur").as("node")))
+    }
+    val result = out.localCheckpoint(true)
+    kept.foreach(_.unpersist(false))
+    result
+  }
+
   /** Skip-gram co-occurrence pairs from a walk corpus — the word2vec-
     * style training signal walk generation exists to produce: within
     * each walk, every ordered (center, context) position pair at

@@ -1102,6 +1102,20 @@ object PipelineDemos {
       graft.extensions.Graph.skipGramPairs(walks, window = 2)
         .orderBy("center", "context")
     }),
+    // Node2vec-biased walk corpus (p=2, q=0.5 scaled to exact integer
+    // weights 1/2/4 over a common denominator): return edges damped,
+    // triangle-closing edges neutral, exploration favored — the
+    // structural bias real graph-embedding corpora are generated with,
+    // still fully derandomized (md5 mod total weight through cumulative
+    // ranges), so the biased corpus verifies against an unrolled SQL
+    // oracle exactly like the uniform one.
+    "graph_walks_biased" -> ((s, dir) => {
+      graft.extensions.Graph.biasedWalks(docLinkEdges(s, dir),
+          "src", "dst", steps = 3, walksPerStart = 2,
+          wReturn = 1, wStay = 2, wExplore = 4)
+        .withColumnRenamed("start", "doc_id")
+        .orderBy("doc_id", "walk", "step")
+    }),
     // Same pair counts, over a walks table written BUCKETED BY the
     // full join key (start, walk) — the Graph.skipGramPairs scaladoc's
     // "at 100 TB the self-join is shuffle-free" claim made literal:
@@ -1454,6 +1468,56 @@ object PipelineDemos {
        |  FROM (SELECT DISTINCT src FROM edges), wk),
        |$stepCtes,
        |allw AS ($unions)""".stripMargin
+  }
+
+  /** Unrolled biased-walk oracle mirroring Graph.biasedWalks: step 1
+    * uniform, step t≥2 weights each dst-sorted candidate (return /
+    * prev-adjacent / explore), then picks the first candidate whose
+    * cumulative weight range covers md5 mod totalWeight.
+    */
+  private def biasedWalksOracle(steps: Int, walks: Int,
+                                wR: Int, wS: Int, wE: Int): String = {
+    val stepCtes = (2 to steps).map { t =>
+      s"""bh$t AS (SELECT start, walk, cur, prev,
+         |    md5(CAST(cur AS VARCHAR) || '#' || CAST(walk AS VARCHAR) || '#$t') AS h
+         |  FROM b${t - 1}),
+         |cand$t AS (SELECT w.start, w.walk, w.cur, w.prev, w.hh, e.idx, e.dst,
+         |    CASE WHEN e.dst = w.prev THEN $wR
+         |         WHEN EXISTS (SELECT 1 FROM dedges p
+         |                      WHERE p.src = w.prev AND p.dst = e.dst) THEN $wS
+         |         ELSE $wE END AS wt
+         |  FROM (SELECT start, walk, cur, prev, $hex4OfH AS hh FROM bh$t) w
+         |  JOIN ie e ON e.src = w.cur),
+         |cum$t AS (SELECT *,
+         |    sum(wt) OVER (PARTITION BY start, walk ORDER BY idx) AS cumw,
+         |    sum(wt) OVER (PARTITION BY start, walk) AS total
+         |  FROM cand$t),
+         |b$t AS (SELECT start, walk, dst AS cur, cur AS prev FROM cum$t
+         |  WHERE (hh % total) >= cumw - wt AND (hh % total) < cumw)"""
+        .stripMargin
+    }.mkString(",\n")
+    val walkVals = (0 until walks).map(i => s"($i)").mkString(", ")
+    val unions = (0 to steps).map { t =>
+      s"SELECT start AS doc_id, walk, $t AS step, cur AS node FROM b$t"
+    }.mkString("\nUNION ALL ")
+    s"""WITH $docEdgeCtes,
+       |dedges AS (SELECT DISTINCT src, dst FROM edges),
+       |ie AS (SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+       |    count(*) OVER (PARTITION BY src) AS deg FROM edges),
+       |wk AS (SELECT * FROM (VALUES $walkVals) t(walk)),
+       |b0 AS (SELECT src AS start, walk, src AS cur,
+       |    CAST(NULL AS BIGINT) AS prev
+       |  FROM (SELECT DISTINCT src FROM edges), wk),
+       |bh1 AS (SELECT start, walk, cur,
+       |    md5(CAST(cur AS VARCHAR) || '#' || CAST(walk AS VARCHAR) || '#1') AS h
+       |  FROM b0),
+       |b1 AS (SELECT w.start, w.walk, e.dst AS cur, w.cur AS prev
+       |  FROM (SELECT start, walk, cur, $hex4OfH AS hh FROM bh1) w
+       |  JOIN ie e ON e.src = w.cur AND e.idx = w.hh % e.deg),
+       |$stepCtes
+       |SELECT doc_id, walk, step, node FROM ($unions)
+       |ORDER BY doc_id, walk, step""".stripMargin
   }
 
   private def graphWalksOracle(steps: Int, walks: Int): String =
@@ -2521,6 +2585,8 @@ object PipelineDemos {
     "pagerank_resume" -> pagerankOracleSql(seeded = false),
     "pagerank_seeded" -> pagerankOracleSql(seeded = true),
     "graph_walks" -> graphWalksOracle(steps = 3, walks = 2),
+    "graph_walks_biased" -> biasedWalksOracle(steps = 3, walks = 2,
+      wR = 1, wS = 2, wE = 4),
     "walk_pairs" -> walkPairsOracle(steps = 3, walks = 2, window = 2),
     "walk_pairs_bucketed" -> walkPairsOracle(steps = 3, walks = 2,
       window = 2),

@@ -244,6 +244,86 @@ class GraphSpec extends SparkTestBase {
       (1L, 0, 0, 1L), (1L, 0, 1, 2L)))
   }
 
+  /** Sequential reference for biasedWalks: same recurrence, no Spark —
+    * step 1 uniform, step t≥2 picks by md5 mod total weight mapped
+    * through cumulative ranges over the dst-sorted candidates.
+    */
+  private def refBiasedWalks(edges: Seq[(Long, Long)], steps: Int,
+                             walks: Int, wR: Long, wS: Long, wE: Long)
+      : Set[(Long, Int, Int, Long)] = {
+    val bySrc = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._2).sorted }
+    val out = scala.collection.mutable.Set.empty[(Long, Int, Int, Long)]
+    for (st <- edges.map(_._1).distinct; wk <- 0 until walks) {
+      var cur = st
+      var prev = -1L
+      out += ((st, wk, 0, st))
+      var alive = true
+      for (t <- 1 to steps if alive) {
+        bySrc.get(cur) match {
+          case None => alive = false
+          case Some(ds) if t == 1 =>
+            prev = cur
+            cur = ds((hex4(s"$cur#$wk#$t") % ds.size).toInt)
+            out += ((st, wk, t, cur))
+          case Some(ds) =>
+            val prevDs = bySrc(prev)
+            val wts = ds.map(d =>
+              if (d == prev) wR else if (prevDs.contains(d)) wS else wE)
+            var target = hex4(s"$cur#$wk#$t") % wts.sum
+            var idx = 0
+            while (target >= wts(idx)) { target -= wts(idx); idx += 1 }
+            prev = cur
+            cur = ds(idx)
+            out += ((st, wk, t, cur))
+        }
+      }
+    }
+    out.toSet
+  }
+
+  private def runBiased(edges: Seq[(Long, Long)], steps: Int, walks: Int,
+                        wR: Int, wS: Int, wE: Int, parts: Int = 1)
+      : Set[(Long, Int, Int, Long)] = {
+    import spark.implicits._
+    val e0 = edges.toDF("src", "dst")
+    val e = if (parts > 1) e0.repartition(parts) else e0
+    Graph.biasedWalks(e, "src", "dst", steps = steps,
+        walksPerStart = walks, wReturn = wR, wStay = wS, wExplore = wE)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+  }
+
+  test("biased walks with equal weights ARE the uniform walks, row " +
+       "for row") {
+    assert(runBiased(fixture, 3, 2, 1, 1, 1) == refWalks(fixture, 3, 2))
+  }
+
+  test("biased walks match the sequential node2vec-weight reference " +
+       "bit-for-bit, under a different partitioning") {
+    val expected = refBiasedWalks(fixture, 3, 2, wR = 1, wS = 2, wE = 4)
+    assert(runBiased(fixture, 3, 2, 1, 2, 4, parts = 7) == expected)
+  }
+
+  test("an overwhelming return bias makes step 2 backtrack wherever " +
+       "the walk CAN return (prev reachable from cur)") {
+    // ring + chords so every vertex has deg >= 2 and every edge has a
+    // reverse: with wReturn=1000 vs 1, step-2 must return to the start
+    val n = 40L
+    val ring = (0L until n).flatMap(i =>
+      Seq((i, (i + 1) % n), ((i + 1) % n, i),
+          (i, (i + 7) % n), ((i + 7) % n, i)))
+    val got = runBiased(ring, 2, 1, 1000, 1, 1)
+    val byStart = got.groupBy(_._1)
+    val returned = byStart.count { case (st, rows) =>
+      rows.exists { case (_, _, step, node) => step == 2 && node == st } }
+    // total candidate weight per step-2 pick is ≤ 1000 + 3·1; the md5
+    // target lands in the return range unless it falls in the tail —
+    // expect ≥ 95% returns over 40 starts
+    assert(returned >= 38, s"only $returned/40 walks returned")
+  }
+
   /** Sequential reference for labelPropagation (synchronous rounds,
     * neighbor mode, min-label tie-break, clamped seeds).
     */
