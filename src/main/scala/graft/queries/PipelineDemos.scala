@@ -1037,6 +1037,35 @@ object PipelineDemos {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    // Centrality composed INTO curation — the CommonCrawl-style "rank,
+    // then sample by rank" job the Graph scaladoc promises end-to-end:
+    // fixed-point PageRank over the link graph → per-lang rank
+    // QUARTILES (integer tier = ((rn-1)*4) div cnt — exact, no
+    // percentile floats) → quartile-dependent md5 keep rates (top
+    // quartile kept whole, then 75/50/25%). The mixture_sample keep
+    // mechanism, driven by measured link authority instead of a static
+    // per-lang table. Scale shape: the rank join shuffles (doc_id,
+    // rank_fp) longs only; both window functions share the one
+    // per-lang partitioning; the keep filter is map-side.
+    "pipeline_rank_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ranks = graft.extensions.Graph.pageRankFixedPoint(
+        docLinkEdges(s, dir), "src", "dst", iterations = 4)
+      val w = Window.partitionBy("lang")
+        .orderBy(col("rank_fp").desc, col("doc_id"))
+      Tables.documents(s, dir).select("doc_id", "lang")
+        .join(ranks.withColumnRenamed("id", "doc_id"), "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+        .withColumn("tier", expr("((rn - 1) * 4) div cnt").cast("int"))
+        .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 1))
+        .filter(col("tier") === 0 ||
+          (col("tier") === 1 && col("h") < "c") ||
+          (col("tier") === 2 && col("h") < "8") ||
+          (col("tier") === 3 && col("h") < "4"))
+        .select("doc_id", "lang", "rank_fp", "tier")
+        .orderBy("doc_id")
+    }),
     // Incremental (warm-start) PageRank: run 2 iterations from scratch,
     // checkpoint the rank vector, resume 2 more from it — the
     // append-without-recompute artifact story (ann_ivf_incremental /
@@ -1403,7 +1432,10 @@ object PipelineDemos {
        |ORDER BY doc_id""".stripMargin
   }
 
-  private def pagerankOracleSql(seeded: Boolean): String = {
+  /** The pagerank WITH-chain (shared with the rank-mix composite):
+    * ends in `r4(id, rank_fp)` — the 4-iteration fixed-point vector.
+    */
+  private def pagerankCtes(seeded: Boolean): String = {
     val paramsCtes =
       if (!seeded)
         """params AS (SELECT (SELECT 1000000000000 // count(*) FROM verts) AS base),
@@ -1428,15 +1460,38 @@ object PipelineDemos {
          |    v.tp + (85 * COALESCE(c.contrib, 0)) // 100 AS rank_fp
          |  FROM vt v LEFT JOIN c$i c ON c.id = v.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $docEdgeCtes,
+    s"""$docEdgeCtes,
        |verts AS (SELECT DISTINCT id FROM
        |  (SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)),
        |$paramsCtes,
        |outd AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-       |$iterCtes
+       |$iterCtes""".stripMargin
+  }
+
+  private def pagerankOracleSql(seeded: Boolean): String =
+    s"""WITH ${pagerankCtes(seeded)}
        |SELECT id AS doc_id, CAST(rank_fp AS BIGINT) AS rank_fp FROM r4
        |ORDER BY doc_id""".stripMargin
-  }
+
+  /** Rank-weighted mixture curation oracle: per-lang rank quartiles
+    * over the r4 vector, quartile-dependent md5 keep rates — mirrors
+    * the `pipeline_rank_mix` demo exactly (all-integer tiers).
+    */
+  private def rankMixOracle: String =
+    s"""WITH ${pagerankCtes(seeded = false)},
+       |ranked AS (SELECT d.doc_id, d.lang, CAST(r.rank_fp AS BIGINT) AS rank_fp,
+       |    row_number() OVER (PARTITION BY d.lang
+       |                       ORDER BY r.rank_fp DESC, d.doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY d.lang) AS cnt
+       |  FROM documents d JOIN r4 r ON r.id = d.doc_id),
+       |tiered AS (SELECT doc_id, lang, rank_fp,
+       |    CAST(((rn - 1) * 4) // cnt AS INTEGER) AS tier,
+       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+       |  FROM ranked)
+       |SELECT doc_id, lang, rank_fp, tier FROM tiered
+       |WHERE tier = 0 OR (tier = 1 AND h < 'c')
+       |   OR (tier = 2 AND h < '8') OR (tier = 3 AND h < '4')
+       |ORDER BY doc_id""".stripMargin
 
   /** Unrolled deterministic-walk oracle: indexed edges via window
     * row_number/count, then one join per step with the md5-pick
@@ -2583,6 +2638,7 @@ object PipelineDemos {
     // the resume demo splits the same 4 iterations 2+2 across a saved
     // rank vector — bit-equality with the unsplit oracle IS the claim
     "pagerank_resume" -> pagerankOracleSql(seeded = false),
+    "pipeline_rank_mix" -> rankMixOracle,
     "pagerank_seeded" -> pagerankOracleSql(seeded = true),
     "graph_walks" -> graphWalksOracle(steps = 3, walks = 2),
     "graph_walks_biased" -> biasedWalksOracle(steps = 3, walks = 2,
