@@ -330,6 +330,83 @@ object Ivf {
       .agg(count(lit(1)).as("n"), sum(col("qerr_q")).as("sum_qerr_q"))
   }
 
+  /** Mode split of EVERY drifted cell in ONE distributed pass — the
+    * fit engine behind [[refit]]. A drifted cell is, by the advisory's
+    * definition, one centroid covering TWO error populations: members
+    * the old centroid still fits (quantization error near the
+    * historical mean) and members it doesn't (error near the flagged
+    * batch mean). So the split the advisory calls for is not a generic
+    * 2-means — it is a cut along the advisory's OWN criterion: members
+    * with qerr above the midpoint of (hist_err, batch_err) form the
+    * new mode, the rest the history mode, and each child is its mode's
+    * mean. An empty side keeps the old centroid (a cell with no
+    * history — `hist_n = 0` — plants its one child on the batch mode).
+    *
+    * Why this beats 2-means here, besides costing one pass instead of
+    * a Lloyd loop: a well-known 2-means failure on drifted cells whose
+    * HISTORY itself spans two populations is to split the history and
+    * attach the new mode whole to one child — or, across several
+    * drifted cells sharing one new mode, to plant several
+    * near-identical new-mode children that then split that mode's
+    * inverted list (measured as a single-probe recall regression in
+    * ExtensionsSpec's planted-drift fixture). The qerr cut is anchored
+    * to the old centroid, so the new mode separates exactly where the
+    * advisory measured it.
+    *
+    * Scale shape: the naive alternative (a driver loop of per-cell
+    * KMeans fits) serializes |D| full Spark jobs — sample plus 20
+    * Lloyd iterations EACH — so a mass-drift event (hundreds of
+    * flagged cells) pays |D| × per-job latency, driver-bound. Here ALL
+    * cells split together: one broadcast join against the k-row
+    * centroid frame + the |D|-row thresholds, one per-(cell, side,
+    * dim) mean aggregate, one ≤2·|D|-row collect — wall flat in |D|
+    * from 1 to k (ProfileRefit measures it). No RNG, no sample, no
+    * iteration: deterministic given the lists and the advisory.
+    *
+    * @param evidence drifted cells' list rows: (id, vec, nrm, cell)
+    * @param thresholds advisory rows for the drifted cells:
+    *                   (cell, hist_err, batch_err)
+    * @return cell -> (historyChild, newModeChild), one entry per cell
+    *         present in `evidence`
+    */
+  private[extensions] def modeSplitFit(evidence: DataFrame,
+      thresholds: DataFrame, index: IvfIndex)
+      : Map[Int, (Seq[Double], Seq[Double])] = {
+    val cents = broadcast(centroidFrame(evidence.sparkSession, index))
+    val cut = broadcast(thresholds.select(col("cell"),
+      ((col("hist_err") + col("batch_err")) / 2.0).as("cut")))
+    evidence.join(cents, "cell").join(cut, "cell")
+      .select(col("cell"),
+        transform(col("vec").cast("array<double>"),
+          x => when(col("nrm") > 0, x / col("nrm")).otherwise(lit(0.0)))
+          .as("nvec"),
+        // qerr vs the OLD centroid — the advisory's measure, plain
+        // double (no cross-engine oracle consumes the fit)
+        (lit(1.0) - when(col("nrm") > 0 && col("cnrm") > 0,
+            Similarity.dot(col("vec"), col("cvec"))
+              / (col("nrm") * col("cnrm")))
+          .otherwise(lit(0.0))).as("qerr"),
+        col("cut"))
+      .select(col("cell"), (col("qerr") > col("cut")).as("hi"),
+        posexplode(col("nvec")).as(Seq("pos", "x")))
+      .groupBy("cell", "hi", "pos")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .groupBy("cell", "hi")
+      .agg(sort_array(collect_list(struct(col("pos"),
+        (col("sx") / col("n")).as("m")))).as("pm"))
+      .select(col("cell"), col("hi"),
+        transform(col("pm"), p => p.getField("m")).as("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getBoolean(1)) -> r.getSeq[Double](2))
+      .toMap
+      .groupBy(_._1._1)
+      .map { case (c, sides) =>
+        val old = index.centroids(c).toSeq
+        c -> (sides.getOrElse((c, false), old),
+              sides.getOrElse((c, true), old))
+      }
+  }
+
   /** A completed [[refit]]: the new index (version to [[saveIndex]]
     * under a new path), the migrated lists, and which cells were
     * re-trained. */
@@ -337,16 +414,17 @@ object Ivf {
                          driftedCells: Seq[Int])
 
   /** Close the refit loop: consume a [[refitAdvisory]] frame, SPLIT
-    * each drifted cell — a 2-way KMeans over that cell's own members
-    * (the [[train]] bounded-hash-sample fit), one child keeping the
-    * old cell id and one appended past `k` — and migrate the lists. A
-    * drifted cell is, by the advisory's definition, one whose single
-    * centroid now covers two populations (its history mode plus the
-    * newly ingested one), so the split plants a centroid on EACH mode;
-    * a re-pick of one centroid from the mixed membership could not
-    * recover recall for either. Undrifted centroids keep their cell
-    * ids untouched — their on-disk partitions stay addressable — and
-    * the migration reads every list row at most once:
+    * each drifted cell along the advisory's own error criterion —
+    * every drifted cell cut TOGETHER in one distributed pass
+    * ([[modeSplitFit]]), the history-mode child keeping the old cell
+    * id and the new-mode child appended past `k` — and migrate the
+    * lists. A drifted cell is, by the advisory's definition, one whose
+    * single centroid now covers two populations (its history mode plus
+    * the newly ingested one), so the split plants a centroid on EACH
+    * mode; a re-pick of one centroid from the mixed membership could
+    * not recover recall for either. Undrifted centroids keep their
+    * cell ids untouched — their on-disk partitions stay addressable —
+    * and the migration reads every list row at most once:
     *
     *   - rows in a drifted cell re-assign by full argmin over the new
     *     index (they must move — their centroid is gone);
@@ -370,25 +448,37 @@ object Ivf {
     * and stats keyed to them must be rebuilt — which is why the result
     * is an explicit new index version, not an in-place mutation.
     */
-  def refit(lists: DataFrame, advisory: DataFrame, index: IvfIndex,
-            seed: Long = 42L, maxSampleRows: Int = 100000): Refit = {
-    val drifted = advisory.filter(col("drifted"))
-      .select("cell").collect().map(_.getInt(0)).toSet
-    if (drifted.isEmpty) return Refit(index, lists, Seq.empty)
+  def refit(lists: DataFrame, advisory: DataFrame,
+            index: IvfIndex): Refit = {
+    val advRows = advisory.filter(col("drifted"))
+      .select("cell", "hist_err", "batch_err")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val drifted = advRows.select("cell").collect().map(_.getInt(0)).toSet
+    if (drifted.isEmpty) {
+      advRows.unpersist(false)
+      return Refit(index, lists, Seq.empty)
+    }
     val driftedSorted = drifted.toSeq.sorted
     val k = index.k
     val evidence = lists.filter(col("cell").isInCollection(drifted))
-    // split fit per drifted cell: 2 children from that cell's members
-    // (a singleton cell degenerates to a duplicated centroid — ties go
-    // to the larger id on BOTH the migration and the from-scratch
-    // side, so equality still holds)
+    // split fit: 2 children per drifted cell from that cell's members,
+    // ALL cells fit together in one grouped job ([[groupedSplitFit]] —
+    // wall flat in |D|, not |D| sequential KMeans jobs). A singleton
+    // cell degenerates to a duplicated centroid — ties go to the
+    // larger id on BOTH the migration and the from-scratch side, so
+    // equality still holds.
     val merged = Array.ofDim[Array[Double]](k + driftedSorted.size)
     index.centroids.copyToArray(merged)
+    val fits = modeSplitFit(evidence, advRows, index)
+    advRows.unpersist(false)
     driftedSorted.zipWithIndex.foreach { case (cell, i) =>
-      val cs = train(lists.filter(col("cell") === cell), "vec", 2,
-        seed = seed + cell, maxSampleRows = maxSampleRows).centroids
-      merged(cell) = cs(0)
-      merged(k + i) = if (cs.length > 1) cs(1) else cs(0)
+      // a flagged cell with zero list rows (advisory built from stats
+      // the lists don't carry yet) keeps its old centroid duplicated —
+      // an explicit no-op split instead of a crash
+      val (a, b) = fits.getOrElse(cell,
+        (index.centroids(cell).toSeq, index.centroids(cell).toSeq))
+      merged(cell) = a.toArray
+      merged(k + i) = b.toArray
     }
     val newIndex = IvfIndex(merged)
     // mini-index of ONLY the new centroids: undrifted rows probe 2·|D|
