@@ -810,7 +810,8 @@ object ScaleCurve {
     // rerun must reproduce the SAME BITS (sum + xxhash64 fingerprint
     // over all (id, rank) pairs), which is what makes an iterative
     // distributed job verifiable at any size.
-    val prPts = Seq(100000L, 400000L, 1600000L).filter(_ <= points.max * 8)
+    val prPts = Seq(100000L, 400000L, 1600000L, 6400000L)
+      .filter(_ <= points.max * 32)
       .map { n =>
         def edges = spark.range(0, n).toDF("src")
           .select(col("src"),
@@ -844,6 +845,13 @@ object ScaleCurve {
             "src", "dst", steps = 3, walksPerStart = 2).count()
           nWalkRows
         }
+        // node2vec-biased walks over the same graph: the weight fold
+        // must stay a map-side factor (same join count as uniform)
+        val (secB, _) = timeIt(spark) {
+          graft.extensions.Graph.biasedWalks(edges, "src", "dst",
+            steps = 3, walksPerStart = 2,
+            wReturn = 1, wStay = 2, wExplore = 4).count()
+        }
         // label propagation over the same graph: ~14% seeds, 5 label
         // classes; `labeled` counts vertices reached within 3 rounds
         var nLabeled = 0L
@@ -864,6 +872,7 @@ object ScaleCurve {
           "wall 4 iters (s)" -> f"$sec%.2f",
           "walk rows" -> nWalkRows.toString,
           "wall walks (s)" -> f"$secW%.2f",
+          "wall biased walks (s)" -> f"$secB%.2f",
           "labeled frac" -> f"${nLabeled.toDouble / n}%.3f",
           "wall labelprop (s)" -> f"$secL%.2f"))
       }
@@ -1143,7 +1152,10 @@ object ScaleCurve {
        ^property that makes iterative centrality verifiable (and its
        ^backfills reproducible) at any cluster size. `wall walks` times
        ^`Graph.deterministicWalks` (2 walks/start × 3 steps — one keyed
-       ^join per step); `wall labelprop` times 3 synchronous rounds of
+       ^join per step); `wall biased walks` adds the node2vec
+       ^return/stay/explore weight fold (1/2/4), which must stay a
+       ^map-side factor over the same join count; `wall labelprop`
+       ^times 3 synchronous rounds of
        ^`Graph.labelPropagation` from ~14% seeds (5 classes) — both
        ^over the same graphs.
        ^
@@ -1151,6 +1163,7 @@ object ScaleCurve {
        ^
        ^Growth: ${growth(prPts, "wall 4 iters (s)")}.
        ^Walks: ${growth(prPts, "wall walks (s)")}.
+       ^Biased walks: ${growth(prPts, "wall biased walks (s)")}.
        ^Label propagation: ${growth(prPts, "wall labelprop (s)")}.
        ^
        ^## Reading the curves at 100 TB
