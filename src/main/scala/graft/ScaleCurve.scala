@@ -1166,6 +1166,18 @@ object ScaleCurve {
        ^Biased walks: ${growth(prPts, "wall biased walks (s)")}.
        ^Label propagation: ${growth(prPts, "wall labelprop (s)")}.
        ^
+       ^At the largest point the WALK rows (steps·walksPerStart·|V|,
+       ^51.2M at 6.4M vertices — 8 rows per vertex, far more than any
+       ^other §10 job materializes) exceed this host's storage memory:
+       ^the run logs MemoryStore "not enough space to cache" and task-
+       ^page allocation retries there, so the last walk octaves are
+       ^storage-bound (disk fallback), not join-bound — biased walks
+       ^feel it hardest because their frontiers also carry the
+       ^prev-adjacency array. Per-executor storage is exactly what a
+       ^real cluster scales out; the shuffle/join COUNT stays fixed
+       ^per step at every point, which is the property these curves
+       ^pin.
+       ^
        ^## Reading the curves at 100 TB
        ^
        ^- LSH: `bandBits`/`bands` must track log2(corpus) (TextDedup
