@@ -1,6 +1,6 @@
 package graft.extensions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -168,61 +168,65 @@ object Graph {
       release = Seq(verts, linked))
   }
 
-  /** Deterministic random walks — the node2vec/DeepWalk corpus
-    * generator, derandomized: step t from vertex v follows out-edge
-    * number `md5(v + "#" + t) % outdeg(v)` (out-edges ranked by dst),
-    * so the same graph yields the same walks on any cluster — walk
-    * corpora become reproducible, diffable artifacts instead of
-    * seed-and-pray samples, and the whole pipeline verifies against a
-    * SQL oracle.
-    *
-    * Scale shape: the indexed edge frame (src, idx, dst, deg) is built
-    * once (one window over src) and hashed by src; each step is then
-    * ONE keyed equi-join of the walk frontier — (start, cur) pairs,
-    * two longs — against it, with the edge-pick predicate evaluated on
-    * the joined row. Walks from a dangling vertex (no out-edges) simply
-    * end at that step (inner join); `steps` is a fixed budget, matching
-    * how walk corpora are actually generated.
-    *
-    * @param walksPerStart number of independent walks per start vertex
-    *         (walk w picks by md5("<cur>#<w>#<t>")), the corpus-size
-    *         knob real walk generation turns
-    * @return (start, walk, step, node) — step 0 is the start vertex
-    *         itself; one row per surviving walk position, so a walk
-    *         that hits a dangling vertex contributes fewer than
-    *         `steps`+1 rows
+  /** First 8 hex digits of md5("<cur>#<walk>#<t>") as a long — the
+    * shared walk-pick entropy (32 bits, 0..4294967295). 8 nibbles, not
+    * 4: the pick is `h mod totalRange`, and a 16-bit h cannot COVER a
+    * range above 65535 — a hub whose out-degree (× bias weight, for
+    * [[biasedWalks]]) exceeds that would silently never walk its
+    * high-dst edges. 32 bits cover any realistic out-degree times the
+    * ≤1000 weight cap; the residual modulo bias is ≤ range/2^32 — the
+    * same determinism-over-perfect-uniformity stance as the md5
+    * sampling throughout this engine. The oracle rebuilds the same
+    * integer nibble by nibble.
     */
-  def deterministicWalks(edges: DataFrame, srcCol: String, dstCol: String,
-                         steps: Int = 3, walksPerStart: Int = 1): DataFrame = {
+  private def pickHash(t: Int): Column =
+    conv(substring(md5(concat(col("cur").cast("string"),
+        lit("#"), col("walk").cast("string"), lit(s"#$t"))), 1, 8),
+      16, 10).cast("long")
+
+  /** Shared scaffolding for the uniform and biased walkers: canonical
+    * (src, dst) longs, the adjacency-array frame, the per-start walk
+    * fanout, the per-step persist chain, and the final materialize-
+    * then-release. `step(frontier, neighbors, t)` returns the next
+    * frontier — it must carry (start, walk, cur) and may carry extra
+    * columns for its own next step (the biased walker hands its
+    * prev-adjacency forward).
+    *
+    * Adjacency is ARRAYS, not a window-indexed edge list: one map-side-
+    * combined hash aggregate builds (src, sorted dsts, deg) — |V| rows
+    * — and every step join probes THAT, picking an element by h mod a
+    * range. The row_number()-window alternative is the same logical
+    * index but WindowExec sorts and buffers per src group outside
+    * codegen, and the step join then matches against |E| rows
+    * (measured 2.4× slower end-to-end at 1.6M vertices, ProfileGraph).
+    *
+    * Each frontier is persisted LAZILY, not eagerly checkpointed: the
+    * output unions every step's frontier, so without caching, branch t
+    * would recompute the whole chain (O(steps²) joins); with it, step
+    * t+1 and the union both read step t from cache on the one real
+    * action. Eager per-step materialization (localCheckpoint(true))
+    * ran every step as its own job — an extra full pass plus per-step
+    * scheduling — and measured ~4.7× slower at 1.6M vertices (19 s vs
+    * 4 s, ProfileGraph); the plan chain is bounded by the ≤32-step
+    * budget, so lineage depth is not a concern here (unlike the
+    * unbounded PageRank/Components loops). The lazy cache entries fill
+    * during the ONE materialization at the end, after which everything
+    * is released (labelPropagation's stance) — a walk-heavy session
+    * must not accumulate ≤32 frontier caches per call (ProfileGraph:
+    * wall unchanged, storage empty after).
+    */
+  private def walkLoop(edges: DataFrame, srcCol: String, dstCol: String,
+                       steps: Int, walksPerStart: Int,
+                       step: (DataFrame, DataFrame, Int) => DataFrame)
+      : DataFrame = {
     require(steps >= 1 && steps <= 32, "fixed walk budget")
     require(walksPerStart >= 1 && walksPerStart <= 64, "bounded walk fanout")
     val e = edges.select(col(srcCol).cast("long").as("src"),
                          col(dstCol).cast("long").as("dst"))
-    // adjacency ARRAYS, not a window-indexed edge list: one map-side-
-    // combined hash aggregate builds (src, sorted dsts, deg) — |V| rows
-    // — and every step join probes THAT, picking element (h mod deg).
-    // The row_number()-window alternative is the same logical index but
-    // WindowExec sorts and buffers per src group outside codegen, and
-    // the step join then matches against |E| rows (measured 2.4×
-    // slower end-to-end at 1.6M vertices, ProfileGraph).
     val neighbors = e.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("dsts"),
            count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // each frontier is persisted LAZILY, not eagerly checkpointed: the
-    // output unions every step's frontier, so without caching, branch t
-    // would recompute the whole chain (O(steps²) joins); with it, step
-    // t+1 and the union both read step t from cache on the one real
-    // action. Eager per-step materialization (localCheckpoint(true))
-    // ran every step as its own job — an extra full pass plus
-    // per-step scheduling — and measured ~4.7× slower at 1.6M
-    // vertices (19 s vs 4 s, ProfileGraph); the plan chain is bounded
-    // by the ≤32-step budget, so lineage depth is not a concern here
-    // (unlike the unbounded PageRank/Components loops). The lazy cache
-    // entries fill during the ONE materialization at the end, after
-    // which everything is released (labelPropagation's stance) — a
-    // walk-heavy session must not accumulate ≤32 frontier caches per
-    // call (ProfileGraph: wall unchanged, storage empty after).
     val kept = scala.collection.mutable.Buffer[DataFrame](neighbors)
     var frontier = e.select(col("src").as("start")).distinct()
       .select(col("start"),
@@ -233,17 +237,8 @@ object Graph {
     var out = frontier.select(col("start"), col("walk"),
       lit(0).as("step"), col("cur").as("node"))
     for (t <- 1 to steps) {
-      // the edge pick: first 4 hex digits of md5("<cur>#<walk>#<t>")
-      // mod deg — same integer the oracle rebuilds nibble by nibble
-      val h = conv(substring(md5(concat(col("cur").cast("string"),
-          lit("#"), col("walk").cast("string"), lit(s"#$t"))), 1, 4),
-        16, 10).cast("long")
-      val stepped = frontier.withColumn("h", h)
-        .join(neighbors, col("cur") === col("src"))
-        .select(col("start"), col("walk"),
-          element_at(col("dsts"),
-            (col("h") % col("deg") + 1L).cast("int")).as("cur"))
-      frontier = stepped.persist(StorageLevel.MEMORY_AND_DISK)
+      frontier = step(frontier, neighbors, t)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       kept += frontier
       out = out.union(frontier.select(col("start"), col("walk"),
         lit(t).as("step"), col("cur").as("node")))
@@ -254,6 +249,39 @@ object Graph {
     kept.foreach(_.unpersist(false))
     result
   }
+
+  /** Deterministic random walks — the node2vec/DeepWalk corpus
+    * generator, derandomized: step t from vertex v follows out-edge
+    * number `md5(v + "#" + t) % outdeg(v)` (out-edges ranked by dst),
+    * so the same graph yields the same walks on any cluster — walk
+    * corpora become reproducible, diffable artifacts instead of
+    * seed-and-pray samples, and the whole pipeline verifies against a
+    * SQL oracle.
+    *
+    * Scale shape ([[walkLoop]]): the adjacency-array frame is built
+    * once; each step is ONE keyed equi-join of the walk frontier —
+    * (start, cur) pairs, two longs — against it, with the edge pick
+    * evaluated on the joined row. Walks from a dangling vertex (no
+    * out-edges) simply end at that step (inner join); `steps` is a
+    * fixed budget, matching how walk corpora are actually generated.
+    *
+    * @param walksPerStart number of independent walks per start vertex
+    *         (walk w picks by md5("<cur>#<w>#<t>")), the corpus-size
+    *         knob real walk generation turns
+    * @return (start, walk, step, node) — step 0 is the start vertex
+    *         itself; one row per surviving walk position, so a walk
+    *         that hits a dangling vertex contributes fewer than
+    *         `steps`+1 rows
+    */
+  def deterministicWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                         steps: Int = 3, walksPerStart: Int = 1): DataFrame =
+    walkLoop(edges, srcCol, dstCol, steps, walksPerStart,
+      (frontier, neighbors, t) =>
+        frontier.withColumn("h", pickHash(t))
+          .join(neighbors, col("cur") === col("src"))
+          .select(col("start"), col("walk"),
+            element_at(col("dsts"),
+              (col("h") % col("deg") + 1L).cast("int")).as("cur")))
 
   /** Node2vec-biased deterministic walks — [[deterministicWalks]] with
     * the return/in-out bias real graph-embedding corpora use, still
@@ -288,81 +316,54 @@ object Graph {
                   steps: Int = 3, walksPerStart: Int = 1,
                   wReturn: Int = 1, wStay: Int = 1,
                   wExplore: Int = 1): DataFrame = {
-    require(steps >= 1 && steps <= 32, "fixed walk budget")
-    require(walksPerStart >= 1 && walksPerStart <= 64, "bounded walk fanout")
     require(Seq(wReturn, wStay, wExplore).forall(w => w >= 1 && w <= 1000),
       "integer biases in [1, 1000] (exact rationals over a common " +
         "denominator; 0 would need dead-end handling the walk " +
         "semantics don't define)")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-                         col(dstCol).cast("long").as("dst"))
-    val neighbors = e.groupBy("src")
-      .agg(sort_array(collect_list(col("dst"))).as("dsts"),
-           count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val kept = scala.collection.mutable.Buffer[DataFrame](neighbors)
-    def hashAt(t: Int) = conv(substring(md5(concat(
-        col("cur").cast("string"), lit("#"),
-        col("walk").cast("string"), lit(s"#$t"))), 1, 4),
-      16, 10).cast("long")
-    val starts = e.select(col("src").as("start")).distinct()
-      .select(col("start"),
-        explode(sequence(lit(0), lit(walksPerStart - 1))).as("walk"))
-      .select(col("start"), col("walk"), col("start").as("cur"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    kept += starts
-    var out = starts.select(col("start"), col("walk"),
-      lit(0).as("step"), col("cur").as("node"))
-    // step 1: uniform (no prev); the frontier leaves carrying prev =
-    // the start and prev_dsts = the adjacency array just probed
-    var frontier = starts.withColumn("h", hashAt(1))
-      .join(neighbors, col("cur") === col("src"))
-      .select(col("start"), col("walk"),
-        element_at(col("dsts"),
-          (col("h") % col("deg") + 1L).cast("int")).as("cur"),
-        col("cur").as("prev"), col("dsts").as("prev_dsts"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    kept += frontier
-    out = out.union(frontier.select(col("start"), col("walk"),
-      lit(1).as("step"), col("cur").as("node")))
-    for (t <- 2 to steps) {
-      val stepped = frontier.withColumn("h", hashAt(t))
-        .join(neighbors, col("cur") === col("src"))
-        // weights elementwise over the dst-sorted candidates; staged as
-        // its own column so total and the range fold both read it
-        .withColumn("wts", transform(col("dsts"), d =>
-          when(d === col("prev"), lit(wReturn.toLong))
-            .when(array_contains(col("prev_dsts"), d), lit(wStay.toLong))
-            .otherwise(lit(wExplore.toLong))))
-        .withColumn("target",
-          col("h") % aggregate(col("wts"), lit(0L), (a, x) => a + x))
-        // fold the cumulative ranges: first index whose range covers
-        // target — (rem, found) accumulator, found = -1 until hit
-        .withColumn("pick", aggregate(col("wts"),
-          struct(col("target").as("rem"), lit(-1).as("found"),
-                 lit(0).as("pos")),
-          (acc, w) =>
-            when(acc.getField("found") >= 0, acc)
-              .when(acc.getField("rem") < w,
-                struct(acc.getField("rem").as("rem"),
-                       acc.getField("pos").as("found"),
-                       (acc.getField("pos") + 1).as("pos")))
-              .otherwise(
-                struct((acc.getField("rem") - w).as("rem"),
-                       lit(-1).as("found"),
-                       (acc.getField("pos") + 1).as("pos"))),
-          acc => acc.getField("found")))
-        .select(col("start"), col("walk"),
-          element_at(col("dsts"), col("pick") + 1).as("cur"),
-          col("cur").as("prev"), col("dsts").as("prev_dsts"))
-      frontier = stepped.persist(StorageLevel.MEMORY_AND_DISK)
-      kept += frontier
-      out = out.union(frontier.select(col("start"), col("walk"),
-        lit(t).as("step"), col("cur").as("node")))
-    }
-    val result = out.localCheckpoint(true)
-    kept.foreach(_.unpersist(false))
-    result
+    walkLoop(edges, srcCol, dstCol, steps, walksPerStart,
+      (frontier, neighbors, t) =>
+        if (t == 1)
+          // step 1: uniform (no prev); the frontier leaves carrying
+          // prev = the start and prev_dsts = the array just probed
+          frontier.withColumn("h", pickHash(1))
+            .join(neighbors, col("cur") === col("src"))
+            .select(col("start"), col("walk"),
+              element_at(col("dsts"),
+                (col("h") % col("deg") + 1L).cast("int")).as("cur"),
+              col("cur").as("prev"), col("dsts").as("prev_dsts"))
+        else
+          frontier.withColumn("h", pickHash(t))
+            .join(neighbors, col("cur") === col("src"))
+            // weights elementwise over the dst-sorted candidates;
+            // staged as its own column so total and the range fold
+            // both read it
+            .withColumn("wts", transform(col("dsts"), d =>
+              when(d === col("prev"), lit(wReturn.toLong))
+                .when(array_contains(col("prev_dsts"), d),
+                  lit(wStay.toLong))
+                .otherwise(lit(wExplore.toLong))))
+            .withColumn("target",
+              col("h") % aggregate(col("wts"), lit(0L), (a, x) => a + x))
+            // fold the cumulative ranges: first index whose range
+            // covers target — (rem, found) accumulator, found = -1
+            // until hit
+            .withColumn("pick", aggregate(col("wts"),
+              struct(col("target").as("rem"), lit(-1).as("found"),
+                     lit(0).as("pos")),
+              (acc, w) =>
+                when(acc.getField("found") >= 0, acc)
+                  .when(acc.getField("rem") < w,
+                    struct(acc.getField("rem").as("rem"),
+                           acc.getField("pos").as("found"),
+                           (acc.getField("pos") + 1).as("pos")))
+                  .otherwise(
+                    struct((acc.getField("rem") - w).as("rem"),
+                           lit(-1).as("found"),
+                           (acc.getField("pos") + 1).as("pos"))),
+              acc => acc.getField("found")))
+            .select(col("start"), col("walk"),
+              element_at(col("dsts"), col("pick") + 1).as("cur"),
+              col("cur").as("prev"), col("dsts").as("prev_dsts")))
   }
 
   /** Skip-gram co-occurrence pairs from a walk corpus — the word2vec-

@@ -462,11 +462,12 @@ object Ivf {
     val k = index.k
     val evidence = lists.filter(col("cell").isInCollection(drifted))
     // split fit: 2 children per drifted cell from that cell's members,
-    // ALL cells fit together in one grouped job ([[groupedSplitFit]] —
-    // wall flat in |D|, not |D| sequential KMeans jobs). A singleton
-    // cell degenerates to a duplicated centroid — ties go to the
-    // larger id on BOTH the migration and the from-scratch side, so
-    // equality still holds.
+    // ALL cells cut together in one distributed pass (modeSplitFit —
+    // wall flat in |D|, not |D| sequential KMeans jobs). A cell whose
+    // members all land on one side of the error cut keeps its old
+    // centroid as the other child; identical children are harmless —
+    // ties go to the larger id on BOTH the migration and the
+    // from-scratch side, so equality still holds.
     val merged = Array.ofDim[Array[Double]](k + driftedSorted.size)
     index.centroids.copyToArray(merged)
     val fits = modeSplitFit(evidence, advRows, index)

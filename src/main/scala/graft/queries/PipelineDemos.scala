@@ -447,8 +447,7 @@ object PipelineDemos {
       // pid-keyed: two concurrent processes on one host must not
       // interleave saveIndex overwrite with loadIndex read
       val path = s"${sys.props("java.io.tmpdir")}/graft_ivfidx_" +
-        s"${ProcessHandle.current().pid()}_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        graft.tables.ArtifactTag(dir)
       graft.extensions.Ivf.saveIndex(s, index, path)
       val loaded = graft.extensions.Ivf.loadIndex(s, path)
       val e = Tables.embeddings(s, dir)
@@ -474,8 +473,7 @@ object PipelineDemos {
           k = 8))
       val path = ivfListsPathCache.getOrElseUpdate(dir, {
         val p = s"${sys.props("java.io.tmpdir")}/graft_ivflists_" +
-          s"${ProcessHandle.current().pid()}_" +
-          dir.replaceAll("[^A-Za-z0-9]", "_")
+          graft.tables.ArtifactTag(dir)
         graft.extensions.Ivf.assign(e, "vec_id", "embedding", index)
           .write.mode("overwrite").partitionBy("cell").parquet(p)
         p
@@ -527,8 +525,7 @@ object PipelineDemos {
           "vec_id", "embedding", m = 4, nCodes = 16))
       // pid-keyed for the same concurrent-process reason as the IVF one
       val path = s"${sys.props("java.io.tmpdir")}/graft_pqidx_" +
-        s"${ProcessHandle.current().pid()}_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        graft.tables.ArtifactTag(dir)
       Pq.saveIndex(s, index, path)
       val loaded = Pq.loadIndex(s, path)
       val e = Tables.embeddings(s, dir)
@@ -1155,8 +1152,7 @@ object PipelineDemos {
     "walk_pairs_bucketed" -> ((s, dir) => {
       val tbl = walksBucketedCache.getOrElseValid(dir,
           nm => s.catalog.tableExists(nm)) {
-        val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
-          "_" + ProcessHandle.current().pid()
+        val tag = graft.tables.ArtifactTag(dir)
         val name = s"g_walks_b_$tag"
         val walks = graft.extensions.Graph.deterministicWalks(
           docLinkEdges(s, dir), "src", "dst", steps = 3, walksPerStart = 2)
@@ -1379,10 +1375,23 @@ object PipelineDemos {
     * teleport/init to the md5<'4' seed-quarter distribution
     * (TrustRank), exactly as the `pagerank_seeded` demo does.
     */
-  /** First-4-hex-digits-of-md5 integer over a column named `h`. */
+  /** First-4-hex-digits-of-md5 integer over a column named `h` (the
+    * edge-stride generator's width; the WALK pick uses [[hex8OfH]]).
+    */
   private def hex4OfH: String = {
     def nib(p: Int) = s"(strpos('0123456789abcdef', substr(h, $p, 1)) - 1)"
     s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
+  }
+
+  /** First-8-hex-digits-of-md5 integer over a column named `h` — the
+    * walk-pick entropy (32 bits; mirrors Graph.pickHash, which is 8
+    * nibbles so the mod range can cover hub out-degrees × bias
+    * weights past 65535).
+    */
+  private def hex8OfH: String = {
+    def nib(p: Int) = s"(strpos('0123456789abcdef', substr(h, $p, 1)) - 1)"
+    (1 to 8).map(p => s"${nib(p)} * ${1L << (4 * (8 - p))}")
+      .mkString("(", " + ", ")")
   }
 
   /** The `docLinkEdges` ring-stride graph rebuilt in SQL (shared by the
@@ -1506,7 +1515,7 @@ object PipelineDemos {
          |    md5(CAST(cur AS VARCHAR) || '#' || CAST(walk AS VARCHAR) || '#$t') AS h
          |  FROM w${t - 1}),
          |w$t AS (SELECT w.start, w.walk, e.dst AS cur
-         |  FROM (SELECT start, walk, cur, $hex4OfH AS hh FROM wh$t) w
+         |  FROM (SELECT start, walk, cur, $hex8OfH AS hh FROM wh$t) w
          |  JOIN ie e ON e.src = w.cur AND e.idx = w.hh % e.deg)"""
         .stripMargin
     }.mkString(",\n")
@@ -1541,7 +1550,7 @@ object PipelineDemos {
          |         WHEN EXISTS (SELECT 1 FROM dedges p
          |                      WHERE p.src = w.prev AND p.dst = e.dst) THEN $wS
          |         ELSE $wE END AS wt
-         |  FROM (SELECT start, walk, cur, prev, $hex4OfH AS hh FROM bh$t) w
+         |  FROM (SELECT start, walk, cur, prev, $hex8OfH AS hh FROM bh$t) w
          |  JOIN ie e ON e.src = w.cur),
          |cum$t AS (SELECT *,
          |    sum(wt) OVER (PARTITION BY start, walk ORDER BY idx) AS cumw,
@@ -1568,7 +1577,7 @@ object PipelineDemos {
        |    md5(CAST(cur AS VARCHAR) || '#' || CAST(walk AS VARCHAR) || '#1') AS h
        |  FROM b0),
        |b1 AS (SELECT w.start, w.walk, e.dst AS cur, w.cur AS prev
-       |  FROM (SELECT start, walk, cur, $hex4OfH AS hh FROM bh1) w
+       |  FROM (SELECT start, walk, cur, $hex8OfH AS hh FROM bh1) w
        |  JOIN ie e ON e.src = w.cur AND e.idx = w.hh % e.deg),
        |$stepCtes
        |SELECT doc_id, walk, step, node FROM ($unions)

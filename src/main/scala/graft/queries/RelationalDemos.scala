@@ -135,8 +135,7 @@ object RelationalDemos {
       val (ordersTbl, custTbl) = bucketedCache.getOrElseValid(dir,
           { case (no, nc) =>
             s.catalog.tableExists(no) && s.catalog.tableExists(nc) }) {
-        val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
-          "_" + ProcessHandle.current().pid()
+        val tag = graft.tables.ArtifactTag(dir)
         val p = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$tag"
         val (no, nc) = (s"g_orders_b_$tag", s"g_customer_b_$tag")
         graft.ops.Partitioning.bucketedTable(Tables.orders(s, dir), no,

@@ -85,7 +85,7 @@ object StreamingDemos {
         .select(graft.extensions.TextAnalysis.qualityScore(col("text"))
           .as("score"))
       val base = s"${sys.props("java.io.tmpdir")}/graft_qdrift_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        graft.tables.ArtifactTag(dir)
       Seq(hex1 >= "8" && hex1 < "c", hex1 >= "c")
         .zipWithIndex.foreach { case (cond, i) =>
           DocsStream.qualityDriftBatch(docs.filter(cond), i.toLong,
@@ -107,7 +107,7 @@ object StreamingDemos {
       val bench = docs.filter(col("doc_id") < 5)
       val hex1 = substring(md5(col("doc_id").cast("string")), 1, 1)
       val base = s"${sys.props("java.io.tmpdir")}/graft_decontam_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        graft.tables.ArtifactTag(dir)
       Seq(hex1 < "8", hex1 >= "8" && hex1 < "c", hex1 >= "c")
         .zipWithIndex.foreach { case (cond, i) =>
           DocsStream.decontamBatch(docs.filter(cond), i.toLong, bench,
@@ -144,7 +144,7 @@ object StreamingDemos {
         histRows.toDF("cell", "n", "sum_qerr_q")
       }
       val base = s"${sys.props("java.io.tmpdir")}/graft_ivfing_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        graft.tables.ArtifactTag(dir)
       // fresh sink dirs: correctness relies on exactly batches {0, 1}
       // existing, and batch-addressed overwrite only protects batches
       // this run writes — a past run with a different split would leave
@@ -166,7 +166,7 @@ object StreamingDemos {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val hex1 = substring(md5(col("doc_id").cast("string")), 1, 1)
       val base = s"${sys.props("java.io.tmpdir")}/graft_ingest_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        graft.tables.ArtifactTag(dir)
       Seq(hex1 < "8", hex1 >= "8" && hex1 < "c", hex1 >= "c")
         .zipWithIndex.foreach { case (cond, i) =>
           DocsStream.flagBatch(s, docs.filter(cond), i.toLong,

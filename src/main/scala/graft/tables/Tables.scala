@@ -75,7 +75,11 @@ object Tables {
         // load silently wrong by 1000×, so the magnitude is checked
         // per row — post-1973 nanos are ≥1e17, while micros stay below
         // that until year ~5138 — and anything else fails LOUDLY.
+        // 0 is the one unit-independent value (the epoch in nanos,
+        // micros, or millis alike — a common sentinel), so it loads as
+        // the epoch instead of poisoning the whole table.
         Some(when(c.isNull, lit(null).cast(to))
+          .when(c === 0L, timestamp_micros(lit(0L)))
           .when(abs(c) >= 100000000000000000L,
             timestamp_micros(expr(s"`$name` div 1000")))
           .otherwise(raise_error(concat(
@@ -172,11 +176,33 @@ final class CorpusMemo[V](tables: String*) {
     * names, cached plans) that a later SparkSession in the same process
     * won't have: a stale name would otherwise resolve to nothing (or to
     * someone else's table) while the content stamp still matches.
+    * Synchronized: the builders behind validity-checked entries do
+    * filesystem + catalog work (DROP TABLE, path delete, saveAsTable),
+    * and two concurrent builders for the same key would destroy each
+    * other's files — the plain getOrElseUpdate path got single-build
+    * atomicity from TrieMap; this path must not lose it.
     */
-  def getOrElseValid(dir: String, valid: V => Boolean)(v: => V): V = {
-    val k = key(dir)
-    entries.get(k).filter(valid).getOrElse {
-      val nv = v; entries.put(k, nv); nv
+  def getOrElseValid(dir: String, valid: V => Boolean)(v: => V): V =
+    entries.synchronized {
+      val k = key(dir)
+      entries.get(k).filter(valid).getOrElse {
+        val nv = v; entries.put(k, nv); nv
+      }
     }
+}
+
+/** Collision-free per-(corpus-dir, process) tag for on-disk artifact
+  * names and paths: distinct dirs must NEVER share a tag — a lossy
+  * sanitization (`replaceAll("[^A-Za-z0-9]", "_")`) maps e.g.
+  * `/data/sf-1` and `/data/sf_1` to the same name, and the artifact
+  * builders (DROP + delete + rebuild) would then silently serve one
+  * corpus's data for the other.
+  */
+object ArtifactTag {
+  def apply(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    s"${h}_${ProcessHandle.current().pid()}"
   }
 }

@@ -175,10 +175,14 @@ class GraphSpec extends SparkTestBase {
     assert(got.contains(5L), "appended vertex must be ranked")
   }
 
-  private def hex4(s: String): Long =
+  /** First 8 hex digits of md5 as a long — mirrors Graph.pickHash
+    * (32-bit walk-pick entropy; the edge-stride generator below stays
+    * at 4 nibbles to match docLinkEdges).
+    */
+  private def pickHash(s: String): Long =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
-      .take(2).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      .take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
 
   /** Sequential reference for deterministicWalks. */
   private def refWalks(edges: Seq[(Long, Long)], steps: Int,
@@ -193,7 +197,7 @@ class GraphSpec extends SparkTestBase {
       for (t <- 1 to steps if alive) {
         bySrc.get(cur) match {
           case Some(ds) =>
-            cur = ds((hex4(s"$cur#$wk#$t") % ds.size).toInt)
+            cur = ds((pickHash(s"$cur#$wk#$t") % ds.size).toInt)
             out += ((st, wk, t, cur))
           case None => alive = false
         }
@@ -264,13 +268,13 @@ class GraphSpec extends SparkTestBase {
           case None => alive = false
           case Some(ds) if t == 1 =>
             prev = cur
-            cur = ds((hex4(s"$cur#$wk#$t") % ds.size).toInt)
+            cur = ds((pickHash(s"$cur#$wk#$t") % ds.size).toInt)
             out += ((st, wk, t, cur))
           case Some(ds) =>
             val prevDs = bySrc(prev)
             val wts = ds.map(d =>
               if (d == prev) wR else if (prevDs.contains(d)) wS else wE)
-            var target = hex4(s"$cur#$wk#$t") % wts.sum
+            var target = pickHash(s"$cur#$wk#$t") % wts.sum
             var idx = 0
             while (target >= wts(idx)) { target -= wts(idx); idx += 1 }
             prev = cur

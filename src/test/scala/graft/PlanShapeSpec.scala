@@ -438,9 +438,10 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
-  test("walk_pairs_bucketed: the bucketed walks table makes the " +
-       "skip-gram self-join shuffle-free even without broadcast — " +
-       "bucket hashing on start co-locates every (start, walk) group") {
+  test("walk_pairs_bucketed: the walks table bucketed on the FULL " +
+       "(start, walk) join key makes the skip-gram self-join " +
+       "shuffle-free even without broadcast (subset-key bucketing " +
+       "fails requireAllClusterKeysForCoPartition and is re-shuffled)") {
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
