@@ -251,4 +251,77 @@ object Components {
     connectedComponents(pairs, idA, idB)
       .select(col("id"), col("comp"),
               (col("id") === col("comp")).as("survivor"))
+
+  /** Incremental connected components — merge a NEW edge batch into a
+    * SAVED labeling without re-reading the historical edge list: the
+    * append-without-recompute story for the dedup-cluster index,
+    * completing the set ([[graft.extensions.TextDedup]]
+    * incrementalNearDups for candidate pairs, `Ivf.appendAssign` for
+    * inverted lists, `Graph.pageRankResume` for rank vectors).
+    *
+    * EXACT, not approximate: components of (history ∪ batch) equal
+    * components of the CONTRACTED graph whose vertices are the saved
+    * component labels plus the batch's unseen vertices, with edges =
+    * the batch edges mapped through the saved labels. Each saved
+    * component is already internally connected, so history edges
+    * contribute nothing beyond their labeling; and because saved
+    * labels are component-min ids, the min over a merged contracted
+    * component IS the global min of the merged vertex set — the
+    * incremental result is bit-identical to a from-scratch run over
+    * all edges (asserted in ExtensionsSpec, including a batch that
+    * chains three saved components through a brand-new vertex and a
+    * new global-min id).
+    *
+    * Scale shape: two broadcast-scale label lookups over the batch
+    * edges, one components run over |batch| mapped edges (never
+    * |history|), and one label-keyed join back over the saved
+    * labeling. The saved (id, comp) table is the persistent index; the
+    * nightly batch merges in O(|batch| + |touched components|).
+    *
+    * @param prevLabels saved labeling (id, comp) — the output contract
+    *                   of [[connectedComponents]] / a previous
+    *                   incremental merge (e.g. read from parquet)
+    * @param batch      new undirected edge pairs
+    * @return (id, comp) over all previously-labeled vertices plus the
+    *         batch's vertices — same contract as
+    *         [[connectedComponents]] on the union edge list
+    */
+  def incrementalComponents(prevLabels: DataFrame, batch: DataFrame,
+                            srcCol: String, dstCol: String,
+                            maxIter: Int = 20): DataFrame = {
+    // no casts: like connectedComponents, any orderable id type works
+    // (string ids label by lexicographic min) — batch endpoint types
+    // must match the saved labeling's
+    val prev = prevLabels.select(col("id"), col("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = batch.select(col(srcCol).as("ba"), col(dstCol).as("bb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // endpoints map to their saved label; unseen vertices label
+    // themselves. Edges landing inside one saved component contract to
+    // self-loops and drop out here — they cannot change the labeling.
+    val mapped = e
+      .join(prev.select(col("id").as("ba"), col("comp").as("ca")),
+        Seq("ba"), "left")
+      .join(prev.select(col("id").as("bb"), col("comp").as("cb")),
+        Seq("bb"), "left")
+      .select(coalesce(col("ca"), col("ba")).as("ma"),
+              coalesce(col("cb"), col("bb")).as("mb"))
+      .filter(col("ma") =!= col("mb"))
+    val merged = connectedComponents(mapped, "ma", "mb", maxIter)
+      .select(col("id").as("lbl"), col("comp").as("newc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // compose: a saved vertex's new component is its label's merged
+    // component (or unchanged if its label was untouched); a new
+    // vertex is its own label
+    val oldOut = prev.join(merged, col("comp") === col("lbl"), "left")
+      .select(col("id"), coalesce(col("newc"), col("comp")).as("comp"))
+    val newVerts = e.select(col("ba").as("id"))
+      .union(e.select(col("bb").as("id"))).distinct()
+      .join(prev.select("id"), Seq("id"), "left_anti")
+    val newOut = newVerts.join(merged, col("id") === col("lbl"), "left")
+      .select(col("id"), coalesce(col("newc"), col("id")).as("comp"))
+    val out = oldOut.unionByName(newOut).localCheckpoint(true)
+    prev.unpersist(false); e.unpersist(false); merged.unpersist(false)
+    out
+  }
 }

@@ -274,6 +274,29 @@ object PipelineDemos {
             .select(col("id_a"), col("id_b")))
         .orderBy("id")
     }),
+    // Incremental dedup clustering: the saved (id, comp) labeling is
+    // the persistent cluster index; a new batch of verified pairs
+    // (md5-split 25%) merges in O(|batch|) label-graph work without
+    // re-reading the history pairs — and the merge is EXACT, so the
+    // oracle is the full recursive-closure SQL over ALL pairs
+    // (dedup_components verbatim). Completes the append-without-
+    // recompute set: candidate pairs (dedup_incremental), inverted
+    // lists (ann_ivf_incremental), rank vectors (pagerank_resume),
+    // and now the cluster labeling itself.
+    "dedup_components_incremental" -> ((s, dir) => {
+      val pairs = TextDedup.jaccardVerified(Tables.documents(s, dir),
+          "doc_id", "text", jaccardThreshold)
+        .select(col("id_a"), col("id_b"))
+      val isHist = substring(md5(concat(col("id_a").cast("string"),
+        lit("#"), col("id_b").cast("string"))), 1, 1) < "c"
+      val saved = Components.connectedComponents(pairs.filter(isHist),
+        "id_a", "id_b")
+      Components.incrementalComponents(saved, pairs.filter(!isHist),
+          "id_a", "id_b")
+        .select(col("id"), col("comp"),
+          (col("id") === col("comp")).as("survivor"))
+        .orderBy("id")
+    }),
     // Sequence packing: per-language streams, 512-token packs,
     // md5-ordered (deterministic epoch shuffle).
     "token_pack" -> ((s, dir) => {
@@ -1288,6 +1311,22 @@ object PipelineDemos {
        |  FROM cands JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)
        |WHERE jaccard >= $jaccardThreshold)""".stripMargin
 
+  /** Recursive transitive closure over the verified pairs — the
+    * components ground truth (shared by dedup_components and its
+    * incremental variant, whose merge must be exactly equal).
+    */
+  private lazy val componentsClosureOracle: String =
+    s"""WITH RECURSIVE $jaccardPairsCtes,
+       |sym AS (SELECT id_a AS a, id_b AS b FROM jpairs
+       |        UNION SELECT id_b, id_a FROM jpairs),
+       |reach AS (
+       |  SELECT a AS node, a AS comp FROM sym
+       |  UNION
+       |  SELECT s.a, r.comp FROM sym s JOIN reach r ON r.node = s.b)
+       |SELECT node AS id, min(comp) AS comp,
+       |       node = min(comp) AS survivor
+       |FROM reach GROUP BY node ORDER BY id""".stripMargin
+
   /** Exact shingle-overlap decontamination (shared: it oracles both the
     * exact semi-join demo and the Bloom variant, which is FP-free on
     * this testdata and never has false negatives). */
@@ -2024,17 +2063,11 @@ object PipelineDemos {
     // min-label reachability to a fixpoint: the recursive UNION dedups
     // (node, comp) rows, so it terminates; min(comp) per node == the
     // component's minimum id, matching Components.connectedComponents
-    "dedup_components" ->
-      s"""WITH RECURSIVE $jaccardPairsCtes,
-         |sym AS (SELECT id_a AS a, id_b AS b FROM jpairs
-         |        UNION SELECT id_b, id_a FROM jpairs),
-         |reach AS (
-         |  SELECT a AS node, a AS comp FROM sym
-         |  UNION
-         |  SELECT s.a, r.comp FROM sym s JOIN reach r ON r.node = s.b)
-         |SELECT node AS id, min(comp) AS comp,
-         |       node = min(comp) AS survivor
-         |FROM reach GROUP BY node ORDER BY id""".stripMargin,
+    "dedup_components" -> componentsClosureOracle,
+    // the incremental merge is exact, so its oracle IS the full
+    // recursive closure over all pairs — equality with from-scratch is
+    // the claim under test
+    "dedup_components_incremental" -> componentsClosureOracle,
     "token_pack" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks, list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ltoks FROM documents),
          |s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, $scoresSelect FROM t),

@@ -170,6 +170,43 @@ class ExtensionsSpec extends SparkTestBase {
     assert(sOut.toSeq == Seq(("a", "a"), ("b", "a"), ("c", "a")))
   }
 
+  test("incremental components: merging a batch into a saved labeling " +
+       "is bit-identical to a from-scratch run over the union — " +
+       "bridged comps, new-only comps, new global min, no-op edges") {
+    import spark.implicits._
+    import graft.extensions.Components
+    // history: comps {5,6,7} (min 5), {10,11} (min 10), {20,21} (min 20)
+    val hist = Seq((6L, 5L), (6L, 7L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val saved = Components.connectedComponents(hist, "id_a", "id_b")
+    // batch: 100-11 and 100-21 chains {10,11} and {20,21} through a
+    // NEW vertex; 3-5 gives the {5,6,7} comp a NEW GLOBAL MIN (3);
+    // 6-7 is a no-op edge inside a saved comp; 200-201 is a brand-new
+    // component; 300-300 a new self-loop singleton
+    val batch = Seq((100L, 11L), (100L, 21L), (3L, 5L), (6L, 7L),
+      (200L, 201L), (300L, 300L)).toDF("id_a", "id_b")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = rows(Components.incrementalComponents(saved, batch,
+      "id_a", "id_b"))
+    val scratch = rows(Components.connectedComponents(
+      hist.unionByName(batch), "id_a", "id_b"))
+    assert(inc == scratch)
+    // and the semantics are what the construction says
+    assert(inc.contains((100L, 10L)) && inc.contains((21L, 10L)),
+      "bridged comps take the merged min")
+    assert(inc.contains((7L, 3L)), "new global min relabels the comp")
+    assert(inc.contains((300L, 300L)), "self-loop singleton appears")
+    // second merge on top of the first (chained incrementality)
+    val batch2 = Seq((10L, 5L)).toDF("id_a", "id_b")
+    val inc2 = rows(Components.incrementalComponents(
+      Components.incrementalComponents(saved, batch, "id_a", "id_b"),
+      batch2, "id_a", "id_b"))
+    val scratch2 = rows(Components.connectedComponents(
+      hist.unionByName(batch).unionByName(batch2), "id_a", "id_b"))
+    assert(inc2 == scratch2)
+  }
+
   test("repetition ratio, PII scrub, hash sample semantics") {
     import spark.implicits._
     // repetition: "a b a b a" → 2-grams [a b, b a, a b, b a] → 2 dups / 4
