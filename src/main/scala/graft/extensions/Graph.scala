@@ -71,6 +71,45 @@ object Graph {
       release = Seq(verts, linked))
   }
 
+  /** Weighted fixed-point PageRank — rank flows along each out-edge in
+    * proportion to an INTEGER edge weight (link multiplicity, mention
+    * count, extraction confidence buckets — the realistic link-graph
+    * shape, where a page linked 40 times is not a page linked once):
+    * vertex v passes `(w · rank(v)) div W(v)` to each out-neighbor,
+    * W(v) = v's total out-weight. Exact rationals, so the job keeps
+    * every fixed-point guarantee ([[pageRankFixedPoint]]'s scaladoc):
+    * bit-identical under any partitioning and SQL-oracle-checkable.
+    * All-1 weights reduce bit-for-bit to the uniform engine — `(1 ·
+    * rank) div deg` IS `rank div deg` (asserted in GraphSpec). Same
+    * per-iteration shuffle budget: the static (src, dst, w, W) frame
+    * hashes once; only the rank vector moves per round.
+    *
+    * @param weightCol positive integer weights, capped at 10^6 so
+    *        `w · rank ≤ 1e18` stays inside Long (checked in one
+    *        bounded aggregate before iterating — a zero or negative
+    *        weight would silently break the mass arithmetic)
+    */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iterations: Int = 4,
+                       dampNum: Long = 85L, dampDen: Long = 100L)
+      : DataFrame = {
+    val (verts, linked) = prep(edges, srcCol, dstCol, iterations,
+      dampNum, dampDen, weightCol = Some(weightCol))
+    val bounds = linked.agg(min(col("ew")), max(col("ew"))).collect().head
+    require(!bounds.isNullAt(0) && bounds.getLong(0) >= 1L &&
+            bounds.getLong(1) <= 1000000L,
+      s"edge weights must be in [1, 1e6], got " +
+        s"[${bounds.get(0)}, ${bounds.get(1)}]")
+    val v = verts.count()
+    require(v > 0, "pageRank needs a non-empty edge list")
+    val base = Scale / v
+    val teleport = ((dampDen - dampNum) * base) / dampDen
+    val vertsT = verts.select(col("id"), lit(teleport).as("tp"))
+    val init = verts.select(col("id"), lit(base).as("rank_fp"))
+    iterate(vertsT, linked, init, iterations, dampNum, dampDen,
+      release = Seq(verts, linked))
+  }
+
   /** Personalized (seeded) PageRank — TrustRank-style propagation: the
     * teleport mass flows ONLY to a seed set (hand-vetted quality
     * domains, a topic's known-good docs), so rank measures proximity to
@@ -493,12 +532,14 @@ object Graph {
     * them via `release`.
     */
   private def prep(edges: DataFrame, srcCol: String, dstCol: String,
-                   iterations: Int, dampNum: Long, dampDen: Long)
+                   iterations: Int, dampNum: Long, dampDen: Long,
+                   weightCol: Option[String] = None)
       : (DataFrame, DataFrame) = {
     require(iterations >= 1 && iterations <= 64, "fixed iteration budget")
     require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-                         col(dstCol).cast("long").as("dst"))
+    val e = edges.select(col(srcCol).cast("long").as("src") +:
+      col(dstCol).cast("long").as("dst") +:
+      weightCol.map(w => col(w).cast("long").as("ew")).toSeq: _*)
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -506,10 +547,19 @@ object Graph {
     // fewer shuffle on paper but WindowExec sorts and buffers per src
     // group row-at-a-time outside codegen — measured 4.4× slower at
     // 1.6M vertices (25.5 s vs 5.7 s end-to-end, ProfileGraph). The
-    // tiny (src, deg) aggregate broadcasts/shuffles cheaply, and the
+    // tiny (src, W) aggregate broadcasts/shuffles cheaply, and the
     // explicit repartition leaves the cached frame hashed by src —
-    // the layout every iteration's rank join wants.
-    val linked = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    // the layout every iteration's rank join wants. The per-edge flow
+    // share is an exact rational w/W (uniform: 1/deg — bit-identical
+    // to the pre-weight engine since (1·rank) div deg == rank div deg).
+    // "ew"/"sw", not "w"/"W": Spark resolves identifiers
+    // case-insensitively, so w and W would be ambiguous in one frame
+    val weighted = weightCol match {
+      case Some(_) => e
+      case None    => e.withColumn("ew", lit(1L))
+    }
+    val linked = weighted
+      .join(weighted.groupBy("src").agg(sum(col("ew")).as("sw")), "src")
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     (verts, linked)
@@ -525,9 +575,11 @@ object Graph {
                       release: Seq[DataFrame]): DataFrame = {
     var ranks = init
     for (_ <- 1 to iterations) {
+      // exact weighted flow split: (ew · rank) div sw. Bounds: rank ≤
+      // Scale = 1e12 and the weight cap is 10^6, so w·rank ≤ 1e18 < 2^63
       val contribs = linked
         .join(ranks.withColumnRenamed("id", "src"), "src")
-        .select(col("dst"), expr("rank_fp div deg").as("c"))
+        .select(col("dst"), expr("(ew * rank_fp) div sw").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("contrib"))
       ranks = vertsT
         .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")

@@ -1086,6 +1086,22 @@ object PipelineDemos {
         .select("doc_id", "lang", "rank_fp", "tier")
         .orderBy("doc_id")
     }),
+    // Weighted centrality: rank flows in proportion to an integer edge
+    // weight (1..9, md5-derived per edge — standing in for link
+    // multiplicity / mention counts, the realistic link-graph shape).
+    // Exact rational flow split (w·rank div W), so the weighted job
+    // keeps the full fixed-point story: bit-exact on any layout,
+    // verified against an unrolled weighted SQL oracle.
+    "pagerank_weighted" -> ((s, dir) => {
+      val e = docLinkEdges(s, dir).withColumn("wt",
+        (conv(substring(md5(concat(col("src").cast("string"), lit(">"),
+          col("dst").cast("string"))), 1, 2), 16, 10).cast("long")
+          % 9L) + 1L)
+      graft.extensions.Graph.pageRankWeighted(e, "src", "dst", "wt",
+          iterations = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // Incremental (warm-start) PageRank: run 2 iterations from scratch,
     // checkpoint the rank vector, resume 2 more from it — the
     // append-without-recompute artifact story (ann_ivf_incremental /
@@ -1514,6 +1530,39 @@ object PipelineDemos {
        |$paramsCtes,
        |outd AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
        |$iterCtes""".stripMargin
+  }
+
+  /** Weighted-pagerank oracle: per-edge integer weight (1..9 from the
+    * first two md5 nibbles of "src>dst"), flow = (wt·rank) div
+    * sum-of-out-weights — mirrors Graph.pageRankWeighted and the
+    * `pagerank_weighted` demo's weight derivation exactly.
+    */
+  private def weightedPagerankOracle: String = {
+    def nib(p: Int) = s"(strpos('0123456789abcdef', substr(wh, $p, 1)) - 1)"
+    val wexpr = s"((${nib(1)} * 16 + ${nib(2)}) % 9 + 1)"
+    val iterCtes = (1 to 4).map { i =>
+      s"""c$i AS (SELECT e.dst AS id,
+         |    CAST(sum((e.wt * r.rank_fp) // o.sw) AS BIGINT) AS contrib
+         |  FROM wedges e JOIN r${i - 1} r ON r.id = e.src
+         |  JOIN outw o ON o.src = e.src GROUP BY e.dst),
+         |r$i AS (SELECT v.id,
+         |    v.tp + (85 * COALESCE(c.contrib, 0)) // 100 AS rank_fp
+         |  FROM vt v LEFT JOIN c$i c ON c.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $docEdgeCtes,
+       |wedges AS (SELECT src, dst, $wexpr AS wt FROM
+       |  (SELECT src, dst,
+       |     md5(CAST(src AS VARCHAR) || '>' || CAST(dst AS VARCHAR)) AS wh
+       |   FROM edges)),
+       |verts AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)),
+       |params AS (SELECT (SELECT 1000000000000 // count(*) FROM verts) AS base),
+       |vt AS (SELECT id, (15 * base) // 100 AS tp FROM verts, params),
+       |r0 AS (SELECT id, base AS rank_fp FROM verts, params),
+       |outw AS (SELECT src, sum(wt) AS sw FROM wedges GROUP BY src),
+       |$iterCtes
+       |SELECT id AS doc_id, CAST(rank_fp AS BIGINT) AS rank_fp FROM r4
+       |ORDER BY doc_id""".stripMargin
   }
 
   private def pagerankOracleSql(seeded: Boolean): String =
@@ -2682,6 +2731,7 @@ object PipelineDemos {
     "pagerank_resume" -> pagerankOracleSql(seeded = false),
     "pipeline_rank_mix" -> rankMixOracle,
     "pagerank_seeded" -> pagerankOracleSql(seeded = true),
+    "pagerank_weighted" -> weightedPagerankOracle,
     "graph_walks" -> graphWalksOracle(steps = 3, walks = 2),
     "graph_walks_biased" -> biasedWalksOracle(steps = 3, walks = 2,
       wR = 1, wS = 2, wE = 4),

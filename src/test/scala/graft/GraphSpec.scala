@@ -175,6 +175,64 @@ class GraphSpec extends SparkTestBase {
     assert(got.contains(5L), "appended vertex must be ranked")
   }
 
+  /** Sequential reference for the weighted recurrence: contribution
+    * (w · rank) div W per edge, W = total out-weight.
+    */
+  private def refWeighted(edges: Seq[(Long, Long, Long)], iters: Int,
+                          dampNum: Long = 85L, dampDen: Long = 100L)
+      : Map[Long, Long] = {
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val base = Graph.Scale / verts.size.toLong
+    val teleport = ((dampDen - dampNum) * base) / dampDen
+    val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var rank = verts.map(_ -> base).toMap
+    for (_ <- 1 to iters) {
+      val contrib =
+        scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d, w) <- edges) contrib(d) += (w * rank(s)) / outW(s)
+      rank = verts.map(id =>
+        id -> (teleport + (dampNum * contrib(id)) / dampDen)).toMap
+    }
+    rank
+  }
+
+  private def runWeighted(edges: Seq[(Long, Long, Long)], iters: Int,
+                          parts: Int = 1): Map[Long, Long] = {
+    import spark.implicits._
+    val e0 = edges.toDF("src", "dst", "wt")
+    val e = if (parts > 1) e0.repartition(parts) else e0
+    Graph.pageRankWeighted(e, "src", "dst", "wt", iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("weighted pagerank matches the sequential reference bit-for-bit " +
+       "and a heavily weighted edge moves real mass") {
+    // same topology as the fixture but 0->2 carries weight 40
+    val weighted = fixture.map { case (s, d) =>
+      (s, d, if ((s, d) == (0L, 2L)) 40L else 1L) }
+    val got = runWeighted(weighted, 4, parts = 5)
+    assert(got == refWeighted(weighted, 4))
+    // vs uniform: 0's mass now flows overwhelmingly to 2, not 1
+    val uniform = refPageRank(fixture, 4)
+    assert(got(2L) > uniform(2L) && got(1L) < uniform(1L),
+      s"weight must redirect mass: got=$got uniform=$uniform")
+  }
+
+  test("all-1 weights reduce bit-for-bit to the uniform engine") {
+    val w1 = fixture.map { case (s, d) => (s, d, 1L) }
+    assert(runWeighted(w1, 4) == refPageRank(fixture, 4))
+  }
+
+  test("non-positive and over-cap weights are rejected before any " +
+       "iteration runs") {
+    intercept[IllegalArgumentException] {
+      runWeighted(Seq((0L, 1L, 0L), (1L, 0L, 1L)), 1)
+    }
+    intercept[IllegalArgumentException] {
+      runWeighted(Seq((0L, 1L, 2000000L), (1L, 0L, 1L)), 1)
+    }
+  }
+
   /** First 8 hex digits of md5 as a long — mirrors Graph.pickHash
     * (32-bit walk-pick entropy; the edge-stride generator below stays
     * at 4 nibbles to match docLinkEdges).
