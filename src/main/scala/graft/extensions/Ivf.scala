@@ -361,7 +361,12 @@ object Ivf {
     * centroid frame + the |D|-row thresholds, one per-(cell, side,
     * dim) mean aggregate, one ≤2·|D|-row collect — wall flat in |D|
     * from 1 to k (ProfileRefit measures it). No RNG, no sample, no
-    * iteration: deterministic given the lists and the advisory.
+    * iteration: the CUT is exactly reproducible given the lists and
+    * the advisory; the mode means are distributed double sums, so they
+    * carry the usual last-ulp summation-order sensitivity (the same
+    * stance as any distributed KMeans fit — and immaterial to the
+    * refit contract, which is proven for whatever centroids the fit
+    * returns).
     *
     * @param evidence drifted cells' list rows: (id, vec, nrm, cell)
     * @param thresholds advisory rows for the drifted cells:

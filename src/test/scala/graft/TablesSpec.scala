@@ -194,6 +194,15 @@ class TablesSpec extends SparkTestBase {
     val e = intercept[Exception] {
       Tables.orders(spark, dir).collect()
     }
+    // but 0 is unit-independent (the epoch in any unit — a common
+    // sentinel) and must load as the epoch, not poison the table
+    val zdir = scratch("orders_zero_long")
+    Seq((1L, 1L, 100.0, 0L), (2L, 2L, 50.0, 1700000000000000000L))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$zdir/orders.parquet")
+    val z = Tables.orders(spark, zdir).orderBy("o_orderkey")
+      .select(unix_micros(col("o_orderdate"))).collect().map(_.getLong(0))
+    assert(z.toSeq == Seq(0L, 1700000000000000L))
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ messages(x.getCause))
