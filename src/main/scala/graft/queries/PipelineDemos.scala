@@ -76,6 +76,11 @@ object PipelineDemos {
   // snapshot like the index that assigns them
   private val ivfListsPathCache = new graft.tables.CorpusMemo[String]("embeddings")
 
+  // saved 2-iteration rank-vector parquet per corpus (pagerank_resume):
+  // the warm-start artifact the resume path refines
+  private val rankVectorPathCache =
+    new graft.tables.CorpusMemo[String]("documents")
+
   // saved component-labeling parquet per corpus
   // (dedup_components_incremental): the labeling is the persistent
   // cluster index the incremental merge appends to — built and written
@@ -1119,18 +1124,26 @@ object PipelineDemos {
         .orderBy("doc_id")
     }),
     // Incremental (warm-start) PageRank: run 2 iterations from scratch,
-    // checkpoint the rank vector, resume 2 more from it — the
-    // append-without-recompute artifact story (ann_ivf_incremental /
-    // dedup_incremental for centrality). The fixed-point arithmetic
-    // makes the split PROVABLE: the result must hash-equal the plain
-    // 4-iteration oracle, so the resumable checkpoint is exact, not an
-    // approximation.
+    // WRITE the rank vector as a parquet artifact (once per corpus —
+    // yesterday's converged vector), then resume 2 more from the
+    // read-back copy — the append-without-recompute artifact story
+    // made literal (ann_ivf_persisted / dedup_components_incremental
+    // for centrality). The fixed-point arithmetic makes the split
+    // PROVABLE: longs round-trip parquet exactly, so the result must
+    // hash-equal the plain 4-iteration oracle — the resumable
+    // checkpoint is exact, not an approximation.
     "pagerank_resume" -> ((s, dir) => {
       val edges = docLinkEdges(s, dir)
-      val saved = graft.extensions.Graph.pageRankFixedPoint(edges,
-        "src", "dst", iterations = 2)
-      graft.extensions.Graph.pageRankResume(edges, "src", "dst", saved,
-          iterations = 2)
+      val savedPath = rankVectorPathCache.getOrElseUpdate(dir, {
+        val p = s"${sys.props("java.io.tmpdir")}/graft_ranks_" +
+          graft.tables.ArtifactTag(dir)
+        graft.extensions.Graph.pageRankFixedPoint(edges, "src", "dst",
+            iterations = 2)
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+      graft.extensions.Graph.pageRankResume(edges, "src", "dst",
+          s.read.parquet(savedPath), iterations = 2)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
