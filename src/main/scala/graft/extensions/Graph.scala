@@ -156,6 +156,82 @@ object Graph {
       release = Seq(verts, linked, seedSet))
   }
 
+  /** HITS (hubs & authorities) in fixed-point integers — the
+    * complementary centrality to PageRank for link corpora: an
+    * AUTHORITY is a page good pages point TO (citation-worthiness — a
+    * strong quality signal for curation), a HUB is a page that points
+    * to good pages (directory/aggregator-ness — often a DOWN-weight
+    * signal: link farms are textbook hubs). Mutual recursion: auth(v)
+    * = Σ hub(u) over in-edges, hub(v) = Σ auth(w) over out-edges,
+    * renormalized each half-step.
+    *
+    * Integer renormalization: dividing every score by the SAME
+    * `max(1, total div Scale)` keeps the vector near [[Scale]] total
+    * mass using one common divisor — ratios and ranking survive
+    * exactly, every step stays integral, so the whole iteration is
+    * bit-exact on any layout and verifies against an unrolled SQL
+    * oracle like the PageRank family. Overflow bound: scores ≤ ~Scale
+    * after each renormalization, so a raw sum is ≤ Scale·maxDegree ≤
+    * 2^63 for degrees up to ~9e6 — beyond that, lower [[Scale]].
+    *
+    * Scale shape: per iteration one join keyed on src + one on dst
+    * (the two directions of the same persisted edge frame) and two
+    * 1-row total aggregates joined back via broadcast. Unlike
+    * [[iterate]]'s pure chain, each half-step consumes its
+    * predecessor TWICE (total + join), so half-steps materialize
+    * eagerly — see the in-body comment for the measured alternative.
+    *
+    * @return (id, hub_fp, auth_fp), one row per vertex in `edges`
+    */
+  def hitsFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+                     iterations: Int = 4): DataFrame = {
+    require(iterations >= 1 && iterations <= 32, "fixed iteration budget")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val v = verts.count()
+    require(v > 0, "HITS needs a non-empty edge list")
+    // common-divisor renormalization: x div max(1, total div Scale) —
+    // one broadcast of the 1-row total, all integral. `raw` is
+    // referenced TWICE (total + join), and each half-step feeds the
+    // next, so an uncut lazy chain doubles the logical plan per
+    // half-step (2^(2·iters) re-analysis — the labelPropagation
+    // failure mode, measured here as a 2.6-minute demo-scale run).
+    // Each half-step therefore persists its raw sums and CUTS at its
+    // renormalized vector: 2 small extra jobs per round, plan size
+    // constant.
+    def renorm(raw0: DataFrame, outName: String): DataFrame = {
+      val raw = raw0.persist(StorageLevel.MEMORY_AND_DISK)
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      val out = verts.join(raw, Seq("id"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("id"),
+          expr(s"coalesce(raw, 0L) div greatest(1L, tot div $Scale)")
+            .as(outName))
+        .localCheckpoint(true)
+      raw.unpersist(false)
+      out
+    }
+    var hub = verts.select(col("id"), lit(Scale / v).as("hub_fp"))
+    var auth = verts.select(col("id"), lit(0L).as("auth_fp"))
+    for (_ <- 1 to iterations) {
+      auth = renorm(
+        e.join(hub.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id")).agg(sum(col("hub_fp")).as("raw")),
+        "auth_fp")
+      hub = renorm(
+        e.join(auth.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id")).agg(sum(col("auth_fp")).as("raw")),
+        "hub_fp")
+    }
+    val out = hub.join(auth, Seq("id")).localCheckpoint(true)
+    e.unpersist(false); verts.unpersist(false)
+    out
+  }
+
   /** Warm-start (incremental) PageRank — the append-without-recompute
     * story for the graph family, matching `appendAssign` (IVF) and
     * `incrementalNearDups` (text dedup): resume the power iteration

@@ -1107,6 +1107,18 @@ object PipelineDemos {
         .select("doc_id", "lang", "rank_fp", "tier")
         .orderBy("doc_id")
     }),
+    // Hubs & authorities (HITS) — the complementary centrality signal
+    // pair: authority = cited BY good pages (a quality up-weight),
+    // hub = aggregator-ness (often a down-weight; link farms are
+    // textbook hubs). Integer renormalization by a COMMON divisor
+    // keeps every step integral, so the mutual recursion is bit-exact
+    // on any layout and verifies against an unrolled SQL oracle.
+    "link_hits" -> ((s, dir) => {
+      graft.extensions.Graph.hitsFixedPoint(docLinkEdges(s, dir),
+          "src", "dst", iterations = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // Weighted centrality: rank flows in proportion to an integer edge
     // weight (1..9, md5-derived per edge — standing in for link
     // multiplicity / mention counts, the realistic link-graph shape).
@@ -1591,6 +1603,43 @@ object PipelineDemos {
        |outw AS (SELECT src, sum(wt) AS sw FROM wedges GROUP BY src),
        |$iterCtes
        |SELECT id AS doc_id, CAST(rank_fp AS BIGINT) AS rank_fp FROM r4
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** HITS oracle: the same integer mutual recursion — per half-step a
+    * raw sum over one edge direction, then renormalization by the
+    * common divisor max(1, total div Scale).
+    */
+  private def hitsOracle(iterations: Int): String = {
+    val scale = graft.extensions.Graph.Scale
+    // every per-round CTE is MATERIALIZED: each is referenced twice
+    // (total + join), and DuckDB's default inlining would otherwise
+    // duplicate the whole preceding chain per half-step — the same
+    // 2^(2·iters) blowup the Spark side cuts with per-half-step
+    // checkpoints (measured as a stuck multi-minute oracle run)
+    val iterCtes = (1 to iterations).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS id, CAST(sum(h.hub) AS BIGINT) AS raw
+         |  FROM edges e JOIN h${i - 1} h ON h.id = e.src GROUP BY e.dst),
+         |at$i AS MATERIALIZED (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM ar$i),
+         |a$i AS MATERIALIZED (SELECT v.id,
+         |    COALESCE(r.raw, 0) // GREATEST(1, (SELECT tot FROM at$i) // $scale) AS auth
+         |  FROM verts v LEFT JOIN ar$i r ON r.id = v.id),
+         |hr$i AS MATERIALIZED (SELECT e.src AS id, CAST(sum(a.auth) AS BIGINT) AS raw
+         |  FROM edges e JOIN a$i a ON a.id = e.dst GROUP BY e.src),
+         |ht$i AS MATERIALIZED (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM hr$i),
+         |h$i AS MATERIALIZED (SELECT v.id,
+         |    COALESCE(r.raw, 0) // GREATEST(1, (SELECT tot FROM ht$i) // $scale) AS hub
+         |  FROM verts v LEFT JOIN hr$i r ON r.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $docEdgeCtes,
+       |verts AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)),
+       |h0 AS (SELECT id, $scale // (SELECT count(*) FROM verts) AS hub
+       |       FROM verts),
+       |$iterCtes
+       |SELECT h.id AS doc_id, CAST(h.hub AS BIGINT) AS hub_fp,
+       |       CAST(a.auth AS BIGINT) AS auth_fp
+       |FROM h$iterations h JOIN a$iterations a ON a.id = h.id
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -2761,6 +2810,7 @@ object PipelineDemos {
     "pipeline_rank_mix" -> rankMixOracle,
     "pagerank_seeded" -> pagerankOracleSql(seeded = true),
     "pagerank_weighted" -> weightedPagerankOracle,
+    "link_hits" -> hitsOracle(iterations = 4),
     "graph_walks" -> graphWalksOracle(steps = 3, walks = 2),
     "graph_walks_biased" -> biasedWalksOracle(steps = 3, walks = 2,
       wR = 1, wS = 2, wE = 4),

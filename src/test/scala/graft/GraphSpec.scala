@@ -175,6 +175,48 @@ class GraphSpec extends SparkTestBase {
     assert(got.contains(5L), "appended vertex must be ranked")
   }
 
+  /** Sequential reference for HITS: same integer recurrence with the
+    * common-divisor renormalization (x div max(1, total div Scale)).
+    */
+  private def refHits(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, (Long, Long)] = {
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    def renorm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val div = math.max(1L, raw.values.sum / Graph.Scale)
+      verts.map(id => id -> raw.getOrElse(id, 0L) / div).toMap
+    }
+    var hub = verts.map(_ -> Graph.Scale / verts.size.toLong).toMap
+    var auth = verts.map(_ -> 0L).toMap
+    for (_ <- 1 to iters) {
+      val araw =
+        scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d) <- edges) araw(d) += hub(s)
+      auth = renorm(araw.toMap)
+      val hraw =
+        scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d) <- edges) hraw(s) += auth(d)
+      hub = renorm(hraw.toMap)
+    }
+    verts.map(id => id -> (hub(id), auth(id))).toMap
+  }
+
+  test("HITS matches the sequential integer reference bit-for-bit " +
+       "under re-partitioning; pure sources have zero authority and " +
+       "sinks zero hub score") {
+    import spark.implicits._
+    val got = Graph.hitsFixedPoint(fixture.toDF("src", "dst")
+        .repartition(7), "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == refHits(fixture, 4))
+    // 4 has no in-edges: nothing confers authority on it
+    assert(got(4L)._2 == 0L)
+    // 3 has no out-edges: it endorses nothing, hub score exactly 0
+    assert(got(3L)._1 == 0L)
+    // 2 is the most-cited vertex (3 in-edges incl. the hub) — top auth
+    assert(got.maxBy(_._2._2)._1 == 2L)
+  }
+
   /** Sequential reference for the weighted recurrence: contribution
     * (w · rank) div W per edge, W = total out-weight.
     */
