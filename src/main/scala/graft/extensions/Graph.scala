@@ -545,20 +545,64 @@ object Graph {
                        seeds: DataFrame, seedIdCol: String,
                        seedLabelCol: String, rounds: Int = 3): DataFrame = {
     require(rounds >= 1 && rounds <= 16, "fixed round budget")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-                         col(dstCol).cast("long").as("dst"))
-    val sym = e.select(col("src").as("a"), col("dst").as("b"))
-      .union(e.select(col("dst").as("a"), col("src").as("b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = symmetrized(edges, srcCol, dstCol)
     val verts = sym.select(col("a").as("id")).distinct()
     val sd = seeds
       .select(col(seedIdCol).cast("long").as("id"),
               col(seedLabelCol).cast("string").as("seed_label"))
       .groupBy("id").agg(min(col("seed_label")).as("seed_label"))
-    var labels = verts.join(sd, Seq("id"), "left")
+    val init = verts.join(sd, Seq("id"), "left")
       .select(col("id"), col("seed_label").as("label"),
               col("seed_label").isNotNull.as("is_seed"))
+    labelRounds(sym, init, rounds)
+  }
+
+  /** Resume label propagation from a SAVED (id, label, is_seed) state —
+    * the recurrence is Markovian in exactly that state (each round
+    * reads only the current labels and the clamp flags), so on an
+    * unchanged graph resume(k)+resume(m) equals from-scratch(k+m)
+    * bit-for-bit (GraphSpec), the same split-exactness as
+    * [[pageRankResume]] — a propagation checkpoint is a resumable
+    * artifact, not an approximation. After an edge append, vertices
+    * new to the graph start unlabeled (null, unclamped), exactly where
+    * a from-scratch run would start them, and the iteration budget
+    * spreads the EXISTING labels onward instead of replaying history.
+    *
+    * @param prevLabels (id, label, is_seed) — the output contract of
+    *                   [[labelPropagation]] / a previous resume
+    */
+  def labelPropagationResume(edges: DataFrame, srcCol: String,
+                             dstCol: String, prevLabels: DataFrame,
+                             rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "fixed round budget")
+    val sym = symmetrized(edges, srcCol, dstCol)
+    val verts = sym.select(col("a").as("id")).distinct()
+    val prev = prevLabels.select(col("id").cast("long").as("id"),
+      col("label").cast("string").as("prev_label"),
+      col("is_seed").as("prev_seed"))
+    val init = verts.join(prev, Seq("id"), "left")
+      .select(col("id"), col("prev_label").as("label"),
+              coalesce(col("prev_seed"), lit(false)).as("is_seed"))
+    labelRounds(sym, init, rounds)
+  }
+
+  /** Canonical symmetrized (a, b) edge frame, persisted. */
+  private def symmetrized(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst"))
+    e.select(col("src").as("a"), col("dst").as("b"))
+      .union(e.select(col("dst").as("a"), col("src").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The synchronous propagation rounds shared by [[labelPropagation]]
+    * and [[labelPropagationResume]]; releases `sym` and every
+    * intermediate after the one final materialization.
+    */
+  private def labelRounds(sym: DataFrame, init: DataFrame,
+                          rounds: Int): DataFrame = {
+    var labels = init.persist(StorageLevel.MEMORY_AND_DISK)
     val kept = scala.collection.mutable.Buffer[DataFrame](labels)
     for (r <- 1 to rounds) {
       // per-vertex winner via min_by over (-count, label): max count,

@@ -81,6 +81,10 @@ object PipelineDemos {
   private val rankVectorPathCache =
     new graft.tables.CorpusMemo[String]("documents")
 
+  // saved 1-round label-state parquet per corpus (label_prop_resume)
+  private val labelStatePathCache =
+    new graft.tables.CorpusMemo[String]("documents")
+
   // saved component-labeling parquet per corpus
   // (dedup_components_incremental): the labeling is the persistent
   // cluster index the incremental merge appends to — built and written
@@ -1184,6 +1188,30 @@ object PipelineDemos {
         .select(col("doc_id"), col("lang"))
       graft.extensions.Graph.labelPropagation(docLinkEdges(s, dir),
           "src", "dst", seeds, "doc_id", "lang", rounds = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+    // Resumable label propagation: the (id, label, is_seed) state is
+    // Markovian, so a 1-round checkpoint (written once per corpus,
+    // read back from parquet) resumed for 2 more rounds must
+    // hash-equal the unsplit 3-round oracle — the propagation
+    // checkpoint is an exact artifact, like pagerank_resume's rank
+    // vector.
+    "label_prop_resume" -> ((s, dir) => {
+      val edges = docLinkEdges(s, dir)
+      val savedPath = labelStatePathCache.getOrElseUpdate(dir, {
+        val p = s"${sys.props("java.io.tmpdir")}/graft_labelstate_" +
+          graft.tables.ArtifactTag(dir)
+        val seeds = Tables.documents(s, dir)
+          .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "4")
+          .select(col("doc_id"), col("lang"))
+        graft.extensions.Graph.labelPropagation(edges, "src", "dst",
+            seeds, "doc_id", "lang", rounds = 1)
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+      graft.extensions.Graph.labelPropagationResume(edges, "src", "dst",
+          s.read.parquet(savedPath), rounds = 2)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
@@ -2817,6 +2845,10 @@ object PipelineDemos {
     "walk_pairs" -> walkPairsOracle(steps = 3, walks = 2, window = 2),
     "walk_pairs_bucketed" -> walkPairsOracle(steps = 3, walks = 2,
       window = 2),
-    "label_prop" -> labelPropOracle(rounds = 3)
+    "label_prop" -> labelPropOracle(rounds = 3),
+    // the resume demo splits the same 3 rounds 1+2 across a parquet
+    // state checkpoint — bit-equality with the unsplit oracle IS the
+    // claim
+    "label_prop_resume" -> labelPropOracle(rounds = 3)
   )
 }

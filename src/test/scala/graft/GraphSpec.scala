@@ -478,6 +478,29 @@ class GraphSpec extends SparkTestBase {
     assert(got(0L)._1.contains("en") && got(2L)._1.contains("de"))
   }
 
+  test("label propagation resume: resume(fromScratch(1), 2) == " +
+       "fromScratch(3) bit-for-bit; appended vertices start unlabeled") {
+    import spark.implicits._
+    val edges = fixture ++ Seq((5L, 6L), (0L, 5L), (7L, 8L))
+    val seeds = Map(0L -> "en", 2L -> "de")
+    val e = edges.toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getBoolean(2)))).toMap
+    val one = graft.extensions.Graph.labelPropagation(e, "src", "dst",
+      seeds.toSeq.toDF("doc_id", "lang"), "doc_id", "lang", rounds = 1)
+    val resumed = rows(graft.extensions.Graph.labelPropagationResume(
+      e.repartition(5), "src", "dst", one, rounds = 2))
+    assert(resumed == refLabelProp(edges, seeds, 3))
+    // append an edge introducing vertex 9 next to the seeded hub: on
+    // resume it starts unlabeled/unclamped and picks up 0's label in
+    // one round
+    val appended = (edges ++ Seq((0L, 9L))).toDF("src", "dst")
+    val after = rows(graft.extensions.Graph.labelPropagationResume(
+      appended, "src", "dst", one, rounds = 1))
+    assert(after(9L) == ((Some("en"), false)))
+  }
+
   test("skip-gram pairs: window-bounded ordered co-occurrence counts " +
        "per walk, repeated nodes accumulate") {
     import spark.implicits._
