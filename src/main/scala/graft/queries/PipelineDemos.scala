@@ -309,8 +309,7 @@ object PipelineDemos {
       // parquet — the steady-state shape: the history's clustering is
       // yesterday's artifact, only the batch merge runs today
       val savedPath = compLabelsPathCache.getOrElseUpdate(dir, {
-        val p = s"${sys.props("java.io.tmpdir")}/graft_complabels_" +
-          graft.tables.ArtifactTag(dir)
+        val p = graft.tables.ScratchDirs.tmp("complabels", dir)
         Components.connectedComponents(pairs.filter(isHist),
             "id_a", "id_b")
           .write.mode("overwrite").parquet(p)
@@ -494,8 +493,7 @@ object PipelineDemos {
           "vec_id", "embedding", k = 8))
       // pid-keyed: two concurrent processes on one host must not
       // interleave saveIndex overwrite with loadIndex read
-      val path = s"${sys.props("java.io.tmpdir")}/graft_ivfidx_" +
-        graft.tables.ArtifactTag(dir)
+      val path = graft.tables.ScratchDirs.tmp("ivfidx", dir)
       graft.extensions.Ivf.saveIndex(s, index, path)
       val loaded = graft.extensions.Ivf.loadIndex(s, path)
       val e = Tables.embeddings(s, dir)
@@ -520,8 +518,7 @@ object PipelineDemos {
         graft.extensions.Ivf.trainDeterministic(e, "vec_id", "embedding",
           k = 8))
       val path = ivfListsPathCache.getOrElseUpdate(dir, {
-        val p = s"${sys.props("java.io.tmpdir")}/graft_ivflists_" +
-          graft.tables.ArtifactTag(dir)
+        val p = graft.tables.ScratchDirs.tmp("ivflists", dir)
         graft.extensions.Ivf.assign(e, "vec_id", "embedding", index)
           .write.mode("overwrite").partitionBy("cell").parquet(p)
         p
@@ -572,8 +569,7 @@ object PipelineDemos {
         Pq.trainDeterministic(Tables.embeddings(s, dir),
           "vec_id", "embedding", m = 4, nCodes = 16))
       // pid-keyed for the same concurrent-process reason as the IVF one
-      val path = s"${sys.props("java.io.tmpdir")}/graft_pqidx_" +
-        graft.tables.ArtifactTag(dir)
+      val path = graft.tables.ScratchDirs.tmp("pqidx", dir)
       Pq.saveIndex(s, index, path)
       val loaded = Pq.loadIndex(s, path)
       val e = Tables.embeddings(s, dir)
@@ -1151,8 +1147,7 @@ object PipelineDemos {
     "pagerank_resume" -> ((s, dir) => {
       val edges = docLinkEdges(s, dir)
       val savedPath = rankVectorPathCache.getOrElseUpdate(dir, {
-        val p = s"${sys.props("java.io.tmpdir")}/graft_ranks_" +
-          graft.tables.ArtifactTag(dir)
+        val p = graft.tables.ScratchDirs.tmp("ranks", dir)
         graft.extensions.Graph.pageRankFixedPoint(edges, "src", "dst",
             iterations = 2)
           .write.mode("overwrite").parquet(p)
@@ -1200,8 +1195,7 @@ object PipelineDemos {
     "label_prop_resume" -> ((s, dir) => {
       val edges = docLinkEdges(s, dir)
       val savedPath = labelStatePathCache.getOrElseUpdate(dir, {
-        val p = s"${sys.props("java.io.tmpdir")}/graft_labelstate_" +
-          graft.tables.ArtifactTag(dir)
+        val p = graft.tables.ScratchDirs.tmp("labelstate", dir)
         val seeds = Tables.documents(s, dir)
           .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "4")
           .select(col("doc_id"), col("lang"))
@@ -1266,7 +1260,8 @@ object PipelineDemos {
           docLinkEdges(s, dir), "src", "dst", steps = 3, walksPerStart = 2)
         graft.ops.Partitioning.bucketedTable(walks, name,
           Seq("start", "walk"), buckets = 8,
-          s"${sys.props("java.io.tmpdir")}/graft_bucketed_walks_$tag")
+          graft.tables.ScratchDirs.register(
+            s"${sys.props("java.io.tmpdir")}/graft_bucketed_walks_$tag"))
         name
       }
       graft.extensions.Graph.skipGramPairs(s.table(tbl), window = 2)

@@ -136,7 +136,8 @@ object RelationalDemos {
           { case (no, nc) =>
             s.catalog.tableExists(no) && s.catalog.tableExists(nc) }) {
         val tag = graft.tables.ArtifactTag(dir)
-        val p = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$tag"
+        val p = graft.tables.ScratchDirs.register(
+          s"${sys.props("java.io.tmpdir")}/graft_bucketed_$tag")
         val (no, nc) = (s"g_orders_b_$tag", s"g_customer_b_$tag")
         graft.ops.Partitioning.bucketedTable(Tables.orders(s, dir), no,
           "o_custkey", buckets = 8, s"$p/orders")

@@ -19,7 +19,8 @@ object SourceSinkDemos {
 
   /** Per-sf scratch dir: deterministic, overwrite-safe. */
   private def scratch(dir: String, tag: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${tag}_${graft.tables.ArtifactTag(dir)}"
+    graft.tables.ScratchDirs.register(
+      s"${sys.props("java.io.tmpdir")}/graft_${tag}_${graft.tables.ArtifactTag(dir)}")
 
   val queries: Map[String, Q] = Map(
     // Hive-style partitioned layout round-trip: write partitioned by

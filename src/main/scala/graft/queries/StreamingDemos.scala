@@ -84,8 +84,7 @@ object StreamingDemos {
       val refScores = docs.filter(hex1 < "8")
         .select(graft.extensions.TextAnalysis.qualityScore(col("text"))
           .as("score"))
-      val base = s"${sys.props("java.io.tmpdir")}/graft_qdrift_" +
-        graft.tables.ArtifactTag(dir)
+      val base = graft.tables.ScratchDirs.tmp("qdrift", dir)
       Seq(hex1 >= "8" && hex1 < "c", hex1 >= "c")
         .zipWithIndex.foreach { case (cond, i) =>
           DocsStream.qualityDriftBatch(docs.filter(cond), i.toLong,
@@ -106,8 +105,7 @@ object StreamingDemos {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val bench = docs.filter(col("doc_id") < 5)
       val hex1 = substring(md5(col("doc_id").cast("string")), 1, 1)
-      val base = s"${sys.props("java.io.tmpdir")}/graft_decontam_" +
-        graft.tables.ArtifactTag(dir)
+      val base = graft.tables.ScratchDirs.tmp("decontam", dir)
       Seq(hex1 < "8", hex1 >= "8" && hex1 < "c", hex1 >= "c")
         .zipWithIndex.foreach { case (cond, i) =>
           DocsStream.decontamBatch(docs.filter(cond), i.toLong, bench,
@@ -143,8 +141,7 @@ object StreamingDemos {
         import s.implicits._
         histRows.toDF("cell", "n", "sum_qerr_q")
       }
-      val base = s"${sys.props("java.io.tmpdir")}/graft_ivfing_" +
-        graft.tables.ArtifactTag(dir)
+      val base = graft.tables.ScratchDirs.tmp("ivfing", dir)
       // fresh sink dirs: correctness relies on exactly batches {0, 1}
       // existing, and batch-addressed overwrite only protects batches
       // this run writes — a past run with a different split would leave
@@ -165,8 +162,7 @@ object StreamingDemos {
     "stream_ingest_flags" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val hex1 = substring(md5(col("doc_id").cast("string")), 1, 1)
-      val base = s"${sys.props("java.io.tmpdir")}/graft_ingest_" +
-        graft.tables.ArtifactTag(dir)
+      val base = graft.tables.ScratchDirs.tmp("ingest", dir)
       Seq(hex1 < "8", hex1 >= "8" && hex1 < "c", hex1 >= "c")
         .zipWithIndex.foreach { case (cond, i) =>
           DocsStream.flagBatch(s, docs.filter(cond), i.toLong,

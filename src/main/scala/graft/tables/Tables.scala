@@ -206,3 +206,38 @@ object ArtifactTag {
     s"${h}_${ProcessHandle.current().pid()}"
   }
 }
+
+/** Per-pid scratch paths registered for deletion at JVM exit: a
+  * pid-keyed artifact dir is unreachable by any later process (a new
+  * pid makes a new tag), so leaving it behind is pure accumulation —
+  * hundreds of orphaned table/index dirs per test day. Registration is
+  * idempotent and the hook swallows everything (exit-path best effort).
+  */
+object ScratchDirs {
+  private val registered = scala.collection.mutable.LinkedHashSet.empty[String]
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      registered.foreach { p =>
+        try deleteRecursively(new java.io.File(p))
+        catch { case _: Throwable => () }
+      }))
+
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete()
+  }
+
+  /** Register `path` for exit-time deletion; returns it unchanged. */
+  def register(path: String): String = synchronized {
+    hookInstalled
+    registered += path
+    path
+  }
+
+  /** The canonical per-(corpus, pid) tmp path for artifact family
+    * `family`, registered for exit cleanup.
+    */
+  def tmp(family: String, dir: String): String =
+    register(s"${sys.props("java.io.tmpdir")}/graft_${family}_" +
+      ArtifactTag(dir))
+}

@@ -210,6 +210,20 @@ class TablesSpec extends SparkTestBase {
       s"wanted the refusing-to-guess error, got: $e")
   }
 
+  test("ScratchDirs: recursive delete removes nested scratch trees; " +
+       "register returns the path unchanged") {
+    val root = new java.io.File(scratch("scratchdirs_test"))
+    val nested = new java.io.File(root, "a/b")
+    nested.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(nested, "f.txt").toPath, "x")
+    assert(nested.exists())
+    graft.tables.ScratchDirs.deleteRecursively(root)
+    assert(!root.exists())
+    val p = scratch("scratchdirs_reg")
+    assert(graft.tables.ScratchDirs.register(p) == p)
+  }
+
   test("nation absorbs an int64-keys drift back to canonical int32") {
     import spark.implicits._
     val dir = scratch("nation64")
