@@ -88,4 +88,71 @@ object AggOps {
     ranked.groupBy(groupCol)
       .agg(max(col("cnt")).as("n"), qAggs: _*)
   }
+
+  /** The composite order key [[tierBoundaries]] cuts on: callers build
+    * the SAME struct (same field names, so struct comparisons resolve
+    * without casts) to compare each row against the broadcast cut keys.
+    */
+  def ordKey(ordCols: Seq[Column]): Column =
+    struct(ordCols.zipWithIndex.map { case (c, i) => c.as(s"o$i") }: _*)
+
+  /** Equal-count tier CUT KEYS per group — the scale-safe replacement
+    * for tiering a whole partition with one ranking window. A full
+    * `row_number().over(partitionBy(group))` tiering forces every row
+    * of a group through ONE reducer (tens of TB for the big language of
+    * a real corpus — no group-limit rescue exists for a full tiering,
+    * unlike top-k); this operator instead contracts the data to one row
+    * per group holding the composite order key at each tier boundary,
+    * which the caller BROADCASTS back and compares against map-side.
+    *
+    * Boundary semantics (matches `tier = ((rn-1)*tiers) div cnt` over
+    * rows ranked 1..cnt by `ordCols` ascending, bit for bit): `b<t>` is
+    * the ord key of the row at rank ceil(t·cnt/tiers)+1 — the FIRST row
+    * of tier t — so a row's tier is the number of non-null boundaries
+    * its own key is ≥ (ties impossible when `ordCols` ends in a unique
+    * id; encode desc orders by negating). `b<t>` is null when tier t is
+    * empty (cnt < tiers), which compares to 0 contributions.
+    *
+    * This is the exact path: it still rank-windows the (group, ord)
+    * PROJECTION — two longs a row, not the full record — which is the
+    * irreducible cost of exact boundaries (same stance as
+    * [[exactQuantiles]]). At 100 TB swap this one contraction for
+    * `approx_percentile` over an order-encoded long: the downstream
+    * broadcast-compare pipeline is unchanged, only the cut keys become
+    * ±ε. The bulk table never passes through a per-group sort either
+    * way.
+    *
+    * @return one row per group: (groupCol, cnt, b1..b<tiers-1>)
+    */
+  def tierBoundaries(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                     ordCols: Seq[Column], tiers: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tiers >= 2 && tiers <= 1000, s"tiers must be in [2, 1000]")
+    val ranked = df
+      .select(col(groupCol), ordKey(ordCols).as("ord"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("ord"))).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy(groupCol)).cast("long"))
+    val bAggs = (1 until tiers).map { t =>
+      // rank of tier t's first row: ceil(t*cnt/tiers)+1, integer-exact
+      max(when(col("rn") ===
+          expr(s"($t * cnt + ${tiers - 1}) div $tiers") + 1L,
+        col("ord"))).as(s"b$t")
+    }
+    ranked.groupBy(groupCol)
+      .agg(max(col("cnt")).as("cnt"), bAggs: _*)
+  }
+
+  /** Map-side tier assignment against [[tierBoundaries]] output (joined
+    * in, normally via broadcast): the count of boundary keys at or
+    * below this row's key. Null boundaries (empty tiers) contribute 0.
+    */
+  def tierOf(ordCols: Seq[Column], tiers: Int): Column = {
+    val key = ordKey(ordCols)
+    (1 until tiers)
+      .map(t => coalesce((key >= col(s"b$t")).cast("int"), lit(0)))
+      .reduce(_ + _)
+  }
 }

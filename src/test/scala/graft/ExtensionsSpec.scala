@@ -1717,4 +1717,31 @@ class ExtensionsSpec extends SparkTestBase {
     assert(got(1L)._1 == 0L && got(1L)._2 == 0L,
       s"unselected doc reports zero counts, got ${got(1L)}")
   }
+
+  test("tierBoundaries + tierOf: broadcast cut-key tiers are bit-equal " +
+       "to the full-window ((rn-1)*tiers) div cnt formula — ties, " +
+       "groups smaller than the tier count, and desc order included") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // skewed groups, heavy value ties (tie-break = unique id), one
+    // group smaller than tiers=4 (empty high tiers → null boundaries)
+    val rows = (1L to 97L).map(i => ("big", i % 7, i)) ++
+      (1L to 11L).map(i => ("mid", i % 2, 100L + i)) ++
+      Seq(("tiny", 5L, 200L), ("tiny", 5L, 201L))
+    val df = rows.toDF("g", "v", "id")
+    val ord = Seq(negate(col("v")), col("id")) // v desc, id asc
+    val expected = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("v").desc, col("id"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("g")))
+      .select(col("g"), col("id"),
+        expr("((rn - 1) * 4) div cnt").cast("int").as("tier"))
+    val bounds = graft.ops.AggOps.tierBoundaries(df, "g", ord, 4)
+    assert(bounds.count() == 3)
+    val got = df.join(broadcast(bounds), "g")
+      .select(col("g"), col("id"),
+        graft.ops.AggOps.tierOf(ord, 4).cast("int").as("tier"))
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
+      s"tier mismatch:\n${got.orderBy("g", "id").collect().mkString("\n")}")
+  }
 }

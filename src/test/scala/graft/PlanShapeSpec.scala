@@ -551,6 +551,37 @@ class PlanShapeSpec extends SparkTestBase {
       s"composite plan must stay bounded, got $nExchanges Exchanges")
   }
 
+  test("pipeline_rank_mix tiers map-side: every Window in the plan " +
+       "sits under a BroadcastExchange (the per-lang cut-key side) — " +
+       "no full per-language ranking window on the bulk path") {
+    val df = SparkEntry.queries("pipeline_rank_mix")(spark, dir)
+    val plan = unwrapped(df.queryExecution.executedPlan)
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty,
+      "sanity: the exact cut-key contraction ranks the narrow projection")
+    // a Window anywhere NOT inside a broadcast subtree would mean the
+    // bulk (documents ⋈ ranks) rows sort in one reducer per language —
+    // the r11 scale-killer this demo replaced
+    val outsideBroadcast = {
+      def walk(p: org.apache.spark.sql.execution.SparkPlan,
+               underBc: Boolean): Seq[String] = {
+        val bc = underBc || p.isInstanceOf[
+          org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]
+        val here =
+          if (!bc && p.isInstanceOf[
+              org.apache.spark.sql.execution.window.WindowExec])
+            Seq(p.simpleStringWithNodeId())
+          else Seq.empty
+        here ++ p.children.flatMap(walk(_, bc))
+      }
+      walk(plan, underBc = false)
+    }
+    assert(outsideBroadcast.isEmpty,
+      s"Window outside the broadcast cut-key subtree:\n$plan")
+  }
+
   test("SeqDot matches the interpreted sequential fold") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
