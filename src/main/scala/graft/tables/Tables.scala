@@ -26,6 +26,66 @@ object Tables {
     * analysis error or type mismatch. On undrifted data [[normalized]]
     * is an exact no-op (no Project is added), so pushdown is untouched.
     */
+  /** The FULL canonical column list per table (names, canonical types,
+    * canonical order) — the projection target for structural drift:
+    * a testdata regeneration that ADDS a column (dropped silently),
+    * DROPS one (null-filled at the canonical type), or RENAMES one
+    * (matched back via [[renameAliases]] or a case/separator-
+    * insensitive name fold) still reads as the canonical shape, the
+    * same absorb-don't-crash stance [[canonicalTypes]] takes for type
+    * drift. Null-filling a dropped column is the documented default —
+    * a curation engine must keep reading yesterday's queries over
+    * today's files — but it is LOUD (one stderr line per load) so a
+    * regeneration that guts a load-bearing column is diagnosable
+    * instead of silently nulling a join key.
+    */
+  private val canonicalSchemas: Map[String, Seq[(String, DataType)]] = Map(
+    "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampType, "o_orderpriority" -> StringType),
+    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> TimestampType),
+    "events" -> Seq("event_id" -> LongType, "ts" -> TimestampType,
+      "user_id" -> LongType, "event_type" -> StringType,
+      "value" -> DoubleType, "props" -> StringType),
+    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType,
+      "n_chars" -> LongType),
+    "embeddings" -> Seq("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
+
+  /** Known plausible rename drifts, keyed by [[nameFold]] of the
+    * drifted name. Renames the fold can't see through (a column called
+    * something semantically different) belong here; `Doc_ID` /
+    * `l-orderkey`-style case/separator drift needs no entry.
+    */
+  private val renameAliases: Map[String, Map[String, String]] = Map(
+    "events" -> Map("timestamp" -> "ts", "eventtime" -> "ts",
+      "eventts" -> "ts", "time" -> "ts"),
+    "documents" -> Map("content" -> "text", "body" -> "text",
+      "language" -> "lang", "origin" -> "source"),
+    "embeddings" -> Map("vector" -> "embedding", "emb" -> "embedding",
+      "vec" -> "embedding"))
+
+  /** Case- and separator-insensitive name fold for rename matching. */
+  private def nameFold(s: String): String =
+    s.toLowerCase.replaceAll("[^a-z0-9]", "")
+
   private val canonicalTypes: Map[String, Map[String, DataType]] = Map(
     "region" -> Map(
       "r_regionkey" -> IntegerType),
@@ -78,10 +138,20 @@ object Tables {
         // 0 is the one unit-independent value (the epoch in nanos,
         // micros, or millis alike — a common sentinel), so it loads as
         // the epoch instead of poisoning the whole table.
+        // Deliberately PER-ROW, not a column-level magnitude vote: the
+        // generator has only ever shipped 2020s-era instants, so the
+        // 1967-1973 nanos window the per-row guard rejects cannot
+        // occur in legal data here, and a lone out-of-band value is
+        // more likely a unit mix-up worth failing on than a historical
+        // timestamp (extend with an aggregate vote if a near-epoch
+        // corpus ever becomes legal). Negative (pre-epoch) nanos
+        // divide with FLOOR semantics — a bare `div` truncates toward
+        // zero, rounding pre-epoch instants UP a microsecond.
         Some(when(c.isNull, lit(null).cast(to))
           .when(c === 0L, timestamp_micros(lit(0L)))
           .when(abs(c) >= 100000000000000000L,
-            timestamp_micros(expr(s"`$name` div 1000")))
+            timestamp_micros(expr(s"`$name` div 1000") -
+              when(expr(s"`$name` % 1000") < 0, lit(1L)).otherwise(lit(0L))))
           .otherwise(raise_error(concat(
             lit(s"$name: INT64 value "), c.cast("string"),
             lit(" is not nanos-since-epoch magnitude; refusing to " +
@@ -94,21 +164,72 @@ object Tables {
     }
   }
 
-  /** Cast any drifted columns of `df` back to the canonical schema for
-    * `name`. No-op (same DataFrame instance, no extra Project) when
-    * nothing drifted — the common case.
+  /** Project `df` back to the canonical schema for `name`, absorbing
+    * BOTH drift axes:
+    *   - type drift ([[canonicalTypes]] + [[coerce]], unchanged): a
+    *     pinned column arriving at a recognized drifted type is cast
+    *     back; unrecognized type drift is left alone rather than
+    *     guessed at.
+    *   - structural drift ([[canonicalSchemas]]): a RENAMED column
+    *     (via [[renameAliases]] or the case/separator-insensitive
+    *     [[nameFold]]) maps back to its canonical name — and then
+    *     through the same type coercion; an ADDED column is dropped;
+    *     a DROPPED column is null-filled at its canonical type. Two
+    *     source columns competing for one canonical name fail loudly
+    *     (a guess would silently pick a join key).
+    * Structural absorption logs one stderr line naming what it did.
+    * No-op (same DataFrame instance, no extra Project — pushdown
+    * untouched) when nothing drifted, the common case.
     */
   def normalized(df: DataFrame, name: String): DataFrame = {
-    val canon = canonicalTypes.getOrElse(name, Map.empty)
-    val fixes: Map[String, Column] = df.schema.fields.flatMap { f =>
-      canon.get(f.name) match {
-        case Some(to) if to != f.dataType =>
-          coerce(f.name, f.dataType, to).map(c => f.name -> c.as(f.name))
-        case _ => None
-      }
+    val canon = canonicalSchemas.getOrElse(name, Seq.empty)
+    val pinned = canonicalTypes.getOrElse(name, Map.empty)
+    if (canon.isEmpty) return df
+    val have = df.columns.toSeq
+    val haveSet = have.toSet
+    val canonNames = canon.map(_._1)
+    val missing = canonNames.filterNot(haveSet)
+    val extra = have.filterNot(canonNames.toSet)
+    val aliases = renameAliases.getOrElse(name, Map.empty)
+    // src drifted-name -> canonical name, only onto MISSING targets
+    val renames: Map[String, String] = extra.flatMap { e =>
+      aliases.get(nameFold(e)).orElse(missing.find(nameFold(_) == nameFold(e)))
+        .filter(missing.contains).map(e -> _)
     }.toMap
-    if (fixes.isEmpty) df
-    else df.select(df.columns.map(c => fixes.getOrElse(c, col(c))): _*)
+    renames.groupBy(_._2).foreach { case (tgt, srcs) =>
+      require(srcs.size == 1,
+        s"$name: columns ${srcs.keys.toSeq.sorted.mkString(", ")} all " +
+          s"look like a renamed '$tgt' — refusing to guess; fix " +
+          "Tables.renameAliases for this drift flavor")
+    }
+    val srcFor = renames.map(_.swap)
+    var typeFixed = false
+    val exprs: Seq[Column] = canon.map { case (cn, ct) =>
+      (if (haveSet(cn)) Some(cn) else srcFor.get(cn)) match {
+        case Some(src) =>
+          val from = df.schema(src).dataType
+          pinned.get(cn) match {
+            case Some(to) if to != from =>
+              coerce(src, from, to) match {
+                case Some(c) => typeFixed = true; c.as(cn)
+                case None    => col(src).as(cn)
+              }
+            case _ => col(src).as(cn)
+          }
+        case None => lit(null).cast(ct).as(cn)
+      }
+    }
+    val dropped = extra.filterNot(renames.contains)
+    val nullFilled = missing.filterNot(renames.valuesIterator.toSet)
+    val structural =
+      renames.nonEmpty || dropped.nonEmpty || nullFilled.nonEmpty ||
+        have != canonNames
+    if (structural)
+      System.err.println(s"[graft.Tables] $name: absorbing structural " +
+        s"drift (renamed ${renames.toSeq.sorted.mkString("{", ",", "}")}," +
+        s" dropped ${dropped.mkString("{", ",", "}")}, null-filled " +
+        s"${nullFilled.mkString("{", ",", "}")})")
+    if (!structural && !typeFixed) df else df.select(exprs: _*)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

@@ -79,7 +79,11 @@ class TablesSpec extends SparkTestBase {
       .select("event_id", "ts", "user_id", "event_type", "value")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val noProps = Tables.events(spark, dir)
-    assert(!noProps.columns.contains("props"))
+    // r12 structural-drift contract: a dropped column is null-filled at
+    // its canonical type, so queries selecting props keep analyzing
+    assert(noProps.columns.contains("props"))
+    assert(noProps.schema("props").dataType == StringType)
+    assert(noProps.select(count(col("props"))).collect().head.getLong(0) == 0L)
     assert(noProps.select(min(unix_micros(col("ts")))).collect()
       .head.getLong(0) == 1700000000000000L)
     // with props (the regenerated testdata's shape)
@@ -266,5 +270,78 @@ class TablesSpec extends SparkTestBase {
         assert(n == 1, s"$sf: events must yield rows through unix_micros")
       }
     }
+  }
+
+  test("structural drift: an ADDED column is dropped, a DROPPED column " +
+       "is null-filled at its canonical type, and the projection lands " +
+       "in canonical order") {
+    import spark.implicits._
+    val dir = scratch("docdrift")
+    // documents with an extra generator column and without source/n_chars
+    Seq((1L, "hello world", "en", 0.9), (2L, "bonjour", "fr", 0.4))
+      .toDF("doc_id", "text", "lang", "quality_v2")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val df = Tables.documents(spark, dir)
+    assert(df.columns.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    assert(df.schema("source").dataType == StringType)
+    assert(df.schema("n_chars").dataType == LongType)
+    val r = df.orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(r.forall(row => row.isNullAt(3) && row.isNullAt(4)))
+  }
+
+  test("structural drift: RENAMED columns map back via the alias table " +
+       "(timestamp->ts) and the case/separator fold (Event_ID), then " +
+       "type-coerce like any pinned column") {
+    import spark.implicits._
+    val dir = scratch("evrename")
+    Seq((7L, 1700000000000000L, 3L, "view", 1.5, "{}"))
+      .toDF("Event_ID", "us", "user_id", "event_type", "value", "props")
+      .withColumn("timestamp", timestamp_micros(col("us")))
+      .select("Event_ID", "timestamp", "user_id", "event_type", "value",
+        "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val df = Tables.events(spark, dir)
+    assert(df.columns.toSeq ==
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val row = df.collect().head
+    assert(row.getLong(0) == 7L)
+    assert(df.select(unix_micros(col("ts"))).collect().head.getLong(0)
+      == 1700000000000000L)
+  }
+
+  test("structural drift: two source columns competing for one " +
+       "canonical name fail loudly instead of guessing") {
+    import spark.implicits._
+    val dir = scratch("evambig")
+    Seq((1L, 1700000000000000L, 1700000000000001L, 3L, "view", 1.5, "{}"))
+      .toDF("event_id", "tsa", "tsb", "user_id", "event_type", "value",
+        "props")
+      .withColumn("timestamp", timestamp_micros(col("tsa")))
+      .withColumn("event_time", timestamp_micros(col("tsb")))
+      .select("event_id", "timestamp", "event_time", "user_id",
+        "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalArgumentException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("renamed 'ts'"), e.getMessage)
+  }
+
+  test("pre-epoch INT64 nanos divide with floor semantics (no +1us " +
+       "round-up toward zero)") {
+    import spark.implicits._
+    val dir = scratch("evfloor")
+    // -1.7e18 ns is far pre-epoch (magnitude passes the nanos guard);
+    // the 999 ns remainder must floor DOWN a microsecond
+    val nanos = Seq(-1700000000000000999L, -1700000000000000000L)
+    nanos.zipWithIndex.map { case (n, i) =>
+      (i.toLong, n, 1L, "view", 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // the fixture writes ts as plain INT64 (not TIMESTAMP(NANOS)), so
+    // it arrives as LongType exactly like the nanosAsLong read path
+    val got = Tables.events(spark, dir).orderBy("event_id")
+      .select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(-1700000000000001L, -1700000000000000L), got)
   }
 }
