@@ -71,14 +71,38 @@ object Partitioning {
                     buckets: Int, path: String): DataFrame = {
     require(keys.nonEmpty, "bucketedTable needs >=1 bucket key")
     val spark = df.sparkSession
+    // a same-name catalog table whose files live at `path` marks the
+    // path as a previous build of THIS table — safe to clear below
+    val priorSameTable = spark.catalog.tableExists(name) &&
+      scala.util.Try {
+        val loc = spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst
+            .TableIdentifier(name)).location
+        java.nio.file.Paths.get(loc.getPath).normalize() ==
+          java.nio.file.Paths.get(path).normalize()
+      }.getOrElse(false)
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    // the drop above leaves an EXTERNAL table's files behind, and Spark
-    // rejects CTAS into a non-empty location (allowNonEmptyLocationInCTAS
-    // defaults false) — clear the path so a reused (name, path) pair
-    // rebuilds instead of failing
+    // the drop above leaves an EXTERNAL table's files behind; clear the
+    // path so a reused (name, path) pair rebuilds cleanly. The
+    // destructive step is SCOPED to paths this process owns: a
+    // registered per-pid scratch location (ScratchDirs.covers — every
+    // production caller) or the location of the same-name table just
+    // dropped (a cross-session rebuild in one process). Any OTHER
+    // non-empty path fails loudly here — the overwrite-mode write below
+    // would otherwise silently destroy unrelated data (overwrite
+    // truncates the location; the CTAS non-empty-location error only
+    // guards the error-if-exists mode).
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(hp)) fs.delete(hp, true)
+    if (fs.exists(hp)) {
+      if (priorSameTable || graft.tables.ScratchDirs.covers(path))
+        fs.delete(hp, true)
+      else require(fs.listStatus(hp).isEmpty,
+        s"bucketedTable: $path is non-empty and not a location this " +
+          "process owns (not ScratchDirs-registered, not the dropped " +
+          s"table's own location) — refusing to overwrite it; pass a " +
+          "dedicated scratch path (ScratchDirs.register/tmp)")
+    }
     df.write.format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

@@ -355,6 +355,20 @@ object ScratchDirs {
     path
   }
 
+  /** Whether `path` equals or sits under a registered scratch path —
+    * i.e. is a location this process owns and may destroy. Rebuild
+    * logic (e.g. Partitioning.bucketedTable) scopes its pre-write
+    * recursive delete to covered paths so a caller-supplied path
+    * holding unrelated data errors instead of vanishing.
+    */
+  def covers(path: String): Boolean = synchronized {
+    val p = java.nio.file.Paths.get(path).normalize()
+    registered.exists { r =>
+      val rp = java.nio.file.Paths.get(r).normalize()
+      p == rp || p.startsWith(rp)
+    }
+  }
+
   /** The canonical per-(corpus, pid) tmp path for artifact family
     * `family`, registered for exit cleanup.
     */

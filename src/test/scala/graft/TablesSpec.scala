@@ -327,6 +327,29 @@ class TablesSpec extends SparkTestBase {
     assert(e.getMessage.contains("renamed 'ts'"), e.getMessage)
   }
 
+  test("bucketedTable refuses to clear an UNREGISTERED non-empty path " +
+       "with no prior same-name table: unrelated data survives, the " +
+       "CTAS fails; a registered scratch path rebuilds fine") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    // unrelated data at an unregistered path: must NOT be deleted
+    val foreign = scratch("bucket_foreign")
+    val marker = java.nio.file.Paths.get(foreign, "precious.txt")
+    Files.writeString(marker, "do not delete")
+    intercept[Exception] {
+      graft.ops.Partitioning.bucketedTable(df, "g_guard_t1", Seq("k"),
+        buckets = 2, foreign)
+    }
+    assert(Files.exists(marker), "unrelated file must survive the guard")
+    // registered scratch path: rebuild-over-leftovers works (covers())
+    val owned = graft.tables.ScratchDirs.register(scratch("bucket_owned"))
+    Files.writeString(java.nio.file.Paths.get(owned, "leftover.txt"), "x")
+    val t = graft.ops.Partitioning.bucketedTable(df, "g_guard_t2", Seq("k"),
+      buckets = 2, owned)
+    assert(t.count() == 2)
+    spark.sql("DROP TABLE IF EXISTS `g_guard_t2`")
+  }
+
   test("pre-epoch INT64 nanos divide with floor semantics (no +1us " +
        "round-up toward zero)") {
     import spark.implicits._
