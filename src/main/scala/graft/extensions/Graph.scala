@@ -95,11 +95,7 @@ object Graph {
       : DataFrame = {
     val (verts, linked) = prep(edges, srcCol, dstCol, iterations,
       dampNum, dampDen, weightCol = Some(weightCol))
-    val bounds = linked.agg(min(col("ew")), max(col("ew"))).collect().head
-    require(!bounds.isNullAt(0) && bounds.getLong(0) >= 1L &&
-            bounds.getLong(1) <= 1000000L,
-      s"edge weights must be in [1, 1e6], got " +
-        s"[${bounds.get(0)}, ${bounds.get(1)}]")
+    requireWeightBounds(linked)
     val v = verts.count()
     require(v > 0, "pageRank needs a non-empty edge list")
     val base = Scale / v
@@ -108,6 +104,28 @@ object Graph {
     val init = verts.select(col("id"), lit(base).as("rank_fp"))
     iterate(vertsT, linked, init, iterations, dampNum, dampDen,
       release = Seq(verts, linked))
+  }
+
+  /** One bounded aggregate over the prepped edge frame proving every
+    * weight is a non-null integer in [1, 1e6] BEFORE iterating. The
+    * null check is explicit (count(ew) vs count(*)): min/max IGNORE
+    * nulls, so a weight column mixing nulls with valid values would
+    * pass a min/max-only guard and then silently LOSE mass — each null
+    * ew yields a null contribution that sum() drops, and sw=sum(ew)
+    * skips the null rows too, so the surviving edges' shares divide by
+    * a wrong denominator. Exactly the failure the guard exists to stop.
+    */
+  private def requireWeightBounds(linked: DataFrame): Unit = {
+    val b = linked.agg(min(col("ew")), max(col("ew")),
+      count(lit(1)), count(col("ew"))).collect().head
+    require(b.getLong(3) == b.getLong(2),
+      s"edge weight column has ${b.getLong(2) - b.getLong(3)} null " +
+        "rows (of " + b.getLong(2) + ") — null weights would silently " +
+        "drop rank mass; filter or default them explicitly")
+    require(b.getLong(2) == 0L || (b.getLong(0) >= 1L &&
+            b.getLong(1) <= 1000000L),
+      s"edge weights must be in [1, 1e6], got " +
+        s"[${b.get(0)}, ${b.get(1)}]")
   }
 
   /** Personalized (seeded) PageRank — TrustRank-style propagation: the
@@ -129,9 +147,42 @@ object Graph {
                            seeds: DataFrame, seedIdCol: String,
                            iterations: Int = 4,
                            dampNum: Long = 85L, dampDen: Long = 100L)
-      : DataFrame = {
+      : DataFrame =
+    seededPageRank(edges, srcCol, dstCol, seeds, seedIdCol, None,
+      iterations, dampNum, dampDen)
+
+  /** Weighted + personalized composition — the realistic TrustRank:
+    * teleport mass anchors on hand-vetted seeds AND rank flows in
+    * proportion to integer link weights (multiplicity / mention
+    * counts). Same exact-rational arithmetic as [[pageRankWeighted]]
+    * ((w·rank) div W per edge, weights proven non-null in [1, 1e6]
+    * up front), same seed semantics as the uniform
+    * [[personalizedPageRank]]; with all-1 weights it reduces
+    * bit-for-bit to the uniform seeded engine (GraphSpec).
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedIdCol: String,
+                           weightCol: String, iterations: Int,
+                           dampNum: Long, dampDen: Long): DataFrame =
+    seededPageRank(edges, srcCol, dstCol, seeds, seedIdCol,
+      Some(weightCol), iterations, dampNum, dampDen)
+
+  /** [[personalizedPageRank]] (weighted) with the standard defaults. */
+  def personalizedPageRankWeighted(edges: DataFrame, srcCol: String,
+                                   dstCol: String, seeds: DataFrame,
+                                   seedIdCol: String, weightCol: String,
+                                   iterations: Int = 4): DataFrame =
+    seededPageRank(edges, srcCol, dstCol, seeds, seedIdCol,
+      Some(weightCol), iterations, 85L, 100L)
+
+  private def seededPageRank(edges: DataFrame, srcCol: String,
+                             dstCol: String, seeds: DataFrame,
+                             seedIdCol: String, weightCol: Option[String],
+                             iterations: Int,
+                             dampNum: Long, dampDen: Long): DataFrame = {
     val (verts, linked) = prep(edges, srcCol, dstCol, iterations,
-      dampNum, dampDen)
+      dampNum, dampDen, weightCol = weightCol)
+    if (weightCol.isDefined) requireWeightBounds(linked)
     val seedSet = seeds.select(col(seedIdCol).cast("long").as("id"))
       .distinct()
       .join(verts, Seq("id"))
@@ -184,7 +235,34 @@ object Graph {
     * @return (id, hub_fp, auth_fp), one row per vertex in `edges`
     */
   def hitsFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
-                     iterations: Int = 4): DataFrame = {
+                     iterations: Int = 4): DataFrame =
+    hitsLoop(edges, srcCol, dstCol, prevState = None, iterations)
+
+  /** Warm-start (resumable) HITS — completing the resume/artifact set
+    * (rank vectors, label states, cluster labelings, inverted lists,
+    * PQ codes): each iteration re-derives auth from hub before hub
+    * reads auth back, so the recursion is Markovian in the hub_fp
+    * vector alone (auth_fp rides along in the artifact as the other
+    * half of the RESULT), and the integer renormalization depends only
+    * on the current raw totals —
+    * so on an unchanged graph resume(k)+resume(m) equals
+    * fromScratch(k+m) BIT-FOR-BIT (GraphSpec): a saved HITS vector is
+    * a resumable artifact, not an approximation. Vertices NEW to the
+    * graph (absent from `prevState`) start at the from-scratch
+    * iteration-0 values — hub = Scale div |V|, auth = 0 — exactly
+    * where a fresh run would start them.
+    *
+    * @param prevState (id, hub_fp, auth_fp) — the output contract of
+    *                  [[hitsFixedPoint]] / a previous resume, e.g.
+    *                  read back from a parquet checkpoint
+    */
+  def hitsResume(edges: DataFrame, srcCol: String, dstCol: String,
+                 prevState: DataFrame, iterations: Int = 4): DataFrame =
+    hitsLoop(edges, srcCol, dstCol, Some(prevState), iterations)
+
+  private def hitsLoop(edges: DataFrame, srcCol: String, dstCol: String,
+                       prevState: Option[DataFrame],
+                       iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 32, "fixed iteration budget")
     val e = edges.select(col(srcCol).cast("long").as("src"),
                          col(dstCol).cast("long").as("dst"))
@@ -215,7 +293,19 @@ object Graph {
       raw.unpersist(false)
       out
     }
-    var hub = verts.select(col("id"), lit(Scale / v).as("hub_fp"))
+    var hub = prevState match {
+      case None => verts.select(col("id"), lit(Scale / v).as("hub_fp"))
+      case Some(prev) =>
+        // left join: the saved vector wins; appended vertices start at
+        // the from-scratch hub base (one extra |V|-row join, once)
+        verts.join(prev.select(col("id").cast("long").as("id"),
+            col("hub_fp").cast("long").as("ph")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("ph"), lit(Scale / v)).as("hub_fp"))
+    }
+    // each iteration re-derives auth from hub FIRST, so the recursion's
+    // Markovian state is the hub vector alone — the saved auth_fp
+    // travels in the artifact for consumers (it is the other half of
+    // the result) but never feeds a resumed recursion
     var auth = verts.select(col("id"), lit(0L).as("auth_fp"))
     for (_ <- 1 to iterations) {
       auth = renorm(

@@ -85,6 +85,11 @@ object PipelineDemos {
   private val labelStatePathCache =
     new graft.tables.CorpusMemo[String]("documents")
 
+  // saved 2-iteration HITS (id, hub_fp, auth_fp) parquet per corpus
+  // (hits_resume): the warm-start artifact the resumed recursion refines
+  private val hitsStatePathCache =
+    new graft.tables.CorpusMemo[String]("documents")
+
   // saved component-labeling parquet per corpus
   // (dedup_components_incremental): the labeling is the persistent
   // cluster index the incremental merge appends to — built and written
@@ -1148,6 +1153,88 @@ object PipelineDemos {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    // Warm-start HITS: 2 iterations from scratch, the (id, hub_fp,
+    // auth_fp) vector written as a parquet artifact, then 2 more
+    // resumed from the read-back copy — must hash-equal the unsplit
+    // 4-iteration oracle (the recursion is Markovian in the hub
+    // vector, and longs round-trip parquet exactly), completing the
+    // resume/artifact set for the last iterative operator that lacked
+    // one (pagerank_resume / label_prop_resume / components).
+    "hits_resume" -> ((s, dir) => {
+      val edges = docLinkEdges(s, dir)
+      val savedPath = hitsStatePathCache.getOrElseUpdate(dir, {
+        val p = graft.tables.ScratchDirs.tmp("hitsstate", dir)
+        graft.extensions.Graph.hitsFixedPoint(edges, "src", "dst",
+            iterations = 2)
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+      graft.extensions.Graph.hitsResume(edges, "src", "dst",
+          s.read.parquet(savedPath), iterations = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+    // Weighted + personalized — the realistic TrustRank: teleport mass
+    // anchors on the vetted seed quarter AND rank flows in proportion
+    // to the integer link weights (multiplicity). Same exact-rational
+    // arithmetic as pagerank_weighted, same seed semantics as
+    // pagerank_seeded; verified against an oracle composing both
+    // unrolled chains.
+    "pagerank_trust" -> ((s, dir) => {
+      val e = docLinkEdges(s, dir).withColumn("wt",
+        (conv(substring(md5(concat(col("src").cast("string"), lit(">"),
+          col("dst").cast("string"))), 1, 2), 16, 10).cast("long")
+          % 9L) + 1L)
+      val seeds = Tables.documents(s, dir).select("doc_id")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "4")
+      graft.extensions.Graph.personalizedPageRankWeighted(e, "src", "dst",
+          seeds, "doc_id", "wt", iterations = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+    // HITS composed INTO curation (the authority-up / hub-down gate):
+    // global authority QUARTILE sets the base md5 keep rate (top
+    // quartile kept whole, then 75/50/25%), and membership in the top
+    // hub DECILE — aggregator/link-farm shape — halves every rate
+    // (8/6/4/2 of 16). Tier assignment is the pipeline_rank_mix
+    // mechanism: tierBoundaries contracts the narrow (auth, id) /
+    // (hub, id) projections to broadcast cut keys, tiers compare
+    // map-side — no full ranking window over the bulk path
+    // (PlanShapeSpec pins it).
+    "pipeline_hits_gate" -> ((s, dir) => {
+      val hits = graft.extensions.Graph.hitsFixedPoint(
+        docLinkEdges(s, dir), "src", "dst", iterations = 4)
+      val joined = Tables.documents(s, dir).select("doc_id", "lang")
+        .join(hits.withColumnRenamed("id", "doc_id"), "doc_id")
+        .withColumn("all", lit(1))
+        .localCheckpoint(true)
+      val ordA = Seq(negate(col("auth_fp")), col("doc_id"))
+      val ordH = Seq(negate(col("hub_fp")), col("doc_id"))
+      val boundsA = graft.ops.AggOps.tierBoundaries(joined, "all", ordA, 4)
+        .drop("cnt")
+      val boundsH = graft.ops.AggOps.tierBoundaries(joined, "all", ordH, 10)
+        .select(col("all"), col("b1").as("hb1"))
+      joined.join(broadcast(boundsA), "all")
+        .join(broadcast(boundsH), "all")
+        .withColumn("auth_tier", graft.ops.AggOps.tierOf(ordA, 4).cast("int"))
+        .withColumn("hub_top", (lit(1) - coalesce(
+          (graft.ops.AggOps.ordKey(ordH) >= col("hb1")).cast("int"),
+          lit(0))).cast("int"))
+        .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 1))
+        .filter(
+          (col("hub_top") === 0 && (col("auth_tier") === 0 ||
+            (col("auth_tier") === 1 && col("h") < "c") ||
+            (col("auth_tier") === 2 && col("h") < "8") ||
+            (col("auth_tier") === 3 && col("h") < "4"))) ||
+          (col("hub_top") === 1 && (
+            (col("auth_tier") === 0 && col("h") < "8") ||
+            (col("auth_tier") === 1 && col("h") < "6") ||
+            (col("auth_tier") === 2 && col("h") < "4") ||
+            (col("auth_tier") === 3 && col("h") < "2"))))
+        .select("doc_id", "lang", "auth_fp", "hub_fp", "auth_tier",
+          "hub_top")
+        .orderBy("doc_id")
+    }),
     // Incremental (warm-start) PageRank: run 2 iterations from scratch,
     // WRITE the rank vector as a parquet artifact (once per corpus —
     // yesterday's converged vector), then resume 2 more from the
@@ -1646,7 +1733,18 @@ object PipelineDemos {
     * raw sum over one edge direction, then renormalization by the
     * common divisor max(1, total div Scale).
     */
-  private def hitsOracle(iterations: Int): String = {
+  private def hitsOracle(iterations: Int): String =
+    s"""WITH ${hitsCtes(iterations)}
+       |SELECT h.id AS doc_id, CAST(h.hub AS BIGINT) AS hub_fp,
+       |       CAST(a.auth AS BIGINT) AS auth_fp
+       |FROM h$iterations h JOIN a$iterations a ON a.id = h.id
+       |ORDER BY doc_id""".stripMargin
+
+  /** The HITS WITH-chain (shared by `link_hits`, `hits_resume`, and the
+    * `pipeline_hits_gate` composite): ends in h<n>(id, hub) and
+    * a<n>(id, auth).
+    */
+  private def hitsCtes(iterations: Int): String = {
     val scale = graft.extensions.Graph.Scale
     // every per-round CTE is MATERIALIZED: each is referenced twice
     // (total + join), and DuckDB's default inlining would otherwise
@@ -1667,17 +1765,80 @@ object PipelineDemos {
          |    COALESCE(r.raw, 0) // GREATEST(1, (SELECT tot FROM ht$i) // $scale) AS hub
          |  FROM verts v LEFT JOIN hr$i r ON r.id = v.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $docEdgeCtes,
+    s"""$docEdgeCtes,
        |verts AS (SELECT DISTINCT id FROM
        |  (SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)),
        |h0 AS (SELECT id, $scale // (SELECT count(*) FROM verts) AS hub
        |       FROM verts),
+       |$iterCtes""".stripMargin
+  }
+
+  /** Weighted + seeded (TrustRank) oracle: the seeded teleport/init
+    * params composed with the weighted flow chain — mirrors
+    * `pagerank_trust` (Graph.personalizedPageRankWeighted) exactly.
+    */
+  private def trustRankOracle: String = {
+    def nib(p: Int) = s"(strpos('0123456789abcdef', substr(wh, $p, 1)) - 1)"
+    val wexpr = s"((${nib(1)} * 16 + ${nib(2)}) % 9 + 1)"
+    val iterCtes = (1 to 4).map { i =>
+      s"""c$i AS (SELECT e.dst AS id,
+         |    CAST(sum((e.wt * r.rank_fp) // o.sw) AS BIGINT) AS contrib
+         |  FROM wedges e JOIN r${i - 1} r ON r.id = e.src
+         |  JOIN outw o ON o.src = e.src GROUP BY e.dst),
+         |r$i AS (SELECT v.id,
+         |    v.tp + (85 * COALESCE(c.contrib, 0)) // 100 AS rank_fp
+         |  FROM vt v LEFT JOIN c$i c ON c.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $docEdgeCtes,
+       |wedges AS (SELECT src, dst, $wexpr AS wt FROM
+       |  (SELECT src, dst,
+       |     md5(CAST(src AS VARCHAR) || '>' || CAST(dst AS VARCHAR)) AS wh
+       |   FROM edges)),
+       |verts AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)),
+       |sd AS (SELECT doc_id AS id FROM documents
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'),
+       |params AS (SELECT (SELECT 1000000000000 // count(*) FROM sd) AS base),
+       |vt AS (SELECT v.id,
+       |    CASE WHEN s.id IS NOT NULL THEN (15 * base) // 100 ELSE 0 END AS tp
+       |  FROM verts v CROSS JOIN params LEFT JOIN sd s ON s.id = v.id),
+       |r0 AS (SELECT v.id,
+       |    CASE WHEN s.id IS NOT NULL THEN base ELSE 0 END AS rank_fp
+       |  FROM verts v CROSS JOIN params LEFT JOIN sd s ON s.id = v.id),
+       |outw AS (SELECT src, sum(wt) AS sw FROM wedges GROUP BY src),
        |$iterCtes
-       |SELECT h.id AS doc_id, CAST(h.hub AS BIGINT) AS hub_fp,
-       |       CAST(a.auth AS BIGINT) AS auth_fp
-       |FROM h$iterations h JOIN a$iterations a ON a.id = h.id
+       |SELECT id AS doc_id, CAST(rank_fp AS BIGINT) AS rank_fp FROM r4
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** HITS curation-gate oracle: global auth quartile + top hub decile
+    * (window formulas — the demo's broadcast cut keys must reproduce
+    * them bit-for-bit), then the hub-damped quartile keep rates.
+    */
+  private def hitsGateOracle: String =
+    s"""WITH ${hitsCtes(4)},
+       |joined AS (SELECT d.doc_id, d.lang,
+       |    CAST(h.hub AS BIGINT) AS hub_fp, CAST(a.auth AS BIGINT) AS auth_fp
+       |  FROM documents d JOIN h4 h ON h.id = d.doc_id
+       |  JOIN a4 a ON a.id = d.doc_id),
+       |ranked AS (SELECT *,
+       |    row_number() OVER (ORDER BY auth_fp DESC, doc_id) AS rna,
+       |    row_number() OVER (ORDER BY hub_fp DESC, doc_id) AS rnh,
+       |    count(*) OVER () AS cnt
+       |  FROM joined),
+       |tiered AS (SELECT doc_id, lang, hub_fp, auth_fp,
+       |    CAST(((rna - 1) * 4) // cnt AS INTEGER) AS auth_tier,
+       |    CAST(CASE WHEN ((rnh - 1) * 10) // cnt = 0 THEN 1 ELSE 0 END
+       |      AS INTEGER) AS hub_top,
+       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+       |  FROM ranked)
+       |SELECT doc_id, lang, auth_fp, hub_fp, auth_tier, hub_top FROM tiered
+       |WHERE (hub_top = 0 AND (auth_tier = 0 OR (auth_tier = 1 AND h < 'c')
+       |    OR (auth_tier = 2 AND h < '8') OR (auth_tier = 3 AND h < '4')))
+       |   OR (hub_top = 1 AND ((auth_tier = 0 AND h < '8')
+       |    OR (auth_tier = 1 AND h < '6') OR (auth_tier = 2 AND h < '4')
+       |    OR (auth_tier = 3 AND h < '2')))
+       |ORDER BY doc_id""".stripMargin
 
   private def pagerankOracleSql(seeded: Boolean): String =
     s"""WITH ${pagerankCtes(seeded)}
@@ -2847,6 +3008,9 @@ object PipelineDemos {
     "pagerank_seeded" -> pagerankOracleSql(seeded = true),
     "pagerank_weighted" -> weightedPagerankOracle,
     "link_hits" -> hitsOracle(iterations = 4),
+    "hits_resume" -> hitsOracle(iterations = 4),
+    "pagerank_trust" -> trustRankOracle,
+    "pipeline_hits_gate" -> hitsGateOracle,
     "graph_walks" -> graphWalksOracle(steps = 3, walks = 2),
     "graph_walks_biased" -> biasedWalksOracle(steps = 3, walks = 2,
       wR = 1, wS = 2, wE = 4),

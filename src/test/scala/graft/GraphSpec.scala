@@ -217,6 +217,62 @@ class GraphSpec extends SparkTestBase {
     assert(got.maxBy(_._2._2)._1 == 2L)
   }
 
+  /** refHits from an arbitrary hub start (absent ids at the uniform
+    * hub base) — the warm-start reference.
+    */
+  private def refHitsFrom(edges: Seq[(Long, Long)],
+                          hubInit: Map[Long, Long], iters: Int)
+      : Map[Long, (Long, Long)] = {
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    def renorm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val div = math.max(1L, raw.values.sum / Graph.Scale)
+      verts.map(id => id -> raw.getOrElse(id, 0L) / div).toMap
+    }
+    val base = Graph.Scale / verts.size.toLong
+    var hub = verts.map(id => id -> hubInit.getOrElse(id, base)).toMap
+    var auth = verts.map(_ -> 0L).toMap
+    for (_ <- 1 to iters) {
+      val araw =
+        scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d) <- edges) araw(d) += hub(s)
+      auth = renorm(araw.toMap)
+      val hraw =
+        scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d) <- edges) hraw(s) += auth(d)
+      hub = renorm(hraw.toMap)
+    }
+    verts.map(id => id -> (hub(id), auth(id))).toMap
+  }
+
+  test("HITS resume split equality: resume(fromScratch(2), 2) == " +
+       "fromScratch(4) bit-for-bit, under a different partitioning") {
+    import spark.implicits._
+    val e = fixture.toDF("src", "dst")
+    val saved = Graph.hitsFixedPoint(e, "src", "dst", iterations = 2)
+    val got = Graph.hitsResume(e.repartition(7), "src", "dst", saved,
+        iterations = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == refHits(fixture, 4))
+  }
+
+  test("HITS resume after an edge-batch append: saved vertices keep " +
+       "their hub vector, new vertices start at the NEW uniform hub " +
+       "base — bit-equal to the warm-start reference") {
+    import spark.implicits._
+    val saved = Graph.hitsFixedPoint(fixture.toDF("src", "dst"),
+      "src", "dst", iterations = 3)
+    val savedHub =
+      saved.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val appended = fixture ++ Seq((5L, 2L), (3L, 5L))
+    val got = Graph.hitsResume(appended.toDF("src", "dst"), "src", "dst",
+        saved, iterations = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == refHitsFrom(appended, savedHub, 2))
+    assert(got.contains(5L), "appended vertex must be scored")
+  }
+
   /** Sequential reference for the weighted recurrence: contribution
     * (w · rank) div W per edge, W = total out-weight.
     */
@@ -273,6 +329,65 @@ class GraphSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       runWeighted(Seq((0L, 1L, 2000000L), (1L, 0L, 1L)), 1)
     }
+  }
+
+  test("a NULL weight among valid ones is rejected (min/max alone " +
+       "would pass it and silently drop rank mass)") {
+    import spark.implicits._
+    val e = Seq((0L, 1L, Some(3L)), (1L, 2L, None: Option[Long]),
+                (2L, 0L, Some(1L))).toDF("src", "dst", "wt")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRankWeighted(e, "src", "dst", "wt", iterations = 1)
+    }
+    assert(ex.getMessage.contains("null"), ex.getMessage)
+  }
+
+  /** Sequential reference for weighted + personalized: seeded teleport
+    * and init, (w·rank) div W flow.
+    */
+  private def refSeededWeighted(edges: Seq[(Long, Long, Long)],
+                                seeds: Set[Long], iters: Int)
+      : Map[Long, Long] = {
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val s = verts.count(seeds)
+    val share = Graph.Scale / s
+    val tp = (15L * share) / 100L
+    val outW = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._3).sum }
+    var rank = verts.map(id => id -> (if (seeds(id)) share else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val contrib =
+        scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, d, w) <- edges) contrib(d) += (w * rank(u)) / outW(u)
+      rank = verts.map(id =>
+        id -> ((if (seeds(id)) tp else 0L) + (85L * contrib(id)) / 100L)).toMap
+    }
+    rank
+  }
+
+  private def runSeededWeighted(edges: Seq[(Long, Long, Long)],
+                                seeds: Seq[Long], iters: Int,
+                                parts: Int = 1): Map[Long, Long] = {
+    import spark.implicits._
+    val e0 = edges.toDF("src", "dst", "wt")
+    val e = if (parts > 1) e0.repartition(parts) else e0
+    Graph.personalizedPageRankWeighted(e, "src", "dst",
+        seeds.toDF("doc_id"), "doc_id", "wt", iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("weighted + personalized (TrustRank): matches the sequential " +
+       "reference bit-for-bit under a different partitioning") {
+    val weighted = fixture.map { case (s, d) =>
+      (s, d, if ((s, d) == (0L, 2L)) 40L else 2L) }
+    val got = runSeededWeighted(weighted, Seq(0L, 4L), 4, parts = 5)
+    assert(got == refSeededWeighted(weighted, Set(0L, 4L), 4))
+  }
+
+  test("weighted + personalized with all-1 weights reduces bit-for-bit " +
+       "to the uniform seeded engine") {
+    val w1 = fixture.map { case (s, d) => (s, d, 1L) }
+    assert(runSeededWeighted(w1, Seq(0L, 4L), 4) ==
+      runSeeded(fixture, Seq(0L, 4L), 4))
   }
 
   /** First 8 hex digits of md5 as a long — mirrors Graph.pickHash

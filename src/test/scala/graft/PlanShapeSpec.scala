@@ -551,10 +551,11 @@ class PlanShapeSpec extends SparkTestBase {
       s"composite plan must stay bounded, got $nExchanges Exchanges")
   }
 
-  test("pipeline_rank_mix tiers map-side: every Window in the plan " +
-       "sits under a BroadcastExchange (the per-lang cut-key side) — " +
-       "no full per-language ranking window on the bulk path") {
-    val df = SparkEntry.queries("pipeline_rank_mix")(spark, dir)
+  test("pipeline_rank_mix and pipeline_hits_gate tier map-side: every " +
+       "Window in the plan sits under a BroadcastExchange (the cut-key " +
+       "side) — no full per-group ranking window on the bulk path") {
+   Seq("pipeline_rank_mix", "pipeline_hits_gate").foreach { name =>
+    val df = SparkEntry.queries(name)(spark, dir)
     val plan = unwrapped(df.queryExecution.executedPlan)
     val windows = plan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
@@ -579,7 +580,8 @@ class PlanShapeSpec extends SparkTestBase {
       walk(plan, underBc = false)
     }
     assert(outsideBroadcast.isEmpty,
-      s"Window outside the broadcast cut-key subtree:\n$plan")
+      s"$name: Window outside the broadcast cut-key subtree:\n$plan")
+   }
   }
 
   test("SeqDot matches the interpreted sequential fold") {
