@@ -252,6 +252,39 @@ object Components {
       .select(col("id"), col("comp"),
               (col("id") === col("comp")).as("survivor"))
 
+  /** Exact driver-side union-find over a bounded edge list (the
+    * incremental merge's small-batch fast path): path-compressed
+    * union, then comp = the component's minimum member under the ids'
+    * natural (Comparable) ordering — the same contract as
+    * [[connectedComponents]]. One row per distinct endpoint.
+    */
+  private def localComponents(pairs: Seq[(Any, Any)]): Seq[(Any, Any)] = {
+    val parent = scala.collection.mutable.Map.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(rb) = ra
+    }
+    val verts = (pairs.map(_._1) ++ pairs.map(_._2)).distinct
+    val minOf = scala.collection.mutable.Map.empty[Any, Any]
+    for (v <- verts) {
+      val r = find(v)
+      val cur = minOf.get(r)
+      if (cur.isEmpty ||
+          v.asInstanceOf[Comparable[Any]].compareTo(cur.get) < 0)
+        minOf(r) = v
+    }
+    verts.map(v => v -> minOf(find(v)))
+  }
+
   /** Incremental connected components — merge a NEW edge batch into a
     * SAVED labeling without re-reading the historical edge list: the
     * append-without-recompute story for the dedup-cluster index,
@@ -288,7 +321,8 @@ object Components {
     */
   def incrementalComponents(prevLabels: DataFrame, batch: DataFrame,
                             srcCol: String, dstCol: String,
-                            maxIter: Int = 20): DataFrame = {
+                            maxIter: Int = 20,
+                            localCutoff: Int = 65536): DataFrame = {
     // no casts: like connectedComponents, any orderable id type works
     // (string ids label by lexicographic min) — batch endpoint types
     // must match the saved labeling's
@@ -307,9 +341,39 @@ object Components {
       .select(coalesce(col("ca"), col("ba")).as("ma"),
               coalesce(col("cb"), col("bb")).as("mb"))
       .filter(col("ma") =!= col("mb"))
-    val merged = connectedComponents(mapped, "ma", "mb", maxIter)
-      .select(col("id").as("lbl"), col("comp").as("newc"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Small-batch fast path: the nightly merge's mapped edge set is
+    // |batch|-bounded (never |history|), and for the common small batch
+    // the distributed loop's fixed overhead — 4 propagation rounds of
+    // join+agg+count jobs, plus localCheckpoint jobs per star round —
+    // dwarfs the work. A bounded limit(n+1).collect probe (the same
+    // driver-scalar class as Ivf's k-row builds) detects it: at or
+    // under the cutoff those rows ARE the whole edge set, and a driver
+    // union-find labels them exactly (comp = min member, identical
+    // contract — ExtensionsSpec asserts bit-equality against the
+    // distributed path); over the cutoff the probe cost is one
+    // early-stopping partial pass and the distributed loop runs as
+    // before — the scale path is untouched.
+    val probe = mapped.limit(localCutoff + 1).collect()
+    val merged =
+      (if (probe.length <= localCutoff &&
+           probe.forall(r => !r.isNullAt(0) && !r.isNullAt(1) &&
+             r.get(0).isInstanceOf[Comparable[_]] &&
+             r.get(1).isInstanceOf[Comparable[_]])) {
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("lbl",
+            mapped.schema("ma").dataType),
+          org.apache.spark.sql.types.StructField("newc",
+            mapped.schema("ma").dataType)))
+        val rows = localComponents(probe.map(r => (r.get(0), r.get(1))))
+          .map { case (id, c) => org.apache.spark.sql.Row(id, c) }
+        prevLabels.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          schema)
+      } else {
+        connectedComponents(mapped, "ma", "mb", maxIter)
+          .select(col("id").as("lbl"), col("comp").as("newc"))
+      }).persist(StorageLevel.MEMORY_AND_DISK)
     // compose: a saved vertex's new component is its label's merged
     // component (or unchanged if its label was untouched); a new
     // vertex is its own label

@@ -205,6 +205,13 @@ class ExtensionsSpec extends SparkTestBase {
     val scratch2 = rows(Components.connectedComponents(
       hist.unionByName(batch).unionByName(batch2), "id_a", "id_b"))
     assert(inc2 == scratch2)
+    // the small-batch driver union-find fast path (default cutoff,
+    // taken above) must be bit-identical to the distributed loop
+    // (forced by localCutoff = 0) on the same input
+    val distributed = rows(Components.incrementalComponents(saved, batch,
+      "id_a", "id_b", localCutoff = 0))
+    assert(distributed == inc,
+      "fast-path and distributed incremental merges must agree")
   }
 
   test("repetition ratio, PII scrub, hash sample semantics") {
