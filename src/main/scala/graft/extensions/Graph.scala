@@ -508,14 +508,21 @@ object Graph {
     * node2vec's d=0 case. Multi-edges weight independently — a doubled
     * link doubles its pick range in both the uniform and biased forms.
     *
-    * Scale shape: identical to [[deterministicWalks]] — ONE keyed
-    * equi-join per step against the |V|-row adjacency frame. The
-    * distance-1 test needs prev's out-neighbor array, which the
-    * PREVIOUS step already probed, so the frontier carries it forward
-    * as a column (bounded by out-degree) instead of joining neighbors
-    * a second time per step. The weight fold is two codegen'd
-    * higher-order aggregates over that array — map-side, no extra
-    * shuffle.
+    * Scale shape: TWO keyed equi-joins per step against the |V|-row
+    * adjacency frame (cur's out-edges for the candidates, prev's for
+    * the distance-1 test) vs the uniform walker's one. The r11 design
+    * instead CARRIED prev's out-neighbor array forward in the cached
+    * frontier — one join per step on paper, but every per-step
+    * frontier then stored |frontier|·avg_deg array cells, and the
+    * SCALECURVE §10 top octave (6.4M vertices, 51.2M walk rows) blew
+    * past executor storage: MemoryStore eviction + disk fallback took
+    * the biased walker to ×6.0 wall per ×4 data while the uniform
+    * walker held ×4.0. Re-deriving prev_dsts from the once-persisted
+    * adjacency keeps frontier rows at four longs — the second join is
+    * a hash probe of a frame that never leaves cache, measured CHEAPER
+    * than spilling the arrays from the top octave on (and within
+    * noise below it); the weight fold stays a map-side codegen'd
+    * higher-order aggregate either way.
     */
   def biasedWalks(edges: DataFrame, srcCol: String, dstCol: String,
                   steps: Int = 3, walksPerStart: Int = 1,
@@ -529,16 +536,22 @@ object Graph {
       (frontier, neighbors, t) =>
         if (t == 1)
           // step 1: uniform (no prev); the frontier leaves carrying
-          // prev = the start and prev_dsts = the array just probed
+          // only prev = the vertex it stepped from (four longs a row —
+          // prev's adjacency is re-derived next step, see scaladoc)
           frontier.withColumn("h", pickHash(1))
             .join(neighbors, col("cur") === col("src"))
             .select(col("start"), col("walk"),
               element_at(col("dsts"),
                 (col("h") % col("deg") + 1L).cast("int")).as("cur"),
-              col("cur").as("prev"), col("dsts").as("prev_dsts"))
+              col("cur").as("prev"))
         else
           frontier.withColumn("h", pickHash(t))
             .join(neighbors, col("cur") === col("src"))
+            // prev's out-neighbors from the SAME persisted adjacency —
+            // inner join is safe: prev has at least the out-edge the
+            // walk arrived through
+            .join(neighbors.select(col("src").as("prev"),
+              col("dsts").as("prev_dsts")), "prev")
             // weights elementwise over the dst-sorted candidates;
             // staged as its own column so total and the range fold
             // both read it
@@ -568,7 +581,7 @@ object Graph {
               acc => acc.getField("found")))
             .select(col("start"), col("walk"),
               element_at(col("dsts"), col("pick") + 1).as("cur"),
-              col("cur").as("prev"), col("dsts").as("prev_dsts")))
+              col("cur").as("prev")))
   }
 
   /** Skip-gram co-occurrence pairs from a walk corpus — the word2vec-

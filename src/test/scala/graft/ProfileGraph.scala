@@ -37,6 +37,13 @@ object ProfileGraph {
         f"${(System.nanoTime() - t1) / 1e9}%.2f s " +
         f"(persistent RDDs after: $leaked)")
       spark.catalog.clearCache()
+      val tb = System.nanoTime()
+      graft.extensions.Graph.biasedWalks(edges, "src", "dst",
+        steps = 3, walksPerStart = 2,
+        wReturn = 1, wStay = 2, wExplore = 4).count()
+      println(f"[profile] biased   n=$n round=$round " +
+        f"${(System.nanoTime() - tb) / 1e9}%.2f s")
+      spark.catalog.clearCache()
       val t2 = System.nanoTime()
       val seeds = spark.range(0, n).toDF("id").filter(col("id") % 7 === 0)
         .select(col("id"), (col("id") % 5).cast("string").as("lab"))
