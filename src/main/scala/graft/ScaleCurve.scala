@@ -846,7 +846,8 @@ object ScaleCurve {
           nWalkRows
         }
         // node2vec-biased walks over the same graph: the weight fold
-        // must stay a map-side factor (same join count as uniform)
+        // stays map-side; r12 trades the per-row prev-adjacency array
+        // for a second keyed probe of the persisted adjacency
         val (secB, _) = timeIt(spark) {
           graft.extensions.Graph.biasedWalks(edges, "src", "dst",
             steps = 3, walksPerStart = 2,
@@ -1153,8 +1154,10 @@ object ScaleCurve {
        ^backfills reproducible) at any cluster size. `wall walks` times
        ^`Graph.deterministicWalks` (2 walks/start × 3 steps — one keyed
        ^join per step); `wall biased walks` adds the node2vec
-       ^return/stay/explore weight fold (1/2/4), which must stay a
-       ^map-side factor over the same join count; `wall labelprop`
+       ^return/stay/explore weight fold (1/2/4) and a second keyed
+       ^probe of the persisted adjacency for prev's distance-1 array
+       ^(r12 — cheaper than storing the array per frontier row, see
+       ^the storage note below); `wall labelprop`
        ^times 3 synchronous rounds of
        ^`Graph.labelPropagation` from ~14% seeds (5 classes) — both
        ^over the same graphs.
@@ -1171,12 +1174,14 @@ object ScaleCurve {
        ^other §10 job materializes) exceed this host's storage memory:
        ^the run logs MemoryStore "not enough space to cache" and task-
        ^page allocation retries there, so the last walk octaves are
-       ^storage-bound (disk fallback), not join-bound — biased walks
-       ^feel it hardest because their frontiers also carry the
-       ^prev-adjacency array. Per-executor storage is exactly what a
-       ^real cluster scales out; the shuffle/join COUNT stays fixed
-       ^per step at every point, which is the property these curves
-       ^pin.
+       ^storage-bound (disk fallback), not join-bound. r12 removed the
+       ^biased walker's extra storage term (frontiers carried prev's
+       ^adjacency array per row — r11's last octave ran ×6.0 per ×4
+       ^data; four-long frontier rows + a second keyed probe of the
+       ^persisted adjacency brought it level with the uniform walker's
+       ^growth). Per-executor storage is exactly what a real cluster
+       ^scales out; the shuffle/join COUNT stays fixed per step at
+       ^every point, which is the property these curves pin.
        ^
        ^## Reading the curves at 100 TB
        ^
