@@ -90,6 +90,14 @@ object PipelineDemos {
   private val hitsStatePathCache =
     new graft.tables.CorpusMemo[String]("documents")
 
+  // converged (4-iteration) HITS vector per corpus (pipeline_hits_gate):
+  // centrality is the once-per-corpus artifact — the nightly gate job
+  // READS it instead of re-deriving the mutual recursion (the literal
+  // version of the SCALE.md claim; link_hits remains the from-scratch
+  // derivation demo)
+  private val hitsVectorPathCache =
+    new graft.tables.CorpusMemo[String]("documents")
+
   // saved component-labeling parquet per corpus
   // (dedup_components_incremental): the labeling is the persistent
   // cluster index the incremental merge appends to — built and written
@@ -1200,10 +1208,20 @@ object PipelineDemos {
     // mechanism: tierBoundaries contracts the narrow (auth, id) /
     // (hub, id) projections to broadcast cut keys, tiers compare
     // map-side — no full ranking window over the bulk path
-    // (PlanShapeSpec pins it).
+    // (PlanShapeSpec pins it). The centrality vector itself is the
+    // once-per-corpus parquet artifact (written on first touch, read
+    // back after — the nightly gate job re-runs WITHOUT re-deriving
+    // the mutual recursion; link_hits stays the from-scratch demo and
+    // hits_resume proves the artifact refreshes incrementally).
     "pipeline_hits_gate" -> ((s, dir) => {
-      val hits = graft.extensions.Graph.hitsFixedPoint(
-        docLinkEdges(s, dir), "src", "dst", iterations = 4)
+      val hitsPath = hitsVectorPathCache.getOrElseUpdate(dir, {
+        val p = graft.tables.ScratchDirs.tmp("hitsvec", dir)
+        graft.extensions.Graph.hitsFixedPoint(docLinkEdges(s, dir),
+            "src", "dst", iterations = 4)
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+      val hits = s.read.parquet(hitsPath)
       val joined = Tables.documents(s, dir).select("doc_id", "lang")
         .join(hits.withColumnRenamed("id", "doc_id"), "doc_id")
         .withColumn("all", lit(1))
