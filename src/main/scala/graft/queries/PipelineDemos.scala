@@ -126,6 +126,25 @@ object PipelineDemos {
                 TextAnalysis.subwordCount(col("text")).as("n_subwords"))
         .orderBy("doc_id")
     }),
+    // Token-budget mixture solving: fit the corpus to a training budget
+    // (a third of its tokens) by the exact integer waterfilling cap —
+    // every language at or under the cap survives whole, larger ones
+    // md5-down-sample to ~cap tokens. The closed-form max-candidate
+    // derivation runs on the m-row per-lang aggregate (window over
+    // dozens of rows, never the corpus); the 1-row cap broadcasts back
+    // and the keep test is a map-side integer compare. See
+    // extensions.Mixture for the feasibility/maximality proof.
+    "mixture_budget" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val g = toks.groupBy("lang").agg(sum(col("n_tokens")).as("ng"))
+      val cap = graft.extensions.Mixture.waterfillCap(g, "ng", 1L, 3L)
+      toks.join(broadcast(g), "lang").crossJoin(broadcast(cap))
+        .filter(graft.extensions.Mixture.keeps(col("doc_id"), col("ng"),
+          col("cap"), col("keep_all")))
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    }),
     // Quality scoring: stopword/length/punctuation mix.
     "quality_score" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -1829,6 +1848,41 @@ object PipelineDemos {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Token-budget waterfill oracle — mirrors extensions.Mixture exactly:
+    * per-lang token totals, the closed-form max-candidate cap over the
+    * sorted prefix sums, then the 16-bit md5-rate keep test.
+    */
+  private def mixtureBudgetOracle: String = {
+    def nib(p: Int) =
+      s"(strpos('0123456789abcdef', substr(dh, $p, 1)) - 1)"
+    val h16 = s"(${nib(1)} * 4096 + ${nib(2)} * 256 + " +
+      s"${nib(3)} * 16 + ${nib(4)})"
+    s"""WITH toks AS (SELECT doc_id, lang,
+       |    CAST(len($toksExpr) AS BIGINT) AS n_tokens FROM documents),
+       |g AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS ng
+       |  FROM toks GROUP BY lang),
+       |r AS (SELECT ng,
+       |    CAST(COALESCE(sum(ng) OVER (ORDER BY ng
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS s_excl,
+       |    count(*) OVER (ORDER BY ng
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rest,
+       |    CAST(sum(ng) OVER () AS BIGINT) AS tot
+       |  FROM g),
+       |c AS (SELECT max((tot * 1) // 3) AS budget, max(tot) AS tot,
+       |    max(ng) AS mx,
+       |    max(((tot * 1) // 3 - s_excl) // rest) AS rawcap FROM r),
+       |cap AS (SELECT CASE WHEN tot <= budget THEN mx ELSE rawcap END
+       |    AS cap, tot <= budget AS keep_all FROM c),
+       |h AS (SELECT t.doc_id, t.lang, t.n_tokens, g.ng,
+       |    md5(CAST(t.doc_id AS VARCHAR)) AS dh
+       |  FROM toks t JOIN g ON g.lang = t.lang)
+       |SELECT doc_id, lang, n_tokens
+       |FROM h CROSS JOIN cap
+       |WHERE keep_all OR ng <= cap OR $h16 * ng < cap * 65536
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** HITS curation-gate oracle: global auth quartile + top hub decile
     * (window formulas — the demo's broadcast cut keys must reproduce
     * them bit-for-bit), then the hub-damped quartile keep rates.
@@ -3027,6 +3081,7 @@ object PipelineDemos {
     "pagerank_weighted" -> weightedPagerankOracle,
     "link_hits" -> hitsOracle(iterations = 4),
     "hits_resume" -> hitsOracle(iterations = 4),
+    "mixture_budget" -> mixtureBudgetOracle,
     "pagerank_trust" -> trustRankOracle,
     "pipeline_hits_gate" -> hitsGateOracle,
     "graph_walks" -> graphWalksOracle(steps = 3, walks = 2),

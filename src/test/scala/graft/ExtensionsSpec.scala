@@ -1725,6 +1725,44 @@ class ExtensionsSpec extends SparkTestBase {
       s"unselected doc reports zero counts, got ${got(1L)}")
   }
 
+  test("waterfillCap: cap is feasible AND maximal (f(cap) <= budget < " +
+       "f(cap+1)) across skew, ties, singletons, zero groups, and the " +
+       "keep-all budget; keeps() subsumption and edge behavior") {
+    import spark.implicits._
+    import graft.extensions.Mixture
+    def f(ns: Seq[Long], c: Long): Long = ns.map(math.min(_, c)).sum
+    def run(ns: Seq[Long], num: Long, den: Long): (Long, Long, Boolean) = {
+      val row = Mixture.waterfillCap(
+        ns.zipWithIndex.map { case (n, i) => (s"g$i", n) }.toDF("g", "ng"),
+        "ng", num, den).collect().head
+      (row.getLong(0), row.getLong(1), row.getBoolean(2))
+    }
+    val fixtures = Seq(
+      Seq(10L, 100L), Seq(40L, 100L), Seq(5L, 5L, 5L, 1000L),
+      Seq(7L), Seq(0L, 0L, 50L), Seq(3L, 14L, 14L, 159L, 2653L),
+      (1L to 20L).map(i => i * i))
+    for (ns <- fixtures) {
+      val (b, cap, keepAll) = run(ns, 1L, 3L)
+      assert(b == ns.sum / 3, s"$ns: budget")
+      if (keepAll) assert(ns.sum <= b)
+      else {
+        assert(f(ns, cap) <= b, s"$ns: f($cap)=${f(ns, cap)} > $b")
+        assert(f(ns, cap + 1) > b,
+          s"$ns: cap $cap not maximal (f(cap+1)=${f(ns, cap + 1)} <= $b)")
+      }
+    }
+    // keep-all: budget = the whole corpus
+    val (_, _, ka) = run(Seq(10L, 20L), 1L, 1L)
+    assert(ka, "budget >= total must flag keep_all")
+    // keeps(): a group at the cap survives whole for EVERY hash value
+    // (h=65535: 65535·cap < 65536·cap), and a zero-cap group drops its
+    // sampled rows but ng=0 groups survive via the explicit clause
+    val probe = Seq((1L, 5L), (2L, 0L)).toDF("doc_id", "ng")
+    val kept = probe.filter(Mixture.keeps(col("doc_id"), col("ng"),
+        lit(5L), lit(false))).select("doc_id").collect().map(_.getLong(0))
+    assert(kept.toSet == Set(1L, 2L))
+  }
+
   test("tierBoundaries + tierOf: broadcast cut-key tiers are bit-equal " +
        "to the full-window ((rn-1)*tiers) div cnt formula — ties, " +
        "groups smaller than the tier count, and desc order included") {
