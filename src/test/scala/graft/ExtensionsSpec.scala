@@ -1763,6 +1763,61 @@ class ExtensionsSpec extends SparkTestBase {
     assert(kept.toSet == Set(1L, 2L))
   }
 
+  test("waterfillCap randomized sweep: feasible and maximal for 60 " +
+       "hash-derived group vectors across budget fractions") {
+    import spark.implicits._
+    import graft.extensions.Mixture
+    def f(ns: Seq[Long], c: Long): Long = ns.map(math.min(_, c)).sum
+    val rnd = new scala.util.Random(421)
+    for (trial <- 1 to 20; (num, den) <- Seq((1L, 3L), (1L, 10L), (3L, 4L))) {
+      val m = 1 + rnd.nextInt(12)
+      val ns = Seq.fill(m)(rnd.nextInt(5000).toLong)
+      val row = Mixture.waterfillCap(
+        ns.zipWithIndex.map { case (n, i) => (s"g$i", n) }.toDF("g", "ng"),
+        "ng", num, den).collect().head
+      val (b, cap, keepAll) = (row.getLong(0), row.getLong(1),
+        row.getBoolean(2))
+      assert(b == ns.sum * num / den, s"trial $trial: budget")
+      if (keepAll) assert(ns.sum <= b, s"trial $trial ($ns): keep_all")
+      else {
+        assert(f(ns, cap) <= b && f(ns, cap + 1) > b,
+          s"trial $trial ($ns, $num/$den): cap=$cap b=$b " +
+            s"f(cap)=${f(ns, cap)} f(cap+1)=${f(ns, cap + 1)}")
+      }
+    }
+  }
+
+  test("tierBoundaries randomized sweep: cut-key tiers match the window " +
+       "formula for random group shapes and tier counts 2/4/7/10") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new scala.util.Random(1127)
+    for (tiers <- Seq(2, 4, 7, 10)) {
+      // random group sizes incl. groups smaller than the tier count;
+      // values with heavy ties so the id tie-break decides boundaries
+      val rows = (0 until 4).flatMap { gi =>
+        val sz = 1 + rnd.nextInt(60)
+        (0 until sz).map(j => (s"g$gi", rnd.nextInt(5).toLong,
+          (gi * 1000 + j).toLong))
+      }
+      val df = rows.toDF("g", "v", "id")
+      val ord = Seq(negate(col("v")), col("id"))
+      val expected = df
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(col("v").desc, col("id"))))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("g")))
+        .select(col("g"), col("id"),
+          expr(s"((rn - 1) * $tiers) div cnt").cast("int").as("tier"))
+      val got = df.join(
+          broadcast(graft.ops.AggOps.tierBoundaries(df, "g", ord, tiers)),
+          "g")
+        .select(col("g"), col("id"),
+          graft.ops.AggOps.tierOf(ord, tiers).cast("int").as("tier"))
+      assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
+        s"tiers=$tiers mismatch")
+    }
+  }
+
   test("tierBoundaries + tierOf: broadcast cut-key tiers are bit-equal " +
        "to the full-window ((rn-1)*tiers) div cnt formula — ties, " +
        "groups smaller than the tier count, and desc order included") {
