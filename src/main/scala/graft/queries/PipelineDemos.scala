@@ -1164,6 +1164,19 @@ object PipelineDemos {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    // Exact triangle counts + local clustering coefficient — the
+    // cohesion signal the centrality family lacks: a link farm is a
+    // dense near-clique (high lcc), organic citation is star-shaped
+    // (low lcc). Degree-ordered orientation bounds the wedge join's
+    // per-key fanout by O(sqrt(m)) — the O(m^1.5) exact-count shape —
+    // with the total order carried as the arithmetic key deg*2^32+id,
+    // never a global ranking window.
+    "graph_triangles" -> ((s, dir) => {
+      graft.extensions.Graph.triangleCounts(docLinkEdges(s, dir),
+          "src", "dst")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // Weighted centrality: rank flows in proportion to an integer edge
     // weight (1..9, md5-derived per edge — standing in for link
     // multiplicity / mention counts, the realistic link-graph shape).
@@ -1911,6 +1924,37 @@ object PipelineDemos {
        |    OR (auth_tier = 1 AND h < '6') OR (auth_tier = 2 AND h < '4')
        |    OR (auth_tier = 3 AND h < '2')))
        |ORDER BY doc_id""".stripMargin
+
+  /** Triangle-count oracle mirroring Graph.triangleCounts step for
+    * step: undirected simple graph → degrees → deg*2^32+id order key →
+    * degree-ordered orientation → wedge join closed against the
+    * oriented edge set → per-vertex counts (each triangle credits all
+    * three corners) → lcc by plain IEEE division.
+    */
+  private def triangleOracle: String =
+    s"""WITH $docEdgeCtes,
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM edges WHERE src <> dst),
+       |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+       |          SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+       |        GROUP BY id),
+       |k AS (SELECT id, degree, degree * 4294967296 + id AS okey FROM deg),
+       |o AS (SELECT CASE WHEN ka.okey < kb.okey THEN u.a ELSE u.b END AS x,
+       |             CASE WHEN ka.okey < kb.okey THEN u.b ELSE u.a END AS y,
+       |             greatest(ka.okey, kb.okey) AS ykey
+       |      FROM und u JOIN k ka ON ka.id = u.a JOIN k kb ON kb.id = u.b),
+       |tri AS (SELECT e1.x AS u, e1.y AS v, e2.y AS w
+       |        FROM o e1 JOIN o e2 ON e1.x = e2.x AND e1.ykey < e2.ykey
+       |        JOIN o e3 ON e3.x = e1.y AND e3.y = e2.y),
+       |pv AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM (
+       |         SELECT u AS id FROM tri UNION ALL SELECT v FROM tri
+       |         UNION ALL SELECT w FROM tri) GROUP BY id)
+       |SELECT k.id AS doc_id, k.degree,
+       |  CAST(COALESCE(pv.triangles, 0) AS BIGINT) AS triangles,
+       |  CASE WHEN k.degree >= 2
+       |    THEN 2.0 * COALESCE(pv.triangles, 0) / (k.degree * (k.degree - 1.0))
+       |    ELSE 0.0 END AS lcc
+       |FROM k LEFT JOIN pv ON pv.id = k.id ORDER BY doc_id""".stripMargin
 
   private def pagerankOracleSql(seeded: Boolean): String =
     s"""WITH ${pagerankCtes(seeded)}
@@ -3081,6 +3125,7 @@ object PipelineDemos {
     "pagerank_weighted" -> weightedPagerankOracle,
     "link_hits" -> hitsOracle(iterations = 4),
     "hits_resume" -> hitsOracle(iterations = 4),
+    "graph_triangles" -> triangleOracle,
     "mixture_budget" -> mixtureBudgetOracle,
     "pagerank_trust" -> trustRankOracle,
     "pipeline_hits_gate" -> hitsGateOracle,

@@ -649,4 +649,77 @@ class GraphSpec extends SparkTestBase {
     }
     assert(run(edges, 6, parts = 5) == refPageRank(edges, 6))
   }
+
+  /** Sequential brute-force triangle reference over the simple
+    * undirected graph (set of a<b pairs, self-loops dropped).
+    */
+  private def refTriangles(edges: Seq[(Long, Long)])
+      : Map[Long, (Long, Long, Double)] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val verts = (und.map(_._1) ++ und.map(_._2)).toSeq.sorted
+    val adj = verts.map(v => v -> und.collect {
+      case (a, b) if a == v => b
+      case (a, b) if b == v => a
+    }).toMap
+    verts.map { v =>
+      val nbrs = adj(v).toSeq.sorted
+      val tri = (for {
+        i <- nbrs.indices; j <- (i + 1) until nbrs.size
+        if und.contains((math.min(nbrs(i), nbrs(j)),
+                         math.max(nbrs(i), nbrs(j))))
+      } yield 1).size.toLong
+      val d = nbrs.size.toLong
+      val lcc = if (d >= 2) 2.0 * tri / (d * (d - 1.0)) else 0.0
+      v -> (d, tri, lcc)
+    }.toMap
+  }
+
+  private def runTriangles(edges: Seq[(Long, Long)], parts: Int = 1)
+      : Map[Long, (Long, Long, Double)] = {
+    import spark.implicits._
+    val df = edges.toDF("src", "dst").repartition(parts)
+    Graph.triangleCounts(df, "src", "dst")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .toMap
+  }
+
+  test("triangles: K4 is all-1.0 lcc, a pendant vertex is 0.0, and " +
+       "direction / multiplicity / self-loops do not count") {
+    // K4 on 0..3, plus pendant 4-0; noise: reversed duplicates, a
+    // doubled edge, and a self-loop — none may change the counts
+    val clean = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (4L, 0L))
+    val noisy = clean ++ Seq((1L, 0L), (2L, 1L), (0L, 1L), (2L, 2L))
+    val expect = refTriangles(clean)
+    assert(runTriangles(clean) == expect)
+    assert(runTriangles(noisy, parts = 3) == expect)
+    assert(expect(0L) == ((4L, 3L, 2.0 * 3 / (4 * 3.0))))
+    assert(expect(1L) == ((3L, 3L, 1.0)))
+    assert(expect(4L) == ((1L, 0L, 0.0)))
+  }
+
+  test("triangles: the ring-stride graph matches the brute-force " +
+       "reference on every vertex, any partitioning") {
+    val n = 120L
+    val edges = for {
+      i <- 0L until n
+      j <- 1 to 3
+    } yield {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j".getBytes("UTF-8"))
+        .take(2).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      (i, (i + 1 + (h % (n - 1))) % n)
+    }
+    assert(runTriangles(edges, parts = 7) == refTriangles(edges))
+  }
+
+  test("triangles: ids outside [0, 2^31) are rejected before the " +
+       "order-key arithmetic can wrap") {
+    val bad = Seq((1L << 32, 1L), (1L, 2L))
+    val ex = intercept[IllegalArgumentException](runTriangles(bad))
+    assert(ex.getMessage.contains("2^31"))
+  }
 }
