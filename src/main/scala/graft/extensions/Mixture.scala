@@ -69,6 +69,109 @@ object Mixture {
         (col("tot") <= col("budget")).as("keep_all"))
   }
 
+  /** α=0.5 temperature-sampling weight: ⌊√n⌋ — the multilingual
+    * pretraining standard (sample share ∝ n^α flattens the language
+    * distribution between proportional α=1 and uniform α=0). IEEE
+    * sqrt is correctly rounded, so floor(sqrt(double)) is the same
+    * bits in every engine; n < 2^53 stays exact through the cast.
+    */
+  def sqrtWeight(n: Column): Column =
+    floor(sqrt(n.cast("double"))).cast("long")
+
+  /** Weighted waterfilling — the temperature generalization of
+    * [[waterfillCap]]: allocate each group min(n_g, C·w_g) tokens, C
+    * maximal with Σ min(n_g, C·w_g) ≤ budget. With w_g = [[sqrtWeight]]
+    * this is α=0.5 temperature sampling under a hard budget: a group's
+    * asymptotic share is ∝ √n_g, small groups survive whole, and the
+    * cut concentrates on the dominant groups — exactly the balancing
+    * step multilingual pretraining mixes use.
+    *
+    * Same closed form as [[waterfillCap]], with groups sorted by the
+    * saturation threshold n_g/w_g (the C at which group g caps out)
+    * instead of n_g: with S_i = Σ n over the i smallest-threshold
+    * groups and V_i = Σ w over the rest,
+    *   C = max over i of (budget − S_i) div V_i.
+    * Feasibility of every candidate: min(n, C_i·w) ≤ n on the prefix
+    * and ≤ C_i·w on the rest, so f(C_i) ≤ S_i + C_i·V_i ≤ budget.
+    * Maximality: the true C* saturates exactly the groups with
+    * n_g/w_g ≤ C*, a PREFIX of this order, so C* ≤ its own candidate.
+    * The threshold sort key is the IEEE double n_g/w_g (identical bits
+    * in every engine; ties carry identical (ng, wg) up to
+    * interchangeability, so any tie order yields the same max — the
+    * proof only needs SOME threshold-ascending order).
+    *
+    * Zero groups take no budget and are dropped here (callers keep
+    * them whole via the rate's ng=0 clause); a non-positive or null
+    * weight on a non-empty group raises rather than silently
+    * corrupting V (the same loud-failure contract as the weighted
+    * PageRank bounds check).
+    *
+    * @return 1-row (budget, cap, keep_all), as [[waterfillCap]]
+    */
+  def weightedCap(groups: DataFrame, ngCol: String, wCol: String,
+                  num: Long, den: Long): DataFrame = {
+    require(num >= 0 && den > 0, s"budget fraction must be >=0 / >0")
+    import org.apache.spark.sql.expressions.Window
+    val g = groups
+      .select(col(ngCol).cast("long").as("ng"),
+        col(wCol).cast("long").as("wg"))
+      .filter(col("ng") > 0L)
+      .withColumn("wg",
+        when(col("wg").isNull || col("wg") <= 0L,
+          raise_error(concat(lit("weightedCap: non-positive or null " +
+            "weight on a non-empty group (ng="), col("ng"), lit(")"))))
+          .otherwise(col("wg")))
+    val w = Window.orderBy(col("ratio"), col("ng"), col("wg"))
+    g.withColumn("ratio", col("ng").cast("double") / col("wg"))
+      .withColumn("s_excl", coalesce(sum(col("ng")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("v_rest", sum(col("wg")).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("tot", sum(col("ng")).over(
+        w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("budget", expr(s"(tot * $num) div $den"))
+      .agg(max(col("budget")).as("budget"), max(col("tot")).as("tot"),
+        max(col("ng")).as("mx"),
+        max(expr("(budget - s_excl) div v_rest")).as("rawcap"))
+      .select(col("budget"),
+        when(col("tot") <= col("budget"), col("mx"))
+          .otherwise(col("rawcap")).as("cap"),
+        (col("tot") <= col("budget")).as("keep_all"))
+  }
+
+  /** Per-GROUP 16-bit keep rate against the broadcast [[weightedCap]]
+    * row: rate16/65536 ≈ min(1, cap·w_g/n_g), computed ON THE GROUP
+    * FRAME (dozens of rows) so the per-document test is a bare integer
+    * compare — `input` must carry columns `ng`, `wg`, `cap`,
+    * `keep_all` (join the group frame to the broadcast cap row first).
+    *
+    * Exactness: the product runs in DECIMAL(38,0) via `expr`, so no
+    * Long overflow at any corpus size, and integral `div` (not decimal
+    * /, which rounds HALF_UP at scale 6 and can cross an integer)
+    * keeps the floor engine-exact — DuckDB mirrors it with HUGEINT
+    * and `//`. `least(cap, ng)` first: when cap ≥ n_g the group
+    * survives whole anyway (w_g ≥ 1 ⇒ rate caps at 65536) and the
+    * clamp keeps the decimal narrow. Zero groups keep rate 65536
+    * (nothing to sample; they cost no budget).
+    */
+  def withKeepRate16(input: DataFrame): DataFrame =
+    input.withColumn("rate16",
+      when(col("keep_all") || col("ng") <= 0L, lit(65536L))
+        .otherwise(least(lit(65536L), expr(
+          "(CAST(least(cap, ng) AS DECIMAL(38,0)) * wg * 65536) div ng")))
+        .cast("long"))
+
+  /** The per-document test against a [[withKeepRate16]] rate: first
+    * 16 md5 bits vs the group rate — deterministic, backfill-stable,
+    * and a group at rate 65536 keeps every document (h16 ≤ 65535).
+    */
+  def keepsAtRate(docIdCol: Column, rate16Col: Column): Column = {
+    val h16 = conv(substring(md5(docIdCol.cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    h16 < rate16Col
+  }
+
   /** Map-side document keep predicate against the broadcast cap row and
     * per-group total: a group at or under the cap survives whole;
     * larger groups md5-sample docs at rate cap/n — 16-bit hash h vs

@@ -145,6 +145,28 @@ object PipelineDemos {
         .select("doc_id", "lang", "n_tokens")
         .orderBy("doc_id")
     }),
+    // Temperature-balanced mixture under the same budget: allocation
+    // ∝ ⌊√ng⌋ (α=0.5, the multilingual pretraining standard) through
+    // the weighted waterfill cap — small languages keep MORE than
+    // their proportional share, the dominant one absorbs the cut
+    // harder than flat waterfilling. The per-group 16-bit keep rate is
+    // computed once on the dozens-row group frame (DECIMAL div, no
+    // overflow at any corpus size) and broadcast; the per-doc test is
+    // one integer compare. See Mixture.weightedCap for the
+    // feasibility/maximality proof.
+    "mixture_temperature" -> ((s, dir) => {
+      import graft.extensions.Mixture
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val g = toks.groupBy("lang").agg(sum(col("n_tokens")).as("ng"))
+        .withColumn("wg", Mixture.sqrtWeight(col("ng")))
+      val cap = Mixture.weightedCap(g, "ng", "wg", 1L, 3L)
+      val rated = Mixture.withKeepRate16(g.crossJoin(broadcast(cap)))
+      toks.join(broadcast(rated.select("lang", "rate16")), "lang")
+        .filter(Mixture.keepsAtRate(col("doc_id"), col("rate16")))
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    }),
     // Quality scoring: stopword/length/punctuation mix.
     "quality_score" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -1931,6 +1953,50 @@ object PipelineDemos {
     * oriented edge set → per-vertex counts (each triangle credits all
     * three corners) → lcc by plain IEEE division.
     */
+  /** Temperature-mixture oracle mirroring Mixture.weightedCap +
+    * withKeepRate16: ⌊√ng⌋ weights, threshold-sorted (ng/wg double)
+    * prefix sums, the max-candidate cap, then the per-group 16-bit
+    * rate in HUGEINT (Spark side: DECIMAL(38,0)) with the same
+    * least-clamp and integral floor division.
+    */
+  private def mixtureTemperatureOracle: String = {
+    def nib(p: Int) =
+      s"(strpos('0123456789abcdef', substr(dh, $p, 1)) - 1)"
+    val h16 = s"(${nib(1)} * 4096 + ${nib(2)} * 256 + " +
+      s"${nib(3)} * 16 + ${nib(4)})"
+    val ord = "ORDER BY CAST(ng AS DOUBLE) / wg, ng, wg"
+    s"""WITH toks AS (SELECT doc_id, lang,
+       |    CAST(len($toksExpr) AS BIGINT) AS n_tokens FROM documents),
+       |g AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS ng
+       |  FROM toks GROUP BY lang),
+       |gw AS (SELECT lang, ng,
+       |    CAST(floor(sqrt(CAST(ng AS DOUBLE))) AS BIGINT) AS wg FROM g),
+       |r AS (SELECT ng, wg,
+       |    CAST(COALESCE(sum(ng) OVER ($ord
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS s_excl,
+       |    CAST(sum(wg) OVER ($ord
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |      AS BIGINT) AS v_rest,
+       |    CAST(sum(ng) OVER () AS BIGINT) AS tot
+       |  FROM gw WHERE ng > 0),
+       |c AS (SELECT max((tot * 1) // 3) AS budget, max(tot) AS tot,
+       |    max(ng) AS mx,
+       |    max((((tot * 1) // 3) - s_excl) // v_rest) AS rawcap FROM r),
+       |cap AS (SELECT CASE WHEN tot <= budget THEN mx ELSE rawcap END
+       |    AS cap, tot <= budget AS keep_all FROM c),
+       |rt AS (SELECT lang, ng, wg,
+       |    CASE WHEN keep_all OR ng <= 0 THEN 65536
+       |      ELSE LEAST(65536, CAST((CAST(LEAST(cap, ng) AS HUGEINT)
+       |        * wg * 65536) // ng AS BIGINT)) END AS rate16
+       |  FROM gw CROSS JOIN cap),
+       |h AS (SELECT t.doc_id, t.lang, t.n_tokens, rt.rate16,
+       |    md5(CAST(t.doc_id AS VARCHAR)) AS dh
+       |  FROM toks t JOIN rt ON rt.lang = t.lang)
+       |SELECT doc_id, lang, n_tokens FROM h
+       |WHERE $h16 < rate16 ORDER BY doc_id""".stripMargin
+  }
+
   private def triangleOracle: String =
     s"""WITH $docEdgeCtes,
        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -3127,6 +3193,7 @@ object PipelineDemos {
     "hits_resume" -> hitsOracle(iterations = 4),
     "graph_triangles" -> triangleOracle,
     "mixture_budget" -> mixtureBudgetOracle,
+    "mixture_temperature" -> mixtureTemperatureOracle,
     "pagerank_trust" -> trustRankOracle,
     "pipeline_hits_gate" -> hitsGateOracle,
     "graph_walks" -> graphWalksOracle(steps = 3, walks = 2),

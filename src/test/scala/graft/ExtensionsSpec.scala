@@ -1787,6 +1787,86 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("weightedCap: feasible AND maximal (f(cap) <= budget < f(cap+1)) " +
+       "with sqrt weights and random weights; all-1 weights reduce to " +
+       "waterfillCap; bad weights raise") {
+    import spark.implicits._
+    import graft.extensions.Mixture
+    def f(gs: Seq[(Long, Long)], c: Long): Long =
+      gs.map { case (n, w) => math.min(n, c * w) }.sum
+    def run(gs: Seq[(Long, Long)], num: Long, den: Long)
+        : (Long, Long, Boolean) = {
+      val row = Mixture.weightedCap(
+        gs.zipWithIndex.map { case ((n, w), i) => (s"g$i", n, w) }
+          .toDF("g", "ng", "wg"), "ng", "wg", num, den)
+        .collect().head
+      (row.getLong(0), row.getLong(1), row.getBoolean(2))
+    }
+    val rnd = new scala.util.Random(733)
+    for (trial <- 1 to 20; (num, den) <- Seq((1L, 3L), (1L, 10L))) {
+      val m = 1 + rnd.nextInt(10)
+      val gs = Seq.fill(m) {
+        val n = rnd.nextInt(5000).toLong
+        val w = if (trial % 2 == 0) math.sqrt(n.toDouble).toLong.max(1L)
+                else 1L + rnd.nextInt(40).toLong
+        (n, w)
+      }
+      val live = gs.filter(_._1 > 0)
+      val (b, cap, keepAll) = run(gs, num, den)
+      assert(b == live.map(_._1).sum * num / den, s"trial $trial: budget")
+      if (keepAll) assert(live.map(_._1).sum <= b)
+      else assert(f(live, cap) <= b && f(live, cap + 1) > b,
+        s"trial $trial ($gs, $num/$den): cap=$cap b=$b " +
+          s"f(cap)=${f(live, cap)} f(cap+1)=${f(live, cap + 1)}")
+    }
+    // all-1 weights ARE flat waterfilling, bit for bit
+    for (ns <- Seq(Seq(10L, 100L), Seq(5L, 5L, 5L, 1000L),
+        Seq(3L, 14L, 159L, 2653L))) {
+      val flat = Mixture.waterfillCap(
+        ns.zipWithIndex.map { case (n, i) => (s"g$i", n) }.toDF("g", "ng"),
+        "ng", 1L, 3L).collect().head
+      val wtd = run(ns.map((_, 1L)), 1L, 3L)
+      assert(wtd == ((flat.getLong(0), flat.getLong(1),
+        flat.getBoolean(2))))
+    }
+    val ex = intercept[Exception](run(Seq((10L, 0L), (5L, 1L)), 1L, 3L))
+    assert(ex.getMessage.contains("non-positive or null weight"))
+  }
+
+  test("withKeepRate16: whole groups rate 65536, sampled groups match " +
+       "BigInt floor(cap*wg*65536/ng), zero groups survive, and " +
+       "keepsAtRate keeps every doc at rate 65536") {
+    import spark.implicits._
+    import graft.extensions.Mixture
+    val groups = Seq(
+      ("small", 10L, 3L), ("at_cap", 21L, 3L), ("big", 100000L, 316L),
+      ("huge", 4000000000L, 63245L), ("empty", 0L, 0L))
+      .toDF("g", "ng", "wg")
+    val cap = 7L
+    val rated = Mixture.withKeepRate16(
+        groups.withColumn("cap", lit(cap))
+          .withColumn("keep_all", lit(false)))
+      .select("g", "ng", "wg", "rate16").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    for ((g, (ng, wg, r16)) <- rated) {
+      val expect =
+        if (ng <= 0) 65536L
+        else (BigInt(math.min(cap, ng)) * wg * 65536 / ng)
+          .min(65536).toLong
+      assert(r16 == expect, s"$g: rate16=$r16 expect=$expect")
+    }
+    assert(rated("small")._3 == 65536L && rated("empty")._3 == 65536L)
+    assert(rated("big")._3 == (BigInt(7L) * 316 * 65536 / 100000).toLong)
+    // rate 65536 keeps h16=65535 (the max); rate 0 keeps nothing
+    val probe = (0L until 200L).toDF("doc_id")
+    val keptAll = probe.filter(Mixture.keepsAtRate(col("doc_id"),
+      lit(65536L))).count()
+    val keptNone = probe.filter(Mixture.keepsAtRate(col("doc_id"),
+      lit(0L))).count()
+    assert(keptAll == 200L && keptNone == 0L)
+  }
+
   test("tierBoundaries randomized sweep: cut-key tiers match the window " +
        "formula for random group shapes and tier counts 2/4/7/10") {
     import org.apache.spark.sql.expressions.Window
