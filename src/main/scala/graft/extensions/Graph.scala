@@ -774,6 +774,67 @@ object Graph {
     out
   }
 
+  /** Link prediction by common neighborhood — the "suggest missing
+    * edges" job (related-document discovery, knowledge-graph
+    * completion): for every NON-adjacent pair sharing at least one
+    * neighbor, count the common neighbors and an inverse-degree
+    * weighted score, and return the top k candidates.
+    *
+    * Scoring is Adamic-Adar in spirit but exact-integer in arithmetic:
+    * each shared neighbor u contributes 2²⁰ div deg(u) (a rare shared
+    * neighbor is strong evidence, a promiscuous one weak) — log-free
+    * because ln is not bit-stable across engines, and the 1/deg weight
+    * carries the same ranking signal with an exact oracle.
+    *
+    * The scale bound is explicit and principled: centers with degree >
+    * `maxCenterDegree` are EXCLUDED from pair generation — the
+    * stop-neighbor rule (a hub adjacent to everyone certifies nothing,
+    * exactly like a stopword in retrieval), and the only way the
+    * pair fan-out is bounded at all: a degree-d center emits d²/2
+    * candidate pairs, so one 10⁶-degree hub would emit 5·10¹¹ rows.
+    * With the cap, fan-out ≤ maxCenterDegree²/2 per center — linear in
+    * |V| total — and the final top-k is a TakeOrdered (map-side
+    * partial top-k, no global sort).
+    *
+    * @return top-k (id_a, id_b, common, wscore) by (wscore desc,
+    *         id_a, id_b); id_a < id_b, pairs never adjacent in the
+    *         input's simple graph
+    */
+  def linkCandidates(edges: DataFrame, srcCol: String, dstCol: String,
+                     maxCenterDegree: Int = 64, k: Int = 50)
+      : DataFrame = {
+    require(maxCenterDegree >= 2, "centers need >= 2 neighbors to pair")
+    require(k >= 1, "top-k needs k >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val und = e.select(least(col("src"), col("dst")).as("a"),
+                       greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = und.union(und.select(col("b"), col("a")))
+    val deg = sym.groupBy(col("a").as("u"))
+      .agg(count(lit(1)).as("degree"))
+    val centers = sym.select(col("a").as("u"), col("b").as("nbr"))
+      .join(deg.filter(col("degree") <= maxCenterDegree), "u")
+      .withColumn("invw", expr("1048576 div degree"))
+      .repartition(col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = centers.as("c1")
+      .join(centers.as("c2"),
+        col("c1.u") === col("c2.u") && col("c1.nbr") < col("c2.nbr"))
+      .groupBy(col("c1.nbr").as("a"), col("c2.nbr").as("b"))
+      .agg(count(lit(1)).as("common"), sum(col("c1.invw")).as("wscore"))
+    val out = pairs.join(und, Seq("a", "b"), "left_anti")
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        col("common"), col("wscore"))
+      .orderBy(col("wscore").desc, col("id_a"), col("id_b"))
+      .limit(k)
+      .localCheckpoint(true)
+    Seq(und, centers).foreach(_.unpersist(false))
+    out
+  }
+
   /** Canonical symmetrized (a, b) edge frame, persisted. */
   private def symmetrized(edges: DataFrame, srcCol: String,
                           dstCol: String): DataFrame = {

@@ -1199,6 +1199,16 @@ object PipelineDemos {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    // Link prediction: top-k non-adjacent pairs by common-neighbor
+    // evidence, inverse-degree weighted (2^20 div deg — Adamic-Adar's
+    // signal without cross-engine-unstable ln). Centers above the
+    // degree cap are excluded — the stop-neighbor rule, and the bound
+    // that keeps pair fan-out linear in |V| (an uncapped 10^6-degree
+    // hub would alone emit 5*10^11 pairs).
+    "link_predict" -> ((s, dir) => {
+      graft.extensions.Graph.linkCandidates(docLinkEdges(s, dir),
+        "src", "dst", maxCenterDegree = 64, k = 50)
+    }),
     // Weighted centrality: rank flows in proportion to an integer edge
     // weight (1..9, md5-derived per edge — standing in for link
     // multiplicity / mention counts, the realistic link-graph shape).
@@ -2021,6 +2031,32 @@ object PipelineDemos {
        |    THEN 2.0 * COALESCE(pv.triangles, 0) / (k.degree * (k.degree - 1.0))
        |    ELSE 0.0 END AS lcc
        |FROM k LEFT JOIN pv ON pv.id = k.id ORDER BY doc_id""".stripMargin
+
+  /** Link-prediction oracle mirroring Graph.linkCandidates: simple
+    * undirected graph → degree-capped centers with 2^20 div deg
+    * weights → nbr-ordered pair counts → anti-join off the edge set →
+    * deterministic top-k (wscore desc, id_a, id_b).
+    */
+  private def linkPredictOracle(maxDeg: Int, k: Int): String =
+    s"""WITH $docEdgeCtes,
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM edges WHERE src <> dst),
+       |sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+       |deg AS (SELECT a AS u, CAST(count(*) AS BIGINT) AS degree
+       |        FROM sym GROUP BY a),
+       |ctr AS (SELECT s.a AS u, s.b AS nbr, 1048576 // d.degree AS invw
+       |        FROM sym s JOIN deg d ON d.u = s.a
+       |        WHERE d.degree <= $maxDeg),
+       |pr AS (SELECT c1.nbr AS a, c2.nbr AS b,
+       |         CAST(count(*) AS BIGINT) AS common,
+       |         CAST(sum(c1.invw) AS BIGINT) AS wscore
+       |       FROM ctr c1 JOIN ctr c2
+       |         ON c1.u = c2.u AND c1.nbr < c2.nbr
+       |       GROUP BY c1.nbr, c2.nbr),
+       |cand AS (SELECT pr.a, pr.b, pr.common, pr.wscore FROM pr
+       |         ANTI JOIN und ON und.a = pr.a AND und.b = pr.b)
+       |SELECT a AS id_a, b AS id_b, common, wscore FROM cand
+       |ORDER BY wscore DESC, id_a, id_b LIMIT $k""".stripMargin
 
   private def pagerankOracleSql(seeded: Boolean): String =
     s"""WITH ${pagerankCtes(seeded)}
@@ -3192,6 +3228,7 @@ object PipelineDemos {
     "link_hits" -> hitsOracle(iterations = 4),
     "hits_resume" -> hitsOracle(iterations = 4),
     "graph_triangles" -> triangleOracle,
+    "link_predict" -> linkPredictOracle(maxDeg = 64, k = 50),
     "mixture_budget" -> mixtureBudgetOracle,
     "mixture_temperature" -> mixtureTemperatureOracle,
     "pagerank_trust" -> trustRankOracle,

@@ -716,6 +716,66 @@ class GraphSpec extends SparkTestBase {
     assert(runTriangles(edges, parts = 7) == refTriangles(edges))
   }
 
+  /** Sequential link-prediction reference: common neighbors among
+    * degree-capped centers, 2^20 div deg weights, non-adjacent pairs
+    * only, (wscore desc, a, b) top-k.
+    */
+  private def refLinkCandidates(edges: Seq[(Long, Long)], maxDeg: Int,
+                                k: Int): Seq[(Long, Long, Long, Long)] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val adj = (und.toSeq ++ und.toSeq.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val scores = scala.collection.mutable.Map
+      .empty[(Long, Long), (Long, Long)].withDefaultValue((0L, 0L))
+    for ((u, nbrs) <- adj if nbrs.size <= maxDeg) {
+      val invw = 1048576L / nbrs.size
+      val sorted = nbrs.toSeq.sorted
+      for (i <- sorted.indices; j <- (i + 1) until sorted.size) {
+        val key = (sorted(i), sorted(j))
+        val (c, w) = scores(key)
+        scores(key) = (c + 1, w + invw)
+      }
+    }
+    scores.toSeq
+      .filter { case (p, _) => !und.contains(p) }
+      .map { case ((a, b), (c, w)) => (a, b, c, w) }
+      .sortBy { case (a, b, _, w) => (-w, a, b) }
+      .take(k)
+  }
+
+  test("link candidates: match the brute-force reference on the " +
+       "ring-stride graph; never include an existing edge; hub " +
+       "centers above the cap certify nothing") {
+    import spark.implicits._
+    val n = 80L
+    val edges = (for {
+      i <- 0L until n
+      j <- 1 to 3
+    } yield {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j".getBytes("UTF-8"))
+        .take(2).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      (i, (i + 1 + (h % (n - 1))) % n)
+    }) ++ (1L until 40L).map(i => (0L, i)) // vertex 0 becomes a hub
+    def run(maxDeg: Int): Seq[(Long, Long, Long, Long)] =
+      Graph.linkCandidates(edges.toDF("src", "dst").repartition(5),
+          "src", "dst", maxCenterDegree = maxDeg, k = 30)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val und = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .toSet
+    for (cap <- Seq(8, 64)) {
+      val got = run(cap)
+      assert(got == refLinkCandidates(edges, cap, 30), s"cap=$cap")
+      assert(got.forall { case (a, b, _, _) => !und.contains((a, b)) })
+    }
+    // the hub (degree ~40) is a center at cap 64 but not at cap 8 —
+    // the candidate sets must genuinely differ
+    assert(run(8) != run(64))
+  }
+
   test("triangles: ids outside [0, 2^31) are rejected before the " +
        "order-key arithmetic can wrap") {
     val bad = Seq((1L << 32, 1L), (1L, 2L))
