@@ -731,14 +731,15 @@ object Graph {
     val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("degree"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // one bounded aggregate guards the arithmetic order key (nulls
-    // can't reach here: src/dst are cast longs filtered by =!=)
-    val bounds = deg.agg(min(col("id")), max(col("id"))).head
-    if (!bounds.isNullAt(0))
-      require(bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 31),
-        s"vertex ids must sit in [0, 2^31) for the deg*2^32+id order " +
-          s"key; got [${bounds.getLong(0)}, ${bounds.getLong(1)}]")
-    def okey(d: Column, id: Column): Column = d * lit(1L << 32) + id
+    // the id-range guard rides INSIDE the plan (raise_error branch in
+    // the |V|-row key projection, codegen'd and never true on valid
+    // input) instead of an eager bounds aggregate — same loud failure,
+    // one fewer job at demo scale, zero extra passes at 100 TB
+    def okey(d: Column, id: Column): Column =
+      when(id < 0L || id >= (1L << 31),
+        raise_error(concat(lit("vertex ids must sit in [0, 2^31) for " +
+          "the deg*2^32+id order key; got "), id.cast("string"))))
+        .otherwise(d * lit(1L << 32) + id)
     val ka = deg.select(col("id").as("a"),
       okey(col("degree"), col("id")).as("ka"))
     val kb = deg.select(col("id").as("b"),
@@ -815,10 +816,12 @@ object Graph {
     val sym = und.union(und.select(col("b"), col("a")))
     val deg = sym.groupBy(col("a").as("u"))
       .agg(count(lit(1)).as("degree"))
+    // the degree join already leaves this frame hash-partitioned by u
+    // — the exact layout the self-join wants; an explicit repartition
+    // would only add an exchange
     val centers = sym.select(col("a").as("u"), col("b").as("nbr"))
       .join(deg.filter(col("degree") <= maxCenterDegree), "u")
       .withColumn("invw", expr("1048576 div degree"))
-      .repartition(col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = centers.as("c1")
       .join(centers.as("c2"),

@@ -779,7 +779,9 @@ class GraphSpec extends SparkTestBase {
   test("triangles: ids outside [0, 2^31) are rejected before the " +
        "order-key arithmetic can wrap") {
     val bad = Seq((1L << 32, 1L), (1L, 2L))
-    val ex = intercept[IllegalArgumentException](runTriangles(bad))
-    assert(ex.getMessage.contains("2^31"))
+    val ex = intercept[Exception](runTriangles(bad))
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    assert(msgs.contains("2^31"), s"got: $msgs")
   }
 }
