@@ -878,6 +878,53 @@ object ScaleCurve {
           "wall labelprop (s)" -> f"$secL%.2f"))
       }
 
+    // ---- 11. Triangles + link prediction (graph_triangles shape) ----
+    // Same ring-stride graphs. Triangle counting's scale property is
+    // the degree-ordered orientation bounding the wedge join at
+    // O(m^1.5) total; layout invariance is checked with a full
+    // (id, triangles) fingerprint like §10's rank vector. Link
+    // prediction runs the capped-center pair join + anti-join + top-k.
+    val triPts = Seq(100000L, 400000L, 1600000L, 6400000L)
+      .filter(_ <= points.max * 32)
+      .map { n =>
+        def edges = spark.range(0, n).toDF("src")
+          .select(col("src"),
+            explode(array(lit(1), lit(2), lit(3))).as("j"))
+          .select(col("src"),
+            ((col("src") + 1L +
+              pmod(hash(col("src") * 31L + col("j")), lit(n - 1))) % n)
+              .as("dst"))
+        def fingerprint(t: DataFrame): (Long, Long) = {
+          val row = t.agg(
+            (sum(col("triangles")) / 3L).cast("long").as("t"),
+            expr("bit_xor(xxhash64(id, triangles))").as("x"))
+            .collect().head
+          (row.getLong(0), row.getLong(1))
+        }
+        var fpA = (0L, 0L)
+        val (sec, _) = timeIt(spark) {
+          fpA = fingerprint(graft.extensions.Graph
+            .triangleCounts(edges, "src", "dst"))
+          1L
+        }
+        val fpB = fingerprint(graft.extensions.Graph
+          .triangleCounts(edges.repartition(17), "src", "dst"))
+        var nCand = 0L
+        val (secP, _) = timeIt(spark) {
+          nCand = graft.extensions.Graph.linkCandidates(edges,
+            "src", "dst", maxCenterDegree = 64, k = 50).count()
+          nCand
+        }
+        Point(n, Seq(
+          "vertices" -> n.toString,
+          "edges" -> (3 * n).toString,
+          "triangles" -> fpA._1.toString,
+          "layout-invariant" -> (fpA == fpB).toString,
+          "wall triangles (s)" -> f"$sec%.2f",
+          "top-k rows" -> nCand.toString,
+          "wall linkpredict (s)" -> f"$secP%.2f"))
+      }
+
     // ---- render ------------------------------------------------------
     // both renderers are total in the point count: a small
     // SPARK_GRAFT_SCALE_POINTS override can filter a section's fixed
@@ -1182,6 +1229,24 @@ object ScaleCurve {
        ^growth). Per-executor storage is exactly what a real cluster
        ^scales out; the shuffle/join COUNT stays fixed per step at
        ^every point, which is the property these curves pin.
+       ^
+       ^## 11. Triangles + link prediction (`graph_triangles` shape)
+       ^
+       ^Same ring-stride graphs. `Graph.triangleCounts` orients every
+       ^undirected edge from its (degree, id)-smaller endpoint, so the
+       ^wedge self-join — the quadratic step of any exact triangle
+       ^count — fans out at most O(√m) per vertex, O(m^1.5) total, no
+       ^matter how skewed the raw degrees; `layout-invariant` re-runs
+       ^on a differently-partitioned edge list and compares a full
+       ^(id, triangles) fingerprint. `wall linkpredict` times
+       ^`Graph.linkCandidates` (degree-capped common-neighbor pairs,
+       ^integer inverse-degree weights, anti-join, TakeOrdered top-50)
+       ^over the same graphs.
+       ^
+       ^${table(triPts)}
+       ^
+       ^Growth: ${growth(triPts, "wall triangles (s)")}.
+       ^Link prediction: ${growth(triPts, "wall linkpredict (s)")}.
        ^
        ^## Reading the curves at 100 TB
        ^

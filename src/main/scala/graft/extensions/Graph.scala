@@ -775,6 +775,88 @@ object Graph {
     out
   }
 
+  /** k-core decomposition (bounded-round peel) — the connectivity-
+    * robustness cut: iteratively remove vertices with degree < k until
+    * none remain, keeping the maximal subgraph where everyone has ≥ k
+    * neighbors. The curation read: a k-core survives the removal of
+    * any (k−1) of a page's endorsers, so core membership is a
+    * collusion-resistant quality gate where raw degree is one spam
+    * campaign away from gamed.
+    *
+    * Iteration contract mirrors [[pageRankFixedPoint]]: a FIXED round
+    * budget (reproducible, oracle-unrollable) with an early stop the
+    * moment a round removes nothing — the stop test is a 1-row
+    * `isEmpty` on the below-k frame, one bounded job per round, and
+    * rounds t..budget after convergence are provable no-ops, so the
+    * early-stopped result equals the full-budget oracle bit for bit.
+    * Per round: one map-side-combinable degree count + two anti-joins
+    * keyed on the edge endpoints — the live edge frame only ever
+    * SHRINKS, so per-round cost falls as the peel proceeds.
+    *
+    * @param k         minimum surviving degree (≥ 2; k=1 is the
+    *                  whole simple graph minus isolated vertices)
+    * @param maxRounds peel budget; peeling removes ≥1 vertex per
+    *                  non-final round, so convergence within the
+    *                  budget is the common case, and a non-converged
+    *                  result is still exactly the budget-round peel
+    * @return (id, core_degree): vertices of the surviving subgraph
+    *         with their degree in it (≥ k iff converged)
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, maxRounds: Int = 8): DataFrame = {
+    require(k >= 2, "k-core needs k >= 2 (k=1 is the input graph)")
+    require(maxRounds >= 1 && maxRounds <= 32, "fixed round budget")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    var live = e.select(least(col("src"), col("dst")).as("a"),
+                        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val kept = scala.collection.mutable.Buffer[DataFrame](live)
+    def degreesOf(f: DataFrame): DataFrame =
+      f.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("core_degree"))
+    // Rounds chain LAZILY (the labelRounds shape): per-round persist,
+    // ONE materialization per 4-round block at the lineage cut — a
+    // per-round stop-test job re-derived each round's full chain and
+    // tripled the wall at sf0.1 (isEmpty partial-fills worse still).
+    // live is referenced TWICE per round (both anti-joins), so the
+    // ANALYZED plan doubles per round — 2^rounds copies of the input
+    // lineage OOMs plan analysis long before execution; the cut every
+    // 4th round bounds the tree at 2^4 copies. Convergence is checked
+    // at the cuts by edge-count equality (a peel round that removes
+    // any vertex strictly shrinks the edge frame, so equal counts
+    // across a block ⟺ all its rounds were no-ops ⟺ fixpoint): at
+    // most 3 no-op rounds run before the stop fires, the price of
+    // keeping the inner rounds action-free.
+    var lastCnt = -1L
+    var r = 0
+    var converged = false
+    while (r < maxRounds && !converged) {
+      val bad = degreesOf(live)
+        .filter(col("core_degree") < k).select("id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      kept += bad
+      val next = live
+        .join(bad.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
+        .join(bad.withColumnRenamed("id", "b"), Seq("b"), "left_anti")
+      if (r % 4 == 3 || r == maxRounds - 1) {
+        live = next.localCheckpoint(true)
+        val c = live.count() // a leaf scan of the checkpoint, cheap
+        if (c == lastCnt) converged = true
+        lastCnt = c
+      } else {
+        live = next.persist(StorageLevel.MEMORY_AND_DISK)
+        kept += live
+      }
+      r += 1
+    }
+    val out = degreesOf(live).localCheckpoint(true)
+    kept.foreach(_.unpersist(false))
+    out
+  }
+
   /** Link prediction by common neighborhood — the "suggest missing
     * edges" job (related-document discovery, knowledge-graph
     * completion): for every NON-adjacent pair sharing at least one

@@ -1199,6 +1199,18 @@ object PipelineDemos {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    // k-core membership: the collusion-resistant quality gate — a
+    // 4-core survives the removal of any 3 endorsers, where raw
+    // degree is one spam campaign away from gamed. Bounded-round peel
+    // (4 — measured convergent on this corpus: rounds 8/16 return the
+    // identical core), cut-block early stop; post-convergence rounds
+    // are provable no-ops so the result equals the unrolled oracle.
+    "graph_kcore" -> ((s, dir) => {
+      graft.extensions.Graph.kCore(docLinkEdges(s, dir), "src", "dst",
+          k = 4, maxRounds = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // Link prediction: top-k non-adjacent pairs by common-neighbor
     // evidence, inverse-degree weighted (2^20 div deg — Adamic-Adar's
     // signal without cross-engine-unstable ln). Centers above the
@@ -2031,6 +2043,35 @@ object PipelineDemos {
        |    THEN 2.0 * COALESCE(pv.triangles, 0) / (k.degree * (k.degree - 1.0))
        |    ELSE 0.0 END AS lcc
        |FROM k LEFT JOIN pv ON pv.id = k.id ORDER BY doc_id""".stripMargin
+
+  /** k-core oracle mirroring Graph.kCore round for round: the peel
+    * unrolled to the full round budget (the engine's early stop fires
+    * only at the fixpoint, where the remaining rounds are no-ops —
+    * the unrolled chain and the early-stopped loop agree bit for bit).
+    */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    // every per-round CTE is MATERIALIZED: l(r-1) is referenced three
+    // times per round and bad(r) twice, so DuckDB's default inlining
+    // would re-derive the whole chain 2^rounds times (fd exhaustion on
+    // the base parquet long before wall time matters)
+    val roundCtes = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM (
+         |    SELECT a AS id FROM l${r - 1}
+         |    UNION ALL SELECT b FROM l${r - 1}) GROUP BY id),
+         |bad$r AS MATERIALIZED (SELECT id FROM d$r WHERE dg < $k),
+         |l$r AS MATERIALIZED (SELECT t.a, t.b FROM (
+         |    SELECT l.a, l.b FROM l${r - 1} l
+         |    ANTI JOIN bad$r x ON x.id = l.a) t
+         |  ANTI JOIN bad$r y ON y.id = t.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $docEdgeCtes,
+       |l0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM edges WHERE src <> dst),
+       |$roundCtes
+       |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM (SELECT a AS id FROM l$rounds UNION ALL SELECT b FROM l$rounds)
+       |GROUP BY id ORDER BY doc_id""".stripMargin
+  }
 
   /** Link-prediction oracle mirroring Graph.linkCandidates: simple
     * undirected graph → degree-capped centers with 2^20 div deg
@@ -3229,6 +3270,7 @@ object PipelineDemos {
     "hits_resume" -> hitsOracle(iterations = 4),
     "graph_triangles" -> triangleOracle,
     "link_predict" -> linkPredictOracle(maxDeg = 64, k = 50),
+    "graph_kcore" -> kCoreOracle(k = 4, rounds = 4),
     "mixture_budget" -> mixtureBudgetOracle,
     "mixture_temperature" -> mixtureTemperatureOracle,
     "pagerank_trust" -> trustRankOracle,

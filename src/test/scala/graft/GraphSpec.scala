@@ -744,6 +744,63 @@ class GraphSpec extends SparkTestBase {
       .take(k)
   }
 
+  /** Sequential peel reference: the same bounded-round k-core. */
+  private def refKCore(edges: Seq[(Long, Long)], k: Int,
+                       maxRounds: Int): Map[Long, Long] = {
+    var und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    def degrees = (und.toSeq.map(_._1) ++ und.toSeq.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var r = 0
+    var done = false
+    while (r < maxRounds && !done) {
+      val bad = degrees.filter(_._2 < k).keySet
+      if (bad.isEmpty) done = true
+      else und = und.filter { case (a, b) =>
+        !bad.contains(a) && !bad.contains(b) }
+      r += 1
+    }
+    degrees
+  }
+
+  test("k-core: peel matches the sequential reference (converged and " +
+       "budget-capped), any partitioning; a k above the max degree " +
+       "empties the graph; every survivor has >= k neighbors at the " +
+       "fixpoint") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)], k: Int, rounds: Int, parts: Int)
+        : Map[Long, Long] =
+      Graph.kCore(edges.toDF("src", "dst").repartition(parts),
+          "src", "dst", k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a 5-clique with a pendant chain hanging off it: the chain peels
+    // one link per round under k=2, so a small budget leaves part of
+    // it — exercising the budget-capped (non-converged) contract too
+    val clique = for (i <- 0L until 5L; j <- (i + 1) until 5L) yield (i, j)
+    val chain = (0 until 6).map(i => (4L + i, 5L + i))
+    val g = clique ++ chain
+    for ((k, rounds) <- Seq((2, 8), (2, 2), (4, 8), (3, 1))) {
+      val got = run(g, k, rounds, parts = 5)
+      assert(got == refKCore(g, k, rounds), s"k=$k rounds=$rounds")
+    }
+    // converged k=4: only the clique survives, all degrees 4
+    assert(run(g, 4, 8, 3) == (0L until 5L).map(_ -> 4L).toMap)
+    // k above max degree: empty result
+    assert(run(g, 6, 8, 3).isEmpty)
+    // the ring-stride graph from the other suites
+    val n = 150L
+    val rs = for {
+      i <- 0L until n
+      j <- 1 to 3
+    } yield {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j".getBytes("UTF-8"))
+        .take(2).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      (i, (i + 1 + (h % (n - 1))) % n)
+    }
+    assert(run(rs, 4, 8, 7) == refKCore(rs, 4, 8))
+  }
+
   test("link candidates: match the brute-force reference on the " +
        "ring-stride graph; never include an existing edge; hub " +
        "centers above the cap certify nothing") {
