@@ -1975,6 +1975,54 @@ object PipelineDemos {
     * oriented edge set → per-vertex counts (each triangle credits all
     * three corners) → lcc by plain IEEE division.
     */
+  /** Streaming-mixture oracle mirroring DocsStream.mixtureBatch over
+    * the three doc_id%3 micro-batches: per batch, per-lang totals
+    * accumulate over batches ≤ b, the flat waterfill cap re-solves on
+    * the CUMULATIVE frame, and batch-b docs keep against the
+    * cumulative group totals (batch membership is doc_id%3 — NOT an
+    * md5 prefix, which would correlate with the keep test's first
+    * four md5 nibbles and silently skew the sampling).
+    */
+  private[queries] def streamMixtureOracle: String = {
+    def nib(p: Int) =
+      s"(strpos('0123456789abcdef', substr(dh, $p, 1)) - 1)"
+    val h16 = s"(${nib(1)} * 4096 + ${nib(2)} * 256 + " +
+      s"${nib(3)} * 16 + ${nib(4)})"
+    val batchCtes = (0 to 2).map { b =>
+      val cumSrc = (0 to b).map(i => s"SELECT lang, n_tokens FROM t$i")
+        .mkString(" UNION ALL ")
+      s"""t$b AS (SELECT * FROM toks WHERE doc_id % 3 = $b),
+         |g$b AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS ng
+         |  FROM ($cumSrc) GROUP BY lang),
+         |r$b AS (SELECT ng,
+         |    CAST(COALESCE(sum(ng) OVER (ORDER BY ng
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS s_excl,
+         |    count(*) OVER (ORDER BY ng
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rest,
+         |    CAST(sum(ng) OVER () AS BIGINT) AS tot
+         |  FROM g$b),
+         |c$b AS (SELECT max((tot * 1) // 3) AS budget, max(tot) AS tot,
+         |    max(ng) AS mx,
+         |    max(((tot * 1) // 3 - s_excl) // rest) AS rawcap FROM r$b),
+         |cap$b AS (SELECT CASE WHEN tot <= budget THEN mx ELSE rawcap END
+         |    AS cap, tot <= budget AS keep_all FROM c$b),
+         |kept$b AS (SELECT t.doc_id, t.lang, t.n_tokens,
+         |    CAST($b AS BIGINT) AS batch
+         |  FROM t$b t JOIN g$b g ON g.lang = t.lang CROSS JOIN cap$b
+         |  WHERE keep_all OR g.ng <= cap OR $h16 * g.ng < cap * 65536)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT doc_id, lang,
+       |    CAST(len($toksExpr) AS BIGINT) AS n_tokens,
+       |    md5(CAST(doc_id AS VARCHAR)) AS dh FROM documents),
+       |$batchCtes
+       |SELECT doc_id, lang, n_tokens, batch FROM (
+       |  SELECT * FROM kept0 UNION ALL SELECT * FROM kept1
+       |  UNION ALL SELECT * FROM kept2)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Temperature-mixture oracle mirroring Mixture.weightedCap +
     * withKeepRate16: ⌊√ng⌋ weights, threshold-sorted (ng/wg double)
     * prefix sums, the max-candidate cap, then the per-group 16-bit

@@ -115,6 +115,30 @@ object StreamingDemos {
         .select("doc_id", "n_hits")
         .orderBy("doc_id")
     }),
+    // Streaming mixture curation's batch-parity face: the documents
+    // table as 3 doc_id%3 micro-batches through the REAL mixtureBatch
+    // body — per batch the per-lang token totals join the running
+    // totals artifact, the waterfill cap RE-SOLVES on the cumulative
+    // frame (m-row), and the batch's docs keep at the new rates (so a
+    // dominant language faces a tighter cap as it accumulates). The
+    // batch split is doc_id%3, NOT an md5 prefix: the keep test reads
+    // the first four md5 nibbles, and an md5-split batch would
+    // correlate with it and skew the sampling. Both sinks are
+    // batch-addressed overwrites; the oracle re-derives all three
+    // cumulative cap solves arithmetically.
+    "stream_mixture" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
+      val base = graft.tables.ScratchDirs.tmp("mixstream", dir)
+      (0L to 2L).foreach { b =>
+        graft.streaming.DocsStream.mixtureBatch(s,
+          docs.filter(pmod(col("doc_id"), lit(3L)) === b), b,
+          s"$base/totals", s"$base/kept", 1L, 3L)
+      }
+      s.read.parquet(s"$base/kept")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("batch").cast("long").as("batch"))
+        .orderBy("doc_id")
+    }),
     // Streaming IVF ingest's batch-parity face: the index is FROZEN on
     // the history 3/4 of the embeddings corpus (same split and
     // deterministic centroid pick as ann_ivf_incremental); the "new"
@@ -224,6 +248,9 @@ object StreamingDemos {
     // stateless gate: 3 micro-batches ∪ = the one-shot batch result,
     // so the oracle is decontam_ngram's CTE verbatim
     "stream_decontam" -> PipelineDemos.oracleSql("decontam_ngram"),
+    // three cumulative cap solves re-derived arithmetically (the
+    // waterfill CTE chain once per batch over batches <= b)
+    "stream_mixture" -> PipelineDemos.streamMixtureOracle,
     // ann_ivf_drift's CTE chain with the batch side split on
     // vec_id % 8 (3 → batch 0, 7 → batch 1): the frozen history
     // centroids, argmin assignment, and fixed-point quantization error

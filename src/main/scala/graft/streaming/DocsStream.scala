@@ -26,6 +26,9 @@ object DocsStream {
   /** Row shape for streaming document ingest (MemoryStream-friendly). */
   final case class Doc(doc_id: Long, text: String)
 
+  /** Row shape for language-tagged ingest ([[mixtureIngest]]). */
+  final case class LangDoc(doc_id: Long, lang: String, text: String)
+
   /** Start the ingest query. `docs` must be a STREAMING frame with
     * (doc_id long, text string); flags are appended to `flagsDir`,
     * history accumulates under `histDir`, and the (doc_id, band)
@@ -167,6 +170,81 @@ object DocsStream {
         .write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
       batch.write.mode("overwrite").parquet(s"$histDir/batch=$batchId")
     } finally batch.unpersist()
+    ()
+  }
+
+  /** Streaming budget-balanced mixture curation: the incremental face
+    * of [[graft.extensions.Mixture.waterfillCap]] — as crawl batches
+    * land, each batch's per-language token totals join the running
+    * totals artifact, the waterfill cap is RE-SOLVED on the cumulative
+    * totals (an m-row frame, m = #languages), and the batch's
+    * documents are kept at the re-solved rates. As a dominant language
+    * accumulates, later batches of it face a tighter cap — the
+    * balancing sharpens as the corpus grows, without ever re-reading
+    * history documents (the state is the per-lang totals, never the
+    * corpus). Already-kept docs are not retroactively dropped: the
+    * nightly shape is monotone ingest; a final global pass (the batch
+    * `mixture_budget` job) is the compaction that would exactly
+    * enforce the end-state budget.
+    *
+    * foreachBatch, not a stateful operator: the cap must be solved on
+    * ALL groups jointly (a global m-row computation), not per key.
+    * Exactly-once: both sinks are batch-id-addressed overwrites, and
+    * the cumulative totals for batch b read only partitions < b, so a
+    * replayed batch re-derives its own cap identically — see
+    * [[mixtureBatch]].
+    */
+  def mixtureIngest(spark: SparkSession, docs: DataFrame,
+                    totalsDir: String, keptDir: String,
+                    checkpointDir: String,
+                    num: Long = 1L, den: Long = 3L): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mixtureBatch(spark, batch, batchId, totalsDir, keptDir, num, den)
+      }
+      .start()
+
+  /** One mixture micro-batch (exposed for batch-parity testing):
+    * totals += batch, cap re-solved on the cumulative frame, batch
+    * docs kept at the new rates. Prior totals are listed BEFORE this
+    * batch's partition is written and filtered to ids < batchId, so a
+    * replay never reads its own half-written totals.
+    */
+  def mixtureBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                   totalsDir: String, keptDir: String,
+                   num: Long, den: Long): Unit = {
+    import graft.extensions.{Mixture, TextAnalysis}
+    val toks = batch.select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cur = toks.groupBy("lang").agg(sum(col("n_tokens")).as("ng"))
+      val tPath = new org.apache.hadoop.fs.Path(totalsDir)
+      val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val priorIds =
+        if (!fs.exists(tPath)) Seq.empty[Long]
+        else fs.listStatus(tPath).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("batch="))
+          .map(_.getPath.getName.stripPrefix("batch=").toLong)
+          .filter(_ < batchId)
+      val cum =
+        if (priorIds.isEmpty) cur
+        else cur.unionByName(
+            spark.read
+              .parquet(priorIds.map(i => s"$totalsDir/batch=$i"): _*)
+              .select("lang", "ng"))
+          .groupBy("lang").agg(sum(col("ng")).as("ng"))
+      cur.write.mode("overwrite").parquet(s"$totalsDir/batch=$batchId")
+      val cap = Mixture.waterfillCap(cum, "ng", num, den)
+      toks.join(broadcast(cum), "lang")
+        .crossJoin(broadcast(cap))
+        .filter(Mixture.keeps(col("doc_id"), col("ng"), col("cap"),
+          col("keep_all")))
+        .select("doc_id", "lang", "n_tokens")
+        .write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
+    } finally toks.unpersist()
     ()
   }
 }

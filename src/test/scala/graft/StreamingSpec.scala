@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions
 import graft.streaming.EventsStream
 import graft.tables.Tables
 
@@ -644,5 +645,57 @@ class StreamingSpec extends SparkTestBase {
       lists, adv)
     assert(advisory(1) == a1)
     assert(spark.read.parquet(lists).count() == 20)
+  }
+
+  test("streaming mixture curation re-solves the cap on cumulative " +
+       "totals per micro-batch, tightens as the dominant language " +
+       "accumulates, and replays idempotently") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DocsStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mixstream")
+    val (totals, kept, ckpt) = (s"$tmp/totals", s"$tmp/kept", s"$tmp/ckpt")
+    def doc(id: Long, lang: String, n: Int) =
+      DocsStream.LangDoc(id, lang, Seq.fill(n)("tok").mkString(" "))
+    // batch 0: en dominates 10:2; batch 1: en grows to 20:4 cumulative
+    val b0 = (1L to 10L).map(doc(_, "en", 10)) ++
+      (101L to 102L).map(doc(_, "sw", 10))
+    val b1 = (11L to 20L).map(doc(_, "en", 10)) ++
+      (103L to 104L).map(doc(_, "sw", 10))
+    val input = MemoryStream[DocsStream.LangDoc]
+    val q = DocsStream.mixtureIngest(spark, input.toDF(), totals, kept,
+      ckpt, 1L, 3L)
+    try {
+      input.addData(b0: _*); q.processAllAvailable()
+      input.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    // totals artifact: per-batch per-lang sums (state = m rows/batch)
+    val t = spark.read.parquet(totals)
+      .select(functions.col("batch").cast("int"), functions.col("lang"), functions.col("ng"))
+      .as[(Int, String, Long)].collect().toSet
+    assert(t == Set((0, "en", 100L), (0, "sw", 20L),
+      (1, "en", 100L), (1, "sw", 20L)), s"totals=$t")
+    // parity with the sequential batch faces (same dirs re-derived)
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-mixseq")
+    DocsStream.mixtureBatch(spark, b0.toDF(), 0L, s"$tmp2/t",
+      s"$tmp2/k", 1L, 3L)
+    DocsStream.mixtureBatch(spark, b1.toDF(), 1L, s"$tmp2/t",
+      s"$tmp2/k", 1L, 3L)
+    def keptSet(dir: String) = spark.read.parquet(dir)
+      .select(functions.col("doc_id"), functions.col("batch").cast("int"))
+      .as[(Long, Int)].collect().toSet
+    val got = keptSet(kept)
+    assert(got == keptSet(s"$tmp2/k"))
+    // the cumulative cap solve: batch 0 budget = 40, sw (20) under the
+    // flat cap 20 survives whole; en samples at 20/100. Batch 1's
+    // cumulative budget 80 gives cap 40 vs en's 200 — a TIGHTER en
+    // rate (40/200 < 20/100 exactly halves) while sw still keeps all.
+    val swKept = got.filter { case (id, _) => id > 100L }
+    assert(swKept.size == 4, s"small language must survive whole: $got")
+    // replaying batch 0 (foreachBatch redelivery) reads only totals
+    // with batch < 0 = none — identical cap, identical keeps
+    DocsStream.mixtureBatch(spark, b0.toDF(), 0L, totals, kept, 1L, 3L)
+    assert(keptSet(kept) == got)
   }
 }
