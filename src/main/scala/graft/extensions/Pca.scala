@@ -1,0 +1,139 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Fixed-point top principal direction of an embedding corpus — the
+  * dominant-axis signal a curation pipeline uses for outlier scoring,
+  * duplicate-cluster axes, and curriculum ordering ("how far along the
+  * corpus's main axis of variation does this document sit").
+  *
+  * Engine-exact by the same discipline as the graph family: embeddings
+  * quantize to integers once (floor(x·qScale + 0.5) — the
+  * embed_quantize recipe, identical IEEE ops in every engine), the
+  * second-moment Gram matrix accumulates in EXACT integer arithmetic,
+  * and the power iteration runs in integers with a truncating renorm —
+  * so the resulting direction is bit-identical on any partitioning and
+  * verifies against an arithmetic SQL oracle, where float PCA would
+  * differ in the last ulp per summation order.
+  *
+  * The 100 TB shape: the Gram pass is ONE map-side-combinable custom
+  * aggregate whose buffer is the d×d long matrix (d=64 → 32 KB — far
+  * under any executor's memory, merged pairwise like any partial
+  * aggregate); no n·d² explode, no shuffle beyond the single 1-row
+  * aggregation. The d×d matvec iteration then runs driver-side in
+  * BigInt — d²-bounded work, the same altitude as collecting IVF
+  * centroids — and the final per-document projection is a broadcast
+  * literal zip_with/aggregate, map-side codegen. Overflow is
+  * IMPOSSIBLE to miss: the accumulator uses add/multiplyExact, so a
+  * corpus too large for the quantization scale fails loudly instead
+  * of wrapping (at |q| ≤ 594 — this corpus's range at qScale=1024 —
+  * the Long budget covers ~2.6e13 rows; lower qScale to go past it).
+  *
+  * Uncentered second moment (not mean-centered covariance) by design:
+  * one pass, and for normalized-ish embedding corpora the dominant
+  * raw axis is the signal of interest; center upstream (subtract the
+  * exact `embed_centroid` means) when covariance semantics are wanted.
+  */
+object Pca {
+
+  /** One unit of eigenvector magnitude: components live in
+    * [−Scale, Scale] after each renorm.
+    */
+  val Scale: Long = 1L << 20
+
+  /** floor(x·qScale + 0.5) per component — exact in every engine. */
+  def quantize(vec: Column, qScale: Long): Column =
+    transform(vec, x =>
+      floor(x.cast("double") * qScale + lit(0.5)).cast("long"))
+
+  /** Distributed Gram accumulator: buffer = row-major d×d longs;
+    * commutative/associative integer sums, overflow-exact.
+    */
+  final class GramAgg(d: Int)
+      extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    def zero: Array[Long] = new Array[Long](d * d)
+    def reduce(buf: Array[Long], q: Seq[Long]): Array[Long] = {
+      require(q != null && q.length == d,
+        s"vector of dim ${if (q == null) "null" else q.length.toString}" +
+          s", expected $d")
+      val qa = q.toArray
+      var i = 0
+      while (i < d) {
+        val qi = qa(i)
+        var j = 0
+        while (j < d) {
+          buf(i * d + j) = Math.addExact(buf(i * d + j),
+            Math.multiplyExact(qi, qa(j)))
+          j += 1
+        }
+        i += 1
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Driver power iteration on the collected Gram, exact BigInt
+    * arithmetic (matvec values exceed Long; BigInt `/` truncates
+    * toward zero — the SQL oracle mirrors it with a sign-split floor
+    * division). Deterministic start (all-ones·Scale), fixed budget.
+    */
+  def powerIterate(gram: Seq[Long], d: Int, iterations: Int)
+      : Seq[Long] = {
+    require(gram.length == d * d, s"gram must be $d x $d")
+    require(iterations >= 1 && iterations <= 64, "fixed budget")
+    var v = Array.fill(d)(BigInt(Scale))
+    for (_ <- 1 to iterations) {
+      val w = Array.tabulate(d) { i =>
+        var acc = BigInt(0)
+        var j = 0
+        while (j < d) { acc += BigInt(gram(i * d + j)) * v(j); j += 1 }
+        acc
+      }
+      val m = w.map(_.abs).max
+      require(m.signum != 0,
+        "zero Gram matrix (all-zero corpus) has no principal direction")
+      v = w.map(x => x * Scale / m)
+    }
+    v.map(_.toLong)
+  }
+
+  /** The corpus's fixed-point top component: one Gram aggregate pass
+    * + driver-side iteration.
+    */
+  def topComponent(vecs: DataFrame, vecCol: String, d: Int,
+                   iterations: Int = 8, qScale: Long = 1024L)
+      : Seq[Long] = {
+    val gram = vecs
+      .select(quantize(col(vecCol), qScale).as("qv"))
+      .agg(udaf(new GramAgg(d), ExpressionEncoder[Seq[Long]]())
+        .apply(col("qv")).as("g"))
+      .collect().head.getSeq[Long](0)
+    powerIterate(gram, d, iterations)
+  }
+
+  /** Per-vector projection onto the top component: (id, proj), proj =
+    * Σ q_i·v_i — the component travels as a broadcast array literal,
+    * the dot product is codegen'd zip_with/aggregate, map-side only.
+    */
+  def project(vecs: DataFrame, idCol: String, vecCol: String, d: Int,
+              iterations: Int = 8, qScale: Long = 1024L): DataFrame = {
+    val v = topComponent(vecs, vecCol, d, iterations, qScale)
+    val vLit = array(v.map(lit): _*)
+    vecs.select(col(idCol),
+      aggregate(zip_with(quantize(col(vecCol), qScale), vLit,
+        (a, b) => a * b), lit(0L), (acc, x) => acc + x).as("proj"))
+  }
+}

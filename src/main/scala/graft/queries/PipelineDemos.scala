@@ -1118,6 +1118,17 @@ object PipelineDemos {
             .as("q"))
         .orderBy("vec_id")
     }),
+    // Fixed-point top principal direction: ONE map-side Gram aggregate
+    // (buffer = the 64x64 long matrix), a d²-bounded driver power
+    // iteration in exact BigInt, then a broadcast-literal zip_with dot
+    // product per vector — the corpus's dominant axis for outlier /
+    // curriculum scoring, bit-identical on any layout where float PCA
+    // drifts by summation order.
+    "embed_pca" -> ((s, dir) => {
+      graft.extensions.Pca.project(Tables.embeddings(s, dir),
+          "vec_id", "embedding", d = 64)
+        .orderBy("vec_id")
+    }),
     // Link-graph centrality for mixture weighting (the CommonCrawl
     // "rank domains before sampling" job): fixed-point integer PageRank
     // (Graph.pageRankFixedPoint — bit-exact for any partitioning, so
@@ -1975,6 +1986,46 @@ object PipelineDemos {
     * oriented edge set → per-vertex counts (each triangle credits all
     * three corners) → lcc by plain IEEE division.
     */
+  /** Fixed-point PCA oracle mirroring Pca.topComponent/project: the
+    * quantized cell frame, the n·d² Gram join (oracle-scale only — the
+    * engine's one-pass aggregate has no SQL analogue), then the power
+    * iteration unrolled with HUGEINT matvecs and a sign-split
+    * TRUNCATING division (BigInt `/` truncates toward zero; DuckDB
+    * `//` floors, so negatives must negate-divide-negate). Every CTE
+    * MATERIALIZED: gram feeds all 8 iterations and each w feeds both
+    * its max and its renorm.
+    */
+  private def pcaOracle(d: Int, iterations: Int, qScale: Long,
+                        scale: Long): String = {
+    val iterCtes = (1 to iterations).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT g.i, sum(g.val * v.v) AS w
+         |  FROM gram g JOIN v${t - 1} v ON v.i = g.j GROUP BY g.i),
+         |m$t AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM w$t),
+         |v$t AS MATERIALIZED (SELECT i,
+         |    CASE WHEN w >= 0 THEN (w * $scale) // mx
+         |         ELSE -(((-w) * $scale) // mx) END AS v
+         |  FROM w$t CROSS JOIN m$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(
+       |      CAST(x AS DOUBLE) * $qScale + CAST(0.5 AS DOUBLE))
+       |      AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |cell AS MATERIALIZED (SELECT vec_id, g.generate_series AS i,
+       |    qv[g.generate_series] AS qc
+       |  FROM q CROSS JOIN generate_series(1, $d) g),
+       |gram AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+       |    CAST(sum(a.qc * b.qc) AS HUGEINT) AS val
+       |  FROM cell a JOIN cell b ON a.vec_id = b.vec_id
+       |  GROUP BY a.i, b.i),
+       |v0 AS (SELECT g.generate_series AS i, CAST($scale AS HUGEINT) AS v
+       |  FROM generate_series(1, $d) g),
+       |$iterCtes
+       |SELECT c.vec_id, CAST(sum(c.qc * v.v) AS BIGINT) AS proj
+       |FROM cell c JOIN v$iterations v ON v.i = c.i
+       |GROUP BY c.vec_id ORDER BY vec_id""".stripMargin
+  }
+
   /** Streaming-mixture oracle mirroring DocsStream.mixtureBatch over
     * the three doc_id%3 micro-batches: per batch, per-lang totals
     * accumulate over batches ≤ b, the flat waterfill cap re-solves on
@@ -3321,6 +3372,8 @@ object PipelineDemos {
     "graph_kcore" -> kCoreOracle(k = 4, rounds = 4),
     "mixture_budget" -> mixtureBudgetOracle,
     "mixture_temperature" -> mixtureTemperatureOracle,
+    "embed_pca" -> pcaOracle(d = 64, iterations = 8, qScale = 1024L,
+      scale = graft.extensions.Pca.Scale),
     "pagerank_trust" -> trustRankOracle,
     "pipeline_hits_gate" -> hitsGateOracle,
     "graph_walks" -> graphWalksOracle(steps = 3, walks = 2),

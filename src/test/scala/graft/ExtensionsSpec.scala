@@ -1787,6 +1787,63 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("fixed-point PCA: matches the sequential BigInt reference on a " +
+       "planted-direction corpus, any partitioning; aligns with the " +
+       "planted axis; rejects zero corpora and wrong dims") {
+    import spark.implicits._
+    import graft.extensions.Pca
+    val d = 5
+    // planted dominant direction (3,1,-2,0,1)/norm with deterministic
+    // small off-axis noise
+    val dir = Seq(3.0, 1.0, -2.0, 0.0, 1.0)
+    val vecs = (0 until 60).map { k =>
+      val a = (k % 7 - 3).toDouble // mixed signs along the axis
+      val noise = (i: Int) => ((k * 31 + i * 17) % 11 - 5) * 0.01
+      (k.toLong, (0 until d).map(i => (a * dir(i) + noise(i)).toFloat))
+    }
+    def ref(rows: Seq[(Long, Seq[Float])], iters: Int): Seq[Long] = {
+      val q = rows.map(_._2.map(x =>
+        math.floor(x.toDouble * 1024 + 0.5).toLong))
+      val gram = Array.tabulate(d, d)((i, j) =>
+        q.map(v => BigInt(v(i)) * v(j)).sum)
+      var v = Array.fill(d)(BigInt(Pca.Scale))
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(d)(i =>
+          (0 until d).map(j => gram(i)(j) * v(j)).sum)
+        val m = w.map(_.abs).max
+        v = w.map(x => x * Pca.Scale / m)
+      }
+      v.map(_.toLong).toSeq
+    }
+    for (parts <- Seq(1, 7)) {
+      val df = vecs.toDF("vec_id", "embedding").repartition(parts)
+      val got = Pca.topComponent(df, "embedding", d, iterations = 8)
+      assert(got == ref(vecs, 8), s"parts=$parts")
+      // alignment: dominant |component| on the planted axis' largest
+      // coordinate, signs proportional to dir (up to global sign)
+      val sgn = if (got(0) > 0) 1 else -1
+      assert(math.abs(got(0)) == got.map(math.abs).max)
+      assert(got(2).sign == -sgn && got(3).abs < got(1).abs)
+      // projections: engine == per-row dot product with the component
+      val proj = Pca.project(df, "vec_id", "embedding", d)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val qrows = vecs.map { case (id, v) =>
+        id -> v.map(x => math.floor(x.toDouble * 1024 + 0.5).toLong) }
+      for ((id, q) <- qrows)
+        assert(proj(id) == q.zip(got).map { case (a, b) => a * b }.sum)
+    }
+    val zero = Seq((0L, Seq.fill(d)(0.0f))).toDF("vec_id", "embedding")
+    val exZ = intercept[IllegalArgumentException](
+      Pca.topComponent(zero, "embedding", d))
+    assert(exZ.getMessage.contains("no principal direction"))
+    val bad = Seq((0L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val exD = intercept[Exception](Pca.topComponent(bad, "embedding", d))
+    val msgs = Iterator.iterate(exD: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("expected 5"), s"got: $msgs")
+  }
+
   test("weightedCap: feasible AND maximal (f(cap) <= budget < f(cap+1)) " +
        "with sqrt weights and random weights; all-1 weights reduce to " +
        "waterfillCap; bad weights raise") {
