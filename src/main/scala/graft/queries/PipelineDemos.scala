@@ -1129,6 +1129,27 @@ object PipelineDemos {
           "vec_id", "embedding", d = 64)
         .orderBy("vec_id")
     }),
+    // PCA composed INTO curation — curriculum stages per class: most
+    // axis-typical vectors (smallest |proj| along the dominant
+    // direction) first, per-label quartiles via the broadcast cut-key
+    // mechanism (tierBoundaries/tierOf — the scale-safe tiering that
+    // replaced rank_mix's full-partition window; a per-label ranking
+    // window would serialize each class through one reducer).
+    "pca_curriculum" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val proj = graft.extensions.Pca.project(e, "vec_id", "embedding",
+        d = 64)
+      val joined = e
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+        .join(proj, "vec_id")
+        .localCheckpoint(true)
+      val ord = Seq(abs(col("proj")), col("vec_id"))
+      val bounds = graft.ops.AggOps.tierBoundaries(joined, "label", ord, 4)
+      joined.join(broadcast(bounds), "label")
+        .withColumn("stage", graft.ops.AggOps.tierOf(ord, 4).cast("int"))
+        .select("vec_id", "label", "proj", "stage")
+        .orderBy("vec_id")
+    }),
     // Link-graph centrality for mixture weighting (the CommonCrawl
     // "rank domains before sampling" job): fixed-point integer PageRank
     // (Graph.pageRankFixedPoint — bit-exact for any partitioning, so
@@ -1995,8 +2016,8 @@ object PipelineDemos {
     * MATERIALIZED: gram feeds all 8 iterations and each w feeds both
     * its max and its renorm.
     */
-  private def pcaOracle(d: Int, iterations: Int, qScale: Long,
-                        scale: Long): String = {
+  private def pcaCtes(d: Int, iterations: Int, qScale: Long,
+                      scale: Long): String = {
     val iterCtes = (1 to iterations).map { t =>
       s"""w$t AS MATERIALIZED (SELECT g.i, sum(g.val * v.v) AS w
          |  FROM gram g JOIN v${t - 1} v ON v.i = g.j GROUP BY g.i),
@@ -2006,7 +2027,7 @@ object PipelineDemos {
          |         ELSE -(((-w) * $scale) // mx) END AS v
          |  FROM w$t CROSS JOIN m$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS MATERIALIZED (SELECT vec_id,
+    s"""q AS MATERIALIZED (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(
        |      CAST(x AS DOUBLE) * $qScale + CAST(0.5 AS DOUBLE))
        |      AS BIGINT)) AS qv
@@ -2020,11 +2041,37 @@ object PipelineDemos {
        |  GROUP BY a.i, b.i),
        |v0 AS (SELECT g.generate_series AS i, CAST($scale AS HUGEINT) AS v
        |  FROM generate_series(1, $d) g),
-       |$iterCtes
-       |SELECT c.vec_id, CAST(sum(c.qc * v.v) AS BIGINT) AS proj
-       |FROM cell c JOIN v$iterations v ON v.i = c.i
-       |GROUP BY c.vec_id ORDER BY vec_id""".stripMargin
+       |$iterCtes,
+       |pcaproj AS MATERIALIZED (
+       |  SELECT c.vec_id, CAST(sum(c.qc * v.v) AS BIGINT) AS proj
+       |  FROM cell c JOIN v$iterations v ON v.i = c.i
+       |  GROUP BY c.vec_id)""".stripMargin
   }
+
+  private def pcaOracle(d: Int, iterations: Int, qScale: Long,
+                        scale: Long): String =
+    s"""WITH ${pcaCtes(d, iterations, qScale, scale)}
+       |SELECT vec_id, proj FROM pcaproj ORDER BY vec_id""".stripMargin
+
+  /** PCA-curriculum oracle: the shared pcaproj chain joined back to
+    * the label column, staged per label by the ((rn-1)·4) div cnt
+    * window formula over (|proj| asc, vec_id) — the same formula
+    * AggOps.tierBoundaries' broadcast cut keys are proven against.
+    */
+  private def pcaCurriculumOracle(d: Int, iterations: Int, qScale: Long,
+                                  scale: Long): String =
+    s"""WITH ${pcaCtes(d, iterations, qScale, scale)},
+       |lbl AS (SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+       |    p.proj
+       |  FROM embeddings e JOIN pcaproj p ON p.vec_id = e.vec_id),
+       |ranked AS (SELECT *,
+       |    row_number() OVER (PARTITION BY label
+       |      ORDER BY abs(proj), vec_id) AS rn,
+       |    count(*) OVER (PARTITION BY label) AS cnt
+       |  FROM lbl)
+       |SELECT vec_id, label, proj,
+       |  CAST(((rn - 1) * 4) // cnt AS INTEGER) AS stage
+       |FROM ranked ORDER BY vec_id""".stripMargin
 
   /** Streaming-mixture oracle mirroring DocsStream.mixtureBatch over
     * the three doc_id%3 micro-batches: per batch, per-lang totals
@@ -3374,6 +3421,8 @@ object PipelineDemos {
     "mixture_temperature" -> mixtureTemperatureOracle,
     "embed_pca" -> pcaOracle(d = 64, iterations = 8, qScale = 1024L,
       scale = graft.extensions.Pca.Scale),
+    "pca_curriculum" -> pcaCurriculumOracle(d = 64, iterations = 8,
+      qScale = 1024L, scale = graft.extensions.Pca.Scale),
     "pagerank_trust" -> trustRankOracle,
     "pipeline_hits_gate" -> hitsGateOracle,
     "graph_walks" -> graphWalksOracle(steps = 3, walks = 2),

@@ -551,10 +551,12 @@ class PlanShapeSpec extends SparkTestBase {
       s"composite plan must stay bounded, got $nExchanges Exchanges")
   }
 
-  test("pipeline_rank_mix and pipeline_hits_gate tier map-side: every " +
-       "Window in the plan sits under a BroadcastExchange (the cut-key " +
-       "side) — no full per-group ranking window on the bulk path") {
-   Seq("pipeline_rank_mix", "pipeline_hits_gate").foreach { name =>
+  test("pipeline_rank_mix / pipeline_hits_gate / pca_curriculum tier " +
+       "map-side: every Window in the plan sits under a " +
+       "BroadcastExchange (the cut-key side) — no full per-group " +
+       "ranking window on the bulk path") {
+   Seq("pipeline_rank_mix", "pipeline_hits_gate",
+       "pca_curriculum").foreach { name =>
     val df = SparkEntry.queries(name)(spark, dir)
     val plan = unwrapped(df.queryExecution.executedPlan)
     val windows = plan.collect {
