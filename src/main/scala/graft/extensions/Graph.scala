@@ -793,6 +793,14 @@ object Graph {
     * keyed on the edge endpoints — the live edge frame only ever
     * SHRINKS, so per-round cost falls as the peel proceeds.
     *
+    * No resume variant BY DESIGN (unlike the rank/label/HITS family):
+    * peeling is monotone DELETION, and an edge append can re-qualify
+    * vertices peeled long ago — the live frame alone is not Markovian
+    * state for the appended graph, so a saved peel cannot warm-start
+    * correctly. The artifact story here is the opposite direction:
+    * re-peel the merged graph, which the shrinking-frame rounds make
+    * cheap relative to the iterative operators that DO resume.
+    *
     * @param k         minimum surviving degree (≥ 2; k=1 is the
     *                  whole simple graph minus isolated vertices)
     * @param maxRounds peel budget; peeling removes ≥1 vertex per
