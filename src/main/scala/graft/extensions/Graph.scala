@@ -721,13 +721,7 @@ object Graph {
     */
   def triangleCounts(edges: DataFrame, srcCol: String,
                      dstCol: String): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-                         col(dstCol).cast("long").as("dst"))
-      .where(col("src") =!= col("dst"))
-    val und = e.select(least(col("src"), col("dst")).as("a"),
-                       greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val und = undirectedSimple(edges, srcCol, dstCol)
     val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("degree"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -814,13 +808,7 @@ object Graph {
             k: Int, maxRounds: Int = 8): DataFrame = {
     require(k >= 2, "k-core needs k >= 2 (k=1 is the input graph)")
     require(maxRounds >= 1 && maxRounds <= 32, "fixed round budget")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-                         col(dstCol).cast("long").as("dst"))
-      .where(col("src") =!= col("dst"))
-    var live = e.select(least(col("src"), col("dst")).as("a"),
-                        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var live = undirectedSimple(edges, srcCol, dstCol)
     val kept = scala.collection.mutable.Buffer[DataFrame](live)
     def degreesOf(f: DataFrame): DataFrame =
       f.select(explode(array(col("a"), col("b"))).as("id"))
@@ -833,12 +821,15 @@ object Graph {
     // ANALYZED plan doubles per round — 2^rounds copies of the input
     // lineage OOMs plan analysis long before execution; the cut every
     // 4th round bounds the tree at 2^4 copies. Convergence is checked
-    // at the cuts by edge-count equality (a peel round that removes
-    // any vertex strictly shrinks the edge frame, so equal counts
-    // across a block ⟺ all its rounds were no-ops ⟺ fixpoint): at
-    // most 3 no-op rounds run before the stop fires, the price of
-    // keeping the inner rounds action-free.
-    var lastCnt = -1L
+    // at the cuts by edge-count equality against the PREVIOUS count —
+    // seeded with the input edge count below, so the first cut can
+    // already detect a from-the-start fixpoint (a peel round that
+    // removes any vertex strictly shrinks the edge frame, so equal
+    // counts across a block ⟺ all its rounds were no-ops ⟺
+    // fixpoint): at most one cut block of no-op rounds runs before
+    // the stop fires, the price of keeping inner rounds action-free.
+    // The seed count also pre-fills the canonical frame's cache.
+    var lastCnt = live.count()
     var r = 0
     var converged = false
     while (r < maxRounds && !converged) {
@@ -896,13 +887,7 @@ object Graph {
       : DataFrame = {
     require(maxCenterDegree >= 2, "centers need >= 2 neighbors to pair")
     require(k >= 1, "top-k needs k >= 1")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-                         col(dstCol).cast("long").as("dst"))
-      .where(col("src") =!= col("dst"))
-    val und = e.select(least(col("src"), col("dst")).as("a"),
-                       greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val und = undirectedSimple(edges, srcCol, dstCol)
     val sym = und.union(und.select(col("b"), col("a")))
     val deg = sym.groupBy(col("a").as("u"))
       .agg(count(lit(1)).as("degree"))
@@ -926,6 +911,21 @@ object Graph {
       .localCheckpoint(true)
     Seq(und, centers).foreach(_.unpersist(false))
     out
+  }
+
+  /** Canonical undirected SIMPLE graph: long-cast endpoints, self-loops
+    * dropped, each edge once as (a < b), persisted — the shared front
+    * door of [[triangleCounts]], [[kCore]], and [[linkCandidates]].
+    */
+  private def undirectedSimple(edges: DataFrame, srcCol: String,
+                               dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    e.select(least(col("src"), col("dst")).as("a"),
+             greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Canonical symmetrized (a, b) edge frame, persisted. */

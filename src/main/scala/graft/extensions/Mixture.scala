@@ -86,19 +86,28 @@ object Mixture {
     * cut concentrates on the dominant groups — exactly the balancing
     * step multilingual pretraining mixes use.
     *
-    * Same closed form as [[waterfillCap]], with groups sorted by the
-    * saturation threshold n_g/w_g (the C at which group g caps out)
-    * instead of n_g: with S_i = Σ n over the i smallest-threshold
-    * groups and V_i = Σ w over the rest,
-    *   C = max over i of (budget − S_i) div V_i.
-    * Feasibility of every candidate: min(n, C_i·w) ≤ n on the prefix
-    * and ≤ C_i·w on the rest, so f(C_i) ≤ S_i + C_i·V_i ≤ budget.
-    * Maximality: the true C* saturates exactly the groups with
-    * n_g/w_g ≤ C*, a PREFIX of this order, so C* ≤ its own candidate.
-    * The threshold sort key is the IEEE double n_g/w_g (identical bits
-    * in every engine; ties carry identical (ng, wg) up to
-    * interchangeability, so any tie order yields the same max — the
-    * proof only needs SOME threshold-ascending order).
+    * Same closed form as [[waterfillCap]] with the saturation
+    * threshold n_g/w_g (the C at which group g caps out) replacing
+    * n_g as the order, but computed WITHOUT a sort: per group,
+    *   S_g = Σ_{h ≺ g} n_h,   V_g = Σ_{h ⊀ g} w_h,
+    *   C = max over g of (budget − S_g) div V_g,
+    * where h ≺ g is the EXACT threshold order by cross-multiplication
+    * (n_h·w_g < n_g·w_h, ties by (n, w) lexicographic) evaluated on
+    * an m×m self-join in DECIMAL(38,0) — m is the group count
+    * (languages/domains: dozens), so m² rows are free, and no IEEE
+    * ratio ever orders the groups (two distinct exact thresholds can
+    * collide as doubles at large magnitudes, which would break the
+    * prefix premise of the maximality proof below).
+    * Feasibility of every candidate: min(n, C_g·w) ≤ n on {h ≺ g}
+    * and ≤ C_g·w on the rest, so f(C_g) ≤ S_g + C_g·V_g ≤ budget —
+    * for ANY partition of the groups, sort or no sort. Maximality:
+    * the true C* saturates exactly {h : n_h/w_h ≤ C*}, which is
+    * DOWNWARD-CLOSED under ≺ and never splits an equal-threshold
+    * block (equal thresholds saturate together), so it equals
+    * {h : h ≺ g*} for the ≺-least unsaturated g* — whose candidate
+    * then bounds C* from above. Exact duplicates (same n AND w) are
+    * mutually unordered; they saturate together, so the block's
+    * shared candidate is the one the proof needs.
     *
     * Zero groups take no budget and are dropped here (callers keep
     * them whole via the rate's ng=0 clause); a non-positive or null
@@ -111,7 +120,6 @@ object Mixture {
   def weightedCap(groups: DataFrame, ngCol: String, wCol: String,
                   num: Long, den: Long): DataFrame = {
     require(num >= 0 && den > 0, s"budget fraction must be >=0 / >0")
-    import org.apache.spark.sql.expressions.Window
     val g = groups
       .select(col(ngCol).cast("long").as("ng"),
         col(wCol).cast("long").as("wg"))
@@ -121,19 +129,28 @@ object Mixture {
           raise_error(concat(lit("weightedCap: non-positive or null " +
             "weight on a non-empty group (ng="), col("ng"), lit(")"))))
           .otherwise(col("wg")))
-    val w = Window.orderBy(col("ratio"), col("ng"), col("wg"))
-    g.withColumn("ratio", col("ng").cast("double") / col("wg"))
-      .withColumn("s_excl", coalesce(sum(col("ng")).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("v_rest", sum(col("wg")).over(
-        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
-      .withColumn("tot", sum(col("ng")).over(
-        w.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
-      .withColumn("budget", expr(s"(tot * $num) div $den"))
-      .agg(max(col("budget")).as("budget"), max(col("tot")).as("tot"),
-        max(col("ng")).as("mx"),
-        max(expr("(budget - s_excl) div v_rest")).as("rawcap"))
+    // a = DISTINCT (n, w) — exact-duplicate groups share one candidate
+    // (they saturate together; see the block argument above), and a
+    // non-distinct a-side would k-fold-count every sum for a block of
+    // k duplicates. b = the full multiset.
+    val a = g.select(col("ng").as("na"), col("wg").as("wa")).distinct()
+    val b = g.select(col("ng").as("nb"), col("wg").as("wb"))
+    // h ≺ g: exact cross-multiplied threshold order, (n, w) tie-break.
+    // DECIMAL(38,0) products — n·w can pass 2^63 for huge corpora.
+    val before = expr(
+      """CAST(nb AS DECIMAL(38,0)) * wa < CAST(na AS DECIMAL(38,0)) * wb
+         OR (CAST(nb AS DECIMAL(38,0)) * wa = CAST(na AS DECIMAL(38,0)) * wb
+             AND (nb < na OR (nb = na AND wb < wa)))""")
+    val per = a.crossJoin(b)
+      .groupBy(col("na"), col("wa"))
+      .agg(sum(when(before, col("nb")).otherwise(lit(0L))).as("s_g"),
+        sum(when(!before, col("wb")).otherwise(lit(0L))).as("v_g"),
+        sum(col("nb")).as("tot_all"), max(col("nb")).as("mx_all"))
+    per
+      .withColumn("budget", expr(s"(tot_all * $num) div $den"))
+      .agg(max(col("budget")).as("budget"),
+        max(col("tot_all")).as("tot"), max(col("mx_all")).as("mx"),
+        max(expr("(budget - s_g) div v_g")).as("rawcap"))
       .select(col("budget"),
         when(col("tot") <= col("budget"), col("mx"))
           .otherwise(col("rawcap")).as("cap"),

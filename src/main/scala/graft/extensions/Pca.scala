@@ -88,13 +88,27 @@ object Pca {
   /** Driver power iteration on the collected Gram, exact BigInt
     * arithmetic (matvec values exceed Long; BigInt `/` truncates
     * toward zero — the SQL oracle mirrors it with a sign-split floor
-    * division). Deterministic start (all-ones·Scale), fixed budget.
+    * division). Deterministic start: the BASIS vector at the largest
+    * Gram diagonal (smallest index on ties) — an all-ones start is
+    * annihilated by any Gram whose rows sum to zero (e.g. every
+    * vector ∝ (1,−1): a perfectly well-posed corpus would crash as
+    * "zero Gram"), whereas G·e_i contains the max diagonal itself,
+    * and from step 2 on v sits in range(G), which for symmetric G
+    * meets null(G) only at 0 — so the renorm max only vanishes when
+    * the Gram is genuinely zero. (The generic power-iteration caveat
+    * remains: a start exactly orthogonal to the top eigenvector
+    * converges to a minor axis; with the max-energy basis start that
+    * requires the dominant direction to have zero weight on the
+    * corpus's highest-energy dimension — contrived for real
+    * embedding corpora, and deterministic when it does happen.)
     */
   def powerIterate(gram: Seq[Long], d: Int, iterations: Int)
       : Seq[Long] = {
     require(gram.length == d * d, s"gram must be $d x $d")
     require(iterations >= 1 && iterations <= 64, "fixed budget")
-    var v = Array.fill(d)(BigInt(Scale))
+    val start = (0 until d).maxBy(i => (gram(i * d + i), -i))
+    var v = Array.tabulate(d)(i =>
+      if (i == start) BigInt(Scale) else BigInt(0))
     for (_ <- 1 to iterations) {
       val w = Array.tabulate(d) { i =>
         var acc = BigInt(0)

@@ -2039,7 +2039,11 @@ object PipelineDemos {
        |    CAST(sum(a.qc * b.qc) AS HUGEINT) AS val
        |  FROM cell a JOIN cell b ON a.vec_id = b.vec_id
        |  GROUP BY a.i, b.i),
-       |v0 AS (SELECT g.generate_series AS i, CAST($scale AS HUGEINT) AS v
+       |dstart AS MATERIALIZED (SELECT i FROM gram WHERE i = j
+       |  ORDER BY val DESC, i LIMIT 1),
+       |v0 AS (SELECT g.generate_series AS i,
+       |    CASE WHEN g.generate_series = (SELECT i FROM dstart)
+       |      THEN CAST($scale AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS v
        |  FROM generate_series(1, $d) g),
        |$iterCtes,
        |pcaproj AS MATERIALIZED (
@@ -2122,35 +2126,42 @@ object PipelineDemos {
   }
 
   /** Temperature-mixture oracle mirroring Mixture.weightedCap +
-    * withKeepRate16: ⌊√ng⌋ weights, threshold-sorted (ng/wg double)
-    * prefix sums, the max-candidate cap, then the per-group 16-bit
-    * rate in HUGEINT (Spark side: DECIMAL(38,0)) with the same
-    * least-clamp and integral floor division.
+    * withKeepRate16: ⌊√ng⌋ weights, the m×m EXACT cross-multiplied
+    * threshold order (no double ratio — two distinct exact thresholds
+    * can collide as doubles) with (n, w) tie-break and a distinct
+    * a-side, the max-candidate cap, then the per-group 16-bit rate in
+    * HUGEINT (Spark side: DECIMAL(38,0)) with the same least-clamp
+    * and integral floor division.
     */
   private def mixtureTemperatureOracle: String = {
     def nib(p: Int) =
       s"(strpos('0123456789abcdef', substr(dh, $p, 1)) - 1)"
     val h16 = s"(${nib(1)} * 4096 + ${nib(2)} * 256 + " +
       s"${nib(3)} * 16 + ${nib(4)})"
-    val ord = "ORDER BY CAST(ng AS DOUBLE) / wg, ng, wg"
+    val before =
+      """(CAST(b.ng AS HUGEINT) * a.wg < CAST(a.ng AS HUGEINT) * b.wg
+        | OR (CAST(b.ng AS HUGEINT) * a.wg = CAST(a.ng AS HUGEINT) * b.wg
+        |     AND (b.ng < a.ng OR (b.ng = a.ng AND b.wg < a.wg))))"""
+        .stripMargin
     s"""WITH toks AS (SELECT doc_id, lang,
        |    CAST(len($toksExpr) AS BIGINT) AS n_tokens FROM documents),
        |g AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS ng
        |  FROM toks GROUP BY lang),
        |gw AS (SELECT lang, ng,
        |    CAST(floor(sqrt(CAST(ng AS DOUBLE))) AS BIGINT) AS wg FROM g),
-       |r AS (SELECT ng, wg,
-       |    CAST(COALESCE(sum(ng) OVER ($ord
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |      AS BIGINT) AS s_excl,
-       |    CAST(sum(wg) OVER ($ord
-       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-       |      AS BIGINT) AS v_rest,
-       |    CAST(sum(ng) OVER () AS BIGINT) AS tot
-       |  FROM gw WHERE ng > 0),
+       |gp AS (SELECT a.ng AS na, a.wg AS wa,
+       |    CAST(sum(CASE WHEN $before THEN b.ng ELSE 0 END)
+       |      AS BIGINT) AS s_g,
+       |    CAST(sum(CASE WHEN NOT $before THEN b.wg ELSE 0 END)
+       |      AS BIGINT) AS v_g,
+       |    CAST(sum(b.ng) AS BIGINT) AS tot,
+       |    CAST(max(b.ng) AS BIGINT) AS mx
+       |  FROM (SELECT DISTINCT ng, wg FROM gw WHERE ng > 0) a
+       |  CROSS JOIN (SELECT ng, wg FROM gw WHERE ng > 0) b
+       |  GROUP BY a.ng, a.wg),
        |c AS (SELECT max((tot * 1) // 3) AS budget, max(tot) AS tot,
-       |    max(ng) AS mx,
-       |    max((((tot * 1) // 3) - s_excl) // v_rest) AS rawcap FROM r),
+       |    max(mx) AS mx,
+       |    max((((tot * 1) // 3) - s_g) // v_g) AS rawcap FROM gp),
        |cap AS (SELECT CASE WHEN tot <= budget THEN mx ELSE rawcap END
        |    AS cap, tot <= budget AS keep_all FROM c),
        |rt AS (SELECT lang, ng, wg,

@@ -1806,7 +1806,9 @@ class ExtensionsSpec extends SparkTestBase {
         math.floor(x.toDouble * 1024 + 0.5).toLong))
       val gram = Array.tabulate(d, d)((i, j) =>
         q.map(v => BigInt(v(i)) * v(j)).sum)
-      var v = Array.fill(d)(BigInt(Pca.Scale))
+      val start = (0 until d).maxBy(i => (gram(i)(i), -i))
+      var v = Array.tabulate(d)(i =>
+        if (i == start) BigInt(Pca.Scale) else BigInt(0))
       for (_ <- 1 to iters) {
         val w = Array.tabulate(d)(i =>
           (0 until d).map(j => gram(i)(j) * v(j)).sum)
@@ -1832,6 +1834,14 @@ class ExtensionsSpec extends SparkTestBase {
       for ((id, q) <- qrows)
         assert(proj(id) == q.zip(got).map { case (a, b) => a * b }.sum)
     }
+    // the all-ones-start killer: every vector ∝ (1,−1), so every Gram
+    // row sums to zero — an all-ones start is annihilated in step 1
+    // ("zero Gram" crash on a well-posed corpus); the max-diagonal
+    // basis start must recover the direction exactly
+    val anti = (0 until 10).map(k =>
+      (k.toLong, Seq((k + 1).toFloat, -(k + 1).toFloat)))
+    val gotA = Pca.topComponent(anti.toDF("vec_id", "embedding"), "embedding", 2)
+    assert(gotA == Seq(Pca.Scale, -Pca.Scale), s"got $gotA")
     val zero = Seq((0L, Seq.fill(d)(0.0f))).toDF("vec_id", "embedding")
     val exZ = intercept[IllegalArgumentException](
       Pca.topComponent(zero, "embedding", d))
@@ -1888,6 +1898,26 @@ class ExtensionsSpec extends SparkTestBase {
     }
     val ex = intercept[Exception](run(Seq((10L, 0L), (5L, 1L)), 1L, 3L))
     assert(ex.getMessage.contains("non-positive or null weight"))
+    // exact-threshold discrimination where IEEE doubles collide:
+    // (2^53+1)/2 and 2^52/1 have ratio doubles both equal to 2^52
+    // (2^53+1 is not representable), but exact thresholds differ —
+    // the m² cross-multiplied order must still produce the true
+    // maximal cap (checked with BigInt arithmetic: Long f() would
+    // overflow at these magnitudes)
+    def fB(gs: Seq[(Long, Long)], c: BigInt): BigInt =
+      gs.map { case (n, w) => BigInt(n).min(c * w) }.sum
+    val huge = Seq(((1L << 53) + 1L, 2L), (1L << 52, 1L), (1000L, 1L))
+    val (bH, capH, kaH) = run(huge, 1L, 3L)
+    assert(!kaH)
+    assert(fB(huge, capH) <= bH && fB(huge, capH + 1) > bH,
+      s"huge-threshold case: cap=$capH b=$bH")
+    // duplicate (n, w) blocks: four identical groups plus one big one
+    val dup = Seq((100L, 3L), (100L, 3L), (100L, 3L), (100L, 3L),
+      (100000L, 10L))
+    val (bD, capD, kaD) = run(dup, 1L, 3L)
+    assert(!kaD)
+    assert(fB(dup, capD) <= bD && fB(dup, capD + 1) > bD,
+      s"duplicate-block case: cap=$capD b=$bD")
   }
 
   test("withKeepRate16: whole groups rate 65536, sampled groups match " +
