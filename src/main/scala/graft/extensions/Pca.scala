@@ -124,28 +124,54 @@ object Pca {
     v.map(_.toLong)
   }
 
+  /** The corpus Gram matrix (row-major d×d longs) — PCA's RESUMABLE
+    * ARTIFACT: integer outer-product sums are exactly additive, so
+    * Gram(A ∪ B) = [[addGrams]](Gram(A), Gram(B)) bit-for-bit, and a
+    * nightly pipeline persists the d² longs and folds each new batch
+    * in without ever re-reading history — the same warm-start
+    * contract as the rank vectors and label states, with the
+    * stronger property that the incremental result is EXACTLY the
+    * from-scratch result (sums commute; no iteration-budget split
+    * subtlety at all).
+    */
+  def gramOf(vecs: DataFrame, vecCol: String, d: Int,
+             qScale: Long = 1024L): Seq[Long] =
+    vecs
+      .select(quantize(col(vecCol), qScale).as("qv"))
+      .agg(udaf(new GramAgg(d), ExpressionEncoder[Seq[Long]]())
+        .apply(col("qv")).as("g"))
+      .collect().head.getSeq[Long](0)
+
+  /** Exact artifact merge — overflow raises like the aggregate. */
+  def addGrams(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
+    require(a.length == b.length, "gram dims differ")
+    a.zip(b).map { case (x, y) => Math.addExact(x, y) }
+  }
+
   /** The corpus's fixed-point top component: one Gram aggregate pass
     * + driver-side iteration.
     */
   def topComponent(vecs: DataFrame, vecCol: String, d: Int,
                    iterations: Int = 8, qScale: Long = 1024L)
-      : Seq[Long] = {
-    val gram = vecs
-      .select(quantize(col(vecCol), qScale).as("qv"))
-      .agg(udaf(new GramAgg(d), ExpressionEncoder[Seq[Long]]())
-        .apply(col("qv")).as("g"))
-      .collect().head.getSeq[Long](0)
-    powerIterate(gram, d, iterations)
-  }
+      : Seq[Long] =
+    powerIterate(gramOf(vecs, vecCol, d, qScale), d, iterations)
 
   /** Per-vector projection onto the top component: (id, proj), proj =
     * Σ q_i·v_i — the component travels as a broadcast array literal,
     * the dot product is codegen'd zip_with/aggregate, map-side only.
     */
   def project(vecs: DataFrame, idCol: String, vecCol: String, d: Int,
-              iterations: Int = 8, qScale: Long = 1024L): DataFrame = {
-    val v = topComponent(vecs, vecCol, d, iterations, qScale)
-    val vLit = array(v.map(lit): _*)
+              iterations: Int = 8, qScale: Long = 1024L): DataFrame =
+    projectWith(vecs, idCol, vecCol,
+      topComponent(vecs, vecCol, d, iterations, qScale), qScale)
+
+  /** [[project]] with a caller-supplied component (e.g. from a merged
+    * Gram artifact).
+    */
+  def projectWith(vecs: DataFrame, idCol: String, vecCol: String,
+                  component: Seq[Long], qScale: Long = 1024L)
+      : DataFrame = {
+    val vLit = array(component.map(lit): _*)
     vecs.select(col(idCol),
       aggregate(zip_with(quantize(col(vecCol), qScale), vLit,
         (a, b) => a * b), lit(0L), (acc, x) => acc + x).as("proj"))

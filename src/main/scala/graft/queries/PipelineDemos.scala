@@ -1129,6 +1129,29 @@ object PipelineDemos {
           "vec_id", "embedding", d = 64)
         .orderBy("vec_id")
     }),
+    // PCA's resume story: the Gram matrix is EXACTLY additive
+    // (integer outer-product sums commute), so the d²-long artifact
+    // folds a new batch in without re-reading history and the merged
+    // result is bit-for-bit the from-scratch result — this demo
+    // round-trips the history Gram through a real parquet artifact,
+    // adds the batch half, and must hash-equal embed_pca's oracle.
+    "embed_pca_incremental" -> ((s, dir) => {
+      import graft.extensions.Pca
+      val e = Tables.embeddings(s, dir)
+      val hist = e.filter(pmod(col("vec_id"), lit(2L)) === 0L)
+      val batch = e.filter(pmod(col("vec_id"), lit(2L)) === 1L)
+      val base = graft.tables.ScratchDirs.tmp("pcagram", dir)
+      import s.implicits._
+      Pca.gramOf(hist, "embedding", 64).zipWithIndex
+        .map { case (g, i) => (i, g) }.toDF("i", "g")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/gram")
+      val saved = s.read.parquet(s"$base/gram")
+        .orderBy("i").collect().map(_.getLong(1)).toSeq
+      val merged = Pca.addGrams(saved, Pca.gramOf(batch, "embedding", 64))
+      val v = Pca.powerIterate(merged, 64, iterations = 8)
+      Pca.projectWith(e, "vec_id", "embedding", v)
+        .orderBy("vec_id")
+    }),
     // PCA composed INTO curation — curriculum stages per class: most
     // axis-typical vectors (smallest |proj| along the dominant
     // direction) first, per-label quartiles via the broadcast cut-key
@@ -3433,6 +3456,10 @@ object PipelineDemos {
     "embed_pca" -> pcaOracle(d = 64, iterations = 8, qScale = 1024L,
       scale = graft.extensions.Pca.Scale),
     "pca_curriculum" -> pcaCurriculumOracle(d = 64, iterations = 8,
+      qScale = 1024L, scale = graft.extensions.Pca.Scale),
+    // the incremental demo splits the Gram across a parquet artifact —
+    // bit-equality with the UNSPLIT oracle IS the claim
+    "embed_pca_incremental" -> pcaOracle(d = 64, iterations = 8,
       qScale = 1024L, scale = graft.extensions.Pca.Scale),
     "pagerank_trust" -> trustRankOracle,
     "pipeline_hits_gate" -> hitsGateOracle,

@@ -1834,6 +1834,15 @@ class ExtensionsSpec extends SparkTestBase {
       for ((id, q) <- qrows)
         assert(proj(id) == q.zip(got).map { case (a, b) => a * b }.sum)
     }
+    // Gram additivity — the resume artifact's exactness claim:
+    // gram(A) + gram(B) == gram(A ∪ B) bit for bit, so the merged
+    // component and projections equal the from-scratch ones
+    val (ha, hb) = vecs.partition(_._1 % 2 == 0)
+    val gSplit = Pca.addGrams(
+      Pca.gramOf(ha.toDF("vec_id", "embedding"), "embedding", d),
+      Pca.gramOf(hb.toDF("vec_id", "embedding"), "embedding", d))
+    val gFull = Pca.gramOf(vecs.toDF("vec_id", "embedding"), "embedding", d)
+    assert(gSplit == gFull)
     // the all-ones-start killer: every vector ∝ (1,−1), so every Gram
     // row sums to zero — an all-ones start is annihilated in step 1
     // ("zero Gram" crash on a well-posed corpus); the max-diagonal
