@@ -725,10 +725,34 @@ object Graph {
     val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("degree"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // the id-range guard rides INSIDE the plan (raise_error branch in
-    // the |V|-row key projection, codegen'd and never true on valid
-    // input) instead of an eager bounds aggregate — same loud failure,
-    // one fewer job at demo scale, zero extra passes at 100 TB
+    val (tris, oriented) = orientedTriangles(und, deg)
+    val perVertex = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    val out = deg.join(perVertex, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - lit(1.0))))
+          .otherwise(lit(0.0)).as("lcc"))
+      .localCheckpoint(true)
+    Seq(und, deg, oriented).foreach(_.unpersist(false))
+    out
+  }
+
+  /** Shared degree-ordered triangle enumeration over a canonical
+    * (a, b) simple-graph frame and its degree frame: returns the
+    * (u, v, w) triangle list (each triangle exactly once, corners in
+    * (degree, id) orientation order) plus the persisted oriented edge
+    * frame — the CALLER unpersists it after materializing. The
+    * id-range guard rides INSIDE the key projection (raise_error
+    * branch, codegen'd and never true on valid input) instead of an
+    * eager bounds aggregate — same loud failure, one fewer job. See
+    * [[triangleCounts]] for the O(m^1.5) orientation argument.
+    */
+  private def orientedTriangles(und: DataFrame, deg: DataFrame)
+      : (DataFrame, DataFrame) = {
     def okey(d: Column, id: Column): Column =
       when(id < 0L || id >= (1L << 31),
         raise_error(concat(lit("vertex ids must sit in [0, 2^31) for " +
@@ -754,18 +778,80 @@ object Graph {
     val tris = wedges
       .join(oriented.select(col("x").as("v"), col("y").as("w")),
         Seq("v", "w"))
-    val perVertex = tris
-      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("triangles"))
-    val out = deg.join(perVertex, Seq("id"), "left")
-      .select(col("id"), col("degree"),
-        coalesce(col("triangles"), lit(0L)).as("triangles"),
-        when(col("degree") >= 2,
-          lit(2.0) * coalesce(col("triangles"), lit(0L)) /
-            (col("degree") * (col("degree") - lit(1.0))))
-          .otherwise(lit(0.0)).as("lcc"))
+      .select("u", "v", "w")
+    (tris, oriented)
+  }
+
+  /** Per-edge triangle support over a canonical simple-graph frame:
+    * (a, b, support) for EVERY live edge (zero-triangle edges
+    * included via the left join) — each enumerated triangle credits
+    * its three edges, re-canonicalized to (min, max) id order because
+    * the enumeration's corner order is by (degree, id), not id.
+    */
+  private def edgeSupport(und: DataFrame): DataFrame = {
+    val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val (tris, oriented) = orientedTriangles(und, deg)
+    val credits = tris
+      .select(explode(array(
+        struct(col("u").as("p"), col("v").as("q")),
+        struct(col("u").as("p"), col("w").as("q")),
+        struct(col("v").as("p"), col("w").as("q")))).as("e"))
+      .select(least(col("e.p"), col("e.q")).as("a"),
+              greatest(col("e.p"), col("e.q")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    val out = und.join(credits, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
       .localCheckpoint(true)
-    Seq(und, deg, oriented).foreach(_.unpersist(false))
+    oriented.unpersist(false)
+    out
+  }
+
+  /** k-truss (bounded-round edge peel) — the EDGE-level cohesion cut
+    * completing the triad (vertex lcc → [[triangleCounts]], subgraph
+    * core → [[kCore]], edge truss here): iteratively drop edges
+    * supported by fewer than k−2 triangles, keeping the maximal
+    * subgraph where every surviving edge closes ≥ k−2 triangles with
+    * surviving neighbors. The curation read: an edge that never
+    * closes a triangle is an un-corroborated citation; truss edges
+    * are mutually witnessed — the strictest spam-link filter of the
+    * three, and the standard community-backbone extraction.
+    *
+    * Each round IS a full [[edgeSupport]] pass (degrees and
+    * orientation recomputed on the shrinking live frame — dropping
+    * edges changes both), so unlike [[kCore]]'s thin rounds, every
+    * round here carries a deep plan: rounds cut eagerly per round
+    * (localCheckpoint inside edgeSupport), and the convergence test
+    * is the free edge-count equality on the checkpointed leaf.
+    * Budget semantics mirror [[kCore]]: post-convergence rounds are
+    * provable no-ops, so the early stop equals the full-budget
+    * unrolled oracle bit for bit.
+    *
+    * @return surviving (id_a, id_b, support) edges with their support
+    *         in the FINAL subgraph (≥ k−2 iff converged)
+    */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
+             k: Int, maxRounds: Int = 4): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3 (k=2 is the whole graph)")
+    require(maxRounds >= 1 && maxRounds <= 16, "fixed round budget")
+    var live = undirectedSimple(edges, srcCol, dstCol)
+    val first = live
+    var lastCnt = live.count()
+    var r = 0
+    var converged = false
+    while (r < maxRounds && !converged) {
+      live = edgeSupport(live)
+        .filter(col("support") >= (k - 2).toLong)
+        .select("a", "b")
+      val c = live.count() // leaf scan of the round checkpoint
+      if (c == lastCnt) converged = true
+      lastCnt = c
+      r += 1
+    }
+    val out = edgeSupport(live)
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("support"))
+    first.unpersist(false)
     out
   }
 

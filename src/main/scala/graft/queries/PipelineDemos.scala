@@ -1266,6 +1266,22 @@ object PipelineDemos {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    // k-truss: the EDGE-level cohesion cut (vertex lcc / subgraph
+    // core / edge truss triad) — every surviving edge must close
+    // >= k-2 triangles with surviving neighbors: un-corroborated
+    // citations drop, mutually witnessed community backbones stay.
+    // The corpus graph = circulant co-citation noise + five planted
+    // K6 communities; at k=6 the stride-4 circulant edges (support 3)
+    // peel first and the cascade dissolves the rest of the circulant,
+    // while every planted-clique edge holds support exactly 4 — the
+    // truss EXTRACTS the planted communities from the local-context
+    // noise. Multi-round edge peel, early-stopped at the fixpoint.
+    "graph_ktruss" -> ((s, dir) => {
+      graft.extensions.Graph.kTruss(
+          coCiteEdges(s, dir).unionByName(plantedCliqueEdges(s, dir)),
+          "src", "dst", k = 6, maxRounds = 3)
+        .orderBy("id_a", "id_b")
+    }),
     // Link prediction: top-k non-adjacent pairs by common-neighbor
     // evidence, inverse-degree weighted (2^20 div deg — Adamic-Adar's
     // signal without cross-engine-unstable ln). Centers above the
@@ -1523,6 +1539,42 @@ object PipelineDemos {
     * varying in-degree (hubs exist), never self-linking, and both
     * engines rebuild the identical edge list (see the pagerank oracle).
     */
+  /** Circulant co-citation graph (doc i ↔ i+1..i+4 mod n): the
+    * triangle-rich local-context edge set the truss demo peels — the
+    * ring-stride md5 graph is triangle-poor by construction (random
+    * strides almost never close), and edge-support peeling on it
+    * would trivially empty the graph in one round.
+    */
+  private def coCiteEdges(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id")
+    val n = docs.agg((max(col("doc_id")) + 1L).as("n"))
+    docs.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n"),
+        explode(array(lit(1), lit(2), lit(3), lit(4))).as("j"))
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") + col("j")) % col("n")).as("dst"))
+  }
+
+  /** Five planted K6 communities over spread-out members (clique c =
+    * {c + t·(n div 7), t = 0..5}; spacing ≥ 7 > the circulant stride
+    * 4, anchors ≤ 4 apart < the spacing — so cliques are mutually
+    * disjoint, share no edge with the circulant, and no outside
+    * vertex neighbors two members): every clique edge closes EXACTLY
+    * 4 triangles regardless of what the peel does to the circulant —
+    * the planted signal `graph_ktruss` must extract.
+    */
+  private def plantedCliqueEdges(s: SparkSession,
+                                 dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id")
+    val n = docs.agg((max(col("doc_id")) + 1L).as("n"))
+    val pairs = for { t1 <- 0 until 6; t2 <- (t1 + 1) until 6 }
+      yield struct(lit(t1).as("t1"), lit(t2).as("t2"))
+    s.range(0, 5).toDF("c").crossJoin(broadcast(n))
+      .select(col("c"), col("n"), explode(array(pairs: _*)).as("p"))
+      .select((col("c") + col("p.t1") * expr("n div 7")).as("src"),
+              (col("c") + col("p.t2") * expr("n div 7")).as("dst"))
+  }
+
   private def docLinkEdges(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id")
     val n = docs.agg((max(col("doc_id")) + 1L).as("n"))
@@ -2251,6 +2303,67 @@ object PipelineDemos {
        |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
        |FROM (SELECT a AS id FROM l$rounds UNION ALL SELECT b FROM l$rounds)
        |GROUP BY id ORDER BY doc_id""".stripMargin
+  }
+
+  /** k-truss oracle mirroring Graph.kTruss round for round: per round
+    * the FULL oriented triangle enumeration over the live edge set
+    * (degrees and orientation recomputed — dropping edges changes
+    * both), three-way edge credits re-canonicalized to (min, max),
+    * then the support filter; the final round's support frame is the
+    * output. Every CTE MATERIALIZED (each round references its
+    * predecessors repeatedly — default inlining re-derives the whole
+    * chain exponentially).
+    */
+  private def kTrussOracle(k: Int, rounds: Int): String = {
+    def supBlock(r: Int, src: String): String =
+      s"""deg$r AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS dg
+         |  FROM (SELECT a AS id FROM $src
+         |        UNION ALL SELECT b FROM $src) GROUP BY id),
+         |kk$r AS MATERIALIZED (SELECT id, dg * 4294967296 + id AS okey
+         |  FROM deg$r),
+         |o$r AS MATERIALIZED (SELECT
+         |    CASE WHEN ka.okey < kb.okey THEN u.a ELSE u.b END AS x,
+         |    CASE WHEN ka.okey < kb.okey THEN u.b ELSE u.a END AS y,
+         |    greatest(ka.okey, kb.okey) AS ykey
+         |  FROM $src u JOIN kk$r ka ON ka.id = u.a
+         |  JOIN kk$r kb ON kb.id = u.b),
+         |tri$r AS MATERIALIZED (SELECT e1.x AS u, e1.y AS v, e2.y AS w
+         |  FROM o$r e1 JOIN o$r e2 ON e1.x = e2.x AND e1.ykey < e2.ykey
+         |  JOIN o$r e3 ON e3.x = e1.y AND e3.y = e2.y),
+         |cr$r AS MATERIALIZED (SELECT a, b,
+         |    CAST(count(*) AS BIGINT) AS support FROM (
+         |    SELECT least(p, q) AS a, greatest(p, q) AS b FROM (
+         |      SELECT u AS p, v AS q FROM tri$r
+         |      UNION ALL SELECT u, w FROM tri$r
+         |      UNION ALL SELECT v, w FROM tri$r)) GROUP BY a, b),
+         |sup$r AS MATERIALIZED (SELECT l.a, l.b,
+         |    COALESCE(c.support, CAST(0 AS BIGINT)) AS support
+         |  FROM $src l LEFT JOIN cr$r c ON c.a = l.a AND c.b = l.b)"""
+        .stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""${supBlock(r, s"l${r - 1}")},
+         |l$r AS MATERIALIZED (SELECT a, b FROM sup$r
+         |  WHERE support >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    val cliquePairs = (for { t1 <- 0 until 6; t2 <- (t1 + 1) until 6 }
+      yield s"($t1, $t2)").mkString(", ")
+    s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+       |js AS (SELECT * FROM (VALUES (1), (2), (3), (4)) t(j)),
+       |co AS (SELECT doc_id AS src,
+       |    CAST((doc_id + j) % n AS BIGINT) AS dst
+       |  FROM documents, nn, js),
+       |cl AS (SELECT CAST(c + t1 * (n // 7) AS BIGINT) AS src,
+       |    CAST(c + t2 * (n // 7) AS BIGINT) AS dst
+       |  FROM (VALUES (0), (1), (2), (3), (4)) cc(c),
+       |       (VALUES $cliquePairs) p(t1, t2), nn),
+       |l0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+       |    greatest(src, dst) AS b FROM (
+       |    SELECT src, dst FROM co UNION ALL SELECT src, dst FROM cl)
+       |  WHERE src <> dst),
+       |$roundCtes,
+       |${supBlock(rounds + 1, s"l$rounds")}
+       |SELECT a AS id_a, b AS id_b, support FROM sup${rounds + 1}
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Link-prediction oracle mirroring Graph.linkCandidates: simple
@@ -3451,6 +3564,7 @@ object PipelineDemos {
     "graph_triangles" -> triangleOracle,
     "link_predict" -> linkPredictOracle(maxDeg = 64, k = 50),
     "graph_kcore" -> kCoreOracle(k = 4, rounds = 4),
+    "graph_ktruss" -> kTrussOracle(k = 6, rounds = 3),
     "mixture_budget" -> mixtureBudgetOracle,
     "mixture_temperature" -> mixtureTemperatureOracle,
     "embed_pca" -> pcaOracle(d = 64, iterations = 8, qScale = 1024L,

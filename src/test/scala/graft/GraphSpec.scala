@@ -801,6 +801,68 @@ class GraphSpec extends SparkTestBase {
     assert(run(rs, 4, 8, 7) == refKCore(rs, 4, 8))
   }
 
+  /** Sequential bounded-round truss reference: per round, per-edge
+    * triangle support over the live simple graph, drop < k−2.
+    */
+  private def refKTruss(edges: Seq[(Long, Long)], k: Int,
+                        maxRounds: Int): Map[(Long, Long), Long] = {
+    def support(und: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val adj = (und.toSeq ++ und.toSeq.map(_.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      und.toSeq.map { case (a, b) =>
+        (a, b) -> (adj(a) & adj(b)).size.toLong
+      }.toMap
+    }
+    var und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    var r = 0
+    var done = false
+    while (r < maxRounds && !done) {
+      val keep = support(und).filter(_._2 >= (k - 2)).keySet
+      if (keep == und) done = true
+      und = keep
+      r += 1
+    }
+    support(und)
+  }
+
+  test("k-truss: bounded-round edge peel matches the sequential " +
+       "reference on the circulant graph (converged and capped), any " +
+       "partitioning; a clique is its own truss; triangle-free graphs " +
+       "empty at k=3") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)], k: Int, rounds: Int, parts: Int)
+        : Map[(Long, Long), Long] =
+      Graph.kTruss(edges.toDF("src", "dst").repartition(parts),
+          "src", "dst", k, rounds)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // circulant C_30(1..4): stride-4 edges have support 3 and peel
+    // first at k=6; the cascade re-evaluates the rest
+    val n = 30L
+    val circ = for (i <- 0L until n; j <- 1L to 4L)
+      yield (i, (i + j) % n)
+    for ((k, rounds) <- Seq((6, 3), (6, 1), (5, 3), (7, 4))) {
+      val got = run(circ, k, rounds, parts = 5)
+      assert(got == refKTruss(circ, k, rounds), s"k=$k rounds=$rounds")
+    }
+    // K5 at k=5: every edge closes 3 triangles — survives whole
+    val k5 = for (i <- 0L until 5L; j <- (i + 1) until 5L) yield (i, j)
+    assert(run(k5, 5, 3, 3) ==
+      k5.map(e => e -> 3L).toMap)
+    // a triangle-free star empties even at the weakest truss
+    val star = (1L to 6L).map(i => (0L, i))
+    assert(run(star, 3, 2, 3).isEmpty)
+    // planted-signal mixture (the registry demo's shape): circulant
+    // noise + a spread K6 (members 0,7,...,35 — entangled with the
+    // ring's wrap-around, so supports interact non-trivially) — the
+    // bounded peel must still match the reference exactly
+    val k6 = for (t1 <- 0L until 6L; t2 <- (t1 + 1) until 6L)
+      yield (t1 * 7, t2 * 7)
+    val mixed = circ ++ k6
+    assert(run(mixed, 6, 4, 5) == refKTruss(mixed, 6, 4))
+  }
+
   test("link candidates: match the brute-force reference on the " +
        "ring-stride graph; never include an existing edge; hub " +
        "centers above the cap certify nothing") {
