@@ -409,6 +409,40 @@ object TextAnalysis {
           (col("n_total") * col("n_tokens")).cast("double")).as("lm_score"))
   }
 
+  /** Bigram-LM-proxy document score — [[unigramScores]] one order up:
+    * the mean corpus frequency of the doc's ADJACENT TOKEN PAIRS.
+    * Unigram frequency can't see scrambled text (a bag of common
+    * words shuffled into nonsense scores high); bigram frequency
+    * drops on every improbable transition — the cheapest
+    * order-sensitive fluency gate, same log-free exact arithmetic
+    * (long sums, one long product, ONE double division).
+    *
+    * Scale shape identical to unigram: one bigram explode feeds the
+    * corpus pair counts (map-side partial, keyed pair) and joins
+    * back keyed pair → per-doc sum keyed doc; 1-row total broadcast.
+    * Docs with fewer than 2 tokens have no bigrams and drop out
+    * (0/0), matching SQL unnest of an empty list.
+    */
+  def bigramScores(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    val bi = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(toks[i], ' ', toks[i + 1]))")).as("bg"))
+    val cnt = bi.groupBy("bg").agg(count(lit(1)).as("cnt"))
+    val total = bi.agg(count(lit(1)).as("n_total"))
+    bi.join(cnt, "bg")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("s"), count(lit(1)).as("n_bigrams"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("s").cast("double") /
+          (col("n_total") * col("n_bigrams")).cast("double"))
+          .as("lm2_score"))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus' own
     * top-`vocabSize` vocabulary (count desc, term asc — a total order, so
     * the cut at the boundary is deterministic). The standard

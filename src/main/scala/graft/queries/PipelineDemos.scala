@@ -1053,6 +1053,14 @@ object PipelineDemos {
       TextAnalysis.unigramScores(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // Bigram-LM-proxy fluency score: unigram frequency can't see
+    // scrambled text; adjacent-pair frequency drops on improbable
+    // transitions — the cheapest order-sensitive gate, same log-free
+    // exact arithmetic.
+    "bigram_score" -> ((s, dir) => {
+      TextAnalysis.bigramScores(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // Sliding-window token chunking (retrieval/context-window prep):
     // 64-token chunks at stride 32, chunk text compared by md5.
     "chunk_sliding" -> ((s, dir) => {
@@ -3488,6 +3496,20 @@ object PipelineDemos {
          |      FROM f JOIN c USING (term) GROUP BY doc_id)
          |SELECT doc_id, n_tokens,
          |  CAST(s AS DOUBLE) / CAST(n_total * n_tokens AS DOUBLE) AS lm_score
+         |FROM d CROSS JOIN tot ORDER BY doc_id""".stripMargin,
+    "bigram_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |b AS (SELECT doc_id, unnest(list_transform(
+         |        generate_series(1, len(toks) - 1),
+         |        i -> toks[i] || ' ' || toks[i + 1])) AS bg
+         |      FROM t WHERE len(toks) >= 2),
+         |c AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY bg),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM b),
+         |d AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS s,
+         |        CAST(count(*) AS BIGINT) AS n_bigrams
+         |      FROM b JOIN c USING (bg) GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  CAST(s AS DOUBLE) / CAST(n_total * n_bigrams AS DOUBLE) AS lm2_score
          |FROM d CROSS JOIN tot ORDER BY doc_id""".stripMargin,
     "chunk_sliding" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),

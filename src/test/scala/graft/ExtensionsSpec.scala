@@ -1601,6 +1601,29 @@ class ExtensionsSpec extends SparkTestBase {
     assert(out.map(_._2).sorted.toSeq == (0L until 500L))
   }
 
+  test("bigram score is order-SENSITIVE where unigram is not: a " +
+       "scrambled doc keeps its unigram score but drops its bigram " +
+       "score; sub-2-token docs drop out") {
+    import spark.implicits._
+    import graft.extensions.TextAnalysis
+    // docs 1-3 establish 'the cat sat' as the corpus's common order;
+    // doc 4 has the same BAG of tokens scrambled; doc 5 is 1 token
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat sat"), (3L, "the cat sat"),
+      (4L, "sat the cat"), (5L, "the")
+    ).toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame, scoreIdx: Int) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(scoreIdx)).toMap
+    val uni = m(TextAnalysis.unigramScores(docs, "doc_id", "text"), 2)
+    val bi = m(TextAnalysis.bigramScores(docs, "doc_id", "text"), 2)
+    // unigram: scrambled doc 4 == docs 1-3 (same token bag)
+    assert(uni(4L) == uni(1L))
+    // bigram: doc 4's transitions ('sat the', 'the cat') are rarer
+    // than the canonical 'the cat','cat sat' — strictly lower score
+    assert(bi(4L) < bi(1L), s"bi=$bi")
+    assert(!bi.contains(5L) && uni.contains(5L))
+  }
+
   test("vocab OOV: rare terms count as OOV, all-vocab docs rate 0, " +
        "empty docs drop") {
     import spark.implicits._
