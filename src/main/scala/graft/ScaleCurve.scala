@@ -915,6 +915,31 @@ object ScaleCurve {
             "src", "dst", maxCenterDegree = 64, k = 50).count()
           nCand
         }
+        // k-core peel on the same graph (4 rounds of thin
+        // agg+anti-join rounds over the shrinking frame)
+        var coreRows = 0L
+        val (secK, _) = timeIt(spark) {
+          coreRows = graft.extensions.Graph.kCore(edges, "src", "dst",
+            k = 4, maxRounds = 4).count()
+          coreRows
+        }
+        // k-truss on a circulant C_n(1..4) — the ring-stride graph is
+        // triangle-poor so an edge peel over it measures nothing; the
+        // circulant gives every edge O(1) support and the k=6 peel
+        // genuinely cascades (stride-4 drops in round 1, stride-2 in
+        // round 2, the rest at the budget). 2 bounded rounds + the
+        // final support pass = 3 full degree-ordered triangle
+        // enumerations of 4n edges.
+        def circ = spark.range(0, n).toDF("src")
+          .select(col("src"),
+            explode(array(lit(1), lit(2), lit(3), lit(4))).as("j"))
+          .select(col("src"), ((col("src") + col("j")) % n).as("dst"))
+        var trussRows = 0L
+        val (secT, _) = timeIt(spark) {
+          trussRows = graft.extensions.Graph.kTruss(circ, "src", "dst",
+            k = 6, maxRounds = 2).count()
+          trussRows
+        }
         Point(n, Seq(
           "vertices" -> n.toString,
           "edges" -> (3 * n).toString,
@@ -922,7 +947,11 @@ object ScaleCurve {
           "layout-invariant" -> (fpA == fpB).toString,
           "wall triangles (s)" -> f"$sec%.2f",
           "top-k rows" -> nCand.toString,
-          "wall linkpredict (s)" -> f"$secP%.2f"))
+          "wall linkpredict (s)" -> f"$secP%.2f",
+          "core rows" -> coreRows.toString,
+          "wall kcore (s)" -> f"$secK%.2f",
+          "truss rows" -> trussRows.toString,
+          "wall ktruss (s)" -> f"$secT%.2f"))
       }
 
     // ---- render ------------------------------------------------------
@@ -1243,10 +1272,20 @@ object ScaleCurve {
        ^integer inverse-degree weights, anti-join, TakeOrdered top-50)
        ^over the same graphs.
        ^
+       ^`wall kcore` times the 4-round k=4 vertex peel on the same
+       ^graphs (thin agg+anti-join rounds, lazily chained with cut-block
+       ^convergence); `wall ktruss` times a 2-round k=6 EDGE peel + the
+       ^final support pass — 3 full triangle enumerations — on a
+       ^circulant C_n(1..4), where the peel genuinely cascades
+       ^(the ring-stride graph is triangle-poor, so an edge-support
+       ^peel over it measures nothing).
+       ^
        ^${table(triPts)}
        ^
        ^Growth: ${growth(triPts, "wall triangles (s)")}.
        ^Link prediction: ${growth(triPts, "wall linkpredict (s)")}.
+       ^k-core: ${growth(triPts, "wall kcore (s)")}.
+       ^k-truss: ${growth(triPts, "wall ktruss (s)")}.
        ^
        ^## Reading the curves at 100 TB
        ^

@@ -838,18 +838,33 @@ object Graph {
     var live = undirectedSimple(edges, srcCol, dstCol)
     val first = live
     var lastCnt = live.count()
+    // each round's checkpointed support frame is CARRIED: on
+    // convergence (a round that drops nothing) the supports computed
+    // over the unchanged live frame ARE the final supports, so the
+    // converged exit pays no extra enumeration — the budget-exhausted
+    // exit's final support pass is the last loop iteration's
+    // edgeSupport, also already computed. (An earlier version re-ran
+    // the full O(m^1.5) enumeration after the loop — doubling the
+    // final round of every converged call for bit-identical output.)
+    var sup = edgeSupport(live)
     var r = 0
     var converged = false
     while (r < maxRounds && !converged) {
-      live = edgeSupport(live)
-        .filter(col("support") >= (k - 2).toLong)
-        .select("a", "b")
-      val c = live.count() // leaf scan of the round checkpoint
+      val next = sup.filter(col("support") >= (k - 2).toLong)
+      val c = next.count() // leaf scan of the round checkpoint
       if (c == lastCnt) converged = true
+      else {
+        live = next.select("a", "b")
+        sup = edgeSupport(live)
+      }
       lastCnt = c
       r += 1
     }
-    val out = edgeSupport(live)
+    // converged: sup = supports over the fixpoint frame, every row
+    // >= k-2 (the filter kept all of them). Budget-exhausted: sup =
+    // the final round's edgeSupport over l_maxRounds, rows unfiltered
+    // — exactly the oracle's sup_{R+1} either way.
+    val out = sup
       .select(col("a").as("id_a"), col("b").as("id_b"), col("support"))
     first.unpersist(false)
     out

@@ -166,14 +166,27 @@ object Pca {
       topComponent(vecs, vecCol, d, iterations, qScale), qScale)
 
   /** [[project]] with a caller-supplied component (e.g. from a merged
-    * Gram artifact).
+    * Gram artifact). The overflow contract matches the Gram path's
+    * loud-failure stance: each quantized element is guarded to
+    * |q| < 2³⁷ inside the zip (|q·v| < 2³⁷·Scale = 2⁵⁷, and the d-term
+    * sum stays under 2⁶³ for d ≤ 64), so an oversized qScale raises
+    * instead of letting the non-ANSI Long dot product wrap silently.
     */
   def projectWith(vecs: DataFrame, idCol: String, vecCol: String,
                   component: Seq[Long], qScale: Long = 1024L)
       : DataFrame = {
+    require(component.length <= 64,
+      "projection guard assumes d <= 64 (widen the q bound to go past)")
+    require(component.forall(c => math.abs(c) <= Scale),
+      "component must be renormed (|v_i| <= Scale)")
     val vLit = array(component.map(lit): _*)
+    val qBound = 1L << 37
     vecs.select(col(idCol),
       aggregate(zip_with(quantize(col(vecCol), qScale), vLit,
-        (a, b) => a * b), lit(0L), (acc, x) => acc + x).as("proj"))
+        (a, b) => when(abs(a) >= qBound,
+            raise_error(concat(lit("projection term overflow: |q| >= " +
+              "2^37 (lower qScale); got "), a.cast("string"))))
+          .otherwise(a * b)),
+        lit(0L), (acc, x) => acc + x).as("proj"))
   }
 }

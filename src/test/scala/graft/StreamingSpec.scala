@@ -658,11 +658,16 @@ class StreamingSpec extends SparkTestBase {
     val (totals, kept, ckpt) = (s"$tmp/totals", s"$tmp/kept", s"$tmp/ckpt")
     def doc(id: Long, lang: String, n: Int) =
       DocsStream.LangDoc(id, lang, Seq.fill(n)("tok").mkString(" "))
-    // batch 0: en dominates 10:2; batch 1: en grows to 20:4 cumulative
+    // SHIFTING proportions so a cumulative solve and an independent
+    // per-batch solve give DIFFERENT keep sets (a same-proportions
+    // fixture could not detect a regression to per-batch caps):
+    // batch 0 is en-dominated (en 100, sw 20), batch 1 is ALL sw
+    // (300) — cumulatively sw becomes the dominant language (320 vs
+    // 100), so batch 1's cumulative cap (70) is much tighter than a
+    // per-batch-only solve of the same batch (cap 100) would be.
     val b0 = (1L to 10L).map(doc(_, "en", 10)) ++
       (101L to 102L).map(doc(_, "sw", 10))
-    val b1 = (11L to 20L).map(doc(_, "en", 10)) ++
-      (103L to 104L).map(doc(_, "sw", 10))
+    val b1 = (103L to 132L).map(doc(_, "sw", 10))
     val input = MemoryStream[DocsStream.LangDoc]
     val q = DocsStream.mixtureIngest(spark, input.toDF(), totals, kept,
       ckpt, 1L, 3L)
@@ -675,24 +680,49 @@ class StreamingSpec extends SparkTestBase {
       .select(functions.col("batch").cast("int"), functions.col("lang"), functions.col("ng"))
       .as[(Int, String, Long)].collect().toSet
     assert(t == Set((0, "en", 100L), (0, "sw", 20L),
-      (1, "en", 100L), (1, "sw", 20L)), s"totals=$t")
+      (1, "sw", 300L)), s"totals=$t")
+    // independent reference of the exact cumulative semantics: flat
+    // waterfill cap on the CUMULATIVE totals, Mixture.keeps h16 rule
+    def capOf(ns: Seq[Long]): (Long, Long, Boolean) = {
+      val live = ns.filter(_ > 0).sorted
+      val tot = live.sum
+      val budget = tot / 3
+      if (tot <= budget) (budget, live.max, true)
+      else (budget, live.indices.map { i =>
+        (budget - live.take(i).sum) / (live.length - i) }.max, false)
+    }
+    def h16(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(2).map(b => f"$b%02x").mkString, 16)
+    def keepRef(batch: Seq[DocsStream.LangDoc], batchId: Int,
+                groupTot: Map[String, Long]): Set[(Long, Int)] = {
+      val (_, cap, keepAll) = capOf(groupTot.values.toSeq)
+      batch.filter { dd =>
+        val ng = groupTot(dd.lang)
+        keepAll || ng <= cap || h16(dd.doc_id) * ng < cap * 65536L
+      }.map(dd => (dd.doc_id, batchId)).toSet
+    }
+    val cumRef =
+      keepRef(b0, 0, Map("en" -> 100L, "sw" -> 20L)) ++
+        keepRef(b1, 1, Map("en" -> 100L, "sw" -> 320L))
+    val perBatchRef =
+      keepRef(b0, 0, Map("en" -> 100L, "sw" -> 20L)) ++
+        keepRef(b1, 1, Map("sw" -> 300L))
+    assert(cumRef != perBatchRef,
+      "fixture must discriminate cumulative from per-batch caps")
+    def keptSet(dir: String) = spark.read.parquet(dir)
+      .select(functions.col("doc_id"), functions.col("batch").cast("int"))
+      .as[(Long, Int)].collect().toSet
+    val got = keptSet(kept)
+    assert(got == cumRef, s"got=$got cumRef=$cumRef")
     // parity with the sequential batch faces (same dirs re-derived)
     val tmp2 = java.nio.file.Files.createTempDirectory("graft-mixseq")
     DocsStream.mixtureBatch(spark, b0.toDF(), 0L, s"$tmp2/t",
       s"$tmp2/k", 1L, 3L)
     DocsStream.mixtureBatch(spark, b1.toDF(), 1L, s"$tmp2/t",
       s"$tmp2/k", 1L, 3L)
-    def keptSet(dir: String) = spark.read.parquet(dir)
-      .select(functions.col("doc_id"), functions.col("batch").cast("int"))
-      .as[(Long, Int)].collect().toSet
-    val got = keptSet(kept)
     assert(got == keptSet(s"$tmp2/k"))
-    // the cumulative cap solve: batch 0 budget = 40, sw (20) under the
-    // flat cap 20 survives whole; en samples at 20/100. Batch 1's
-    // cumulative budget 80 gives cap 40 vs en's 200 — a TIGHTER en
-    // rate (40/200 < 20/100 exactly halves) while sw still keeps all.
-    val swKept = got.filter { case (id, _) => id > 100L }
-    assert(swKept.size == 4, s"small language must survive whole: $got")
     // replaying batch 0 (foreachBatch redelivery) reads only totals
     // with batch < 0 = none — identical cap, identical keeps
     DocsStream.mixtureBatch(spark, b0.toDF(), 0L, totals, kept, 1L, 3L)
