@@ -443,6 +443,33 @@ object TextAnalysis {
           .as("lm2_score"))
   }
 
+  /** Simpson diversity of a document's token distribution:
+    * 1 − Σ c_t² / n² (the probability two random token draws differ) —
+    * the log-free entropy stand-in (Shannon needs ln, which is not
+    * bit-stable across engines; Simpson carries the same repetition
+    * signal in exact integers until ONE double division). Low
+    * diversity = a few tokens dominate = keyword-stuffing / template
+    * spam — complements `repetition_ratio` (adjacent repeats) with an
+    * ORDER-FREE distributional gate.
+    *
+    * Scale shape: explode → per-(doc, term) counts (map-side partial)
+    * → per-doc Σc² and n — both keyed by doc, no corpus-wide state at
+    * all. Zero-token docs drop (0/0), matching SQL unnest.
+    */
+  def tokenDiversity(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("c")).as("c2"))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("n_tokens") * col("n_tokens") - col("c2")).cast("double") /
+          (col("n_tokens") * col("n_tokens")).cast("double"))
+          .as("simpson"))
+
   /** Per-document out-of-vocabulary rate against the corpus' own
     * top-`vocabSize` vocabulary (count desc, term asc — a total order, so
     * the cut at the boundary is deterministic). The standard

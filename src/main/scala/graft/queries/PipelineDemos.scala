@@ -1061,6 +1061,15 @@ object PipelineDemos {
       TextAnalysis.bigramScores(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // Simpson token diversity: the order-free distributional
+    // repetition gate (log-free entropy stand-in — exact integers
+    // until one division); complements repetition_ratio's adjacent
+    // repeats.
+    "token_diversity" -> ((s, dir) => {
+      TextAnalysis.tokenDiversity(Tables.documents(s, dir), "doc_id",
+          "text")
+        .orderBy("doc_id")
+    }),
     // Sliding-window token chunking (retrieval/context-window prep):
     // 64-token chunks at stride 32, chunk text compared by md5.
     "chunk_sliding" -> ((s, dir) => {
@@ -3497,6 +3506,18 @@ object PipelineDemos {
          |SELECT doc_id, n_tokens,
          |  CAST(s AS DOUBLE) / CAST(n_total * n_tokens AS DOUBLE) AS lm_score
          |FROM d CROSS JOIN tot ORDER BY doc_id""".stripMargin,
+    "token_diversity" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |f AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |c AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+         |      FROM f GROUP BY doc_id, term),
+         |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |        CAST(sum(c * c) AS BIGINT) AS c2
+         |      FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  CAST(n_tokens * n_tokens - c2 AS DOUBLE)
+         |    / CAST(n_tokens * n_tokens AS DOUBLE) AS simpson
+         |FROM d ORDER BY doc_id""".stripMargin,
     "bigram_score" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
          |b AS (SELECT doc_id, unnest(list_transform(

@@ -1624,6 +1624,27 @@ class ExtensionsSpec extends SparkTestBase {
     assert(!bi.contains(5L) && uni.contains(5L))
   }
 
+  test("token diversity: all-distinct docs score (n-1)/n, all-same " +
+       "docs score 0, a scrambled doc scores IDENTICALLY (order-free), " +
+       "empty docs drop") {
+    import spark.implicits._
+    import graft.extensions.TextAnalysis
+    val docs = Seq(
+      (1L, "a b c d"),    // all distinct: 1 - 4/16 = 0.75
+      (2L, "x x x x"),    // one token: 1 - 16/16 = 0.0
+      (3L, "b d a c"),    // doc 1 scrambled: identical score
+      (4L, "a a b"),      // 1 - (4+1)/9
+      (5L, " ")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenDiversity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got(1L) == ((4L, 0.75)) && got(2L) == ((4L, 0.0)))
+    assert(got(3L) == got(1L))
+    assert(got(4L) == ((3L, (9.0 - 5.0) / 9.0)))
+    assert(!got.contains(5L))
+  }
+
   test("vocab OOV: rare terms count as OOV, all-vocab docs rate 0, " +
        "empty docs drop") {
     import spark.implicits._
