@@ -80,6 +80,20 @@ object Bench {
     }
   }
 
+  /** The headline min_total sum: each query contributes its merged
+    * all-time floor — EXCEPT a query whose fresh sample is a failure
+    * penalty, which contributes the penalty itself. Without that
+    * exception a query that FAILED this run but once had a clean
+    * floor would keep min_total clean (or even improve it), masking
+    * the failure from the one number cross-round claims quote
+    * (BenchSpec pins this).
+    */
+  def minTotalOf(mergedMins: Map[String, Double],
+                 results: Seq[(String, Double)]): Double =
+    results.map { case (k, v) =>
+      if (v >= failurePenaltySec) v else mergedMins.getOrElse(k, v)
+    }.sum
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -131,12 +145,12 @@ object Bench {
     // host-noise-free comparator (min floors only ever decrease, and
     // scheduling noise only ever ADDS time) — a hot-window artifact
     // carries its own corrected number instead of reading as a
-    // regression. Queries with no clean floor (failed, never sampled)
-    // contribute their fresh sample/penalty so degradation stays
-    // visible. Cross-round claims quote THIS number.
+    // regression. A query that FAILED this run contributes its
+    // penalty, not its historical floor — min_total is the number
+    // cross-round claims quote, and a failing round must degrade it
+    // even when the query once had a clean sample.
     val mergedMins = mergeMins(histMins, results).toMap
-    val minTotal =
-      results.map { case (k, v) => mergedMins.getOrElse(k, v) }.sum
+    val minTotal = minTotalOf(mergedMins, results)
     val summary =
       s"""{"metric":"total","value":${f(total)},"min_total":${f(minTotal)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failures":$failures,"steal_suspect":$stealSuspects}"""
     val json =

@@ -252,11 +252,38 @@ object Components {
       .select(col("id"), col("comp"),
               (col("id") === col("comp")).as("survivor"))
 
+  /** Orders ids the way SPARK orders them, not the way Java does:
+    * Spark compares strings in binary UTF-8 collation, while
+    * String.compareTo is UTF-16 code-unit order — the two disagree
+    * when a supplementary-plane character (surrogate pair, UTF-16
+    * units 0xD800-0xDFFF but UTF-8 bytes 0xF0-0xF4) meets a BMP char
+    * in [U+E000,U+FFFF] (UTF-16 units ABOVE the surrogates, UTF-8
+    * lead byte 0xEE/0xEF BELOW the pair's). The fast path advertises
+    * bit-parity with the distributed min-label loop, so its min must
+    * use Spark's order; non-string ids keep natural Comparable order
+    * (identical to Spark's for numerics).
+    */
+  private def idLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: String, y: String) =>
+      val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(xb.length, yb.length)
+      var i = 0
+      while (i < n) {
+        val c = (xb(i) & 0xff) - (yb(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      xb.length < yb.length
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+  }
+
   /** Exact driver-side union-find over a bounded edge list (the
     * incremental merge's small-batch fast path): path-compressed
-    * union, then comp = the component's minimum member under the ids'
-    * natural (Comparable) ordering — the same contract as
-    * [[connectedComponents]]. One row per distinct endpoint.
+    * union, then comp = the component's minimum member under SPARK's
+    * ordering ([[idLt]] — UTF-8 binary for strings, natural for the
+    * rest) — the same contract as [[connectedComponents]]. One row
+    * per distinct endpoint.
     */
   private def localComponents(pairs: Seq[(Any, Any)]): Seq[(Any, Any)] = {
     val parent = scala.collection.mutable.Map.empty[Any, Any]
@@ -278,9 +305,7 @@ object Components {
     for (v <- verts) {
       val r = find(v)
       val cur = minOf.get(r)
-      if (cur.isEmpty ||
-          v.asInstanceOf[Comparable[Any]].compareTo(cur.get) < 0)
-        minOf(r) = v
+      if (cur.isEmpty || idLt(v, cur.get)) minOf(r) = v
     }
     verts.map(v => v -> minOf(find(v)))
   }

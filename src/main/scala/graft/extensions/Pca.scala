@@ -181,12 +181,23 @@ object Pca {
       "component must be renormed (|v_i| <= Scale)")
     val vLit = array(component.map(lit): _*)
     val qBound = 1L << 37
+    // dimension guard: zip_with pads the SHORTER side with nulls, and
+    // a null term slides through the overflow when/otherwise into a
+    // silently-null proj — the opposite of this module's loud-failure
+    // contract (gramOf rejects wrong dims with require). Reject the
+    // row up front instead.
+    val dim = component.length
     vecs.select(col(idCol),
-      aggregate(zip_with(quantize(col(vecCol), qScale), vLit,
-        (a, b) => when(abs(a) >= qBound,
-            raise_error(concat(lit("projection term overflow: |q| >= " +
-              "2^37 (lower qScale); got "), a.cast("string"))))
-          .otherwise(a * b)),
-        lit(0L), (acc, x) => acc + x).as("proj"))
+      when(size(col(vecCol)) =!= dim,
+          raise_error(concat(
+            lit(s"projectWith: row vector length != component length $dim (got "),
+            size(col(vecCol)).cast("string"), lit(")"))))
+        .otherwise(
+          aggregate(zip_with(quantize(col(vecCol), qScale), vLit,
+            (a, b) => when(abs(a) >= qBound,
+                raise_error(concat(lit("projection term overflow: |q| >= " +
+                  "2^37 (lower qScale); got "), a.cast("string"))))
+              .otherwise(a * b)),
+            lit(0L), (acc, x) => acc + x)).as("proj"))
   }
 }

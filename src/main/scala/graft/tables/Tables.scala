@@ -222,14 +222,18 @@ object Tables {
     val dropped = extra.filterNot(renames.contains)
     val nullFilled = missing.filterNot(renames.valuesIterator.toSet)
     val structural =
-      renames.nonEmpty || dropped.nonEmpty || nullFilled.nonEmpty ||
-        have != canonNames
+      renames.nonEmpty || dropped.nonEmpty || nullFilled.nonEmpty
+    // a pure column REORDER is reprojected silently: logging it would
+    // emit a drift line naming nothing (renamed {}, dropped {},
+    // null-filled {}) and dilute the deliberately-loud log for real
+    // structural drift
+    val reordered = !structural && have != canonNames
     if (structural)
       System.err.println(s"[graft.Tables] $name: absorbing structural " +
         s"drift (renamed ${renames.toSeq.sorted.mkString("{", ",", "}")}," +
         s" dropped ${dropped.mkString("{", ",", "}")}, null-filled " +
         s"${nullFilled.mkString("{", ",", "}")})")
-    if (!structural && !typeFixed) df else df.select(exprs: _*)
+    if (!structural && !reordered && !typeFixed) df else df.select(exprs: _*)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

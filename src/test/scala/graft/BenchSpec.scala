@@ -40,6 +40,17 @@ class BenchSpec extends AnyFunSuite {
     assert(restored("q_failed") == 0.9)
   }
 
+  test("minTotalOf: a query that failed THIS run contributes its " +
+       "penalty, not its historical floor") {
+    val mins = Map("q_ok" -> 1.0, "q_failed" -> 2.0)
+    val run = Seq(
+      "q_ok" -> 1.4,                          // noisy sample -> floor
+      "q_failed" -> Bench.failurePenaltySec,  // failed -> penalty, NOT 2.0
+      "q_new" -> 0.5)                         // no floor -> fresh sample
+    assert(Bench.minTotalOf(mins, run) ==
+      1.0 + Bench.failurePenaltySec + 0.5)
+  }
+
   test("mergeMins: a failed run never creates an entry") {
     val merged =
       Bench.mergeMins(Map.empty, Seq("q" -> Bench.failurePenaltySec))

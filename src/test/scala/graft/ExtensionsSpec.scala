@@ -214,6 +214,32 @@ class ExtensionsSpec extends SparkTestBase {
       "fast-path and distributed incremental merges must agree")
   }
 
+  test("incremental components fast path: string ids order in Spark's " +
+       "UTF-8 binary collation, not Java's UTF-16 code-unit order") {
+    import spark.implicits._
+    import graft.extensions.Components
+    // U+1F600 (😀, UTF-8 bytes F0 9F 98 80) vs U+E000 (private-use,
+    // UTF-8 bytes EE 80 80): UTF-16 puts the surrogate 0xD83D BELOW
+    // 0xE000 (😀 < U+E000), UTF-8 bytes put F0 ABOVE EE (😀 > U+E000).
+    // Spark's min() uses the latter, so both paths must label the
+    // merged component U+E000 — a Comparable-ordered fast path would
+    // pick 😀 and break its bit-parity contract (ADVICE r12).
+    val smiley = "\uD83D\uDE00"
+    val priv = "\uE000"
+    val saved = Components.connectedComponents(
+      Seq((smiley, smiley)).toDF("id_a", "id_b"), "id_a", "id_b")
+    val batch = Seq((smiley, priv)).toDF("id_a", "id_b")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val fast = rows(Components.incrementalComponents(saved, batch,
+      "id_a", "id_b"))
+    val dist = rows(Components.incrementalComponents(saved, batch,
+      "id_a", "id_b", localCutoff = 0))
+    assert(fast == dist, "fast path must match the distributed loop")
+    assert(fast == Set((smiley, priv), (priv, priv)),
+      s"min label must be UTF-8 order's U+E000; got $fast")
+  }
+
   test("repetition ratio, PII scrub, hash sample semantics") {
     import spark.implicits._
     // repetition: "a b a b a" → 2-grams [a b, b a, a b, b a] → 2 dups / 4
@@ -1905,6 +1931,17 @@ class ExtensionsSpec extends SparkTestBase {
       .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
       .mkString("\n")
     assert(msgs.contains("expected 5"), s"got: $msgs")
+    // projection-side dimension guard: zip_with would pad the shorter
+    // side with nulls and proj would go silently null — the guard
+    // raises loudly instead (ADVICE r12)
+    val exP = intercept[Exception](
+      Pca.projectWith(bad, "vec_id", "embedding",
+        Seq(100L, 100L, 100L, 100L, 100L)).collect())
+    val pMsgs = Iterator.iterate(exP: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(pMsgs.contains("row vector length != component length 5"),
+      s"got: $pMsgs")
   }
 
   test("weightedCap: feasible AND maximal (f(cap) <= budget < f(cap+1)) " +

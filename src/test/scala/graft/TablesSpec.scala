@@ -291,6 +291,26 @@ class TablesSpec extends SparkTestBase {
     assert(r.forall(row => row.isNullAt(3) && row.isNullAt(4)))
   }
 
+  test("structural drift: a pure column REORDER reprojects to canonical " +
+       "order silently — no drift log line naming nothing") {
+    import spark.implicits._
+    val dir = scratch("docreorder")
+    Seq(("hello", 1L, "en", "web", 5L))
+      .toDF("text", "doc_id", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    val df = try {
+      System.setErr(new java.io.PrintStream(buf, true))
+      Tables.documents(spark, dir)
+    } finally System.setErr(old)
+    assert(df.columns.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    assert(df.collect().head.getLong(0) == 1L)
+    assert(!buf.toString.contains("structural drift"),
+      s"reorder-only must not emit the drift line; got: $buf")
+  }
+
   test("structural drift: RENAMED columns map back via the alias table " +
        "(timestamp->ts) and the case/separator fold (Event_ID), then " +
        "type-coerce like any pinned column") {
