@@ -116,11 +116,11 @@ object AggOps {
     * This is the exact path: it still rank-windows the (group, ord)
     * PROJECTION — two longs a row, not the full record — which is the
     * irreducible cost of exact boundaries (same stance as
-    * [[exactQuantiles]]). At 100 TB swap this one contraction for
-    * `approx_percentile` over an order-encoded long: the downstream
-    * broadcast-compare pipeline is unchanged, only the cut keys become
-    * ±ε. The bulk table never passes through a per-group sort either
-    * way.
+    * [[exactQuantiles]]). At 100 TB use [[tierBoundariesSampled]]:
+    * the same contraction over a deterministic md5 hash-sample bounded
+    * near `sampleN` rows per group, cut keys ±ε (DKW), downstream
+    * broadcast-compare pipeline unchanged. The bulk table never
+    * passes through a per-group sort either way.
     *
     * @return one row per group: (groupCol, cnt, b1..b<tiers-1>)
     */
@@ -143,6 +143,76 @@ object AggOps {
     }
     ranked.groupBy(groupCol)
       .agg(max(col("cnt")).as("cnt"), bAggs: _*)
+  }
+
+  /** The 100 TB scale path for [[tierBoundaries]]: deterministic
+    * md5 hash-sample of the (group, ord) projection to ~`sampleN` rows
+    * per group, exact window over the BOUNDED sample. The exact path's
+    * residual cost is the per-group rank window over the projection —
+    * one reducer per group, tens of TB for a real corpus' dominant
+    * language; here the window's input is capped near `sampleN`
+    * regardless of group size, so no task ever sees more than the
+    * sample.
+    *
+    * Sampling predicate (row-deterministic, engine-independent —
+    * encodable verbatim in SQL for the oracle, unlike
+    * `approx_percentile`, whose t-digest merges are partition-order
+    * sensitive): keep a row iff
+    * `cnt <= sampleN  OR  hash32 < (sampleN * 2^32) div cnt`, where
+    * `hash32` = first 8 md5 nibbles of `sampleKey` (caller-supplied,
+    * unique per row — usually the id that already ends `ordCols`) and
+    * `cnt` is the group's exact count (one map-side-combinable agg,
+    * broadcast back). All-integer arithmetic — no double division to
+    * disagree across engines.
+    *
+    * Accuracy: sampled boundaries are the sample's tier-first keys.
+    * Groups with `cnt <= sampleN` keep EVERY row, so their boundaries
+    * are bit-identical to [[tierBoundaries]]. For sampled groups, by
+    * DKW the sample CDF deviates from the group CDF by at most
+    * ε = sqrt(ln(2/δ)/(2·scnt)) with prob ≥ 1−δ, so the fraction of
+    * rows whose tier differs from the exact assignment is ≤
+    * (tiers−1)·ε (≈3.3% per boundary at sampleN=4096, δ=10⁻³;
+    * ExtensionsSpec measures the deviation). scnt itself concentrates
+    * around sampleN (binomial), so the window input stays
+    * sampleN + O(√sampleN) w.h.p.
+    *
+    * @return one row per group: (groupCol, cnt, scnt, b1..b<tiers-1>)
+    *         — same b<t> schema as [[tierBoundaries]], so [[tierOf]]
+    *         is unchanged downstream; `scnt` = sample size actually
+    *         windowed (diagnostic).
+    */
+  def tierBoundariesSampled(df: org.apache.spark.sql.DataFrame,
+                            groupCol: String, ordCols: Seq[Column],
+                            tiers: Int, sampleKey: Column,
+                            sampleN: Int = 4096)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tiers >= 2 && tiers <= 1000, s"tiers must be in [2, 1000]")
+    require(sampleN >= tiers && sampleN <= (1 << 22),
+      s"sampleN must be in [tiers, 2^22], got $sampleN")
+    val proj = df.select(col(groupCol), ordKey(ordCols).as("ord"),
+      sampleKey.cast("string").as("sk"))
+    val cnts = proj.groupBy(groupCol)
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val hash32 =
+      conv(substring(md5(col("sk")), 1, 8), 16, 10).cast("long")
+    val sampled = proj
+      .join(broadcast(cnts), groupCol)
+      .filter(col("cnt") <= lit(sampleN.toLong) ||
+        hash32 < expr(s"(${sampleN.toLong} * 4294967296L) div cnt"))
+    val ranked = sampled
+      .withColumn("srn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("ord"))).cast("long"))
+      .withColumn("scnt", count(lit(1)).over(
+        Window.partitionBy(groupCol)).cast("long"))
+    val bAggs = (1 until tiers).map { t =>
+      max(when(col("srn") ===
+          expr(s"($t * scnt + ${tiers - 1}) div $tiers") + 1L,
+        col("ord"))).as(s"b$t")
+    }
+    ranked.groupBy(groupCol)
+      .agg(max(col("cnt")).as("cnt"),
+        (max(col("scnt")).as("scnt") +: bAggs): _*)
   }
 
   /** Map-side tier assignment against [[tierBoundaries]] output (joined

@@ -1246,6 +1246,32 @@ object PipelineDemos {
         .select("doc_id", "lang", "rank_fp", "tier")
         .orderBy("doc_id")
     }),
+    // The 100 TB variant of the tier cut (VERDICT r12 #1): boundaries
+    // from a deterministic md5 hash-sample (~128 rows per language)
+    // instead of an exact per-group rank over the full projection —
+    // the exact path's one residual single-reducer stage. Downstream
+    // is the identical broadcast-compare; languages under 128 docs
+    // keep every row (boundaries bit-equal to the exact path, which
+    // the sf0.01 corpus exercises: en=218 samples, the rest pass
+    // whole), larger ones get DKW-bounded ±ε cuts. The sample
+    // predicate is all-integer md5 arithmetic — deterministic on any
+    // layout, unlike approx_percentile's partition-order-sensitive
+    // sketch merges — so the oracle replays the identical sample in
+    // SQL and the result is hash-checkable, not just rows-only.
+    "pipeline_rank_mix_sampled" -> ((s, dir) => {
+      val ranks = graft.extensions.Graph.pageRankFixedPoint(
+        docLinkEdges(s, dir), "src", "dst", iterations = 4)
+      val joined = Tables.documents(s, dir).select("doc_id", "lang")
+        .join(ranks.withColumnRenamed("id", "doc_id"), "doc_id")
+        .localCheckpoint(true)
+      val ord = Seq(negate(col("rank_fp")), col("doc_id"))
+      val bounds = graft.ops.AggOps.tierBoundariesSampled(
+        joined, "lang", ord, 4, col("doc_id"), sampleN = 128)
+      joined.join(broadcast(bounds), "lang")
+        .withColumn("tier", graft.ops.AggOps.tierOf(ord, 4).cast("int"))
+        .select("doc_id", "lang", "rank_fp", "tier")
+        .orderBy("doc_id")
+    }),
     // Hubs & authorities (HITS) — the complementary centrality signal
     // pair: authority = cited BY good pages (a quality up-weight),
     // hub = aggregator-ness (often a down-weight; link farms are
@@ -2434,6 +2460,41 @@ object PipelineDemos {
        |   OR (tier = 2 AND h < '8') OR (tier = 3 AND h < '4')
        |ORDER BY doc_id""".stripMargin
 
+  /** Sampled-tier oracle: replays [[graft.ops.AggOps.tierBoundariesSampled]]
+    * verbatim — exact per-language counts, the integer md5 keep
+    * predicate, a rank window over the SAMPLE only, boundary = the
+    * sample's tier-first (−rank, id) key, then tier = count of
+    * boundaries each row's key is ≥ (row-value comparison; null
+    * boundary → 0, matching Spark's coalesce).
+    */
+  private def rankMixSampledOracle: String = {
+    val n = 128
+    def b(t: Int, f: String) =
+      s"max(CASE WHEN srn = ($t * scnt + 3) // 4 + 1 THEN $f END)"
+    def ge(t: Int) =
+      s"COALESCE(CAST(((-r.rank_fp, r.doc_id) >= (b.b${t}r, b.b${t}d)) AS INT), 0)"
+    s"""WITH ${pagerankCtes(seeded = false)},
+       |ranked AS (SELECT d.doc_id, d.lang, CAST(r.rank_fp AS BIGINT) AS rank_fp
+       |  FROM documents d JOIN r4 r ON r.id = d.doc_id),
+       |cnts AS (SELECT lang, count(*) AS cnt FROM ranked GROUP BY lang),
+       |hs AS (SELECT ranked.*, cnt, md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM ranked JOIN cnts USING (lang)),
+       |samp AS (SELECT * FROM hs
+       |  WHERE cnt <= $n OR $hex8OfH < (CAST($n AS BIGINT) * 4294967296) // cnt),
+       |sr AS (SELECT lang, doc_id, rank_fp,
+       |    row_number() OVER (PARTITION BY lang ORDER BY rank_fp DESC, doc_id) AS srn,
+       |    count(*) OVER (PARTITION BY lang) AS scnt FROM samp),
+       |bounds AS (SELECT lang,
+       |    ${b(1, "-rank_fp")} AS b1r, ${b(1, "doc_id")} AS b1d,
+       |    ${b(2, "-rank_fp")} AS b2r, ${b(2, "doc_id")} AS b2d,
+       |    ${b(3, "-rank_fp")} AS b3r, ${b(3, "doc_id")} AS b3d
+       |  FROM sr GROUP BY lang)
+       |SELECT r.doc_id, r.lang, r.rank_fp,
+       |  CAST(${ge(1)} + ${ge(2)} + ${ge(3)} AS INTEGER) AS tier
+       |FROM ranked r JOIN bounds b USING (lang)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Unrolled deterministic-walk oracle: indexed edges via window
     * row_number/count, then one join per step with the md5-pick
     * predicate — mirroring Graph.deterministicWalks exactly.
@@ -3600,6 +3661,7 @@ object PipelineDemos {
     // rank vector — bit-equality with the unsplit oracle IS the claim
     "pagerank_resume" -> pagerankOracleSql(seeded = false),
     "pipeline_rank_mix" -> rankMixOracle,
+    "pipeline_rank_mix_sampled" -> rankMixSampledOracle,
     "pagerank_seeded" -> pagerankOracleSql(seeded = true),
     "pagerank_weighted" -> weightedPagerankOracle,
     "link_hits" -> hitsOracle(iterations = 4),

@@ -214,6 +214,55 @@ class ExtensionsSpec extends SparkTestBase {
       "fast-path and distributed incremental merges must agree")
   }
 
+  test("tierBoundariesSampled: groups under the sample bound are " +
+       "bit-equal to the exact path; sampled groups mis-tier at most " +
+       "an epsilon fraction; sampleN >= max group reduces to exact") {
+    import spark.implicits._
+    import graft.ops.AggOps
+    // group "a": 40 rows (< sampleN -> every row kept, exact);
+    // group "b": 8000 rows (sampled at ~512). v = deterministic
+    // pseudo-random order value, id unique across groups.
+    val rows =
+      (0 until 40).map(i => ("a", ((i * 2654435761L) % 997L), i.toLong)) ++
+      (0 until 8000).map(i => ("b", ((i * 2654435761L) % 99991L),
+        1000L + i))
+    val df = rows.toDF("g", "v", "id")
+    val ord = Seq(col("v"), col("id"))
+    val exact = AggOps.tierBoundaries(df, "g", ord, 4)
+    val samp = AggOps.tierBoundariesSampled(df, "g", ord, 4, col("id"),
+      sampleN = 512)
+    // sub-bound group: boundaries bit-equal (scnt == cnt == 40)
+    val ea = exact.filter(col("g") === "a").drop("g").collect().head
+    val sa = samp.filter(col("g") === "a").drop("g", "scnt")
+      .collect().head
+    assert(ea == sa, s"sub-bound group must be exact: $ea vs $sa")
+    assert(samp.filter(col("g") === "a").select("scnt")
+      .collect().head.getLong(0) == 40L)
+    // sampled group: window input bounded near sampleN, and the tier
+    // assignment deviates from exact on at most an epsilon fraction
+    // (DKW at scnt~512: eps/boundary ~ sqrt(ln(2/δ)/1024) ~ 0.07)
+    val scntB = samp.filter(col("g") === "b").select("scnt")
+      .collect().head.getLong(0)
+    assert(scntB > 512 - 200 && scntB < 512 + 200,
+      s"sample size should concentrate near 512, got $scntB")
+    def tiersOf(bounds: org.apache.spark.sql.DataFrame) =
+      df.join(broadcast(bounds), "g")
+        .select(col("id"), AggOps.tierOf(ord, 4).as("tier"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val te = tiersOf(exact)
+    val ts = tiersOf(samp.drop("scnt"))
+    assert(te.keySet == ts.keySet)
+    val devB = te.keys.filter(_ >= 1000L).count(k => te(k) != ts(k))
+    assert(devB.toDouble / 8000 < 0.15,
+      s"sampled tiers deviate on $devB/8000 rows — beyond the DKW bound")
+    assert(te.keys.filter(_ < 1000L).forall(k => te(k) == ts(k)),
+      "sub-bound group tiers must match exactly")
+    // sampleN >= every group: the whole operator reduces to exact
+    val full = AggOps.tierBoundariesSampled(df, "g", ord, 4, col("id"),
+      sampleN = 16384).drop("scnt")
+    assert(full.collect().toSet == exact.collect().toSet)
+  }
+
   test("incremental components fast path: string ids order in Spark's " +
        "UTF-8 binary collation, not Java's UTF-16 code-unit order") {
     import spark.implicits._

@@ -556,7 +556,7 @@ class PlanShapeSpec extends SparkTestBase {
        "BroadcastExchange (the cut-key side) — no full per-group " +
        "ranking window on the bulk path") {
    Seq("pipeline_rank_mix", "pipeline_hits_gate",
-       "pca_curriculum").foreach { name =>
+       "pca_curriculum", "pipeline_rank_mix_sampled").foreach { name =>
     val df = SparkEntry.queries(name)(spark, dir)
     val plan = unwrapped(df.queryExecution.executedPlan)
     val windows = plan.collect {
@@ -584,6 +584,31 @@ class PlanShapeSpec extends SparkTestBase {
     assert(outsideBroadcast.isEmpty,
       s"$name: Window outside the broadcast cut-key subtree:\n$plan")
    }
+  }
+
+  test("pipeline_rank_mix_sampled: every Window's input subtree " +
+       "contains the md5 hash-sample Filter — the window never sees " +
+       "more than the bounded sample, no matter the group size") {
+    val df = SparkEntry.queries("pipeline_rank_mix_sampled")(spark, dir)
+    val plan = unwrapped(df.queryExecution.executedPlan)
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "sanity: the sampled contraction windows")
+    windows.foreach { w =>
+      // Catalyst pushes the sample predicate into the cnt-broadcast
+      // join's condition (applied map-side during the probe — even
+      // earlier than a standalone Filter); accept either node shape
+      val samplePredicates = w.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.toString.contains("md5") => f: Any
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.condition.exists(_.toString.contains("md5")) => j: Any
+      }
+      assert(samplePredicates.nonEmpty,
+        s"Window without the hash-sample predicate below it — its " +
+          s"input is unbounded at scale:\n$w")
+    }
   }
 
   test("SeqDot matches the interpreted sequential fold") {
