@@ -896,20 +896,61 @@ object Graph {
     * re-peel the merged graph, which the shrinking-frame rounds make
     * cheap relative to the iterative operators that DO resume.
     *
+    * Small-graph fast path (the [[Components.incrementalComponents]]
+    * probe pattern): when the canonical simple-edge frame fits under
+    * `localCutoff` rows — tested with one bounded `limit(cutoff+1)`
+    * collect, never an unbounded one — the whole peel runs as a
+    * driver loop over the collected edges. Bit-equal to the
+    * distributed rounds by construction: each round removes exactly
+    * the vertices with degree < k from the same canonical frame, the
+    * early stop fires on the same no-op-round condition, and rounds
+    * after the fixpoint are no-ops in both paths (ExtensionsSpec
+    * asserts equality with `localCutoff = 0` forcing the distributed
+    * loop). The distributed path is untouched above the cutoff — the
+    * fast path exists because the peel's ~14 fixed stage launches
+    * dominate demo-scale inputs, not because the big-graph shape
+    * changed.
+    *
     * @param k         minimum surviving degree (≥ 2; k=1 is the
     *                  whole simple graph minus isolated vertices)
     * @param maxRounds peel budget; peeling removes ≥1 vertex per
     *                  non-final round, so convergence within the
     *                  budget is the common case, and a non-converged
     *                  result is still exactly the budget-round peel
+    * @param localCutoff max canonical edge count for the driver fast
+    *                  path (0 disables it — every test of the
+    *                  distributed rounds pins this)
     * @return (id, core_degree): vertices of the surviving subgraph
     *         with their degree in it (≥ k iff converged)
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
-            k: Int, maxRounds: Int = 8): DataFrame = {
+            k: Int, maxRounds: Int = 8,
+            localCutoff: Int = 65536): DataFrame = {
     require(k >= 2, "k-core needs k >= 2 (k=1 is the input graph)")
     require(maxRounds >= 1 && maxRounds <= 32, "fixed round budget")
     var live = undirectedSimple(edges, srcCol, dstCol)
+    if (localCutoff > 0) {
+      val probe = live.limit(localCutoff + 1).collect()
+      if (probe.length <= localCutoff) {
+        live.unpersist(false)
+        val out = localKCore(
+          probe.map(r => (r.getLong(0), r.getLong(1))).toSeq,
+          k, maxRounds)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("core_degree",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        return edges.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              out.map { case (id, d) =>
+                org.apache.spark.sql.Row(id, d) }).asJava),
+          schema)
+      }
+      // over the cutoff: the probe rows are discarded (limit+collect
+      // cost one bounded scan) and the distributed rounds run below
+    }
     val kept = scala.collection.mutable.Buffer[DataFrame](live)
     def degreesOf(f: DataFrame): DataFrame =
       f.select(explode(array(col("a"), col("b"))).as("id"))
@@ -955,6 +996,36 @@ object Graph {
     val out = degreesOf(live).localCheckpoint(true)
     kept.foreach(_.unpersist(false))
     out
+  }
+
+  /** Driver-side exact peel over a bounded canonical edge list — the
+    * [[kCore]] fast path. Same round semantics as the distributed
+    * loop: remove ALL below-k vertices simultaneously each round,
+    * stop early when a round finds none (later rounds are no-ops),
+    * final answer = surviving-subgraph degrees.
+    */
+  private def localKCore(pairs: Seq[(Long, Long)], k: Int,
+                         maxRounds: Int): Seq[(Long, Long)] = {
+    def degrees(es: Seq[(Long, Long)])
+        : scala.collection.mutable.Map[Long, Long] = {
+      val d = scala.collection.mutable.Map.empty[Long, Long]
+      for ((a, b) <- es) {
+        d.update(a, d.getOrElse(a, 0L) + 1L)
+        d.update(b, d.getOrElse(b, 0L) + 1L)
+      }
+      d
+    }
+    var live = pairs
+    var r = 0
+    var done = false
+    while (r < maxRounds && !done) {
+      val bad = degrees(live)
+        .collect { case (v, d) if d < k => v }.toSet
+      if (bad.isEmpty) done = true
+      else live = live.filterNot { case (a, b) => bad(a) || bad(b) }
+      r += 1
+    }
+    degrees(live).toSeq
   }
 
   /** Link prediction by common neighborhood — the "suggest missing

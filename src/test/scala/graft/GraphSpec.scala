@@ -768,10 +768,13 @@ class GraphSpec extends SparkTestBase {
        "empties the graph; every survivor has >= k neighbors at the " +
        "fixpoint") {
     import spark.implicits._
-    def run(edges: Seq[(Long, Long)], k: Int, rounds: Int, parts: Int)
-        : Map[Long, Long] =
+    // cutoff 65536 takes the driver fast path, cutoff 0 forces the
+    // distributed rounds — both must match the sequential reference
+    // (the fast path's bit-parity contract)
+    def run(edges: Seq[(Long, Long)], k: Int, rounds: Int, parts: Int,
+            cutoff: Int): Map[Long, Long] =
       Graph.kCore(edges.toDF("src", "dst").repartition(parts),
-          "src", "dst", k, rounds)
+          "src", "dst", k, rounds, localCutoff = cutoff)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // a 5-clique with a pendant chain hanging off it: the chain peels
     // one link per round under k=2, so a small budget leaves part of
@@ -779,15 +782,18 @@ class GraphSpec extends SparkTestBase {
     val clique = for (i <- 0L until 5L; j <- (i + 1) until 5L) yield (i, j)
     val chain = (0 until 6).map(i => (4L + i, 5L + i))
     val g = clique ++ chain
-    for ((k, rounds) <- Seq((2, 8), (2, 2), (4, 8), (3, 1))) {
-      val got = run(g, k, rounds, parts = 5)
-      assert(got == refKCore(g, k, rounds), s"k=$k rounds=$rounds")
+    for ((k, rounds) <- Seq((2, 8), (2, 2), (4, 8), (3, 1));
+         cutoff <- Seq(65536, 0)) {
+      val got = run(g, k, rounds, parts = 5, cutoff)
+      assert(got == refKCore(g, k, rounds),
+        s"k=$k rounds=$rounds cutoff=$cutoff")
     }
     // converged k=4: only the clique survives, all degrees 4
-    assert(run(g, 4, 8, 3) == (0L until 5L).map(_ -> 4L).toMap)
-    // k above max degree: empty result
-    assert(run(g, 6, 8, 3).isEmpty)
-    // the ring-stride graph from the other suites
+    assert(run(g, 4, 8, 3, 65536) == (0L until 5L).map(_ -> 4L).toMap)
+    // k above max degree: empty result on BOTH paths
+    assert(run(g, 6, 8, 3, 65536).isEmpty)
+    assert(run(g, 6, 8, 3, 0).isEmpty)
+    // the ring-stride graph from the other suites, both paths
     val n = 150L
     val rs = for {
       i <- 0L until n
@@ -798,7 +804,9 @@ class GraphSpec extends SparkTestBase {
         .take(2).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
       (i, (i + 1 + (h % (n - 1))) % n)
     }
-    assert(run(rs, 4, 8, 7) == refKCore(rs, 4, 8))
+    val expected = refKCore(rs, 4, 8)
+    assert(run(rs, 4, 8, 7, 65536) == expected)
+    assert(run(rs, 4, 8, 7, 0) == expected)
   }
 
   /** Sequential bounded-round truss reference: per round, per-edge
