@@ -808,6 +808,65 @@ object Graph {
     out
   }
 
+  /** Incremental support maintenance — the [[kTruss]] delta round:
+    * dropping edge set D from graph G only kills triangles that
+    * CONTAIN a D-edge, so for every surviving edge f,
+    * support_G\D(f) = support_G(f) − #{distinct triangles of G
+    * containing f and ≥1 D-edge}. Distinctness is load-bearing: a
+    * triangle with two dropped edges dies ONCE, so debits are counted
+    * per dead TRIANGLE (canonical sorted triple, dedup) and then
+    * exploded to its edges — summing per dropped edge would
+    * double-debit shared triangles.
+    *
+    * Dead-triangle enumeration: for each dropped (a, b), the third
+    * vertices are neighbors c of a with (b, c) ∈ G — one keyed join
+    * of D against G's symmetrized adjacency plus one semi-join edge
+    * probe: O(Σ_{(a,b)∈D} deg(a)) candidate rows, vs the full
+    * re-enumeration's O(m^1.5). Degrees/orientation are never needed
+    * — the delta is against the PREVIOUS round's supports, not a
+    * fresh count.
+    *
+    * @param prevEdges the canonical (a,b) frame `surviving ∪ dropped`
+    *                  — the graph the carried supports were computed
+    *                  over
+    * @return surviving (a, b, support) with supports exact for the
+    *         graph minus the dropped set — bit-equal to
+    *         `edgeSupport(surviving)` (GraphSpec pins both paths)
+    */
+  private def decrementSupport(prevEdges: DataFrame,
+                               surviving: DataFrame,
+                               dropped: DataFrame): DataFrame = {
+    val sym = prevEdges.select(col("a").as("u"), col("b").as("v"))
+      .union(prevEdges.select(col("b").as("u"), col("a").as("v")))
+    val cand = dropped.select("a", "b")
+      .join(sym, col("a") === col("u"))
+      .select(col("a"), col("b"), col("v").as("c"))
+      .filter(col("c") =!= col("b"))
+      .select(col("a"), col("b"), col("c"),
+        least(col("b"), col("c")).as("x"),
+        greatest(col("b"), col("c")).as("y"))
+    val closed = cand.join(
+      prevEdges.select(col("a").as("x"), col("b").as("y")),
+      Seq("x", "y"), "left_semi")
+    val tris = closed
+      .select(array_sort(array(col("a"), col("b"), col("c"))).as("t"))
+      .select(col("t")(0).as("u"), col("t")(1).as("v"),
+              col("t")(2).as("w"))
+      .distinct()
+    // u < v < w, so the exploded edges are already canonical
+    val debits = tris.select(explode(array(
+        struct(col("u").as("p"), col("v").as("q")),
+        struct(col("u").as("p"), col("w").as("q")),
+        struct(col("v").as("p"), col("w").as("q")))).as("e"))
+      .select(col("e.p").as("a"), col("e.q").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("debit"))
+    surviving.join(debits, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        (col("support") - coalesce(col("debit"), lit(0L)))
+          .as("support"))
+      .localCheckpoint(true)
+  }
+
   /** k-truss (bounded-round edge peel) — the EDGE-level cohesion cut
     * completing the triad (vertex lcc → [[triangleCounts]], subgraph
     * core → [[kCore]], edge truss here): iteratively drop edges
@@ -818,56 +877,141 @@ object Graph {
     * are mutually witnessed — the strictest spam-link filter of the
     * three, and the standard community-backbone extraction.
     *
-    * Each round IS a full [[edgeSupport]] pass (degrees and
-    * orientation recomputed on the shrinking live frame — dropping
-    * edges changes both), so unlike [[kCore]]'s thin rounds, every
-    * round here carries a deep plan: rounds cut eagerly per round
-    * (localCheckpoint inside edgeSupport), and the convergence test
-    * is the free edge-count equality on the checkpointed leaf.
-    * Budget semantics mirror [[kCore]]: post-convergence rounds are
-    * provable no-ops, so the early stop equals the full-budget
-    * unrolled oracle bit for bit.
+    * Round structure (r13): the FIRST support pass is the full
+    * O(m^1.5) [[edgeSupport]] enumeration; a later round with a
+    * sparse drop set updates the carried supports by
+    * [[decrementSupport]] — triangles touched by the dropped set
+    * only, O(m + |D|·deg) instead of a full re-enumeration
+    * (deletions do change degrees and orientation, but the delta
+    * form never recomputes either — it subtracts dead triangles from
+    * exact previous supports, which is algebraically identical;
+    * GraphSpec pins `incremental = false` full re-enumeration
+    * against the delta path bit for bit).
+    * Rounds cut eagerly (localCheckpoint per support frame), and the
+    * convergence test is the free edge-count equality on the
+    * checkpointed leaf. Budget semantics mirror [[kCore]]:
+    * post-convergence rounds are provable no-ops, so the early stop
+    * equals the full-budget unrolled oracle bit for bit.
     *
+    * The delta-vs-full choice is ADAPTIVE per round, decided from two
+    * counts the convergence test already pays for: delta runs only
+    * when the dropped set is sparse (4·|D| ≤ survivors — the
+    * long-tail rounds where it saves a full O(m^1.5) pass); a
+    * mass-extinction round (the circulant's first peel drops ~m/4)
+    * re-enumerates, because there the delta does full-enumeration
+    * work PLUS two extra shuffles. `incremental = false` forces full
+    * re-enumeration every round — the cross-check path GraphSpec
+    * pins bit-equal.
+    *
+    * Small-graph fast path (the [[kCore]] probe pattern): under
+    * `localCutoff` canonical edges the whole peel runs as a driver
+    * loop — structurally the same carried-support round (same filter,
+    * same convergence test, same budget), so it is bit-equal by
+    * construction and GraphSpec pins it against the distributed
+    * rounds. The demo corpus (~20k edges at sf0.1) sits under the
+    * default cutoff; ScaleCurve's 300k+ graphs never do.
+    *
+    * @param incremental false forces the per-round full
+    *                    re-enumeration (cross-check path)
+    * @param localCutoff max canonical edge count for the driver fast
+    *                    path (0 disables it)
     * @return surviving (id_a, id_b, support) edges with their support
     *         in the FINAL subgraph (≥ k−2 iff converged)
     */
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
-             k: Int, maxRounds: Int = 4): DataFrame = {
+             k: Int, maxRounds: Int = 4,
+             incremental: Boolean = true,
+             localCutoff: Int = 65536): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3 (k=2 is the whole graph)")
     require(maxRounds >= 1 && maxRounds <= 16, "fixed round budget")
-    var live = undirectedSimple(edges, srcCol, dstCol)
-    val first = live
-    var lastCnt = live.count()
-    // each round's checkpointed support frame is CARRIED: on
-    // convergence (a round that drops nothing) the supports computed
-    // over the unchanged live frame ARE the final supports, so the
-    // converged exit pays no extra enumeration — the budget-exhausted
-    // exit's final support pass is the last loop iteration's
-    // edgeSupport, also already computed. (An earlier version re-ran
-    // the full O(m^1.5) enumeration after the loop — doubling the
-    // final round of every converged call for bit-identical output.)
-    var sup = edgeSupport(live)
+    val first = undirectedSimple(edges, srcCol, dstCol)
+    if (localCutoff > 0) {
+      val probe = first.limit(localCutoff + 1).collect()
+      if (probe.length <= localCutoff) {
+        first.unpersist(false)
+        val out = localKTruss(
+          probe.map(r => (r.getLong(0), r.getLong(1))).toSeq,
+          k, maxRounds)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id_a",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("id_b",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("support",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        return edges.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              out.map { case (a, b, s) =>
+                org.apache.spark.sql.Row(a, b, s) }).asJava),
+          schema)
+      }
+    }
+    var lastCnt = first.count()
+    // the checkpointed support frame is CARRIED: on convergence (a
+    // round that drops nothing) the supports computed over the
+    // unchanged live frame ARE the final supports, so the converged
+    // exit pays no extra enumeration; on budget exhaustion the final
+    // frame's supports are the last round's update — exactly the
+    // oracle's sup_{R+1} either way.
+    var sup = edgeSupport(first)
     var r = 0
     var converged = false
     while (r < maxRounds && !converged) {
-      val next = sup.filter(col("support") >= (k - 2).toLong)
-      val c = next.count() // leaf scan of the round checkpoint
+      val surviving = sup.filter(col("support") >= (k - 2).toLong)
+      val c = surviving.count() // leaf scan of the round checkpoint
       if (c == lastCnt) converged = true
       else {
-        live = next.select("a", "b")
-        sup = edgeSupport(live)
+        val dropped = lastCnt - c
+        sup =
+          if (incremental && 4L * dropped <= c)
+            decrementSupport(sup.select("a", "b"), surviving,
+              sup.filter(col("support") < (k - 2).toLong))
+          else edgeSupport(surviving.select("a", "b"))
       }
       lastCnt = c
       r += 1
     }
-    // converged: sup = supports over the fixpoint frame, every row
-    // >= k-2 (the filter kept all of them). Budget-exhausted: sup =
-    // the final round's edgeSupport over l_maxRounds, rows unfiltered
-    // — exactly the oracle's sup_{R+1} either way.
     val out = sup
       .select(col("a").as("id_a"), col("b").as("id_b"), col("support"))
     first.unpersist(false)
     out
+  }
+
+  /** Driver-side exact bounded-round truss peel — the [[kTruss]] fast
+    * path. Structurally the distributed loop: carried supports,
+    * filter < k−2, convergence on survivor-count equality, budget
+    * cap; supports by common-neighbor intersection over adjacency
+    * sets.
+    */
+  private def localKTruss(pairs: Seq[(Long, Long)], k: Int,
+                          maxRounds: Int): Seq[(Long, Long, Long)] = {
+    def supports(es: Seq[(Long, Long)])
+        : Map[(Long, Long), Long] = {
+      val adj = scala.collection.mutable
+        .Map.empty[Long, scala.collection.mutable.Set[Long]]
+      for ((a, b) <- es) {
+        adj.getOrElseUpdate(a,
+          scala.collection.mutable.Set.empty[Long]) += b
+        adj.getOrElseUpdate(b,
+          scala.collection.mutable.Set.empty[Long]) += a
+      }
+      es.map { case (a, b) =>
+        (a, b) -> (adj(a) & adj(b)).size.toLong }.toMap
+    }
+    var sup = supports(pairs)
+    var lastCnt = pairs.size.toLong
+    var r = 0
+    var converged = false
+    while (r < maxRounds && !converged) {
+      val surviving = sup.filter(_._2 >= (k - 2).toLong)
+      val c = surviving.size.toLong
+      if (c == lastCnt) converged = true
+      else sup = supports(surviving.keys.toSeq)
+      lastCnt = c
+      r += 1
+    }
+    sup.toSeq.map { case ((a, b), s) => (a, b, s) }
   }
 
   /** k-core decomposition (bounded-round peel) — the connectivity-

@@ -839,36 +839,68 @@ class GraphSpec extends SparkTestBase {
        "partitioning; a clique is its own truss; triangle-free graphs " +
        "empty at k=3") {
     import spark.implicits._
-    def run(edges: Seq[(Long, Long)], k: Int, rounds: Int, parts: Int)
-        : Map[(Long, Long), Long] =
+    // cutoff 0 forces the distributed rounds, where inc toggles the
+    // adaptive delta support-maintenance vs per-round full
+    // re-enumeration; the big cutoff takes the driver fast path.
+    // All three must match the sequential reference bit for bit.
+    def run(edges: Seq[(Long, Long)], k: Int, rounds: Int, parts: Int,
+            inc: Boolean, cutoff: Int): Map[(Long, Long), Long] =
       Graph.kTruss(edges.toDF("src", "dst").repartition(parts),
-          "src", "dst", k, rounds)
+          "src", "dst", k, rounds, incremental = inc,
+          localCutoff = cutoff)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     // circulant C_30(1..4): stride-4 edges have support 3 and peel
-    // first at k=6; the cascade re-evaluates the rest
+    // first at k=6; the cascade re-evaluates the rest — and shared
+    // dead triangles between simultaneously-dropped edges exercise
+    // the per-triangle (not per-dropped-edge) debit dedup
     val n = 30L
     val circ = for (i <- 0L until n; j <- 1L to 4L)
       yield (i, (i + j) % n)
-    for ((k, rounds) <- Seq((6, 3), (6, 1), (5, 3), (7, 4))) {
-      val got = run(circ, k, rounds, parts = 5)
-      assert(got == refKTruss(circ, k, rounds), s"k=$k rounds=$rounds")
+    for ((k, rounds) <- Seq((6, 3), (6, 1), (5, 3), (7, 4));
+         (inc, cutoff) <- Seq((true, 0), (false, 0), (true, 65536))) {
+      val got = run(circ, k, rounds, parts = 5, inc, cutoff)
+      assert(got == refKTruss(circ, k, rounds),
+        s"k=$k rounds=$rounds inc=$inc cutoff=$cutoff")
     }
     // K5 at k=5: every edge closes 3 triangles — survives whole
     val k5 = for (i <- 0L until 5L; j <- (i + 1) until 5L) yield (i, j)
-    assert(run(k5, 5, 3, 3) ==
+    assert(run(k5, 5, 3, 3, inc = true, cutoff = 65536) ==
       k5.map(e => e -> 3L).toMap)
     // a triangle-free star empties even at the weakest truss
     val star = (1L to 6L).map(i => (0L, i))
-    assert(run(star, 3, 2, 3).isEmpty)
+    assert(run(star, 3, 2, 3, inc = true, cutoff = 65536).isEmpty)
+    assert(run(star, 3, 2, 3, inc = true, cutoff = 0).isEmpty)
     // planted-signal mixture (the registry demo's shape): circulant
     // noise + a spread K6 (members 0,7,...,35 — entangled with the
     // ring's wrap-around, so supports interact non-trivially) — the
-    // bounded peel must still match the reference exactly
+    // bounded peel must still match the reference exactly on ALL
+    // paths. The SPARSE drop rounds of this cascade engage the
+    // adaptive delta (4|D| <= survivors), with overlapping dead
+    // triangles — the decrementSupport fixture that matters.
     val k6 = for (t1 <- 0L until 6L; t2 <- (t1 + 1) until 6L)
       yield (t1 * 7, t2 * 7)
     val mixed = circ ++ k6
-    assert(run(mixed, 6, 4, 5) == refKTruss(mixed, 6, 4))
+    val expectMixed = refKTruss(mixed, 6, 4)
+    assert(run(mixed, 6, 4, 5, inc = true, cutoff = 0) == expectMixed)
+    assert(run(mixed, 6, 4, 5, inc = false, cutoff = 0) == expectMixed)
+    assert(run(mixed, 6, 4, 5, inc = true, cutoff = 65536)
+      == expectMixed)
+    // guaranteed-sparse drop round (4|D| <= survivors), so the
+    // adaptive rule MUST route through decrementSupport: K7 (21
+    // edges, support 5) + pendant vertex 100 adjacent to 0 and 1.
+    // Round 1 at k=5 drops exactly (0,100) and (1,100) — |D|=2 vs
+    // c=21 — and their ONE shared dead triangle (0,1,100) must debit
+    // surviving edge (0,1) once (6 -> 5), not twice: the
+    // per-triangle dedup, on the delta path, distributed.
+    val pendant = (for (i <- 0L until 7L; j <- (i + 1) until 7L)
+      yield (i, j)) ++ Seq((0L, 100L), (1L, 100L))
+    val expectPendant = refKTruss(pendant, 5, 4)
+    assert(expectPendant((0L, 1L)) == 5L, "fixture sanity")
+    assert(run(pendant, 5, 4, 3, inc = true, cutoff = 0)
+      == expectPendant)
+    assert(run(pendant, 5, 4, 3, inc = false, cutoff = 0)
+      == expectPendant)
   }
 
   test("link candidates: match the brute-force reference on the " +
