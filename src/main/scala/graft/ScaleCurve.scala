@@ -937,8 +937,28 @@ object ScaleCurve {
         var trussRows = 0L
         val (secT, _) = timeIt(spark) {
           trussRows = graft.extensions.Graph.kTruss(circ, "src", "dst",
-            k = 6, maxRounds = 2).count()
+            k = 6, maxRounds = 2, localCutoff = 0).count()
           trussRows
+        }
+        // sparse-peel truss: the circulant + n/64 hash chords at k=5.
+        // Only the near-zero-support chords drop in round 1 (every
+        // circulant stride has support >= 3 = k-2), so 4|D| <<
+        // survivors and the round routes through the adaptive DELTA
+        // support maintenance (O(m + |D|*deg), no second O(m^1.5)
+        // enumeration) — the long-tail regime the k=6 cascade (mass
+        // extinction by construction, correctly re-enumerated by the
+        // adaptive rule) never reaches.
+        def chords = spark.range(0, n / 64).toDF("i")
+          .select(pmod(hash(col("i") * 7L), lit(n)).cast("long")
+              .as("src"),
+            pmod(hash(col("i") * 13L + 5L), lit(n)).cast("long")
+              .as("dst"))
+        var trussSRows = 0L
+        val (secTS, _) = timeIt(spark) {
+          trussSRows = graft.extensions.Graph.kTruss(
+            circ.unionByName(chords), "src", "dst",
+            k = 5, maxRounds = 3, localCutoff = 0).count()
+          trussSRows
         }
         Point(n, Seq(
           "vertices" -> n.toString,
@@ -951,7 +971,9 @@ object ScaleCurve {
           "core rows" -> coreRows.toString,
           "wall kcore (s)" -> f"$secK%.2f",
           "truss rows" -> trussRows.toString,
-          "wall ktruss (s)" -> f"$secT%.2f"))
+          "wall ktruss (s)" -> f"$secT%.2f",
+          "sparse truss rows" -> trussSRows.toString,
+          "wall ktruss sparse (s)" -> f"$secTS%.2f"))
       }
 
     // ---- render ------------------------------------------------------
@@ -1275,10 +1297,20 @@ object ScaleCurve {
        ^`wall kcore` times the 4-round k=4 vertex peel on the same
        ^graphs (thin agg+anti-join rounds, lazily chained with cut-block
        ^convergence); `wall ktruss` times a 2-round k=6 EDGE peel + the
-       ^final support pass — 3 full triangle enumerations — on a
-       ^circulant C_n(1..4), where the peel genuinely cascades
-       ^(the ring-stride graph is triangle-poor, so an edge-support
-       ^peel over it measures nothing).
+       ^final support pass on a circulant C_n(1..4), where the peel
+       ^genuinely cascades (the ring-stride graph is triangle-poor, so
+       ^an edge-support peel over it measures nothing). Each cascade
+       ^round drops ~m/4 edges — mass extinction by construction — so
+       ^the r13 adaptive rule (delta support maintenance only when
+       ^4|D| <= survivors) correctly re-enumerates every round here:
+       ^this curve measures the full-enumeration regime. `wall ktruss
+       ^sparse` adds n/64 near-zero-support chords to the same
+       ^circulant and peels at k=5: ONLY the chords drop, the round is
+       ^sparse, and support maintenance routes through the
+       ^decrementSupport delta (one full enumeration + an O(m + |D|·deg)
+       ^update instead of two more enumerations) — the long-tail regime
+       ^the delta path exists for. Both run localCutoff = 0 (the driver
+       ^fast path would swallow the smallest points).
        ^
        ^${table(triPts)}
        ^
@@ -1286,6 +1318,7 @@ object ScaleCurve {
        ^Link prediction: ${growth(triPts, "wall linkpredict (s)")}.
        ^k-core: ${growth(triPts, "wall kcore (s)")}.
        ^k-truss: ${growth(triPts, "wall ktruss (s)")}.
+       ^k-truss sparse-peel: ${growth(triPts, "wall ktruss sparse (s)")}.
        ^
        ^## Reading the curves at 100 TB
        ^

@@ -103,7 +103,16 @@ object Pca {
     * embedding corpora, and deterministic when it does happen.)
     */
   def powerIterate(gram: Seq[Long], d: Int, iterations: Int)
-      : Seq[Long] = {
+      : Seq[Long] =
+    powerIterateBig(gram.map(BigInt(_)).toIndexedSeq, d, iterations)
+
+  /** [[powerIterate]] over a BigInt Gram — the form the deflated
+    * matrices take (deflation grows no magnitudes here, but the
+    * residual entries are differences that need not fit a Long in
+    * general).
+    */
+  def powerIterateBig(gram: IndexedSeq[BigInt], d: Int,
+                      iterations: Int): Seq[Long] = {
     require(gram.length == d * d, s"gram must be $d x $d")
     require(iterations >= 1 && iterations <= 64, "fixed budget")
     val start = (0 until d).maxBy(i => (gram(i * d + i), -i))
@@ -113,7 +122,7 @@ object Pca {
       val w = Array.tabulate(d) { i =>
         var acc = BigInt(0)
         var j = 0
-        while (j < d) { acc += BigInt(gram(i * d + j)) * v(j); j += 1 }
+        while (j < d) { acc += gram(i * d + j) * v(j); j += 1 }
         acc
       }
       val m = w.map(_.abs).max
@@ -122,6 +131,68 @@ object Pca {
       v = w.map(x => x * Scale / m)
     }
     v.map(_.toLong)
+  }
+
+  /** Hotelling deflation with TWO-STAGE truncating division —
+    * G ← G − λvvᵀ where λ = (vᵀGv)/(vᵀv), carried out as
+    * u_i = trunc(α·v_i / β), c_ij = trunc(u_i·v_j / β)
+    * (α = vᵀGv, β = vᵀv; BigInt `/` truncates toward zero, and the
+    * SQL oracle mirrors it with a sign-split floor division). The
+    * two-stage form is load-bearing for the oracle: the one-shot
+    * numerator α·v_i·v_j overflows even HUGEINT at d=64/Scale=2²⁰
+    * (≈2¹⁵² worst case), while each staged intermediate stays under
+    * 2¹²⁶. The truncations mean the deflated matrix retains an O(1)
+    * residual of v per entry — negligible against any genuine second
+    * axis (λ₂ ≫ d), and DETERMINISTIC, which is the actual contract:
+    * both engines compute the identical matrix, and ExtensionsSpec
+    * checks the recovered second direction is near-orthogonal to the
+    * first on a planted two-axis corpus.
+    */
+  def deflate(gram: IndexedSeq[BigInt], comp: Seq[Long], d: Int)
+      : IndexedSeq[BigInt] = {
+    require(gram.length == d * d && comp.length == d, "dims")
+    val v = comp.map(BigInt(_)).toIndexedSeq
+    val beta = v.map(x => x * x).sum
+    require(beta.signum != 0, "cannot deflate by the zero vector")
+    val alpha = (0 until d).map { i =>
+      var acc = BigInt(0)
+      var j = 0
+      while (j < d) { acc += gram(i * d + j) * v(j); j += 1 }
+      acc * v(i)
+    }.sum
+    val u = v.map(vi => alpha * vi / beta)
+    IndexedSeq.tabulate(d * d) { idx =>
+      val (i, j) = (idx / d, idx % d)
+      gram(idx) - u(i) * v(j) / beta
+    }
+  }
+
+  /** Top-r principal directions (r ≤ 4) by repeated power iteration +
+    * [[deflate]]: ONE Gram pass feeds every component — the d²-long
+    * artifact already contains all the information, so the extra
+    * components cost d²-bounded driver arithmetic only, nothing
+    * distributed. r = 1 reduces to [[topComponent]] bit for bit
+    * (ExtensionsSpec).
+    */
+  def topComponents(vecs: DataFrame, vecCol: String, d: Int, r: Int,
+                    iterations: Int = 8, qScale: Long = 1024L)
+      : Seq[Seq[Long]] =
+    componentsOf(gramOf(vecs, vecCol, d, qScale), d, r, iterations)
+
+  /** Driver half of [[topComponents]] — also the resume path: feed a
+    * merged [[addGrams]] artifact.
+    */
+  def componentsOf(gram: Seq[Long], d: Int, r: Int, iterations: Int)
+      : Seq[Seq[Long]] = {
+    require(r >= 1 && r <= 4,
+      "top-r deflation is for leading directions (r <= 4); past that " +
+        "use a real eigensolver on the collected Gram")
+    var g = gram.map(BigInt(_)).toIndexedSeq
+    (1 to r).map { k =>
+      val v = powerIterateBig(g, d, iterations)
+      if (k < r) g = deflate(g, v, d)
+      v
+    }
   }
 
   /** The corpus Gram matrix (row-major d×d longs) — PCA's RESUMABLE
@@ -174,20 +245,32 @@ object Pca {
     */
   def projectWith(vecs: DataFrame, idCol: String, vecCol: String,
                   component: Seq[Long], qScale: Long = 1024L)
-      : DataFrame = {
-    require(component.length <= 64,
-      "projection guard assumes d <= 64 (widen the q bound to go past)")
-    require(component.forall(c => math.abs(c) <= Scale),
-      "component must be renormed (|v_i| <= Scale)")
-    val vLit = array(component.map(lit): _*)
+      : DataFrame =
+    projectManyWith(vecs, idCol, vecCol, Seq("proj" -> component), qScale)
+
+  /** N projections in ONE map-side select — the top-r companion: each
+    * named component becomes its own guarded dot-product column, so a
+    * 2-D (or 4-D) projection never pays a join of per-component
+    * frames (one pass over the corpus, still broadcast-literal
+    * codegen).
+    */
+  def projectManyWith(vecs: DataFrame, idCol: String, vecCol: String,
+                      components: Seq[(String, Seq[Long])],
+                      qScale: Long = 1024L): DataFrame = {
+    require(components.nonEmpty, "need at least one component")
     val qBound = 1L << 37
-    // dimension guard: zip_with pads the SHORTER side with nulls, and
-    // a null term slides through the overflow when/otherwise into a
-    // silently-null proj — the opposite of this module's loud-failure
-    // contract (gramOf rejects wrong dims with require). Reject the
-    // row up front instead.
-    val dim = component.length
-    vecs.select(col(idCol),
+    val cols = components.map { case (name, component) =>
+      require(component.length <= 64,
+        "projection guard assumes d <= 64 (widen the q bound to go past)")
+      require(component.forall(c => math.abs(c) <= Scale),
+        "component must be renormed (|v_i| <= Scale)")
+      val vLit = array(component.map(lit): _*)
+      // dimension guard: zip_with pads the SHORTER side with nulls,
+      // and a null term slides through the overflow when/otherwise
+      // into a silently-null proj — the opposite of this module's
+      // loud-failure contract (gramOf rejects wrong dims with
+      // require). Reject the row up front instead.
+      val dim = component.length
       when(size(col(vecCol)) =!= dim,
           raise_error(concat(
             lit(s"projectWith: row vector length != component length $dim (got "),
@@ -198,6 +281,8 @@ object Pca {
                 raise_error(concat(lit("projection term overflow: |q| >= " +
                   "2^37 (lower qScale); got "), a.cast("string"))))
               .otherwise(a * b)),
-            lit(0L), (acc, x) => acc + x)).as("proj"))
+            lit(0L), (acc, x) => acc + x)).as(name)
+    }
+    vecs.select(col(idCol) +: cols: _*)
   }
 }

@@ -1146,6 +1146,23 @@ object PipelineDemos {
           "vec_id", "embedding", d = 64)
         .orderBy("vec_id")
     }),
+    // Top-r PCA (VERDICT r12 #5): the SAME single Gram artifact
+    // yields the second direction by Hotelling deflation in the
+    // d²-bounded driver iteration (two-stage truncating division —
+    // see Pca.deflate for why one-shot α·v_i·v_j would overflow even
+    // HUGEINT in the oracle), then BOTH projections ride one
+    // map-side select (projectManyWith — no per-component join).
+    // Nothing new distributed: one aggregate pass, one projection
+    // pass, r components.
+    "pca_topr" -> ((s, dir) => {
+      import graft.extensions.Pca
+      val e = Tables.embeddings(s, dir)
+      val comps = Pca.topComponents(e, "embedding", 64, r = 2,
+        iterations = 8)
+      Pca.projectManyWith(e, "vec_id", "embedding",
+          Seq("proj" -> comps(0), "proj2" -> comps(1)))
+        .orderBy("vec_id")
+    }),
     // PCA's resume story: the Gram matrix is EXACTLY additive
     // (integer outer-product sums commute), so the d²-long artifact
     // folds a new batch in without re-reading history and the merged
@@ -2174,6 +2191,57 @@ object PipelineDemos {
                         scale: Long): String =
     s"""WITH ${pcaCtes(d, iterations, qScale, scale)}
        |SELECT vec_id, proj FROM pcaproj ORDER BY vec_id""".stripMargin
+
+  /** Top-r PCA oracle: the shared pcaproj chain, then Hotelling
+    * deflation replayed in HUGEINT — α = vᵀGv, β = vᵀv, the TWO-STAGE
+    * truncating division u_i = trunc(α·v_i/β), c_ij = trunc(u_i·v_j/β)
+    * (sign-split floor `//` = BigInt's truncation toward zero; the
+    * staging keeps every intermediate under HUGEINT where the one-shot
+    * α·v_i·v_j numerator would overflow), a second power-iteration
+    * chain over the deflated gram2, and both projections joined.
+    */
+  private def pcaTopROracle(d: Int, iterations: Int, qScale: Long,
+                            scale: Long): String = {
+    def truncDiv(x: String, b: String) =
+      s"(CASE WHEN $x >= 0 THEN ($x) // $b ELSE -((-($x)) // $b) END)"
+    val iter2Ctes = (1 to iterations).map { t =>
+      s"""yw$t AS MATERIALIZED (SELECT g.i, sum(g.val * v.v) AS w
+         |  FROM gram2 g JOIN y${t - 1} v ON v.i = g.j GROUP BY g.i),
+         |ym$t AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM yw$t),
+         |y$t AS MATERIALIZED (SELECT i,
+         |    CASE WHEN w >= 0 THEN (w * $scale) // mx
+         |         ELSE -(((-w) * $scale) // mx) END AS v
+         |  FROM yw$t CROSS JOIN ym$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${pcaCtes(d, iterations, qScale, scale)},
+       |alpha AS MATERIALIZED (SELECT CAST(sum(g.val * va.v * vb.v)
+       |    AS HUGEINT) AS a
+       |  FROM gram g JOIN v$iterations va ON va.i = g.i
+       |  JOIN v$iterations vb ON vb.i = g.j),
+       |beta AS MATERIALIZED (SELECT CAST(sum(v * v) AS HUGEINT) AS b
+       |  FROM v$iterations),
+       |uvec AS MATERIALIZED (SELECT v.i,
+       |    ${truncDiv("a.a * v.v", "b.b")} AS u
+       |  FROM v$iterations v CROSS JOIN alpha a CROSS JOIN beta b),
+       |gram2 AS MATERIALIZED (SELECT g.i, g.j,
+       |    g.val - ${truncDiv("u.u * v.v", "b.b")} AS val
+       |  FROM gram g JOIN uvec u ON u.i = g.i
+       |  JOIN v$iterations v ON v.i = g.j CROSS JOIN beta b),
+       |d2start AS MATERIALIZED (SELECT i FROM gram2 WHERE i = j
+       |  ORDER BY val DESC, i LIMIT 1),
+       |y0 AS (SELECT g.generate_series AS i,
+       |    CASE WHEN g.generate_series = (SELECT i FROM d2start)
+       |      THEN CAST($scale AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS v
+       |  FROM generate_series(1, $d) g),
+       |$iter2Ctes,
+       |proj2cte AS MATERIALIZED (
+       |  SELECT c.vec_id, CAST(sum(c.qc * y.v) AS BIGINT) AS proj2
+       |  FROM cell c JOIN y$iterations y ON y.i = c.i
+       |  GROUP BY c.vec_id)
+       |SELECT p.vec_id, p.proj, p2.proj2
+       |FROM pcaproj p JOIN proj2cte p2 ON p2.vec_id = p.vec_id
+       |ORDER BY p.vec_id""".stripMargin
+  }
 
   /** PCA-curriculum oracle: the shared pcaproj chain joined back to
     * the label column, staged per label by the ((rn-1)·4) div cnt
@@ -3675,6 +3743,8 @@ object PipelineDemos {
     "embed_pca" -> pcaOracle(d = 64, iterations = 8, qScale = 1024L,
       scale = graft.extensions.Pca.Scale),
     "pca_curriculum" -> pcaCurriculumOracle(d = 64, iterations = 8,
+      qScale = 1024L, scale = graft.extensions.Pca.Scale),
+    "pca_topr" -> pcaTopROracle(d = 64, iterations = 8,
       qScale = 1024L, scale = graft.extensions.Pca.Scale),
     // the incremental demo splits the Gram across a parquet artifact —
     // bit-equality with the UNSPLIT oracle IS the claim

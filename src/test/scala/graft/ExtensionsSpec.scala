@@ -1993,6 +1993,93 @@ class ExtensionsSpec extends SparkTestBase {
       s"got: $pMsgs")
   }
 
+  test("top-r PCA: r=1 reduces to topComponent bit for bit; the " +
+       "deflated Gram annihilates the first direction to truncation " +
+       "residue; a planted two-axis corpus recovers near-orthogonal " +
+       "directions matching the sequential BigInt reference") {
+    import spark.implicits._
+    import graft.extensions.Pca
+    val d = 6
+    // exactly orthogonal planted axes, dir1 dominant
+    val dir1 = Seq(3.0, 1.0, -2.0, 0.0, 1.0, 0.5)
+    val dir2 = Seq(1.0, -3.0, 0.0, 2.0, 0.0, 0.0)
+    assert(dir1.zip(dir2).map { case (x, y) => x * y }.sum == 0.0)
+    val vecs = (0 until 80).map { k =>
+      val a = (k % 9 - 4).toDouble * 2
+      val b = (k % 5 - 2).toDouble
+      (k.toLong, (0 until d).map(i =>
+        (a * dir1(i) + b * dir2(i) +
+          ((k * 13 + i * 7) % 7 - 3) * 0.01).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val comps = Pca.topComponents(df, "embedding", d, r = 2,
+      iterations = 12)
+    // r=1 reduction: the deflation path must not perturb the top
+    // component
+    assert(comps.head ==
+      Pca.topComponent(df, "embedding", d, iterations = 12))
+    assert(Pca.topComponents(df, "embedding", d, r = 1,
+      iterations = 12) == Seq(comps.head))
+    // sequential BigInt reference of the WHOLE r=2 algorithm
+    // (independent re-derivation: gram, power iteration, two-stage
+    // truncated deflation, second iteration)
+    def refTop2: Seq[Seq[Long]] = {
+      val q = vecs.map(_._2.map(x =>
+        math.floor(x.toDouble * 1024 + 0.5).toLong))
+      var g = IndexedSeq.tabulate(d * d)(idx =>
+        q.map(v => BigInt(v(idx / d)) * v(idx % d)).sum)
+      def iterate(m: IndexedSeq[BigInt]): Seq[Long] = {
+        val start = (0 until d).maxBy(i => (m(i * d + i), -i))
+        var v = Array.tabulate(d)(i =>
+          if (i == start) BigInt(Pca.Scale) else BigInt(0))
+        for (_ <- 1 to 12) {
+          val w = Array.tabulate(d)(i =>
+            (0 until d).map(j => m(i * d + j) * v(j)).sum)
+          val mx = w.map(_.abs).max
+          v = w.map(x => x * Pca.Scale / mx)
+        }
+        v.map(_.toLong).toSeq
+      }
+      val v1 = iterate(g)
+      val vb = v1.map(BigInt(_))
+      val beta = vb.map(x => x * x).sum
+      val alpha = (0 until d).map(i => (0 until d).map(j =>
+        g(i * d + j) * vb(j)).sum * vb(i)).sum
+      val u = vb.map(vi => alpha * vi / beta)
+      g = IndexedSeq.tabulate(d * d)(idx =>
+        g(idx) - u(idx / d) * vb(idx % d) / beta)
+      Seq(v1, iterate(g))
+    }
+    assert(comps == refTop2)
+    // deflation exactness: v1' G_deflated v1 collapses to truncation
+    // residue (each entry's trunc error < 1, |vᵀ(G−λvvᵀ... )v| ≤
+    // Σ|v_i v_j| < d²·Scale²) — while v1' G v1 is astronomically
+    // larger
+    val q = vecs.map(_._2.map(x =>
+      math.floor(x.toDouble * 1024 + 0.5).toLong))
+    val g0 = IndexedSeq.tabulate(d * d)(idx =>
+      q.map(v => BigInt(v(idx / d)) * v(idx % d)).sum)
+    val g1 = Pca.deflate(g0, comps.head, d)
+    def quad(m: IndexedSeq[BigInt], v: Seq[Long]): BigInt =
+      (0 until d).map(i => (0 until d).map(j =>
+        m(i * d + j) * v(j)).sum * v(i)).sum
+    val before = quad(g0, comps.head)
+    val after = quad(g1, comps.head).abs
+    assert(after <= BigInt(d.toLong * d) * BigInt(Pca.Scale) *
+      BigInt(Pca.Scale), s"residue too large: $after")
+    assert(after * 1000 < before, s"deflation left $after of $before")
+    // near-orthogonality and axis recovery (sign-corrected cosines)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val c1 = comps(0).map(_.toDouble)
+    val c2 = comps(1).map(_.toDouble)
+    assert(math.abs(cos(c1, c2)) < 0.05, s"v1·v2 cos = ${cos(c1, c2)}")
+    assert(math.abs(cos(c1, dir1)) > 0.95)
+    assert(math.abs(cos(c2, dir2)) > 0.95)
+  }
+
   test("weightedCap: feasible AND maximal (f(cap) <= budget < f(cap+1)) " +
        "with sqrt weights and random weights; all-1 weights reduce to " +
        "waterfillCap; bad weights raise") {
