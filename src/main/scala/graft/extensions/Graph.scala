@@ -819,12 +819,17 @@ object Graph {
     * double-debit shared triangles.
     *
     * Dead-triangle enumeration: for each dropped (a, b), the third
-    * vertices are neighbors c of a with (b, c) ∈ G — one keyed join
-    * of D against G's symmetrized adjacency plus one semi-join edge
-    * probe: O(Σ_{(a,b)∈D} deg(a)) candidate rows, vs the full
-    * re-enumeration's O(m^1.5). Degrees/orientation are never needed
-    * — the delta is against the PREVIOUS round's supports, not a
-    * fresh count.
+    * vertices are neighbors c of the LOWER-DEGREE endpoint p with
+    * (other, c) ∈ G — one keyed join of D against G's symmetrized
+    * adjacency plus one semi-join edge probe:
+    * O(Σ_{(a,b)∈D} min(deg(a), deg(b))) candidate rows, vs the full
+    * re-enumeration's O(m^1.5). (Pivoting on the canonical low-ID
+    * endpoint instead paid deg(hub) whenever a hub happened to hold
+    * the low id — worst case O(|D|·max_deg on skewed graphs.) The
+    * degree lookup is one count over the adjacency rows of D's
+    * endpoints only, piggybacked on the sym frame the join already
+    * builds. Full degrees/orientation are never needed — the delta is
+    * against the PREVIOUS round's supports, not a fresh count.
     *
     * @param prevEdges the canonical (a,b) frame `surviving ∪ dropped`
     *                  — the graph the carried supports were computed
@@ -838,13 +843,30 @@ object Graph {
                                dropped: DataFrame): DataFrame = {
     val sym = prevEdges.select(col("a").as("u"), col("b").as("v"))
       .union(prevEdges.select(col("b").as("u"), col("a").as("v")))
-    val cand = dropped.select("a", "b")
-      .join(sym, col("a") === col("u"))
-      .select(col("a"), col("b"), col("v").as("c"))
-      .filter(col("c") =!= col("b"))
+    // degrees of D's endpoints only (semi-join bounds the agg input
+    // to adjacency rows of dropped vertices); both endpoints of a
+    // dropped edge are in prevEdges, so the inner joins below lose
+    // nothing. Ties pivot on `a` — either endpoint enumerates the
+    // same canonical triangle set, so the choice is correctness-free.
+    val dropVerts = dropped.select(col("a").as("u"))
+      .union(dropped.select(col("b").as("u"))).distinct()
+    val deg = sym.join(dropVerts, Seq("u"), "left_semi")
+      .groupBy("u").agg(count(lit(1)).as("dg"))
+    val pivoted = dropped.select("a", "b")
+      .join(deg.select(col("u").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("dg").as("db")), Seq("b"))
+      .select(col("a"), col("b"),
+        when(col("db") < col("da"), col("b")).otherwise(col("a"))
+          .as("piv"),
+        when(col("db") < col("da"), col("a")).otherwise(col("b"))
+          .as("oth"))
+    val cand = pivoted
+      .join(sym, col("piv") === col("u"))
+      .select(col("a"), col("b"), col("oth"), col("v").as("c"))
+      .filter(col("c") =!= col("oth"))
       .select(col("a"), col("b"), col("c"),
-        least(col("b"), col("c")).as("x"),
-        greatest(col("b"), col("c")).as("y"))
+        least(col("oth"), col("c")).as("x"),
+        greatest(col("oth"), col("c")).as("y"))
     val closed = cand.join(
       prevEdges.select(col("a").as("x"), col("b").as("y")),
       Seq("x", "y"), "left_semi")
@@ -914,7 +936,15 @@ object Graph {
     * @param incremental false forces the per-round full
     *                    re-enumeration (cross-check path)
     * @param localCutoff max canonical edge count for the driver fast
-    *                    path (0 disables it)
+    *                    path (0 disables it). DRIVER MEMORY: up to
+    *                    localCutoff+1 (a,b) rows are collected — the
+    *                    default 64Ki is ~1 MB of longs; callers with
+    *                    tight drivers should lower it, not raise it.
+    *                    Over-cutoff calls pay one bounded
+    *                    limit(cutoff+1) leaf scan of the already-
+    *                    checkpointed canonical frame before the
+    *                    distributed rounds — a probe job, not a
+    *                    re-derivation.
     * @return surviving (id_a, id_b, support) edges with their support
     *         in the FINAL subgraph (≥ k−2 iff converged)
     */
@@ -1063,7 +1093,12 @@ object Graph {
     *                  result is still exactly the budget-round peel
     * @param localCutoff max canonical edge count for the driver fast
     *                  path (0 disables it — every test of the
-    *                  distributed rounds pins this)
+    *                  distributed rounds pins this). DRIVER MEMORY:
+    *                  up to localCutoff+1 (a,b) rows are collected —
+    *                  the default 64Ki is ~1 MB of longs; lower it on
+    *                  tight drivers. Over-cutoff calls pay one bounded
+    *                  limit(cutoff+1) leaf scan of the checkpointed
+    *                  canonical frame before the distributed rounds.
     * @return (id, core_degree): vertices of the surviving subgraph
     *         with their degree in it (≥ k iff converged)
     */

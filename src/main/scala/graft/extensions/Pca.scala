@@ -269,12 +269,16 @@ object Pca {
       // and a null term slides through the overflow when/otherwise
       // into a silently-null proj — the opposite of this module's
       // loud-failure contract (gramOf rejects wrong dims with
-      // require). Reject the row up front instead.
+      // require). Reject the row up front instead. A NULL vector must
+      // trip the same guard explicitly: size(null) is null, so the
+      // =!= predicate alone is null → falls to otherwise → silently
+      // null proj, the exact failure the guard exists to prevent.
       val dim = component.length
-      when(size(col(vecCol)) =!= dim,
+      when(col(vecCol).isNull || size(col(vecCol)) =!= dim,
           raise_error(concat(
             lit(s"projectWith: row vector length != component length $dim (got "),
-            size(col(vecCol)).cast("string"), lit(")"))))
+            coalesce(size(col(vecCol)).cast("string"), lit("null")),
+            lit(")"))))
         .otherwise(
           aggregate(zip_with(quantize(col(vecCol), qScale), vLit,
             (a, b) => when(abs(a) >= qBound,

@@ -158,7 +158,11 @@ object AggOps {
     * encodable verbatim in SQL for the oracle, unlike
     * `approx_percentile`, whose t-digest merges are partition-order
     * sensitive): keep a row iff
-    * `cnt <= sampleN  OR  hash32 < (sampleN * 2^32) div cnt`, where
+    * `cnt <= sampleN  OR  hash32 < max((sampleN * 2^32) div cnt, 1)`
+    * (the clamp keeps the predicate satisfiable past cnt = sampleN·2³²,
+    * and the left-join in [[boundsOverSample]] guarantees a bounds row
+    * per group even if the sample is empty — null boundaries = tier 0
+    * downstream, never a silently dropped group), where
     * `hash32` = first 8 md5 nibbles of `sampleKey` (caller-supplied,
     * unique per row — usually the id that already ends `ordCols`) and
     * `cnt` is the group's exact count (one map-side-combinable agg,
@@ -196,10 +200,34 @@ object AggOps {
       .agg(count(lit(1)).cast("long").as("cnt"))
     val hash32 =
       conv(substring(md5(col("sk")), 1, 8), 16, 10).cast("long")
+    // Keep threshold clamped to >= 1: at cnt > sampleN·2³² the raw
+    // integer quotient is 0 and a group would sample NOTHING — and a
+    // group with no bounds row silently vanishes from downstream
+    // inner joins. The clamp keeps the predicate satisfiable
+    // (hash32 = 0 rows qualify) and boundsOverSample's left join
+    // guarantees the row regardless.
     val sampled = proj
       .join(broadcast(cnts), groupCol)
       .filter(col("cnt") <= lit(sampleN.toLong) ||
-        hash32 < expr(s"(${sampleN.toLong} * 4294967296L) div cnt"))
+        hash32 < greatest(
+          expr(s"(${sampleN.toLong} * 4294967296L) div cnt"), lit(1L)))
+    boundsOverSample(cnts, sampled, groupCol, tiers)
+  }
+
+  /** Bounds aggregation over an already-sampled (groupCol, ord) frame,
+    * LEFT-joined back to the exact counts so EVERY group emits a row
+    * even when its sample came up empty (possible at extreme counts:
+    * the clamped keep threshold of 1 admits only hash32 = 0 rows) —
+    * all-null boundaries, which [[tierOf]] reads as tier 0, instead of
+    * the group silently disappearing through a downstream inner join.
+    * [[tierBoundaries]] by contrast always emits one row per group;
+    * this preserves that contract on the sampled path.
+    */
+  private[graft] def boundsOverSample(cnts: org.apache.spark.sql.DataFrame,
+                                      sampled: org.apache.spark.sql.DataFrame,
+                                      groupCol: String, tiers: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ranked = sampled
       .withColumn("srn", row_number().over(
         Window.partitionBy(groupCol).orderBy(col("ord"))).cast("long"))
@@ -210,9 +238,10 @@ object AggOps {
           expr(s"($t * scnt + ${tiers - 1}) div $tiers") + 1L,
         col("ord"))).as(s"b$t")
     }
-    ranked.groupBy(groupCol)
-      .agg(max(col("cnt")).as("cnt"),
-        (max(col("scnt")).as("scnt") +: bAggs): _*)
+    val agged = ranked.groupBy(groupCol)
+      .agg(max(col("scnt")).as("scnt"), bAggs: _*)
+    cnts.join(agged, Seq(groupCol), "left")
+      .withColumn("scnt", coalesce(col("scnt"), lit(0L)))
   }
 
   /** Map-side tier assignment against [[tierBoundaries]] output (joined

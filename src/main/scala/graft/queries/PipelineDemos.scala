@@ -2548,7 +2548,8 @@ object PipelineDemos {
        |hs AS (SELECT ranked.*, cnt, md5(CAST(doc_id AS VARCHAR)) AS h
        |  FROM ranked JOIN cnts USING (lang)),
        |samp AS (SELECT * FROM hs
-       |  WHERE cnt <= $n OR $hex8OfH < (CAST($n AS BIGINT) * 4294967296) // cnt),
+       |  WHERE cnt <= $n
+       |     OR $hex8OfH < GREATEST((CAST($n AS BIGINT) * 4294967296) // cnt, 1)),
        |sr AS (SELECT lang, doc_id, rank_fp,
        |    row_number() OVER (PARTITION BY lang ORDER BY rank_fp DESC, doc_id) AS srn,
        |    count(*) OVER (PARTITION BY lang) AS scnt FROM samp),
@@ -2559,7 +2560,7 @@ object PipelineDemos {
        |  FROM sr GROUP BY lang)
        |SELECT r.doc_id, r.lang, r.rank_fp,
        |  CAST(${ge(1)} + ${ge(2)} + ${ge(3)} AS INTEGER) AS tier
-       |FROM ranked r JOIN bounds b USING (lang)
+       |FROM ranked r LEFT JOIN bounds b USING (lang)
        |ORDER BY doc_id""".stripMargin
   }
 

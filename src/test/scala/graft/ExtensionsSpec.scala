@@ -263,6 +263,41 @@ class ExtensionsSpec extends SparkTestBase {
     assert(full.collect().toSet == exact.collect().toSet)
   }
 
+  test("tierBoundariesSampled: a group whose sample comes up empty " +
+       "still emits a bounds row (null boundaries -> tier 0), never " +
+       "silently vanishing through a downstream inner join") {
+    import spark.implicits._
+    import graft.ops.AggOps
+    // The empty-sample regime needs cnt > sampleN*2^32 rows to arise
+    // through the public predicate (the clamp keeps it satisfiable
+    // but only hash32 = 0 rows qualify), so pin the CONTRACT at the
+    // seam the public path routes through: boundsOverSample must
+    // left-join the exact counts back, so a group absent from the
+    // sampled frame still appears with null bounds and scnt = 0.
+    val cnts = Seq(("a", 40L), ("z", 5000000000L)).toDF("g", "cnt")
+    val sampled = Seq(("a", 3L), ("a", 9L), ("a", 20L), ("a", 31L))
+      .toDF("g", "v")
+      .select(col("g"), AggOps.ordKey(Seq(col("v"))).as("ord"))
+    val out = AggOps.boundsOverSample(cnts, sampled, "g", 4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("a", "z"),
+      "every counted group must emit a bounds row")
+    val z = out("z")
+    assert(z.getLong(1) == 5000000000L && z.getLong(2) == 0L)
+    assert(z.isNullAt(3) && z.isNullAt(4) && z.isNullAt(5),
+      "empty sample -> all-null boundaries")
+    // null boundaries read as tier 0 downstream (tierOf's coalesce)
+    val tiers = Seq(("z", 7L)).toDF("g", "v")
+      .join(AggOps.boundsOverSample(cnts, sampled, "g", 4), "g")
+      .select(AggOps.tierOf(Seq(col("v")), 4).as("t"))
+      .collect().map(_.getInt(0))
+    assert(tiers.sameElements(Array(0)))
+    // sanity on the populated group: 4 sampled rows -> scnt 4, real
+    // boundaries at ranks 2/3/4 of the sample
+    val a = out("a")
+    assert(a.getLong(2) == 4L && !a.isNullAt(3))
+  }
+
   test("incremental components fast path: string ids order in Spark's " +
        "UTF-8 binary collation, not Java's UTF-16 code-unit order") {
     import spark.implicits._
@@ -1991,6 +2026,20 @@ class ExtensionsSpec extends SparkTestBase {
       .mkString("\n")
     assert(pMsgs.contains("row vector length != component length 5"),
       s"got: $pMsgs")
+    // NULL vector must hit the SAME guard: size(null) is null, so the
+    // dimension predicate alone evaluates null, falls to otherwise,
+    // and the projection would go silently null — the exact quiet
+    // failure the guard exists to prevent (ADVICE r13)
+    val nullVec = Seq((0L, Seq(1.0f, 2.0f)), (1L, null))
+      .toDF("vec_id", "embedding")
+    val exN = intercept[Exception](
+      Pca.projectWith(nullVec, "vec_id", "embedding",
+        Seq(100L, 100L)).collect())
+    val nMsgs = Iterator.iterate(exN: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(nMsgs.contains("row vector length != component length 2") &&
+      nMsgs.contains("null"), s"got: $nMsgs")
   }
 
   test("top-r PCA: r=1 reduces to topComponent bit for bit; the " +
