@@ -1187,24 +1187,37 @@ object PipelineDemos {
         .orderBy("vec_id")
     }),
     // PCA composed INTO curation — curriculum stages per class: most
-    // axis-typical vectors (smallest |proj| along the dominant
-    // direction) first, per-label quartiles via the broadcast cut-key
-    // mechanism (tierBoundaries/tierOf — the scale-safe tiering that
-    // replaced rank_mix's full-partition window; a per-label ranking
-    // window would serialize each class through one reducer).
+    // PLANE-typical vectors first, where typicality is 2-D (r14,
+    // via pca_topr's deflated second component): |proj| + |proj2|,
+    // the exact-integer L1 radius in the top-2 principal plane — a
+    // vector that is ordinary on the dominant axis but extreme on the
+    // second now stages late, where the r13 1-D key called it
+    // maximally typical. Both projections come from ONE map-side
+    // select (projectManyWith). Per-label quartiles via SAMPLED
+    // broadcast cut keys (tierBoundariesSampled at sampleN=48: the
+    // smallest labels keep every row — bit-equal to exact — while
+    // larger ones exercise the bounded-sample path; the md5 keep
+    // predicate replays verbatim in the oracle, so the row stays a
+    // full hash-match). No per-label ranking window ever sees more
+    // than the sample (PlanShapeSpec).
     "pca_curriculum" -> ((s, dir) => {
+      import graft.extensions.Pca
       val e = Tables.embeddings(s, dir)
-      val proj = graft.extensions.Pca.project(e, "vec_id", "embedding",
-        d = 64)
+      val comps = Pca.topComponents(e, "embedding", 64, r = 2,
+        iterations = 8)
+      val proj = Pca.projectManyWith(e, "vec_id", "embedding",
+        Seq("proj" -> comps(0), "proj2" -> comps(1)))
       val joined = e
         .select(col("vec_id"), col("label").cast("long").as("label"))
         .join(proj, "vec_id")
         .localCheckpoint(true)
-      val ord = Seq(abs(col("proj")), col("vec_id"))
-      val bounds = graft.ops.AggOps.tierBoundaries(joined, "label", ord, 4)
+      val ord = Seq(abs(col("proj")) + abs(col("proj2")), col("vec_id"))
+      val bounds = graft.ops.AggOps.tierBoundariesSampled(
+          joined, "label", ord, 4, col("vec_id"), sampleN = 48)
+        .drop("cnt", "scnt")
       joined.join(broadcast(bounds), "label")
         .withColumn("stage", graft.ops.AggOps.tierOf(ord, 4).cast("int"))
-        .select("vec_id", "label", "proj", "stage")
+        .select("vec_id", "label", "proj", "proj2", "stage")
         .orderBy("vec_id")
     }),
     // Link-graph centrality for mixture weighting (the CommonCrawl
@@ -1411,11 +1424,13 @@ object PipelineDemos {
     // global authority QUARTILE sets the base md5 keep rate (top
     // quartile kept whole, then 75/50/25%), and membership in the top
     // hub DECILE — aggregator/link-farm shape — halves every rate
-    // (8/6/4/2 of 16). Tier assignment is the pipeline_rank_mix
-    // mechanism: tierBoundaries contracts the narrow (auth, id) /
-    // (hub, id) projections to broadcast cut keys, tiers compare
-    // map-side — no full ranking window over the bulk path
-    // (PlanShapeSpec pins it). The centrality vector itself is the
+    // (8/6/4/2 of 16). Tier assignment is the pipeline_rank_mix_sampled
+    // mechanism: tierBoundariesSampled contracts a deterministic
+    // md5 hash-sample of the narrow (auth, id) / (hub, id) projections
+    // (~256 rows — the group is GLOBAL, where an exact ranking was the
+    // one-reducer-for-the-whole-corpus shape) to broadcast cut keys,
+    // tiers compare map-side — no unbounded window anywhere
+    // (PlanShapeSpec pins both properties). The centrality vector itself is the
     // once-per-corpus parquet artifact (written on first touch, read
     // back after — the nightly gate job re-runs WITHOUT re-deriving
     // the mutual recursion; link_hits stays the from-scratch demo and
@@ -1435,9 +1450,19 @@ object PipelineDemos {
         .localCheckpoint(true)
       val ordA = Seq(negate(col("auth_fp")), col("doc_id"))
       val ordH = Seq(negate(col("hub_fp")), col("doc_id"))
-      val boundsA = graft.ops.AggOps.tierBoundaries(joined, "all", ordA, 4)
-        .drop("cnt")
-      val boundsH = graft.ops.AggOps.tierBoundaries(joined, "all", ordH, 10)
+      // SAMPLED cut keys (r14): the group here is GLOBAL ("all" = 1),
+      // so the r13 exact tierBoundaries ranked the entire corpus'
+      // (centrality, id) projection in ONE reducer — the registry's
+      // last single-reducer stage. tierBoundariesSampled bounds both
+      // windows' input near 256 rows regardless of corpus size (the
+      // md5 keep predicate is replayed verbatim in the oracle, so the
+      // row stays a full hash-match); the bulk path is unchanged —
+      // broadcast cut keys, map-side compares.
+      val boundsA = graft.ops.AggOps.tierBoundariesSampled(
+          joined, "all", ordA, 4, col("doc_id"), sampleN = 256)
+        .drop("cnt", "scnt")
+      val boundsH = graft.ops.AggOps.tierBoundariesSampled(
+          joined, "all", ordH, 10, col("doc_id"), sampleN = 256)
         .select(col("all"), col("b1").as("hb1"))
       joined.join(broadcast(boundsA), "all")
         .join(broadcast(boundsH), "all")
@@ -2111,23 +2136,50 @@ object PipelineDemos {
     * (window formulas — the demo's broadcast cut keys must reproduce
     * them bit-for-bit), then the hub-damped quartile keep rates.
     */
-  private def hitsGateOracle: String =
+  /** Replays the SAMPLED cut keys (r14): the identical md5 keep
+    * predicate over the global group, exact windows over the bounded
+    * sample only, then the broadcast-compare tier formula — so the
+    * sampled composite stays a full hash-match, not rows-only.
+    */
+  private def hitsGateOracle: String = {
+    val n = 256
+    def b(t: Int, tiers: Int, f: String) =
+      s"max(CASE WHEN srn = ($t * scnt + ${tiers - 1}) // $tiers + 1 " +
+        s"THEN $f END)"
+    def geA(t: Int) =
+      s"COALESCE(CAST(((-j.auth_fp, j.doc_id) >= (ba.b${t}a, ba.b${t}d)) " +
+        s"AS INT), 0)"
     s"""WITH ${hitsCtes(4)},
        |joined AS (SELECT d.doc_id, d.lang,
        |    CAST(h.hub AS BIGINT) AS hub_fp, CAST(a.auth AS BIGINT) AS auth_fp
        |  FROM documents d JOIN h4 h ON h.id = d.doc_id
        |  JOIN a4 a ON a.id = d.doc_id),
-       |ranked AS (SELECT *,
-       |    row_number() OVER (ORDER BY auth_fp DESC, doc_id) AS rna,
-       |    row_number() OVER (ORDER BY hub_fp DESC, doc_id) AS rnh,
-       |    count(*) OVER () AS cnt
-       |  FROM joined),
-       |tiered AS (SELECT doc_id, lang, hub_fp, auth_fp,
-       |    CAST(((rna - 1) * 4) // cnt AS INTEGER) AS auth_tier,
-       |    CAST(CASE WHEN ((rnh - 1) * 10) // cnt = 0 THEN 1 ELSE 0 END
-       |      AS INTEGER) AS hub_top,
-       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
-       |  FROM ranked)
+       |cnts AS (SELECT count(*) AS cnt FROM joined),
+       |hs AS (SELECT joined.*, cnt, md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM joined CROSS JOIN cnts),
+       |samp AS (SELECT * FROM hs
+       |  WHERE cnt <= $n
+       |     OR $hex8OfH < GREATEST((CAST($n AS BIGINT) * 4294967296) // cnt, 1)),
+       |sa AS (SELECT doc_id, auth_fp,
+       |    row_number() OVER (ORDER BY auth_fp DESC, doc_id) AS srn,
+       |    count(*) OVER () AS scnt FROM samp),
+       |ba AS (SELECT
+       |    ${b(1, 4, "-auth_fp")} AS b1a, ${b(1, 4, "doc_id")} AS b1d,
+       |    ${b(2, 4, "-auth_fp")} AS b2a, ${b(2, 4, "doc_id")} AS b2d,
+       |    ${b(3, 4, "-auth_fp")} AS b3a, ${b(3, 4, "doc_id")} AS b3d
+       |  FROM sa),
+       |sh AS (SELECT doc_id, hub_fp,
+       |    row_number() OVER (ORDER BY hub_fp DESC, doc_id) AS srn,
+       |    count(*) OVER () AS scnt FROM samp),
+       |bh AS (SELECT
+       |    ${b(1, 10, "-hub_fp")} AS hb1h, ${b(1, 10, "doc_id")} AS hb1d
+       |  FROM sh),
+       |tiered AS (SELECT j.doc_id, j.lang, j.hub_fp, j.auth_fp,
+       |    CAST(${geA(1)} + ${geA(2)} + ${geA(3)} AS INTEGER) AS auth_tier,
+       |    CAST(1 - COALESCE(CAST(((-j.hub_fp, j.doc_id)
+       |        >= (bh.hb1h, bh.hb1d)) AS INT), 0) AS INTEGER) AS hub_top,
+       |    substr(md5(CAST(j.doc_id AS VARCHAR)), 1, 1) AS h
+       |  FROM joined j CROSS JOIN ba CROSS JOIN bh)
        |SELECT doc_id, lang, auth_fp, hub_fp, auth_tier, hub_top FROM tiered
        |WHERE (hub_top = 0 AND (auth_tier = 0 OR (auth_tier = 1 AND h < 'c')
        |    OR (auth_tier = 2 AND h < '8') OR (auth_tier = 3 AND h < '4')))
@@ -2135,6 +2187,7 @@ object PipelineDemos {
        |    OR (auth_tier = 1 AND h < '6') OR (auth_tier = 2 AND h < '4')
        |    OR (auth_tier = 3 AND h < '2')))
        |ORDER BY doc_id""".stripMargin
+  }
 
   /** Triangle-count oracle mirroring Graph.triangleCounts step for
     * step: undirected simple graph → degrees → deg*2^32+id order key →
@@ -2200,8 +2253,8 @@ object PipelineDemos {
     * α·v_i·v_j numerator would overflow), a second power-iteration
     * chain over the deflated gram2, and both projections joined.
     */
-  private def pcaTopROracle(d: Int, iterations: Int, qScale: Long,
-                            scale: Long): String = {
+  private def pcaTopRCtes(d: Int, iterations: Int, qScale: Long,
+                          scale: Long): String = {
     def truncDiv(x: String, b: String) =
       s"(CASE WHEN $x >= 0 THEN ($x) // $b ELSE -((-($x)) // $b) END)"
     val iter2Ctes = (1 to iterations).map { t =>
@@ -2213,7 +2266,7 @@ object PipelineDemos {
          |         ELSE -(((-w) * $scale) // mx) END AS v
          |  FROM yw$t CROSS JOIN ym$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${pcaCtes(d, iterations, qScale, scale)},
+    s"""${pcaCtes(d, iterations, qScale, scale)},
        |alpha AS MATERIALIZED (SELECT CAST(sum(g.val * va.v * vb.v)
        |    AS HUGEINT) AS a
        |  FROM gram g JOIN v$iterations va ON va.i = g.i
@@ -2237,31 +2290,57 @@ object PipelineDemos {
        |proj2cte AS MATERIALIZED (
        |  SELECT c.vec_id, CAST(sum(c.qc * y.v) AS BIGINT) AS proj2
        |  FROM cell c JOIN y$iterations y ON y.i = c.i
-       |  GROUP BY c.vec_id)
+       |  GROUP BY c.vec_id)""".stripMargin
+  }
+
+  private def pcaTopROracle(d: Int, iterations: Int, qScale: Long,
+                            scale: Long): String =
+    s"""WITH ${pcaTopRCtes(d, iterations, qScale, scale)}
        |SELECT p.vec_id, p.proj, p2.proj2
        |FROM pcaproj p JOIN proj2cte p2 ON p2.vec_id = p.vec_id
        |ORDER BY p.vec_id""".stripMargin
-  }
 
-  /** PCA-curriculum oracle: the shared pcaproj chain joined back to
-    * the label column, staged per label by the ((rn-1)·4) div cnt
-    * window formula over (|proj| asc, vec_id) — the same formula
-    * AggOps.tierBoundaries' broadcast cut keys are proven against.
+  /** PCA-curriculum oracle (r14, 2-D + sampled): the shared top-r
+    * chain (pcaproj + proj2cte) joined back to the label column, the
+    * identical md5 keep predicate sampling ~48 rows per label, exact
+    * quartile cut keys over the SAMPLE only (ordered by the L1 plane
+    * radius |proj| + |proj2|, vec_id), then the broadcast-compare
+    * tier formula — mirroring tierBoundariesSampled/tierOf verbatim
+    * so the composite stays a full hash-match.
     */
   private def pcaCurriculumOracle(d: Int, iterations: Int, qScale: Long,
-                                  scale: Long): String =
-    s"""WITH ${pcaCtes(d, iterations, qScale, scale)},
+                                  scale: Long): String = {
+    val n = 48
+    def b(t: Int, f: String) =
+      s"max(CASE WHEN srn = ($t * scnt + 3) // 4 + 1 THEN $f END)"
+    def ge(t: Int) =
+      s"COALESCE(CAST(((abs(l.proj) + abs(l.proj2), l.vec_id) >= " +
+        s"(b.b${t}t, b.b${t}d)) AS INT), 0)"
+    s"""WITH ${pcaTopRCtes(d, iterations, qScale, scale)},
        |lbl AS (SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
-       |    p.proj
-       |  FROM embeddings e JOIN pcaproj p ON p.vec_id = e.vec_id),
-       |ranked AS (SELECT *,
+       |    p.proj, p2.proj2
+       |  FROM embeddings e JOIN pcaproj p ON p.vec_id = e.vec_id
+       |  JOIN proj2cte p2 ON p2.vec_id = e.vec_id),
+       |lcnts AS (SELECT label, count(*) AS cnt FROM lbl GROUP BY label),
+       |hs AS (SELECT lbl.*, cnt, md5(CAST(vec_id AS VARCHAR)) AS h
+       |  FROM lbl JOIN lcnts USING (label)),
+       |samp AS (SELECT * FROM hs
+       |  WHERE cnt <= $n
+       |     OR $hex8OfH < GREATEST((CAST($n AS BIGINT) * 4294967296) // cnt, 1)),
+       |sr AS (SELECT label, vec_id, abs(proj) + abs(proj2) AS t1,
        |    row_number() OVER (PARTITION BY label
-       |      ORDER BY abs(proj), vec_id) AS rn,
-       |    count(*) OVER (PARTITION BY label) AS cnt
-       |  FROM lbl)
-       |SELECT vec_id, label, proj,
-       |  CAST(((rn - 1) * 4) // cnt AS INTEGER) AS stage
-       |FROM ranked ORDER BY vec_id""".stripMargin
+       |      ORDER BY abs(proj) + abs(proj2), vec_id) AS srn,
+       |    count(*) OVER (PARTITION BY label) AS scnt FROM samp),
+       |bounds AS (SELECT label,
+       |    ${b(1, "t1")} AS b1t, ${b(1, "vec_id")} AS b1d,
+       |    ${b(2, "t1")} AS b2t, ${b(2, "vec_id")} AS b2d,
+       |    ${b(3, "t1")} AS b3t, ${b(3, "vec_id")} AS b3d
+       |  FROM sr GROUP BY label)
+       |SELECT l.vec_id, l.label, l.proj, l.proj2,
+       |  CAST(${ge(1)} + ${ge(2)} + ${ge(3)} AS INTEGER) AS stage
+       |FROM lbl l LEFT JOIN bounds b USING (label)
+       |ORDER BY l.vec_id""".stripMargin
+  }
 
   /** Streaming-mixture oracle mirroring DocsStream.mixtureBatch over
     * the three doc_id%3 micro-batches: per batch, per-lang totals

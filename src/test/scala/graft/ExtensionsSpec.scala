@@ -2129,6 +2129,63 @@ class ExtensionsSpec extends SparkTestBase {
     assert(math.abs(cos(c2, dir2)) > 0.95)
   }
 
+  test("2-D typicality staging (pca_curriculum's key): the " +
+       "|proj|+|proj2| plane radius stages an axis-2-extreme vector " +
+       "LAST where the 1-D key calls it near-typical; sampled " +
+       "per-label quartiles over the 2-D key reduce to the exact " +
+       "window formula when sampleN covers every label") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    import graft.extensions.Pca
+    import graft.ops.AggOps
+    val d = 6
+    val dir1 = Seq(3.0, 1.0, -2.0, 0.0, 1.0, 0.5)
+    val dir2 = Seq(1.0, -3.0, 0.0, 2.0, 0.0, 0.0)
+    // dir1 dominant across the bulk; vec 999 is ORDINARY on dir1
+    // (a = 0) but extreme on dir2 (b = 30) — the quality-outlier
+    // shape a 1-D typicality key cannot see
+    val vecs = (0 until 60).map { k =>
+      val a = (k % 9 - 4).toDouble * 2
+      val b = (k % 5 - 2).toDouble
+      (k.toLong, (0 until d).map(i =>
+        (a * dir1(i) + b * dir2(i)).toFloat))
+    } :+ (999L, (0 until d).map(i => (30.0 * dir2(i)).toFloat))
+    val df = vecs.toDF("vec_id", "embedding")
+    val comps = Pca.topComponents(df, "embedding", d, r = 2,
+      iterations = 8)
+    val proj = Pca.projectManyWith(df, "vec_id", "embedding",
+      Seq("proj" -> comps(0), "proj2" -> comps(1)))
+    val rows = proj.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (p999, q999) = rows.find(_._1 == 999L)
+      .map(r => (math.abs(r._2), math.abs(r._3))).get
+    val maxP = rows.map(r => math.abs(r._2)).max
+    val maxL1 = rows.map(r => math.abs(r._2) + math.abs(r._3)).max
+    assert(p999 < maxP / 2,
+      s"999 should look ordinary on the dominant axis: $p999 vs $maxP")
+    assert(p999 + q999 == maxL1,
+      "999 must be the corpus' extreme under the 2-D plane radius")
+    // sampled per-label quartiles over the 2-D key == window formula
+    // when every label fits in the sample (exactness reduction)
+    val lbl = proj.withColumn("label", pmod(col("vec_id"), lit(3L)))
+    val ord = Seq(abs(col("proj")) + abs(col("proj2")), col("vec_id"))
+    val bounds = AggOps.tierBoundariesSampled(lbl, "label", ord, 4,
+      col("vec_id"), sampleN = 4096).drop("cnt", "scnt")
+    val got = lbl.join(broadcast(bounds), "label")
+      .select(col("vec_id"),
+        AggOps.tierOf(ord, 4).cast("int").as("stage"))
+    val expected = lbl
+      .withColumn("rn", row_number().over(Window.partitionBy("label")
+        .orderBy(abs(col("proj")) + abs(col("proj2")), col("vec_id"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("label")))
+      .select(col("vec_id"),
+        expr("((rn - 1) * 4) div cnt").cast("int").as("stage"))
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+    // and the axis-2 outlier lands in the LAST stage of its label
+    assert(got.filter(col("vec_id") === 999L).collect()
+      .head.getInt(1) == 3)
+  }
+
   test("weightedCap: feasible AND maximal (f(cap) <= budget < f(cap+1)) " +
        "with sqrt weights and random weights; all-1 weights reduce to " +
        "waterfillCap; bad weights raise") {

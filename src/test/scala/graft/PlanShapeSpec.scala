@@ -586,15 +586,19 @@ class PlanShapeSpec extends SparkTestBase {
    }
   }
 
-  test("pipeline_rank_mix_sampled: every Window's input subtree " +
-       "contains the md5 hash-sample Filter — the window never sees " +
-       "more than the bounded sample, no matter the group size") {
-    val df = SparkEntry.queries("pipeline_rank_mix_sampled")(spark, dir)
+  test("pipeline_rank_mix_sampled / pipeline_hits_gate / " +
+       "pca_curriculum: every Window's input subtree contains the md5 " +
+       "hash-sample Filter — no window in the tiering family sees more " +
+       "than the bounded sample, no matter the group size " +
+       "(hits_gate's group is the whole corpus)") {
+   Seq("pipeline_rank_mix_sampled", "pipeline_hits_gate",
+       "pca_curriculum").foreach { name =>
+    val df = SparkEntry.queries(name)(spark, dir)
     val plan = unwrapped(df.queryExecution.executedPlan)
     val windows = plan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    assert(windows.nonEmpty, "sanity: the sampled contraction windows")
+    assert(windows.nonEmpty, s"$name: the sampled contraction windows")
     windows.foreach { w =>
       // Catalyst pushes the sample predicate into the cnt-broadcast
       // join's condition (applied map-side during the probe — even
@@ -606,9 +610,10 @@ class PlanShapeSpec extends SparkTestBase {
             if j.condition.exists(_.toString.contains("md5")) => j: Any
       }
       assert(samplePredicates.nonEmpty,
-        s"Window without the hash-sample predicate below it — its " +
-          s"input is unbounded at scale:\n$w")
+        s"$name: Window without the hash-sample predicate below it — " +
+          s"its input is unbounded at scale:\n$w")
     }
+   }
   }
 
   test("SeqDot matches the interpreted sequential fold") {
