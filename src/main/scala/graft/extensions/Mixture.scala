@@ -204,4 +204,52 @@ object Mixture {
       .cast("long")
     keepAllCol || ngCol <= capCol || (h16 * ngCol) < (capCol * lit(65536L))
   }
+
+  /** Quality-weighted temperature mixture — "budget by language,
+    * spend on quality" (the job that unifies the mixture and curation
+    * families): the waterfill groups are (group × quality-tier)
+    * CELLS, and each cell's weight is the temperature weight
+    * [[sqrtWeight]] TIMES an integer per-tier multiplier. Bigger
+    * multipliers on the top tiers mean that when the budget forces a
+    * cut, the low-quality cells of a language down-sample first while
+    * its high-quality cells keep a larger share — the budget stays
+    * shaped by language mass (√n), the spend inside a language tilts
+    * to quality.
+    *
+    * Reduction contract: with a CONSTANT tier column and multiplier 1
+    * the cells collapse to the plain groups and the whole chain IS
+    * the [[weightedCap]]/[[sqrtWeight]]/[[withKeepRate16]] temperature
+    * composition, bit for bit (ExtensionsSpec pins it against the
+    * mixture_temperature chain).
+    *
+    * Scale shape: one map-side-combinable sum to the cell frame
+    * (groups × tiers rows — dozens), the m² closed-form cap on that
+    * frame only, a broadcast rate join back, and a map-side md5 keep
+    * test per document — the bulk path shuffles once, for the cell
+    * sum.
+    *
+    * @param docs       per-document rows carrying idCol, groupCol,
+    *                   tierCol, and ngCol (token count)
+    * @param multiplier integer expression over the tier column, >= 1
+    *                   on every non-empty cell (e.g.
+    *                   `lit(4) - col("qtier")` for tiers 0..3;
+    *                   [[weightedCap]] raises on non-positive weights)
+    * @return the kept rows of `docs`, original columns preserved
+    */
+  def qualityWeightedKeep(docs: DataFrame, idCol: String,
+                          groupCol: String, tierCol: String,
+                          ngCol: String, multiplier: Column,
+                          num: Long, den: Long): DataFrame = {
+    val cells = docs.groupBy(groupCol, tierCol)
+      .agg(sum(col(ngCol)).as("ng"))
+      .withColumn("wg", sqrtWeight(col("ng")) * multiplier.cast("long"))
+    val cap = weightedCap(cells, "ng", "wg", num, den)
+    val rated = withKeepRate16(cells.crossJoin(broadcast(cap)))
+    docs.join(
+        broadcast(rated.select(col(groupCol), col(tierCol),
+          col("rate16"))),
+        Seq(groupCol, tierCol))
+      .filter(keepsAtRate(col(idCol), col("rate16")))
+      .select(docs.columns.map(col): _*)
+  }
 }

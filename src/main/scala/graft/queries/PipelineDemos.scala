@@ -167,6 +167,33 @@ object PipelineDemos {
         .select("doc_id", "lang", "n_tokens")
         .orderBy("doc_id")
     }),
+    // Quality-weighted mixture (r14) — "budget by language, spend on
+    // quality": global quality QUARTILES from SAMPLED cut keys over
+    // the engine-exact quality score (~256-row bounded sample, md5
+    // predicate replayed in the oracle), then the waterfill runs over
+    // (lang × qtier) CELLS whose weight is ⌊√n⌋ × (4 − qtier) — under
+    // a 1/3 token budget a language's low-quality cells down-sample
+    // first while its top-quality cells keep a larger share. With a
+    // constant tier and multiplier 1 the chain IS mixture_temperature
+    // bit for bit (ExtensionsSpec pins the reduction).
+    "mixture_quality" -> ((s, dir) => {
+      import graft.extensions.Mixture
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+          col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.qualityScore(col("text")).as("score"))
+        .withColumn("all", lit(1))
+        .localCheckpoint(true)
+      val ord = Seq(negate(col("score")), col("doc_id"))
+      val qb = graft.ops.AggOps.tierBoundariesSampled(
+          toks, "all", ord, 4, col("doc_id"), sampleN = 256)
+        .drop("cnt", "scnt")
+      val tiered = toks.join(broadcast(qb), "all")
+        .withColumn("qtier", graft.ops.AggOps.tierOf(ord, 4).cast("int"))
+        .select("doc_id", "lang", "n_tokens", "qtier")
+      Mixture.qualityWeightedKeep(tiered, "doc_id", "lang", "qtier",
+          "n_tokens", lit(4) - col("qtier"), 1L, 3L)
+        .orderBy("doc_id")
+    }),
     // Quality scoring: stopword/length/punctuation mix.
     "quality_score" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -2441,6 +2468,88 @@ object PipelineDemos {
        |WHERE $h16 < rate16 ORDER BY doc_id""".stripMargin
   }
 
+  /** Quality-weighted mixture oracle: the quality-score formula with
+    * token counts, the sampled GLOBAL quartile replay (identical md5
+    * keep predicate), then the (lang × qtier) weighted-waterfill chain
+    * with ⌊√n⌋·(4−qtier) weights — mirroring
+    * Mixture.qualityWeightedKeep + AggOps.tierBoundariesSampled
+    * verbatim so the composite is a full hash-match.
+    */
+  private def mixtureQualityOracle: String = {
+    val n = 256
+    def nib(p: Int) =
+      s"(strpos('0123456789abcdef', substr(dh, $p, 1)) - 1)"
+    val h16 = s"(${nib(1)} * 4096 + ${nib(2)} * 256 + " +
+      s"${nib(3)} * 16 + ${nib(4)})"
+    val before =
+      """(CAST(b.ng AS HUGEINT) * a.wg < CAST(a.ng AS HUGEINT) * b.wg
+        | OR (CAST(b.ng AS HUGEINT) * a.wg = CAST(a.ng AS HUGEINT) * b.wg
+        |     AND (b.ng < a.ng OR (b.ng = a.ng AND b.wg < a.wg))))"""
+        .stripMargin
+    def b(t: Int, f: String) =
+      s"max(CASE WHEN srn = ($t * scnt + 3) // 4 + 1 THEN $f END)"
+    def ge(t: Int) =
+      s"COALESCE(CAST(((-q.score, q.doc_id) >= (qb.b${t}s, qb.b${t}d)) " +
+        s"AS INT), 0)"
+    s"""WITH t AS (SELECT doc_id, lang, text, $toksExpr AS toks,
+       |  list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ltoks FROM documents),
+       |sc AS (SELECT doc_id, lang, text, toks, CAST(len(toks) AS DOUBLE) AS n_tok,
+       |  CAST(${langScores.map(_._2).mkString(" + ")} AS DOUBLE) AS stop_hits FROM t),
+       |q AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  (CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END) * 0.4
+       |  + least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+       |  + (1.0 - (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.2 AS score
+       |  FROM sc),
+       |cnt1 AS (SELECT count(*) AS cnt FROM q),
+       |hs AS (SELECT q.*, cnt, md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM q CROSS JOIN cnt1),
+       |samp AS (SELECT * FROM hs
+       |  WHERE cnt <= $n
+       |     OR $hex8OfH < GREATEST((CAST($n AS BIGINT) * 4294967296) // cnt, 1)),
+       |sq AS (SELECT doc_id, score,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS srn,
+       |    count(*) OVER () AS scnt FROM samp),
+       |qb AS (SELECT
+       |    ${b(1, "-score")} AS b1s, ${b(1, "doc_id")} AS b1d,
+       |    ${b(2, "-score")} AS b2s, ${b(2, "doc_id")} AS b2d,
+       |    ${b(3, "-score")} AS b3s, ${b(3, "doc_id")} AS b3d
+       |  FROM sq),
+       |tiered AS (SELECT q.doc_id, q.lang, q.n_tokens,
+       |    CAST(${ge(1)} + ${ge(2)} + ${ge(3)} AS INTEGER) AS qtier
+       |  FROM q CROSS JOIN qb),
+       |g AS (SELECT lang, qtier, CAST(sum(n_tokens) AS BIGINT) AS ng
+       |  FROM tiered GROUP BY lang, qtier),
+       |gw AS (SELECT lang, qtier, ng,
+       |    CAST(floor(sqrt(CAST(ng AS DOUBLE))) AS BIGINT) * (4 - qtier)
+       |      AS wg FROM g),
+       |gp AS (SELECT a.ng AS na, a.wg AS wa,
+       |    CAST(sum(CASE WHEN $before THEN b.ng ELSE 0 END)
+       |      AS BIGINT) AS s_g,
+       |    CAST(sum(CASE WHEN NOT $before THEN b.wg ELSE 0 END)
+       |      AS BIGINT) AS v_g,
+       |    CAST(sum(b.ng) AS BIGINT) AS tot,
+       |    CAST(max(b.ng) AS BIGINT) AS mx
+       |  FROM (SELECT DISTINCT ng, wg FROM gw WHERE ng > 0) a
+       |  CROSS JOIN (SELECT ng, wg FROM gw WHERE ng > 0) b
+       |  GROUP BY a.ng, a.wg),
+       |c AS (SELECT max((tot * 1) // 3) AS budget, max(tot) AS tot,
+       |    max(mx) AS mx,
+       |    max((((tot * 1) // 3) - s_g) // v_g) AS rawcap FROM gp),
+       |cap AS (SELECT CASE WHEN tot <= budget THEN mx ELSE rawcap END
+       |    AS cap, tot <= budget AS keep_all FROM c),
+       |rt AS (SELECT lang, qtier, ng, wg,
+       |    CASE WHEN keep_all OR ng <= 0 THEN 65536
+       |      ELSE LEAST(65536, CAST((CAST(LEAST(cap, ng) AS HUGEINT)
+       |        * wg * 65536) // ng AS BIGINT)) END AS rate16
+       |  FROM gw CROSS JOIN cap),
+       |hh AS (SELECT t2.doc_id, t2.lang, t2.n_tokens, t2.qtier,
+       |    rt.rate16, md5(CAST(t2.doc_id AS VARCHAR)) AS dh
+       |  FROM tiered t2 JOIN rt ON rt.lang = t2.lang
+       |    AND rt.qtier = t2.qtier)
+       |SELECT doc_id, lang, n_tokens, qtier FROM hh
+       |WHERE $h16 < rate16 ORDER BY doc_id""".stripMargin
+  }
+
   private def triangleOracle: String =
     s"""WITH $docEdgeCtes,
        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -3820,6 +3929,7 @@ object PipelineDemos {
     "graph_ktruss" -> kTrussOracle(k = 6, rounds = 3),
     "mixture_budget" -> mixtureBudgetOracle,
     "mixture_temperature" -> mixtureTemperatureOracle,
+    "mixture_quality" -> mixtureQualityOracle,
     "embed_pca" -> pcaOracle(d = 64, iterations = 8, qScale = 1024L,
       scale = graft.extensions.Pca.Scale),
     "pca_curriculum" -> pcaCurriculumOracle(d = 64, iterations = 8,

@@ -2286,6 +2286,66 @@ class ExtensionsSpec extends SparkTestBase {
     assert(keptAll == 200L && keptNone == 0L)
   }
 
+  test("qualityWeightedKeep: a constant tier with multiplier 1 reduces " +
+       "to the mixture_temperature chain bit for bit; real multipliers " +
+       "tilt the spend toward the top quality tier inside the cut " +
+       "language") {
+    import spark.implicits._
+    import graft.extensions.Mixture
+    // 3 languages, en dominant (~75% of tokens) so the 1/3 budget cuts
+    // it; per-doc quality tier 0..3 independent of language
+    val docs = (0 until 400).map { i =>
+      val lang = if (i % 8 < 6) "en" else if (i % 8 == 6) "fr" else "de"
+      (i.toLong, lang, 50L + (i * 2654435761L % 100L), i % 4)
+    }.toDF("doc_id", "lang", "n_tokens", "qtier")
+    // reduction: constant tier column, multiplier 1 — must equal the
+    // sqrtWeight/weightedCap/withKeepRate16/keepsAtRate composition
+    val flat = docs.withColumn("zt", lit(0))
+    val red = Mixture.qualityWeightedKeep(flat, "doc_id", "lang", "zt",
+        "n_tokens", lit(1), 1L, 3L)
+      .select("doc_id", "lang", "n_tokens", "qtier")
+    val g = docs.groupBy("lang").agg(sum(col("n_tokens")).as("ng"))
+      .withColumn("wg", Mixture.sqrtWeight(col("ng")))
+    val cap = Mixture.weightedCap(g, "ng", "wg", 1L, 3L)
+    val rated = Mixture.withKeepRate16(g.crossJoin(broadcast(cap)))
+    val temp = docs
+      .join(broadcast(rated.select("lang", "rate16")), "lang")
+      .filter(Mixture.keepsAtRate(col("doc_id"), col("rate16")))
+      .select("doc_id", "lang", "n_tokens", "qtier")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(rows(red) == rows(temp),
+      "multiplier-1 constant-tier chain must BE the temperature chain")
+    // real multipliers: tier 0 (×4) must keep a strictly larger
+    // fraction of en than tier 3 (×1) once the budget cuts en
+    val kept = rows(Mixture.qualityWeightedKeep(docs, "doc_id", "lang",
+      "qtier", "n_tokens", lit(4) - col("qtier"), 1L, 3L))
+    val all = rows(docs.select("doc_id", "lang", "n_tokens", "qtier"))
+    def frac(t: Int) = {
+      val tot = all.count(r => r._2 == "en" && r._4 == t).toDouble
+      kept.count(r => r._2 == "en" && r._4 == t) / tot
+    }
+    assert(frac(0) > frac(3),
+      s"quality tilt missing: tier0 ${frac(0)} vs tier3 ${frac(3)}")
+    // deterministic form of the tilt: the per-cell keep RATES (not the
+    // md5-noisy realized fractions) obey rate ∝ mult/√n, so en tier 0
+    // (×4) beats en tier 3 (×1) by more than 2× even though tier 0's
+    // cell carries ~2× the tokens (4/√2 ≈ 2.83)
+    val cells = docs.groupBy("lang", "qtier")
+      .agg(sum(col("n_tokens")).as("ng"))
+      .withColumn("wg",
+        Mixture.sqrtWeight(col("ng")) * (lit(4) - col("qtier")).cast("long"))
+    val qcap = Mixture.weightedCap(cells, "ng", "wg", 1L, 3L)
+    val rates = Mixture.withKeepRate16(cells.crossJoin(broadcast(qcap)))
+      .filter(col("lang") === "en").collect()
+      .map(r => r.getAs[Int]("qtier") -> r.getAs[Long]("rate16")).toMap
+    assert(rates(0) > 2 * rates(3),
+      s"4x weight should separate the rates: $rates")
+    assert(rates(0) > rates(1) && rates(1) > rates(3),
+      s"rates must be monotone in the multiplier: $rates")
+  }
+
   test("tierBoundaries randomized sweep: cut-key tiers match the window " +
        "formula for random group shapes and tier counts 2/4/7/10") {
     import org.apache.spark.sql.expressions.Window
