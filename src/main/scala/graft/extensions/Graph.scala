@@ -1239,28 +1239,69 @@ object Graph {
     require(maxCenterDegree >= 2, "centers need >= 2 neighbors to pair")
     require(k >= 1, "top-k needs k >= 1")
     val und = undirectedSimple(edges, srcCol, dstCol)
-    val sym = und.union(und.select(col("b"), col("a")))
-    val deg = sym.groupBy(col("a").as("u"))
-      .agg(count(lit(1)).as("degree"))
-    // the degree join already leaves this frame hash-partitioned by u
-    // — the exact layout the self-join wants; an explicit repartition
-    // would only add an exchange
-    val centers = sym.select(col("a").as("u"), col("b").as("nbr"))
-      .join(deg.filter(col("degree") <= maxCenterDegree), "u")
-      .withColumn("invw", expr("1048576 div degree"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = centers.as("c1")
-      .join(centers.as("c2"),
-        col("c1.u") === col("c2.u") && col("c1.nbr") < col("c2.nbr"))
-      .groupBy(col("c1.nbr").as("a"), col("c2.nbr").as("b"))
-      .agg(count(lit(1)).as("common"), sum(col("c1.invw")).as("wscore"))
-    val out = pairs.join(und, Seq("a", "b"), "left_anti")
-      .select(col("a").as("id_a"), col("b").as("id_b"),
-        col("common"), col("wscore"))
-      .orderBy(col("wscore").desc, col("id_a"), col("id_b"))
-      .limit(k)
-      .localCheckpoint(true)
-    Seq(und, centers).foreach(_.unpersist(false))
+    // materialize the persisted canonical frame and take its count:
+    // the cache fill is paid once either way, and the count gates the
+    // partition-sizing scope below
+    val m = und.count()
+    // The wedge self-join fans each row out by its degree and the pair
+    // aggregate's keys are mostly unique, so partitions AQE sized to
+    // 64 MB of THIS frame's bytes own multi-GB wedge slices downstream
+    // — at 19M canonical edges the partial/final aggregates blew their
+    // execution-memory share and spilled ~31 GB (the SCALECURVE §11
+    // link-prediction ×4.1 octave; ProfileLinkPredict has the stage
+    // decomposition). Above the threshold, every shuffle this operator
+    // materializes is sized for the EXPANSION: a high initial
+    // partition count (AQE can only merge, never split — without the
+    // headroom the advisory is powerless) plus an 8 MB advisory so the
+    // coalesced tasks stay memory-sized after the fanout. Scoped to
+    // this operator's jobs only (the localCheckpoint at the end
+    // materializes everything inside the scope) and restored after —
+    // measured session-wide, the high initial count costs iterative
+    // demo-scale queries ~2× in scheduling. An explicit repartition of
+    // the probe frame measured net-worse (a second full exchange costs
+    // more than the spill it saves).
+    val sess = edges.sparkSession
+    val scoped: Seq[(String, String)] =
+      if (m < (1L << 21)) Seq.empty
+      else Seq(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+          -> "256",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m")
+    val prev = scoped.map { case (key, _) =>
+      key -> sess.conf.getOption(key) }
+    val out =
+      try {
+        scoped.foreach { case (key, v) => sess.conf.set(key, v) }
+        val sym = und.union(und.select(col("b"), col("a")))
+        val deg = sym.groupBy(col("a").as("u"))
+          .agg(count(lit(1)).as("degree"))
+        // the degree join leaves this frame hash-partitioned by u —
+        // the exact layout the self-join wants
+        val centers = sym.select(col("a").as("u"), col("b").as("nbr"))
+          .join(deg.filter(col("degree") <= maxCenterDegree), "u")
+          .withColumn("invw", expr("1048576 div degree"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val pairs = centers.as("c1")
+          .join(centers.as("c2"),
+            col("c1.u") === col("c2.u") && col("c1.nbr") < col("c2.nbr"))
+          .groupBy(col("c1.nbr").as("a"), col("c2.nbr").as("b"))
+          .agg(count(lit(1)).as("common"),
+            sum(col("c1.invw")).as("wscore"))
+        val res = pairs.join(und, Seq("a", "b"), "left_anti")
+          .select(col("a").as("id_a"), col("b").as("id_b"),
+            col("common"), col("wscore"))
+          .orderBy(col("wscore").desc, col("id_a"), col("id_b"))
+          .limit(k)
+          .localCheckpoint(true)
+        centers.unpersist(false)
+        res
+      } finally {
+        prev.foreach {
+          case (key, Some(v)) => sess.conf.set(key, v)
+          case (key, None) => sess.conf.unset(key)
+        }
+      }
+    und.unpersist(false)
     out
   }
 
