@@ -1292,7 +1292,17 @@ object ScaleCurve {
        ^(id, triangles) fingerprint. `wall linkpredict` times
        ^`Graph.linkCandidates` (degree-capped common-neighbor pairs,
        ^integer inverse-degree weights, anti-join, TakeOrdered top-50)
-       ^over the same graphs.
+       ^over the same graphs. Its r13 last octave was ×4.1 — explained
+       ^and fixed in r14: the wedge self-join fans each probe row out
+       ^by its degree, so partitions AQE had sized to the probe frame's
+       ^own bytes owned multi-GB wedge slices and the pair aggregates
+       ^spilled ~31 GB at 19M edges (ProfileLinkPredict has the stage
+       ^decomposition). The operator now scopes an expansion-sized
+       ^partitioning (256 initial partitions + 8 MB advisory) around
+       ^its own materialization above 2M canonical edges; the remaining
+       ^last-octave growth is spill-free shuffle volume (×4 bytes) on
+       ^fixed single-host cores — the regime a real fleet absorbs by
+       ^adding executors.
        ^
        ^`wall kcore` times the 4-round k=4 vertex peel on the same
        ^graphs (thin agg+anti-join rounds, lazily chained with cut-block
