@@ -1267,42 +1267,61 @@ object Graph {
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
           -> "256",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m")
-    val prev = scoped.map { case (key, _) =>
-      key -> sess.conf.getOption(key) }
-    val out =
-      try {
-        scoped.foreach { case (key, v) => sess.conf.set(key, v) }
-        val sym = und.union(und.select(col("b"), col("a")))
-        val deg = sym.groupBy(col("a").as("u"))
-          .agg(count(lit(1)).as("degree"))
-        // the degree join leaves this frame hash-partitioned by u —
-        // the exact layout the self-join wants
-        val centers = sym.select(col("a").as("u"), col("b").as("nbr"))
-          .join(deg.filter(col("degree") <= maxCenterDegree), "u")
-          .withColumn("invw", expr("1048576 div degree"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val pairs = centers.as("c1")
-          .join(centers.as("c2"),
-            col("c1.u") === col("c2.u") && col("c1.nbr") < col("c2.nbr"))
-          .groupBy(col("c1.nbr").as("a"), col("c2.nbr").as("b"))
-          .agg(count(lit(1)).as("common"),
-            sum(col("c1.invw")).as("wscore"))
-        val res = pairs.join(und, Seq("a", "b"), "left_anti")
-          .select(col("a").as("id_a"), col("b").as("id_b"),
-            col("common"), col("wscore"))
-          .orderBy(col("wscore").desc, col("id_a"), col("id_b"))
-          .limit(k)
-          .localCheckpoint(true)
-        centers.unpersist(false)
-        res
-      } finally {
-        prev.foreach {
-          case (key, Some(v)) => sess.conf.set(key, v)
-          case (key, None) => sess.conf.unset(key)
+    var centers: Option[DataFrame] = None
+    def build(): DataFrame = {
+      val sym = und.union(und.select(col("b"), col("a")))
+      val deg = sym.groupBy(col("a").as("u"))
+        .agg(count(lit(1)).as("degree"))
+      // the degree join leaves this frame hash-partitioned by u —
+      // the exact layout the self-join wants
+      val c = sym.select(col("a").as("u"), col("b").as("nbr"))
+        .join(deg.filter(col("degree") <= maxCenterDegree), "u")
+        .withColumn("invw", expr("1048576 div degree"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      centers = Some(c)
+      val pairs = c.as("c1")
+        .join(c.as("c2"),
+          col("c1.u") === col("c2.u") && col("c1.nbr") < col("c2.nbr"))
+        .groupBy(col("c1.nbr").as("a"), col("c2.nbr").as("b"))
+        .agg(count(lit(1)).as("common"),
+          sum(col("c1.invw")).as("wscore"))
+      pairs.join(und, Seq("a", "b"), "left_anti")
+        .select(col("a").as("id_a"), col("b").as("id_b"),
+          col("common"), col("wscore"))
+        .orderBy(col("wscore").desc, col("id_a"), col("id_b"))
+        .limit(k)
+        .localCheckpoint(true)
+    }
+    // Spark offers no per-query conf, so the scope mutates the
+    // SESSION-level SQLConf: serialize it on the session object —
+    // two interleaved scoped calls could otherwise restore out of
+    // order and strand the shrunk advisory on the session. Unrelated
+    // queries issued concurrently on the same session DURING a
+    // big-graph call would still plan under the shrunk advisory
+    // (correct, just differently partitioned); this engine's drivers
+    // run queries sequentially, and only the big-graph calls
+    // serialize. Persisted frames unpersist in finally — an executor
+    // failure mid-job must not strand the fanned-out adjacency in the
+    // block manager.
+    try {
+      if (scoped.isEmpty) build()
+      else sess.synchronized {
+        val prev = scoped.map { case (key, _) =>
+          key -> sess.conf.getOption(key) }
+        try {
+          scoped.foreach { case (key, v) => sess.conf.set(key, v) }
+          build()
+        } finally {
+          prev.foreach {
+            case (key, Some(v)) => sess.conf.set(key, v)
+            case (key, None) => sess.conf.unset(key)
+          }
         }
       }
-    und.unpersist(false)
-    out
+    } finally {
+      centers.foreach(_.unpersist(false))
+      und.unpersist(false)
+    }
   }
 
   /** Canonical undirected SIMPLE graph: long-cast endpoints, self-loops

@@ -1257,7 +1257,18 @@ object PipelineDemos {
         .select(col("vec_id"), col("label").cast("long").as("label"))
         .join(proj, "vec_id")
         .localCheckpoint(true)
-      val ord = Seq(abs(col("proj")) + abs(col("proj2")), col("vec_id"))
+      // loud-failure guard on the plane radius: projectManyWith bounds
+      // each projection below 2^63, but the SUM of two could wrap
+      // silently in Spark's non-ANSI Long arithmetic while the DuckDB
+      // oracle raises on BIGINT overflow — guard each side below 2^62
+      // (raw-value compare, so Long.MinValue can't sneak past abs)
+      val r2Bound = 1L << 62
+      def absGuarded(c: org.apache.spark.sql.Column) =
+        when(c <= -r2Bound || c >= r2Bound, raise_error(lit(
+          "pca_curriculum: |projection| >= 2^62 — the 2-D plane " +
+            "radius would wrap; lower qScale"))).otherwise(abs(c))
+      val ord = Seq(absGuarded(col("proj")) + absGuarded(col("proj2")),
+        col("vec_id"))
       val bounds = graft.ops.AggOps.tierBoundariesSampled(
           joined, "label", ord, 4, col("vec_id"), sampleN = 48)
         .drop("cnt", "scnt")
@@ -1866,15 +1877,19 @@ object PipelineDemos {
        |  + (1.0 - (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.2 AS score
        |FROM s ORDER BY doc_id""".stripMargin
 
-  /** Shared quality-score CTE chain ending in q(doc_id, lang, score) —
-    * the same formula the quality_score / stratified_cap oracles use.
+  /** Shared quality-score CTE chain ending in
+    * q(doc_id, lang, n_tokens, score) — the ONE copy of the score
+    * formula the quality/curriculum/weighted-sample/mixture-quality
+    * oracles all build on (a second copy would let a formula tweak
+    * silently desynchronize an oracle).
     */
   private val scoreCtes =
     s"""t AS (SELECT doc_id, lang, text, $toksExpr AS toks,
        |  list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ltoks FROM documents),
        |sc AS (SELECT doc_id, lang, text, CAST(len(toks) AS DOUBLE) AS n_tok,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
        |  CAST(${langScores.map(_._2).mkString(" + ")} AS DOUBLE) AS stop_hits FROM t),
-       |q AS (SELECT doc_id, lang,
+       |q AS (SELECT doc_id, lang, n_tokens,
        |  (CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END) * 0.4
        |  + least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
        |  + (1.0 - (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.2 AS score
@@ -2178,13 +2193,10 @@ object PipelineDemos {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** HITS curation-gate oracle: global auth quartile + top hub decile
-    * (window formulas — the demo's broadcast cut keys must reproduce
-    * them bit-for-bit), then the hub-damped quartile keep rates.
-    */
-  /** Replays the SAMPLED cut keys (r14): the identical md5 keep
-    * predicate over the global group, exact windows over the bounded
-    * sample only, then the broadcast-compare tier formula — so the
+  /** HITS curation-gate oracle, replaying the SAMPLED cut keys (r14):
+    * the identical md5 keep predicate over the global group, exact
+    * windows over the bounded sample only, then the broadcast-compare
+    * tier formula and the hub-damped quartile keep rates — so the
     * sampled composite stays a full hash-match, not rows-only.
     */
   private def hitsGateOracle: String = {
@@ -2510,15 +2522,7 @@ object PipelineDemos {
     def ge(t: Int) =
       s"COALESCE(CAST(((-q.score, q.doc_id) >= (qb.b${t}s, qb.b${t}d)) " +
         s"AS INT), 0)"
-    s"""WITH t AS (SELECT doc_id, lang, text, $toksExpr AS toks,
-       |  list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ltoks FROM documents),
-       |sc AS (SELECT doc_id, lang, text, toks, CAST(len(toks) AS DOUBLE) AS n_tok,
-       |  CAST(${langScores.map(_._2).mkString(" + ")} AS DOUBLE) AS stop_hits FROM t),
-       |q AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
-       |  (CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END) * 0.4
-       |  + least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
-       |  + (1.0 - (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.2 AS score
-       |  FROM sc),
+    s"""WITH $scoreCtes,
        |cnt1 AS (SELECT count(*) AS cnt FROM q),
        |hs AS (SELECT q.*, cnt, md5(CAST(doc_id AS VARCHAR)) AS h
        |  FROM q CROSS JOIN cnt1),

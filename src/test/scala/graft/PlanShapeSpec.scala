@@ -556,7 +556,8 @@ class PlanShapeSpec extends SparkTestBase {
        "BroadcastExchange (the cut-key side) — no full per-group " +
        "ranking window on the bulk path") {
    Seq("pipeline_rank_mix", "pipeline_hits_gate",
-       "pca_curriculum", "pipeline_rank_mix_sampled").foreach { name =>
+       "pca_curriculum", "pipeline_rank_mix_sampled",
+       "mixture_quality").foreach { name =>
     val df = SparkEntry.queries(name)(spark, dir)
     val plan = unwrapped(df.queryExecution.executedPlan)
     val windows = plan.collect {
@@ -592,7 +593,7 @@ class PlanShapeSpec extends SparkTestBase {
        "than the bounded sample, no matter the group size " +
        "(hits_gate's group is the whole corpus)") {
    Seq("pipeline_rank_mix_sampled", "pipeline_hits_gate",
-       "pca_curriculum").foreach { name =>
+       "pca_curriculum", "mixture_quality").foreach { name =>
     val df = SparkEntry.queries(name)(spark, dir)
     val plan = unwrapped(df.queryExecution.executedPlan)
     val windows = plan.collect {
