@@ -984,26 +984,36 @@ object Graph {
     // exit pays no extra enumeration; on budget exhaustion the final
     // frame's supports are the last round's update — exactly the
     // oracle's sup_{R+1} either way.
-    var sup = edgeSupport(first)
-    var r = 0
-    var converged = false
-    while (r < maxRounds && !converged) {
-      val surviving = sup.filter(col("support") >= (k - 2).toLong)
-      val c = surviving.count() // leaf scan of the round checkpoint
-      if (c == lastCnt) converged = true
-      else {
-        val dropped = lastCnt - c
-        sup =
-          if (incremental && 4L * dropped <= c)
-            decrementSupport(sup.select("a", "b"), surviving,
-              sup.filter(col("support") < (k - 2).toLong))
-          else edgeSupport(surviving.select("a", "b"))
+    //
+    // Every round's enumeration is a wedge join whose output expands
+    // by the oriented out-degree, the same shape that spilled 31 GB
+    // in linkCandidates — here it spilled 43 GB at 19M circulant
+    // edges (ProfileGraphSpill), so the whole peel runs under
+    // [[withExpansionSizedShuffles]] above the same 2M-edge
+    // threshold; each round localCheckpoints inside the scope.
+    val out = withExpansionSizedShuffles(edges.sparkSession,
+        engage = lastCnt >= (1L << 21)) {
+      var sup = edgeSupport(first)
+      var r = 0
+      var converged = false
+      while (r < maxRounds && !converged) {
+        val surviving = sup.filter(col("support") >= (k - 2).toLong)
+        val c = surviving.count() // leaf scan of the round checkpoint
+        if (c == lastCnt) converged = true
+        else {
+          val dropped = lastCnt - c
+          sup =
+            if (incremental && 4L * dropped <= c)
+              decrementSupport(sup.select("a", "b"), surviving,
+                sup.filter(col("support") < (k - 2).toLong))
+            else edgeSupport(surviving.select("a", "b"))
+        }
+        lastCnt = c
+        r += 1
       }
-      lastCnt = c
-      r += 1
+      sup.select(col("a").as("id_a"), col("b").as("id_b"),
+        col("support"))
     }
-    val out = sup
-      .select(col("a").as("id_a"), col("b").as("id_b"), col("support"))
     first.unpersist(false)
     out
   }
@@ -1233,6 +1243,44 @@ object Graph {
     *         id_a, id_b); id_a < id_b, pairs never adjacent in the
     *         input's simple graph
     */
+  /** Runs `body` — which must MATERIALIZE everything it builds (a
+    * count, persist fill, or localCheckpoint inside) — with every
+    * shuffle sized for a downstream EXPANSION rather than its own
+    * bytes: a high initial partition count (AQE can only merge, never
+    * split — without the headroom the advisory is powerless) plus an
+    * 8 MB advisory, so a partition that fans out by a wedge/triangle
+    * join stays memory-sized after the expansion. No-op when `engage`
+    * is false (small inputs: the defaults already fit, and the extra
+    * map buckets only cost scheduling). Spark offers no per-query
+    * conf, so this mutates the SESSION-level SQLConf: serialized on
+    * the session object so interleaved scoped calls cannot restore
+    * out of order; unrelated queries issued concurrently DURING a
+    * scoped call would still plan under the shrunk advisory (correct,
+    * just differently partitioned) — this engine's drivers run
+    * queries sequentially.
+    */
+  private def withExpansionSizedShuffles[T](
+      sess: org.apache.spark.sql.SparkSession, engage: Boolean)
+      (body: => T): T =
+    if (!engage) body
+    else sess.synchronized {
+      val confs = Seq(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+          -> "256",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m")
+      val prev = confs.map { case (key, _) =>
+        key -> sess.conf.getOption(key) }
+      try {
+        confs.foreach { case (key, v) => sess.conf.set(key, v) }
+        body
+      } finally {
+        prev.foreach {
+          case (key, Some(v)) => sess.conf.set(key, v)
+          case (key, None) => sess.conf.unset(key)
+        }
+      }
+    }
+
   def linkCandidates(edges: DataFrame, srcCol: String, dstCol: String,
                      maxCenterDegree: Int = 64, k: Int = 50)
       : DataFrame = {
@@ -1249,24 +1297,14 @@ object Graph {
     // — at 19M canonical edges the partial/final aggregates blew their
     // execution-memory share and spilled ~31 GB (the SCALECURVE §11
     // link-prediction ×4.1 octave; ProfileLinkPredict has the stage
-    // decomposition). Above the threshold, every shuffle this operator
-    // materializes is sized for the EXPANSION: a high initial
-    // partition count (AQE can only merge, never split — without the
-    // headroom the advisory is powerless) plus an 8 MB advisory so the
-    // coalesced tasks stay memory-sized after the fanout. Scoped to
-    // this operator's jobs only (the localCheckpoint at the end
-    // materializes everything inside the scope) and restored after —
-    // measured session-wide, the high initial count costs iterative
-    // demo-scale queries ~2× in scheduling. An explicit repartition of
-    // the probe frame measured net-worse (a second full exchange costs
-    // more than the spill it saves).
-    val sess = edges.sparkSession
-    val scoped: Seq[(String, String)] =
-      if (m < (1L << 21)) Seq.empty
-      else Seq(
-        "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-          -> "256",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m")
+    // decomposition). Fixed by [[withExpansionSizedShuffles]] around
+    // the build (the localCheckpoint at the end materializes
+    // everything inside the scope): 25.7 → 17.2 s at 6.4M vertices,
+    // zero spill. Measured session-wide instead of scoped, the high
+    // initial count costs iterative demo-scale queries ~2× in
+    // scheduling; an explicit repartition of the probe frame measured
+    // net-worse (a second full exchange costs more than the spill it
+    // saves).
     var centers: Option[DataFrame] = None
     def build(): DataFrame = {
       val sym = und.union(und.select(col("b"), col("a")))
@@ -1292,32 +1330,12 @@ object Graph {
         .limit(k)
         .localCheckpoint(true)
     }
-    // Spark offers no per-query conf, so the scope mutates the
-    // SESSION-level SQLConf: serialize it on the session object —
-    // two interleaved scoped calls could otherwise restore out of
-    // order and strand the shrunk advisory on the session. Unrelated
-    // queries issued concurrently on the same session DURING a
-    // big-graph call would still plan under the shrunk advisory
-    // (correct, just differently partitioned); this engine's drivers
-    // run queries sequentially, and only the big-graph calls
-    // serialize. Persisted frames unpersist in finally — an executor
-    // failure mid-job must not strand the fanned-out adjacency in the
-    // block manager.
+    // Persisted frames unpersist in finally — an executor failure
+    // mid-job must not strand the fanned-out adjacency in the block
+    // manager.
     try {
-      if (scoped.isEmpty) build()
-      else sess.synchronized {
-        val prev = scoped.map { case (key, _) =>
-          key -> sess.conf.getOption(key) }
-        try {
-          scoped.foreach { case (key, v) => sess.conf.set(key, v) }
-          build()
-        } finally {
-          prev.foreach {
-            case (key, Some(v)) => sess.conf.set(key, v)
-            case (key, None) => sess.conf.unset(key)
-          }
-        }
-      }
+      withExpansionSizedShuffles(edges.sparkSession,
+        engage = m >= (1L << 21))(build())
     } finally {
       centers.foreach(_.unpersist(false))
       und.unpersist(false)

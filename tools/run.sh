@@ -9,6 +9,10 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens=java.base/$p=ALL-UNNAMED"
 done
-exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
+# Default heap 24g: local[32] gives each of the 32 executor threads its
+# share of ONE JVM heap — at 8g (256 MB/core) the 19M-edge ScaleCurve
+# octaves ran at the OOM edge (GCLocker retry storms, flaky heap
+# exhaustion in the truss wedge joins). 24g is still <20% of the host.
+exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-24g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:target/scala-2.13/test-classes:/opt/spark/jars/*" "$@"
