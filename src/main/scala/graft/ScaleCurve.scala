@@ -1002,6 +1002,7 @@ object ScaleCurve {
     val md = s"""# SCALECURVE — dedup/ANN pipelines at ${points.mkString("/")} docs
        ^
        ^Generated by `tools/run.sh graft.ScaleCurve` (local[$cpus],
+       ^${Runtime.getRuntime.maxMemory / (1L << 30)} GiB heap,
        ^min-of-2 timed runs, cache cleared before every timed run, JIT
        ^warmed by one untimed full pass at the smallest point). Corpora
        ^are the ScaleStressSpec generators — hash-derived tokens/vectors

@@ -989,10 +989,10 @@ object Graph {
     // by the oriented out-degree, the same shape that spilled 31 GB
     // in linkCandidates — here it spilled 43 GB at 19M circulant
     // edges (ProfileGraphSpill), so the whole peel runs under
-    // [[withExpansionSizedShuffles]] above the same 2M-edge
+    // [[withExpansionSizedShuffles]] above the same 1M-edge
     // threshold; each round localCheckpoints inside the scope.
     val out = withExpansionSizedShuffles(edges.sparkSession,
-        engage = lastCnt >= (1L << 21)) {
+        engage = lastCnt >= (1L << 20)) {
       var sup = edgeSupport(first)
       var r = 0
       var converged = false
@@ -1335,7 +1335,7 @@ object Graph {
     // manager.
     try {
       withExpansionSizedShuffles(edges.sparkSession,
-        engage = m >= (1L << 21))(build())
+        engage = m >= (1L << 20))(build())
     } finally {
       centers.foreach(_.unpersist(false))
       und.unpersist(false)
