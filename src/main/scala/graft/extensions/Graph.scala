@@ -722,22 +722,39 @@ object Graph {
   def triangleCounts(edges: DataFrame, srcCol: String,
                      dstCol: String): DataFrame = {
     val und = undirectedSimple(edges, srcCol, dstCol)
-    val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("degree"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val (tris, oriented) = orientedTriangles(und, deg)
-    val perVertex = tris
-      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("triangles"))
-    val out = deg.join(perVertex, Seq("id"), "left")
-      .select(col("id"), col("degree"),
-        coalesce(col("triangles"), lit(0L)).as("triangles"),
-        when(col("degree") >= 2,
-          lit(2.0) * coalesce(col("triangles"), lit(0L)) /
-            (col("degree") * (col("degree") - lit(1.0))))
-          .otherwise(lit(0.0)).as("lcc"))
-      .localCheckpoint(true)
-    Seq(und, deg, oriented).foreach(_.unpersist(false))
+    // the wedge enumeration expands by the oriented out-degree — the
+    // same shape that spilled in linkCandidates/kTruss (GBs per 19M
+    // edges on an 8g heap; ProfileGraphSpill) — so big graphs run
+    // under the shared expansion-sized scope; the count doubles as
+    // the persisted frame's materialization
+    val m = und.count()
+    var deg: Option[DataFrame] = None
+    var oriented: Option[DataFrame] = None
+    val out =
+      try {
+        withExpansionSizedShuffles(edges.sparkSession,
+            engage = m >= (1L << 20)) {
+          val d = und.select(explode(array(col("a"), col("b"))).as("id"))
+            .groupBy("id").agg(count(lit(1)).as("degree"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          deg = Some(d)
+          val (tris, ori) = orientedTriangles(und, d)
+          oriented = Some(ori)
+          val perVertex = tris
+            .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+            .groupBy("id").agg(count(lit(1)).as("triangles"))
+          d.join(perVertex, Seq("id"), "left")
+            .select(col("id"), col("degree"),
+              coalesce(col("triangles"), lit(0L)).as("triangles"),
+              when(col("degree") >= 2,
+                lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+                  (col("degree") * (col("degree") - lit(1.0))))
+                .otherwise(lit(0.0)).as("lcc"))
+            .localCheckpoint(true)
+        }
+      } finally {
+        (Seq(und) ++ deg ++ oriented).foreach(_.unpersist(false))
+      }
     out
   }
 
