@@ -421,6 +421,32 @@ object PipelineDemos {
           (col("id") === col("comp")).as("survivor"))
         .orderBy("id")
     }),
+    // Quality-aware survivor selection — keep the BEST copy, not the
+    // first: near-dup clusters (LSH → jaccard → components) each keep
+    // their highest-quality member by the engine-exact quality score,
+    // ties to the smallest id. The min-id keeper (dedup_components /
+    // dedup_survivors) is the backfill-stable default; this variant
+    // is the curation-grade choice when copies genuinely differ (a
+    // boilerplate-wrapped mirror scores below the clean original).
+    // Scale shape: components' labels + a map-side score, one
+    // per-component aggregate — cluster sizes are small by
+    // construction, so no group-limit concern.
+    "dedup_quality_keeper" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = TextDedup.jaccardVerified(docs, "doc_id", "text",
+          jaccardThreshold)
+        .select(col("id_a"), col("id_b"))
+      val comps = Components.connectedComponents(pairs, "id_a", "id_b")
+      val scored = docs.select(col("doc_id").as("id"),
+        TextAnalysis.qualityScore(col("text")).as("score"))
+      comps.join(scored, "id")
+        .groupBy("comp")
+        .agg(max_by(col("id"), struct(col("score"), negate(col("id"))))
+            .as("keeper"),
+          max(col("score")).as("keeper_score"),
+          count(lit(1)).cast("long").as("members"))
+        .orderBy("comp")
+    }),
     // Sequence packing: per-language streams, 512-token packs,
     // md5-ordered (deterministic epoch shuffle).
     "token_pack" -> ((s, dir) => {
@@ -1834,6 +1860,32 @@ object PipelineDemos {
        |  FROM cands JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)
        |WHERE jaccard >= $jaccardThreshold)""".stripMargin
 
+  /** Quality-aware keeper oracle: the verified-pair transitive
+    * closure, each component's members scored by the shared quality
+    * formula, the keeper = highest score (ties to the smallest id)
+    * via one per-component window — mirroring the engine's
+    * max_by(id, (score, −id)) exactly.
+    */
+  private lazy val dedupQualityKeeperOracle: String =
+    s"""WITH RECURSIVE $jaccardPairsCtes,
+       |sym AS (SELECT id_a AS a, id_b AS b FROM jpairs
+       |        UNION SELECT id_b, id_a FROM jpairs),
+       |reach AS (
+       |  SELECT a AS node, a AS comp FROM sym
+       |  UNION
+       |  SELECT s.a, r.comp FROM sym s JOIN reach r ON r.node = s.b),
+       |comps AS (SELECT node AS id, min(comp) AS comp
+       |          FROM reach GROUP BY node),
+       |${scoreCtesPrefixed("k")},
+       |m AS (SELECT c.comp, c.id, q.score,
+       |    row_number() OVER (PARTITION BY c.comp
+       |      ORDER BY q.score DESC, c.id) AS rn
+       |  FROM comps c JOIN kq q ON q.doc_id = c.id)
+       |SELECT comp, max(CASE WHEN rn = 1 THEN id END) AS keeper,
+       |  max(CASE WHEN rn = 1 THEN score END) AS keeper_score,
+       |  CAST(count(*) AS BIGINT) AS members
+       |FROM m GROUP BY comp ORDER BY comp""".stripMargin
+
   /** Recursive transitive closure over the verified pairs — the
     * components ground truth (shared by dedup_components and its
     * incremental variant, whose merge must be exactly equal).
@@ -1878,22 +1930,26 @@ object PipelineDemos {
        |FROM s ORDER BY doc_id""".stripMargin
 
   /** Shared quality-score CTE chain ending in
-    * q(doc_id, lang, n_tokens, score) — the ONE copy of the score
-    * formula the quality/curriculum/weighted-sample/mixture-quality
-    * oracles all build on (a second copy would let a formula tweak
-    * silently desynchronize an oracle).
+    * <p>q(doc_id, lang, n_tokens, score) — the ONE copy of the score
+    * formula the quality/curriculum/weighted-sample/mixture-quality/
+    * keeper oracles all build on (a second copy would let a formula
+    * tweak silently desynchronize an oracle). The prefix variant
+    * renames the CTEs (pt/psc/pq) so the chain composes with oracles
+    * whose WITH already binds t (e.g. jaccardPairsCtes).
     */
-  private val scoreCtes =
-    s"""t AS (SELECT doc_id, lang, text, $toksExpr AS toks,
+  private def scoreCtesPrefixed(p: String) =
+    s"""${p}t AS (SELECT doc_id, lang, text, $toksExpr AS toks,
        |  list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ltoks FROM documents),
-       |sc AS (SELECT doc_id, lang, text, CAST(len(toks) AS DOUBLE) AS n_tok,
+       |${p}sc AS (SELECT doc_id, lang, text, CAST(len(toks) AS DOUBLE) AS n_tok,
        |  CAST(len(toks) AS BIGINT) AS n_tokens,
-       |  CAST(${langScores.map(_._2).mkString(" + ")} AS DOUBLE) AS stop_hits FROM t),
-       |q AS (SELECT doc_id, lang, n_tokens,
+       |  CAST(${langScores.map(_._2).mkString(" + ")} AS DOUBLE) AS stop_hits FROM ${p}t),
+       |${p}q AS (SELECT doc_id, lang, n_tokens,
        |  (CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END) * 0.4
        |  + least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
        |  + (1.0 - (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.2 AS score
-       |  FROM sc)""".stripMargin
+       |  FROM ${p}sc)""".stripMargin
+
+  private val scoreCtes = scoreCtesPrefixed("")
 
   /** The corpus-clean CTE chain (gate → exact dedup → LSH near-dup
     * losers), shared by the corpus_clean and pipeline_e2e oracles:
@@ -3302,6 +3358,7 @@ object PipelineDemos {
     // recursive closure over all pairs — equality with from-scratch is
     // the claim under test
     "dedup_components_incremental" -> componentsClosureOracle,
+    "dedup_quality_keeper" -> dedupQualityKeeperOracle,
     "token_pack" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks, list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ltoks FROM documents),
          |s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, $scoresSelect FROM t),

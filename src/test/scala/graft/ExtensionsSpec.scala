@@ -2346,6 +2346,43 @@ class ExtensionsSpec extends SparkTestBase {
       s"rates must be monotone in the multiplier: $rates")
   }
 
+  test("dedup_quality_keeper semantics: a cluster keeps its " +
+       "highest-quality member even when it has the higher id; exact " +
+       "score ties fall back to the smallest id") {
+    import spark.implicits._
+    import graft.extensions.{Components, TextAnalysis, TextDedup}
+    val base = ("the quick brown fox jumps over the lazy dog and runs " +
+      "far away home tonight ") * 3
+    val docs = Seq(
+      // same shingle set + punctuation garbage -> near-dup of 2 with a
+      // strictly LOWER quality score (punct ratio + diluted stopwords)
+      (1L, base + " !!!! ???? ;;;; ::::"),
+      (2L, base),
+      // identical twins -> byte-equal scores, tie-break by id
+      (10L, "completely different words entirely unrelated content here"),
+      (11L, "completely different words entirely unrelated content here")
+    ).toDF("doc_id", "text")
+    val pairs = TextDedup.jaccardVerified(docs, "doc_id", "text", 0.5)
+      .select(col("id_a"), col("id_b"))
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 2L), (10L, 11L)), "fixture sanity: two clusters")
+    val comps = Components.connectedComponents(pairs, "id_a", "id_b")
+    val scored = docs.select(col("doc_id").as("id"),
+      TextAnalysis.qualityScore(col("text")).as("score"))
+    val s = scored.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(2L) > s(1L), "fixture sanity: clean copy scores higher")
+    assert(s(10L) == s(11L), "fixture sanity: twins tie exactly")
+    val keepers = comps.join(scored, "id")
+      .groupBy("comp")
+      .agg(max_by(col("id"), struct(col("score"), negate(col("id"))))
+        .as("keeper"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers(1L) == 2L,
+      s"quality must beat id order: $keepers")
+    assert(keepers(10L) == 10L,
+      s"exact ties must fall back to the smallest id: $keepers")
+  }
+
   test("tierBoundaries randomized sweep: cut-key tiers match the window " +
        "formula for random group shapes and tier counts 2/4/7/10") {
     import org.apache.spark.sql.expressions.Window
