@@ -726,12 +726,13 @@ object Graph {
     // same shape that spilled in linkCandidates/kTruss (GBs per 19M
     // edges on an 8g heap; ProfileGraphSpill) — so big graphs run
     // under the shared expansion-sized scope; the count doubles as
-    // the persisted frame's materialization
-    val m = und.count()
+    // the persisted frame's materialization and runs inside the try
+    // so a failure in it cannot strand the cached frame
     var deg: Option[DataFrame] = None
     var oriented: Option[DataFrame] = None
     val out =
       try {
+        val m = und.count()
         withExpansionSizedShuffles(edges.sparkSession,
             engage = m >= (1L << 20)) {
           val d = und.select(explode(array(col("a"), col("b"))).as("id"))
@@ -972,10 +973,15 @@ object Graph {
     require(k >= 3, "k-truss needs k >= 3 (k=2 is the whole graph)")
     require(maxRounds >= 1 && maxRounds <= 16, "fixed round budget")
     val first = undirectedSimple(edges, srcCol, dstCol)
+    // everything below — probe, gating count, peel — runs inside one
+    // try so a failure in ANY job (the 40 GB-class wedge joins
+    // included) cannot strand the persisted canonical frame in the
+    // block manager; the early fast-path return still runs the
+    // finally.
+    try {
     if (localCutoff > 0) {
       val probe = first.limit(localCutoff + 1).collect()
       if (probe.length <= localCutoff) {
-        first.unpersist(false)
         val out = localKTruss(
           probe.map(r => (r.getLong(0), r.getLong(1))).toSeq,
           k, maxRounds)
@@ -1008,7 +1014,7 @@ object Graph {
     // edges (ProfileGraphSpill), so the whole peel runs under
     // [[withExpansionSizedShuffles]] above the same 1M-edge
     // threshold; each round localCheckpoints inside the scope.
-    val out = withExpansionSizedShuffles(edges.sparkSession,
+    withExpansionSizedShuffles(edges.sparkSession,
         engage = lastCnt >= (1L << 20)) {
       var sup = edgeSupport(first)
       var r = 0
@@ -1031,8 +1037,9 @@ object Graph {
       sup.select(col("a").as("id_a"), col("b").as("id_b"),
         col("support"))
     }
-    first.unpersist(false)
-    out
+    } finally {
+      first.unpersist(false)
+    }
   }
 
   /** Driver-side exact bounded-round truss peel — the [[kTruss]] fast
@@ -1234,32 +1241,6 @@ object Graph {
     degrees(live).toSeq
   }
 
-  /** Link prediction by common neighborhood — the "suggest missing
-    * edges" job (related-document discovery, knowledge-graph
-    * completion): for every NON-adjacent pair sharing at least one
-    * neighbor, count the common neighbors and an inverse-degree
-    * weighted score, and return the top k candidates.
-    *
-    * Scoring is Adamic-Adar in spirit but exact-integer in arithmetic:
-    * each shared neighbor u contributes 2²⁰ div deg(u) (a rare shared
-    * neighbor is strong evidence, a promiscuous one weak) — log-free
-    * because ln is not bit-stable across engines, and the 1/deg weight
-    * carries the same ranking signal with an exact oracle.
-    *
-    * The scale bound is explicit and principled: centers with degree >
-    * `maxCenterDegree` are EXCLUDED from pair generation — the
-    * stop-neighbor rule (a hub adjacent to everyone certifies nothing,
-    * exactly like a stopword in retrieval), and the only way the
-    * pair fan-out is bounded at all: a degree-d center emits d²/2
-    * candidate pairs, so one 10⁶-degree hub would emit 5·10¹¹ rows.
-    * With the cap, fan-out ≤ maxCenterDegree²/2 per center — linear in
-    * |V| total — and the final top-k is a TakeOrdered (map-side
-    * partial top-k, no global sort).
-    *
-    * @return top-k (id_a, id_b, common, wscore) by (wscore desc,
-    *         id_a, id_b); id_a < id_b, pairs never adjacent in the
-    *         input's simple graph
-    */
   /** Runs `body` — which must MATERIALIZE everything it builds (a
     * count, persist fill, or localCheckpoint inside) — with every
     * shuffle sized for a downstream EXPANSION rather than its own
@@ -1298,16 +1279,38 @@ object Graph {
       }
     }
 
+  /** Link prediction by common neighborhood — the "suggest missing
+    * edges" job (related-document discovery, knowledge-graph
+    * completion): for every NON-adjacent pair sharing at least one
+    * neighbor, count the common neighbors and an inverse-degree
+    * weighted score, and return the top k candidates.
+    *
+    * Scoring is Adamic-Adar in spirit but exact-integer in arithmetic:
+    * each shared neighbor u contributes 2²⁰ div deg(u) (a rare shared
+    * neighbor is strong evidence, a promiscuous one weak) — log-free
+    * because ln is not bit-stable across engines, and the 1/deg weight
+    * carries the same ranking signal with an exact oracle.
+    *
+    * The scale bound is explicit and principled: centers with degree >
+    * `maxCenterDegree` are EXCLUDED from pair generation — the
+    * stop-neighbor rule (a hub adjacent to everyone certifies nothing,
+    * exactly like a stopword in retrieval), and the only way the
+    * pair fan-out is bounded at all: a degree-d center emits d²/2
+    * candidate pairs, so one 10⁶-degree hub would emit 5·10¹¹ rows.
+    * With the cap, fan-out ≤ maxCenterDegree²/2 per center — linear in
+    * |V| total — and the final top-k is a TakeOrdered (map-side
+    * partial top-k, no global sort).
+    *
+    * @return top-k (id_a, id_b, common, wscore) by (wscore desc,
+    *         id_a, id_b); id_a < id_b, pairs never adjacent in the
+    *         input's simple graph
+    */
   def linkCandidates(edges: DataFrame, srcCol: String, dstCol: String,
                      maxCenterDegree: Int = 64, k: Int = 50)
       : DataFrame = {
     require(maxCenterDegree >= 2, "centers need >= 2 neighbors to pair")
     require(k >= 1, "top-k needs k >= 1")
     val und = undirectedSimple(edges, srcCol, dstCol)
-    // materialize the persisted canonical frame and take its count:
-    // the cache fill is paid once either way, and the count gates the
-    // partition-sizing scope below
-    val m = und.count()
     // The wedge self-join fans each row out by its degree and the pair
     // aggregate's keys are mostly unique, so partitions AQE sized to
     // 64 MB of THIS frame's bytes own multi-GB wedge slices downstream
@@ -1347,10 +1350,14 @@ object Graph {
         .limit(k)
         .localCheckpoint(true)
     }
-    // Persisted frames unpersist in finally — an executor failure
-    // mid-job must not strand the fanned-out adjacency in the block
-    // manager.
+    // Persisted frames unpersist in finally — an executor failure in
+    // ANY job here, including the gating count that fills und's
+    // cache, must not strand frames in the block manager.
     try {
+      // materialize the persisted canonical frame and take its count:
+      // the cache fill is paid once either way, and the count gates
+      // the partition-sizing scope
+      val m = und.count()
       withExpansionSizedShuffles(edges.sparkSession,
         engage = m >= (1L << 20))(build())
     } finally {

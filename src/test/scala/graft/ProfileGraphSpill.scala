@@ -36,13 +36,28 @@ object ProfileGraphSpill {
               sc.stageInfo.name.take(120))
         }
       })
+    // listener events arrive asynchronously on the bus — drain until
+    // the counters hold still so a late stage-completed event can't be
+    // attributed to the wrong phase (or dropped from the last one)
+    def stabilized(): (Long, Long) = {
+      var prev = (spill, shufW)
+      var same = 0
+      while (same < 3) {
+        Thread.sleep(100)
+        val cur = (spill, shufW)
+        if (cur == prev) same += 1 else { same = 0; prev = cur }
+      }
+      prev
+    }
     def phase(tag: String)(body: => Long): Unit = {
-      val (s0, w0) = (spill, shufW)
+      val (s0, w0) = stabilized()
       val t0 = System.nanoTime()
       val rows = body
-      println(f"[profile] $tag%-16s ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
-        f"  rows=$rows%-10d spill=${(spill - s0) / 1000000L}%6d MB" +
-        f"  shufW=${(shufW - w0) / 1000000L}%6d MB")
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (s1, w1) = stabilized()
+      println(f"[profile] $tag%-16s $sec%7.2f s" +
+        f"  rows=$rows%-10d spill=${(s1 - s0) / 1000000L}%6d MB" +
+        f"  shufW=${(w1 - w0) / 1000000L}%6d MB")
       spark.catalog.clearCache()
     }
     // warm
