@@ -123,6 +123,53 @@ object PipelineDemos {
   private val walksBucketedCache =
     new graft.tables.CorpusMemo[String]("documents")
 
+  /** Once-per-corpus parquet artifact for a derived FRAME (VERDICT r14
+    * #2): builds `frame` on first touch of the corpus stamp, writes it
+    * under a pid-scoped scratch dir, and returns a plain parquet scan
+    * thereafter. This is the lineage cut the five composite demos used
+    * `localCheckpoint(true)` for, WITHOUT the cost that check flagged:
+    * an eager localCheckpoint pins the whole intermediate in executor
+    * STORAGE memory for the session — at 100 TB that is a cluster-wide
+    * memory hostage — where a columnar file on disk is elastic (reads
+    * page in only the pruned columns, capacity is storage not RAM, and
+    * a restarted executor re-reads instead of recomputing the lineage).
+    * Deterministic per corpus by the same argument as the index memos:
+    * every builder below derives purely from the stamped tables.
+    */
+  private def frameArtifact(memo: graft.tables.CorpusMemo[String],
+      family: String, s: org.apache.spark.sql.SparkSession, dir: String)(
+      frame: => DataFrame): DataFrame = {
+    val p = memo.getOrElseUpdate(dir, {
+      val path = graft.tables.ScratchDirs.tmp(family, dir)
+      frame.write.mode("overwrite").parquet(path)
+      path
+    })
+    s.read.parquet(p)
+  }
+
+  // scored-corpus frame per corpus stamp (mixture_quality): score once,
+  // reuse — the quality score is a pure function of the text
+  private val scoredToksPathCache =
+    new graft.tables.CorpusMemo[String]("documents")
+
+  // top-2-plane projection frame per corpus stamp (pca_curriculum)
+  private val pcaPlanePathCache =
+    new graft.tables.CorpusMemo[String]("embeddings")
+
+  // PageRank-joined (doc_id, lang, rank_fp) projection per corpus
+  // stamp, SHARED by pipeline_rank_mix and pipeline_rank_mix_sampled:
+  // both tier-cut variants consume the identical rank join, so the
+  // centrality derivation is the once-per-corpus cost (the
+  // pipeline_hits_gate precedent; link_hits / pagerank stay the
+  // from-scratch derivation demos)
+  private val rankJoinedPathCache =
+    new graft.tables.CorpusMemo[String]("documents")
+
+  // HITS-joined (doc_id, lang, hub_fp, auth_fp) projection per corpus
+  // stamp (pipeline_hits_gate)
+  private val hitsJoinedPathCache =
+    new graft.tables.CorpusMemo[String]("documents")
+
   val queries: Map[String, Q] = Map(
     // Language ID: stopword-evidence argmax.
     "lang_id" -> ((s, dir) => {
@@ -190,11 +237,12 @@ object PipelineDemos {
     // bit for bit (ExtensionsSpec pins the reduction).
     "mixture_quality" -> ((s, dir) => {
       import graft.extensions.Mixture
-      val toks = Tables.documents(s, dir).select(col("doc_id"),
-          col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-          TextAnalysis.qualityScore(col("text")).as("score"))
-        .withColumn("all", lit(1))
-        .localCheckpoint(true)
+      val toks = frameArtifact(scoredToksPathCache, "scoredtoks", s, dir) {
+        Tables.documents(s, dir).select(col("doc_id"),
+            col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+            TextAnalysis.qualityScore(col("text")).as("score"))
+          .withColumn("all", lit(1))
+      }
       val ord = Seq(negate(col("score")), col("doc_id"))
       val qb = graft.ops.AggOps.tierBoundariesSampled(
           toks, "all", ord, 4, col("doc_id"), sampleN = 256)
@@ -1274,15 +1322,15 @@ object PipelineDemos {
     // than the sample (PlanShapeSpec).
     "pca_curriculum" -> ((s, dir) => {
       import graft.extensions.Pca
-      val e = Tables.embeddings(s, dir)
-      val comps = Pca.topComponents(e, "embedding", 64, r = 2,
-        iterations = 8)
-      val proj = Pca.projectManyWith(e, "vec_id", "embedding",
-        Seq("proj" -> comps(0), "proj2" -> comps(1)))
-      val joined = e
-        .select(col("vec_id"), col("label").cast("long").as("label"))
-        .join(proj, "vec_id")
-        .localCheckpoint(true)
+      val joined = frameArtifact(pcaPlanePathCache, "pcaplane", s, dir) {
+        val e = Tables.embeddings(s, dir)
+        val comps = Pca.topComponents(e, "embedding", 64, r = 2,
+          iterations = 8)
+        val proj = Pca.projectManyWith(e, "vec_id", "embedding",
+          Seq("proj" -> comps(0), "proj2" -> comps(1)))
+        e.select(col("vec_id"), col("label").cast("long").as("label"))
+          .join(proj, "vec_id")
+      }
       // loud-failure guard on the plane radius: projectManyWith bounds
       // each projection below 2^63, but the SUM of two could wrap
       // silently in Spark's non-ANSI Long arithmetic while the DuckDB
@@ -1337,16 +1385,18 @@ object PipelineDemos {
     // only the narrow (lang, key) projection pays the exact-boundary
     // sort (swap for approx_percentile at 100 TB; see tierBoundaries
     // scaladoc), the rank-joined frame materializes ONCE
-    // (localCheckpoint) and feeds both the 4-row-per-lang cut frame
+    // (a once-per-corpus parquet artifact, r15 — see [[frameArtifact]];
+    // shared with the sampled variant) and feeds both the 4-row-per-lang cut frame
     // and the map-side compare, and the keep filter stays map-side.
     // Bit-identical to the window formula (ExtensionsSpec) and to the
     // unchanged window-based oracle.
     "pipeline_rank_mix" -> ((s, dir) => {
-      val ranks = graft.extensions.Graph.pageRankFixedPoint(
-        docLinkEdges(s, dir), "src", "dst", iterations = 4)
-      val joined = Tables.documents(s, dir).select("doc_id", "lang")
-        .join(ranks.withColumnRenamed("id", "doc_id"), "doc_id")
-        .localCheckpoint(true)
+      val joined = frameArtifact(rankJoinedPathCache, "rankjoin", s, dir) {
+        val ranks = graft.extensions.Graph.pageRankFixedPoint(
+          docLinkEdges(s, dir), "src", "dst", iterations = 4)
+        Tables.documents(s, dir).select("doc_id", "lang")
+          .join(ranks.withColumnRenamed("id", "doc_id"), "doc_id")
+      }
       val ord = Seq(negate(col("rank_fp")), col("doc_id"))
       val bounds = graft.ops.AggOps.tierBoundaries(joined, "lang", ord, 4)
       joined.join(broadcast(bounds), "lang")
@@ -1372,11 +1422,12 @@ object PipelineDemos {
     // sketch merges — so the oracle replays the identical sample in
     // SQL and the result is hash-checkable, not just rows-only.
     "pipeline_rank_mix_sampled" -> ((s, dir) => {
-      val ranks = graft.extensions.Graph.pageRankFixedPoint(
-        docLinkEdges(s, dir), "src", "dst", iterations = 4)
-      val joined = Tables.documents(s, dir).select("doc_id", "lang")
-        .join(ranks.withColumnRenamed("id", "doc_id"), "doc_id")
-        .localCheckpoint(true)
+      val joined = frameArtifact(rankJoinedPathCache, "rankjoin", s, dir) {
+        val ranks = graft.extensions.Graph.pageRankFixedPoint(
+          docLinkEdges(s, dir), "src", "dst", iterations = 4)
+        Tables.documents(s, dir).select("doc_id", "lang")
+          .join(ranks.withColumnRenamed("id", "doc_id"), "doc_id")
+      }
       val ord = Seq(negate(col("rank_fp")), col("doc_id"))
       val bounds = graft.ops.AggOps.tierBoundariesSampled(
         joined, "lang", ord, 4, col("doc_id"), sampleN = 128)
@@ -1519,18 +1570,19 @@ object PipelineDemos {
     // the mutual recursion; link_hits stays the from-scratch demo and
     // hits_resume proves the artifact refreshes incrementally).
     "pipeline_hits_gate" -> ((s, dir) => {
-      val hitsPath = hitsVectorPathCache.getOrElseUpdate(dir, {
-        val p = graft.tables.ScratchDirs.tmp("hitsvec", dir)
-        graft.extensions.Graph.hitsFixedPoint(docLinkEdges(s, dir),
-            "src", "dst", iterations = 4)
-          .write.mode("overwrite").parquet(p)
-        p
-      })
-      val hits = s.read.parquet(hitsPath)
-      val joined = Tables.documents(s, dir).select("doc_id", "lang")
-        .join(hits.withColumnRenamed("id", "doc_id"), "doc_id")
-        .withColumn("all", lit(1))
-        .localCheckpoint(true)
+      val joined = frameArtifact(hitsJoinedPathCache, "hitsjoin", s, dir) {
+        val hitsPath = hitsVectorPathCache.getOrElseUpdate(dir, {
+          val p = graft.tables.ScratchDirs.tmp("hitsvec", dir)
+          graft.extensions.Graph.hitsFixedPoint(docLinkEdges(s, dir),
+              "src", "dst", iterations = 4)
+            .write.mode("overwrite").parquet(p)
+          p
+        })
+        Tables.documents(s, dir).select("doc_id", "lang")
+          .join(s.read.parquet(hitsPath)
+            .withColumnRenamed("id", "doc_id"), "doc_id")
+          .withColumn("all", lit(1))
+      }
       val ordA = Seq(negate(col("auth_fp")), col("doc_id"))
       val ordH = Seq(negate(col("hub_fp")), col("doc_id"))
       // SAMPLED cut keys (r14): the group here is GLOBAL ("all" = 1),

@@ -617,6 +617,24 @@ class PlanShapeSpec extends SparkTestBase {
    }
   }
 
+  test("tiering composites materialize their corpus intermediate as a " +
+       "parquet artifact, not an in-memory localCheckpoint pin " +
+       "(VERDICT r14 #2): no RDD scan anywhere in the plan") {
+   Seq("mixture_quality", "pca_curriculum", "pipeline_rank_mix",
+       "pipeline_rank_mix_sampled", "pipeline_hits_gate").foreach { name =>
+    val df = SparkEntry.queries(name)(spark, dir)
+    val plan = unwrapped(df.queryExecution.executedPlan)
+    // localCheckpoint(true) pins the whole intermediate in executor
+    // storage memory and surfaces as an RDDScanExec ("Scan ExistingRDD")
+    // — the frameArtifact parquet path must leave only file scans
+    val rddScans = plan.collect {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
+    }
+    assert(rddScans.isEmpty,
+      s"$name: in-memory RDD scan (localCheckpoint pin?) in plan:\n$plan")
+   }
+  }
+
   test("SeqDot matches the interpreted sequential fold") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
