@@ -1300,7 +1300,10 @@ object ScaleCurve {
        ^spilled ~31 GB at 19M edges (ProfileLinkPredict has the stage
        ^decomposition). The operator now scopes an expansion-sized
        ^partitioning (256 initial partitions + 8 MB advisory) around
-       ^its own materialization above 2M canonical edges; the remaining
+       ^its own materialization above
+       ^${graft.extensions.Graph.expansionEngageEdges / (1L << 20)}M
+       ^canonical edges (the shared Graph.expansionEngageEdges gate,
+       ^interpolated here so this prose cannot drift); the remaining
        ^last-octave growth is spill-free shuffle volume (×4 bytes) on
        ^fixed single-host cores — the regime a real fleet absorbs by
        ^adding executors.

@@ -733,13 +733,13 @@ object Graph {
     val out =
       try {
         val m = und.count()
-        withExpansionSizedShuffles(edges.sparkSession,
-            engage = m >= (1L << 20)) {
-          val d = und.select(explode(array(col("a"), col("b"))).as("id"))
+        withExpansionSizedShuffles(und,
+            engage = m >= expansionEngageEdges) { undS =>
+          val d = undS.select(explode(array(col("a"), col("b"))).as("id"))
             .groupBy("id").agg(count(lit(1)).as("degree"))
             .persist(StorageLevel.MEMORY_AND_DISK)
           deg = Some(d)
-          val (tris, ori) = orientedTriangles(und, d)
+          val (tris, ori) = orientedTriangles(undS, d)
           oriented = Some(ori)
           val perVertex = tris
             .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
@@ -955,14 +955,15 @@ object Graph {
     *                    re-enumeration (cross-check path)
     * @param localCutoff max canonical edge count for the driver fast
     *                    path (0 disables it). DRIVER MEMORY: up to
-    *                    localCutoff+1 (a,b) rows are collected — the
-    *                    default 64Ki is ~1 MB of longs; callers with
-    *                    tight drivers should lower it, not raise it.
-    *                    Over-cutoff calls pay one bounded
-    *                    limit(cutoff+1) leaf scan of the already-
-    *                    checkpointed canonical frame before the
-    *                    distributed rounds — a probe job, not a
-    *                    re-derivation.
+    *                    localCutoff (a,b) rows are collected as boxed
+    *                    GenericRows (two boxed Longs each) — order of
+    *                    5–10 MB of driver heap at the default 64Ki,
+    *                    not the raw 1 MB of primitive longs; callers
+    *                    with tight drivers should lower it, not raise
+    *                    it. Over-cutoff calls collect NOTHING: the
+    *                    gating count that seeds the peel also decides
+    *                    the fast path (r15 — the r14 shape paid a
+    *                    separate limit(cutoff+1) probe job).
     * @return surviving (id_a, id_b, support) edges with their support
     *         in the FINAL subgraph (≥ k−2 iff converged)
     */
@@ -979,9 +980,15 @@ object Graph {
     // block manager; the early fast-path return still runs the
     // finally.
     try {
-    if (localCutoff > 0) {
-      val probe = first.limit(localCutoff + 1).collect()
-      if (probe.length <= localCutoff) {
+    // ONE gating action (VERDICT r14 #7): the count both fills the
+    // persisted canonical frame's cache and decides the fast path —
+    // the r14 shape paid a separate limit(cutoff+1).collect() probe
+    // job before it. The under-cutoff collect below is a leaf scan of
+    // the just-filled cache, bounded by the count it is gated on.
+    var lastCnt = first.count()
+    if (localCutoff > 0 && lastCnt <= localCutoff) {
+      {
+        val probe = first.collect()
         val out = localKTruss(
           probe.map(r => (r.getLong(0), r.getLong(1))).toSeq,
           k, maxRounds)
@@ -1000,7 +1007,6 @@ object Graph {
           schema)
       }
     }
-    var lastCnt = first.count()
     // the checkpointed support frame is CARRIED: on convergence (a
     // round that drops nothing) the supports computed over the
     // unchanged live frame ARE the final supports, so the converged
@@ -1012,11 +1018,12 @@ object Graph {
     // by the oriented out-degree, the same shape that spilled 31 GB
     // in linkCandidates — here it spilled 43 GB at 19M circulant
     // edges (ProfileGraphSpill), so the whole peel runs under
-    // [[withExpansionSizedShuffles]] above the same 1M-edge
-    // threshold; each round localCheckpoints inside the scope.
-    withExpansionSizedShuffles(edges.sparkSession,
-        engage = lastCnt >= (1L << 20)) {
-      var sup = edgeSupport(first)
+    // [[withExpansionSizedShuffles]] above the shared
+    // [[expansionEngageEdges]] threshold; each round localCheckpoints
+    // inside the scope.
+    withExpansionSizedShuffles(first,
+        engage = lastCnt >= expansionEngageEdges) { firstS =>
+      var sup = edgeSupport(firstS)
       var r = 0
       var converged = false
       while (r < maxRounds && !converged) {
@@ -1106,9 +1113,10 @@ object Graph {
     *
     * Small-graph fast path (the [[Components.incrementalComponents]]
     * probe pattern): when the canonical simple-edge frame fits under
-    * `localCutoff` rows — tested with one bounded `limit(cutoff+1)`
-    * collect, never an unbounded one — the whole peel runs as a
-    * driver loop over the collected edges. Bit-equal to the
+    * `localCutoff` rows — decided by the seed count the peel pays
+    * anyway, and collected only AFTER that bound is known, never an
+    * unbounded collect — the whole peel runs as a driver loop over
+    * the collected edges. Bit-equal to the
     * distributed rounds by construction: each round removes exactly
     * the vertices with degree < k from the same canonical frame, the
     * early stop fires on the same no-op-round condition, and rounds
@@ -1128,11 +1136,14 @@ object Graph {
     * @param localCutoff max canonical edge count for the driver fast
     *                  path (0 disables it — every test of the
     *                  distributed rounds pins this). DRIVER MEMORY:
-    *                  up to localCutoff+1 (a,b) rows are collected —
-    *                  the default 64Ki is ~1 MB of longs; lower it on
-    *                  tight drivers. Over-cutoff calls pay one bounded
-    *                  limit(cutoff+1) leaf scan of the checkpointed
-    *                  canonical frame before the distributed rounds.
+    *                  up to localCutoff (a,b) rows are collected as
+    *                  boxed GenericRows (two boxed Longs each) —
+    *                  order of 5–10 MB of driver heap at the default
+    *                  64Ki, not the raw 1 MB of primitive longs;
+    *                  lower it on tight drivers. Over-cutoff calls
+    *                  collect nothing: the seed count that fills the
+    *                  canonical frame's cache also decides the fast
+    *                  path (r15).
     * @return (id, core_degree): vertices of the surviving subgraph
     *         with their degree in it (≥ k iff converged)
     */
@@ -1142,9 +1153,15 @@ object Graph {
     require(k >= 2, "k-core needs k >= 2 (k=1 is the input graph)")
     require(maxRounds >= 1 && maxRounds <= 32, "fixed round budget")
     var live = undirectedSimple(edges, srcCol, dstCol)
-    if (localCutoff > 0) {
-      val probe = live.limit(localCutoff + 1).collect()
-      if (probe.length <= localCutoff) {
+    // ONE gating action (VERDICT r14 #7): the seed count below both
+    // fills the persisted canonical frame's cache and decides the
+    // fast path — the r14 shape paid a separate limit(cutoff+1)
+    // .collect() probe job before it. The under-cutoff collect is a
+    // leaf scan of the just-filled cache, bounded by its count.
+    val seedCnt = live.count()
+    if (localCutoff > 0 && seedCnt <= localCutoff) {
+      {
+        val probe = live.collect()
         live.unpersist(false)
         val out = localKCore(
           probe.map(r => (r.getLong(0), r.getLong(1))).toSeq,
@@ -1161,9 +1178,9 @@ object Graph {
                 org.apache.spark.sql.Row(id, d) }).asJava),
           schema)
       }
-      // over the cutoff: the probe rows are discarded (limit+collect
-      // cost one bounded scan) and the distributed rounds run below
     }
+    // over the cutoff: nothing was collected — the seed count alone
+    // decided, and the distributed rounds reuse it as lastCnt below
     val kept = scala.collection.mutable.Buffer[DataFrame](live)
     def degreesOf(f: DataFrame): DataFrame =
       f.select(explode(array(col("a"), col("b"))).as("id"))
@@ -1183,8 +1200,9 @@ object Graph {
     // counts across a block ⟺ all its rounds were no-ops ⟺
     // fixpoint): at most one cut block of no-op rounds runs before
     // the stop fires, the price of keeping inner rounds action-free.
-    // The seed count also pre-fills the canonical frame's cache.
-    var lastCnt = live.count()
+    // The seed count (one action, paid above as the fast-path gate)
+    // also pre-filled the canonical frame's cache.
+    var lastCnt = seedCnt
     var r = 0
     var converged = false
     while (r < maxRounds && !converged) {
@@ -1241,42 +1259,99 @@ object Graph {
     degrees(live).toSeq
   }
 
-  /** Runs `body` — which must MATERIALIZE everything it builds (a
-    * count, persist fill, or localCheckpoint inside) — with every
-    * shuffle sized for a downstream EXPANSION rather than its own
-    * bytes: a high initial partition count (AQE can only merge, never
-    * split — without the headroom the advisory is powerless) plus an
-    * 8 MB advisory, so a partition that fans out by a wedge/triangle
-    * join stays memory-sized after the expansion. No-op when `engage`
-    * is false (small inputs: the defaults already fit, and the extra
-    * map buckets only cost scheduling). Spark offers no per-query
-    * conf, so this mutates the SESSION-level SQLConf: serialized on
-    * the session object so interleaved scoped calls cannot restore
-    * out of order; unrelated queries issued concurrently DURING a
-    * scoped call would still plan under the shrunk advisory (correct,
-    * just differently partitioned) — this engine's drivers run
-    * queries sequentially.
+  /** Canonical-edge count above which the wedge-expansion operators
+    * ([[triangleCounts]], [[kTruss]], [[linkCandidates]]) plan under
+    * [[withExpansionSizedShuffles]]; below it the defaults already fit
+    * and the extra map buckets only cost scheduling. One shared
+    * constant so the three gates and the SCALECURVE prose cannot
+    * drift (the r14 threshold move from 2M left a stale doc number —
+    * ADVICE r14 #1).
     */
-  private def withExpansionSizedShuffles[T](
-      sess: org.apache.spark.sql.SparkSession, engage: Boolean)
-      (body: => T): T =
-    if (!engage) body
-    else sess.synchronized {
-      val confs = Seq(
-        "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-          -> "256",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m")
-      val prev = confs.map { case (key, _) =>
-        key -> sess.conf.getOption(key) }
-      try {
-        confs.foreach { case (key, v) => sess.conf.set(key, v) }
-        body
-      } finally {
-        prev.foreach {
-          case (key, Some(v)) => sess.conf.set(key, v)
-          case (key, None) => sess.conf.unset(key)
-        }
+  private[graft] val expansionEngageEdges: Long = 1L << 20
+
+  // one expansion-confed child session per parent (newSession shares
+  // SparkContext, catalog, and — load-bearing here — the CacheManager,
+  // so persisted frames hit from either session; SQLConf is private)
+  private val expansionSessions = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.sql.SparkSession,
+           org.apache.spark.sql.SparkSession]
+
+  private def expansionSession(parent: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession =
+    expansionSessions.getOrElseUpdate(parent, {
+      val child = parent.newSession()
+      // newSession seeds its SQLConf from the SparkContext conf
+      // (builder-time settings), not the parent's RUNTIME conf edits —
+      // replay any delta so the child plans exactly like the parent in
+      // everything but the two expansion confs (static/context entries
+      // re-set to an identical value are accepted; a genuinely
+      // immutable divergent entry cannot exist on a shared context)
+      parent.conf.getAll.foreach { case (key, v) =>
+        if (!child.conf.getOption(key).contains(v)) child.conf.set(key, v)
       }
+      child.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      child.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      child
+    })
+
+  private val rebaseIds = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Re-plans `df` under session `to` with zero recompute: the plan
+    * crosses sessions through a global temp view (the one PUBLIC
+    * cross-session channel), resolved eagerly at `table()` so the view
+    * can be dropped before returning. Persisted subtrees still hit:
+    * the CacheManager lives in SharedState and matches by canonical
+    * subtree, which view wrapping does not disturb.
+    */
+  private def rebase(df: DataFrame,
+      to: org.apache.spark.sql.SparkSession): DataFrame = {
+    val name = s"graft_expansion_rebase_${rebaseIds.incrementAndGet()}"
+    df.createOrReplaceGlobalTempView(name)
+    try to.table(s"global_temp.$name")
+    finally df.sparkSession.catalog.dropGlobalTempView(name)
+  }
+
+  /** Runs `body` over a rebased `root` with every shuffle sized for a
+    * downstream EXPANSION rather than its own bytes: a high initial
+    * partition count (AQE can only merge, never split — without the
+    * headroom the advisory is powerless) plus an 8 MB advisory, so a
+    * partition that fans out by a wedge/triangle join stays
+    * memory-sized after the expansion. No-op when `engage` is false
+    * (small inputs: the defaults already fit).
+    *
+    * Session isolation (r15, VERDICT r14 #3): Spark offers no
+    * per-query conf, and the r14 version mutated the SESSION SQLConf —
+    * safe for sequential drivers but a concurrent query planned during
+    * the scope saw the shrunk advisory. Now the scope plans in a
+    * memoized `newSession()` CHILD (shared SparkContext, catalog and
+    * cache; private SQLConf) carrying the two expansion confs
+    * permanently; `root` crosses in — and the result crosses back —
+    * via [[rebase]], so frames derived from the rebased root inherit
+    * the child session and nothing observable by the parent changes.
+    *
+    * Contract (asserted, ADVICE r14 #2): the returned frame's plan
+    * must bottom out in materialized leaves (LogicalRDD — i.e. the
+    * body localCheckpointed its heavy work inside the scope). A body
+    * that returned live lineage would silently re-plan it under the
+    * parent's default sizing on first use, exactly the bug the
+    * assert makes loud.
+    */
+  private[graft] def withExpansionSizedShuffles(
+      root: DataFrame, engage: Boolean)
+      (body: DataFrame => DataFrame): DataFrame =
+    if (!engage) body(root)
+    else {
+      val parent = root.sparkSession
+      val out = body(rebase(root, expansionSession(parent)))
+      val leaves = out.queryExecution.analyzed.collectLeaves()
+      require(leaves.nonEmpty && leaves.forall(
+          _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+        "withExpansionSizedShuffles body must return materialized " +
+          "(localCheckpointed) results; live lineage would re-plan " +
+          s"under default shuffle sizing. Leaves: ${leaves.map(_.nodeName)}")
+      rebase(out, parent)
     }
 
   /** Link prediction by common neighborhood — the "suggest missing
@@ -1326,8 +1401,8 @@ object Graph {
     // net-worse (a second full exchange costs more than the spill it
     // saves).
     var centers: Option[DataFrame] = None
-    def build(): DataFrame = {
-      val sym = und.union(und.select(col("b"), col("a")))
+    def build(undS: DataFrame): DataFrame = {
+      val sym = undS.union(undS.select(col("b"), col("a")))
       val deg = sym.groupBy(col("a").as("u"))
         .agg(count(lit(1)).as("degree"))
       // the degree join leaves this frame hash-partitioned by u —
@@ -1343,7 +1418,7 @@ object Graph {
         .groupBy(col("c1.nbr").as("a"), col("c2.nbr").as("b"))
         .agg(count(lit(1)).as("common"),
           sum(col("c1.invw")).as("wscore"))
-      pairs.join(und, Seq("a", "b"), "left_anti")
+      pairs.join(undS, Seq("a", "b"), "left_anti")
         .select(col("a").as("id_a"), col("b").as("id_b"),
           col("common"), col("wscore"))
         .orderBy(col("wscore").desc, col("id_a"), col("id_b"))
@@ -1358,8 +1433,8 @@ object Graph {
       // the cache fill is paid once either way, and the count gates
       // the partition-sizing scope
       val m = und.count()
-      withExpansionSizedShuffles(edges.sparkSession,
-        engage = m >= (1L << 20))(build())
+      withExpansionSizedShuffles(und,
+        engage = m >= expansionEngageEdges)(build(_))
     } finally {
       centers.foreach(_.unpersist(false))
       und.unpersist(false)

@@ -240,8 +240,21 @@ object Mixture {
                           groupCol: String, tierCol: String,
                           ngCol: String, multiplier: Column,
                           num: Long, den: Long): DataFrame = {
+    // Loud-failure guard (ADVICE r14 #3): a null group or tier would
+    // otherwise form a null CELL that the inner rate join silently
+    // drops — the quiet-vanish failure weightedCap's null-weight raise
+    // exists to prevent. Guarded here on the dozens-row cell frame
+    // (groupBy keeps null grouping values, so any null doc row
+    // surfaces as a null cell), embedded in the consumed `ng` column
+    // so column pruning cannot elide it; bulk-path cost zero.
     val cells = docs.groupBy(groupCol, tierCol)
       .agg(sum(col(ngCol)).as("ng"))
+      .withColumn("ng",
+        when(col(groupCol).isNull || col(tierCol).isNull,
+          raise_error(lit(s"qualityWeightedKeep: null $groupCol/" +
+            s"$tierCol — such rows would silently vanish at the rate " +
+            "join; fill or filter them first")))
+          .otherwise(col("ng")))
       .withColumn("wg", sqrtWeight(col("ng")) * multiplier.cast("long"))
     val cap = weightedCap(cells, "ng", "wg", num, den)
     val rated = withKeepRate16(cells.crossJoin(broadcast(cap)))

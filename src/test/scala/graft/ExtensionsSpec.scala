@@ -2346,6 +2346,32 @@ class ExtensionsSpec extends SparkTestBase {
       s"rates must be monotone in the multiplier: $rates")
   }
 
+  test("qualityWeightedKeep raises on a null group or tier instead of " +
+       "silently dropping the row at the rate join (ADVICE r14 #3 — " +
+       "the weightedCap loud-failure contract)") {
+    import spark.implicits._
+    import graft.extensions.Mixture
+    val nullLang = Seq((1L, Option("en"), 10L, 0),
+        (2L, Option.empty[String], 10L, 1))
+      .toDF("doc_id", "lang", "n_tokens", "qtier")
+    val ex = intercept[Exception] {
+      Mixture.qualityWeightedKeep(nullLang, "doc_id", "lang", "qtier",
+        "n_tokens", lit(4) - col("qtier"), 1L, 3L).collect()
+    }
+    def msgs(t: Throwable) = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs(ex).contains("null lang/qtier"), msgs(ex))
+    val nullTier = Seq((1L, "en", 10L, Option(0)),
+        (2L, "en", 10L, Option.empty[Int]))
+      .toDF("doc_id", "lang", "n_tokens", "qtier")
+    val ex2 = intercept[Exception] {
+      Mixture.qualityWeightedKeep(nullTier, "doc_id", "lang", "qtier",
+        "n_tokens", lit(1), 1L, 3L).collect()
+    }
+    assert(msgs(ex2).contains("null lang/qtier"), msgs(ex2))
+  }
+
   test("dedup_quality_keeper semantics: a cluster keeps its " +
        "highest-quality member even when it has the higher id; exact " +
        "score ties fall back to the smallest id") {

@@ -943,4 +943,65 @@ class GraphSpec extends SparkTestBase {
       .takeWhile(_ != null).map(_.getMessage).mkString("\n")
     assert(msgs.contains("2^31"), s"got: $msgs")
   }
+
+  test("withExpansionSizedShuffles is session-isolated (VERDICT r14 #3): " +
+       "the scope plans in a child session carrying the 8m advisory " +
+       "while the parent — what a concurrent query would plan under — " +
+       "keeps the default; results come back on the parent session") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val initialKey =
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val parentAdvisoryBefore = spark.conf.get(advisoryKey)
+    assert(parentAdvisoryBefore != "8m",
+      "sanity: the test needs a parent default distinct from the scope")
+    val root = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    var sawChild: org.apache.spark.sql.SparkSession = null
+    val out = graft.extensions.Graph.withExpansionSizedShuffles(
+        root, engage = true) { r =>
+      sawChild = r.sparkSession
+      // the scope's own planning sees the expansion sizing...
+      assert(r.sparkSession ne spark)
+      assert(r.sparkSession.conf.get(advisoryKey) == "8m")
+      assert(r.sparkSession.conf.get(initialKey) == "256")
+      // ...while a query planned on the PARENT during the scope sees
+      // the untouched default — the concurrent-driver guarantee
+      assert(spark.conf.get(advisoryKey) == parentAdvisoryBefore)
+      assert(spark.conf.getOption(initialKey).forall(_ != "256"))
+      // and the child inherits the parent's other runtime confs
+      assert(r.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        == spark.conf.get("spark.sql.shuffle.partitions"))
+      r.groupBy("a").agg(count(lit(1)).as("n")).localCheckpoint(true)
+    }
+    assert(out.sparkSession eq spark,
+      "results must come back rebased onto the parent session")
+    assert(spark.conf.get(advisoryKey) == parentAdvisoryBefore)
+    assert(out.orderBy("a").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (2L, 1L)))
+    // the child is memoized: a second scoped call reuses it
+    graft.extensions.Graph.withExpansionSizedShuffles(
+        root, engage = true) { r =>
+      assert(r.sparkSession eq sawChild)
+      r.localCheckpoint(true)
+    }
+    // engage = false stays entirely on the parent
+    graft.extensions.Graph.withExpansionSizedShuffles(
+        root, engage = false) { r =>
+      assert(r.sparkSession eq spark); r
+    }
+  }
+
+  test("withExpansionSizedShuffles rejects a body returning live " +
+       "lineage (ADVICE r14 #2): un-materialized results would " +
+       "re-plan under default shuffle sizing outside the scope") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = Seq((1L, 2L)).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      graft.extensions.Graph.withExpansionSizedShuffles(
+        root, engage = true)(r => r.groupBy("a").count())
+    }
+    assert(ex.getMessage.contains("materialized"))
+  }
 }
