@@ -67,4 +67,98 @@ object Sinks {
       }
       .sorted.mkString("{", ", ", "}")
   }
+
+  /** The 17M-drug path for the keyed-object sink (VERDICT r14 #6):
+    * [[keyedJson]]'s `{"<key>": {record}, ...}` document, produced
+    * DISTRIBUTED — each executor renders and writes its key range, the
+    * driver only writes a tiny ordered manifest. Entries are the same
+    * rendered strings keyedJson builds (`"escaped-key": to_json(row)`),
+    * range-partitioned and sorted on the rendered entry, one text file
+    * per range, so concatenating the shard lines in manifest order with
+    * `", "` separators inside braces reassembles keyedJson's output
+    * byte for byte (DrugBankSpec pins it on the golden fixture;
+    * [[assembleKeyedJson]] is that fixture-scale reassembly — at real
+    * scale consumers stream the shards and nobody builds the string).
+    *
+    * Ordering caveat, disclosed: shard order is Spark's UTF-8 binary
+    * string order, keyedJson's driver sort is UTF-16 code-unit order —
+    * identical for ASCII keys (every reference curie; asserted
+    * nowhere stronger). Keys must also be free of raw newlines (the
+    * shard format is line-per-entry; keyedJson technically permits
+    * them) — both enforced loudly below, matching the null-key raise.
+    *
+    * @return total entries written
+    */
+  def writeKeyedJsonShards(df: DataFrame, keyCol: String, path: String,
+                           shards: Int = 64): Long = {
+    import org.apache.spark.sql.functions._
+    require(shards >= 1 && shards <= 100000, "sane shard count")
+    val esc = regexp_replace(
+      regexp_replace(col(keyCol).cast("string"), "\\\\", "\\\\\\\\"),
+      "\"", "\\\\\"")
+    val guarded = when(col(keyCol).isNull,
+        raise_error(lit(s"writeKeyedJsonShards: null value in key " +
+          s"column '$keyCol'")))
+      .when(col(keyCol).cast("string").contains("\n") ||
+            col(keyCol).cast("string").contains("\r"),
+        raise_error(lit(s"writeKeyedJsonShards: raw newline in key " +
+          s"column '$keyCol' breaks the line-per-entry shard format")))
+      .otherwise(esc)
+    val entries = df
+      .select(concat(lit("\""), guarded, lit("\": "),
+        to_json(struct(df.columns.map(col): _*))).as("value"))
+      .repartitionByRange(shards, col("value"))
+      .sortWithinPartitions("value")
+    entries.write.mode("overwrite").text(path)
+    // tiny driver-side manifest: ordered shard names + the entry total,
+    // so a consumer can place separators / validate without re-listing
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path),
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val shardFiles = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && !n.endsWith(".crc"))
+      .sorted
+    val total = df.sparkSession.read.text(path).count()
+    val manifest = shardFiles.map(n => s"""    "$n"""")
+      .mkString(s"""{\n  "entries": $total,\n  "shards": [\n""",
+        ",\n", "\n  ]\n}\n")
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path, "_graft_manifest.json"), true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    total
+  }
+
+  /** Fixture-scale reassembly of a [[writeKeyedJsonShards]] directory
+    * into the exact [[keyedJson]] string — for golden-file comparison
+    * only (`maxBytes` guards the driver): streams the manifest's
+    * shards in order, joining entry lines with `", "` inside braces.
+    */
+  def assembleKeyedJson(spark: org.apache.spark.sql.SparkSession,
+                        path: String, maxBytes: Long = 64L << 20): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), conf)
+    val manifestText = {
+      val in = fs.open(
+        new org.apache.hadoop.fs.Path(path, "_graft_manifest.json"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val shardNames = "\"(part-[^\"]+)\"".r
+      .findAllMatchIn(manifestText).map(_.group(1)).toSeq
+    var bytes = 0L
+    val entries = shardNames.iterator.flatMap { n =>
+      val p = new org.apache.hadoop.fs.Path(path, n)
+      bytes += fs.getFileStatus(p).getLen
+      require(bytes <= maxBytes,
+        s"assembleKeyedJson is a fixture-scale reader: > $maxBytes " +
+          "bytes (consume the shards directly instead)")
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toVector
+      finally in.close()
+    }
+    entries.mkString("{", ", ", "}")
+  }
 }
