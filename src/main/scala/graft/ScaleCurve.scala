@@ -845,6 +845,16 @@ object ScaleCurve {
             "src", "dst", steps = 3, walksPerStart = 2).count()
           nWalkRows
         }
+        // the fused pairs pipeline (r15): same picks, but the corpus
+        // never materializes and there is no self-join — the job the
+        // walk_pairs demo actually runs
+        var nPairRows = 0L
+        val (secF, _) = timeIt(spark) {
+          nPairRows = graft.extensions.Graph.walkSkipGramPairs(edges,
+            "src", "dst", steps = 3, walksPerStart = 2, window = 2)
+            .count()
+          nPairRows
+        }
         // node2vec-biased walks over the same graph: the weight fold
         // stays map-side; r12 trades the per-row prev-adjacency array
         // for a second keyed probe of the persisted adjacency
@@ -873,6 +883,8 @@ object ScaleCurve {
           "wall 4 iters (s)" -> f"$sec%.2f",
           "walk rows" -> nWalkRows.toString,
           "wall walks (s)" -> f"$secW%.2f",
+          "pair rows" -> nPairRows.toString,
+          "wall fused pairs (s)" -> f"$secF%.2f",
           "wall biased walks (s)" -> f"$secB%.2f",
           "labeled frac" -> f"${nLabeled.toDouble / n}%.3f",
           "wall labelprop (s)" -> f"$secL%.2f"))
@@ -1252,7 +1264,12 @@ object ScaleCurve {
        ^property that makes iterative centrality verifiable (and its
        ^backfills reproducible) at any cluster size. `wall walks` times
        ^`Graph.deterministicWalks` (2 walks/start × 3 steps — one keyed
-       ^join per step); `wall biased walks` adds the node2vec
+       ^join per step), i.e. the corpus-as-ARTIFACT job that
+       ^materializes all steps·walks·|V| rows; `wall fused pairs` times
+       ^`Graph.walkSkipGramPairs` (r15) — the same picks fused with the
+       ^window-2 skip-gram count, where the corpus never materializes
+       ^and there is no self-join (the walk_pairs demo's actual job);
+       ^`wall biased walks` adds the node2vec
        ^return/stay/explore weight fold (1/2/4) and a second keyed
        ^probe of the persisted adjacency for prev's distance-1 array
        ^(r12 — cheaper than storing the array per frontier row, see
@@ -1265,6 +1282,7 @@ object ScaleCurve {
        ^
        ^Growth: ${growth(prPts, "wall 4 iters (s)")}.
        ^Walks: ${growth(prPts, "wall walks (s)")}.
+       ^Fused pairs: ${growth(prPts, "wall fused pairs (s)")}.
        ^Biased walks: ${growth(prPts, "wall biased walks (s)")}.
        ^Label propagation: ${growth(prPts, "wall labelprop (s)")}.
        ^
@@ -1272,8 +1290,13 @@ object ScaleCurve {
        ^51.2M at 6.4M vertices — 8 rows per vertex, far more than any
        ^other §10 job materializes) exceed this host's storage memory:
        ^the run logs MemoryStore "not enough space to cache" and task-
-       ^page allocation retries there, so the last walk octaves are
-       ^storage-bound (disk fallback), not join-bound. r12 removed the
+       ^page allocation retries there, so the last walk octaves of the
+       ^corpus-ARTIFACT job are storage-bound (disk fallback), not
+       ^join-bound — the cost of the artifact itself, which is why the
+       ^skip-gram pipeline no longer pays it: the fused-pairs row keeps
+       ^only ≤window-array frontiers plus the aggregated pair frame in
+       ^storage, so its last octave stays join-shaped where the
+       ^materializing job's blows past storage. r12 removed the
        ^biased walker's extra storage term (frontiers carried prev's
        ^adjacency array per row — r11's last octave ran ×6.0 per ×4
        ^data; four-long frontier rows + a second keyed probe of the

@@ -621,6 +621,88 @@ object Graph {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[skipGramPairs]] FUSED with uniform walk generation (VERDICT r14
+    * #4) — the walk corpus never materializes: each frontier row
+    * carries the last `window` visited nodes as a bounded array
+    * (`recent`, oldest first), and stepping to node n emits the 2·|recent|
+    * ordered (center, context) increments (r, n) and (n, r) right
+    * there — every ordered pair at distance ≤ window is emitted
+    * exactly once, when its LATER position is generated. The union of
+    * per-step increments feeds one map-side-combined count, so what
+    * reaches storage is only the ≤ steps persisted frontiers (four
+    * longs + a ≤window array per row) and the aggregated pair frame —
+    * never the steps·walksPerStart·|V|-row walk table whose
+    * localCheckpoint made SCALECURVE §10's last octave storage-bound
+    * (×5.6 wall per ×4 data from MemoryStore eviction), and never the
+    * self-join that re-read it. Same edge picks (identical
+    * [[pickHash]] chain), same dangling-walk semantics (a dead
+    * frontier row just stops emitting), so the counts are bit-equal to
+    * `skipGramPairs(deterministicWalks(...), window)` — GraphSpec pins
+    * it, and the `walk_pairs` oracle is unchanged. Uniform walker
+    * only: the corpus-as-artifact jobs ([[deterministicWalks]],
+    * `graph_walks`, the bucketed-table demo) still materialize by
+    * design — fuse there and the artifact IS the product being
+    * deleted.
+    */
+  def walkSkipGramPairs(edges: DataFrame, srcCol: String, dstCol: String,
+                        steps: Int = 3, walksPerStart: Int = 1,
+                        window: Int = 2): DataFrame = {
+    require(steps >= 1 && steps <= 32, "fixed walk budget")
+    require(walksPerStart >= 1 && walksPerStart <= 64, "bounded walk fanout")
+    require(window >= 1 && window <= 16, "bounded context window")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst"))
+    val neighbors = e.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("dsts"),
+           count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val kept = scala.collection.mutable.Buffer[DataFrame](neighbors)
+    var frontier = e.select(col("src").as("start")).distinct()
+      .select(col("start"),
+        explode(sequence(lit(0), lit(walksPerStart - 1))).as("walk"))
+      .select(col("start"), col("walk"), col("start").as("cur"),
+        array(col("start")).as("recent"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    kept += frontier
+    var parts = List.empty[DataFrame]
+    for (t <- 1 to steps) {
+      // same pick as [[deterministicWalks]]'s step, plus the recent
+      // buffer carried through; persisted because it feeds TWO
+      // consumers (the increments and the next frontier) — the
+      // lazy-cache-until-one-materialization walkLoop stance
+      val stepped = frontier.withColumn("h", pickHash(t))
+        .join(neighbors, col("cur") === col("src"))
+        .select(col("start"), col("walk"), col("recent"),
+          element_at(col("dsts"),
+            (col("h") % col("deg") + 1L).cast("int")).as("cur"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      kept += stepped
+      parts ::= stepped.select(explode(concat(
+          transform(col("recent"), r =>
+            struct(r.as("center"), col("cur").as("context"))),
+          transform(col("recent"), r =>
+            struct(col("cur").as("center"), r.as("context"))))).as("p"))
+        .select(col("p.center").as("center"),
+                col("p.context").as("context"))
+      if (t < steps) {
+        // recent holds at most `window` nodes, so the append overflows
+        // by at most one — dropping the head restores the bound
+        val appended = concat(col("recent"), array(col("cur")))
+        frontier = stepped.select(col("start"), col("walk"), col("cur"),
+          when(size(appended) > window, slice(appended, 2, window))
+            .otherwise(appended).as("recent"))
+      }
+    }
+    // one materialization of the aggregated pair frame through the
+    // cached chain, then release every intermediate (in finally — a
+    // failed job must not strand ≤ steps frontier caches)
+    try parts.reduce(_.union(_))
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    finally kept.foreach(_.unpersist(false))
+  }
+
   /** Semi-supervised label propagation — spread a small set of trusted
     * labels (vetted language/topic/quality tags) through the link
     * structure: each synchronous round, every non-seed vertex takes

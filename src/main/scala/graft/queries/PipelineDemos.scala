@@ -1707,12 +1707,18 @@ object PipelineDemos {
     }),
     // Skip-gram co-occurrence counts over the walk corpus (window=2) —
     // the word2vec-style graph-embedding training signal, reproducible
-    // because the walks are. One (start, walk)-keyed self-join with a
-    // bounded per-walk blowup, then a map-side-combined pair count.
+    // because the walks are. FUSED with generation (r15): the frontier
+    // carries a ≤window recent-nodes buffer and emits pair increments
+    // per step, so the walk corpus never materializes and there is no
+    // self-join — only the final map-side-combined pair count
+    // (Graph.walkSkipGramPairs; GraphSpec pins it bit-equal to the
+    // skipGramPairs∘deterministicWalks composition this demo ran
+    // through r14, and the oracle is unchanged). The corpus-as-
+    // artifact path lives on in graph_walks / walk_pairs_bucketed.
     "walk_pairs" -> ((s, dir) => {
-      val walks = graft.extensions.Graph.deterministicWalks(
-        docLinkEdges(s, dir), "src", "dst", steps = 3, walksPerStart = 2)
-      graft.extensions.Graph.skipGramPairs(walks, window = 2)
+      graft.extensions.Graph.walkSkipGramPairs(
+          docLinkEdges(s, dir), "src", "dst", steps = 3,
+          walksPerStart = 2, window = 2)
         .orderBy("center", "context")
     }),
     // Node2vec-biased walk corpus (p=2, q=0.5 scaled to exact integer

@@ -37,6 +37,31 @@ object Synonymizer {
     * ast.literal_eval per query; here they are decoded ONCE at ingest
     * with the quote-translating [[StringOps.parsePyList]]).
     */
+  /** How probe keys meet the nodes table (SURVEY §7.4 risk 5 /
+    * VERDICT r14 #5). [[BroadcastProbe]] (default) broadcasts the
+    * distinct probe frame into a map-side join — right whenever the
+    * probe set fits a broadcast (every registry demo; any driver batch
+    * up to millions of names). [[ShuffleProbe]] is the cluster-scale
+    * path for corpus-mined probe sets too big to broadcast: a plain
+    * shuffled equi-join, with the NAME join salted — the probe side
+    * replicates each name across `salt` buckets and each node row
+    * hashes (by node id) into one, so a Zipf-hot simplified name
+    * ("aspirin" holding 1% of a KG's nodes) lands in `salt` tasks
+    * instead of one. Deterministic and always-on, where AQE's skew
+    * split only engages past byte thresholds (256 MB partitions — a
+    * 16M-node fixture's hot name is ~2 orders of magnitude below it;
+    * SCALECURVE §5b measures exactly that non-engagement). The curie
+    * join is shuffled un-salted: id_simplified is per-node
+    * (near-unique), so it has no hot key to split. Results are
+    * bit-equal across modes (SynonymizerSpec pins it) — each node row
+    * still meets each matching probe exactly once.
+    */
+  sealed trait ProbeJoin
+  case object BroadcastProbe extends ProbeJoin
+  final case class ShuffleProbe(salt: Int = 16) extends ProbeJoin {
+    require(salt >= 1 && salt <= 1024, "sane salt fanout")
+  }
+
   def fromRawDump(nodes: DataFrame, clustersRaw: DataFrame,
                   edges: DataFrame): Synonymizer =
     new Synonymizer(
@@ -72,7 +97,9 @@ object Synonymizer {
 }
 
 final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
-                        edges: DataFrame) {
+                        edges: DataFrame,
+                        probeJoin: Synonymizer.ProbeJoin =
+                          Synonymizer.BroadcastProbe) {
 
   /** Preferred-triple projection of a cluster (node_synonymizer.py:393-398):
     * the cluster id is the canonical curie; category gets the biolink:
@@ -104,24 +131,51 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
     * clusters we pick deterministically (smallest cluster_id) instead of
     * inheriting sqlite row order.
     */
-  private def clusterByCurie(inputs: DataFrame): DataFrame =
-    broadcast(curieProbe(inputs))
-      .join(nodes, col("probe_key") === nodes("id_simplified"))
+  private def clusterByCurie(inputs: DataFrame): DataFrame = {
+    val probed = probeJoin match {
+      case Synonymizer.BroadcastProbe =>
+        broadcast(curieProbe(inputs))
+          .join(nodes, col("probe_key") === nodes("id_simplified"))
+      case Synonymizer.ShuffleProbe(_) =>
+        // un-salted: id_simplified is near-unique per node, no hot key
+        curieProbe(inputs)
+          .join(nodes, col("probe_key") === nodes("id_simplified"))
+    }
+    probed
       .groupBy(col("input"))
       .agg(min(col("cluster_id")).as("cluster_id"))
+  }
 
   /** input → argmax cluster by simplified name
     * (node_synonymizer.py:90-107 + 370-379). Engine tie-break per SURVEY
     * §6.1: max member count, then smallest cluster_id.
     */
-  private def clusterByName(inputs: DataFrame): DataFrame =
-    broadcast(nameProbe(inputs))
-      .join(nodes, col("probe_key") === nodes("name_simplified"))
+  private def clusterByName(inputs: DataFrame): DataFrame = {
+    val joined = probeJoin match {
+      case Synonymizer.BroadcastProbe =>
+        broadcast(nameProbe(inputs))
+          .join(nodes, col("probe_key") === nodes("name_simplified"))
+      case Synonymizer.ShuffleProbe(salt) =>
+        // salted shuffle join (see Synonymizer.ProbeJoin): each node
+        // row hashes into one of `salt` buckets by its id, the probe
+        // side carries every bucket, so a Zipf-hot name's node rows
+        // spread over `salt` tasks; each node row still meets its
+        // probe exactly once, so the counts below are unchanged
+        nameProbe(inputs)
+          .withColumn("psalt",
+            explode(sequence(lit(0L), lit((salt - 1).toLong))))
+          .join(nodes.withColumn("nsalt",
+              pmod(xxhash64(nodes("id")), lit(salt.toLong))),
+            col("probe_key") === nodes("name_simplified") &&
+              col("psalt") === col("nsalt"))
+    }
+    joined
       .groupBy(col("input"), col("cluster_id"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("input"))
       .agg(min_by(col("cluster_id"), struct(negate(col("cnt")), col("cluster_id")))
         .as("cluster_id"))
+  }
 
   /** Per-cluster member-category histogram, biolink:-prefixed keys with
     * null categories keyed "null" (node_synonymizer.py:121-141: one extra

@@ -78,4 +78,38 @@ class BenchSpec extends AnyFunSuite {
     val mins = Bench.readMins(path, sf)
     assert(mins == Map("good" -> 0.25, "also_good" -> 1.75))
   }
+
+  test("per-query floor gate (BASELINE.md, VERDICT r14 #8): in the " +
+       "committed quiet bench run, no query exceeds 2x its committed " +
+       "all-time floor (+0.3s absolute guard for fixed-cost jitter on " +
+       "sub-second queries)") {
+    val minsPath = "/root/repo/bench_mins.json"
+    val benchPath = "/root/repo/bench.json"
+    assume(Files.exists(java.nio.file.Paths.get(minsPath)) &&
+           Files.exists(java.nio.file.Paths.get(benchPath)),
+      "committed bench artifacts required")
+    val mins = Bench.readMins(minsPath, sf)
+    assume(mins.nonEmpty, "mins recorded at the gate sf")
+    val firstLine = Files.readString(java.nio.file.Paths.get(benchPath))
+      .linesIterator.next()
+    assume(firstLine.contains(s""""sf":"$sf""""),
+      "committed bench recorded at the gate sf")
+    val steal = """"steal_suspect":(\d+)""".r
+      .findFirstMatchIn(firstLine).map(_.group(1).toInt)
+    assume(steal.contains(0),
+      s"floor gate applies only to 0-steal runs (got $steal) — " +
+        "re-run a quiet bench before trusting per-query comparisons")
+    val queriesBlob = firstLine
+      .split("\"queries\":\\{", 2).last.split("\\}", 2).head
+    val fresh = """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(queriesBlob)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    assert(fresh.size > 100, s"sanity: parsed ${fresh.size} queries")
+    val offenders = fresh.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+      mins.get(k).filter(m => v > 2 * m && v - m > 0.3)
+        .map(m => f"$k: fresh $v%.2fs vs floor $m%.2fs (${v / m}%.1fx)")
+    }
+    assert(offenders.isEmpty,
+      "queries above the 2x-of-floor gate in a 0-steal run:\n" +
+        offenders.mkString("\n"))
+  }
 }

@@ -634,6 +634,37 @@ class GraphSpec extends SparkTestBase {
       (9L, 4L) -> 1L, (4L, 9L) -> 1L))
   }
 
+  test("fused walk skip-grams are bit-equal to " +
+       "skipGramPairs(deterministicWalks) — dangling vertices, " +
+       "multi-walk fanout, window clipping, and a window wider than " +
+       "the walk all included") {
+    import spark.implicits._
+    // ring-jump graph plus a dangling tail: 60 -> 61 -> 62, where 62
+    // has no out-edges, so walks through it die early; vertex ids
+    // overlap the ring to force cross-walk pair accumulation
+    val n = 60L
+    val ring = spark.range(0, n).toDF("src")
+      .select(col("src"), explode(array(lit(1), lit(2), lit(3))).as("j"))
+      .select(col("src"),
+        ((col("src") + 1L +
+          pmod(hash(col("src") * 31L + col("j")), lit(n - 1))) % n)
+          .as("dst"))
+    val dangling = Seq((60L, 61L), (61L, 62L), (0L, 60L)).toDF("src", "dst")
+    val edges = ring.union(dangling)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((steps, wps, window) <- Seq((3, 2, 2), (4, 1, 3), (2, 2, 16))) {
+      val unfused = Graph.skipGramPairs(
+        Graph.deterministicWalks(edges, "src", "dst", steps, wps), window)
+      val fused = Graph.walkSkipGramPairs(edges, "src", "dst", steps,
+        wps, window)
+      assert(canon(fused) == canon(unfused),
+        s"fused != unfused at steps=$steps walks=$wps window=$window")
+      assert(canon(fused).nonEmpty)
+    }
+  }
+
   test("a larger random-ish graph stays exact through more rounds") {
     // 400 vertices, 3 deterministic stride out-links each — the same
     // ring-jump construction the pagerank registry demo uses

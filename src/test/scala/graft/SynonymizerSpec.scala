@@ -264,4 +264,33 @@ class SynonymizerSpec extends SparkTestBase {
     assert(md.contains("| same_as"))
     assert(syn.renderClusterTable("no such thing").isEmpty)
   }
+
+  test("ShuffleProbe (salted name join) is bit-equal to the broadcast " +
+       "probe path across the query families — argmax ties, misses, " +
+       "and fallback included (VERDICT r14 #5)") {
+    val shuffled = new graft.synonymizer.Synonymizer(
+      TestFixtures.nodesDf(spark), TestFixtures.clustersDf(spark),
+      TestFixtures.edgesDf(spark),
+      probeJoin = graft.synonymizer.Synonymizer.ShuffleProbe(salt = 4))
+    val inputs = TestFixtures.inputsDf(spark, Seq(
+      "As pi-RIN.", "water", "chebi:15365", "DRUGBANK:DB00945",
+      "no such thing", "acetylsalicylic acid"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(Option(_).map(_.toString))).toSet
+    assert(rows(shuffled.canonicalCuriesByName(inputs)) ==
+           rows(syn.canonicalCuriesByName(inputs)))
+    assert(rows(shuffled.canonicalCuriesByCurie(inputs)) ==
+           rows(syn.canonicalCuriesByCurie(inputs)))
+    assert(rows(shuffled.canonicalCuriesFallback(inputs)) ==
+           rows(syn.canonicalCuriesFallback(inputs)))
+    assert(rows(shuffled.equivalentNodes(inputs, byName = true)) ==
+           rows(syn.equivalentNodes(inputs, byName = true)))
+    // plan sanity: the name join runs on the salted COMPOSITE key
+    // (psalt/nsalt) — xxhash64 itself constant-folds into the local
+    // fixture relation, so the key names are the stable witness
+    val plan = shuffled.canonicalCuriesByName(inputs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("psalt") && plan.contains("nsalt"),
+      s"salted name-join keys missing from plan:\n$plan")
+  }
 }
