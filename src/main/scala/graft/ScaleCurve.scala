@@ -593,6 +593,75 @@ object ScaleCurve {
         "wall (s)" -> f"$sec%.2f"))
     }
 
+    // ---- 5b. Synonymizer name path, Zipf-skewed (VERDICT r14 #5) ----
+    // One "aspirin"-grade simplified name holds ~1% of the NODES table
+    // and ~1% of the probe rows; the probe set scales with the node
+    // count (corpus-mined names), so the broadcast default is the
+    // wrong tool and the run exercises ShuffleProbe's salted name
+    // join. AQE's skew split cannot be the mitigation at ANY of these
+    // points: the hot key's joined bytes (~160k rows × ~100 B ≈ 16 MB
+    // at 16M nodes) sit two orders below the 256 MB
+    // skewedPartitionThresholdInBytes floor, so it never engages —
+    // the salt spreads the hot name across 16 buckets
+    // deterministically instead (Synonymizer.ProbeJoin scaladoc).
+    val synSkewPts = Seq(1000000L, 4000000L, 16000000L)
+      .filter(_ <= points.max * 80)
+      .map { n =>
+        val nameMod = n * 3 / 5
+        val hot = (c: org.apache.spark.sql.Column) => c % 100 === 0
+        val nodes = spark.range(0, n).select(
+          concat(lit("N:"), col("id")).as("id"),
+          concat(lit("N:"), col("id")).as("id_simplified"),
+          when(hot(col("id")), lit("Name0"))
+            .otherwise(concat(lit("Name"), pmod(col("id"), lit(nameMod))))
+            .as("name"),
+          when(hot(col("id")), lit("name0"))
+            .otherwise(concat(lit("name"), pmod(col("id"), lit(nameMod))))
+            .as("name_simplified"),
+          lit("SmallMolecule").as("category"),
+          concat(lit("C:"), expr("id div 2")).as("cluster_id"),
+          lit("ChemicalEntity").as("major_branch"),
+          lit(null).cast("string").as("name_sri"),
+          lit(null).cast("string").as("category_sri"),
+          lit(null).cast("string").as("name_kg2pre"),
+          lit(null).cast("string").as("category_kg2pre"))
+        val clusters = spark.range(0, n / 2).select(
+          concat(lit("C:"), col("id")).as("cluster_id"),
+          concat(lit("Pref"), col("id")).as("name"),
+          lit("SmallMolecule").as("category"),
+          array(concat(lit("N:"), col("id") * 2),
+                concat(lit("N:"), col("id") * 2 + 1)).as("member_ids"),
+          array().cast("array<string>").as("intra_cluster_edge_ids"))
+        val edges = spark.range(0, 0).select(
+          lit("").as("id"), lit("").as("subject"), lit("").as("predicate"),
+          lit("").as("object"), lit("").as("upstream_resource_id"),
+          lit("").as("primary_knowledge_source"))
+        val syn = new graft.synonymizer.Synonymizer(nodes, clusters,
+          edges, probeJoin = graft.synonymizer.Synonymizer.ShuffleProbe(16))
+        val probes = spark.range(0, n).select(
+          when(hot(col("id")), lit("Name0"))
+            .otherwise(concat(lit("Name"), pmod(col("id"), lit(nameMod))))
+            .as("input"))
+        var resolved = 0L
+        var hotResolved = 0L
+        val (sec, _) = timeIt(spark) {
+          val out = syn.canonicalCuriesByName(probes)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          resolved = out.filter(col("preferred_curie").isNotNull).count()
+          hotResolved = out.filter(col("input") === "Name0" &&
+            col("preferred_curie").isNotNull).count()
+          out.unpersist(false)
+          resolved
+        }
+        Point(n, Seq(
+          "nodes" -> n.toString,
+          "probe rows" -> n.toString,
+          "hot-name node rows" -> (n / 100).toString,
+          "resolved" -> resolved.toString,
+          "hot resolved" -> hotResolved.toString,
+          "wall (s)" -> f"$sec%.2f"))
+      }
+
     // ---- 6. Connected components (pairs → dedup clusters) ------------
     val compPts = points.map { n =>
       // groups of 4 consecutive ids wired as a PATH (diameter 3, so
@@ -1158,6 +1227,28 @@ object ScaleCurve {
        ^${table(synPts)}
        ^
        ^Growth: ${growth(synPts, "wall (s)")}.
+       ^
+       ^### 5b. Name path under Zipf skew (ShuffleProbe, r15)
+       ^
+       ^The corpus-mined shape the broadcast contract excludes: probe
+       ^rows scale WITH the node table (1M/4M/16M), and one
+       ^"aspirin"-grade simplified name holds ~1% of both the probe
+       ^rows and the NODE rows. The run uses
+       ^`Synonymizer.ShuffleProbe(16)` — the salted shuffled name join:
+       ^node rows hash into 16 buckets by id, probe names replicate
+       ^across them, so the hot name's node rows spread over 16 tasks
+       ^deterministically. The named mitigation is the SALT, not AQE:
+       ^the hot key's joined bytes at 16M nodes (~160k rows ≈ 16 MB)
+       ^sit two orders of magnitude below AQE's 256 MB
+       ^skewedPartitionThresholdInBytes floor, so the skew split never
+       ^engages at any measured point — and a salt keeps working at the
+       ^scale where it would. `hot resolved` = 1 pins that the skewed
+       ^name still resolves through the argmax (smallest cluster on the
+       ^all-ties fixture); resolve totals are exact.
+       ^
+       ^${table(synSkewPts)}
+       ^
+       ^Growth: ${growth(synSkewPts, "wall (s)")}.
        ^
        ^## 6. Connected components (near-dup pairs → dedup clusters)
        ^
