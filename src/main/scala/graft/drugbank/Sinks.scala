@@ -104,22 +104,31 @@ object Sinks {
         raise_error(lit(s"writeKeyedJsonShards: raw newline in key " +
           s"column '$keyCol' breaks the line-per-entry shard format")))
       .otherwise(esc)
+    // entry total observed DURING the write — a read-back count would
+    // re-scan the whole rendered output as a second job at 17M keys
+    val obs = org.apache.spark.sql.Observation(s"keyed_json_$shards")
+    // observe sits ABOVE the range shuffle: repartitionByRange runs a
+    // hidden sampling pass over its child, which would double-count a
+    // pre-shuffle metric
     val entries = df
       .select(concat(lit("\""), guarded, lit("\": "),
         to_json(struct(df.columns.map(col): _*))).as("value"))
       .repartitionByRange(shards, col("value"))
       .sortWithinPartitions("value")
+      .observe(obs, count(lit(1)).as("n"))
     entries.write.mode("overwrite").text(path)
     // tiny driver-side manifest: ordered shard names + the entry total,
-    // so a consumer can place separators / validate without re-listing
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path),
+    // so a consumer can place separators / validate without re-listing.
+    // Path.getFileSystem, not FileSystem.get(new URI(...)): a raw URI
+    // constructor rejects URI-illegal path characters (spaces)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    val shardFiles = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+    val shardFiles = fs.listStatus(root)
       .map(_.getPath.getName)
       .filter(n => n.startsWith("part-") && !n.endsWith(".crc"))
       .sorted
-    val total = df.sparkSession.read.text(path).count()
+    val total = obs.get("n").asInstanceOf[Long]
     val manifest = shardFiles.map(n => s"""    "$n"""")
       .mkString(s"""{\n  "entries": $total,\n  "shards": [\n""",
         ",\n", "\n  ]\n}\n")
@@ -137,8 +146,7 @@ object Sinks {
   def assembleKeyedJson(spark: org.apache.spark.sql.SparkSession,
                         path: String, maxBytes: Long = 64L << 20): String = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), conf)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val manifestText = {
       val in = fs.open(
         new org.apache.hadoop.fs.Path(path, "_graft_manifest.json"))

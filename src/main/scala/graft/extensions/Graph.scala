@@ -420,10 +420,14 @@ object Graph {
     * must not accumulate ≤32 frontier caches per call (ProfileGraph:
     * wall unchanged, storage empty after).
     */
-  private def walkLoop(edges: DataFrame, srcCol: String, dstCol: String,
-                       steps: Int, walksPerStart: Int,
-                       step: (DataFrame, DataFrame, Int) => DataFrame)
-      : DataFrame = {
+  /** Shared walker scaffolding (also the fused pairs path): arg
+    * bounds, canonical long endpoints, the persisted adjacency-array
+    * frame, and the per-start walk fanout — ONE copy, so a tuning or
+    * semantics change cannot silently reach only one walker.
+    */
+  private def walkSetup(edges: DataFrame, srcCol: String, dstCol: String,
+                        steps: Int, walksPerStart: Int)
+      : (DataFrame, DataFrame) = {
     require(steps >= 1 && steps <= 32, "fixed walk budget")
     require(walksPerStart >= 1 && walksPerStart <= 64, "bounded walk fanout")
     val e = edges.select(col(srcCol).cast("long").as("src"),
@@ -432,10 +436,20 @@ object Graph {
       .agg(sort_array(collect_list(col("dst"))).as("dsts"),
            count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val kept = scala.collection.mutable.Buffer[DataFrame](neighbors)
-    var frontier = e.select(col("src").as("start")).distinct()
+    val starts = e.select(col("src").as("start")).distinct()
       .select(col("start"),
         explode(sequence(lit(0), lit(walksPerStart - 1))).as("walk"))
+    (neighbors, starts)
+  }
+
+  private def walkLoop(edges: DataFrame, srcCol: String, dstCol: String,
+                       steps: Int, walksPerStart: Int,
+                       step: (DataFrame, DataFrame, Int) => DataFrame)
+      : DataFrame = {
+    val (neighbors, starts) =
+      walkSetup(edges, srcCol, dstCol, steps, walksPerStart)
+    val kept = scala.collection.mutable.Buffer[DataFrame](neighbors)
+    var frontier = starts
       .select(col("start"), col("walk"), col("start").as("cur"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     kept += frontier
@@ -647,19 +661,11 @@ object Graph {
   def walkSkipGramPairs(edges: DataFrame, srcCol: String, dstCol: String,
                         steps: Int = 3, walksPerStart: Int = 1,
                         window: Int = 2): DataFrame = {
-    require(steps >= 1 && steps <= 32, "fixed walk budget")
-    require(walksPerStart >= 1 && walksPerStart <= 64, "bounded walk fanout")
     require(window >= 1 && window <= 16, "bounded context window")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-                         col(dstCol).cast("long").as("dst"))
-    val neighbors = e.groupBy("src")
-      .agg(sort_array(collect_list(col("dst"))).as("dsts"),
-           count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (neighbors, starts) =
+      walkSetup(edges, srcCol, dstCol, steps, walksPerStart)
     val kept = scala.collection.mutable.Buffer[DataFrame](neighbors)
-    var frontier = e.select(col("src").as("start")).distinct()
-      .select(col("start"),
-        explode(sequence(lit(0), lit(walksPerStart - 1))).as("walk"))
+    var frontier = starts
       .select(col("start"), col("walk"), col("start").as("cur"),
         array(col("start")).as("recent"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1235,6 +1241,12 @@ object Graph {
     require(k >= 2, "k-core needs k >= 2 (k=1 is the input graph)")
     require(maxRounds >= 1 && maxRounds <= 32, "fixed round budget")
     var live = undirectedSimple(edges, srcCol, dstCol)
+    // every persisted frame (the canonical input included) — released
+    // in finally, so a failure in ANY job (seed count, fast-path
+    // collect, any peel round) cannot strand caches in the block
+    // manager; the fast-path return still runs the finally
+    val kept = scala.collection.mutable.Buffer[DataFrame](live)
+    try {
     // ONE gating action (VERDICT r14 #7): the seed count below both
     // fills the persisted canonical frame's cache and decides the
     // fast path — the r14 shape paid a separate limit(cutoff+1)
@@ -1244,7 +1256,6 @@ object Graph {
     if (localCutoff > 0 && seedCnt <= localCutoff) {
       {
         val probe = live.collect()
-        live.unpersist(false)
         val out = localKCore(
           probe.map(r => (r.getLong(0), r.getLong(1))).toSeq,
           k, maxRounds)
@@ -1263,7 +1274,6 @@ object Graph {
     }
     // over the cutoff: nothing was collected — the seed count alone
     // decided, and the distributed rounds reuse it as lastCnt below
-    val kept = scala.collection.mutable.Buffer[DataFrame](live)
     def degreesOf(f: DataFrame): DataFrame =
       f.select(explode(array(col("a"), col("b"))).as("id"))
         .groupBy("id").agg(count(lit(1)).as("core_degree"))
@@ -1306,9 +1316,10 @@ object Graph {
       }
       r += 1
     }
-    val out = degreesOf(live).localCheckpoint(true)
-    kept.foreach(_.unpersist(false))
-    out
+    degreesOf(live).localCheckpoint(true)
+    } finally {
+      kept.foreach(_.unpersist(false))
+    }
   }
 
   /** Driver-side exact peel over a bounded canonical edge list — the
@@ -1353,30 +1364,43 @@ object Graph {
 
   // one expansion-confed child session per parent (newSession shares
   // SparkContext, catalog, and — load-bearing here — the CacheManager,
-  // so persisted frames hit from either session; SQLConf is private)
-  private val expansionSessions = scala.collection.concurrent.TrieMap
-    .empty[org.apache.spark.sql.SparkSession,
-           org.apache.spark.sql.SparkSession]
+  // so persisted frames hit from either session; SQLConf is private).
+  // WEAK keys: a retired parent session must not be pinned for the
+  // JVM's lifetime by this cache (the child holds no parent reference
+  // — only the shared context — so the entry collects with its key).
+  private val expansionSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+                              org.apache.spark.sql.SparkSession]())
+
+  private val expansionConfs = Seq(
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "256",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m")
 
   private def expansionSession(parent: org.apache.spark.sql.SparkSession)
-      : org.apache.spark.sql.SparkSession =
-    expansionSessions.getOrElseUpdate(parent, {
-      val child = parent.newSession()
-      // newSession seeds its SQLConf from the SparkContext conf
-      // (builder-time settings), not the parent's RUNTIME conf edits —
-      // replay any delta so the child plans exactly like the parent in
-      // everything but the two expansion confs (static/context entries
-      // re-set to an identical value are accepted; a genuinely
-      // immutable divergent entry cannot exist on a shared context)
-      parent.conf.getAll.foreach { case (key, v) =>
-        if (!child.conf.getOption(key).contains(v)) child.conf.set(key, v)
+      : org.apache.spark.sql.SparkSession = {
+    val child = expansionSessions.synchronized {
+      Option(expansionSessions.get(parent)).getOrElse {
+        val c = parent.newSession()
+        expansionSessions.put(parent, c)
+        c
       }
-      child.conf.set(
-        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
-      child.conf.set(
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
-      child
-    })
+    }
+    // newSession seeds its SQLConf from the SparkContext conf
+    // (builder-time settings), not the parent's RUNTIME conf edits —
+    // replay the delta ON EVERY ENGAGED CALL, not just at creation, so
+    // a parent conf change between calls (timezone, ANSI, AQE toggles)
+    // reaches the child and it keeps planning exactly like the parent
+    // in everything but the two expansion confs (static/context
+    // entries re-set to an identical value are accepted; a genuinely
+    // immutable divergent entry cannot exist on a shared context)
+    val pinned = expansionConfs.map(_._1).toSet
+    parent.conf.getAll.foreach { case (key, v) =>
+      if (!pinned.contains(key) && !child.conf.getOption(key).contains(v))
+        child.conf.set(key, v)
+    }
+    expansionConfs.foreach { case (k, v) => child.conf.set(k, v) }
+    child
+  }
 
   private val rebaseIds = new java.util.concurrent.atomic.AtomicLong()
 
@@ -1390,8 +1414,11 @@ object Graph {
   private def rebase(df: DataFrame,
       to: org.apache.spark.sql.SparkSession): DataFrame = {
     val name = s"graft_expansion_rebase_${rebaseIds.incrementAndGet()}"
+    // the global-temp database name is a (readable) static conf, not a
+    // constant — honor spark.sql.globalTempDatabase overrides
+    val gtdb = to.conf.get("spark.sql.globalTempDatabase", "global_temp")
     df.createOrReplaceGlobalTempView(name)
-    try to.table(s"global_temp.$name")
+    try to.table(s"$gtdb.$name")
     finally df.sparkSession.catalog.dropGlobalTempView(name)
   }
 

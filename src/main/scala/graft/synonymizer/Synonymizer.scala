@@ -113,7 +113,20 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
       StringOps.withPrefix("biolink:", col("category"))
         .as("preferred_category"))
 
-  private val clustersPreferred = broadcast(preferred(clusters))
+  /** Broadcast hint gated on the probe-join mode: BroadcastProbe's
+    * contract is bounded probe batches AND a cluster table that fits a
+    * broadcast; ShuffleProbe exists precisely because neither holds at
+    * corpus scale, so there every hinted side (the clusters-sized
+    * preferred/member frames AND the probe-sized resolved frames)
+    * must be allowed to shuffle — a hint would re-centralize the
+    * bottleneck the mode removes (r15 review finding).
+    */
+  private def maybeBroadcast(df: DataFrame): DataFrame = probeJoin match {
+    case Synonymizer.BroadcastProbe => broadcast(df)
+    case _ => df
+  }
+
+  private val clustersPreferred = maybeBroadcast(preferred(clusters))
 
   /** Distinct probe rows: input plus its normalized lookup key. */
   private def curieProbe(inputs: DataFrame): DataFrame =
@@ -185,7 +198,8 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
     */
   private def allCategories(resolved: DataFrame): DataFrame =
     nodes
-      .join(broadcast(resolved.select("cluster_id").distinct()), "cluster_id")
+      .join(maybeBroadcast(resolved.select("cluster_id").distinct()),
+            "cluster_id")
       .groupBy(col("cluster_id"),
         coalesce(StringOps.withPrefix("biolink:", col("category")),
                  lit("null")).as("cat"))
@@ -276,7 +290,8 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
   private def membersFor(resolved: DataFrame, inputs: DataFrame,
                          includeUnrecognized: Boolean): DataFrame = {
     val members = resolved
-      .join(broadcast(clusters.select(col("cluster_id"), col("member_ids"))),
+      .join(maybeBroadcast(
+              clusters.select(col("cluster_id"), col("member_ids"))),
             "cluster_id")
       .select(col("input"),
         array_sort(col("member_ids"),
@@ -315,7 +330,8 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
     // consumed by both the per-member assembly and the histogram below —
     // persist so the member explode + nodes join runs once
     val memberRows = resolved
-      .join(broadcast(clusters.select(col("cluster_id"), col("member_ids"))),
+      .join(maybeBroadcast(
+              clusters.select(col("cluster_id"), col("member_ids"))),
             "cluster_id")
       .select(col("input"), col("cluster_id"),
               explode(col("member_ids")).as("member_id"))
@@ -327,7 +343,7 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
     // (node_synonymizer.py:262: cluster_rep = nodes_dict[cluster_id]);
     // probe-sized resolved side broadcast into the nodes scan
     val repCategory = nodes
-      .join(broadcast(resolved), nodes("id") === resolved("cluster_id"))
+      .join(maybeBroadcast(resolved), nodes("id") === resolved("cluster_id"))
       .select(col("input"),
         StringOps.withPrefix("biolink:", col("category")).as("rep_category"))
 
@@ -409,7 +425,7 @@ final class Synonymizer(nodes: DataFrame, clusters: DataFrame,
                 .as("candidate"))
       .unionByName(distinctInputs.filter(col("input").contains(":"))
         .select(col("input"), col("input").as("candidate")))
-    val hits = broadcast(candidates
+    val hits = maybeBroadcast(candidates
         .withColumn("probe_key", StringOps.capitalizePrefix(col("candidate"))))
       .join(nodes, col("probe_key") === nodes("id_simplified"))
       .join(clustersPreferred, "cluster_id")
