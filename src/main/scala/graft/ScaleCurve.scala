@@ -1250,6 +1250,18 @@ object ScaleCurve {
        ^
        ^Growth: ${growth(synSkewPts, "wall (s)")}.
        ^
+       ^Reading the 5b growth: unlike §5 (fixed 1M-node table, probe
+       ^batch alone grows), BOTH join sides quadruple per octave here —
+       ^nodes, probes, and the salted probe replication are all ∝ n, so
+       ^per-octave work is ×4 on fixed cores and the measured ×2.3-2.7
+       ^means the job is still partly fixed-cost-bound, not
+       ^super-linear. The salt's 16× replication applies to the
+       ^DISTINCT-name frame only (0.6n rows), never the raw probe rows;
+       ^at real-KG shapes (probes ≫ distinct names) that constant
+       ^shrinks relative to the bulk. At 100 TB the lever is executors —
+       ^every stage here is an equi-join or map-side-combined aggregate
+       ^with no per-key serialization point left.
+       ^
        ^## 6. Connected components (near-dup pairs → dedup clusters)
        ^
        ^Phase-1 min-label propagation over planted 4-vertex PATH groups
@@ -1377,17 +1389,18 @@ object ScaleCurve {
        ^Biased walks: ${growth(prPts, "wall biased walks (s)")}.
        ^Label propagation: ${growth(prPts, "wall labelprop (s)")}.
        ^
-       ^At the largest point the WALK rows (steps·walksPerStart·|V|,
-       ^51.2M at 6.4M vertices — 8 rows per vertex, far more than any
-       ^other §10 job materializes) exceed this host's storage memory:
-       ^the run logs MemoryStore "not enough space to cache" and task-
-       ^page allocation retries there, so the last walk octaves of the
-       ^corpus-ARTIFACT job are storage-bound (disk fallback), not
-       ^join-bound — the cost of the artifact itself, which is why the
-       ^skip-gram pipeline no longer pays it: the fused-pairs row keeps
-       ^only ≤window-array frontiers plus the aggregated pair frame in
-       ^storage, so its last octave stays join-shaped where the
-       ^materializing job's blows past storage. r12 removed the
+       ^The WALK rows (steps·walksPerStart·|V|, 51.2M at 6.4M
+       ^vertices — 8 rows per vertex, more than any other §10 job
+       ^materializes) made the r14 corpus-ARTIFACT octave storage-bound
+       ^(MemoryStore "not enough space to cache" + task-page retries,
+       ^×5.6 wall per ×4 data). r15 removes that regime twice over: the
+       ^skip-gram PIPELINE no longer materializes the corpus at all
+       ^(walkSkipGramPairs keeps only ≤window-array frontiers plus the
+       ^aggregated pair frame — its last octave is the pair count's
+       ^shuffle volume on fixed cores, the regime executors absorb),
+       ^and re-measured at the 24 GiB runner heap even the artifact job
+       ^logs zero evictions (ProfileWalkFuse greps the run log) — its
+       ^last octave is back to join-shaped growth. r12 removed the
        ^biased walker's extra storage term (frontiers carried prev's
        ^adjacency array per row — r11's last octave ran ×6.0 per ×4
        ^data; four-long frontier rows + a second keyed probe of the
