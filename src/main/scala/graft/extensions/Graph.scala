@@ -494,13 +494,21 @@ object Graph {
     */
   def deterministicWalks(edges: DataFrame, srcCol: String, dstCol: String,
                          steps: Int = 3, walksPerStart: Int = 1): DataFrame =
-    walkLoop(edges, srcCol, dstCol, steps, walksPerStart,
-      (frontier, neighbors, t) =>
-        frontier.withColumn("h", pickHash(t))
-          .join(neighbors, col("cur") === col("src"))
-          .select(col("start"), col("walk"),
-            element_at(col("dsts"),
-              (col("h") % col("deg") + 1L).cast("int")).as("cur")))
+    walkLoop(edges, srcCol, dstCol, steps, walksPerStart, uniformStep(Nil))
+
+  /** The uniform edge pick as a walkLoop/fusedPairsLoop step: one keyed
+    * probe of the adjacency frame, out-edge `md5 mod deg`. `carry`
+    * names frontier columns to pass through untouched (the fused pairs
+    * loop threads its `recent` buffer this way) — ONE copy of the pick
+    * for both the corpus and fused paths.
+    */
+  private def uniformStep(carry: Seq[String])(
+      frontier: DataFrame, neighbors: DataFrame, t: Int): DataFrame =
+    frontier.withColumn("h", pickHash(t))
+      .join(neighbors, col("cur") === col("src"))
+      .select(Seq(col("start"), col("walk")) ++ carry.map(col) :+
+        element_at(col("dsts"),
+          (col("h") % col("deg") + 1L).cast("int")).as("cur"): _*)
 
   /** Node2vec-biased deterministic walks — [[deterministicWalks]] with
     * the return/in-out bias real graph-embedding corpora use, still
@@ -547,55 +555,67 @@ object Graph {
         "denominator; 0 would need dead-end handling the walk " +
         "semantics don't define)")
     walkLoop(edges, srcCol, dstCol, steps, walksPerStart,
-      (frontier, neighbors, t) =>
-        if (t == 1)
-          // step 1: uniform (no prev); the frontier leaves carrying
-          // only prev = the vertex it stepped from (four longs a row —
-          // prev's adjacency is re-derived next step, see scaladoc)
-          frontier.withColumn("h", pickHash(1))
-            .join(neighbors, col("cur") === col("src"))
-            .select(col("start"), col("walk"),
-              element_at(col("dsts"),
-                (col("h") % col("deg") + 1L).cast("int")).as("cur"),
-              col("cur").as("prev"))
-        else
-          frontier.withColumn("h", pickHash(t))
-            .join(neighbors, col("cur") === col("src"))
-            // prev's out-neighbors from the SAME persisted adjacency —
-            // inner join is safe: prev has at least the out-edge the
-            // walk arrived through
-            .join(neighbors.select(col("src").as("prev"),
-              col("dsts").as("prev_dsts")), "prev")
-            // weights elementwise over the dst-sorted candidates;
-            // staged as its own column so total and the range fold
-            // both read it
-            .withColumn("wts", transform(col("dsts"), d =>
-              when(d === col("prev"), lit(wReturn.toLong))
-                .when(array_contains(col("prev_dsts"), d),
-                  lit(wStay.toLong))
-                .otherwise(lit(wExplore.toLong))))
-            .withColumn("target",
-              col("h") % aggregate(col("wts"), lit(0L), (a, x) => a + x))
-            // fold the cumulative ranges: first index whose range
-            // covers target — (rem, found) accumulator, found = -1
-            // until hit
-            .withColumn("pick", aggregate(col("wts"),
-              struct(col("target").as("rem"), lit(-1).as("found"),
-                     lit(0).as("pos")),
-              (acc, w) =>
-                when(acc.getField("found") >= 0, acc)
-                  .when(acc.getField("rem") < w,
-                    struct(acc.getField("rem").as("rem"),
-                           acc.getField("pos").as("found"),
-                           (acc.getField("pos") + 1).as("pos")))
-                  .otherwise(
-                    struct((acc.getField("rem") - w).as("rem"),
-                           lit(-1).as("found"),
-                           (acc.getField("pos") + 1).as("pos"))),
-              acc => acc.getField("found")))
-            .select(col("start"), col("walk"),
-              element_at(col("dsts"), col("pick") + 1).as("cur"),
-              col("cur").as("prev")))
+      biasedStep(wReturn, wStay, wExplore, Nil))
+  }
+
+  /** The node2vec-biased pick as a walkLoop/fusedPairsLoop step — see
+    * [[biasedWalks]] for the weight semantics. Output carries
+    * `prev` = the stepped-from vertex plus the `carry` pass-through
+    * columns; ONE copy of the weight fold for both the corpus and
+    * fused paths.
+    */
+  private def biasedStep(wReturn: Int, wStay: Int, wExplore: Int,
+      carry: Seq[String])(
+      frontier: DataFrame, neighbors: DataFrame, t: Int): DataFrame = {
+    val passthrough = Seq(col("start"), col("walk")) ++ carry.map(col)
+    if (t == 1)
+      // step 1: uniform (no prev); the frontier leaves carrying
+      // only prev = the vertex it stepped from (four longs a row —
+      // prev's adjacency is re-derived next step, see scaladoc)
+      frontier.withColumn("h", pickHash(1))
+        .join(neighbors, col("cur") === col("src"))
+        .select(passthrough ++ Seq(
+          element_at(col("dsts"),
+            (col("h") % col("deg") + 1L).cast("int")).as("cur"),
+          col("cur").as("prev")): _*)
+    else
+      frontier.withColumn("h", pickHash(t))
+        .join(neighbors, col("cur") === col("src"))
+        // prev's out-neighbors from the SAME persisted adjacency —
+        // inner join is safe: prev has at least the out-edge the
+        // walk arrived through
+        .join(neighbors.select(col("src").as("prev"),
+          col("dsts").as("prev_dsts")), "prev")
+        // weights elementwise over the dst-sorted candidates;
+        // staged as its own column so total and the range fold
+        // both read it
+        .withColumn("wts", transform(col("dsts"), d =>
+          when(d === col("prev"), lit(wReturn.toLong))
+            .when(array_contains(col("prev_dsts"), d),
+              lit(wStay.toLong))
+            .otherwise(lit(wExplore.toLong))))
+        .withColumn("target",
+          col("h") % aggregate(col("wts"), lit(0L), (a, x) => a + x))
+        // fold the cumulative ranges: first index whose range
+        // covers target — (rem, found) accumulator, found = -1
+        // until hit
+        .withColumn("pick", aggregate(col("wts"),
+          struct(col("target").as("rem"), lit(-1).as("found"),
+                 lit(0).as("pos")),
+          (acc, w) =>
+            when(acc.getField("found") >= 0, acc)
+              .when(acc.getField("rem") < w,
+                struct(acc.getField("rem").as("rem"),
+                       acc.getField("pos").as("found"),
+                       (acc.getField("pos") + 1).as("pos")))
+              .otherwise(
+                struct((acc.getField("rem") - w).as("rem"),
+                       lit(-1).as("found"),
+                       (acc.getField("pos") + 1).as("pos"))),
+          acc => acc.getField("found")))
+        .select(passthrough ++ Seq(
+          element_at(col("dsts"), col("pick") + 1).as("cur"),
+          col("cur").as("prev")): _*)
   }
 
   /** Skip-gram co-occurrence pairs from a walk corpus — the word2vec-
@@ -660,7 +680,36 @@ object Graph {
     */
   def walkSkipGramPairs(edges: DataFrame, srcCol: String, dstCol: String,
                         steps: Int = 3, walksPerStart: Int = 1,
-                        window: Int = 2): DataFrame = {
+                        window: Int = 2): DataFrame =
+    fusedPairsLoop(edges, srcCol, dstCol, steps, walksPerStart, window,
+      uniformStep(Seq("recent")))
+
+  /** [[walkSkipGramPairs]] over the node2vec-BIASED walker — the fused
+    * pairs path for biased corpora: same per-step increment emission,
+    * same no-corpus/no-self-join shape, with [[biasedStep]]'s weight
+    * fold picking the edges (the `prev` column the bias needs rides
+    * the frontier exactly as in [[biasedWalks]]). With all weights
+    * equal this IS [[walkSkipGramPairs]] row for row, and both are
+    * bit-equal to `skipGramPairs(biasedWalks(...))` (GraphSpec).
+    */
+  def walkSkipGramPairsBiased(edges: DataFrame, srcCol: String,
+      dstCol: String, steps: Int = 3, walksPerStart: Int = 1,
+      window: Int = 2, wReturn: Int = 1, wStay: Int = 1,
+      wExplore: Int = 1): DataFrame = {
+    require(Seq(wReturn, wStay, wExplore).forall(w => w >= 1 && w <= 1000),
+      "integer biases in [1, 1000]")
+    fusedPairsLoop(edges, srcCol, dstCol, steps, walksPerStart, window,
+      biasedStep(wReturn, wStay, wExplore, Seq("recent")))
+  }
+
+  /** The fused-pairs engine shared by the uniform and biased variants:
+    * `step` must pass the `recent` buffer through (both step builders
+    * take it as a carry column) and may add its own state columns
+    * (`prev`), which the recent update preserves via withColumn.
+    */
+  private def fusedPairsLoop(edges: DataFrame, srcCol: String,
+      dstCol: String, steps: Int, walksPerStart: Int, window: Int,
+      step: (DataFrame, DataFrame, Int) => DataFrame): DataFrame = {
     require(window >= 1 && window <= 16, "bounded context window")
     val (neighbors, starts) =
       walkSetup(edges, srcCol, dstCol, steps, walksPerStart)
@@ -672,15 +721,11 @@ object Graph {
     kept += frontier
     var parts = List.empty[DataFrame]
     for (t <- 1 to steps) {
-      // same pick as [[deterministicWalks]]'s step, plus the recent
-      // buffer carried through; persisted because it feeds TWO
-      // consumers (the increments and the next frontier) — the
-      // lazy-cache-until-one-materialization walkLoop stance
-      val stepped = frontier.withColumn("h", pickHash(t))
-        .join(neighbors, col("cur") === col("src"))
-        .select(col("start"), col("walk"), col("recent"),
-          element_at(col("dsts"),
-            (col("h") % col("deg") + 1L).cast("int")).as("cur"))
+      // the walker's own pick, plus the recent buffer carried through;
+      // persisted because it feeds TWO consumers (the increments and
+      // the next frontier) — the lazy-cache-until-one-materialization
+      // walkLoop stance
+      val stepped = step(frontier, neighbors, t)
         .persist(StorageLevel.MEMORY_AND_DISK)
       kept += stepped
       parts ::= stepped.select(explode(concat(
@@ -692,11 +737,12 @@ object Graph {
                 col("p.context").as("context"))
       if (t < steps) {
         // recent holds at most `window` nodes, so the append overflows
-        // by at most one — dropping the head restores the bound
+        // by at most one — dropping the head restores the bound;
+        // withColumn keeps every other frontier column (cur, prev)
         val appended = concat(col("recent"), array(col("cur")))
-        frontier = stepped.select(col("start"), col("walk"), col("cur"),
+        frontier = stepped.withColumn("recent",
           when(size(appended) > window, slice(appended, 2, window))
-            .otherwise(appended).as("recent"))
+            .otherwise(appended))
       }
     }
     // one materialization of the aggregated pair frame through the

@@ -1735,6 +1735,19 @@ object PipelineDemos {
         .withColumnRenamed("start", "doc_id")
         .orderBy("doc_id", "walk", "step")
     }),
+    // Skip-gram pairs over the node2vec-BIASED corpus (p=2, q=0.5 as
+    // integer weights 1/2/4), fused exactly like walk_pairs: the
+    // biased weight fold picks the edges, the recent-buffer emission
+    // counts the pairs, and the biased corpus never materializes —
+    // the training signal an embedding actually consumes, where
+    // graph_walks_biased is the corpus-as-artifact face.
+    "walk_pairs_biased" -> ((s, dir) => {
+      graft.extensions.Graph.walkSkipGramPairsBiased(
+          docLinkEdges(s, dir), "src", "dst", steps = 3,
+          walksPerStart = 2, window = 2,
+          wReturn = 1, wStay = 2, wExplore = 4)
+        .orderBy("center", "context")
+    }),
     // Same pair counts, over a walks table written BUCKETED BY the
     // full join key (start, walk) — the Graph.skipGramPairs scaladoc's
     // "at 100 TB the self-join is shuffle-free" claim made literal:
@@ -2927,7 +2940,31 @@ object PipelineDemos {
     * cumulative weight range covers md5 mod totalWeight.
     */
   private def biasedWalksOracle(steps: Int, walks: Int,
-                                wR: Int, wS: Int, wE: Int): String = {
+                                wR: Int, wS: Int, wE: Int): String =
+    s"""WITH ${biasedCorpusCtes(steps, walks, wR, wS, wE)}
+       |SELECT doc_id, walk, step, node FROM allb
+       |ORDER BY doc_id, walk, step""".stripMargin
+
+  /** Skip-gram pair counts over the BIASED walk corpus — the oracle for
+    * Graph.walkSkipGramPairsBiased (same pair join as walkPairsOracle,
+    * over the biased chain).
+    */
+  private def biasedWalkPairsOracle(steps: Int, walks: Int, window: Int,
+                                    wR: Int, wS: Int, wE: Int): String =
+    s"""WITH ${biasedCorpusCtes(steps, walks, wR, wS, wE)}
+       |SELECT a.node AS center, b.node AS context,
+       |  count(*) AS cnt
+       |FROM allb a JOIN allb b
+       |  ON a.doc_id = b.doc_id AND a.walk = b.walk
+       |  AND a.step <> b.step AND abs(a.step - b.step) <= $window
+       |GROUP BY a.node, b.node
+       |ORDER BY center, context""".stripMargin
+
+  /** Shared WITH-chain ending in `allb(doc_id, walk, step, node)` = the
+    * full node2vec-biased walk corpus (mirrors Graph.biasedWalks).
+    */
+  private def biasedCorpusCtes(steps: Int, walks: Int,
+                               wR: Int, wS: Int, wE: Int): String = {
     val stepCtes = (2 to steps).map { t =>
       s"""bh$t AS (SELECT start, walk, cur, prev,
          |    md5(CAST(cur AS VARCHAR) || '#' || CAST(walk AS VARCHAR) || '#$t') AS h
@@ -2951,7 +2988,7 @@ object PipelineDemos {
     val unions = (0 to steps).map { t =>
       s"SELECT start AS doc_id, walk, $t AS step, cur AS node FROM b$t"
     }.mkString("\nUNION ALL ")
-    s"""WITH $docEdgeCtes,
+    s"""$docEdgeCtes,
        |dedges AS (SELECT DISTINCT src, dst FROM edges),
        |ie AS (SELECT src, dst,
        |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
@@ -2966,9 +3003,8 @@ object PipelineDemos {
        |b1 AS (SELECT w.start, w.walk, e.dst AS cur, w.cur AS prev
        |  FROM (SELECT start, walk, cur, $hex8OfH AS hh FROM bh1) w
        |  JOIN ie e ON e.src = w.cur AND e.idx = w.hh % e.deg),
-       |$stepCtes
-       |SELECT doc_id, walk, step, node FROM ($unions)
-       |ORDER BY doc_id, walk, step""".stripMargin
+       |$stepCtes,
+       |allb AS ($unions)""".stripMargin
   }
 
   private def graphWalksOracle(steps: Int, walks: Int): String =
@@ -4084,6 +4120,8 @@ object PipelineDemos {
     "graph_walks_biased" -> biasedWalksOracle(steps = 3, walks = 2,
       wR = 1, wS = 2, wE = 4),
     "walk_pairs" -> walkPairsOracle(steps = 3, walks = 2, window = 2),
+    "walk_pairs_biased" -> biasedWalkPairsOracle(steps = 3, walks = 2,
+      window = 2, wR = 1, wS = 2, wE = 4),
     "walk_pairs_bucketed" -> walkPairsOracle(steps = 3, walks = 2,
       window = 2),
     "label_prop" -> labelPropOracle(rounds = 3),

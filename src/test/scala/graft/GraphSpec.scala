@@ -663,6 +663,21 @@ class GraphSpec extends SparkTestBase {
         s"fused != unfused at steps=$steps walks=$wps window=$window")
       assert(canon(fused).nonEmpty)
     }
+    // biased variant: bit-equal to skipGramPairs(biasedWalks) with real
+    // weights, and the all-equal-weights reduction IS the uniform fused
+    val biasedUnfused = Graph.skipGramPairs(
+      Graph.biasedWalks(edges, "src", "dst", 3, 2,
+        wReturn = 1, wStay = 2, wExplore = 4), window = 2)
+    val biasedFused = Graph.walkSkipGramPairsBiased(edges, "src", "dst",
+      3, 2, 2, wReturn = 1, wStay = 2, wExplore = 4)
+    assert(canon(biasedFused) == canon(biasedUnfused))
+    assert(canon(biasedFused) !=
+      canon(Graph.walkSkipGramPairs(edges, "src", "dst", 3, 2, 2)),
+      "sanity: the bias must actually change the pair counts")
+    assert(canon(Graph.walkSkipGramPairsBiased(edges, "src", "dst",
+        3, 2, 2, 1, 1, 1)) ==
+      canon(Graph.walkSkipGramPairs(edges, "src", "dst", 3, 2, 2)),
+      "all-equal weights must reduce to the uniform fused walker")
   }
 
   test("a larger random-ish graph stays exact through more rounds") {
