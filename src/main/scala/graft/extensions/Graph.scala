@@ -463,10 +463,11 @@ object Graph {
         lit(t).as("step"), col("cur").as("node")))
     }
     // one materialization through the cached chain, then release all
-    // intermediates — callers get a self-contained leaf
-    val result = out.localCheckpoint(true)
-    kept.foreach(_.unpersist(false))
-    result
+    // intermediates (in finally — a failed job must not strand
+    // ≤ steps frontier caches plus the adjacency frame); callers get
+    // a self-contained leaf
+    try out.localCheckpoint(true)
+    finally kept.foreach(_.unpersist(false))
   }
 
   /** Deterministic random walks — the node2vec/DeepWalk corpus
@@ -549,14 +550,9 @@ object Graph {
   def biasedWalks(edges: DataFrame, srcCol: String, dstCol: String,
                   steps: Int = 3, walksPerStart: Int = 1,
                   wReturn: Int = 1, wStay: Int = 1,
-                  wExplore: Int = 1): DataFrame = {
-    require(Seq(wReturn, wStay, wExplore).forall(w => w >= 1 && w <= 1000),
-      "integer biases in [1, 1000] (exact rationals over a common " +
-        "denominator; 0 would need dead-end handling the walk " +
-        "semantics don't define)")
+                  wExplore: Int = 1): DataFrame =
     walkLoop(edges, srcCol, dstCol, steps, walksPerStart,
       biasedStep(wReturn, wStay, wExplore, Nil))
-  }
 
   /** The node2vec-biased pick as a walkLoop/fusedPairsLoop step — see
     * [[biasedWalks]] for the weight semantics. Output carries
@@ -567,6 +563,13 @@ object Graph {
   private def biasedStep(wReturn: Int, wStay: Int, wExplore: Int,
       carry: Seq[String])(
       frontier: DataFrame, neighbors: DataFrame, t: Int): DataFrame = {
+    // ONE copy of the weight-bounds contract for every biased entry
+    // point (corpus and fused) — a cap or rationale change here
+    // reaches both walkers
+    require(Seq(wReturn, wStay, wExplore).forall(w => w >= 1 && w <= 1000),
+      "integer biases in [1, 1000] (exact rationals over a common " +
+        "denominator; 0 would need dead-end handling the walk " +
+        "semantics don't define)")
     val passthrough = Seq(col("start"), col("walk")) ++ carry.map(col)
     if (t == 1)
       // step 1: uniform (no prev); the frontier leaves carrying
@@ -672,11 +675,12 @@ object Graph {
     * [[pickHash]] chain), same dangling-walk semantics (a dead
     * frontier row just stops emitting), so the counts are bit-equal to
     * `skipGramPairs(deterministicWalks(...), window)` — GraphSpec pins
-    * it, and the `walk_pairs` oracle is unchanged. Uniform walker
-    * only: the corpus-as-artifact jobs ([[deterministicWalks]],
-    * `graph_walks`, the bucketed-table demo) still materialize by
-    * design — fuse there and the artifact IS the product being
-    * deleted.
+    * it, and the `walk_pairs` oracle is unchanged. The node2vec-biased
+    * walker has the same fusion as [[walkSkipGramPairsBiased]]; only
+    * the corpus-as-artifact jobs ([[deterministicWalks]],
+    * [[biasedWalks]], `graph_walks`, the bucketed-table demo) still
+    * materialize, by design — fuse there and the artifact IS the
+    * product being deleted.
     */
   def walkSkipGramPairs(edges: DataFrame, srcCol: String, dstCol: String,
                         steps: Int = 3, walksPerStart: Int = 1,
@@ -695,12 +699,9 @@ object Graph {
   def walkSkipGramPairsBiased(edges: DataFrame, srcCol: String,
       dstCol: String, steps: Int = 3, walksPerStart: Int = 1,
       window: Int = 2, wReturn: Int = 1, wStay: Int = 1,
-      wExplore: Int = 1): DataFrame = {
-    require(Seq(wReturn, wStay, wExplore).forall(w => w >= 1 && w <= 1000),
-      "integer biases in [1, 1000]")
+      wExplore: Int = 1): DataFrame =
     fusedPairsLoop(edges, srcCol, dstCol, steps, walksPerStart, window,
       biasedStep(wReturn, wStay, wExplore, Seq("recent")))
-  }
 
   /** The fused-pairs engine shared by the uniform and biased variants:
     * `step` must pass the `recent` buffer through (both step builders

@@ -3003,8 +3003,8 @@ object PipelineDemos {
        |b1 AS (SELECT w.start, w.walk, e.dst AS cur, w.cur AS prev
        |  FROM (SELECT start, walk, cur, $hex8OfH AS hh FROM bh1) w
        |  JOIN ie e ON e.src = w.cur AND e.idx = w.hh % e.deg),
-       |$stepCtes,
-       |allb AS ($unions)""".stripMargin
+       |${if (stepCtes.isEmpty) "" else stepCtes + ",\n"}allb AS ($unions)"""
+      .stripMargin
   }
 
   private def graphWalksOracle(steps: Int, walks: Int): String =
