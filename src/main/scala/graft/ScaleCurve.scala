@@ -932,6 +932,17 @@ object ScaleCurve {
             steps = 3, walksPerStart = 2,
             wReturn = 1, wStay = 2, wExplore = 4).count()
         }
+        // fused pairs over the BIASED walker (r15): the same weight
+        // fold picking edges, the corpus never materializing — must
+        // track the uniform fused growth, paying only the bias's
+        // constant-factor second adjacency probe per step
+        var nPairRowsB = 0L
+        val (secFB, _) = timeIt(spark) {
+          nPairRowsB = graft.extensions.Graph.walkSkipGramPairsBiased(
+            edges, "src", "dst", steps = 3, walksPerStart = 2,
+            window = 2, wReturn = 1, wStay = 2, wExplore = 4).count()
+          nPairRowsB
+        }
         // label propagation over the same graph: ~14% seeds, 5 label
         // classes; `labeled` counts vertices reached within 3 rounds
         var nLabeled = 0L
@@ -955,6 +966,7 @@ object ScaleCurve {
           "pair rows" -> nPairRows.toString,
           "wall fused pairs (s)" -> f"$secF%.2f",
           "wall biased walks (s)" -> f"$secB%.2f",
+          "wall fused biased (s)" -> f"$secFB%.2f",
           "labeled frac" -> f"${nLabeled.toDouble / n}%.3f",
           "wall labelprop (s)" -> f"$secL%.2f"))
       }
@@ -1376,7 +1388,12 @@ object ScaleCurve {
        ^return/stay/explore weight fold (1/2/4) and a second keyed
        ^probe of the persisted adjacency for prev's distance-1 array
        ^(r12 — cheaper than storing the array per frontier row, see
-       ^the storage note below); `wall labelprop`
+       ^the storage note below); `wall fused biased` is the SAME
+       ^weight fold fused with the pair count
+       ^(`Graph.walkSkipGramPairsBiased`, r15) — the biased corpus
+       ^never materializes either, so it must track `wall fused
+       ^pairs`' growth paying only the bias's constant-factor second
+       ^probe per step; `wall labelprop`
        ^times 3 synchronous rounds of
        ^`Graph.labelPropagation` from ~14% seeds (5 classes) — both
        ^over the same graphs.
@@ -1387,6 +1404,7 @@ object ScaleCurve {
        ^Walks: ${growth(prPts, "wall walks (s)")}.
        ^Fused pairs: ${growth(prPts, "wall fused pairs (s)")}.
        ^Biased walks: ${growth(prPts, "wall biased walks (s)")}.
+       ^Fused biased: ${growth(prPts, "wall fused biased (s)")}.
        ^Label propagation: ${growth(prPts, "wall labelprop (s)")}.
        ^
        ^The WALK rows (steps·walksPerStart·|V|, 51.2M at 6.4M
