@@ -32,8 +32,13 @@ object Bench {
     */
   val failurePenaltySec = 600.0
 
-  private val entryRe = """"([^"]+)":([0-9.]+)""".r
-  private val sfTagRe = """"_sf":"([^"]+)"""".r
+  // \s* after the colon: the file is normally Bench's own compact
+  // output, but a hand-edit (floor re-seed) routed through a pretty-
+  // printer must not silently read as an EMPTY table — that re-seeds
+  // every floor from one run and breaks the floors-only-decrease
+  // invariant (r15 wave 2 incident)
+  private val entryRe = """"([^"]+)":\s*([0-9.]+)""".r
+  private val sfTagRe = """"_sf":\s*"([^"]+)"""".r
 
   /** Tiny flat {"_sf":dir,"name":sec,...} parser — the only JSON this
     * reads is the one this file writes. Mins are NAMESPACED BY SF DIR: a

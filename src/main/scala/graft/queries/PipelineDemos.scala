@@ -2939,7 +2939,7 @@ object PipelineDemos {
     * prev-adjacent / explore), then picks the first candidate whose
     * cumulative weight range covers md5 mod totalWeight.
     */
-  private def biasedWalksOracle(steps: Int, walks: Int,
+  private[graft] def biasedWalksOracle(steps: Int, walks: Int,
                                 wR: Int, wS: Int, wE: Int): String =
     s"""WITH ${biasedCorpusCtes(steps, walks, wR, wS, wE)}
        |SELECT doc_id, walk, step, node FROM allb
@@ -2949,7 +2949,7 @@ object PipelineDemos {
     * Graph.walkSkipGramPairsBiased (same pair join as walkPairsOracle,
     * over the biased chain).
     */
-  private def biasedWalkPairsOracle(steps: Int, walks: Int, window: Int,
+  private[graft] def biasedWalkPairsOracle(steps: Int, walks: Int, window: Int,
                                     wR: Int, wS: Int, wE: Int): String =
     s"""WITH ${biasedCorpusCtes(steps, walks, wR, wS, wE)}
        |SELECT a.node AS center, b.node AS context,

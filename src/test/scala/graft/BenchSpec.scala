@@ -79,6 +79,17 @@ class BenchSpec extends AnyFunSuite {
     assert(mins == Map("good" -> 0.25, "also_good" -> 1.75))
   }
 
+  test("readMins: pretty-printed JSON (whitespace after colons) parses " +
+       "identically — a hand-edited re-seed must never read as an EMPTY " +
+       "table and re-seed every floor from one run (r15 wave 2 incident)") {
+    val path = tmpMins(
+      s"""{\n "_sf": "$sf",\n "good": 0.25,\n "also_good": 1.75\n}""")
+    val mins = Bench.readMins(path, sf)
+    assert(mins == Map("good" -> 0.25, "also_good" -> 1.75))
+    // sf isolation must survive the whitespace too
+    assert(Bench.readMins(path, "/other/sf").isEmpty)
+  }
+
   test("per-query floor gate (BASELINE.md, VERDICT r14 #8): in the " +
        "committed quiet bench run, no query exceeds 2x its committed " +
        "all-time floor (+0.3s absolute guard for fixed-cost jitter on " +

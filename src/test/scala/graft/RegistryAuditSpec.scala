@@ -13,6 +13,24 @@ class RegistryAuditSpec extends SparkTestBase {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
+  test("biased walk oracle generators emit well-formed WITH lists at " +
+       "every steps value — steps=1 has an empty per-step CTE list and " +
+       "used to leave a dangling comma (r15 review fix)") {
+    for (steps <- 1 to 3;
+         sql <- Seq(
+           graft.queries.PipelineDemos.biasedWalksOracle(
+             steps, walks = 2, wR = 1, wS = 2, wE = 4),
+           graft.queries.PipelineDemos.biasedWalkPairsOracle(
+             steps, walks = 2, window = 2, wR = 1, wS = 2, wE = 4))) {
+      assert(!sql.contains(",,") &&
+             !sql.linesIterator.exists(_.trim == ","),
+        s"dangling comma in the steps=$steps WITH list:\n$sql")
+      // the per-step CTEs must actually be present when steps >= 2
+      assert((steps == 1) != sql.contains("b2 AS"),
+        s"steps=$steps: per-step CTE presence mismatch")
+    }
+  }
+
   test("approx_distinct: the HLL++ estimate stays within 5% of exact — " +
        "both via the query's own approx_ok contract column and via an " +
        "independent recomputation of the raw estimate") {
