@@ -32,13 +32,16 @@ object Bench {
     */
   val failurePenaltySec = 600.0
 
-  // \s* after the colon: the file is normally Bench's own compact
+  // \s* around the colon: the file is normally Bench's own compact
   // output, but a hand-edit (floor re-seed) routed through a pretty-
   // printer must not silently read as an EMPTY table — that re-seeds
   // every floor from one run and breaks the floors-only-decrease
-  // invariant (r15 wave 2 incident)
-  private val entryRe = """"([^"]+)":\s*([0-9.]+)""".r
-  private val sfTagRe = """"_sf":\s*"([^"]+)"""".r
+  // invariant (r15 wave 2 incident). readMins also fails LOUDLY when
+  // a file with entry-shaped content parses to zero entries, so any
+  // format this regex still can't read stops the run instead of
+  // quietly disarming the retry ladder.
+  private val entryRe = """"([^"]+)"\s*:\s*([0-9.]+)""".r
+  private val sfTagRe = """"_sf"\s*:\s*"([^"]+)"""".r
 
   /** Tiny flat {"_sf":dir,"name":sec,...} parser — the only JSON this
     * reads is the one this file writes. Mins are NAMESPACED BY SF DIR: a
@@ -56,13 +59,26 @@ object Bench {
       val recordedSf = sfTagRe.findFirstMatchIn(text)
         .map(_.group(1)).getOrElse("/root/testdata/sf0.1")
       if (recordedSf != sfDir) Map.empty
-      else entryRe.findAllMatchIn(text)
-        // tolerate a hand-mangled entry ("q":12..3): drop IT, not the
-        // whole table — one bad value must not crash the run or
-        // silently disable the steal check for every other query
-        .flatMap(m =>
-          scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
-        .toMap
+      else {
+        val entries = entryRe.findAllMatchIn(text)
+          // tolerate a hand-mangled entry ("q":12..3): drop IT, not the
+          // whole table — one bad value must not crash the run or
+          // silently disable the steal check for every other query
+          .flatMap(m =>
+            scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+          .toMap
+        // quoted content besides the _sf tag but ZERO parsed entries =
+        // a format this parser can't read; refuse rather than bench
+        // without a retry ladder and re-seed every floor from one run
+        if (entries.isEmpty &&
+            sfTagRe.replaceAllIn(text, "").contains('"'))
+          throw new IllegalStateException(
+            s"$path has entry-shaped content but parsed to ZERO " +
+              "entries — fix its format (Bench writes compact " +
+              "{\"_sf\":...,\"name\":0.123,...}) instead of " +
+              "re-seeding all floors")
+        entries
+      }
     }
 
   /** Roll one run's samples into the historical minimums. Invariants

@@ -966,6 +966,7 @@ object ScaleCurve {
           "pair rows" -> nPairRows.toString,
           "wall fused pairs (s)" -> f"$secF%.2f",
           "wall biased walks (s)" -> f"$secB%.2f",
+          "pair rows biased" -> nPairRowsB.toString,
           "wall fused biased (s)" -> f"$secFB%.2f",
           "labeled frac" -> f"${nLabeled.toDouble / n}%.3f",
           "wall labelprop (s)" -> f"$secL%.2f"))
@@ -1391,9 +1392,14 @@ object ScaleCurve {
        ^the storage note below); `wall fused biased` is the SAME
        ^weight fold fused with the pair count
        ^(`Graph.walkSkipGramPairsBiased`, r15) — the biased corpus
-       ^never materializes either, so it must track `wall fused
-       ^pairs`' growth paying only the bias's constant-factor second
-       ^probe per step; `wall labelprop`
+       ^never materializes either. Its overhead over `wall fused
+       ^pairs` is NOT a constant factor on fixed cores: the per-step
+       ^prev-adjacency probe and weight fold scale with frontier ×
+       ^degree, so the measured ratio widens across the curve (~×1.3
+       ^at 100k to ~×2.3 at 6.4M) — what the fusion claims, and what
+       ^the per-octave growth factors below pin, is the ABSENCE of
+       ^the storage-bound corpus regime, not bias-for-free;
+       ^`wall labelprop`
        ^times 3 synchronous rounds of
        ^`Graph.labelPropagation` from ~14% seeds (5 classes) — both
        ^over the same graphs.

@@ -90,6 +90,24 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.readMins(path, "/other/sf").isEmpty)
   }
 
+  test("readMins: whitespace BEFORE colons parses too, and a file whose " +
+       "entry-shaped content parses to zero entries fails LOUDLY instead " +
+       "of quietly disarming the retry ladder") {
+    val path = tmpMins(
+      s"""{ "_sf" : "$sf", "good" : 0.25, "also_good" : 1.75 }""")
+    assert(Bench.readMins(path, sf) ==
+      Map("good" -> 0.25, "also_good" -> 1.75))
+    // a format the parser genuinely can't read (all values quoted) must
+    // throw, not return an empty table
+    val bad = tmpMins(s"""{"_sf":"$sf","good":"0.25","also_good":"1.75"}""")
+    val ex = intercept[IllegalStateException](Bench.readMins(bad, sf))
+    assert(ex.getMessage.contains("ZERO entries"))
+    // but a genuinely tag-only file stays a quiet empty table (fresh
+    // repo bootstrap), and sf mismatch stays a quiet skip
+    assert(Bench.readMins(tmpMins(s"""{"_sf":"$sf"}"""), sf).isEmpty)
+    assert(Bench.readMins(bad, "/other/sf").isEmpty)
+  }
+
   test("per-query floor gate (BASELINE.md, VERDICT r14 #8): in the " +
        "committed quiet bench run, no query exceeds 2x its committed " +
        "all-time floor (+0.3s absolute guard for fixed-cost jitter on " +
