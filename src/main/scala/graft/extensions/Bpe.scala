@@ -1,0 +1,118 @@
+package graft.extensions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** BPE vocabulary-induction primitives — the tokenizer-TRAINING side of
+  * the token family (TextAnalysis.subwordCount et al. apply a
+  * tokenizer; these learn one). Byte-pair encoding's inner loop is
+  * pure corpus aggregation — count adjacent symbol pairs, fuse the
+  * most frequent, repeat — which makes it a natural Spark job and a
+  * real 100 TB workload: production tokenizers are trained on corpus
+  * samples precisely because single-node trainers can't hold the pair
+  * counts of a full crawl.
+  *
+  * Representation: words are lowercase alphabetic runs (`[a-z]+`,
+  * length ≥ 2 — a 1-char word has no pair); merge round r fuses the
+  * winning pair into the single UPPERCASE placeholder symbol
+  * ('A' + r − 1), which keeps every symbol exactly one char. That
+  * single-char invariant is what makes the whole induction exact and
+  * oracle-checkable on any engine: pair i of a word is plainly
+  * `substr(w, i, 2)`, and applying a merge is plain non-overlapping
+  * left-to-right string `replace` — no token-array bookkeeping, no
+  * engine-specific tokenizer state, identical semantics in Spark and
+  * DuckDB. (Real BPE emits multi-char tokens; the placeholder
+  * alphabet is a bijection away and caps rounds at 26, far above a
+  * demonstration's needs — a production run would switch the symbol
+  * domain to ints, same plan shape.)
+  *
+  * Scale shape per round: ONE map-side-combined pair count (the only
+  * shuffle — pairs live in a ≤(26+rounds)² key space, so the exchange
+  * carries at most a few thousand rows regardless of corpus size), an
+  * argmax over that tiny aggregate, and a broadcast 1-row crossJoin
+  * feeding a map-side replace. The corpus is re-read once per round —
+  * inherent to BPE (each merge changes the pair statistics) — and
+  * each round's representation persists until the final merge-table
+  * materialization, then everything unpersists (in finally).
+  */
+object Bpe {
+
+  /** Lowercase alphabetic words of length ≥ 2, one row per occurrence
+    * (BPE counts pairs by corpus frequency, not per distinct word).
+    */
+  private def words(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+
+  private def pairsOf(wordsDf: DataFrame): DataFrame =
+    // the length guard matters from round 2 on: a merge can shrink a
+    // word to ONE symbol ("an" -> "A"), and Spark's sequence(1, 0) is
+    // the DESCENDING [1, 0] — not the empty range DuckDB's
+    // range(1, 1) gives — which would emit two garbage pairs per
+    // collapsed word
+    wordsDf.filter(length(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+
+  /** Adjacent symbol-pair counts over the corpus — BPE's inner-loop
+    * aggregate, exposed on its own because it is also the cheapest
+    * character-level corpus statistic (OCR garbage and wrong-language
+    * slices surface as improbable pair mass). One explode + one
+    * map-side-combined count; output keyed by (cnt desc, pair) is a
+    * total order, so the frame is deterministic end to end.
+    *
+    * @return (pair, cnt), all pairs
+    */
+  def charPairCounts(docs: DataFrame, textCol: String): DataFrame =
+    charPairCountsOf(words(docs, textCol))
+
+  /** The BPE merge table: `rounds` iterations of count-argmax-fuse,
+    * returning one row per round — (round, pair, cnt) where `pair` is
+    * the fused symbol pair and `cnt` its corpus frequency at fuse
+    * time. This IS the artifact tokenizer training produces (the
+    * ordered merge list); ties break lexicographically smallest pair
+    * so the induction is reproducible on any cluster layout.
+    *
+    * The round-r corpus feeds two consumers (its pair count and the
+    * next round's replace), so each representation persists until the
+    * single merge-table materialization — the
+    * cache-until-one-materialization stance (see Graph.walkLoop), with
+    * unpersist in finally.
+    */
+  def mergeTable(docs: DataFrame, textCol: String,
+                 rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 26,
+      "placeholder symbols are 'A'..'Z' — one merge each")
+    val kept = scala.collection.mutable.Buffer.empty[DataFrame]
+    try {
+      var corpus = words(docs, textCol)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      kept += corpus
+      var outs = List.empty[DataFrame]
+      for (r <- 1 to rounds) {
+        val top = charPairCountsOf(corpus)
+          .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        kept += top
+        outs ::= top.select(lit(r).as("round"), col("pair"), col("cnt"))
+        if (r < rounds) {
+          // fuse the winner into this round's placeholder: plain
+          // non-overlapping left-to-right replace, the exact BPE
+          // application order ("aaa" under pair "aa" -> "Za")
+          corpus = corpus
+            .crossJoin(broadcast(top.select(col("pair").as("mp"))))
+            .select(expr(s"replace(w, mp, '${('A' + r - 1).toChar}')")
+              .as("w"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          kept += corpus
+        }
+      }
+      outs.reduce(_.union(_)).orderBy("round").localCheckpoint(true)
+    } finally kept.foreach(_.unpersist(false))
+  }
+
+  private def charPairCountsOf(wordsDf: DataFrame): DataFrame =
+    pairsOf(wordsDf).groupBy("pair").agg(count(lit(1)).as("cnt"))
+}

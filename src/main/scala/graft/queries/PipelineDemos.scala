@@ -177,6 +177,26 @@ object PipelineDemos {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     }),
+    // BPE induction's inner-loop aggregate: adjacent character-pair
+    // counts over the corpus's lowercase alphabetic words — the
+    // tokenizer-TRAINING side of the token family (token_stats /
+    // vocab_oov APPLY a tokenizer; this is the statistic that learns
+    // one). One explode + one map-side-combined count; (cnt desc,
+    // pair) is a total order so the full frame is deterministic.
+    "bpe_pair_counts" -> ((s, dir) => {
+      graft.extensions.Bpe.charPairCounts(
+          Tables.documents(s, dir), "text")
+        .orderBy(col("cnt").desc, col("pair").asc)
+    }),
+    // Three full BPE merge rounds: count pairs, fuse the argmax
+    // (lexicographic tiebreak) into a single-char placeholder, recount
+    // — the ordered merge list IS the artifact tokenizer training
+    // produces. Per round: one tiny-key-space shuffle + a broadcast
+    // 1-row crossJoin feeding a map-side replace.
+    "bpe_merges" -> ((s, dir) => {
+      graft.extensions.Bpe.mergeTable(
+        Tables.documents(s, dir), "text", rounds = 3)
+    }),
     // Token counting: whitespace + BPE-ish subword counts.
     "token_stats" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -1831,6 +1851,50 @@ object PipelineDemos {
 
   private val toksExpr =
     """list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)"""
+
+  /** BPE word extraction (extensions.Bpe.words): lowercase alphabetic
+    * runs of length ≥ 2, one row per occurrence. A source-relation CTE
+    * body — the merge oracle also applies it verbatim.
+    */
+  private val bpeWordsSql =
+    """SELECT w FROM (
+      |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+      |  FROM documents)
+      |WHERE length(w) >= 2""".stripMargin
+  /** Adjacent symbol pairs of word column `w` — `substr(w, i, 2)` for
+    * i in 1..len-1 (DuckDB `range` end-exclusive = Spark `sequence`
+    * 1..len-1 inclusive).
+    */
+  private val bpePairsExpr =
+    "list_transform(range(1, length(w)), i -> substr(w, i, 2))"
+
+  /** The BPE merge-table oracle (extensions.Bpe.mergeTable): `rounds`
+    * chained count-argmax-fuse CTEs, round r fusing into placeholder
+    * chr(64 + r). Word CTEs are MATERIALIZED — each is read by both
+    * its pair count and the next round's replace, the exact CTE-
+    * inlining blowup `AS MATERIALIZED` exists to stop.
+    */
+  private def bpeMergesOracle(rounds: Int): String = {
+    val ctes = (1 to rounds).map { r =>
+      val top =
+        s"""c$r AS (SELECT pair, count(*) AS cnt
+           |  FROM (SELECT unnest($bpePairsExpr) AS pair FROM w${r - 1})
+           |  GROUP BY pair),
+           |t$r AS MATERIALIZED (SELECT $r AS round, pair, cnt FROM c$r
+           |  ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+      if (r < rounds)
+        top + s""",
+           |w$r AS MATERIALIZED (SELECT
+           |  replace(w, (SELECT pair FROM t$r), '${('A' + r - 1).toChar}')
+           |    AS w FROM w${r - 1})""".stripMargin
+      else top
+    }.mkString(",\n")
+    val unions = (1 to rounds)
+      .map(r => s"SELECT * FROM t$r").mkString(" UNION ALL ")
+    s"""WITH w0 AS MATERIALIZED ($bpeWordsSql),
+       |$ctes
+       |SELECT round, pair, cnt FROM ($unions) ORDER BY round""".stripMargin
+  }
   private val shinglesExpr =
     """CASE WHEN len(toks) >= 3
       | THEN list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))
@@ -3173,6 +3237,13 @@ object PipelineDemos {
       s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ltoks FROM documents),
          |s AS (SELECT doc_id, $scoresSelect FROM t)
          |SELECT doc_id, $langCase AS lang_pred FROM s ORDER BY doc_id""".stripMargin,
+    "bpe_pair_counts" ->
+      s"""WITH w AS MATERIALIZED ($bpeWordsSql)
+         |SELECT pair, count(*) AS cnt
+         |FROM (SELECT unnest($bpePairsExpr) AS pair FROM w)
+         |GROUP BY pair
+         |ORDER BY cnt DESC, pair""".stripMargin,
+    "bpe_merges" -> bpeMergesOracle(rounds = 3),
     "token_stats" ->
       s"""SELECT doc_id, len($toksExpr) AS n_tokens,
          |  len(regexp_extract_all(text, '${TextAnalysis.bpeIshPattern}')) AS n_subwords

@@ -11,6 +11,30 @@ class ExtensionsSpec extends SparkTestBase {
     rows.toSeq.toDF("doc_id", "text")
   }
 
+  test("BPE induction: hand-computed pair counts and three merge " +
+       "rounds, including a word that collapses to ONE symbol after " +
+       "round 1 (the sequence(1,0) descending-range trap)") {
+    // words: banana, band, an, anna (the "Don't!" is separator noise)
+    val docs = docsDf(1L -> "banana band", 2L -> "an anna Don't!")
+    // by hand — "don't" splits at the apostrophe into don + t (t is
+    // len-1, dropped): an 5 (banana x2, band, an, anna), na 3
+    // (banana x2, anna), ba 2 (banana, band), nd/nn/do/on 1 each
+    val counts = graft.extensions.Bpe.charPairCounts(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("an" -> 5L, "na" -> 3L, "ba" -> 2L,
+      "nd" -> 1L, "nn" -> 1L, "do" -> 1L, "on" -> 1L))
+    // round 1 fuses an->A: banana->bAAa, band->bAd, an->A (1 symbol!),
+    // anna->Ana, don->dA? no — don has no 'an'; don->don, t dropped
+    // (len 1). round 2 pairs: bA 2 (bAAa, bAd), AA/Aa/Ad/An/na 1,
+    // do/on 1 -> fuses bA->B. round 3 pairs: BA,Aa (BAa), Bd, An,na
+    // (Ana), do,on — all 1, lexicographic smallest wins: 'Aa' < 'An'
+    // < 'BA' < 'Bd' < lowercase.
+    val merges = graft.extensions.Bpe.mergeTable(docs, "text", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(merges.toSeq == Seq((1, "an", 5L), (2, "bA", 2L),
+      (3, "Aa", 1L)))
+  }
+
   test("exact dedup groups identical texts, keeps smallest id") {
     val out = TextDedup.exact(
         docsDf(1L -> "same text here", 2L -> "same text here",
