@@ -1,0 +1,177 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Deterministic distributed Lloyd k-means — the clustering primitive
+  * semantic data curation is built on (SemDeDup-style cluster-then-
+  * prune, coarse-quantizer training, curriculum grouping). The engine
+  * already USES k-means in two guises — MLlib's sampled fit for IVF
+  * index quality ([[Ivf.train]]) and the md5-seeded no-iteration
+  * quantizer ([[Ivf.trainDeterministic]]) — but neither exposes the
+  * Lloyd iteration itself as an oracle-checkable operator. This one
+  * does, the same way [[Bpe.mergeTable]] exposes tokenizer training:
+  * every round is exact, engine-independent arithmetic, so an
+  * independent SQL engine reproduces the full training trajectory
+  * bit-for-bit.
+  *
+  * Determinism contract (the same three tricks the ANN/centroid
+  * family already relies on):
+  *  - init: centroids are the vectors of the k smallest ids — no RNG;
+  *  - distances: squared L2 as a SEQUENTIAL left-to-right double fold
+  *    over dims (matches DuckDB `list_reduce`; 0.0 + x ≡ x in IEEE),
+  *    ties argmin to the smaller cluster id;
+  *  - updates: per-dim means in fixed point — sum of floor(v·1e6)
+  *    longs divided by (n·1e6) — so the distributed sum is
+  *    order-independent and the new centroid is the same double on
+  *    any cluster layout or engine.
+  *
+  * Scale shape per round: assignment is MAP-SIDE — the k·d centroid
+  * matrix rides into the executors as literals (broadcast semantics,
+  * ~4 KB at k=8, d=64; a production k in the thousands would move it
+  * to an explicit broadcast join, same plan) and the argmin is one
+  * pass over a k-element literal array per row, no shuffle, no
+  * candidate explosion. The ONLY shuffle is the centroid update: a
+  * posexplode to (cluster, pos, q) rows map-side-combined onto k·d
+  * keys (512 at the demo shape) — the exchange carries k·d rows per
+  * partition regardless of corpus size. Driver state per round is the
+  * k·d quantized-sum table (bounded by construction, the same
+  * index-build stance as [[Ivf.trainDeterministic]]'s k-row collect).
+  * The corpus is re-read once per round — inherent to Lloyd — so the
+  * prepped frame persists for the duration and unpersists in finally.
+  *
+  * Empty clusters (possible once centroids migrate) drop out of the
+  * update groupBy on both engines identically; later rounds simply
+  * carry fewer centroids.
+  */
+object Kmeans {
+
+  /** One trained model: per-round centroids (exact doubles) and the
+    * per-round quantized inertia. `centroids(r)` is the table AFTER
+    * update round r+1, sorted by cluster id; `inertiaQ(r)` is
+    * Σ floor(min-dist · 1e6) under the round-r assignment (i.e. against
+    * the PREVIOUS round's centroids) — the convergence curve.
+    */
+  final case class KmeansModel(centroids: Vector[Array[(Int, Array[Double])]],
+                               inertiaQ: Vector[Long]) {
+    def last: Array[(Int, Array[Double])] = centroids.last
+  }
+
+  private val Q = 1e6
+
+  /** Sequential-fold squared L2 distance to a literal centroid.
+    * zip_with preserves element order; aggregate folds left-to-right —
+    * the bit-for-bit mirror of the oracle's list_reduce. */
+  private def l2sqLit(vec: Column, cent: Array[Double]): Column =
+    aggregate(
+      zip_with(vec, typedLit(cent.toSeq), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** (best-cluster, best-dist) against a literal centroid table: a
+    * struct array min — struct ordering compares (d, cluster)
+    * lexicographically, which IS the argmin with ties to the smaller
+    * cluster id. One map-side pass, no join. */
+  private def argminStruct(vec: Column,
+                           cents: Array[(Int, Array[Double])]): Column =
+    array_min(array(cents.map { case (cid, cv) =>
+      struct(l2sqLit(vec, cv).as("d"), lit(cid).as("cluster"))
+    }: _*))
+
+  /** Train `rounds` Lloyd iterations over `vecs(idCol, vecCol)` with
+    * k = the vectors of the k smallest ids as initial centroids.
+    * Returns the full trajectory (see [[KmeansModel]]). Each round is
+    * one Spark job: map-side assign + k·d-key update + bounded
+    * (k·d + 1)-row collect.
+    */
+  def lloyd(vecs: DataFrame, idCol: String, vecCol: String,
+            k: Int, rounds: Int): KmeansModel = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    val prepped = vecs
+      .select(col(idCol).as("id"),
+              col(vecCol).cast("array<double>").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // init: k smallest ids, k bounded rows to the driver (the
+      // Ivf.trainDeterministic index-build stance)
+      var cents: Array[(Int, Array[Double])] =
+        prepped.orderBy("id").limit(k).collect().zipWithIndex.map {
+          case (r, i) => i -> r.getSeq[Double](1).toArray
+        }
+      var centTrail = Vector.empty[Array[(Int, Array[Double])]]
+      var inertiaTrail = Vector.empty[Long]
+      for (_ <- 1 to rounds) {
+        val assigned = prepped
+          .select(col("id"), col("v"),
+                  argminStruct(col("v"), cents).as("best"))
+          .select(col("id"), col("v"),
+                  col("best.cluster").as("cluster"),
+                  floor(col("best.d") * Q).cast("long").as("dq"))
+        // ONE aggregation computes both the k·d quantized dim sums and
+        // the inertia (grouping-key trick: pos = -1 carries the
+        // per-row min-dist mass so the round stays a single job)
+        val upd = assigned
+          .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")),
+                  col("dq"))
+          .select(col("cluster"), col("pos"),
+                  floor(col("x") * Q).cast("long").as("q"),
+                  when(col("pos") === 0, col("dq")).otherwise(lit(0L))
+                    .as("dq0"))
+          .groupBy("cluster", "pos")
+          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"),
+               sum(col("dq0")).as("sdq"))
+          .collect()
+        inertiaTrail :+= upd.filter(_.getInt(1) == 0).map(_.getLong(4)).sum
+        cents = upd.groupBy(_.getInt(0)).toArray.sortBy(_._1).map {
+          case (cid, rows) =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val cv = new Array[Double](dim)
+            rows.foreach { r =>
+              cv(r.getInt(1)) = r.getLong(2).toDouble /
+                (r.getLong(3).toDouble * Q)
+            }
+            cid -> cv
+        }
+        centTrail :+= cents
+      }
+      KmeansModel(centTrail, inertiaTrail)
+    } finally prepped.unpersist(false)
+  }
+
+  /** The per-round centroid trajectory as a long-format frame —
+    * (round, cluster, pos, c) — the training artifact, directly
+    * comparable to the oracle's chained-CTE reproduction. */
+  def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+                    model: KmeansModel): DataFrame = {
+    import spark.implicits._
+    model.centroids.zipWithIndex.flatMap { case (cents, r) =>
+      cents.toSeq.flatMap { case (cid, cv) =>
+        cv.toSeq.zipWithIndex.map { case (c, pos) =>
+          (r + 1, cid, pos.toLong, c)
+        }
+      }
+    }.toDF("round", "cluster", "pos", "c")
+  }
+
+  /** The per-round quantized inertia curve (round, inertia_q) —
+    * Σ floor(min-dist·1e6) under each round's assignment. Exact longs,
+    * so the convergence curve is engine-comparable. */
+  def inertiaFrame(spark: org.apache.spark.sql.SparkSession,
+                   model: KmeansModel): DataFrame = {
+    import spark.implicits._
+    model.inertiaQ.zipWithIndex
+      .map { case (iq, r) => (r + 1, iq) }
+      .toDF("round", "inertia_q")
+  }
+
+  /** Final assignment under the trained model: (id, cluster, dq) per
+    * vector — one map-side pass, the plan a 100 TB cluster-assignment
+    * job wants (quantized distance keeps the output engine-exact). */
+  def assign(vecs: DataFrame, idCol: String, vecCol: String,
+             model: KmeansModel): DataFrame =
+    vecs.select(col(idCol).as("id"),
+        argminStruct(col(vecCol).cast("array<double>"), model.last)
+          .as("best"))
+      .select(col("id"), col("best.cluster").as("cluster"),
+              floor(col("best.d") * lit(Q)).cast("long").as("dq"))
+}

@@ -52,6 +52,10 @@ object PipelineDemos {
 
   private val pqIndexCache = new graft.tables.CorpusMemo[Pq.PqIndex]("embeddings")
 
+  private val kmeansCache =
+    new graft.tables.CorpusMemo[graft.extensions.Kmeans.KmeansModel](
+      "embeddings")
+
   // cosine-metric PQ codebooks (trained on normalized vectors) for the
   // two-phase rerank demo
   private val pqCosIndexCache = new graft.tables.CorpusMemo[Pq.PqIndex]("embeddings")
@@ -196,6 +200,17 @@ object PipelineDemos {
     "bpe_merges" -> ((s, dir) => {
       graft.extensions.Bpe.mergeTable(
         Tables.documents(s, dir), "text", rounds = 3)
+    }),
+    // BPE ENCODE with the learned 3-round merge table: the other half
+    // of the tokenizer contract (bpe_merges trains; this applies). The
+    // ≤26-row merge table folds into ONE broadcast row; the encode is
+    // then a single map-side pass — per-row array transforms, no
+    // explode, no shuffle — reporting per-doc token economics
+    // (n_words/n_chars/n_syms/compression).
+    "bpe_encode_stats" -> ((s, dir) => {
+      graft.extensions.Bpe.encodeStats(
+          Tables.documents(s, dir), "doc_id", "text", rounds = 3)
+        .orderBy("doc_id")
     }),
     // Token counting: whitespace + BPE-ish subword counts.
     "token_stats" -> ((s, dir) => {
@@ -816,6 +831,42 @@ object PipelineDemos {
                 (col("sq").cast("double") /
                   (col("n").cast("double") * 1e6)).as("mean_q"))
         .orderBy("label", "pos")
+    }),
+    // Deterministic Lloyd k-means, 3 rounds at k=8: the full training
+    // trajectory as (round, cluster, pos, c) — init from the k
+    // smallest ids, sequential-fold L2 assignment with argmin ties to
+    // the smaller cluster, fixed-point centroid updates. Per round:
+    // ONE map-side assignment (centroids ride as literals) + ONE
+    // k·d-key map-side-combined shuffle. The model is memoized per
+    // corpus (training is an offline step, shared by the three
+    // kmeans_* demos).
+    "kmeans_centroids" -> ((s, dir) => {
+      val m = kmeansCache.getOrElseUpdate(dir,
+        graft.extensions.Kmeans.lloyd(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8, rounds = 3))
+      graft.extensions.Kmeans.centroidFrame(s, m)
+        .orderBy("round", "cluster", "pos")
+    }),
+    // The k-means convergence curve: Σ floor(min-dist·1e6) per round —
+    // exact longs, so the (monotone) inertia trajectory is
+    // engine-comparable.
+    "kmeans_inertia" -> ((s, dir) => {
+      val m = kmeansCache.getOrElseUpdate(dir,
+        graft.extensions.Kmeans.lloyd(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8, rounds = 3))
+      graft.extensions.Kmeans.inertiaFrame(s, m).orderBy("round")
+    }),
+    // Final cluster assignment under the trained model — the SemDeDup /
+    // curriculum-grouping primitive: one map-side pass per vector,
+    // quantized distance for engine-exact output.
+    "kmeans_assign" -> ((s, dir) => {
+      val m = kmeansCache.getOrElseUpdate(dir,
+        graft.extensions.Kmeans.lloyd(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8, rounds = 3))
+      graft.extensions.Kmeans.assign(Tables.embeddings(s, dir),
+          "vec_id", "embedding", m)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
     }),
     // k-NN classification: 3 nearest cosine neighbors vote; majority
     // with ties to the smaller label. Queries (vec_id < 20) classify
@@ -1874,7 +1925,7 @@ object PipelineDemos {
     * its pair count and the next round's replace, the exact CTE-
     * inlining blowup `AS MATERIALIZED` exists to stop.
     */
-  private def bpeMergesOracle(rounds: Int): String = {
+  private def bpeMergeCtes(rounds: Int): String = {
     val ctes = (1 to rounds).map { r =>
       val top =
         s"""c$r AS (SELECT pair, count(*) AS cnt
@@ -1889,11 +1940,48 @@ object PipelineDemos {
            |    AS w FROM w${r - 1})""".stripMargin
       else top
     }.mkString(",\n")
+    s"""w0 AS MATERIALIZED ($bpeWordsSql),
+       |$ctes""".stripMargin
+  }
+
+  private def bpeMergesOracle(rounds: Int): String = {
     val unions = (1 to rounds)
       .map(r => s"SELECT * FROM t$r").mkString(" UNION ALL ")
-    s"""WITH w0 AS MATERIALIZED ($bpeWordsSql),
-       |$ctes
+    s"""WITH ${bpeMergeCtes(rounds)}
        |SELECT round, pair, cnt FROM ($unions) ORDER BY round""".stripMargin
+  }
+
+  /** The BPE encode-stats oracle (extensions.Bpe.encodeStats): the same
+    * merge-table CTE chain as [[bpeMergesOracle]] (the scalar subqueries
+    * `(SELECT pair FROM t_r)` stand in for the Spark side's broadcast
+    * merge row), then one per-doc pass — words of length ≥ 1 (the
+    * encoder also sees the 1-char words the trainer skips), `rounds`
+    * nested non-overlapping replaces in training order, and the
+    * (n_words, n_chars, n_syms, compression) token economics. Docs with
+    * no alphabetic words drop out (n_chars = 0), matching the Spark
+    * filter.
+    */
+  private def bpeEncodeOracle(rounds: Int): String = {
+    // per-WORD rows rather than per-doc lambdas: DuckDB forbids the
+    // scalar merge-pair subqueries inside list lambdas, and the GROUP BY
+    // reproduces the Spark side's zero-word drop for free
+    val encoded = (1 to rounds).foldLeft("w") { (acc, r) =>
+      s"replace($acc, (SELECT pair FROM t$r), '${('A' + r - 1).toChar}')"
+    }
+    s"""WITH ${bpeMergeCtes(rounds)},
+       |d AS (SELECT doc_id, w FROM (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+       |  FROM documents)
+       |  WHERE length(w) >= 1),
+       |e AS (SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(length(w)) AS BIGINT) AS n_chars,
+       |  CAST(sum(length($encoded)) AS BIGINT) AS n_syms
+       |  FROM d GROUP BY doc_id)
+       |SELECT doc_id, n_words, n_chars, n_syms,
+       |  CAST(n_syms AS DOUBLE) / CAST(n_chars AS DOUBLE) AS compression
+       |FROM e ORDER BY doc_id""".stripMargin
   }
   private val shinglesExpr =
     """CASE WHEN len(toks) >= 3
@@ -1965,6 +2053,77 @@ object PipelineDemos {
     s"(CAST($a[$j*$dsub + i] AS DOUBLE) - CAST($b[$j*$dsub + i] AS DOUBLE)) * " +
     s"(CAST($a[$j*$dsub + i] AS DOUBLE) - CAST($b[$j*$dsub + i] AS DOUBLE)))," +
     s" (acc, x) -> acc + x)"
+
+  /** Sequential-fold squared L2 between two DOUBLE[] columns — the
+    * bit-for-bit mirror of Kmeans.l2sqLit's zip_with+aggregate fold. */
+  private def kmL2Sql(v: String, cv: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($v)), i -> " +
+    s"($v[i] - $cv[i]) * ($v[i] - $cv[i])), (acc, x) -> acc + x)"
+
+  /** The Lloyd k-means oracle chain (extensions.Kmeans.lloyd): init
+    * c0 = the k smallest ids' vectors, then per round r an assignment
+    * CTE a_r (argmin of the sequential-fold L2, ties to the smaller
+    * cluster) and an update CTE u_r of fixed-point dim sums —
+    * c_r rebuilds the centroid lists from the exact (sq, n) rationals,
+    * so every round's doubles match the Spark side's on any engine.
+    */
+  private def kmeansCtes(k: Int, rounds: Int): String = {
+    val base =
+      s"""e AS MATERIALIZED (SELECT vec_id AS id,
+         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1
+         |    AS INTEGER) AS cluster, v AS cv
+         |  FROM e ORDER BY id LIMIT $k)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      s"""a$r AS MATERIALIZED (SELECT id, v, cluster, d FROM (
+         |  SELECT e.id, e.v, c.cluster, ${kmL2Sql("e.v", "c.cv")} AS d
+         |  FROM e, c${r - 1} c)
+         |  QUALIFY row_number() OVER (PARTITION BY id
+         |    ORDER BY d, cluster) = 1),
+         |u$r AS MATERIALIZED (SELECT cluster, CAST(i - 1 AS BIGINT) AS pos,
+         |    SUM(CAST(floor(v[i] * 1000000.0) AS BIGINT)) AS sq,
+         |    count(*) AS n
+         |  FROM (SELECT cluster, v,
+         |        unnest(generate_series(1, len(v))) AS i FROM a$r)
+         |  GROUP BY cluster, pos),
+         |c$r AS (SELECT cluster, list(CAST(sq AS DOUBLE) /
+         |    (CAST(n AS DOUBLE) * 1000000.0) ORDER BY pos) AS cv
+         |  FROM u$r GROUP BY cluster)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$iters"
+  }
+
+  private def kmeansCentroidsOracle(k: Int, rounds: Int): String = {
+    val unions = (1 to rounds).map { r =>
+      s"""SELECT $r AS round, cluster, pos,
+         |  CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS c
+         |FROM u$r""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH ${kmeansCtes(k, rounds)}
+       |SELECT round, cluster, pos, c FROM ($unions)
+       |ORDER BY round, cluster, pos""".stripMargin
+  }
+
+  private def kmeansInertiaOracle(k: Int, rounds: Int): String = {
+    val unions = (1 to rounds).map { r =>
+      s"""SELECT $r AS round,
+         |  CAST(SUM(CAST(floor(d * 1000000.0) AS BIGINT)) AS BIGINT)
+         |    AS inertia_q
+         |FROM a$r""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH ${kmeansCtes(k, rounds)}
+       |SELECT round, inertia_q FROM ($unions) ORDER BY round""".stripMargin
+  }
+
+  private def kmeansAssignOracle(k: Int, rounds: Int): String =
+    s"""WITH ${kmeansCtes(k, rounds)}
+       |SELECT id AS vec_id, cluster,
+       |  CAST(floor(d * 1000000.0) AS BIGINT) AS dq
+       |FROM (SELECT e.id, c.cluster, ${kmL2Sql("e.v", "c.cv")} AS d
+       |      FROM e, c$rounds c)
+       |QUALIFY row_number() OVER (PARTITION BY id
+       |  ORDER BY d, cluster) = 1
+       |ORDER BY vec_id""".stripMargin
 
   private val hexHigh = "('8','9','a','b','c','d','e','f')"
 
@@ -3244,6 +3403,7 @@ object PipelineDemos {
          |GROUP BY pair
          |ORDER BY cnt DESC, pair""".stripMargin,
     "bpe_merges" -> bpeMergesOracle(rounds = 3),
+    "bpe_encode_stats" -> bpeEncodeOracle(rounds = 3),
     "token_stats" ->
       s"""SELECT doc_id, len($toksExpr) AS n_tokens,
          |  len(regexp_extract_all(text, '${TextAnalysis.bpeIshPattern}')) AS n_subwords
@@ -3782,6 +3942,9 @@ object PipelineDemos {
         |SELECT label, pos,
         |  CAST(SUM(q) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_q
         |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "kmeans_centroids" -> kmeansCentroidsOracle(k = 8, rounds = 3),
+    "kmeans_inertia" -> kmeansInertiaOracle(k = 8, rounds = 3),
+    "kmeans_assign" -> kmeansAssignOracle(k = 8, rounds = 3),
     "knn_classify" ->
       s"""WITH $normsCte,
          |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM norms WHERE vec_id < 20),

@@ -35,6 +35,74 @@ class ExtensionsSpec extends SparkTestBase {
       (3, "Aa", 1L)))
   }
 
+  test("BPE encode: learned 3-round merges applied per doc, including " +
+       "the 1-char words the trainer skips and an all-separator doc " +
+       "that drops out") {
+    // merges learned on this fixture (pinned above): an->A, bA->B, Aa->C
+    val docs = docsDf(1L -> "banana band", 2L -> "an anna Don't!",
+      3L -> "?!... 123")
+    val out = graft.extensions.Bpe.encodeStats(docs, "doc_id", "text",
+        rounds = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // doc 1: banana->bAAa->BAa->BC (2), band->bAd->Bd (2):
+    //   2 words, 10 chars, 4 syms
+    // doc 2: an->A (1), anna->Ana (3 — "Ana" pairs are An/na, the
+    //   round-3 merge Aa does NOT hit), don->don (3), t->t (1, the
+    //   len-1 word the TRAINER drops but the encoder must count):
+    //   4 words, 10 chars, 8 syms
+    // doc 3: no alphabetic words -> dropped
+    assert(out.toSeq == Seq(
+      (1L, 2L, 10L, 4L, 0.4),
+      (2L, 4L, 10L, 8L, 0.8)))
+  }
+
+  test("k-means: hand-computed 2-cluster Lloyd — fixed-point centroid " +
+       "updates, quantized inertia, stable round-2 fixpoint, and the " +
+       "argmin tie to the smaller cluster id") {
+    import spark.implicits._
+    val vecs = Seq(
+      0L -> Array(0f, 0f), 1L -> Array(10f, 10f),
+      2L -> Array(1f, 0f), 3L -> Array(0f, 1f),
+      4L -> Array(9f, 10f), 5L -> Array(10f, 9f)
+    ).toDF("vec_id", "embedding")
+    val m = graft.extensions.Kmeans.lloyd(vecs, "vec_id", "embedding",
+      k = 2, rounds = 2)
+    // round 1: {0,2,3} -> cluster 0 (seed (0,0)), {1,4,5} -> cluster 1;
+    // centroids are the exact quantized-long means (1/3, 1/3) and
+    // (29/3, 29/3)
+    val r1 = m.centroids(0).toMap.map { case (c, v) => c -> v.toSeq }
+    assert(r1 == Map(
+      0 -> Seq(1000000.0 / 3e6, 1000000.0 / 3e6),
+      1 -> Seq(29000000.0 / 3e6, 29000000.0 / 3e6)))
+    // assignment is already stable -> round 2 reproduces the same
+    // fixed-point centroids bit-for-bit
+    val r2 = m.centroids(1).toMap.map { case (c, v) => c -> v.toSeq }
+    assert(r2 == r1)
+    // round-1 inertia: four unit distances, quantized = 4,000,000;
+    // round 2 strictly tighter (centroids moved to the means)
+    assert(m.inertiaQ(0) == 4000000L)
+    assert(m.inertiaQ(1) < m.inertiaQ(0))
+    val assigned = graft.extensions.Kmeans
+      .assign(vecs, "vec_id", "embedding", m)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned == Map(0L -> 0, 2L -> 0, 3L -> 0,
+                           1L -> 1, 4L -> 1, 5L -> 1))
+    // argmin tie: a point equidistant to both centroids goes to the
+    // SMALLER cluster id (the struct-ordering guarantee)
+    val m2 = graft.extensions.Kmeans.lloyd(
+      Seq(0L -> Array(0f, 0f), 1L -> Array(2f, 0f))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 2, rounds = 1)
+    val tie = graft.extensions.Kmeans.assign(
+        Seq(9L -> Array(1f, 0f)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", m2)
+      .collect()
+    assert(tie.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSeq == Seq((9L, 0, 1000000L)))
+  }
+
   test("exact dedup groups identical texts, keeps smallest id") {
     val out = TextDedup.exact(
         docsDf(1L -> "same text here", 2L -> "same text here",
