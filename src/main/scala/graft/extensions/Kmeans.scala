@@ -174,4 +174,46 @@ object Kmeans {
           .as("best"))
       .select(col("id"), col("best.cluster").as("cluster"),
               floor(col("best.d") * lit(Q)).cast("long").as("dq"))
+
+  /** Within-cluster exact-cosine near-dup pairs over the trained Lloyd
+    * cells — the candidate generator of SemDeDup (Abbas et al. 2023,
+    * arXiv:2303.09540): duplicates are only searched INSIDE a semantic
+    * cluster, so candidate volume is Σ|cell|² instead of n² (with k
+    * grown ∝ n, cell sizes — and the per-cell quadratic — stay
+    * bounded; the paper uses the same argument). Plan shape mirrors
+    * [[Ivf.nearDupPairs]]: one map-side assignment, the shared frame
+    * repartitioned by cluster BEFORE the per-side renames so the
+    * self-join's two exchange subtrees canonicalize identically and
+    * ReusedExchange ships the vectors once. Single-cell assignment
+    * (unlike IVF's multi-probe) means no pair can appear twice — no
+    * dedup aggregation needed.
+    *
+    * Cache ownership: the staged frame persists for the session (same
+    * stance as Ivf.nearDupPairs — CacheManager dedups repeat calls,
+    * clearCache() reclaims between corpora).
+    */
+  def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                   model: KmeansModel, threshold: Double): DataFrame = {
+    val staged = vecs
+      .select(col(idCol).as("id"),
+              col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), col("v"),
+              Similarity.norm(col("v")).as("nrm"),
+              argminStruct(col("v"), model.last)
+                .getField("cluster").as("cluster"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val colocated = staged.repartition(col("cluster"))
+    val a = colocated.select(col("cluster"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = colocated.select(col("cluster"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(col("nrm_a") > 0 && col("nrm_b") > 0,
+          Similarity.dot(col("v_a"), col("v_b"))
+            / (col("nrm_a") * col("nrm_b")))
+          .otherwise(lit(0.0)).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
 }

@@ -868,6 +868,32 @@ object PipelineDemos {
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")
     }),
+    // SemDeDup (Abbas et al. 2023): near-dup pairs searched only
+    // WITHIN each trained Lloyd cell (candidates ∝ Σ|cell|², not n²),
+    // transitive closure into duplicate groups, and the paper's keep
+    // rule — each group retains the member FARTHEST from its centroid
+    // (max quantized distance, ties to the smaller id), preserving
+    // diversity. Singletons (no near-dup) never enter the pair graph
+    // and are implicitly kept.
+    "semdedup_prune" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = kmeansCache.getOrElseUpdate(dir,
+        graft.extensions.Kmeans.lloyd(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8, rounds = 3))
+      val e = Tables.embeddings(s, dir)
+      val pairs = graft.extensions.Kmeans.nearDupPairs(
+        e, "vec_id", "embedding", m, cosineThreshold)
+      val comps = Components.connectedComponents(pairs, "id_a", "id_b")
+      val dists = graft.extensions.Kmeans.assign(e, "vec_id",
+        "embedding", m)
+      comps.join(dists, "id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("comp")
+            .orderBy(col("dq").desc, col("id"))))
+        .select(col("id").as("vec_id"), col("comp"), col("dq"),
+                (col("rn") === 1).as("keep"))
+        .orderBy("vec_id")
+    }),
     // k-NN classification: 3 nearest cosine neighbors vote; majority
     // with ties to the smaller label. Queries (vec_id < 20) classify
     // against the rest of the corpus.
@@ -2123,6 +2149,42 @@ object PipelineDemos {
        |      FROM e, c$rounds c)
        |QUALIFY row_number() OVER (PARTITION BY id
        |  ORDER BY d, cluster) = 1
+       |ORDER BY vec_id""".stripMargin
+
+  /** SemDeDup oracle (extensions.Kmeans.nearDupPairs + the farthest-
+    * from-centroid keep rule): the k-means chain, the final assignment
+    * with norms, within-cluster cosine pairs, the recursive-reach
+    * closure, and one per-component window. `dq`/cosines are the same
+    * exact doubles as the Spark side (sequential folds, fixed-point
+    * centroids). */
+  private def semdedupOracle(k: Int, rounds: Int,
+                             threshold: Double): String =
+    s"""WITH RECURSIVE ${kmeansCtes(k, rounds)},
+       |af AS MATERIALIZED (SELECT id, v, cluster,
+       |    CAST(floor(d * 1000000.0) AS BIGINT) AS dq,
+       |    sqrt(${dotSql("v", "v")}) AS nrm
+       |  FROM (SELECT e.id, e.v, c.cluster,
+       |        ${kmL2Sql("e.v", "c.cv")} AS d
+       |        FROM e, c$rounds c)
+       |  QUALIFY row_number() OVER (PARTITION BY id
+       |    ORDER BY d, cluster) = 1),
+       |p AS (SELECT a.id AS id_a, b.id AS id_b
+       |  FROM af a JOIN af b ON a.cluster = b.cluster AND a.id < b.id
+       |  WHERE (CASE WHEN a.nrm > 0 AND b.nrm > 0
+       |    THEN ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm)
+       |    ELSE 0.0 END) >= $threshold),
+       |sym AS (SELECT id_a AS a, id_b AS b FROM p
+       |        UNION SELECT id_b, id_a FROM p),
+       |reach AS (
+       |  SELECT a AS node, a AS comp FROM sym
+       |  UNION
+       |  SELECT s.a, r.comp FROM sym s JOIN reach r ON r.node = s.b),
+       |comps AS (SELECT node AS id, min(comp) AS comp
+       |          FROM reach GROUP BY node)
+       |SELECT c.id AS vec_id, c.comp, f.dq,
+       |  row_number() OVER (PARTITION BY c.comp
+       |    ORDER BY f.dq DESC, c.id) = 1 AS keep
+       |FROM comps c JOIN af f ON f.id = c.id
        |ORDER BY vec_id""".stripMargin
 
   private val hexHigh = "('8','9','a','b','c','d','e','f')"
@@ -3945,6 +4007,8 @@ object PipelineDemos {
     "kmeans_centroids" -> kmeansCentroidsOracle(k = 8, rounds = 3),
     "kmeans_inertia" -> kmeansInertiaOracle(k = 8, rounds = 3),
     "kmeans_assign" -> kmeansAssignOracle(k = 8, rounds = 3),
+    "semdedup_prune" ->
+      semdedupOracle(k = 8, rounds = 3, threshold = cosineThreshold),
     "knn_classify" ->
       s"""WITH $normsCte,
          |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM norms WHERE vec_id < 20),

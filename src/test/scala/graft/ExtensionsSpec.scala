@@ -103,6 +103,34 @@ class ExtensionsSpec extends SparkTestBase {
       .toSeq == Seq((9L, 0, 1000000L)))
   }
 
+  test("SemDeDup: within-cluster cosine pairs over the trained cells, " +
+       "and the farthest-from-centroid keep evidence (exact dq, tie " +
+       "to the smaller id)") {
+    import spark.implicits._
+    // exact-in-float coordinates so every distance is hand-computable:
+    // cluster 0 = {(1,0), (0.5,0), (0,1)}, cluster 1 = {(-1,0), (-0.5,0)}
+    val vecs = Seq(
+      0L -> Array(1f, 0f), 1L -> Array(-1f, 0f), 2L -> Array(0.5f, 0f),
+      3L -> Array(0f, 1f), 4L -> Array(-0.5f, 0f)
+    ).toDF("vec_id", "embedding")
+    val m = graft.extensions.Kmeans.lloyd(vecs, "vec_id", "embedding",
+      k = 2, rounds = 1)
+    // colinear pairs have cosine 1; (0,1) is orthogonal to both cluster
+    // mates -> exactly the two within-cluster duplicate pairs survive
+    val pairs = graft.extensions.Kmeans.nearDupPairs(
+        vecs, "vec_id", "embedding", m, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 2L), (1L, 4L)))
+    // keep rule evidence: centroids after round 1 are (0.5, 1/3) and
+    // (-0.75, 0); dq(0) = floor((0.25 + 1/9)·1e6) = 361111 beats
+    // dq(2) = 111111 (0 is farther -> kept); cluster 1 is an EXACT
+    // distance tie (62500 both) -> the smaller id wins
+    val dq = graft.extensions.Kmeans.assign(vecs, "vec_id", "embedding", m)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(dq(0L) == 361111L && dq(2L) == 111111L)
+    assert(dq(1L) == 62500L && dq(4L) == 62500L)
+  }
+
   test("exact dedup groups identical texts, keeps smallest id") {
     val out = TextDedup.exact(
         docsDf(1L -> "same text here", 2L -> "same text here",
