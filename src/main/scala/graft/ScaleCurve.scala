@@ -1070,6 +1070,74 @@ object ScaleCurve {
           "wall ktruss sparse (s)" -> f"$secTS%.2f"))
       }
 
+    // ---- 12. Lloyd k-means + SemDeDup (kmeans_* / semdedup_prune) ----
+    // The flops of training/assignment (n·k·d) are pure MAP work — they
+    // scale out with executors; what must stay bounded is the shuffle:
+    // the per-round centroid update carries k·d keys regardless of
+    // corpus size, and the SemDeDup pair join is bounded by the cell
+    // size the caller chooses via k. Two regimes: data growth at fixed
+    // k=256 (wall should track n), and the fixed-cell-size SemDeDup
+    // regime (k = n/512, candidate volume ∝ n — the paper's own
+    // argument for why within-cluster search beats n²).
+    val kmPts = Seq(100000L, 400000L, 1600000L)
+      .filter(_ <= points.max * 8)
+      .map { n =>
+        val vecs = vectorCorpus(spark, n)
+        var model: graft.extensions.Kmeans.KmeansModel = null
+        val (secT, _) = timeIt(spark) {
+          model = graft.extensions.Kmeans.lloyd(vecs, "vec_id",
+            "embedding", k = 256, rounds = 2)
+          model.inertiaQ.last
+        }
+        // Lloyd invariant on the exact quantized longs: inertia under
+        // the round-2 assignment (vs round-1 centroids) never exceeds
+        // round 1's
+        val mono = model.inertiaQ.sliding(2)
+          .forall(s => s.length < 2 || s(1) <= s(0))
+        var nAssign = 0L
+        val (secA, _) = timeIt(spark) {
+          nAssign = graft.extensions.Kmeans.assign(vecs, "vec_id",
+            "embedding", model).count()
+          nAssign
+        }
+        spark.catalog.clearCache()
+        Point(n, Seq(
+          "vectors" -> n.toString,
+          "k" -> "256",
+          "rounds" -> "2",
+          "inertia monotone" -> mono.toString,
+          "wall train (s)" -> f"$secT%.2f",
+          "wall assign (s)" -> f"$secA%.2f"))
+      }
+
+    val sdPts = Seq(100000L, 200000L, 400000L)
+      .filter(_ <= points.max * 2)
+      .map { n =>
+        val vecs = vectorCorpus(spark, n)
+        val kCells = (n / 512L).toInt
+        val model = graft.extensions.Kmeans.lloyd(vecs, "vec_id",
+          "embedding", k = kCells, rounds = 1)
+        var nPairs = 0L
+        val (secS, _) = timeIt(spark) {
+          nPairs = graft.extensions.Kmeans.nearDupPairs(vecs, "vec_id",
+            "embedding", model, threshold = 0.99).count()
+          nPairs
+        }
+        // the 100 planted ×1.0005 twins are the ground-truth duplicate
+        // pairs (cos ≈ 1 > 0.99; random 32-d cosines never approach it)
+        val twins = graft.extensions.Kmeans.nearDupPairs(vecs, "vec_id",
+            "embedding", model, threshold = 0.99)
+          .filter(col("id_b") - col("id_a") === n - 100).count()
+        spark.catalog.clearCache()
+        Point(n, Seq(
+          "vectors" -> n.toString,
+          "cells" -> kCells.toString,
+          "avg cell" -> "512",
+          "dup pairs" -> nPairs.toString,
+          "twin recall" -> f"${twins / 100.0}%.2f",
+          "wall pairs (s)" -> f"$secS%.2f"))
+      }
+
     // ---- render ------------------------------------------------------
     // both renderers are total in the point count: a small
     // SPARK_GRAFT_SCALE_POINTS override can filter a section's fixed
@@ -1485,6 +1553,36 @@ object ScaleCurve {
        ^k-truss: ${growth(triPts, "wall ktruss (s)")}.
        ^k-truss sparse-peel: ${growth(triPts, "wall ktruss sparse (s)")}.
        ^
+       ^## 12. Lloyd k-means + SemDeDup (`kmeans_*` / `semdedup_prune` shape)
+       ^
+       ^Deterministic Lloyd over the §3 vector corpora (d=32, planted
+       ^×1.0005 twins). The flops of training/assignment (n·k·d per
+       ^round) are pure MAP work — the centroid matrix rides the codegen
+       ^references of ONE native kernel call (NearestCentroid, task
+       ^binary flat in k) and the work scales out with executors. What
+       ^must stay bounded is the SHUFFLE, and it is: the per-round
+       ^centroid update exchanges k·d fixed-point keys (8,192 at k=256,
+       ^d=32) regardless of corpus size, map-side-combined from the
+       ^posexploded dims. Fixed k=256, 2 rounds:
+       ^
+       ^${table(kmPts)}
+       ^
+       ^Growth: ${growth(kmPts, "wall train (s)")}.
+       ^Assignment: ${growth(kmPts, "wall assign (s)")}.
+       ^
+       ^SemDeDup (within-cluster duplicate search) runs the OTHER k
+       ^regime: k grows with n so the average cell stays ~512 vectors
+       ^and the pair-join candidate volume stays ∝ n·cell (the paper's
+       ^own argument for why within-cluster search beats the n² scan).
+       ^The shuffle is one cell-keyed exchange of the vectors
+       ^(ReusedExchange ships them once); the quadratic term is
+       ^per-cell, paid as map-side dot products:
+       ^
+       ^${table(sdPts)}
+       ^
+       ^Growth: ${growth(sdPts, "wall pairs (s)")};
+       ^pair volume: ${growth(sdPts, "dup pairs")}.
+       ^
        ^## Reading the curves at 100 TB
        ^
        ^- LSH: `bandBits`/`bands` must track log2(corpus) (TextDedup
@@ -1496,6 +1594,10 @@ object ScaleCurve {
        ^- IVF-PQ: grow `cells` with sqrt(n); the corpus side of the probe
        ^  join carries (id, cell, codes[8]) only — the raw-vector payload
        ^  never shuffles (PlanShapeSpec guard).
+       ^- k-means/SemDeDup: k is a model choice, not a shuffle cost — the
+       ^  update exchange is k·d keys and assignment is map-only, so the
+       ^  wall is flops-bound and scales out with executors. For SemDeDup
+       ^  grow k ∝ n (constant cell size) to keep the pair join linear.
        ^""".stripMargin('^')
 
     Files.writeString(Paths.get(out), md)

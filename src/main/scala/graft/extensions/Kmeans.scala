@@ -60,23 +60,20 @@ object Kmeans {
 
   private val Q = 1e6
 
-  /** Sequential-fold squared L2 distance to a literal centroid.
-    * zip_with preserves element order; aggregate folds left-to-right —
-    * the bit-for-bit mirror of the oracle's list_reduce. */
-  private def l2sqLit(vec: Column, cent: Array[Double]): Column =
-    aggregate(
-      zip_with(vec, typedLit(cent.toSeq), (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, t) => acc + t)
-
-  /** (best-cluster, best-dist) against a literal centroid table: a
-    * struct array min — struct ordering compares (d, cluster)
-    * lexicographically, which IS the argmin with ties to the smaller
-    * cluster id. One map-side pass, no join. */
+  /** (best-cluster, best-dist) against the centroid table: the native
+    * codegen'd kernel (graft.functions.NearestCentroid) — one generated
+    * static call regardless of k. Semantics are exactly the composed
+    * `array_min(array(k × struct(aggregate(zip_with((x−c)²)), id)))`:
+    * the same sequential left-to-right double fold per centroid (the
+    * bit-for-bit mirror of the oracle's list_reduce) and the same
+    * (d, cluster) argmin order with ties to the smaller cluster id
+    * (QuantSpec pins the equivalence). The composed form's generated
+    * code grew with k — fine at the demo k=8, fatal at the
+    * thousands-of-cells a production SemDeDup k needs.
+    */
   private def argminStruct(vec: Column,
                            cents: Array[(Int, Array[Double])]): Column =
-    array_min(array(cents.map { case (cid, cv) =>
-      struct(l2sqLit(vec, cv).as("d"), lit(cid).as("cluster"))
-    }: _*))
+    graft.functions.NearestCentroid(vec, cents)
 
   /** Train `rounds` Lloyd iterations over `vecs(idCol, vecCol)` with
     * k = the vectors of the k smallest ids as initial centroids.

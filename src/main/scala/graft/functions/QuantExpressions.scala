@@ -3,8 +3,10 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StructField, StructType}
 
 /** Native quantization kernels for the ANN index paths (SURVEY §4.3
   * tier-b custom expressions). The composed-builtin forms they replace
@@ -150,6 +152,33 @@ object QuantEval {
     }
     new GenericArrayData(out)
   }
+
+  /** (argmin cluster id, its squared L2) over the centroid matrix —
+    * exactly `array_min(array(k × struct(l2², id)))` with ids sorted
+    * ascending: Double.compare keeps NaN greatest, and a distance tie
+    * (or an all-NaN row) keeps the smaller POSITION = smaller id.
+    */
+  def nearestCentroid(vec: ArrayData, ids: Array[Int],
+                      cents: Array[Array[Double]]): InternalRow = {
+    val d = cents(0).length
+    if (vec.numElements() != d) return null
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        val diff = vec.getDouble(i) - cent(i)
+        acc += diff * diff
+        i += 1
+      }
+      if (java.lang.Double.compare(acc, bestD) < 0) { bestD = acc; best = c }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](ids(best), bestD))
+  }
 }
 
 /** Top-`take` coarse-quantizer cells by (dot desc, cell desc). */
@@ -263,4 +292,65 @@ object PqDistTable {
     GraftBridge.column(PqDistTable(
       Cast(GraftBridge.expression(vec), ArrayType(DoubleType)),
       centroids.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
+}
+
+/** Nearest centroid by squared L2 — struct(cluster, d) with the argmin
+  * tie to the smaller cluster id. The k-means hot kernel
+  * (Kmeans.lloyd / assign / nearDupPairs): ONE generated static call
+  * regardless of k, replacing the composed
+  * `array_min(array(k × struct(aggregate(zip_with(...)), lit(id))))`
+  * form whose generated code grew with k — fine at the demo k=8, fatal
+  * at the thousands-of-cells SemDeDup needs (the TopCells lesson,
+  * see the module doc). Bit parity with the composed form: the same
+  * ascending-i strict left-to-right double fold per centroid, and the
+  * same (d, cluster) total order under java.lang.Double.compare
+  * (NaN-greatest; an all-NaN row keeps the smallest id). `ids` must be
+  * sorted ascending so position ties ARE id ties — Kmeans builds its
+  * centroid tables sorted, and the companion apply requires it.
+  */
+case class NearestCentroid(child: Expression,
+                           ids: IndexedSeq[Int],
+                           centroids: IndexedSeq[IndexedSeq[Double]])
+    extends UnaryExpression {
+  require(ids.nonEmpty && ids.length == centroids.length,
+    "ids and centroids must be parallel and non-empty")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("d", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  // null for a vector whose length differs from the centroid dimension
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  @transient private lazy val idArr: Array[Int] = ids.toArray
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    QuantEval.nearestCentroid(v.asInstanceOf[ArrayData], idArr, cents)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val refIds = ctx.addReferenceObj("kmeansIds", idArr, "int[]")
+    val refC = ctx.addReferenceObj("kmeansCentroids", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.QuantEval.nearestCentroid($c, $refIds, $refC);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroid =
+    copy(child = c)
+}
+
+object NearestCentroid {
+  def apply(vec: Column, cents: Array[(Int, Array[Double])]): Column = {
+    require(cents.map(_._1).sameElements(cents.map(_._1).sorted),
+      "centroid rows must be sorted by cluster id (position tie = id tie)")
+    GraftBridge.column(NearestCentroid(
+      Cast(GraftBridge.expression(vec), ArrayType(DoubleType)),
+      cents.map(_._1).toIndexedSeq,
+      cents.map(_._2.toIndexedSeq).toIndexedSeq))
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.extensions.Similarity
-import graft.functions.{PqCodes, PqDistTable, TopCells}
+import graft.functions.{NearestCentroid, PqCodes, PqDistTable, TopCells}
 
 /** Bit-equivalence of the native quantization kernels (round-6
   * QuantExpressions) with the composed-builtin chains they replaced —
@@ -41,6 +41,46 @@ class QuantSpec extends SparkTestBase {
       struct(chainL2sq(subvec(vec, j, dsub), c).as("d"),
              lit(i).as("code"))
     }: _*)).getItem(0).getField("code")
+
+  test("NearestCentroid == array_min(array(struct(l2sq, id))) incl. a " +
+       "planted distance tie (smaller cluster id wins) and sparse " +
+       "cluster ids") {
+    val rng = new scala.util.Random(13)
+    val base = Array.fill(5)(Array.fill(16)(rng.nextGaussian()))
+    // centroid row 4 duplicates row 1: every vector ties on their
+    // distances; sparse non-contiguous ids exercise the id mapping
+    val cents: Array[(Int, Array[Double])] =
+      Array(0 -> base(0), 3 -> base(1), 5 -> base(2), 7 -> base(3),
+            9 -> base(1).clone())
+    val composed = array_min(array(cents.map { case (cid, cv) =>
+      struct(chainL2sq(col("v").cast("array<double>"), cv).as("d"),
+             lit(cid).as("cluster"))
+    }: _*))
+    val got = vecsDf(64, 16).select(col("id"),
+        NearestCentroid(col("v"), cents).as("n"),
+        composed.as("e"))
+      .select(col("id"),
+        col("n.cluster"), col("e.cluster"),
+        col("n.d"), col("e.d"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2),
+        s"id ${r.getLong(0)}: cluster ${r.getInt(1)} != ${r.getInt(2)}")
+      assert(r.getDouble(3) == r.getDouble(4),
+        s"id ${r.getLong(0)}: d ${r.getDouble(3)} != ${r.getDouble(4)}")
+    }
+    // the planted tie actually surfaces: whenever the duplicated
+    // centroid wins, the SMALLER id (3, not 9) must be reported
+    assert(got.exists(_.getInt(1) == 3), "planted duplicate never won")
+    assert(!got.exists(_.getInt(1) == 9),
+      "tie must resolve to the smaller cluster id")
+    // dimension-mismatch contract: shorter AND longer vectors null out
+    import spark.implicits._
+    val bad = Seq(1L -> Array.fill(8)(0.0), 2L -> Array.fill(32)(0.0))
+      .toDF("id", "v")
+      .select(NearestCentroid(col("v"), cents).as("n")).collect()
+    assert(bad.forall(_.isNullAt(0)))
+  }
 
   test("TopCells == reverse(array_sort(struct(dot, cell))) incl. " +
        "planted dot ties (larger cell wins)") {
