@@ -1089,11 +1089,14 @@ object ScaleCurve {
             "embedding", k = 256, rounds = 2)
           model.inertiaQ.last
         }
-        // Lloyd invariant on the exact quantized longs: inertia under
-        // the round-2 assignment (vs round-1 centroids) never exceeds
-        // round 1's
+        // Lloyd invariant on the quantized longs, with the honest
+        // slack: each point's floor(d·1e6) loses up to one quantum, so
+        // a round-over-round improvement smaller than n quanta
+        // (n·1e-6 distance units) is indistinguishable from noise —
+        // allow it rather than misreport a correct engine near
+        // convergence
         val mono = model.inertiaQ.sliding(2)
-          .forall(s => s.length < 2 || s(1) <= s(0))
+          .forall(s => s.length < 2 || s(1) <= s(0) + n)
         var nAssign = 0L
         val (secA, _) = timeIt(spark) {
           nAssign = graft.extensions.Kmeans.assign(vecs, "vec_id",
@@ -1117,17 +1120,24 @@ object ScaleCurve {
         val kCells = (n / 512L).toInt
         val model = graft.extensions.Kmeans.lloyd(vecs, "vec_id",
           "embedding", k = kCells, rounds = 1)
+        // ONE aggregation returns both counts — the within-cell pair
+        // join is this section's dominant cost, so twin recall must not
+        // re-run it outside the timer. Twins: the 100 planted ×1.0005
+        // copies are the ground-truth duplicate pairs (cos ≈ 1 > 0.99;
+        // random 32-d cosines never approach it).
         var nPairs = 0L
+        var twins = 0L
         val (secS, _) = timeIt(spark) {
-          nPairs = graft.extensions.Kmeans.nearDupPairs(vecs, "vec_id",
-            "embedding", model, threshold = 0.99).count()
+          val r = graft.extensions.Kmeans.nearDupPairs(vecs, "vec_id",
+              "embedding", model, threshold = 0.99)
+            .agg(count(lit(1)).as("np"),
+                 sum(when(col("id_b") - col("id_a") === n - 100, 1L)
+                   .otherwise(0L)).as("tw"))
+            .collect().head
+          nPairs = r.getLong(0)
+          twins = if (r.isNullAt(1)) 0L else r.getLong(1)
           nPairs
         }
-        // the 100 planted ×1.0005 twins are the ground-truth duplicate
-        // pairs (cos ≈ 1 > 0.99; random 32-d cosines never approach it)
-        val twins = graft.extensions.Kmeans.nearDupPairs(vecs, "vec_id",
-            "embedding", model, threshold = 0.99)
-          .filter(col("id_b") - col("id_a") === n - 100).count()
         spark.catalog.clearCache()
         Point(n, Seq(
           "vectors" -> n.toString,
@@ -1563,7 +1573,9 @@ object ScaleCurve {
        ^must stay bounded is the SHUFFLE, and it is: the per-round
        ^centroid update exchanges k·d fixed-point keys (8,192 at k=256,
        ^d=32) regardless of corpus size, map-side-combined from the
-       ^posexploded dims. Fixed k=256, 2 rounds:
+       ^posexploded dims. Fixed k=256, 2 rounds ("inertia monotone" is
+       ^the Lloyd invariant on the quantized longs, allowing the
+       ^±n·1e-6 fixed-point slack):
        ^
        ^${table(kmPts)}
        ^

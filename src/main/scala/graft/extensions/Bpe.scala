@@ -116,48 +116,57 @@ object Bpe {
   private def charPairCountsOf(wordsDf: DataFrame): DataFrame =
     pairsOf(wordsDf).groupBy("pair").agg(count(lit(1)).as("cnt"))
 
-  /** ENCODE with a learned merge table — the other half of the BPE
+  /** The trained merge list as driver state — (round, pair, cnt)
+    * ascending by round, exactly [[mergeTable]]'s rows. Bounded collect
+    * (≤ rounds ≤ 26 rows — the same offline-artifact stance as
+    * Kmeans.lloyd's k·d collect). A corpus can run OUT of fusable
+    * pairs before `rounds` (every word already a single symbol): that
+    * round has no winner and simply emits no row, so consumers apply
+    * only the merges that exist — no NULL placeholder ever enters the
+    * encode (the silent-NULL hazard the earlier broadcast-row pivot
+    * had).
+    */
+  def collectMerges(docs: DataFrame, textCol: String,
+                    rounds: Int): Seq[(Int, String, Long)] =
+    mergeTable(docs, textCol, rounds).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+
+  /** ENCODE with a learned merge list — the other half of the BPE
     * contract ([[mergeTable]] trains; this applies). Per document:
     * extract the word stream (lowercase alphabetic runs, length ≥ 1 —
     * the encoder also sees the 1-char words the trainer skips, a merge
-    * can never match them), apply the `rounds` merges in training
-    * order (each is one non-overlapping left-to-right replace under
-    * the single-char placeholder alphabet), and report the token
-    * economics tokenizer evaluation runs on: word count, symbol count
-    * before (= characters) and after, and the compression ratio —
-    * ONE double division of two exact longs, engine-reproducible.
+    * can never match them), apply the merges in training order (each
+    * is one non-overlapping left-to-right replace under the
+    * single-char placeholder alphabet), and report the token economics
+    * tokenizer evaluation runs on: word count, symbol count before
+    * (= characters) and after, and the compression ratio — ONE double
+    * division of two exact longs, engine-reproducible.
     *
     * Docs with no alphabetic words have no measurable compression and
     * drop out (mirrors the SQL unnest of an empty word list).
     *
-    * Scale shape: the induction's 3 corpus passes (see [[mergeTable]])
-    * produce a ≤26-row table that folds into ONE broadcast row of
-    * merge columns; the encode itself is then a single map-side pass —
-    * per-row array transforms with no explode and no shuffle, the plan
-    * a 100 TB tokenization job wants (the learned artifact moves to
-    * the data, never the reverse).
+    * Scale shape: the merges are literals in the plan (the learned
+    * artifact moves to the data, never the reverse), so the encode is
+    * a single map-side pass — per-row array transforms with no
+    * explode, no join, no shuffle: the plan a 100 TB tokenization job
+    * wants.
     */
   def encodeStats(docs: DataFrame, idCol: String, textCol: String,
-                  rounds: Int): DataFrame = {
-    require(rounds >= 1 && rounds <= 26,
+                  merges: Seq[(Int, String, Long)]): DataFrame = {
+    require(merges.forall { case (r, _, _) => r >= 1 && r <= 26 },
       "placeholder symbols are 'A'..'Z' — one merge each")
-    // ≤26-row merge table → 1 broadcast row (mp1..mpR); max(when) per
-    // round is the tiny-frame pivot that keeps lineage declarative
-    // (no driver collect)
-    val mergeRow = mergeTable(docs, textCol, rounds).agg(
-      max(when(col("round") === 1, col("pair"))).as("mp1"),
-      (2 to rounds).map(r =>
-        max(when(col("round") === r, col("pair"))).as(s"mp$r")): _*)
+    require(merges.map(_._1) == merges.map(_._1).sorted,
+      "merges must be in training (round) order")
     val ws = filter(split(lower(col(textCol)), "[^a-z]+"),
       w => length(w) >= 1)
     val encoded = transform(col("ws"), w =>
-      (1 to rounds).foldLeft(w) { (acc, r) =>
-        replace(acc, col(s"mp$r"), lit(('A' + r - 1).toChar.toString))
+      merges.foldLeft(w) { case (acc, (r, pair, _)) =>
+        replace(acc, lit(pair), lit(('A' + r - 1).toChar.toString))
       })
     val sumLen = (c: Column) =>
       aggregate(c, lit(0L), (a, w) => a + length(w).cast("long"))
     docs.select(col(idCol).as("doc_id"), ws.as("ws"))
-      .crossJoin(broadcast(mergeRow))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
         sumLen(col("ws")).as("n_chars"),
@@ -167,4 +176,12 @@ object Bpe {
         (col("n_syms").cast("double") / col("n_chars").cast("double"))
           .as("compression"))
   }
+
+  /** Train-then-encode convenience: [[collectMerges]] + [[encodeStats]]
+    * in one call (tests and one-shot callers; the demo registry trains
+    * once per corpus and shares the artifact).
+    */
+  def encodeStats(docs: DataFrame, idCol: String, textCol: String,
+                  rounds: Int): DataFrame =
+    encodeStats(docs, idCol, textCol, collectMerges(docs, textCol, rounds))
 }

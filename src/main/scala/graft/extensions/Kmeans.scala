@@ -72,8 +72,20 @@ object Kmeans {
     * thousands-of-cells a production SemDeDup k needs.
     */
   private def argminStruct(vec: Column,
-                           cents: Array[(Int, Array[Double])]): Column =
-    graft.functions.NearestCentroid(vec, cents)
+                           cents: Array[(Int, Array[Double])]): Column = {
+    // Loud-failure guard (the Mixture null-cell stance): NearestCentroid
+    // returns null for a vector whose length differs from the centroid
+    // dimension, and a null best-struct would otherwise flow silently —
+    // into the update agg as an unboxed cluster 0 (corrupting that
+    // centroid and, via the dim probe, the whole next round), or out of
+    // nearDupPairs as a null cell that just joins nothing. Raise
+    // instead; map-side cost is one null check per row.
+    val b = graft.functions.NearestCentroid(vec, cents)
+    when(b.isNull, raise_error(lit(
+      "Kmeans: vector length != centroid dimension — ragged vectors " +
+      "would silently corrupt centroid sums; filter or fix them first")))
+      .otherwise(b)
+  }
 
   /** Train `rounds` Lloyd iterations over `vecs(idCol, vecCol)` with
     * k = the vectors of the k smallest ids as initial centroids.

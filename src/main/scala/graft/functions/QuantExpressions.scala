@@ -156,17 +156,16 @@ object QuantEval {
   /** (argmin cluster id, its squared L2) over the centroid matrix —
     * exactly `array_min(array(k × struct(l2², id)))` with ids sorted
     * ascending: Double.compare keeps NaN greatest, and a distance tie
-    * (or an all-NaN row) keeps the smaller POSITION = smaller id.
+    * keeps the smaller POSITION = smaller id. The running best SEEDS
+    * from row 0 (not +∞) so an all-NaN vector returns (ids(0), NaN),
+    * the exact value the composed struct-min form yields — seeding
+    * from +∞ would report +∞ there and break the pinned bit parity.
     */
   def nearestCentroid(vec: ArrayData, ids: Array[Int],
                       cents: Array[Array[Double]]): InternalRow = {
     val d = cents(0).length
     if (vec.numElements() != d) return null
-    var best = 0
-    var bestD = Double.PositiveInfinity
-    var c = 0
-    while (c < cents.length) {
-      val cent = cents(c)
+    def dist(cent: Array[Double]): Double = {
       var acc = 0.0
       var i = 0
       while (i < d) {
@@ -174,6 +173,13 @@ object QuantEval {
         acc += diff * diff
         i += 1
       }
+      acc
+    }
+    var best = 0
+    var bestD = dist(cents(0))
+    var c = 1
+    while (c < cents.length) {
+      val acc = dist(cents(c))
       if (java.lang.Double.compare(acc, bestD) < 0) { bestD = acc; best = c }
       c += 1
     }

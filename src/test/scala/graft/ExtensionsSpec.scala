@@ -58,6 +58,42 @@ class ExtensionsSpec extends SparkTestBase {
       (2L, 4L, 10L, 8L, 0.8)))
   }
 
+  test("BPE encode: a corpus that runs OUT of fusable pairs before the " +
+       "requested rounds applies only the merges that exist (no NULL " +
+       "placeholder poisoning)") {
+    // one distinct pair: round 1 fuses ab->A, rounds 2-3 have no pairs
+    // (every word is a single symbol) and emit no merge row
+    val docs = docsDf(1L -> "ab ab")
+    val merges = graft.extensions.Bpe.collectMerges(docs, "text",
+      rounds = 3)
+    assert(merges == Seq((1, "ab", 2L)))
+    val out = graft.extensions.Bpe.encodeStats(docs, "doc_id", "text",
+        rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // ab ab -> A A: 2 words, 4 chars, 2 syms — NOT null
+    assert(out.toSeq == Seq((1L, 2L, 4L, 2L, 0.5)))
+  }
+
+  test("k-means: a ragged vector (length != centroid dimension) raises " +
+       "loudly instead of corrupting centroid sums") {
+    import spark.implicits._
+    val m = graft.extensions.Kmeans.lloyd(
+      Seq(0L -> Array(0f, 0f), 1L -> Array(2f, 0f))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 2, rounds = 1)
+    val ragged = Seq(9L -> Array(1f, 0f, 5f)).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      graft.extensions.Kmeans.assign(ragged, "vec_id", "embedding", m)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("centroid dimension")),
+      s"unexpected failure: $ex")
+  }
+
   test("k-means: hand-computed 2-cluster Lloyd — fixed-point centroid " +
        "updates, quantized inertia, stable round-2 fixpoint, and the " +
        "argmin tie to the smaller cluster id") {

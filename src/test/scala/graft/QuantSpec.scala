@@ -66,9 +66,19 @@ class QuantSpec extends SparkTestBase {
     got.foreach { r =>
       assert(r.getInt(1) == r.getInt(2),
         s"id ${r.getLong(0)}: cluster ${r.getInt(1)} != ${r.getInt(2)}")
-      assert(r.getDouble(3) == r.getDouble(4),
+      assert(java.lang.Double.compare(r.getDouble(3), r.getDouble(4)) == 0,
         s"id ${r.getLong(0)}: d ${r.getDouble(3)} != ${r.getDouble(4)}")
     }
+    // all-NaN distances: the kernel must return the composed form's
+    // exact (smallest id, NaN) — a +∞-seeded argmin would report +∞
+    import spark.implicits._
+    val nanGot = Seq(0L -> Array.fill(16)(Double.NaN))
+      .toDF("id", "v")
+      .select(NearestCentroid(col("v"), cents).as("n"), composed.as("e"))
+      .select(col("n.cluster"), col("e.cluster"), col("n.d"), col("e.d"))
+      .collect().head
+    assert(nanGot.getInt(0) == 0 && nanGot.getInt(1) == 0)
+    assert(nanGot.getDouble(2).isNaN && nanGot.getDouble(3).isNaN)
     // the planted tie actually surfaces: whenever the duplicated
     // centroid wins, the SMALLER id (3, not 9) must be reported
     assert(got.exists(_.getInt(1) == 3), "planted duplicate never won")
