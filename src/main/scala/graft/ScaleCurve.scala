@@ -1344,9 +1344,9 @@ object ScaleCurve {
        ^Reading the 5b growth: unlike §5 (fixed 1M-node table, probe
        ^batch alone grows), BOTH join sides quadruple per octave here —
        ^nodes, probes, and the salted probe replication are all ∝ n, so
-       ^per-octave work is ×4 on fixed cores and the measured ×2.3-2.7
-       ^means the job is still partly fixed-cost-bound, not
-       ^super-linear. The salt's 16× replication applies to the
+       ^per-octave work is ×4 on fixed cores and the measured sub-×4
+       ^per-octave growth (see the factors above) means the job is
+       ^still partly fixed-cost-bound, not super-linear. The salt's 16× replication applies to the
        ^DISTINCT-name frame only (0.6n rows), never the raw probe rows;
        ^at real-KG shapes (probes ≫ distinct names) that constant
        ^shrinks relative to the bulk. At 100 TB the lever is executors —
@@ -1473,8 +1473,8 @@ object ScaleCurve {
        ^never materializes either. Its overhead over `wall fused
        ^pairs` is NOT a constant factor on fixed cores: the per-step
        ^prev-adjacency probe and weight fold scale with frontier ×
-       ^degree, so the measured ratio widens across the curve (~×1.3
-       ^at 100k to ~×2.3 at 6.4M) — what the fusion claims, and what
+       ^degree, so the measured ratio varies across the curve (compare
+       ^the two wall columns per row) — what the fusion claims, and what
        ^the per-octave growth factors below pin, is the ABSENCE of
        ^the storage-bound corpus regime, not bias-for-free;
        ^`wall labelprop`
