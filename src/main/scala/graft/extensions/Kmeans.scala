@@ -47,16 +47,28 @@ import org.apache.spark.storage.StorageLevel
   */
 object Kmeans {
 
-  /** One trained model: per-round centroids (exact doubles) and the
-    * per-round quantized inertia. `centroids(r)` is the table AFTER
-    * update round r+1, sorted by cluster id; `inertiaQ(r)` is
-    * Σ floor(min-dist · 1e6) under the round-r assignment (i.e. against
-    * the PREVIOUS round's centroids) — the convergence curve.
+  /** One trained model: per-round centroids (exact doubles), the
+    * per-round quantized inertia, and the FINAL round's exact
+    * fixed-point sums. `centroids(r)` is the table AFTER update round
+    * r+1, sorted by cluster id; `inertiaQ(r)` is Σ floor(min-dist·1e6)
+    * under the round-r assignment (i.e. against the PREVIOUS round's
+    * centroids) — the convergence curve. `sums` is (cluster, per-dim
+    * quantized-long sums, n) behind `last` — the rational the doubles
+    * were divided from, carried so [[incrementalUpdate]] can fold a
+    * new batch in EXACTLY without re-reading history.
     */
   final case class KmeansModel(centroids: Vector[Array[(Int, Array[Double])]],
-                               inertiaQ: Vector[Long]) {
+                               inertiaQ: Vector[Long],
+                               sums: Array[(Int, Array[Long], Long)]) {
     def last: Array[(Int, Array[Double])] = centroids.last
   }
+
+  /** centroid doubles from the exact (sq, n) rationals */
+  private def centsOf(sums: Array[(Int, Array[Long], Long)])
+      : Array[(Int, Array[Double])] =
+    sums.map { case (cid, sq, n) =>
+      cid -> sq.map(_.toDouble / (n.toDouble * Q))
+    }
 
   private val Q = 1e6
 
@@ -109,6 +121,7 @@ object Kmeans {
         }
       var centTrail = Vector.empty[Array[(Int, Array[Double])]]
       var inertiaTrail = Vector.empty[Long]
+      var lastSums = Array.empty[(Int, Array[Long], Long)]
       for (_ <- 1 to rounds) {
         val assigned = prepped
           .select(col("id"), col("v"),
@@ -131,21 +144,114 @@ object Kmeans {
                sum(col("dq0")).as("sdq"))
           .collect()
         inertiaTrail :+= upd.filter(_.getInt(1) == 0).map(_.getLong(4)).sum
-        cents = upd.groupBy(_.getInt(0)).toArray.sortBy(_._1).map {
+        lastSums = upd.groupBy(_.getInt(0)).toArray.sortBy(_._1).map {
           case (cid, rows) =>
             val dim = rows.map(_.getInt(1)).max + 1
-            val cv = new Array[Double](dim)
-            rows.foreach { r =>
-              cv(r.getInt(1)) = r.getLong(2).toDouble /
-                (r.getLong(3).toDouble * Q)
-            }
-            cid -> cv
+            val sq = new Array[Long](dim)
+            rows.foreach(r => sq(r.getInt(1)) = r.getLong(2))
+            (cid, sq, rows.head.getLong(3))
         }
+        cents = centsOf(lastSums)
         centTrail :+= cents
       }
-      KmeansModel(centTrail, inertiaTrail)
+      KmeansModel(centTrail, inertiaTrail, lastSums)
     } finally prepped.unpersist(false)
   }
+
+  /** Online (mini-batch) k-means update — the incremental-family
+    * contract ([[lloyd]] trains offline; this folds a NEW batch into a
+    * trained model without re-reading history). Semantics, stated
+    * exactly: history rows keep the assignment they had when last
+    * summed (the final training round's), batch rows assign under the
+    * CURRENT centroids, and the new centroid is the exact rational
+    * mean over both — the model's carried fixed-point sums make the
+    * merge bit-reproducible on any engine. This is the standard online
+    * k-means estimator (each point contributes where it stood when
+    * last seen), NOT a fresh Lloyd round over the union — a full refit
+    * is a retrain, the same stance as Ivf.appendAssign vs refit.
+    *
+    * Cost: one map-side batch assignment + one k·d-key shuffle +
+    * one bounded k·d collect; history is untouched. An empty batch
+    * returns the model's centroids bit-for-bit.
+    */
+  def incrementalUpdate(model: KmeansModel, batch: DataFrame,
+                        idCol: String, vecCol: String): KmeansModel = {
+    val upd = batch
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .select(col("v"),
+              argminStruct(col("v"), model.last)
+                .getField("cluster").as("cluster"))
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("cluster"), col("pos"),
+              floor(col("x") * Q).cast("long").as("q"))
+      .groupBy("cluster", "pos")
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .collect()
+    val bsums: Map[Int, (Array[Long], Long)] =
+      upd.groupBy(_.getInt(0)).map { case (cid, rows) =>
+        val dim = rows.map(_.getInt(1)).max + 1
+        val sq = new Array[Long](dim)
+        rows.foreach(r => sq(r.getInt(1)) = r.getLong(2))
+        cid -> (sq, rows.head.getLong(3))
+      }
+    // batch clusters are a subset of the model's (assignment can only
+    // pick existing centroids), so the merged key set is the model's
+    val merged = model.sums.map { case (cid, sq, n) =>
+      bsums.get(cid) match {
+        case Some((bsq, bn)) =>
+          require(bsq.length == sq.length,
+            s"Kmeans.incrementalUpdate: dim mismatch on cluster $cid")
+          (cid, sq.zip(bsq).map { case (a, b) => a + b }, n + bn)
+        case None => (cid, sq, n)
+      }
+    }
+    KmeansModel(model.centroids :+ centsOf(merged),
+                model.inertiaQ, merged)
+  }
+
+  /** The model's exact fixed-point state as a frame — (cluster, pos,
+    * c, n): the centroid value and the member count it averages. The
+    * incremental demo's comparable output. */
+  def sumsFrame(spark: org.apache.spark.sql.SparkSession,
+                model: KmeansModel): DataFrame = {
+    import spark.implicits._
+    model.sums.toSeq.flatMap { case (cid, sq, n) =>
+      sq.toSeq.zipWithIndex.map { case (s, pos) =>
+        (cid, pos.toLong, s.toDouble / (n.toDouble * Q), n)
+      }
+    }.toDF("cluster", "pos", "c", "n")
+  }
+
+  /** The model's FULL restorable state — (cluster, pos, sq, n, c):
+    * the exact quantized-long sums (not just their double quotient),
+    * so a landed artifact round-trips through [[modelFromSums]] with
+    * zero loss. The streaming ingest's per-batch state sink. */
+  def stateFrame(spark: org.apache.spark.sql.SparkSession,
+                 model: KmeansModel): DataFrame = {
+    import spark.implicits._
+    model.sums.toSeq.flatMap { case (cid, sq, n) =>
+      sq.toSeq.zipWithIndex.map { case (s, pos) =>
+        (cid, pos.toLong, s, n, s.toDouble / (n.toDouble * Q))
+      }
+    }.toDF("cluster", "pos", "sq", "n", "c")
+  }
+
+  /** Rebuild a (single-generation) model from carried sums — the
+    * read-back path for landed state artifacts. */
+  def modelFromSums(sums: Array[(Int, Array[Long], Long)]): KmeansModel =
+    KmeansModel(Vector(centsOf(sums)), Vector.empty, sums)
+
+  /** Parse a [[stateFrame]] read-back into carried sums. Bounded by
+    * k·d rows by construction. */
+  def sumsFromStateRows(rows: Array[org.apache.spark.sql.Row])
+      : Array[(Int, Array[Long], Long)] =
+    rows.groupBy(_.getInt(0)).toArray.sortBy(_._1).map {
+      case (cid, rs) =>
+        val dim = rs.map(_.getLong(1).toInt).max + 1
+        val sq = new Array[Long](dim)
+        rs.foreach(r => sq(r.getLong(1).toInt) = r.getLong(2))
+        (cid, sq, rs.head.getLong(3))
+    }
 
   /** The per-round centroid trajectory as a long-format frame —
     * (round, cluster, pos, c) — the training artifact, directly

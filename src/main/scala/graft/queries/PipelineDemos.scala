@@ -56,6 +56,13 @@ object PipelineDemos {
     new graft.tables.CorpusMemo[graft.extensions.Kmeans.KmeansModel](
       "embeddings")
 
+  // the HISTORY-trained model for the incremental demo (frozen on the
+  // 3/4 split, the ann_ivf_incremental convention); shared with the
+  // streaming ingest demo
+  private[queries] val kmeansHistCache =
+    new graft.tables.CorpusMemo[graft.extensions.Kmeans.KmeansModel](
+      "embeddings")
+
   // the trained BPE merge list (driver rows, engine-independent) —
   // shared by bpe_merges and bpe_encode_stats so the 3-pass induction
   // runs once per corpus, the same offline-artifact stance as
@@ -883,6 +890,24 @@ object PipelineDemos {
           "vec_id", "embedding", m)
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")
+    }),
+    // Incremental (online) k-means: the model FROZEN on the historical
+    // 3/4 of the corpus folds the remaining 1/4 in as a batch — batch
+    // rows assign under the current centroids, history contributes its
+    // carried exact fixed-point sums and is never re-read (the
+    // ann_ivf_incremental stance: append is cheap, refit is a
+    // retrain). One map-side batch assignment + one k·d-key shuffle.
+    "kmeans_incremental" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val hist = e.filter(pmod(col("vec_id"), lit(4L)) < 3L)
+      val batch = e.filter(pmod(col("vec_id"), lit(4L)) === 3L)
+      val m = kmeansHistCache.getOrElseUpdate(dir,
+        graft.extensions.Kmeans.lloyd(hist, "vec_id", "embedding",
+          k = 8, rounds = 3))
+      graft.extensions.Kmeans.sumsFrame(s,
+          graft.extensions.Kmeans.incrementalUpdate(m, batch,
+            "vec_id", "embedding"))
+        .orderBy("cluster", "pos")
     }),
     // SemDeDup (Abbas et al. 2023): near-dup pairs searched only
     // WITHIN each trained Lloyd cell (candidates ∝ Σ|cell|², not n²),
@@ -2103,7 +2128,7 @@ object PipelineDemos {
 
   /** Sequential-fold squared L2 between two DOUBLE[] columns — the
     * bit-for-bit mirror of Kmeans.l2sqLit's zip_with+aggregate fold. */
-  private def kmL2Sql(v: String, cv: String): String =
+  private[queries] def kmL2Sql(v: String, cv: String): String =
     s"list_reduce(list_transform(generate_series(1, len($v)), i -> " +
     s"($v[i] - $cv[i]) * ($v[i] - $cv[i])), (acc, x) -> acc + x)"
 
@@ -2114,10 +2139,11 @@ object PipelineDemos {
     * c_r rebuilds the centroid lists from the exact (sq, n) rationals,
     * so every round's doubles match the Spark side's on any engine.
     */
-  private def kmeansCtes(k: Int, rounds: Int): String = {
+  private[queries] def kmeansCtes(k: Int, rounds: Int,
+                         where: String = ""): String = {
     val base =
       s"""e AS MATERIALIZED (SELECT vec_id AS id,
-         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings $where),
          |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1
          |    AS INTEGER) AS cluster, v AS cv
          |  FROM e ORDER BY id LIMIT $k)""".stripMargin
@@ -2171,6 +2197,38 @@ object PipelineDemos {
        |QUALIFY row_number() OVER (PARTITION BY id
        |  ORDER BY d, cluster) = 1
        |ORDER BY vec_id""".stripMargin
+
+  /** Incremental k-means oracle (extensions.Kmeans.incrementalUpdate):
+    * the history model's final-round sums (u_rounds of the
+    * history-filtered chain) full-joined with the batch's assignment
+    * sums under the final centroids — the exact fixed-point merge.
+    */
+  private def kmeansIncrementalOracle(k: Int, rounds: Int): String =
+    s"""WITH ${kmeansCtes(k, rounds, where = "WHERE vec_id % 4 < 3")},
+       |b AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings WHERE vec_id % 4 = 3),
+       |ab AS (SELECT id, v, cluster FROM (
+       |  SELECT b.id, b.v, c.cluster, ${kmL2Sql("b.v", "c.cv")} AS d
+       |  FROM b, c$rounds c)
+       |  QUALIFY row_number() OVER (PARTITION BY id
+       |    ORDER BY d, cluster) = 1),
+       |ub AS (SELECT cluster, CAST(i - 1 AS BIGINT) AS pos,
+       |    SUM(CAST(floor(v[i] * 1000000.0) AS BIGINT)) AS sq,
+       |    count(*) AS n
+       |  FROM (SELECT cluster, v,
+       |        unnest(generate_series(1, len(v))) AS i FROM ab)
+       |  GROUP BY cluster, pos),
+       |m AS (SELECT u.cluster, u.pos,
+       |    CAST(u.sq AS HUGEINT) + COALESCE(CAST(ub.sq AS HUGEINT), 0)
+       |      AS sq,
+       |    CAST(u.n AS HUGEINT) + COALESCE(CAST(ub.n AS HUGEINT), 0)
+       |      AS n
+       |  FROM u$rounds u LEFT JOIN ub
+       |    ON u.cluster = ub.cluster AND u.pos = ub.pos)
+       |SELECT cluster, pos,
+       |  CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS c,
+       |  CAST(n AS BIGINT) AS n
+       |FROM m ORDER BY cluster, pos""".stripMargin
 
   /** SemDeDup oracle (extensions.Kmeans.nearDupPairs + the farthest-
     * from-centroid keep rule): the k-means chain, the final assignment
@@ -4028,6 +4086,7 @@ object PipelineDemos {
     "kmeans_centroids" -> kmeansCentroidsOracle(k = 8, rounds = 3),
     "kmeans_inertia" -> kmeansInertiaOracle(k = 8, rounds = 3),
     "kmeans_assign" -> kmeansAssignOracle(k = 8, rounds = 3),
+    "kmeans_incremental" -> kmeansIncrementalOracle(k = 8, rounds = 3),
     "semdedup_prune" ->
       semdedupOracle(k = 8, rounds = 3, threshold = cosineThreshold),
     "knn_classify" ->

@@ -183,6 +183,34 @@ object StreamingDemos {
                 col("drifted").cast("long").as("drifted"))
         .orderBy("batch", "cell")
     }),
+    // Streaming ONLINE k-means: unlike stream_ivf_ingest (frozen index,
+    // advisory only) the model EVOLVES across micro-batches — batch b
+    // assigns under the centroids of landed state b−1 and folds its
+    // exact fixed-point sums in (VecsStream.kmeansIngestBatch, the
+    // streaming face of Kmeans.incrementalUpdate). Two batches
+    // (vec_id % 8 = 3 then 7) over the history-trained model; the
+    // oracle replays the full chain — history training, batch-0 merge,
+    // batch-1 assignment under the UPDATED centroids, batch-1 merge.
+    "stream_kmeans_ingest" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val hist = e.filter(pmod(col("vec_id"), lit(4L)) < 3L)
+      val m = PipelineDemos.kmeansHistCache.getOrElseUpdate(dir,
+        graft.extensions.Kmeans.lloyd(hist, "vec_id", "embedding",
+          k = 8, rounds = 3))
+      val base = graft.tables.ScratchDirs.tmp("kmingest", dir)
+      // fresh sink dir: correctness relies on exactly batches {0, 1}
+      // existing (same stance as stream_ivf_ingest)
+      deleteDir(s"$base/state")
+      Seq(3L, 7L).zipWithIndex.foreach { case (mod, i) =>
+        VecsStream.kmeansIngestBatch(
+          e.filter(pmod(col("vec_id"), lit(8L)) === mod), i.toLong,
+          m, s"$base/state")
+      }
+      s.read.parquet(s"$base/state")
+        .select(col("batch").cast("long").as("batch"), col("cluster"),
+                col("pos"), col("sq"), col("n"), col("c"))
+        .orderBy("batch", "cluster", "pos")
+    }),
     "stream_ingest_flags" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val hex1 = substring(md5(col("doc_id").cast("string")), 1, 1)
@@ -198,7 +226,59 @@ object StreamingDemos {
         .orderBy("id")
     }))
 
+  /** Streaming online k-means oracle: the history training chain, then
+    * per micro-batch an assignment CTE under the PREVIOUS state's
+    * centroids and an exact fixed-point merge — the full evolving-state
+    * replay of VecsStream.kmeansIngestBatch.
+    */
+  private def streamKmeansOracle(k: Int, rounds: Int,
+                                 mods: Seq[Long]): String = {
+    val histSums = s"""SELECT cluster, pos, CAST(sq AS HUGEINT) AS sq,
+         |CAST(n AS HUGEINT) AS n FROM u$rounds""".stripMargin
+    val batchCtes = mods.zipWithIndex.map { case (m, i) =>
+      val prevCents =
+        if (i == 0) s"c$rounds" else s"cm${i - 1}"
+      val prevSums = if (i == 0) s"hm" else s"m${i - 1}"
+      s"""b$i AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id % 8 = $m),
+         |sa$i AS (SELECT id, v, cluster FROM (
+         |  SELECT b$i.id, b$i.v, c.cluster,
+         |    ${PipelineDemos.kmL2Sql(s"b$i.v", "c.cv")} AS d
+         |  FROM b$i, $prevCents c)
+         |  QUALIFY row_number() OVER (PARTITION BY id
+         |    ORDER BY d, cluster) = 1),
+         |ub$i AS (SELECT cluster, CAST(i - 1 AS BIGINT) AS pos,
+         |    SUM(CAST(floor(v[i] * 1000000.0) AS BIGINT)) AS sq,
+         |    count(*) AS n
+         |  FROM (SELECT cluster, v,
+         |        unnest(generate_series(1, len(v))) AS i FROM sa$i)
+         |  GROUP BY cluster, pos),
+         |m$i AS (SELECT p.cluster, p.pos,
+         |    p.sq + COALESCE(CAST(ub$i.sq AS HUGEINT), 0) AS sq,
+         |    p.n + COALESCE(CAST(ub$i.n AS HUGEINT), 0) AS n
+         |  FROM $prevSums p LEFT JOIN ub$i
+         |    ON p.cluster = ub$i.cluster AND p.pos = ub$i.pos),
+         |cm$i AS (SELECT cluster, list(CAST(sq AS DOUBLE) /
+         |    (CAST(n AS DOUBLE) * 1000000.0) ORDER BY pos) AS cv
+         |  FROM m$i GROUP BY cluster)""".stripMargin
+    }.mkString(",\n")
+    val unions = mods.indices.map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS batch, cluster, pos,
+         |  CAST(sq AS BIGINT) AS sq, CAST(n AS BIGINT) AS n,
+         |  CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS c
+         |FROM m$i""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH ${PipelineDemos.kmeansCtes(k, rounds,
+          where = "WHERE vec_id % 4 < 3")},
+       |hm AS ($histSums),
+       |$batchCtes
+       |SELECT batch, cluster, pos, sq, n, c FROM ($unions)
+       |ORDER BY batch, cluster, pos""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "stream_kmeans_ingest" ->
+      streamKmeansOracle(k = 8, rounds = 3, mods = Seq(3L, 7L)),
     "sessionize" ->
       """WITH l AS (SELECT user_id, ts, value,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events),

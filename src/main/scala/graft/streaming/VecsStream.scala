@@ -68,4 +68,45 @@ object VecsStream {
       ()
     }
   }
+
+  /** Streaming ONLINE k-means — the streaming face of
+    * [[graft.extensions.Kmeans.incrementalUpdate]]. Unlike [[ivfIngest]]
+    * (frozen index, per-batch advisory only), the model state here
+    * EVOLVES across micro-batches: batch b assigns under the centroids
+    * of state b−1 and folds its exact fixed-point sums in, landing the
+    * full restorable state (cluster, pos, sq, n, c) at
+    * `stateDir/batch=b`. Exactly-once the same way the other ingest
+    * sinks are: state b is a pure function of the LANDED state b−1
+    * plus batch b (batch 0 starts from the offline model), written
+    * with batch-addressed overwrite — a foreachBatch replay recomputes
+    * the identical partition. Per batch: one k·d-row state read-back
+    * (bounded), one map-side assignment, one k·d-key shuffle.
+    */
+  def kmeansIngest(vecs: DataFrame,
+                   model0: graft.extensions.Kmeans.KmeansModel,
+                   stateDir: String, checkpointDir: String): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        kmeansIngestBatch(batch, batchId, model0, stateDir)
+      }
+      .start()
+
+  /** One online-k-means micro-batch (exposed for batch-parity tests
+    * and the demo registry). */
+  def kmeansIngestBatch(batch: DataFrame, batchId: Long,
+                        model0: graft.extensions.Kmeans.KmeansModel,
+                        stateDir: String): Unit = {
+    import graft.extensions.Kmeans
+    val spark = batch.sparkSession
+    val prev =
+      if (batchId == 0L) model0
+      else Kmeans.modelFromSums(Kmeans.sumsFromStateRows(
+        spark.read.parquet(s"$stateDir/batch=${batchId - 1}")
+          .select("cluster", "pos", "sq", "n").collect()))
+    val updated = Kmeans.incrementalUpdate(prev, batch,
+      "vec_id", "embedding")
+    Kmeans.stateFrame(spark, updated)
+      .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+  }
 }

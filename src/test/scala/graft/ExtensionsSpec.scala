@@ -139,6 +139,37 @@ class ExtensionsSpec extends SparkTestBase {
       .toSeq == Seq((9L, 0, 1000000L)))
   }
 
+  test("incremental k-means: exact fixed-point merge of a new batch " +
+       "into the carried sums; empty batch is bit-for-bit identity") {
+    import spark.implicits._
+    // hist round 1: {0,2,3} -> c0 = (1/3, 1/3) with sums (1e6, 1e6, n=3);
+    // {1} -> c1 = (10, 10) with sums (1e7, 1e7, n=1)
+    val hist = Seq(0L -> Array(0f, 0f), 1L -> Array(10f, 10f),
+      2L -> Array(1f, 0f), 3L -> Array(0f, 1f))
+      .toDF("vec_id", "embedding")
+    val m = graft.extensions.Kmeans.lloyd(hist, "vec_id", "embedding",
+      k = 2, rounds = 1)
+    // batch: (2,2) joins c0 (d 5.55 vs 128), (9,9) joins c1 -> merged
+    // exact means (3e6/4e6, ...) = 0.75 and (1.9e7/2e6) = 9.5
+    val batch = Seq(4L -> Array(2f, 2f), 5L -> Array(9f, 9f))
+      .toDF("vec_id", "embedding")
+    val m2 = graft.extensions.Kmeans.incrementalUpdate(m, batch,
+      "vec_id", "embedding")
+    assert(m2.last.toMap.map { case (c, v) => c -> v.toSeq } ==
+      Map(0 -> Seq(0.75, 0.75), 1 -> Seq(9.5, 9.5)))
+    assert(m2.sums.map { case (c, _, n) => c -> n }.toMap ==
+      Map(0 -> 4L, 1 -> 2L))
+    // history truly untouched: the pre-update trajectory is preserved
+    assert(m2.centroids.init == m.centroids)
+    // empty batch: identity on centroids AND sums
+    val m3 = graft.extensions.Kmeans.incrementalUpdate(m,
+      batch.filter(col("vec_id") < 0L), "vec_id", "embedding")
+    assert(m3.last.toMap.map { case (c, v) => c -> v.toSeq } ==
+      m.last.toMap.map { case (c, v) => c -> v.toSeq })
+    assert(m3.sums.map { case (c, s, n) => (c, s.toSeq, n) }.toSeq ==
+      m.sums.map { case (c, s, n) => (c, s.toSeq, n) }.toSeq)
+  }
+
   test("SemDeDup: within-cluster cosine pairs over the trained cells, " +
        "and the farthest-from-centroid keep evidence (exact dq, tie " +
        "to the smaller id)") {

@@ -728,4 +728,53 @@ class StreamingSpec extends SparkTestBase {
     DocsStream.mixtureBatch(spark, b0.toDF(), 0L, totals, kept, 1L, 3L)
     assert(keptSet(kept) == got)
   }
+
+  test("streaming online k-means: state evolves across micro-batches — " +
+       "batch 1 folds into batch 0's UPDATED state, landed partitions " +
+       "equal the driver-computed chain, replay is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.VecsStream
+    import graft.extensions.Kmeans
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kming")
+    val (state, ckpt) = (s"$tmp/state", s"$tmp/ckpt")
+    val hist = Seq(0L -> Array(0f, 0f), 1L -> Array(10f, 10f),
+      2L -> Array(1f, 0f), 3L -> Array(0f, 1f))
+      .toDF("vec_id", "embedding")
+    val m0 = Kmeans.lloyd(hist, "vec_id", "embedding", k = 2, rounds = 1)
+    val b0 = Seq(VecsStream.Vec(4L, Array(2f, 2f)),
+                 VecsStream.Vec(5L, Array(9f, 9f)))
+    val b1 = Seq(VecsStream.Vec(6L, Array(0f, 2f)))
+    val input = MemoryStream[VecsStream.Vec]
+    val q = VecsStream.kmeansIngest(input.toDF(), m0, state, ckpt)
+    try {
+      input.addData(b0: _*); q.processAllAvailable()
+      input.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    // the driver-computed reference chain: r1 folds into r0, not m0
+    def df(vs: Seq[VecsStream.Vec]) =
+      vs.map(v => (v.vec_id, v.embedding)).toDF("vec_id", "embedding")
+    val r0 = Kmeans.incrementalUpdate(m0, df(b0), "vec_id", "embedding")
+    val r1 = Kmeans.incrementalUpdate(r0, df(b1), "vec_id", "embedding")
+    def landed(b: Int) = spark.read.parquet(s"$state/batch=$b")
+      .select("cluster", "pos", "sq", "n").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def ref(m: Kmeans.KmeansModel) = m.sums.toSeq.flatMap {
+      case (c, sq, n) =>
+        sq.toSeq.zipWithIndex.map { case (s, p) => (c, p.toLong, s, n) }
+    }.toSet
+    assert(landed(0) == ref(r0))
+    assert(landed(1) == ref(r1))
+    // n accumulated across the chain: 4 hist/batch members in cluster 0
+    // (3 hist + (2,2)) + (0,2) from batch 1 = 5
+    assert(r1.sums.map { case (c, _, n) => c -> n }.toMap ==
+      Map(0 -> 5L, 1 -> 2L))
+    // foreachBatch replay (redelivery of batch 0) overwrites its own
+    // partition with identical state — idempotent
+    VecsStream.kmeansIngestBatch(df(b0), 0L, m0, state)
+    assert(landed(0) == ref(r0))
+    assert(landed(1) == ref(r1))
+  }
 }
