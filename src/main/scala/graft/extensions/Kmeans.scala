@@ -56,6 +56,14 @@ object Kmeans {
     * quantized-long sums, n) behind `last` — the rational the doubles
     * were divided from, carried so [[incrementalUpdate]] can fold a
     * new batch in EXACTLY without re-reading history.
+    *
+    * Alignment contract: after [[lloyd]], `centroids.length ==
+    * inertiaQ.length` and index r of each pairs up. An online merge
+    * ([[incrementalUpdate]]) appends a centroid generation WITHOUT an
+    * inertiaQ entry — no assignment sweep over history happens, so
+    * there is no inertia to report; consumers pairing the two
+    * trajectories must zip up to `inertiaQ.length` (the training
+    * prefix) and treat later generations as online state.
     */
   final case class KmeansModel(centroids: Vector[Array[(Int, Array[Double])]],
                                inertiaQ: Vector[Long],
@@ -172,10 +180,20 @@ object Kmeans {
     *
     * Cost: one map-side batch assignment + one k·d-key shuffle +
     * one bounded k·d collect; history is untouched. An empty batch
-    * returns the model's centroids bit-for-bit.
+    * returns the model's centroids bit-for-bit. Appends a centroid
+    * generation WITHOUT an inertiaQ entry (see the [[KmeansModel]]
+    * alignment contract).
+    *
+    * Exactness at scale: the batch's quantized dim sums aggregate in
+    * DECIMAL(38,0) (no silent long wraparound — the AggOps.exactSum
+    * stance) and downcast with `longValueExact`; the history merge
+    * adds with `Math.addExact`. A corpus big enough to overflow the
+    * carried longs (~9.2e18 quanta per (cluster, dim)) fails LOUDLY on
+    * both paths instead of wrapping to a garbage centroid while the
+    * SQL oracle's HUGEINT arithmetic silently stays exact.
     */
   def incrementalUpdate(model: KmeansModel, batch: DataFrame,
-                        idCol: String, vecCol: String): KmeansModel = {
+                        vecCol: String): KmeansModel = {
     val upd = batch
       .select(col(vecCol).cast("array<double>").as("v"))
       .select(col("v"),
@@ -185,13 +203,15 @@ object Kmeans {
       .select(col("cluster"), col("pos"),
               floor(col("x") * Q).cast("long").as("q"))
       .groupBy("cluster", "pos")
-      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .agg(sum(col("q").cast("decimal(38,0)")).as("sq"),
+           count(lit(1)).as("n"))
       .collect()
     val bsums: Map[Int, (Array[Long], Long)] =
       upd.groupBy(_.getInt(0)).map { case (cid, rows) =>
         val dim = rows.map(_.getInt(1)).max + 1
         val sq = new Array[Long](dim)
-        rows.foreach(r => sq(r.getInt(1)) = r.getLong(2))
+        rows.foreach(r => sq(r.getInt(1)) =
+          r.getDecimal(2).toBigInteger.longValueExact())
         cid -> (sq, rows.head.getLong(3))
       }
     // batch clusters are a subset of the model's (assignment can only
@@ -201,7 +221,8 @@ object Kmeans {
         case Some((bsq, bn)) =>
           require(bsq.length == sq.length,
             s"Kmeans.incrementalUpdate: dim mismatch on cluster $cid")
-          (cid, sq.zip(bsq).map { case (a, b) => a + b }, n + bn)
+          (cid, sq.zip(bsq).map { case (a, b) => Math.addExact(a, b) },
+           Math.addExact(n, bn))
         case None => (cid, sq, n)
       }
     }
@@ -213,14 +234,8 @@ object Kmeans {
     * c, n): the centroid value and the member count it averages. The
     * incremental demo's comparable output. */
   def sumsFrame(spark: org.apache.spark.sql.SparkSession,
-                model: KmeansModel): DataFrame = {
-    import spark.implicits._
-    model.sums.toSeq.flatMap { case (cid, sq, n) =>
-      sq.toSeq.zipWithIndex.map { case (s, pos) =>
-        (cid, pos.toLong, s.toDouble / (n.toDouble * Q), n)
-      }
-    }.toDF("cluster", "pos", "c", "n")
-  }
+                model: KmeansModel): DataFrame =
+    stateFrame(spark, model).select("cluster", "pos", "c", "n")
 
   /** The model's FULL restorable state — (cluster, pos, sq, n, c):
     * the exact quantized-long sums (not just their double quotient),

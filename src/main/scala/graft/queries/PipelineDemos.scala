@@ -906,7 +906,7 @@ object PipelineDemos {
           k = 8, rounds = 3))
       graft.extensions.Kmeans.sumsFrame(s,
           graft.extensions.Kmeans.incrementalUpdate(m, batch,
-            "vec_id", "embedding"))
+            "embedding"))
         .orderBy("cluster", "pos")
     }),
     // SemDeDup (Abbas et al. 2023): near-dup pairs searched only

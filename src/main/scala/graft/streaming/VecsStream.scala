@@ -104,8 +104,7 @@ object VecsStream {
       else Kmeans.modelFromSums(Kmeans.sumsFromStateRows(
         spark.read.parquet(s"$stateDir/batch=${batchId - 1}")
           .select("cluster", "pos", "sq", "n").collect()))
-    val updated = Kmeans.incrementalUpdate(prev, batch,
-      "vec_id", "embedding")
+    val updated = Kmeans.incrementalUpdate(prev, batch, "embedding")
     Kmeans.stateFrame(spark, updated)
       .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
   }

@@ -154,7 +154,7 @@ class ExtensionsSpec extends SparkTestBase {
     val batch = Seq(4L -> Array(2f, 2f), 5L -> Array(9f, 9f))
       .toDF("vec_id", "embedding")
     val m2 = graft.extensions.Kmeans.incrementalUpdate(m, batch,
-      "vec_id", "embedding")
+      "embedding")
     assert(m2.last.toMap.map { case (c, v) => c -> v.toSeq } ==
       Map(0 -> Seq(0.75, 0.75), 1 -> Seq(9.5, 9.5)))
     assert(m2.sums.map { case (c, _, n) => c -> n }.toMap ==
@@ -163,7 +163,7 @@ class ExtensionsSpec extends SparkTestBase {
     assert(m2.centroids.init == m.centroids)
     // empty batch: identity on centroids AND sums
     val m3 = graft.extensions.Kmeans.incrementalUpdate(m,
-      batch.filter(col("vec_id") < 0L), "vec_id", "embedding")
+      batch.filter(col("vec_id") < 0L), "embedding")
     assert(m3.last.toMap.map { case (c, v) => c -> v.toSeq } ==
       m.last.toMap.map { case (c, v) => c -> v.toSeq })
     assert(m3.sums.map { case (c, s, n) => (c, s.toSeq, n) }.toSeq ==

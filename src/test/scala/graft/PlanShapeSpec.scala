@@ -438,6 +438,62 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("kmeans_assign is map-side: the only exchange is the output " +
+       "ordering (range partitioning), never the vectors") {
+    val plan = unwrapped(SparkEntry.queries("kmeans_assign")(spark, dir)
+      .queryExecution.executedPlan)
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1,
+      s"assignment must be map-side, got ${exchanges.size} exchanges")
+    exchanges.foreach { e =>
+      assert(e.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RangePartitioning],
+        s"the one exchange must be the demo's orderBy, got " +
+          s"${e.outputPartitioning}")
+      assert(!e.child.output.map(_.name).contains("embedding"),
+        "the ordering exchange must carry (id, cluster, dq), not vectors")
+    }
+  }
+
+  test("Kmeans.nearDupPairs (semdedup candidate join) moves vectors at " +
+       "most once even without broadcast: the cluster co-location " +
+       "exchange is shared by both join sides, post-join exchanges " +
+       "carry ids+cosines only") {
+    def isVec(c: String) = c == "v" || c == "embedding"
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = graft.tables.Tables.embeddings(spark, dir)
+      val m = graft.extensions.Kmeans.lloyd(e, "vec_id", "embedding",
+        k = 4, rounds = 1)
+      val plan = unwrapped(graft.extensions.Kmeans.nearDupPairs(
+          e, "vec_id", "embedding", m, threshold = 0.45)
+        .queryExecution.executedPlan)
+      val vecExchanges = plan.collect {
+        case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if x.child.output.map(_.name).exists(isVec) => x
+      }
+      // one permitted vector move: co-locating the staged assignment by
+      // cluster; both join sides plan the SAME exchange subtree over the
+      // persisted frame (ReusedExchange collapses them at execution)
+      val distinctVecMoves =
+        vecExchanges.map(_.child.output.map(_.name)).distinct
+      assert(distinctVecMoves.size <= 1,
+        s"vectors must move at most once, got $distinctVecMoves")
+      val postJoin = plan.collect {
+        case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if !x.child.output.map(_.name).exists(isVec) =>
+          x.child.output.map(_.name)
+      }
+      postJoin.foreach(cols => assert(cols.forall(c => !isVec(c)),
+        s"post-join exchanges must never carry vectors, got $cols"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }
+  }
+
   test("walk_pairs_bucketed: the walks table bucketed on the FULL " +
        "(start, walk) join key makes the skip-gram self-join " +
        "shuffle-free even without broadcast (subset-key bucketing " +

@@ -755,8 +755,8 @@ class StreamingSpec extends SparkTestBase {
     // the driver-computed reference chain: r1 folds into r0, not m0
     def df(vs: Seq[VecsStream.Vec]) =
       vs.map(v => (v.vec_id, v.embedding)).toDF("vec_id", "embedding")
-    val r0 = Kmeans.incrementalUpdate(m0, df(b0), "vec_id", "embedding")
-    val r1 = Kmeans.incrementalUpdate(r0, df(b1), "vec_id", "embedding")
+    val r0 = Kmeans.incrementalUpdate(m0, df(b0), "embedding")
+    val r1 = Kmeans.incrementalUpdate(r0, df(b1), "embedding")
     def landed(b: Int) = spark.read.parquet(s"$state/batch=$b")
       .select("cluster", "pos", "sq", "n").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
