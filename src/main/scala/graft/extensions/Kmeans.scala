@@ -305,6 +305,79 @@ object Kmeans {
       .select(col("id"), col("best.cluster").as("cluster"),
               floor(col("best.d") * lit(Q)).cast("long").as("dq"))
 
+  /** Two-level ROUTED assignment — the large-k scale path. Exact
+    * assignment costs n·k·d flops; at the SemDeDup regime (k ∝ n for
+    * constant cell size) that grows quadratically. Routing groups the
+    * k centroids into `nSupers` super-cells (one Lloyd round over the
+    * k CENTROID rows — a k-row job, the index-build stance), then each
+    * vector pays one argmin over the supers plus one argmin within its
+    * routed super's members: ~n·(nSupers + k/nSupers)·d flops,
+    * minimized at nSupers ≈ √k. The IVF coarse-quantizer idea applied
+    * to the centroid table itself.
+    *
+    * Approximation contract, stated exactly: the result is the argmin
+    * within the routed super only — it differs from [[assign]]
+    * precisely when a vector's true nearest centroid lives in a
+    * non-routed super (the IVF nProbe=1 trade). Every step is
+    * deterministic and engine-reproducible: the super table derives
+    * from the model by the same fixed-point Lloyd arithmetic, routing
+    * and member argmins are the same sequential folds with the same
+    * (d, id) tie order, so an independent SQL engine replays the whole
+    * two-level decision bit-for-bit. Supers that end up with no member
+    * centroids are excluded from routing on both engines (a vector can
+    * only route where an answer exists).
+    *
+    * @return (id, cluster, dq, super) per vector
+    */
+  def routedAssign(vecs: DataFrame, idCol: String, vecCol: String,
+                   model: KmeansModel, nSupers: Int): DataFrame = {
+    require(nSupers >= 1 && nSupers <= model.last.length,
+      "nSupers must be in [1, k]")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // the k centroid rows as a tiny frame: (cluster id, centroid)
+    val centDf = model.last.toSeq
+      .map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cluster", "cv")
+    // one Lloyd round over the centroids (k-row job); membership under
+    // the UPDATED super centroids — the same (train, assign) pair the
+    // corpus-level API exposes
+    val superModel = lloyd(centDf, "cluster", "cv",
+      k = nSupers, rounds = 1)
+    val membership: Map[Int, Int] =
+      assign(centDf, "cluster", "cv", superModel)
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val bySuper: Seq[(Int, Array[(Int, Array[Double])])] =
+      model.last.groupBy(m => membership(m._1)).toSeq.sortBy(_._1)
+        .map { case (s, members) => s -> members.sortBy(_._1) }
+    // routing table restricted to populated supers (sorted ids — the
+    // NearestCentroid position-tie contract)
+    val routeCents: Array[(Int, Array[Double])] =
+      bySuper.map { case (s, _) =>
+        s -> superModel.last.toMap.apply(s)
+      }.toArray
+    val routed = vecs
+      .select(col(idCol).as("id"),
+              col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), col("v"),
+              argminStruct(col("v"), routeCents)
+                .getField("cluster").as("super"))
+    // per-super member argmin: an nSupers-way branch, each ONE native
+    // kernel call over that super's member centroids — generated code
+    // grows with nSupers (= √k), not k
+    val best = bySuper.tail.foldLeft(
+      when(col("super") === bySuper.head._1,
+        graft.functions.NearestCentroid(col("v"), bySuper.head._2))) {
+      case (acc, (s, members)) =>
+        acc.when(col("super") === s,
+          graft.functions.NearestCentroid(col("v"), members))
+    }
+    routed.select(col("id"), best.as("best"), col("super"))
+      .select(col("id"), col("best.cluster").as("cluster"),
+              floor(col("best.d") * lit(Q)).cast("long").as("dq"),
+              col("super"))
+  }
+
   /** Within-cluster exact-cosine near-dup pairs over the trained Lloyd
     * cells — the candidate generator of SemDeDup (Abbas et al. 2023,
     * arXiv:2303.09540): duplicates are only searched INSIDE a semantic

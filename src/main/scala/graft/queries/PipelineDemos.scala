@@ -891,6 +891,21 @@ object PipelineDemos {
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")
     }),
+    // Two-level ROUTED assignment — the large-k scale path (route via
+    // √k super-centroids trained on the centroid table itself, then
+    // argmin within the routed super's members: ~n·2√k·d flops instead
+    // of n·k·d). The approximation (nProbe=1 over supers) and every
+    // tie are deterministic, so the oracle replays the whole two-level
+    // decision bit-for-bit.
+    "kmeans_assign_routed" -> ((s, dir) => {
+      val m = kmeansCache.getOrElseUpdate(dir,
+        graft.extensions.Kmeans.lloyd(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8, rounds = 3))
+      graft.extensions.Kmeans.routedAssign(Tables.embeddings(s, dir),
+          "vec_id", "embedding", m, nSupers = 3)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    }),
     // Incremental (online) k-means: the model FROZEN on the historical
     // 3/4 of the corpus folds the remaining 1/4 in as a batch — batch
     // rows assign under the current centroids, history contributes its
@@ -2194,6 +2209,56 @@ object PipelineDemos {
        |  CAST(floor(d * 1000000.0) AS BIGINT) AS dq
        |FROM (SELECT e.id, c.cluster, ${kmL2Sql("e.v", "c.cv")} AS d
        |      FROM e, c$rounds c)
+       |QUALIFY row_number() OVER (PARTITION BY id
+       |  ORDER BY d, cluster) = 1
+       |ORDER BY vec_id""".stripMargin
+
+  /** Routed-assignment oracle (extensions.Kmeans.routedAssign): one
+    * Lloyd round over the k centroid rows (same fixed-point
+    * arithmetic, init = the nSupers smallest cluster ids), membership
+    * under the updated supers, routing restricted to populated supers,
+    * then the within-super member argmin — the full two-level decision
+    * replayed.
+    */
+  private def kmeansRoutedOracle(k: Int, rounds: Int,
+                                 nSupers: Int): String =
+    s"""WITH ${kmeansCtes(k, rounds)},
+       |rs0 AS (SELECT CAST(row_number() OVER (ORDER BY cluster) - 1
+       |    AS INTEGER) AS super, cv AS scv
+       |  FROM c$rounds ORDER BY cluster LIMIT $nSupers),
+       |ra1 AS (SELECT cluster, cv, super FROM (
+       |  SELECT c.cluster, c.cv, s.super,
+       |    ${kmL2Sql("c.cv", "s.scv")} AS d
+       |  FROM c$rounds c, rs0 s)
+       |  QUALIFY row_number() OVER (PARTITION BY cluster
+       |    ORDER BY d, super) = 1),
+       |ru1 AS (SELECT super, CAST(i - 1 AS BIGINT) AS pos,
+       |    SUM(CAST(floor(cv[i] * 1000000.0) AS BIGINT)) AS sq,
+       |    count(*) AS n
+       |  FROM (SELECT super, cv,
+       |        unnest(generate_series(1, len(cv))) AS i FROM ra1)
+       |  GROUP BY super, pos),
+       |rc1 AS (SELECT super, list(CAST(sq AS DOUBLE) /
+       |    (CAST(n AS DOUBLE) * 1000000.0) ORDER BY pos) AS scv
+       |  FROM ru1 GROUP BY super),
+       |rm AS (SELECT cluster, super FROM (
+       |  SELECT c.cluster, s.super, ${kmL2Sql("c.cv", "s.scv")} AS d
+       |  FROM c$rounds c, rc1 s)
+       |  QUALIFY row_number() OVER (PARTITION BY cluster
+       |    ORDER BY d, super) = 1),
+       |rpop AS (SELECT s.super, s.scv FROM rc1 s
+       |  WHERE s.super IN (SELECT DISTINCT super FROM rm)),
+       |rv AS (SELECT id, v, super FROM (
+       |  SELECT e.id, e.v, s.super, ${kmL2Sql("e.v", "s.scv")} AS d
+       |  FROM e, rpop s)
+       |  QUALIFY row_number() OVER (PARTITION BY id
+       |    ORDER BY d, super) = 1)
+       |SELECT id AS vec_id, cluster,
+       |  CAST(floor(d * 1000000.0) AS BIGINT) AS dq, super
+       |FROM (SELECT rv.id, c.cluster, rv.super,
+       |        ${kmL2Sql("rv.v", "c.cv")} AS d
+       |      FROM rv JOIN rm ON rm.super = rv.super
+       |      JOIN c$rounds c ON c.cluster = rm.cluster)
        |QUALIFY row_number() OVER (PARTITION BY id
        |  ORDER BY d, cluster) = 1
        |ORDER BY vec_id""".stripMargin
@@ -4087,6 +4152,8 @@ object PipelineDemos {
     "kmeans_inertia" -> kmeansInertiaOracle(k = 8, rounds = 3),
     "kmeans_assign" -> kmeansAssignOracle(k = 8, rounds = 3),
     "kmeans_incremental" -> kmeansIncrementalOracle(k = 8, rounds = 3),
+    "kmeans_assign_routed" ->
+      kmeansRoutedOracle(k = 8, rounds = 3, nSupers = 3),
     "semdedup_prune" ->
       semdedupOracle(k = 8, rounds = 3, threshold = cosineThreshold),
     "knn_classify" ->

@@ -139,6 +139,39 @@ class ExtensionsSpec extends SparkTestBase {
       .toSeq == Seq((9L, 0, 1000000L)))
   }
 
+  test("routed k-means assignment: two-level decision hand-computed, " +
+       "and the nProbe=1 approximation boundary is visible (a vector " +
+       "whose true nearest centroid lives in the non-routed super)") {
+    import spark.implicits._
+    // 4 singleton clusters at x = 0, 1, 10, 11 (centroids = the points)
+    val pts = Seq(0L -> Array(0f, 0f), 1L -> Array(1f, 0f),
+      2L -> Array(10f, 0f), 3L -> Array(11f, 0f))
+      .toDF("vec_id", "embedding")
+    val m = graft.extensions.Kmeans.lloyd(pts, "vec_id", "embedding",
+      k = 4, rounds = 1)
+    assert(m.last.toMap.map { case (c, v) => c -> v.toSeq } == Map(
+      0 -> Seq(0.0, 0.0), 1 -> Seq(1.0, 0.0),
+      2 -> Seq(10.0, 0.0), 3 -> Seq(11.0, 0.0)))
+    // super round: init s0=(0,0), s1=(1,0); updated s0=(0,0),
+    // s1=(22/3, 0); membership s0={c0,c1}, s1={c2,c3}
+    val qs = Seq(100L -> Array(1.5f, 0f), 101L -> Array(4.5f, 0f))
+      .toDF("vec_id", "embedding")
+    val routed = graft.extensions.Kmeans.routedAssign(qs, "vec_id",
+        "embedding", m, nSupers = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getInt(3)))).toMap
+    // (1.5, 0) routes to s0 (2.25 < 34.03) and lands on c1, d = 0.25
+    assert(routed(100L) == ((1, 250000L, 0)))
+    // (4.5, 0): TRUE nearest is c1 (d 12.25) in super 0, but the route
+    // argmin picks s1 (8.03 < 20.25) -> within {c2, c3} the answer is
+    // c2, d = 30.25 — the documented nProbe=1 trade, deterministic
+    assert(routed(101L) == ((2, 30250000L, 1)))
+    val exact = graft.extensions.Kmeans.assign(qs, "vec_id",
+        "embedding", m)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(exact(101L) == 1, "fixture must make routed != exact")
+  }
+
   test("incremental k-means: exact fixed-point merge of a new batch " +
        "into the carried sums; empty batch is bit-for-bit identity") {
     import spark.implicits._
