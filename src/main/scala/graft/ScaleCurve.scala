@@ -1138,6 +1138,23 @@ object ScaleCurve {
           twins = if (r.isNullAt(1)) 0L else r.getLong(1)
           nPairs
         }
+        // assignment flops at this k regime: exact argmin is n·k·d,
+        // the two-level route is ~n·2√k·d — measure both on the same
+        // trained model
+        val (secAx, _) = timeIt(spark) {
+          graft.extensions.Kmeans.assign(vecs, "vec_id", "embedding",
+            model).count()
+        }
+        // routing structures are built ONCE (a pure function of the
+        // model, the offline-artifact stance) so the timer measures the
+        // per-vector assignment flops, symmetric with the exact column
+        val nSup = math.max(2, math.sqrt(kCells.toDouble).toInt)
+        val routing = graft.extensions.Kmeans.routingFor(spark, model,
+          nSupers = nSup)
+        val (secAr, _) = timeIt(spark) {
+          graft.extensions.Kmeans.routedAssign(vecs, "vec_id",
+            "embedding", routing).count()
+        }
         spark.catalog.clearCache()
         Point(n, Seq(
           "vectors" -> n.toString,
@@ -1145,7 +1162,10 @@ object ScaleCurve {
           "avg cell" -> "512",
           "dup pairs" -> nPairs.toString,
           "twin recall" -> f"${twins / 100.0}%.2f",
-          "wall pairs (s)" -> f"$secS%.2f"))
+          "wall pairs (s)" -> f"$secS%.2f",
+          "wall assign exact (s)" -> f"$secAx%.2f",
+          "supers" -> nSup.toString,
+          "wall assign routed (s)" -> f"$secAr%.2f"))
       }
 
     // ---- render ------------------------------------------------------
@@ -1593,7 +1613,16 @@ object ScaleCurve {
        ^${table(sdPts)}
        ^
        ^Growth: ${growth(sdPts, "wall pairs (s)")};
-       ^pair volume: ${growth(sdPts, "dup pairs")}.
+       ^pair volume: ${growth(sdPts, "dup pairs")};
+       ^exact assign: ${growth(sdPts, "wall assign exact (s)")};
+       ^routed assign: ${growth(sdPts, "wall assign routed (s)")}.
+       ^
+       ^The last two columns measure the large-k assignment trade on
+       ^the SAME trained model: exact argmin is n·k·d flops (k grows
+       ^with n here, so the wall grows superlinearly), the two-level
+       ^route (`Kmeans.routedAssign`, ~√k supers) is ~n·2√k·d — the
+       ^production path once k reaches the thousands, at the documented
+       ^deterministic nProbe=1 approximation.
        ^
        ^## Reading the curves at 100 TB
        ^

@@ -330,44 +330,66 @@ object Kmeans {
     * @return (id, cluster, dq, super) per vector
     */
   def routedAssign(vecs: DataFrame, idCol: String, vecCol: String,
-                   model: KmeansModel, nSupers: Int): DataFrame = {
+                   model: KmeansModel, nSupers: Int): DataFrame =
+    routedAssign(vecs, idCol, vecCol,
+      routingFor(vecs.sparkSession, model, nSupers))
+
+  /** Precomputed two-level routing structures: the populated super
+    * centroids and, per super, its member centroid table (both sorted
+    * by id — the NearestCentroid position-tie contract). A pure
+    * function of the model: build ONCE per model ([[routingFor]]),
+    * assign many — the convenience overload above rebuilds it per
+    * call, which repeated callers should avoid.
+    */
+  final case class RoutingTable(
+      routeCents: Array[(Int, Array[Double])],
+      members: Seq[(Int, Array[(Int, Array[Double])])])
+
+  /** Derive the routing structures: one Lloyd round over the k
+    * CENTROID rows (a k-row job — the index-build stance), membership
+    * under the updated supers, empty supers dropped. */
+  def routingFor(spark: org.apache.spark.sql.SparkSession,
+                 model: KmeansModel, nSupers: Int): RoutingTable = {
     require(nSupers >= 1 && nSupers <= model.last.length,
       "nSupers must be in [1, k]")
-    val spark = vecs.sparkSession
     import spark.implicits._
     // the k centroid rows as a tiny frame: (cluster id, centroid)
     val centDf = model.last.toSeq
       .map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cluster", "cv")
-    // one Lloyd round over the centroids (k-row job); membership under
-    // the UPDATED super centroids — the same (train, assign) pair the
-    // corpus-level API exposes
+    // one Lloyd round over the centroids; membership under the UPDATED
+    // super centroids — the same (train, assign) pair the corpus-level
+    // API exposes
     val superModel = lloyd(centDf, "cluster", "cv",
       k = nSupers, rounds = 1)
     val membership: Map[Int, Int] =
       assign(centDf, "cluster", "cv", superModel)
         .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val superCent = superModel.last.toMap
     val bySuper: Seq[(Int, Array[(Int, Array[Double])])] =
       model.last.groupBy(m => membership(m._1)).toSeq.sortBy(_._1)
         .map { case (s, members) => s -> members.sortBy(_._1) }
-    // routing table restricted to populated supers (sorted ids — the
-    // NearestCentroid position-tie contract)
-    val routeCents: Array[(Int, Array[Double])] =
-      bySuper.map { case (s, _) =>
-        s -> superModel.last.toMap.apply(s)
-      }.toArray
+    RoutingTable(
+      bySuper.map { case (s, _) => s -> superCent(s) }.toArray,
+      bySuper)
+  }
+
+  /** Routed assignment under a prebuilt [[RoutingTable]] — pure
+    * map-side work: one kernel call over the supers, then an
+    * nSupers-way branch of ONE kernel call each over that super's
+    * member centroids (generated code grows with √k, not k). */
+  def routedAssign(vecs: DataFrame, idCol: String, vecCol: String,
+                   routing: RoutingTable): DataFrame = {
     val routed = vecs
       .select(col(idCol).as("id"),
               col(vecCol).cast("array<double>").as("v"))
       .select(col("id"), col("v"),
-              argminStruct(col("v"), routeCents)
+              argminStruct(col("v"), routing.routeCents)
                 .getField("cluster").as("super"))
-    // per-super member argmin: an nSupers-way branch, each ONE native
-    // kernel call over that super's member centroids — generated code
-    // grows with nSupers (= √k), not k
-    val best = bySuper.tail.foldLeft(
-      when(col("super") === bySuper.head._1,
-        graft.functions.NearestCentroid(col("v"), bySuper.head._2))) {
+    val best = routing.members.tail.foldLeft(
+      when(col("super") === routing.members.head._1,
+        graft.functions.NearestCentroid(col("v"),
+          routing.members.head._2))) {
       case (acc, (s, members)) =>
         acc.when(col("super") === s,
           graft.functions.NearestCentroid(col("v"), members))

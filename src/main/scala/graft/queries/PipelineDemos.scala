@@ -56,6 +56,12 @@ object PipelineDemos {
     new graft.tables.CorpusMemo[graft.extensions.Kmeans.KmeansModel](
       "embeddings")
 
+  // routing structures are a pure function of the model — memoized so
+  // registry re-executions don't re-run the k-row super training
+  private val kmeansRoutingCache =
+    new graft.tables.CorpusMemo[graft.extensions.Kmeans.RoutingTable](
+      "embeddings")
+
   // the HISTORY-trained model for the incremental demo (frozen on the
   // 3/4 split, the ann_ivf_incremental convention); shared with the
   // streaming ingest demo
@@ -901,8 +907,10 @@ object PipelineDemos {
       val m = kmeansCache.getOrElseUpdate(dir,
         graft.extensions.Kmeans.lloyd(Tables.embeddings(s, dir),
           "vec_id", "embedding", k = 8, rounds = 3))
+      val routing = kmeansRoutingCache.getOrElseUpdate(dir,
+        graft.extensions.Kmeans.routingFor(s, m, nSupers = 3))
       graft.extensions.Kmeans.routedAssign(Tables.embeddings(s, dir),
-          "vec_id", "embedding", m, nSupers = 3)
+          "vec_id", "embedding", routing)
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")
     }),
@@ -2219,6 +2227,14 @@ object PipelineDemos {
     * under the updated supers, routing restricted to populated supers,
     * then the within-super member argmin — the full two-level decision
     * replayed.
+    *
+    * The rs0/ra1/ru1/rc1 triple deliberately restates the Lloyd-round
+    * SQL that [[kmeansCtes]] emits (over the centroid table instead of
+    * the corpus). The duplication is PINNED, not silent: the Spark
+    * side derives its super round through the same `Kmeans.lloyd`
+    * code path as every other kmeans demo, so a one-sided change to
+    * either template immediately hash-fails `kmeans_assign_routed`
+    * in the correctness gate.
     */
   private def kmeansRoutedOracle(k: Int, rounds: Int,
                                  nSupers: Int): String =
