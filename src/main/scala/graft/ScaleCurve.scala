@@ -1097,11 +1097,15 @@ object ScaleCurve {
         // convergence
         val mono = model.inertiaQ.sliding(2)
           .forall(s => s.length < 2 || s(1) <= s(0) + n)
-        var nAssign = 0L
+        // agg over dq, NOT count(): a bare count lets Catalyst prune
+        // the argmin projection away and the timer would measure row
+        // counting instead of assignment flops
+        var dqSum = 0L
         val (secA, _) = timeIt(spark) {
-          nAssign = graft.extensions.Kmeans.assign(vecs, "vec_id",
-            "embedding", model).count()
-          nAssign
+          dqSum = graft.extensions.Kmeans.assign(vecs, "vec_id",
+              "embedding", model)
+            .agg(sum(col("dq"))).collect().head.getLong(0)
+          dqSum
         }
         spark.catalog.clearCache()
         Point(n, Seq(
@@ -1141,9 +1145,12 @@ object ScaleCurve {
         // assignment flops at this k regime: exact argmin is n·k·d,
         // the two-level route is ~n·2√k·d — measure both on the same
         // trained model
+        // agg over dq (count() would prune the argmin away — see the
+        // kmPts note)
         val (secAx, _) = timeIt(spark) {
           graft.extensions.Kmeans.assign(vecs, "vec_id", "embedding",
-            model).count()
+              model)
+            .agg(sum(col("dq"))).collect().head.getLong(0)
         }
         // routing structures are built ONCE (a pure function of the
         // model, the offline-artifact stance) so the timer measures the
@@ -1153,7 +1160,8 @@ object ScaleCurve {
           nSupers = nSup)
         val (secAr, _) = timeIt(spark) {
           graft.extensions.Kmeans.routedAssign(vecs, "vec_id",
-            "embedding", routing).count()
+              "embedding", routing)
+            .agg(sum(col("dq"))).collect().head.getLong(0)
         }
         spark.catalog.clearCache()
         Point(n, Seq(
