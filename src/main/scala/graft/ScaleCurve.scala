@@ -1135,7 +1135,12 @@ object ScaleCurve {
           val r = graft.extensions.Kmeans.nearDupPairs(vecs, "vec_id",
               "embedding", model, threshold = 0.99)
             .agg(count(lit(1)).as("np"),
-                 sum(when(col("id_b") - col("id_a") === n - 100, 1L)
+                 // a twin must also have id_a in the planted source
+                 // range [n-200, n-100) — a coincidental non-twin pair
+                 // at exactly the n-100 offset (possible once cells get
+                 // dense) must not inflate recall past the 100 planted
+                 sum(when(col("id_b") - col("id_a") === n - 100 &&
+                     col("id_a") >= n - 200, 1L)
                    .otherwise(0L)).as("tw"))
             .collect().head
           nPairs = r.getLong(0)

@@ -114,7 +114,24 @@ object Kmeans {
     * (k·d + 1)-row collect.
     */
   def lloyd(vecs: DataFrame, idCol: String, vecCol: String,
-            k: Int, rounds: Int): KmeansModel = {
+            k: Int, rounds: Int): KmeansModel =
+    lloyd(vecs, idCol, vecCol, k, rounds, tolQ = -1L)
+
+  /** [[lloyd]] with EXACT convergence early-stop: after round r ≥ 2,
+    * training stops once the quantized-inertia improvement
+    * `inertiaQ(r-1) − inertiaQ(r)` is ≤ `tolQ` (round r itself is kept —
+    * its inertia was measured, so the trajectory ends on the round that
+    * proved convergence). The criterion runs on the exact longs BOTH
+    * engines compute, so an independent SQL oracle replays the stop
+    * decision bit-for-bit — no epsilon, no float drift (the same
+    * engine-reproducibility stance as the rest of the trajectory).
+    * `tolQ = 0` stops only on a fully-stalled (or quantization-noise
+    * negative) improvement; `tolQ < 0` never stops early (the fixed-
+    * rounds overload). Saves whole Spark jobs: each skipped round is one
+    * corpus assignment pass + one k·d shuffle that never runs.
+    */
+  def lloyd(vecs: DataFrame, idCol: String, vecCol: String,
+            k: Int, rounds: Int, tolQ: Long): KmeansModel = {
     require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
     val prepped = vecs
       .select(col(idCol).as("id"),
@@ -130,7 +147,8 @@ object Kmeans {
       var centTrail = Vector.empty[Array[(Int, Array[Double])]]
       var inertiaTrail = Vector.empty[Long]
       var lastSums = Array.empty[(Int, Array[Long], Long)]
-      for (_ <- 1 to rounds) {
+      var converged = false
+      for (_ <- 1 to rounds if !converged) {
         val assigned = prepped
           .select(col("id"), col("v"),
                   argminStruct(col("v"), cents).as("best"))
@@ -139,7 +157,13 @@ object Kmeans {
                   floor(col("best.d") * Q).cast("long").as("dq"))
         // ONE aggregation computes both the k·d quantized dim sums and
         // the inertia (grouping-key trick: pos = -1 carries the
-        // per-row min-dist mass so the round stays a single job)
+        // per-row min-dist mass so the round stays a single job).
+        // Both long masses aggregate in DECIMAL(38,0) and downcast with
+        // longValueExact — the incrementalUpdate overflow stance applied
+        // to TRAINING too (a plain LongType sum wraps silently at
+        // ~9.2e18 quanta per (cluster, dim) while the SQL oracle's
+        // HUGEINT stays exact; the trained model would carry garbage
+        // into the guarded incremental path).
         val upd = assigned
           .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")),
                   col("dq"))
@@ -148,19 +172,27 @@ object Kmeans {
                   when(col("pos") === 0, col("dq")).otherwise(lit(0L))
                     .as("dq0"))
           .groupBy("cluster", "pos")
-          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"),
-               sum(col("dq0")).as("sdq"))
+          .agg(sum(col("q").cast("decimal(38,0)")).as("sq"),
+               count(lit(1)).as("n"),
+               sum(col("dq0").cast("decimal(38,0)")).as("sdq"))
           .collect()
-        inertiaTrail :+= upd.filter(_.getInt(1) == 0).map(_.getLong(4)).sum
+        inertiaTrail :+= upd.filter(_.getInt(1) == 0)
+          .map(_.getDecimal(4).toBigInteger.longValueExact())
+          .foldLeft(0L)(Math.addExact)
         lastSums = upd.groupBy(_.getInt(0)).toArray.sortBy(_._1).map {
           case (cid, rows) =>
             val dim = rows.map(_.getInt(1)).max + 1
             val sq = new Array[Long](dim)
-            rows.foreach(r => sq(r.getInt(1)) = r.getLong(2))
+            rows.foreach(r => sq(r.getInt(1)) =
+              r.getDecimal(2).toBigInteger.longValueExact())
             (cid, sq, rows.head.getLong(3))
         }
         cents = centsOf(lastSums)
         centTrail :+= cents
+        if (tolQ >= 0 && inertiaTrail.length >= 2 &&
+            inertiaTrail(inertiaTrail.length - 2) -
+              inertiaTrail.last <= tolQ)
+          converged = true
       }
       KmeansModel(centTrail, inertiaTrail, lastSums)
     } finally prepped.unpersist(false)
@@ -386,7 +418,18 @@ object Kmeans {
       .select(col("id"), col("v"),
               argminStruct(col("v"), routing.routeCents)
                 .getField("cluster").as("super"))
-    val best = routing.members.tail.foldLeft(
+    routed.select(col("id"), routedBest(routing).as("best"), col("super"))
+      .select(col("id"), col("best.cluster").as("cluster"),
+              floor(col("best.d") * lit(Q)).cast("long").as("dq"),
+              col("super"))
+  }
+
+  /** The within-routed-super member argmin (struct(cluster, d)) over
+    * the literal member tables — expects columns `v` and `super` in
+    * scope. One kernel call per populated super behind an nSupers-way
+    * branch: generated code grows with √k, not k. */
+  private def routedBest(routing: RoutingTable): Column =
+    routing.members.tail.foldLeft(
       when(col("super") === routing.members.head._1,
         graft.functions.NearestCentroid(col("v"),
           routing.members.head._2))) {
@@ -394,10 +437,237 @@ object Kmeans {
         acc.when(col("super") === s,
           graft.functions.NearestCentroid(col("v"), members))
     }
-    routed.select(col("id"), best.as("best"), col("super"))
+
+  /** MULTI-PROBE routed assignment — bounds the nProbe=1 quality trade
+    * the IVF way: route each vector to its `nProbe` nearest supers
+    * (native [[graft.functions.NearestCentroids]] kernel — the same
+    * distance fold and (d, id) tie order as single-probe routing, so
+    * nProbe=1 here is bit-equal to [[routedAssign]]) and argmin over
+    * the UNION of the probed supers' member sets. A vector whose true
+    * nearest centroid lives in its second-nearest super — exactly the
+    * case nProbe=1 loses — is now recovered; flops grow to
+    * ~n·(√k + nProbe·√k)·d, still far under exact n·k·d.
+    *
+    * Still fully deterministic: probed member sets are DISJOINT
+    * (each centroid belongs to one super), so the cross-slot
+    * `least` by (d, cluster) can never see an ambiguous tie, and an
+    * independent SQL engine replays the whole decision (top-nProbe
+    * supers by the same window order, then one argmin over the joined
+    * members). `super` in the output is the probed super the winning
+    * centroid belongs to.
+    */
+  def routedAssign(vecs: DataFrame, idCol: String, vecCol: String,
+                   routing: RoutingTable, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    if (nProbe == 1) return routedAssign(vecs, idCol, vecCol, routing)
+    val routed = vecs
+      .select(col(idCol).as("id"),
+              col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), col("v"),
+              graft.functions.NearestCentroids(col("v"),
+                routing.routeCents, nProbe).as("probes"))
+    // per probe slot: the within-super member argmin as a
+    // (d, cluster, super) struct — comparison order first, so the
+    // cross-slot least() ranks by exactly (d, cluster)
+    def slotStruct(superCol: Column): Column = {
+      def entry(s: Int, members: Array[(Int, Array[Double])]): Column = {
+        val nc = graft.functions.NearestCentroid(col("v"), members)
+        struct(nc.getField("d").as("d"),
+               nc.getField("cluster").as("cluster"),
+               lit(s).as("super"))
+      }
+      routing.members.tail.foldLeft(
+        when(superCol === routing.members.head._1,
+          entry(routing.members.head._1, routing.members.head._2))) {
+        case (acc, (s, members)) => acc.when(superCol === s, entry(s, members))
+      }
+    }
+    val slots = (1 to nProbe).map { i =>
+      val sc = element_at(col("probes"), i)
+      // a corpus with fewer populated supers than nProbe yields a
+      // short probes array; least() skips the null slots
+      when(sc.isNotNull, slotStruct(sc))
+    }
+    routed.select(col("id"), least(slots: _*).as("best"))
       .select(col("id"), col("best.cluster").as("cluster"),
               floor(col("best.d") * lit(Q)).cast("long").as("dq"),
+              col("best.super").as("super"))
+  }
+
+  /** FRAME-RESIDENT two-level routing — the production-k scale path.
+    * [[RoutingTable]] embeds all k member centroids in the PLAN (√k
+    * `when` branches of literal tables) after a k·d driver collect —
+    * fine to k in the thousands, a hard wall at the SemDeDup regime
+    * (n=10⁹, cell≈512 → k≈2M, d=768 is tens of GB of driver state).
+    * Here only the √k SUPER centroids are literals; the k member
+    * centroids stay a DataFrame keyed by super, and assignment becomes
+    * map-side super route → equi-join on `super` (broadcast when the
+    * member table is small, shuffle otherwise — Catalyst/AQE's call) →
+    * per-vector argmin. The decision — and every tie — is bit-equal to
+    * [[routedAssign]] on the same routing (ExtensionsSpec pins it):
+    * same sequential-fold distances, same (d, cluster) argmin order.
+    */
+  final case class FramedRouting(
+      routeCents: Array[(Int, Array[Double])],
+      members: DataFrame)
+
+  /** Derive frame-resident routing from a CENTROID FRAME
+    * `cents(clusterCol int, cvCol array<double>)` — the exact
+    * [[routingFor]] decision (one Lloyd round over the centroid rows,
+    * membership under the updated supers, empty supers dropped) with
+    * driver state bounded by nSupers·d, NEVER k·d: the super training
+    * collects nSupers init rows + nSupers·d update sums, membership
+    * stays a frame, and only the ≤nSupers populated-super ids collect.
+    */
+  def framedRoutingFor(cents: DataFrame, clusterCol: String,
+                       cvCol: String, nSupers: Int): FramedRouting = {
+    require(nSupers >= 1, "nSupers must be >= 1")
+    val cd = cents.select(col(clusterCol).cast("int").as("cluster"),
+                          col(cvCol).cast("array<double>").as("cv"))
+    val superModel = lloyd(cd, "cluster", "cv", k = nSupers, rounds = 1)
+    // (cluster, super): each member centroid's routed super — a FRAME
+    val membership = assign(cd, "cluster", "cv", superModel)
+      .select(col("id").as("cluster"), col("cluster").as("super"))
+    val populated = membership.select("super").distinct()
+      .collect().map(_.getInt(0)).toSet // ≤ nSupers rows by construction
+    FramedRouting(
+      superModel.last.filter { case (s, _) => populated(s) },
+      cd.join(membership, "cluster").select("super", "cluster", "cv"))
+  }
+
+  /** Sequential left-to-right squared-L2 fold over two array<double>
+    * columns — the composed-builtin twin of the NearestCentroid
+    * kernel's loop (0.0 + x ≡ x in IEEE; zip_with preserves order), so
+    * frame-side distances are bit-equal to kernel-side ones.
+    */
+  private def l2sqFold(v: Column, cv: Column): Column =
+    aggregate(zip_with(v, cv, (x, c) => (x - c) * (x - c)),
+              lit(0.0), (a, x) => a + x)
+
+  /** Routed assignment under FRAME-RESIDENT member centroids: one
+    * map-side super route (√k literals), one equi-join on `super`
+    * against the (super, cluster, cv) member table, one per-vector
+    * argmin (`min(struct(d, cluster))` — Spark's struct ordering is
+    * the same (d, cluster)-ascending total order the kernel ties by).
+    * Candidate volume is n·(k/√k) joined rows — the routed flop count,
+    * materialized as rows instead of literal branches. Ragged input
+    * vectors fail loudly at the route step (the argminStruct guard);
+    * member centroids are model-derived and share the route dimension,
+    * so the join-side fold can never see a length mismatch.
+    *
+    * @return (id, cluster, dq, super) — bit-equal to [[routedAssign]]
+    */
+  def framedAssign(vecs: DataFrame, idCol: String, vecCol: String,
+                   routing: FramedRouting): DataFrame =
+    framedAssignWithV(vecs, idCol, vecCol, routing)
+      .select("id", "cluster", "dq", "super")
+
+  /** [[framedAssign]] keeping the vector column — the framed Lloyd
+    * round's input (the update re-reads v; carrying it through the
+    * argmin avoids a second corpus join). */
+  private def framedAssignWithV(vecs: DataFrame, idCol: String,
+                                vecCol: String,
+                                routing: FramedRouting): DataFrame = {
+    val routed = vecs
+      .select(col(idCol).as("id"),
+              col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), col("v"),
+              argminStruct(col("v"), routing.routeCents)
+                .getField("cluster").as("super"))
+    routed.join(routing.members, "super")
+      .select(col("id"), col("v"), col("super"), col("cluster"),
+              l2sqFold(col("v"), col("cv")).as("d"))
+      .groupBy("id")
+      .agg(min(struct(col("d"), col("cluster"))).as("best"),
+           min(col("super")).as("super"), // one route per id: min = the value
+           first(col("v")).as("v"))
+      .select(col("id"), col("v"), col("best.cluster").as("cluster"),
+              floor(col("best.d") * lit(Q)).cast("long").as("dq"),
               col("super"))
+  }
+
+  /** FRAME-RESIDENT Lloyd training — the large-k companion of
+    * [[lloyd]]: centroids live in a (cluster, cv) DataFrame between
+    * rounds, assignment is the framed routed path, and the update is a
+    * (cluster, pos)-keyed aggregation that STAYS a frame — the driver
+    * never holds k·d state (per round it holds nSupers·d super sums +
+    * the populated-super id set, both √k-bounded). With `nSupers = 1`
+    * routing is a single all-members super, assignment degenerates to
+    * the exact argmin, and the trajectory is bit-equal to [[lloyd]]'s
+    * (ExtensionsSpec pins it); with nSupers ≈ √k each round pays the
+    * routed flop count — the approximation the SemDeDup regime runs
+    * (assignment under the final frame differs from exact Lloyd
+    * exactly where [[routedAssign]] differs from [[assign]]).
+    *
+    * Exactness stance matches [[lloyd]]: fixed-point DECIMAL(38,0)
+    * sums, loud overflow on the long downcast, identical init (k
+    * smallest ids, positional cluster ids).
+    *
+    * @return the final (cluster, cv) centroid frame
+    */
+  def lloydFramed(vecs: DataFrame, idCol: String, vecCol: String,
+                  k: Int, rounds: Int, nSupers: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val prepped = vecs
+      .select(col(idCol).as("id"),
+              col(vecCol).cast("array<double>").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val kept = scala.collection.mutable.Buffer.empty[DataFrame]
+    try {
+      // init: k smallest ids, positional cluster ids — [[lloyd]]'s init
+      // as a frame (the k-row window runs in one task post-limit)
+      var cents = prepped.orderBy("id").limit(k)
+        .select((row_number().over(Window.orderBy("id")) - 1)
+                  .as("cluster"),
+                col("v").as("cv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      kept += cents
+      for (_ <- 1 to rounds) {
+        val routing = framedRoutingFor(cents, "cluster", "cv", nSupers)
+        // loud long-downcast guard: a decimal sum past ±2^63 nulls out
+        // under non-ANSI casts — the silent-wrap hazard in frame form
+        val sqLong = col("sq").cast("long")
+        val sqExact = when(sqLong.isNull, raise_error(lit(
+          "Kmeans.lloydFramed: quantized dim sum overflows long — " +
+          "the carried fixed-point state cannot represent this corpus")))
+          .otherwise(sqLong)
+        cents = framedAssignWithV(prepped, "id", "v", routing)
+          .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+          .select(col("cluster"), col("pos"),
+                  floor(col("x") * Q).cast("long").as("q"))
+          .groupBy("cluster", "pos")
+          .agg(sum(col("q").cast("decimal(38,0)")).as("sq"),
+               count(lit(1)).as("n"))
+          .select(col("cluster"), col("pos"),
+                  (sqExact.cast("double") /
+                    (col("n").cast("double") * lit(Q))).as("c"))
+          .groupBy("cluster")
+          .agg(transform(
+                 array_sort(collect_list(struct(col("pos"), col("c")))),
+                 e => e.getField("c")).as("cv"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        kept += cents
+      }
+      // materialize the final frame before releasing the trail so the
+      // per-round caches back each round exactly once
+      cents.count()
+      cents
+    } finally {
+      kept.dropRight(1).foreach(_.unpersist(false))
+      prepped.unpersist(false)
+      ()
+    }
+  }
+
+  /** The model's final centroid table as a (cluster, cv) frame — the
+    * bridge from a [[lloyd]]-trained model into the framed assignment
+    * path ([[framedRoutingFor]] consumes it). */
+  def lastCentroidsFrame(spark: org.apache.spark.sql.SparkSession,
+                         model: KmeansModel): DataFrame = {
+    import spark.implicits._
+    model.last.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cluster", "cv")
   }
 
   /** Within-cluster exact-cosine near-dup pairs over the trained Lloyd
@@ -418,15 +688,54 @@ object Kmeans {
     * clearCache() reclaims between corpora).
     */
   def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
-                   model: KmeansModel, threshold: Double): DataFrame = {
-    val staged = vecs
-      .select(col(idCol).as("id"),
-              col(vecCol).cast("array<double>").as("v"))
-      .select(col("id"), col("v"),
-              Similarity.norm(col("v")).as("nrm"),
-              argminStruct(col("v"), model.last)
-                .getField("cluster").as("cluster"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+                   model: KmeansModel, threshold: Double): DataFrame =
+    pairsOfStaged(
+      vecs
+        .select(col(idCol).as("id"),
+                col(vecCol).cast("array<double>").as("v"))
+        .select(col("id"), col("v"),
+                Similarity.norm(col("v")).as("nrm"),
+                argminStruct(col("v"), model.last)
+                  .getField("cluster").as("cluster"))
+        .persist(StorageLevel.MEMORY_AND_DISK),
+      threshold)
+
+  /** [[nearDupPairs]] over ROUTED cells — the large-k SemDeDup path:
+    * at the regime the paper targets (k ∝ n for fixed cell size) the
+    * exact per-vector assignment is the n·k·d wall, so the prune
+    * pipeline consumes the two-level routed decision instead
+    * (~n·2√k·d). Within-cell search semantics are IDENTICAL — only
+    * cell membership can differ, and only for vectors whose true
+    * nearest centroid lives outside their routed super (the nProbe=1
+    * trade): a near-dup pair is missed iff routing SPLITS it across
+    * cells where exact assignment co-located it. SCALECURVE §12
+    * measures that recall on planted twins.
+    */
+  def nearDupPairsRouted(vecs: DataFrame, idCol: String, vecCol: String,
+                         routing: RoutingTable,
+                         threshold: Double): DataFrame =
+    pairsOfStaged(
+      vecs
+        .select(col(idCol).as("id"),
+                col(vecCol).cast("array<double>").as("v"))
+        .select(col("id"), col("v"),
+                Similarity.norm(col("v")).as("nrm"),
+                argminStruct(col("v"), routing.routeCents)
+                  .getField("cluster").as("super"))
+        .select(col("id"), col("v"), col("nrm"),
+                routedBest(routing).getField("cluster").as("cluster"))
+        .persist(StorageLevel.MEMORY_AND_DISK),
+      threshold)
+
+  /** The shared within-cluster pair tail: repartition by cluster BEFORE
+    * the per-side renames so the self-join's two exchange subtrees
+    * canonicalize identically and ReusedExchange ships the staged
+    * vectors once (the Ivf.nearDupPairs plan shape, PlanShapeSpec-
+    * pinned). `staged` must be (id, v, nrm, cluster), already persisted
+    * by the caller (CacheManager dedups repeat calls; clearCache()
+    * reclaims between corpora). */
+  private def pairsOfStaged(staged: DataFrame,
+                            threshold: Double): DataFrame = {
     val colocated = staged.repartition(col("cluster"))
     val a = colocated.select(col("cluster"), col("id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("nrm_a"))

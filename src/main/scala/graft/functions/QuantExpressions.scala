@@ -185,6 +185,52 @@ object QuantEval {
     }
     new GenericInternalRow(Array[Any](ids(best), bestD))
   }
+
+  /** Top-`take` centroid ids by (squared-L2 asc, position asc) — the
+    * multi-probe mirror of [[nearestCentroid]] (same distances, same
+    * Double.compare total order, same position-tie-to-smaller-id rule;
+    * `take = 1` returns exactly `[nearestCentroid(...).cluster]`).
+    * Returns min(take, k) ids. L2-metric — [[topCells]] is the
+    * dot-metric IVF cousin and orders the OPPOSITE way.
+    */
+  def nearestCentroids(vec: ArrayData, ids: Array[Int],
+                       cents: Array[Array[Double]], take: Int): ArrayData = {
+    val k = cents.length
+    val d = cents(0).length
+    if (vec.numElements() != d) return null
+    val dists = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        val diff = vec.getDouble(i) - cent(i)
+        acc += diff * diff
+        i += 1
+      }
+      dists(c) = acc
+      c += 1
+    }
+    val n = math.min(take, k)
+    // insertion-select over n slots: O(n·k), n is 2-4 in practice
+    val slots = new Array[Int](n)
+    val taken = new Array[Boolean](k)
+    var s = 0
+    while (s < n) {
+      var best = -1
+      var j = 0
+      while (j < k) {
+        if (!taken(j) && (best < 0 ||
+            java.lang.Double.compare(dists(j), dists(best)) < 0)) best = j
+        j += 1
+      }
+      taken(best) = true
+      slots(s) = ids(best)
+      s += 1
+    }
+    new GenericArrayData(slots.map(x => x: Any))
+  }
 }
 
 /** Top-`take` coarse-quantizer cells by (dot desc, cell desc). */
@@ -358,5 +404,59 @@ object NearestCentroid {
       Cast(GraftBridge.expression(vec), ArrayType(DoubleType)),
       cents.map(_._1).toIndexedSeq,
       cents.map(_._2.toIndexedSeq).toIndexedSeq))
+  }
+}
+
+/** Top-`take` centroid ids by (squared L2 asc, id asc) — the multi-probe
+  * routing kernel (Kmeans.routedAssign at nProbe ≥ 2): the IVF nProbe
+  * idea applied to the L2 metric with [[NearestCentroid]]'s exact
+  * distance fold and tie order, so `take = 1` is bit-equal to
+  * `array(nearest_centroid(v).cluster)`. Returns min(take, k) ids.
+  */
+case class NearestCentroids(child: Expression,
+                            ids: IndexedSeq[Int],
+                            centroids: IndexedSeq[IndexedSeq[Double]],
+                            take: Int)
+    extends UnaryExpression {
+  require(take >= 1, "take must be >= 1")
+  require(ids.nonEmpty && ids.length == centroids.length,
+    "ids and centroids must be parallel and non-empty")
+
+  override def dataType: DataType = ArrayType(IntegerType, false)
+  override def nullIntolerant: Boolean = true
+  // null for a vector whose length differs from the centroid dimension
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroids"
+
+  @transient private lazy val idArr: Array[Int] = ids.toArray
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    QuantEval.nearestCentroids(v.asInstanceOf[ArrayData], idArr, cents, take)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val refIds = ctx.addReferenceObj("kmeansIds", idArr, "int[]")
+    val refC = ctx.addReferenceObj("kmeansCentroids", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.QuantEval.nearestCentroids($c, $refIds, $refC, $take);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroids =
+    copy(child = c)
+}
+
+object NearestCentroids {
+  def apply(vec: Column, cents: Array[(Int, Array[Double])],
+            take: Int): Column = {
+    require(cents.map(_._1).sameElements(cents.map(_._1).sorted),
+      "centroid rows must be sorted by cluster id (position tie = id tie)")
+    GraftBridge.column(NearestCentroids(
+      Cast(GraftBridge.expression(vec), ArrayType(DoubleType)),
+      cents.map(_._1).toIndexedSeq,
+      cents.map(_._2.toIndexedSeq).toIndexedSeq, take))
   }
 }

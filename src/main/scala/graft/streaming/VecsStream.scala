@@ -84,19 +84,24 @@ object VecsStream {
     */
   def kmeansIngest(vecs: DataFrame,
                    model0: graft.extensions.Kmeans.KmeansModel,
-                   stateDir: String, checkpointDir: String): StreamingQuery =
+                   stateDir: String, checkpointDir: String,
+                   vecCol: String = "embedding"): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        kmeansIngestBatch(batch, batchId, model0, stateDir)
+        kmeansIngestBatch(batch, batchId, model0, stateDir, vecCol)
       }
       .start()
 
   /** One online-k-means micro-batch (exposed for batch-parity tests
-    * and the demo registry). */
+    * and the demo registry). `vecCol` names the batch's vector column
+    * (the Kmeans.incrementalUpdate contract — a hardcoded "embedding"
+    * would fail on any other stream shape, or silently bind an
+    * unrelated column that happens to carry the name). */
   def kmeansIngestBatch(batch: DataFrame, batchId: Long,
                         model0: graft.extensions.Kmeans.KmeansModel,
-                        stateDir: String): Unit = {
+                        stateDir: String,
+                        vecCol: String = "embedding"): Unit = {
     import graft.extensions.Kmeans
     val spark = batch.sparkSession
     val prev =
@@ -104,7 +109,7 @@ object VecsStream {
       else Kmeans.modelFromSums(Kmeans.sumsFromStateRows(
         spark.read.parquet(s"$stateDir/batch=${batchId - 1}")
           .select("cluster", "pos", "sq", "n").collect()))
-    val updated = Kmeans.incrementalUpdate(prev, batch, "embedding")
+    val updated = Kmeans.incrementalUpdate(prev, batch, vecCol)
     Kmeans.stateFrame(spark, updated)
       .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
   }

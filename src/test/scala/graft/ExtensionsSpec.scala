@@ -170,6 +170,97 @@ class ExtensionsSpec extends SparkTestBase {
         "embedding", m)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(exact(101L) == 1, "fixture must make routed != exact")
+    // nProbe=2 probes BOTH supers and recovers the exact answer the
+    // nProbe=1 route missed: (4.5, 0) now sees {c0, c1} ∪ {c2, c3} and
+    // the argmin lands on the true nearest c1 (d 12.25), reported
+    // against its own super 0; (1.5, 0) is unchanged (its true best
+    // was already in the routed super)
+    val routing = graft.extensions.Kmeans.routingFor(spark, m, 2)
+    val routed2 = graft.extensions.Kmeans.routedAssign(qs, "vec_id",
+        "embedding", routing, nProbe = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(routed2(100L) == ((1, 250000L, 0)))
+    assert(routed2(101L) == ((1, 12250000L, 0)))
+    // nProbe=1 through the multi-probe kernel is bit-equal to the
+    // single-probe path (same distances, same tie order)
+    val routed1 = graft.extensions.Kmeans.routedAssign(qs, "vec_id",
+        "embedding", routing, nProbe = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(routed1 == routed)
+  }
+
+  test("framed k-means assignment: member centroids as a FRAME " +
+       "reproduce the literal-table routed decision bit-for-bit " +
+       "(same supers, same argmin, same dq, same ties)") {
+    import spark.implicits._
+    val pts = Seq(0L -> Array(0f, 0f), 1L -> Array(1f, 0f),
+      2L -> Array(10f, 0f), 3L -> Array(11f, 0f))
+      .toDF("vec_id", "embedding")
+    val m = graft.extensions.Kmeans.lloyd(pts, "vec_id", "embedding",
+      k = 4, rounds = 1)
+    val qs = Seq(100L -> Array(1.5f, 0f), 101L -> Array(4.5f, 0f),
+      102L -> Array(10.5f, 0f)) // exact distance tie c2/c3 in super 1
+      .toDF("vec_id", "embedding")
+    val literal = graft.extensions.Kmeans.routedAssign(qs, "vec_id",
+        "embedding", m, nSupers = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val framedRouting = graft.extensions.Kmeans.framedRoutingFor(
+      graft.extensions.Kmeans.lastCentroidsFrame(spark, m),
+      "cluster", "cv", nSupers = 2)
+    val framed = graft.extensions.Kmeans.framedAssign(qs, "vec_id",
+        "embedding", framedRouting)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(framed == literal)
+    // the tie case really ties: (10.5, 0) is 0.25 from both c2 and c3
+    // and the frame-side min(struct(d, cluster)) keeps the smaller id
+    assert(framed.exists(t => t._1 == 102L && t._2 == 2 &&
+      t._3 == 250000L))
+  }
+
+  test("framed Lloyd training: nSupers=1 routing is the exact argmin, " +
+       "so the centroid-frame trajectory equals lloyd's bit-for-bit") {
+    import spark.implicits._
+    val vecs = Seq(
+      0L -> Array(0f, 0f), 1L -> Array(10f, 10f),
+      2L -> Array(1f, 0f), 3L -> Array(0f, 1f),
+      4L -> Array(9f, 10f), 5L -> Array(10f, 9f)
+    ).toDF("vec_id", "embedding")
+    val m = graft.extensions.Kmeans.lloyd(vecs, "vec_id", "embedding",
+      k = 2, rounds = 2)
+    val framed = graft.extensions.Kmeans.lloydFramed(vecs, "vec_id",
+        "embedding", k = 2, rounds = 2, nSupers = 1)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(framed == m.last.toMap.map { case (c, v) => c -> v.toSeq })
+  }
+
+  test("lloyd early-stop: a stable assignment converges the quantized " +
+       "inertia curve and stops before maxRounds; tolQ < 0 never stops") {
+    import spark.implicits._
+    val vecs = Seq(
+      0L -> Array(0f, 0f), 1L -> Array(10f, 10f),
+      2L -> Array(1f, 0f), 3L -> Array(0f, 1f),
+      4L -> Array(9f, 10f), 5L -> Array(10f, 9f)
+    ).toDF("vec_id", "embedding")
+    // assignment is stable after round 1, so round 3's inertia equals
+    // round 2's exactly (same centroids, same assignment) -> the first
+    // measurable Δ=0 is between rounds 2 and 3
+    val m = graft.extensions.Kmeans.lloyd(vecs, "vec_id", "embedding",
+      k = 2, rounds = 6, tolQ = 0L)
+    assert(m.inertiaQ.length == 3,
+      s"expected stop at round 3, got ${m.inertiaQ}")
+    assert(m.inertiaQ(1) == m.inertiaQ(2))
+    assert(m.centroids.length == 3)
+    // the fixed-rounds overload is the tolQ < 0 case: all 6 rounds run
+    val mFull = graft.extensions.Kmeans.lloyd(vecs, "vec_id",
+      "embedding", k = 2, rounds = 6)
+    assert(mFull.inertiaQ.length == 6)
+    // the early-stopped prefix IS the full run's prefix (stop changes
+    // when training ends, never what it computes)
+    assert(mFull.inertiaQ.take(3) == m.inertiaQ)
   }
 
   test("incremental k-means: exact fixed-point merge of a new batch " +
