@@ -62,6 +62,25 @@ object PipelineDemos {
     new graft.tables.CorpusMemo[graft.extensions.Kmeans.RoutingTable](
       "embeddings")
 
+  // frame-resident routing (kmeans_assign_framed): holds a member
+  // DataFrame, so reuse is gated on the session still being the one
+  // that built it (the getOrElseValid stance for session-scoped state)
+  private val kmeansFramedRoutingCache =
+    new graft.tables.CorpusMemo[graft.extensions.Kmeans.FramedRouting](
+      "embeddings")
+
+  // the early-stopped trajectory (kmeans_earlystop): its own model —
+  // different rounds than the shared kmeansCache fixture
+  private val kmeansEarlystopCache =
+    new graft.tables.CorpusMemo[graft.extensions.Kmeans.KmeansModel](
+      "embeddings")
+
+  /** kmeans_earlystop's convergence tolerance in inertia quanta (2.5
+    * distance units): stops at round 4 of 6 on the 500-vector corpora
+    * and round 5 of 6 at sf0.1 — early at every committed sf, never
+    * before the curve flattens. */
+  private val earlystopTolQ = 2500000L
+
   // the HISTORY-trained model for the incremental demo (frozen on the
   // 3/4 split, the ann_ivf_incremental convention); shared with the
   // streaming ingest demo
@@ -914,6 +933,60 @@ object PipelineDemos {
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")
     }),
+    // MULTI-PROBE routed assignment (nProbe=2): the IVF answer to the
+    // nProbe=1 quality trade — each vector probes its TWO nearest
+    // supers and argmins over both member sets, recovering exactly the
+    // vectors whose true nearest centroid lives in the second-nearest
+    // super. Same deterministic folds and tie orders, so the oracle
+    // replays the widened decision (top-2 supers by the same window
+    // order, then one argmin over the joined members).
+    "kmeans_assign_routed2" -> ((s, dir) => {
+      val m = kmeansCache.getOrElseUpdate(dir,
+        graft.extensions.Kmeans.lloyd(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8, rounds = 3))
+      val routing = kmeansRoutingCache.getOrElseUpdate(dir,
+        graft.extensions.Kmeans.routingFor(s, m, nSupers = 3))
+      graft.extensions.Kmeans.routedAssign(Tables.embeddings(s, dir),
+          "vec_id", "embedding", routing, nProbe = 2)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    }),
+    // FRAME-RESIDENT routed assignment — the production-k path (VERDICT
+    // r15 #1): only the √k super centroids ride the plan as literals;
+    // the k member centroids live in a (super, cluster, cv) DataFrame
+    // and assignment is route → equi-join on super → per-vector argmin,
+    // killing the k·d driver collect / plan-literal ceiling. The
+    // decision is bit-equal to kmeans_assign_routed on the same model
+    // (ExtensionsSpec pins it), so it shares that demo's oracle.
+    "kmeans_assign_framed" -> ((s, dir) => {
+      val m = kmeansCache.getOrElseUpdate(dir,
+        graft.extensions.Kmeans.lloyd(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8, rounds = 3))
+      val routing = kmeansFramedRoutingCache.getOrElseValid(dir,
+          _.members.sparkSession eq s)(
+        graft.extensions.Kmeans.framedRoutingFor(
+          graft.extensions.Kmeans.lastCentroidsFrame(s, m),
+          "cluster", "cv", nSupers = 3))
+      graft.extensions.Kmeans.framedAssign(Tables.embeddings(s, dir),
+          "vec_id", "embedding", routing)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    }),
+    // Lloyd with EXACT convergence early-stop: train to maxRounds=6 but
+    // stop once the quantized-inertia improvement drops to ≤ 2e6 quanta
+    // (2.0 distance units) — the stop decision runs on the exact longs
+    // both engines compute, so the oracle replays it (its CTE chain
+    // derives the same stop round from the same inertia curve). Output
+    // is the executed trajectory: the curve ENDS at the round that
+    // proved convergence. Each skipped round is a whole corpus
+    // assignment pass + k·d shuffle that never runs.
+    "kmeans_earlystop" -> ((s, dir) => {
+      val m = kmeansEarlystopCache.getOrElseUpdate(dir,
+        graft.extensions.Kmeans.lloyd(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8, rounds = 6,
+          tolQ = earlystopTolQ))
+      graft.extensions.Kmeans.inertiaFrame(s, m).orderBy("round")
+    }),
     // Incremental (online) k-means: the model FROZEN on the historical
     // 3/4 of the corpus folds the remaining 1/4 in as a batch — batch
     // rows assign under the current centroids, history contributes its
@@ -950,6 +1023,36 @@ object PipelineDemos {
       val comps = Components.connectedComponents(pairs, "id_a", "id_b")
       val dists = graft.extensions.Kmeans.assign(e, "vec_id",
         "embedding", m)
+      comps.join(dists, "id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("comp")
+            .orderBy(col("dq").desc, col("id"))))
+        .select(col("id").as("vec_id"), col("comp"), col("dq"),
+                (col("rn") === 1).as("keep"))
+        .orderBy("vec_id")
+    }),
+    // SemDeDup over ROUTED cells (VERDICT r15 #2) — the large-k prune
+    // pipeline end-to-end: at the paper's regime (k ∝ n for fixed cell
+    // size) exact assignment is the n·k·d wall, so cell membership —
+    // for BOTH the pair search and the farthest-keep distances — comes
+    // from the two-level routed decision (~n·2√k·d). Within-cell
+    // semantics identical to semdedup_prune; a pair is lost only when
+    // routing SPLITS it across cells (the nProbe=1 trade, recall
+    // measured in SCALECURVE §12). Fully deterministic, so the oracle
+    // replays routing, pairs, closure, and keep rule end-to-end.
+    "semdedup_prune_routed" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = kmeansCache.getOrElseUpdate(dir,
+        graft.extensions.Kmeans.lloyd(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8, rounds = 3))
+      val routing = kmeansRoutingCache.getOrElseUpdate(dir,
+        graft.extensions.Kmeans.routingFor(s, m, nSupers = 3))
+      val e = Tables.embeddings(s, dir)
+      val pairs = graft.extensions.Kmeans.nearDupPairsRouted(
+        e, "vec_id", "embedding", routing, cosineThreshold)
+      val comps = Components.connectedComponents(pairs, "id_a", "id_b")
+      val dists = graft.extensions.Kmeans.routedAssign(e, "vec_id",
+        "embedding", routing).select(col("id"), col("dq"))
       comps.join(dists, "id")
         .withColumn("rn", row_number().over(
           Window.partitionBy("comp")
@@ -2236,9 +2339,11 @@ object PipelineDemos {
     * either template immediately hash-fails `kmeans_assign_routed`
     * in the correctness gate.
     */
-  private def kmeansRoutedOracle(k: Int, rounds: Int,
-                                 nSupers: Int): String =
-    s"""WITH ${kmeansCtes(k, rounds)},
+  /** The shared two-level routing CTE block (super training round,
+    * membership, populated supers, per-vector nProbe=1 route `rv`) —
+    * the tail every routed-family oracle hangs off. */
+  private def routedCtes(k: Int, rounds: Int, nSupers: Int): String =
+    s"""${kmeansCtes(k, rounds)},
        |rs0 AS (SELECT CAST(row_number() OVER (ORDER BY cluster) - 1
        |    AS INTEGER) AS super, cv AS scv
        |  FROM c$rounds ORDER BY cluster LIMIT $nSupers),
@@ -2268,7 +2373,11 @@ object PipelineDemos {
        |  SELECT e.id, e.v, s.super, ${kmL2Sql("e.v", "s.scv")} AS d
        |  FROM e, rpop s)
        |  QUALIFY row_number() OVER (PARTITION BY id
-       |    ORDER BY d, super) = 1)
+       |    ORDER BY d, super) = 1)""".stripMargin
+
+  private def kmeansRoutedOracle(k: Int, rounds: Int,
+                                 nSupers: Int): String =
+    s"""WITH ${routedCtes(k, rounds, nSupers)}
        |SELECT id AS vec_id, cluster,
        |  CAST(floor(d * 1000000.0) AS BIGINT) AS dq, super
        |FROM (SELECT rv.id, c.cluster, rv.super,
@@ -2277,6 +2386,88 @@ object PipelineDemos {
        |      JOIN c$rounds c ON c.cluster = rm.cluster)
        |QUALIFY row_number() OVER (PARTITION BY id
        |  ORDER BY d, cluster) = 1
+       |ORDER BY vec_id""".stripMargin
+
+  /** Multi-probe (nProbe=2) routed-assignment oracle: the same routing
+    * CTEs, but each vector keeps its TWO nearest supers (same window
+    * order) and the final argmin runs over the union of both member
+    * sets — `super` is the probed super the winning centroid belongs
+    * to, exactly the engine's cross-slot least by (d, cluster). */
+  private def kmeansRouted2Oracle(k: Int, rounds: Int,
+                                  nSupers: Int): String =
+    s"""WITH ${routedCtes(k, rounds, nSupers)},
+       |rv2 AS (SELECT id, v, super FROM (
+       |  SELECT e.id, e.v, s.super, ${kmL2Sql("e.v", "s.scv")} AS d
+       |  FROM e, rpop s)
+       |  QUALIFY row_number() OVER (PARTITION BY id
+       |    ORDER BY d, super) <= 2)
+       |SELECT id AS vec_id, cluster,
+       |  CAST(floor(d * 1000000.0) AS BIGINT) AS dq, super
+       |FROM (SELECT rv2.id, c.cluster, rv2.super,
+       |        ${kmL2Sql("rv2.v", "c.cv")} AS d
+       |      FROM rv2 JOIN rm ON rm.super = rv2.super
+       |      JOIN c$rounds c ON c.cluster = rm.cluster)
+       |QUALIFY row_number() OVER (PARTITION BY id
+       |  ORDER BY d, cluster) = 1
+       |ORDER BY vec_id""".stripMargin
+
+  /** Early-stop Lloyd oracle: the full maxRounds CTE chain, the exact
+    * per-round quantized inertia, the stop round = the FIRST round
+    * whose improvement over its predecessor is ≤ tolQ (maxRounds when
+    * none is), and the executed prefix of the curve — the same longs,
+    * so both engines stop at the same round. */
+  private def kmeansEarlystopOracle(k: Int, maxRounds: Int,
+                                    tolQ: Long): String = {
+    val unions = (1 to maxRounds).map { r =>
+      s"""SELECT $r AS round,
+         |  CAST(SUM(CAST(floor(d * 1000000.0) AS BIGINT)) AS BIGINT)
+         |    AS inertia_q
+         |FROM a$r""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH ${kmeansCtes(k, maxRounds)},
+       |iq AS (SELECT round, inertia_q FROM ($unions)),
+       |stop AS (SELECT COALESCE(MIN(b.round), $maxRounds) AS sr
+       |  FROM iq a JOIN iq b ON b.round = a.round + 1
+       |  WHERE a.inertia_q - b.inertia_q <= $tolQ)
+       |SELECT round, inertia_q FROM iq
+       |WHERE round <= (SELECT sr FROM stop)
+       |ORDER BY round""".stripMargin
+  }
+
+  /** Routed-SemDeDup oracle: the routing CTEs, the routed per-vector
+    * assignment WITH vectors/norms (`raf` — the routed twin of
+    * [[semdedupOracle]]'s `af`), within-routed-cell cosine pairs, the
+    * recursive closure, and the farthest-from-centroid keep window
+    * over the ROUTED dq. */
+  private def semdedupRoutedOracle(k: Int, rounds: Int, nSupers: Int,
+                                   threshold: Double): String =
+    s"""WITH RECURSIVE ${routedCtes(k, rounds, nSupers)},
+       |raf AS MATERIALIZED (SELECT id, v, cluster,
+       |    CAST(floor(d * 1000000.0) AS BIGINT) AS dq,
+       |    sqrt(${dotSql("v", "v")}) AS nrm
+       |  FROM (SELECT rv.id, rv.v, c.cluster,
+       |        ${kmL2Sql("rv.v", "c.cv")} AS d
+       |        FROM rv JOIN rm ON rm.super = rv.super
+       |        JOIN c$rounds c ON c.cluster = rm.cluster)
+       |  QUALIFY row_number() OVER (PARTITION BY id
+       |    ORDER BY d, cluster) = 1),
+       |p AS (SELECT a.id AS id_a, b.id AS id_b
+       |  FROM raf a JOIN raf b ON a.cluster = b.cluster AND a.id < b.id
+       |  WHERE (CASE WHEN a.nrm > 0 AND b.nrm > 0
+       |    THEN ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm)
+       |    ELSE 0.0 END) >= $threshold),
+       |sym AS (SELECT id_a AS a, id_b AS b FROM p
+       |        UNION SELECT id_b, id_a FROM p),
+       |reach AS (
+       |  SELECT a AS node, a AS comp FROM sym
+       |  UNION
+       |  SELECT s.a, r.comp FROM sym s JOIN reach r ON r.node = s.b),
+       |comps AS (SELECT node AS id, min(comp) AS comp
+       |          FROM reach GROUP BY node)
+       |SELECT c.id AS vec_id, c.comp, f.dq,
+       |  row_number() OVER (PARTITION BY c.comp
+       |    ORDER BY f.dq DESC, c.id) = 1 AS keep
+       |FROM comps c JOIN raf f ON f.id = c.id
        |ORDER BY vec_id""".stripMargin
 
   /** Incremental k-means oracle (extensions.Kmeans.incrementalUpdate):
@@ -4170,8 +4361,20 @@ object PipelineDemos {
     "kmeans_incremental" -> kmeansIncrementalOracle(k = 8, rounds = 3),
     "kmeans_assign_routed" ->
       kmeansRoutedOracle(k = 8, rounds = 3, nSupers = 3),
+    "kmeans_assign_routed2" ->
+      kmeansRouted2Oracle(k = 8, rounds = 3, nSupers = 3),
+    // the framed path is pinned bit-equal to the literal-table routed
+    // decision (ExtensionsSpec), so it answers to the SAME oracle —
+    // a divergence in either implementation hash-fails its own row
+    "kmeans_assign_framed" ->
+      kmeansRoutedOracle(k = 8, rounds = 3, nSupers = 3),
+    "kmeans_earlystop" ->
+      kmeansEarlystopOracle(k = 8, maxRounds = 6, tolQ = earlystopTolQ),
     "semdedup_prune" ->
       semdedupOracle(k = 8, rounds = 3, threshold = cosineThreshold),
+    "semdedup_prune_routed" ->
+      semdedupRoutedOracle(k = 8, rounds = 3, nSupers = 3,
+        threshold = cosineThreshold),
     "knn_classify" ->
       s"""WITH $normsCte,
          |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM norms WHERE vec_id < 20),
