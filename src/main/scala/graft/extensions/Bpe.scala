@@ -184,4 +184,146 @@ object Bpe {
   def encodeStats(docs: DataFrame, idCol: String, textCol: String,
                   rounds: Int): DataFrame =
     encodeStats(docs, idCol, textCol, collectMerges(docs, textCol, rounds))
+
+  // ------------------------------------------------------------------
+  // INT-SYMBOL domain (VERDICT r15 #3) — BPE past the 26-merge
+  // placeholder-alphabet ceiling. Symbols are ints: base ids 0..25
+  // ('a'..'z'), merge round r mints id 26+r−1, merges are
+  // (round, a, b, new_id, cnt) rows — the real tokenizer-artifact
+  // shape, unbounded in rounds and multi-char in effect.
+  //
+  // The trainer also switches to the production formulation: ONE
+  // corpus-scale aggregation builds the distinct-WORD frequency table
+  // (pair statistics are a pure function of word-type counts — the
+  // HuggingFace/SentencePiece trainer shape), and every merge round
+  // runs over that bounded table. Against the string-domain
+  // mergeTable (which re-reads the corpus per round) this makes
+  // per-round cost INDEPENDENT of corpus size: grow the corpus 100×
+  // and only the one-time frequency aggregation grows — the property
+  // that makes 1000-round training on a 100 TB crawl a plan, not a
+  // wish (SCALECURVE §13 measures it).
+  //
+  // Per round: one pair-explode + map-side-combined count over the
+  // word table (shuffle keyed by the live pair space), one argmax
+  // (TakeOrdered, 1 row to the driver), zero corpus reads. The
+  // round-r representation is recomputed from the BASE table by one
+  // native BpeApplyMerges call over the r−1 learned merges — plan
+  // depth stays constant (no 100-deep lineage chain), and the apply
+  // cost (len·r per word type) is noise next to the job itself.
+  // ------------------------------------------------------------------
+
+  /** The distinct-word frequency table in id space:
+    * (w array&lt;int&gt;, cnt) — one corpus aggregation, then training
+    * never touches the corpus again. Training-side words only
+    * (length ≥ 2; a 1-symbol word has no pair and never will).
+    */
+  def wordFreqIds(docs: DataFrame, textCol: String): DataFrame =
+    words(docs, textCol)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(wordIds(col("w")).as("w"), col("cnt"))
+
+  /** Lowercase word → its base symbol ids (0..25 = 'a'..'z'). */
+  private def wordIds(w: Column): Column =
+    transform(sequence(lit(1), length(w)),
+      i => ascii(w.substr(i, lit(1))) - 97)
+
+  /** Train `rounds` id-domain merges: (round, a, b, cnt) in training
+    * order, new_id = 26 + round − 1 by construction (rounds are
+    * contiguous — training stops at the first round with no fusable
+    * pair, so consumers derive the minted id from the round). Ties
+    * break to the numerically smallest (a, b). Bounded driver state:
+    * one merge row per round.
+    */
+  def collectMergesIds(docs: DataFrame, textCol: String,
+                       rounds: Int): Seq[(Int, Int, Int, Long)] = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val wf = wordFreqIds(docs, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val merges =
+        scala.collection.mutable.Buffer.empty[(Int, Int, Int, Long)]
+      var done = false
+      for (r <- 1 to rounds if !done) {
+        val applied =
+          if (merges.isEmpty) col("w")
+          else graft.functions.BpeApplyMerges(col("w"),
+            merges.toSeq.map { case (rr, a, b, _) => (a, b, 26 + rr - 1) })
+        val top = wf.select(applied.as("w"), col("cnt"))
+          // merges can shrink a word to ONE symbol; and Spark's
+          // sequence(1, 0) is the DESCENDING [1, 0], not an empty
+          // range — filter before building pair positions
+          .filter(size(col("w")) >= 2)
+          .select(explode(transform(
+              sequence(lit(1), size(col("w")) - 1),
+              i => struct(element_at(col("w"), i).as("a"),
+                          element_at(col("w"), i + 1).as("b"))))
+            .as("p"), col("cnt"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else merges += ((r, top.head.getInt(0), top.head.getInt(1),
+          top.head.getLong(2)))
+      }
+      merges.toSeq
+    } finally {
+      wf.unpersist(false)
+      ()
+    }
+  }
+
+  /** [[collectMergesIds]] as the merge-table frame —
+    * (round, a, b, new_id, cnt), the id-domain training artifact. */
+  def mergeTableIds(spark: org.apache.spark.sql.SparkSession,
+                    merges: Seq[(Int, Int, Int, Long)]): DataFrame = {
+    import spark.implicits._
+    merges.map { case (r, a, b, cnt) => (r, a, b, 26 + r - 1, cnt) }
+      .toDF("round", "a", "b", "new_id", "cnt")
+  }
+
+  /** ENCODE in the id domain: per document, the word stream (length
+    * ≥ 1 — the encoder also sees the 1-symbol words the trainer
+    * skips), ALL merges applied in training order by one native
+    * [[graft.functions.BpeApplyMerges]] call per word, and the token
+    * economics plus two exact-long fingerprints that pin the encoded
+    * id SEQUENCE itself: `sum_ids` = Σ ids and `wsum_ids` =
+    * Σ_words Σ_i i·id_i (i 1-based within its word) — a transposition
+    * or mis-merge anywhere changes the weighted sum. Docs with no
+    * alphabetic words drop (no measurable compression).
+    *
+    * Scale shape: the merge table rides the plan as ONE codegen
+    * reference object (not 10k expression nodes), so the encode is a
+    * single map-side pass — no explode, no join, no shuffle: the plan
+    * a 100 TB tokenization job wants, at any merge count.
+    */
+  def encodeIdsStats(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(Int, Int, Int, Long)]): DataFrame = {
+    require(merges.map(_._1) == (1 to merges.length),
+      "merges must be the contiguous training rounds 1..n in order")
+    val mseq = merges.map { case (r, a, b, _) => (a, b, 26 + r - 1) }
+    val ws = filter(split(lower(col(textCol)), "[^a-z]+"),
+      w => length(w) >= 1)
+    val encoded = transform(col("ws"),
+      w => graft.functions.BpeApplyMerges(wordIds(w), mseq))
+    val sumLen = (c: Column) =>
+      aggregate(c, lit(0L), (a, w) => a + length(w).cast("long"))
+    docs.select(col(idCol).as("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        sumLen(col("ws")).as("n_chars"),
+        encoded.as("enc"))
+      .filter(col("n_chars") > 0L)
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        aggregate(col("enc"), lit(0L),
+          (a, e) => a + size(e).cast("long")).as("n_syms"),
+        aggregate(flatten(col("enc")), lit(0L),
+          (a, x) => a + x.cast("long")).as("sum_ids"),
+        aggregate(col("enc"), lit(0L), (acc, e) => acc +
+          aggregate(zip_with(sequence(lit(1), size(e)), e,
+              (i, x) => i.cast("long") * x.cast("long")),
+            lit(0L), (a, y) => a + y)).as("wsum_ids"))
+      .withColumn("compression",
+        col("n_syms").cast("double") / col("n_chars").cast("double"))
+  }
 }

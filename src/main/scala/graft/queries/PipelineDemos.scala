@@ -101,6 +101,24 @@ object PipelineDemos {
       graft.extensions.Bpe.collectMerges(
         Tables.documents(s, dir), "text", rounds = 3))
 
+  /** id-domain merge budget: 100 rounds — far past the string-domain
+    * 26-placeholder ceiling, just inside this corpus's 107-fusion
+    * capacity (Σ len(w)−1 over its 30 distinct words), so every round
+    * has a winner at every committed sf. */
+  private val bpeIdsRounds = 100
+
+  // the trained id-domain merge list (driver rows), shared by
+  // bpe_merges_ids and bpe_encode_ids — the 100-round induction runs
+  // once per corpus
+  private val bpeMergesIdsCache =
+    new graft.tables.CorpusMemo[Seq[(Int, Int, Int, Long)]]("documents")
+
+  private def trainedBpeMergesIds(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): Seq[(Int, Int, Int, Long)] =
+    bpeMergesIdsCache.getOrElseUpdate(dir,
+      graft.extensions.Bpe.collectMergesIds(
+        Tables.documents(s, dir), "text", rounds = bpeIdsRounds))
+
   // cosine-metric PQ codebooks (trained on normalized vectors) for the
   // two-phase rerank demo
   private val pqCosIndexCache = new graft.tables.CorpusMemo[Pq.PqIndex]("embeddings")
@@ -258,6 +276,29 @@ object PipelineDemos {
       graft.extensions.Bpe.encodeStats(
           Tables.documents(s, dir), "doc_id", "text",
           trainedBpeMerges(s, dir))
+        .orderBy("doc_id")
+    }),
+    // Id-domain BPE training, 100 merge rounds (VERDICT r15 #3): int
+    // symbols (base 0..25, round r mints 26+r−1) over the distinct-
+    // word FREQUENCY table — one corpus aggregation, then per-round
+    // cost independent of corpus size (the production trainer shape;
+    // SCALECURVE §13). Output = the ordered (round, a, b, new_id, cnt)
+    // merge artifact; the oracle replays all 100 rounds via fixed-
+    // width symbol tokens and plain string replace.
+    "bpe_merges_ids" -> ((s, dir) => {
+      graft.extensions.Bpe.mergeTableIds(s, trainedBpeMergesIds(s, dir))
+        .orderBy("round")
+    }),
+    // Id-domain ENCODE with the learned 100-merge table: ONE native
+    // BpeApplyMerges call per word (the merge table is a codegen
+    // reference object, not 100 expression nodes), single map-side
+    // pass, no shuffle. Output pins the encoded id SEQUENCE via two
+    // exact-long fingerprints (Σ ids, Σ position-weighted ids) on top
+    // of the token economics.
+    "bpe_encode_ids" -> ((s, dir) => {
+      graft.extensions.Bpe.encodeIdsStats(
+          Tables.documents(s, dir), "doc_id", "text",
+          trainedBpeMergesIds(s, dir))
         .orderBy("doc_id")
     }),
     // Token counting: whitespace + BPE-ish subword counts.
@@ -2181,6 +2222,101 @@ object PipelineDemos {
        |  CAST(n_syms AS DOUBLE) / CAST(n_chars AS DOUBLE) AS compression
        |FROM e ORDER BY doc_id""".stripMargin
   }
+  // ---- id-domain BPE oracles (VERDICT r15 #3) -----------------------
+  // Int symbols replayed in DuckDB as fixed-width string tokens:
+  // symbol id s ⇔ '|' + 5 zero-padded decimal digits. The '|' sentinel
+  // makes every match symbol-aligned, fixed width makes lexicographic
+  // pair order ≡ numeric (a, b) order, and greedy left-to-right string
+  // `replace` ≡ the engine's greedy int-array merge scan — so plain
+  // SQL replays the whole induction over an UNBOUNDED merge budget
+  // (the string-domain oracle above was capped at 26 placeholders).
+  // Training runs over the distinct-word FREQUENCY table (one corpus
+  // aggregation, then corpus-size-independent rounds) — the engine's
+  // wordFreqIds formulation.
+
+  /** Encoded-string form of word column `w0`: one '|ddddd' token per
+    * char, id = ascii − 97. */
+  private val bpeIdsWordExpr =
+    "list_aggregate(list_transform(generate_series(1, length(w0)), " +
+    "i -> '|' || lpad(CAST(ascii(substr(w0, i, 1)) - 97 AS VARCHAR), " +
+    "5, '0')), 'string_agg', '')"
+
+  /** The id-domain training chain: word-frequency base + `rounds` ×
+    * (pair count weighted by word cnt → argmax → fuse). A round with
+    * no fusable pair has an empty t_r; the COALESCE to a never-
+    * matching pattern keeps later rounds no-ops, mirroring the
+    * engine's stop. */
+  private def bpeIdsCtes(rounds: Int): String = {
+    val ctes = (1 to rounds).map { r =>
+      val top =
+        s"""p$r AS (SELECT pr, SUM(cnt) AS c FROM (
+           |  SELECT unnest(list_transform(
+           |      generate_series(1, length(w)//6 - 1),
+           |      i -> substr(w, (i-1)*6+1, 12))) AS pr, cnt
+           |  FROM wr${r - 1}) GROUP BY pr),
+           |t$r AS MATERIALIZED (SELECT pr, c FROM p$r
+           |  ORDER BY c DESC, pr LIMIT 1)""".stripMargin
+      if (r < rounds)
+        top + s""",
+           |wr$r AS MATERIALIZED (SELECT
+           |  replace(w, COALESCE((SELECT pr FROM t$r), '|#####|#####'),
+           |          '|${"%05d".format(26 + r - 1)}') AS w, cnt
+           |  FROM wr${r - 1})""".stripMargin
+      else top
+    }.mkString(",\n")
+    s"""wf0 AS (SELECT w0, count(*) AS cnt FROM (
+       |    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+'))
+       |      AS w0 FROM documents)
+       |  WHERE length(w0) >= 2 GROUP BY w0),
+       |wr0 AS MATERIALIZED (SELECT $bpeIdsWordExpr AS w, cnt FROM wf0),
+       |$ctes""".stripMargin
+  }
+
+  private def bpeIdsMergesOracle(rounds: Int): String = {
+    val unions = (1 to rounds).map { r =>
+      s"SELECT $r AS round, CAST(substr(pr, 2, 5) AS INTEGER) AS a, " +
+      s"CAST(substr(pr, 8, 5) AS INTEGER) AS b, " +
+      s"${26 + r - 1} AS new_id, CAST(c AS BIGINT) AS cnt FROM t$r"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${bpeIdsCtes(rounds)}
+       |SELECT round, a, b, new_id, cnt FROM ($unions)
+       |ORDER BY round""".stripMargin
+  }
+
+  /** Id-domain encode oracle: the training chain, then per WORD row
+    * (length ≥ 1 — the encoder sees 1-char words) the full replace
+    * chain in training order, symbol ids parsed back out of the
+    * fixed-width tokens, and the per-doc economics + the two exact
+    * sequence fingerprints (Σ ids and the position-weighted Σ i·id).
+    */
+  private def bpeIdsEncodeOracle(rounds: Int): String = {
+    val chain = (1 to rounds).foldLeft("e0") { (acc, r) =>
+      s"replace($acc, COALESCE((SELECT pr FROM t$r), '|#####|#####'), " +
+      s"'|${"%05d".format(26 + r - 1)}')"
+    }
+    s"""WITH ${bpeIdsCtes(rounds)},
+       |d AS (SELECT doc_id, length(w0) AS nc, $bpeIdsWordExpr AS e0
+       |  FROM (SELECT doc_id,
+       |      unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w0
+       |    FROM documents)
+       |  WHERE length(w0) >= 1),
+       |enc AS (SELECT doc_id, nc, $chain AS e FROM d),
+       |syms AS (SELECT doc_id, nc,
+       |  list_transform(generate_series(1, length(e)//6),
+       |    i -> CAST(substr(e, (i-1)*6+2, 5) AS BIGINT)) AS s
+       |  FROM enc)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+       |  CAST(SUM(len(s)) AS BIGINT) AS n_syms,
+       |  CAST(SUM(list_sum(s)) AS BIGINT) AS sum_ids,
+       |  CAST(SUM(list_sum(list_transform(generate_series(1, len(s)),
+       |    i -> CAST(i AS BIGINT) * s[i]))) AS BIGINT) AS wsum_ids,
+       |  CAST(SUM(len(s)) AS DOUBLE) / CAST(SUM(nc) AS DOUBLE)
+       |    AS compression
+       |FROM syms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   private val shinglesExpr =
     """CASE WHEN len(toks) >= 3
       | THEN list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))
@@ -3817,6 +3953,8 @@ object PipelineDemos {
          |ORDER BY cnt DESC, pair""".stripMargin,
     "bpe_merges" -> bpeMergesOracle(rounds = 3),
     "bpe_encode_stats" -> bpeEncodeOracle(rounds = 3),
+    "bpe_merges_ids" -> bpeIdsMergesOracle(rounds = 100),
+    "bpe_encode_ids" -> bpeIdsEncodeOracle(rounds = 100),
     "token_stats" ->
       s"""SELECT doc_id, len($toksExpr) AS n_tokens,
          |  len(regexp_extract_all(text, '${TextAnalysis.bpeIshPattern}')) AS n_subwords

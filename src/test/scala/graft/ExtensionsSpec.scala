@@ -75,6 +75,43 @@ class ExtensionsSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 2L, 4L, 2L, 0.5)))
   }
 
+  test("BPE id-domain: hand-computed 3-round induction over the word-" +
+       "frequency table, greedy non-overlapping apply, and encode " +
+       "fingerprints (including the trainer-skipped 1-char word)") {
+    // corpus: aaab ×2, ab ×1 (ids a=0, b=1). By hand:
+    //   round 1 pairs: (0,0)=4 (two per aaab ×2), (0,1)=3 → fuse
+    //     (0,0)→26; aaab→[26,0,1] (greedy: the 2nd/3rd 'a' do NOT
+    //     re-pair), ab→[0,1]
+    //   round 2: (26,0)=2, (0,1)=3 → fuse (0,1)→27; → [26,27], [27]
+    //   round 3: (26,27)=2 → fuse →28; → [28], [27]
+    //   round 4: no pairs anywhere → training STOPS (3 merges from 4)
+    val docs = docsDf(1L -> "aaab aaab ab")
+    val merges = graft.extensions.Bpe.collectMergesIds(docs, "text",
+      rounds = 4)
+    assert(merges == Seq((1, 0, 0, 4L), (2, 0, 1, 3L), (3, 26, 27, 2L)))
+    val tbl = graft.extensions.Bpe.mergeTableIds(spark, merges)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getLong(4)))
+    assert(tbl.toSeq == Seq((1, 0, 0, 26, 4L), (2, 0, 1, 27, 3L),
+      (3, 26, 27, 28, 2L)))
+    // encode "aaab ab a": aaab→[28], ab→[27], a→[0] (1-char word the
+    // TRAINER skipped but the encoder must carry; no merge matches a
+    // single symbol). n_chars=7, n_syms=3, sum=55, wsum=1·28+1·27+1·0
+    val enc = graft.extensions.Bpe.encodeIdsStats(
+        docsDf(9L -> "aaab ab a", 10L -> "?! 123"), "doc_id", "text",
+        merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(enc.toSeq == Seq((9L, 3L, 7L, 3L, 55L, 55L, 3.0 / 7.0)))
+    // the greedy scan really is non-overlapping left-to-right:
+    // "aaa" under merge (0,0) → [26, 0], never [0, 26] or [26, 26]
+    val tri = graft.extensions.Bpe.encodeIdsStats(
+        docsDf(1L -> "aaa"), "doc_id", "text", Seq((1, 0, 0, 99L)))
+      .collect().map(r => (r.getLong(3), r.getLong(4), r.getLong(5)))
+    // [26, 0]: n_syms=2, sum=26, wsum=1·26+2·0=26
+    assert(tri.toSeq == Seq((2L, 26L, 26L)))
+  }
+
   test("k-means: a ragged vector (length != centroid dimension) raises " +
        "loudly instead of corrupting centroid sums") {
     import spark.implicits._
