@@ -124,6 +124,38 @@ object RelationalDemos {
              AggOps.exactSum(col("l_quantity")).as("sum_qty"))
         .orderBy("label")
     }),
+    // The SALTED ShuffleProbe synonymizer mode under its own oracle
+    // (VERDICT r15 #6): canonicalCuriesByName — the real J4 name-
+    // lookup query — over a KG fixture with a deliberately Zipf-hot
+    // simplified name (3/4 of all nodes share "aspirin", the
+    // reference's ubiquitous-dictionary-key pathology), probed in
+    // ShuffleProbe(salt=4) mode: the probe side replicates across 4
+    // salt buckets, each node row hashes (by id) into one, so the hot
+    // name's rows spread over 4 tasks instead of one. Results are
+    // salt-invariant — the oracle is the plain name-argmax semantics,
+    // so this row hash-matching IS the BroadcastProbe-parity proof in
+    // the correctness gate (SynonymizerSpec pins mode equality too).
+    "join_lookup_salted" -> ((s, dir) => {
+      import s.implicits._
+      val nodes = Tables.customer(s, dir).select(
+        concat(lit("C:"), col("c_custkey")).as("id"),
+        concat(lit("C:"), col("c_custkey")).as("id_simplified"),
+        lit(null).cast("string").as("name"),
+        when(col("c_custkey") % 4 =!= 0, lit("aspirin"))
+          .otherwise(concat(lit("cust"), col("c_custkey")))
+          .as("name_simplified"),
+        lit(null).cast("string").as("category"),
+        concat(lit("CL:"), col("c_nationkey")).as("cluster_id"))
+      val clusters = Tables.nation(s, dir).select(
+        concat(lit("CL:"), col("n_nationkey")).as("cluster_id"),
+        col("n_name").as("name"),
+        lit("Place").as("category"))
+      val edges = Seq.empty[(String, String)].toDF("id", "subject")
+      val syn = new graft.synonymizer.Synonymizer(nodes, clusters, edges,
+        graft.synonymizer.Synonymizer.ShuffleProbe(salt = 4))
+      val inputs = Seq("Aspirin!", "cust 8", "nope").toDF("input")
+      syn.canonicalCuriesByName(inputs).orderBy("input")
+    }),
     // Co-located join via bucketing: both sides written bucketBy(8) on
     // the join key (Partitioning.bucketedTable, memoized per corpus —
     // the write IS the shuffle, paid once at ingest), so the join
@@ -787,6 +819,36 @@ object RelationalDemos {
       """SELECT 'flag_' || l_returnflag AS label, count(*) AS n_rows,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY label""".stripMargin,
+    // plain name-argmax semantics — the salted shuffle is a physical
+    // strategy, invisible in the result by construction
+    "join_lookup_salted" ->
+      """WITH nodes AS (SELECT
+        |    CASE WHEN c_custkey % 4 <> 0 THEN 'aspirin'
+        |         ELSE 'cust' || CAST(c_custkey AS VARCHAR) END
+        |      AS name_simplified,
+        |    'CL:' || CAST(c_nationkey AS VARCHAR) AS cluster_id
+        |  FROM customer),
+        |inputs(input) AS (VALUES ('Aspirin!'), ('cust 8'), ('nope')),
+        |probe AS (SELECT input,
+        |    lower(regexp_replace(input, '[[:punct:]\s]', '', 'g'))
+        |      AS probe_key
+        |  FROM inputs),
+        |j AS (SELECT input, cluster_id, count(*) AS cnt
+        |  FROM probe JOIN nodes ON probe_key = name_simplified
+        |  GROUP BY input, cluster_id),
+        |r AS (SELECT input, cluster_id FROM j
+        |  QUALIFY row_number() OVER (PARTITION BY input
+        |    ORDER BY cnt DESC, cluster_id) = 1),
+        |pref AS (SELECT 'CL:' || CAST(n_nationkey AS VARCHAR)
+        |      AS cluster_id,
+        |    n_name AS preferred_name,
+        |    'biolink:Place' AS preferred_category
+        |  FROM nation)
+        |SELECT i.input, r.cluster_id AS preferred_curie,
+        |  p.preferred_name, p.preferred_category
+        |FROM inputs i LEFT JOIN r ON r.input = i.input
+        |LEFT JOIN pref p ON p.cluster_id = r.cluster_id
+        |ORDER BY i.input""".stripMargin,
     "join_bucketed" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
