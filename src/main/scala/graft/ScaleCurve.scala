@@ -1168,6 +1168,26 @@ object ScaleCurve {
               "embedding", routing)
             .agg(sum(col("dq"))).collect().head.getLong(0)
         }
+        // the ROUTED prune pipeline's candidate generator
+        // (semdedup_prune_routed): same within-cell search over routed
+        // cell membership — a twin is lost iff routing SPLITS the pair
+        // across cells where exact assignment co-located it, so the
+        // recall column next to the exact one IS the measured cost of
+        // the nProbe=1 trade on the prune pipeline (VERDICT r15 #2)
+        var nPairsR = 0L
+        var twinsR = 0L
+        val (secSR, _) = timeIt(spark) {
+          val r = graft.extensions.Kmeans.nearDupPairsRouted(vecs,
+              "vec_id", "embedding", routing, threshold = 0.99)
+            .agg(count(lit(1)).as("np"),
+                 sum(when(col("id_b") - col("id_a") === n - 100 &&
+                     col("id_a") >= n - 200, 1L)
+                   .otherwise(0L)).as("tw"))
+            .collect().head
+          nPairsR = r.getLong(0)
+          twinsR = if (r.isNullAt(1)) 0L else r.getLong(1)
+          nPairsR
+        }
         spark.catalog.clearCache()
         Point(n, Seq(
           "vectors" -> n.toString,
@@ -1176,9 +1196,159 @@ object ScaleCurve {
           "dup pairs" -> nPairs.toString,
           "twin recall" -> f"${twins / 100.0}%.2f",
           "wall pairs (s)" -> f"$secS%.2f",
+          "routed pairs" -> nPairsR.toString,
+          "routed twin recall" -> f"${twinsR / 100.0}%.2f",
+          "wall routed pairs (s)" -> f"$secSR%.2f",
           "wall assign exact (s)" -> f"$secAx%.2f",
           "supers" -> nSup.toString,
           "wall assign routed (s)" -> f"$secAr%.2f"))
+      }
+
+    // ---- 5c. normalizerResults octaves (VERDICT r15 #7) --------------
+    // The WIDEST synonymizer query (fallback resolve + full member
+    // detail arrays + category histograms + rep-category join) against
+    // a growing KG with a FIXED 100k-probe batch — the nightly-batch
+    // shape. ShuffleProbe: at 16M nodes the clusters-sized member
+    // frame (8M rows of arrays) is past any sane broadcast, exactly
+    // the regime the mode exists for.
+    val synNormPts = Seq(1000000L, 4000000L, 16000000L)
+      .filter(_ <= points.max * 80)
+      .map { n =>
+        val nameMod = n * 3 / 5
+        val (nodes, clusters, edges) = synTables(spark, n, nameMod)
+        val syn = new graft.synonymizer.Synonymizer(nodes, clusters,
+          edges, probeJoin = graft.synonymizer.Synonymizer.ShuffleProbe(16))
+        // half the probes resolve as curies, half as names through the
+        // fallback retry — both resolve paths stay on the measured path
+        val probes = spark.range(0, 100000L).select(
+          when(col("id") % 2 === 0,
+            concat(lit("N:"), pmod(col("id") * 7L, lit(n))))
+          .otherwise(concat(lit("Name"), pmod(col("id"), lit(nameMod))))
+          .as("input"))
+        var memberRows = 0L
+        var withCat = 0L
+        val (sec, _) = timeIt(spark) {
+          // agg over the assembled member arrays + a category column —
+          // a bare count() would let Catalyst prune the collect_list
+          // assembly and the rep-category join away (the §12 lesson)
+          val r = syn.normalizerResults(probes)
+            .agg(sum(size(col("nodes"))).as("m"),
+                 count(col("preferred_category")).as("c"))
+            .collect().head
+          memberRows = if (r.isNullAt(0)) 0L else r.getLong(0)
+          withCat = r.getLong(1)
+          memberRows
+        }
+        spark.catalog.clearCache()
+        Point(n, Seq(
+          "nodes" -> n.toString,
+          "probe rows" -> "100000",
+          "member detail rows" -> memberRows.toString,
+          "with category" -> withCat.toString,
+          "wall (s)" -> f"$sec%.2f"))
+      }
+
+    // ---- 12b. FRAMED k-means assignment at production k (r15 #1) ----
+    // k = 10,000 member centroids NEVER touch the driver or the plan:
+    // training is lloydFramed (centroid state lives in a (cluster, cv)
+    // frame between rounds; per-round driver state = nSupers·d super
+    // sums + the populated-super set, 3,200 doubles at this shape vs
+    // the k·d = 320,000 the literal path would collect), assignment is
+    // route (100 super literals) → equi-join on super against the
+    // member frame → per-vector argmin. The member table is
+    // localCheckpoint-snapshotted after the routing build — the
+    // offline-artifact stance — so the assignment timer measures
+    // assignment, not a replay of training lineage.
+    val kmFramedPts = Seq(100000L, 400000L)
+      .filter(_ <= points.max * 2)
+      .map { n =>
+        val vecs = vectorCorpus(spark, n)
+        val k = 10000
+        val nSup = 100
+        var cents: DataFrame = null
+        val (secT, _) = timeIt(spark) {
+          cents = graft.extensions.Kmeans.lloydFramed(vecs, "vec_id",
+            "embedding", k = k, rounds = 1, nSupers = nSup)
+          cents.count()
+        }
+        val routing0 = graft.extensions.Kmeans.framedRoutingFor(
+          cents, "cluster", "cv", nSupers = nSup)
+        val routing = graft.extensions.Kmeans.FramedRouting(
+          routing0.routeCents, routing0.members.localCheckpoint(true))
+        var dqSum = 0L
+        val (secA, _) = timeIt(spark) {
+          // agg over dq (a bare count would prune the argmin — §12)
+          dqSum = graft.extensions.Kmeans.framedAssign(vecs, "vec_id",
+              "embedding", routing)
+            .agg(sum(col("dq"))).collect().head.getLong(0)
+          dqSum
+        }
+        spark.catalog.clearCache()
+        Point(n, Seq(
+          "vectors" -> n.toString,
+          "k" -> k.toString,
+          "supers" -> nSup.toString,
+          "driver centroid state" -> s"${nSup * 32}d (vs ${k * 32}d literal)",
+          "wall train framed (s)" -> f"$secT%.2f",
+          "wall assign framed (s)" -> f"$secA%.2f"))
+      }
+
+    // ---- 13. BPE id-domain training (r15 #3) -------------------------
+    // The word-frequency formulation measured: ONE corpus-scale
+    // aggregation builds the (word-ids, cnt) table, then every merge
+    // round runs on that bounded table — per-round wall must be flat
+    // in BOTH the round number (128-round budget, far past the old
+    // 26-placeholder ceiling) and the corpus size (octave growth hits
+    // the one-time aggregation only).
+    def bpeCorpus(n: Long): DataFrame = {
+      val alpha = lit("abcdefghijklmnopqrstuvwxyz")
+      def letter(w: org.apache.spark.sql.Column, p: Int) =
+        alpha.substr(
+          (pmod(floor(w / math.pow(26, p)).cast("long"), lit(26L)) + 1L)
+            .cast("int"), lit(1))
+      spark.range(0, n).toDF("doc_id")
+        .withColumn("text", concat_ws(" ",
+          transform(sequence(lit(0L), lit(29L)), j => {
+            val w = pmod(hash(col("doc_id") * 1009L + j * 131L),
+              lit(5000)).cast("long")
+            concat((0 to 5).map(p => letter(w, p)): _*)
+          })))
+        .select("doc_id", "text")
+    }
+    def timeOnce(action: => Long): Double = {
+      val t0 = System.nanoTime(); action; (System.nanoTime() - t0) / 1e9
+    }
+    val bpePts = Seq(200000L, 800000L)
+      .filter(_ <= points.max * 4)
+      .map { n =>
+        val docs = bpeCorpus(n)
+        val wf = graft.extensions.Bpe.wordFreqIds(docs, "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          var vocab = 0L
+          val secW = timeOnce { vocab = wf.count(); vocab }
+          var m32 = 0
+          val sec32 = timeOnce {
+            m32 = graft.extensions.Bpe.collectMergesIdsFrom(wf, 32).size
+            m32.toLong
+          }
+          var m128 = 0
+          val sec128 = timeOnce {
+            m128 = graft.extensions.Bpe.collectMergesIdsFrom(wf, 128).size
+            m128.toLong
+          }
+          Point(n, Seq(
+            "docs" -> n.toString,
+            "word occurrences" -> (30 * n).toString,
+            "distinct words" -> vocab.toString,
+            "wall freq table (s)" -> f"$secW%.2f",
+            "merges@32/@128" -> s"$m32/$m128",
+            "ms/round early (1-32)" -> f"${sec32 / 32 * 1000}%.0f",
+            "ms/round late (33-128)" -> f"${(sec128 - sec32) / 96 * 1000}%.0f"))
+        } finally {
+          wf.unpersist(false)
+          ()
+        }
       }
 
     // ---- render ------------------------------------------------------
@@ -1385,6 +1555,30 @@ object ScaleCurve {
        ^shrinks relative to the bulk. At 100 TB the lever is executors —
        ^every stage here is an equi-join or map-side-combined aggregate
        ^with no per-key serialization point left.
+       ^
+       ^### 5c. normalizerResults octaves (r16)
+       ^
+       ^The WIDEST query of the family (get_normalizer_results:
+       ^curie-else-name fallback resolve, full member-node detail
+       ^arrays, per-category histograms, rep-category join) — a fixed
+       ^100k-probe batch against a KG growing 1M → 16M nodes, in
+       ^ShuffleProbe mode (at 16M nodes the clusters member frame is 8M
+       ^array rows — past any sane broadcast, exactly the regime the
+       ^mode exists for). Half the probes resolve as curies, half as
+       ^names through the fallback retry, so both resolve paths are on
+       ^the measured path; the timer aggregates over the assembled
+       ^member arrays and the rep-category column so Catalyst cannot
+       ^prune the expensive assembly (the §12 count-prune lesson).
+       ^
+       ^${table(synNormPts)}
+       ^
+       ^Growth: ${growth(synNormPts, "wall (s)")}.
+       ^
+       ^With the probe batch fixed, the KG-side work (node scans for
+       ^the two resolve paths + member join + rep join, clusters
+       ^shuffle) grows ∝ n while the probe-side aggregations stay
+       ^constant — sub-×4 per ×4 octave says the job is scan-bound,
+       ^which executors absorb.
        ^
        ^## 6. Connected components (near-dup pairs → dedup clusters)
        ^
@@ -1630,12 +1824,61 @@ object ScaleCurve {
        ^exact assign: ${growth(sdPts, "wall assign exact (s)")};
        ^routed assign: ${growth(sdPts, "wall assign routed (s)")}.
        ^
+       ^The routed-pairs columns run the SAME within-cell search over
+       ^ROUTED cell membership (`semdedup_prune_routed`'s candidate
+       ^generator): "routed twin recall" next to "twin recall" is the
+       ^measured cost of the nProbe=1 trade on the prune pipeline — a
+       ^planted twin is lost iff routing splits the pair across cells
+       ^where exact assignment co-located it.
+       ^
        ^The last two columns measure the large-k assignment trade on
        ^the SAME trained model: exact argmin is n·k·d flops (k grows
        ^with n here, so the wall grows superlinearly), the two-level
        ^route (`Kmeans.routedAssign`, ~√k supers) is ~n·2√k·d — the
        ^production path once k reaches the thousands, at the documented
        ^deterministic nProbe=1 approximation.
+       ^
+       ^### 12b. Frame-resident assignment at k = 10,000 (r16)
+       ^
+       ^The literal-table routed path still COLLECTS all k centroids to
+       ^the driver and embeds them across √k plan branches — fine at
+       ^k in the thousands, a hard wall at the SemDeDup regime (k≈2M,
+       ^d=768 is tens of GB of driver state). Here the ceiling is gone:
+       ^training is `Kmeans.lloydFramed` (centroids live in a
+       ^(cluster, cv) frame between rounds; the driver holds only the
+       ^100 super sums = 3,200 doubles, never the 320,000 the literal
+       ^path would), and assignment is `framedAssign` — map-side route
+       ^over 100 super literals, equi-join on `super` against the
+       ^member frame, per-vector argmin collapsed map-side by partial
+       ^aggregation (candidates for one vector are co-located with its
+       ^routed super, so the exchange carries n rows, not n·k/√k). The
+       ^decision is bit-equal to the literal routed path
+       ^(ExtensionsSpec + the shared `kmeans_assign_framed` oracle).
+       ^
+       ^${table(kmFramedPts)}
+       ^
+       ^Train: ${growth(kmFramedPts, "wall train framed (s)")};
+       ^assign: ${growth(kmFramedPts, "wall assign framed (s)")}.
+       ^
+       ^## 13. BPE id-domain training (`bpe_merges_ids` shape)
+       ^
+       ^Tokenizer induction in the production formulation: ONE
+       ^corpus-scale aggregation builds the distinct-word frequency
+       ^table (pair statistics are a pure function of word-type
+       ^counts), then every merge round — pair count, argmax, fuse —
+       ^runs on that bounded table with a native one-call merge apply
+       ^(BpeApplyMerges). Two claims measured on a 5,000-word 6-letter
+       ^synthetic vocabulary: per-round wall is FLAT in the round
+       ^number through a 128-round budget (far past the string-domain
+       ^26-placeholder ceiling — all 128 rounds find winners), and flat
+       ^in the CORPUS size (the ×4 octave moves only the one-time
+       ^frequency-table wall; rounds never re-read the corpus — the
+       ^string-domain `mergeTable` re-read it every round).
+       ^
+       ^${table(bpePts)}
+       ^
+       ^Freq table: ${growth(bpePts, "wall freq table (s)")};
+       ^per-round (late): ${growth(bpePts, "ms/round late (33-128)")}.
        ^
        ^## Reading the curves at 100 TB
        ^

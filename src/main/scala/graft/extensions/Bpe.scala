@@ -235,10 +235,24 @@ object Bpe {
     * one merge row per round.
     */
   def collectMergesIds(docs: DataFrame, textCol: String,
-                       rounds: Int): Seq[(Int, Int, Int, Long)] = {
+                       rounds: Int): Seq[(Int, Int, Int, Long)] =
+    collectMergesIdsFrom(wordFreqIds(docs, textCol), rounds)
+
+  /** [[collectMergesIds]] over a PREBUILT word-frequency table
+    * (w array&lt;int&gt;, cnt) — the one-time corpus aggregation and the
+    * bounded training rounds are separate costs (SCALECURVE §13 times
+    * them apart; a production trainer lands the frequency table as an
+    * artifact and trains many tokenizers off it). */
+  def collectMergesIdsFrom(wordFreqs: DataFrame,
+                           rounds: Int): Seq[(Int, Int, Int, Long)] = {
     require(rounds >= 1, "rounds must be >= 1")
-    val wf = wordFreqIds(docs, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // a caller-persisted table stays caller-owned (repeat trainings off
+    // one landed frequency artifact must not lose each other's cache)
+    val callerOwned =
+      wordFreqs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val wf =
+      if (callerOwned) wordFreqs
+      else wordFreqs.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val merges =
         scala.collection.mutable.Buffer.empty[(Int, Int, Int, Long)]
@@ -268,7 +282,7 @@ object Bpe {
       }
       merges.toSeq
     } finally {
-      wf.unpersist(false)
+      if (!callerOwned) wf.unpersist(false)
       ()
     }
   }
