@@ -545,15 +545,24 @@ object Kmeans {
               lit(0.0), (a, x) => a + x)
 
   /** Routed assignment under FRAME-RESIDENT member centroids: one
-    * map-side super route (√k literals), one equi-join on `super`
-    * against the (super, cluster, cv) member table, one per-vector
-    * argmin (`min(struct(d, cluster))` — Spark's struct ordering is
-    * the same (d, cluster)-ascending total order the kernel ties by).
-    * Candidate volume is n·(k/√k) joined rows — the routed flop count,
-    * materialized as rows instead of literal branches. Ragged input
-    * vectors fail loudly at the route step (the argminStruct guard);
-    * member centroids are model-derived and share the route dimension,
-    * so the join-side fold can never see a length mismatch.
+    * map-side super route (√k literals), then ONE 1:1 equi-join on
+    * `super` against the member table pre-grouped into a sorted
+    * per-super centroid ARRAY (k·d data total, √k rows — broadcast
+    * when it fits, an n-row shuffle by `super` otherwise), then the
+    * argmin as a map-side `aggregate` fold over that array — no row
+    * expansion, no aggregation operator, no extra exchange (the first
+    * cut grouped n·k/√k candidate ROWS by id, and `min(struct)` can't
+    * hash-aggregate — Spark sorted 10M candidate rows in a
+    * SortAggregate; this plan keeps n rows end to end).
+    *
+    * Fold parity with the NearestCentroid kernel, stated exactly:
+    * seeds from member 0, strict `<` replacement walking the array in
+    * ascending-cluster order (so a distance tie keeps the earlier =
+    * smaller cluster id), Spark's NaN-greatest comparison semantics —
+    * the same total order, bit for bit (ExtensionsSpec pins it).
+    * Ragged input vectors fail loudly at the route step (the
+    * argminStruct guard); member centroids are model-derived and share
+    * the route dimension, so the fold can never see a length mismatch.
     *
     * @return (id, cluster, dq, super) — bit-equal to [[routedAssign]]
     */
@@ -568,19 +577,32 @@ object Kmeans {
   private def framedAssignWithV(vecs: DataFrame, idCol: String,
                                 vecCol: String,
                                 routing: FramedRouting): DataFrame = {
+    // (super, marr): each populated super's member centroids as ONE
+    // array row sorted by cluster id — the NearestCentroid position-
+    // tie contract in frame form
+    val marr = routing.members
+      .groupBy("super")
+      .agg(array_sort(collect_list(struct(col("cluster"), col("cv"))))
+        .as("marr"))
     val routed = vecs
       .select(col(idCol).as("id"),
               col(vecCol).cast("array<double>").as("v"))
       .select(col("id"), col("v"),
               argminStruct(col("v"), routing.routeCents)
                 .getField("cluster").as("super"))
-    routed.join(routing.members, "super")
-      .select(col("id"), col("v"), col("super"), col("cluster"),
-              l2sqFold(col("v"), col("cv")).as("d"))
-      .groupBy("id")
-      .agg(min(struct(col("d"), col("cluster"))).as("best"),
-           min(col("super")).as("super"), // one route per id: min = the value
-           first(col("v")).as("v"))
+    def distTo(m: Column) = l2sqFold(col("v"), m.getField("cv"))
+    def entry(m: Column, d: Column) =
+      struct(d.as("d"), m.getField("cluster").as("cluster"))
+    val first = element_at(col("marr"), 1)
+    val best = aggregate(
+      slice(col("marr"), lit(2), greatest(size(col("marr")) - 1, lit(0))),
+      entry(first, distTo(first)),
+      (acc, m) => {
+        val d2 = distTo(m)
+        when(d2 < acc.getField("d"), entry(m, d2)).otherwise(acc)
+      })
+    routed.join(marr, "super")
+      .select(col("id"), col("v"), best.as("best"), col("super"))
       .select(col("id"), col("v"), col("best.cluster").as("cluster"),
               floor(col("best.d") * lit(Q)).cast("long").as("dq"),
               col("super"))
