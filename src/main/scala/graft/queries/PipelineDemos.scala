@@ -75,6 +75,11 @@ object PipelineDemos {
     new graft.tables.CorpusMemo[graft.extensions.Kmeans.KmeansModel](
       "embeddings")
 
+  // landed framed-training centroid parquet per corpus stamp
+  // (kmeans_framed_train): the training artifact, written once
+  private val kmeansFramedTrainPathCache =
+    new graft.tables.CorpusMemo[String]("embeddings")
+
   /** kmeans_earlystop's convergence tolerance in inertia quanta (2.5
     * distance units): stops at round 4 of 6 on the 500-vector corpora
     * and round 5 of 6 at sf0.1 — early at every committed sf, never
@@ -1012,6 +1017,31 @@ object PipelineDemos {
           "vec_id", "embedding", routing)
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")
+    }),
+    // FRAME-RESIDENT Lloyd TRAINING under the exact oracle: lloydFramed
+    // at nSupers=1 routes every vector through one all-members super,
+    // so assignment degenerates to the exact argmin and the trained
+    // centroid frame must equal lloyd's final round bit-for-bit — the
+    // oracle is the plain Lloyd chain's round-3 fixed-point sums. The
+    // driver never holds the k·d centroid state during training (the
+    // trajectory lives in (cluster, cv) frames); the landed parquet is
+    // the once-per-corpus training artifact the assign demos would
+    // consume at production k.
+    "kmeans_framed_train" -> ((s, dir) => {
+      val p = kmeansFramedTrainPathCache.getOrElseUpdate(dir, {
+        val path = graft.tables.ScratchDirs.tmp("kmftrain", dir)
+        val f = graft.extensions.Kmeans.lloydFramed(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 8, rounds = 3, nSupers = 1)
+        f.write.mode("overwrite").parquet(path)
+        f.unpersist(false)
+        path
+      })
+      s.read.parquet(p)
+        .select(col("cluster"), posexplode(col("cv")).as(Seq("pos", "c")))
+        .select(col("cluster"), col("pos").cast("long").as("pos"),
+                col("c"))
+        .orderBy("cluster", "pos")
     }),
     // Lloyd with EXACT convergence early-stop: train to maxRounds=6 but
     // stop once the quantized-inertia improvement drops to ≤ 2e6 quanta
@@ -4508,6 +4538,13 @@ object PipelineDemos {
       kmeansRoutedOracle(k = 8, rounds = 3, nSupers = 3),
     "kmeans_earlystop" ->
       kmeansEarlystopOracle(k = 8, maxRounds = 6, tolQ = earlystopTolQ),
+    // the framed trainer at nSupers=1 IS exact Lloyd — its landed
+    // centroid frame answers to the plain chain's final-round sums
+    "kmeans_framed_train" ->
+      s"""WITH ${kmeansCtes(8, 3)}
+         |SELECT cluster, pos,
+         |  CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS c
+         |FROM u3 ORDER BY cluster, pos""".stripMargin,
     "semdedup_prune" ->
       semdedupOracle(k = 8, rounds = 3, threshold = cosineThreshold),
     "semdedup_prune_routed" ->

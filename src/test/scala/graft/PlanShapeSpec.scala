@@ -289,6 +289,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"vocab probe must be a broadcast anti-join:\n$p")
   }
 
+  test("kmeans_assign_framed keeps n rows end to end: the argmin is a " +
+       "map-side fold over the per-super member array, never a " +
+       "candidate-row grouping (the min(struct) SortAggregate " +
+       "regression), and the member join is a 1:1 broadcast at this " +
+       "table size") {
+    val p = plan("kmeans_assign_framed")
+    assert(!p.contains("SortAggregate"),
+      s"framed argmin must not sort candidate rows:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the sqrt(k)-row member-array table should broadcast here:\n$p")
+  }
+
   test("group_split and embed_quantize stay map-side (zero Exchange)") {
     Seq("group_split", "embed_quantize").foreach { name =>
       // strip the final presentation orderBy: a demo-only range exchange
