@@ -571,41 +571,94 @@ object Kmeans {
     framedAssignWithV(vecs, idCol, vecCol, routing)
       .select("id", "cluster", "dq", "super")
 
+  /** (super, marr): each populated super's member centroids as ONE
+    * array row sorted by cluster id — the NearestCentroid position-
+    * tie contract in frame form. */
+  private def memberArrays(routing: FramedRouting): DataFrame =
+    routing.members
+      .groupBy("super")
+      .agg(array_sort(collect_list(struct(col("cluster"), col("cv"))))
+        .as("marr"))
+
+  /** The map-side argmin fold over a member-array column: seeds from
+    * member 0, strict `<` replacement in ascending-cluster order —
+    * the NearestCentroid total order as a frame-side expression.
+    * Expects the vector in scope as column `v`. */
+  private def marrBest(marrCol: Column): Column = {
+    def distTo(m: Column) = l2sqFold(col("v"), m.getField("cv"))
+    def entry(m: Column, d: Column) =
+      struct(d.as("d"), m.getField("cluster").as("cluster"))
+    val first = element_at(marrCol, 1)
+    aggregate(
+      slice(marrCol, lit(2), greatest(size(marrCol) - 1, lit(0))),
+      entry(first, distTo(first)),
+      (acc, m) => {
+        val d2 = distTo(m)
+        when(d2 < acc.getField("d"), entry(m, d2)).otherwise(acc)
+      })
+  }
+
   /** [[framedAssign]] keeping the vector column — the framed Lloyd
     * round's input (the update re-reads v; carrying it through the
     * argmin avoids a second corpus join). */
   private def framedAssignWithV(vecs: DataFrame, idCol: String,
                                 vecCol: String,
                                 routing: FramedRouting): DataFrame = {
-    // (super, marr): each populated super's member centroids as ONE
-    // array row sorted by cluster id — the NearestCentroid position-
-    // tie contract in frame form
-    val marr = routing.members
-      .groupBy("super")
-      .agg(array_sort(collect_list(struct(col("cluster"), col("cv"))))
-        .as("marr"))
     val routed = vecs
       .select(col(idCol).as("id"),
               col(vecCol).cast("array<double>").as("v"))
       .select(col("id"), col("v"),
               argminStruct(col("v"), routing.routeCents)
                 .getField("cluster").as("super"))
-    def distTo(m: Column) = l2sqFold(col("v"), m.getField("cv"))
-    def entry(m: Column, d: Column) =
-      struct(d.as("d"), m.getField("cluster").as("cluster"))
-    val first = element_at(col("marr"), 1)
-    val best = aggregate(
-      slice(col("marr"), lit(2), greatest(size(col("marr")) - 1, lit(0))),
-      entry(first, distTo(first)),
-      (acc, m) => {
-        val d2 = distTo(m)
-        when(d2 < acc.getField("d"), entry(m, d2)).otherwise(acc)
-      })
-    routed.join(marr, "super")
-      .select(col("id"), col("v"), best.as("best"), col("super"))
+    routed.join(memberArrays(routing), "super")
+      .select(col("id"), col("v"), marrBest(col("marr")).as("best"),
+              col("super"))
       .select(col("id"), col("v"), col("best.cluster").as("cluster"),
               floor(col("best.d") * lit(Q)).cast("long").as("dq"),
               col("super"))
+  }
+
+  /** MULTI-PROBE frame-resident assignment — [[routedAssign]]'s
+    * nProbe ≥ 2 quality recovery composed with [[framedAssign]]'s
+    * no-k·d-driver-state scale path: the nProbe nearest supers come
+    * from the same literal kernel (supers are √k — always plan-sized),
+    * each probe slot 1:1-joins its member array, the per-slot argmin
+    * is the same map-side fold, and the cross-slot decision is a
+    * map-side `least` by (d, cluster) — n ROWS end to end (nProbe
+    * 1:1 joins, never a row expansion or an aggregation operator).
+    * Bit-equal to `routedAssign(..., nProbe)` (ExtensionsSpec pins
+    * it; the demo shares its oracle).
+    */
+  def framedAssign(vecs: DataFrame, idCol: String, vecCol: String,
+                   routing: FramedRouting, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    if (nProbe == 1) return framedAssign(vecs, idCol, vecCol, routing)
+    val marr = memberArrays(routing)
+    val routed = vecs
+      .select(col(idCol).as("id"),
+              col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), col("v"),
+              graft.functions.NearestCentroids(col("v"),
+                routing.routeCents, nProbe).as("probes"))
+    val joined = (1 to nProbe).foldLeft(routed) { (acc, i) =>
+      // left join: a corpus with fewer populated supers than nProbe
+      // yields short probe arrays — the slot's struct stays null and
+      // least() skips it
+      acc.join(marr.select(col("super").as(s"super_$i"),
+                           col("marr").as(s"marr_$i")),
+        element_at(col("probes"), i) === col(s"super_$i"), "left")
+    }
+    val slots = (1 to nProbe).map { i =>
+      val b = marrBest(col(s"marr_$i"))
+      when(col(s"super_$i").isNotNull,
+        struct(b.getField("d").as("d"),
+               b.getField("cluster").as("cluster"),
+               col(s"super_$i").as("super")))
+    }
+    joined.select(col("id"), least(slots: _*).as("best"))
+      .select(col("id"), col("best.cluster").as("cluster"),
+              floor(col("best.d") * lit(Q)).cast("long").as("dq"),
+              col("best.super").as("super"))
   }
 
   /** FRAME-RESIDENT Lloyd training — the large-k companion of
@@ -746,6 +799,24 @@ object Kmeans {
                   .getField("cluster").as("super"))
         .select(col("id"), col("v"), col("nrm"),
                 routedBest(routing).getField("cluster").as("cluster"))
+        .persist(StorageLevel.MEMORY_AND_DISK),
+      threshold)
+
+  /** [[nearDupPairsRouted]] with FRAME-RESIDENT member centroids — the
+    * full production composition: SemDeDup-regime k (∝ n) needs routed
+    * assignment for the flop count AND frame-resident centroids for
+    * the driver/plan ceiling; this is both. Cell membership is
+    * [[framedAssign]]'s decision — bit-equal to the literal routed
+    * path, so the pair set (and the demo's oracle) is IDENTICAL to
+    * the routed variant's.
+    */
+  def nearDupPairsFramed(vecs: DataFrame, idCol: String, vecCol: String,
+                         routing: FramedRouting,
+                         threshold: Double): DataFrame =
+    pairsOfStaged(
+      framedAssignWithV(vecs, idCol, vecCol, routing)
+        .select(col("id"), col("v"),
+                Similarity.norm(col("v")).as("nrm"), col("cluster"))
         .persist(StorageLevel.MEMORY_AND_DISK),
       threshold)
 

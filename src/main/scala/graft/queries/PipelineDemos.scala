@@ -1018,6 +1018,25 @@ object PipelineDemos {
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")
     }),
+    // The framed × multi-probe composition: nProbe=2 quality recovery
+    // with frame-resident member centroids — each probe slot is one
+    // more 1:1 join + map-side fold, the cross-slot decision a
+    // map-side least; n rows end to end. Bit-equal to the literal
+    // kmeans_assign_routed2 (ExtensionsSpec), so it shares its oracle.
+    "kmeans_assign_framed2" -> ((s, dir) => {
+      val m = kmeansCache.getOrElseUpdate(dir,
+        graft.extensions.Kmeans.lloyd(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8, rounds = 3))
+      val routing = kmeansFramedRoutingCache.getOrElseValid(dir,
+          _.members.sparkSession eq s)(
+        graft.extensions.Kmeans.framedRoutingFor(
+          graft.extensions.Kmeans.lastCentroidsFrame(s, m),
+          "cluster", "cv", nSupers = 3))
+      graft.extensions.Kmeans.framedAssign(Tables.embeddings(s, dir),
+          "vec_id", "embedding", routing, nProbe = 2)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    }),
     // FRAME-RESIDENT Lloyd TRAINING under the exact oracle: lloydFramed
     // at nSupers=1 routes every vector through one all-members super,
     // so assignment degenerates to the exact argmin and the trained
@@ -1123,6 +1142,34 @@ object PipelineDemos {
         e, "vec_id", "embedding", routing, cosineThreshold)
       val comps = Components.connectedComponents(pairs, "id_a", "id_b")
       val dists = graft.extensions.Kmeans.routedAssign(e, "vec_id",
+        "embedding", routing).select(col("id"), col("dq"))
+      comps.join(dists, "id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("comp")
+            .orderBy(col("dq").desc, col("id"))))
+        .select(col("id").as("vec_id"), col("comp"), col("dq"),
+                (col("rn") === 1).as("keep"))
+        .orderBy("vec_id")
+    }),
+    // The FULL production SemDeDup composition: routed flop count AND
+    // frame-resident centroids — cell membership and keep-rule
+    // distances both come from framedAssign. Bit-equal to the routed
+    // variant by the framed-parity pin, so it shares its oracle.
+    "semdedup_prune_framed" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = kmeansCache.getOrElseUpdate(dir,
+        graft.extensions.Kmeans.lloyd(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8, rounds = 3))
+      val routing = kmeansFramedRoutingCache.getOrElseValid(dir,
+          _.members.sparkSession eq s)(
+        graft.extensions.Kmeans.framedRoutingFor(
+          graft.extensions.Kmeans.lastCentroidsFrame(s, m),
+          "cluster", "cv", nSupers = 3))
+      val e = Tables.embeddings(s, dir)
+      val pairs = graft.extensions.Kmeans.nearDupPairsFramed(
+        e, "vec_id", "embedding", routing, cosineThreshold)
+      val comps = Components.connectedComponents(pairs, "id_a", "id_b")
+      val dists = graft.extensions.Kmeans.framedAssign(e, "vec_id",
         "embedding", routing).select(col("id"), col("dq"))
       comps.join(dists, "id")
         .withColumn("rn", row_number().over(
@@ -4531,6 +4578,8 @@ object PipelineDemos {
       kmeansRoutedOracle(k = 8, rounds = 3, nSupers = 3),
     "kmeans_assign_routed2" ->
       kmeansRouted2Oracle(k = 8, rounds = 3, nSupers = 3),
+    "kmeans_assign_framed2" ->
+      kmeansRouted2Oracle(k = 8, rounds = 3, nSupers = 3),
     // the framed path is pinned bit-equal to the literal-table routed
     // decision (ExtensionsSpec), so it answers to the SAME oracle —
     // a divergence in either implementation hash-fails its own row
@@ -4548,6 +4597,9 @@ object PipelineDemos {
     "semdedup_prune" ->
       semdedupOracle(k = 8, rounds = 3, threshold = cosineThreshold),
     "semdedup_prune_routed" ->
+      semdedupRoutedOracle(k = 8, rounds = 3, nSupers = 3,
+        threshold = cosineThreshold),
+    "semdedup_prune_framed" ->
       semdedupRoutedOracle(k = 8, rounds = 3, nSupers = 3,
         threshold = cosineThreshold),
     "knn_classify" ->

@@ -253,9 +253,24 @@ class ExtensionsSpec extends SparkTestBase {
         r.getInt(3))).toSet
     assert(framed == literal)
     // the tie case really ties: (10.5, 0) is 0.25 from both c2 and c3
-    // and the frame-side min(struct(d, cluster)) keeps the smaller id
+    // and the frame-side fold keeps the smaller id
     assert(framed.exists(t => t._1 == 102L && t._2 == 2 &&
       t._3 == 250000L))
+    // multi-probe parity: the framed nProbe=2 decision — per-slot
+    // member-array folds + cross-slot least — equals the literal
+    // multi-probe kernel path row for row (including the recovered
+    // (4.5, 0) whose true best lives in the second-nearest super)
+    val literal2 = graft.extensions.Kmeans.routedAssign(qs, "vec_id",
+        "embedding", graft.extensions.Kmeans.routingFor(spark, m, 2),
+        nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val framed2 = graft.extensions.Kmeans.framedAssign(qs, "vec_id",
+        "embedding", framedRouting, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(framed2 == literal2)
+    assert(framed2.exists(t => t._1 == 101L && t._2 == 1))
   }
 
   test("framed Lloyd training: nSupers=1 routing is the exact argmin, " +
