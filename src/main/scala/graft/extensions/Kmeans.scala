@@ -262,6 +262,53 @@ object Kmeans {
                 model.inertiaQ, merged)
   }
 
+  /** FRAME-RESIDENT online update — [[incrementalUpdate]] without the
+    * k·d driver state: `state` is the (cluster, pos, sq, n) fixed-
+    * point frame (a landed [[stateFrame]]/[[lloydFramedState]]
+    * artifact), the batch assigns under the state's centroids through
+    * the framed routing path, and the merge is one (cluster, pos)-
+    * keyed left join — the driver never touches a centroid. With
+    * `nSupers = 1` the batch assignment is the exact argmin and the
+    * result equals [[incrementalUpdate]] bit-for-bit (ExtensionsSpec
+    * pins it); with nSupers ≈ √k each batch pays the routed flop
+    * count — the same documented trade as [[routedAssign]].
+    *
+    * Exactness: batch sums aggregate in DECIMAL(38,0); the merge adds
+    * in decimal and downcasts with the loud overflow guard — the
+    * frame form of longValueExact + Math.addExact.
+    *
+    * @return the merged (cluster, pos, sq, n, c) state frame
+    */
+  def incrementalUpdateFramed(state: DataFrame, batch: DataFrame,
+                              vecCol: String, nSupers: Int): DataFrame = {
+    val routing = framedRoutingFor(centsOfState(state), "cluster", "cv",
+      nSupers)
+    // the row id plays no part in the update aggregation — a constant
+    // satisfies the assign signature without inventing per-row ids
+    val assigned = framedAssignWithV(
+      batch.select(lit(0L).as("_bid"), col(vecCol).as("_v")),
+      "_bid", "_v", routing)
+    val bsums = assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("cluster"), col("pos").cast("long").as("pos"),
+              floor(col("x") * Q).cast("long").as("q"))
+      .groupBy("cluster", "pos")
+      .agg(sum(col("q").cast("decimal(38,0)")).as("sq_b"),
+           count(lit(1)).as("n_b"))
+    // batch clusters are a subset of the state's (assignment can only
+    // pick existing centroids): LEFT join keeps the full key set
+    state.select(col("cluster"), col("pos"), col("sq"), col("n"))
+      .join(bsums, Seq("cluster", "pos"), "left")
+      .select(col("cluster"), col("pos"),
+        (col("sq").cast("decimal(38,0)") +
+          coalesce(col("sq_b"), lit(0).cast("decimal(38,0)"))).as("sq"),
+        (col("n") + coalesce(col("n_b"), lit(0L))).as("n"))
+      .select(col("cluster"), col("pos"),
+        sqExactLong("incrementalUpdateFramed").as("sq"), col("n"))
+      .withColumn("c", col("sq").cast("double") /
+        (col("n").cast("double") * lit(Q)))
+  }
+
   /** The model's exact fixed-point state as a frame — (cluster, pos,
     * c, n): the centroid value and the member count it averages. The
     * incremental demo's comparable output. */
@@ -681,7 +728,48 @@ object Kmeans {
     * @return the final (cluster, cv) centroid frame
     */
   def lloydFramed(vecs: DataFrame, idCol: String, vecCol: String,
-                  k: Int, rounds: Int, nSupers: Int): DataFrame = {
+                  k: Int, rounds: Int, nSupers: Int): DataFrame =
+    lloydFramedLoop(vecs, idCol, vecCol, k, rounds, nSupers, wantState = false)
+
+  /** [[lloydFramed]] returning the final round's FULL fixed-point
+    * state — (cluster, pos, sq, n, c), the frame twin of
+    * [[stateFrame]] — instead of the collapsed centroid arrays: the
+    * restorable training artifact the frame-resident ONLINE path
+    * ([[incrementalUpdateFramed]], `VecsStream.kmeansIngestFramed`)
+    * consumes, so training → landing → streaming updates never
+    * materialize k·d rows on the driver at any step.
+    */
+  def lloydFramedState(vecs: DataFrame, idCol: String, vecCol: String,
+                       k: Int, rounds: Int, nSupers: Int): DataFrame =
+    lloydFramedLoop(vecs, idCol, vecCol, k, rounds, nSupers, wantState = true)
+
+  /** Loud long-downcast guard on a decimal `sq` column: a decimal sum
+    * past ±2^63 nulls out under non-ANSI casts — the silent-wrap
+    * hazard in frame form (the driver paths' longValueExact stance). */
+  private def sqExactLong(where: String): Column = {
+    val sqLong = col("sq").cast("long")
+    when(sqLong.isNull, raise_error(lit(
+      s"Kmeans.$where: quantized dim sum overflows long — " +
+      "the carried fixed-point state cannot represent this corpus")))
+      .otherwise(sqLong)
+  }
+
+  /** (cluster, pos, sq, n) long-state frame → (cluster, cv) centroid
+    * frame, the exact [[centsOf]] arithmetic in frame form. */
+  private def centsOfState(state: DataFrame): DataFrame =
+    state
+      .select(col("cluster"), col("pos"),
+              (col("sq").cast("double") /
+                (col("n").cast("double") * lit(Q))).as("c"))
+      .groupBy("cluster")
+      .agg(transform(
+             array_sort(collect_list(struct(col("pos"), col("c")))),
+             e => e.getField("c")).as("cv"))
+
+  private def lloydFramedLoop(vecs: DataFrame, idCol: String,
+                              vecCol: String, k: Int, rounds: Int,
+                              nSupers: Int,
+                              wantState: Boolean): DataFrame = {
     require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val prepped = vecs
@@ -698,38 +786,39 @@ object Kmeans {
                 col("v").as("cv"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       kept += cents
+      var state: DataFrame = null
       for (_ <- 1 to rounds) {
         val routing = framedRoutingFor(cents, "cluster", "cv", nSupers)
-        // loud long-downcast guard: a decimal sum past ±2^63 nulls out
-        // under non-ANSI casts — the silent-wrap hazard in frame form
-        val sqLong = col("sq").cast("long")
-        val sqExact = when(sqLong.isNull, raise_error(lit(
-          "Kmeans.lloydFramed: quantized dim sum overflows long — " +
-          "the carried fixed-point state cannot represent this corpus")))
-          .otherwise(sqLong)
-        cents = framedAssignWithV(prepped, "id", "v", routing)
+        state = framedAssignWithV(prepped, "id", "v", routing)
           .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
           .select(col("cluster"), col("pos"),
                   floor(col("x") * Q).cast("long").as("q"))
           .groupBy("cluster", "pos")
           .agg(sum(col("q").cast("decimal(38,0)")).as("sq"),
                count(lit(1)).as("n"))
-          .select(col("cluster"), col("pos"),
-                  (sqExact.cast("double") /
-                    (col("n").cast("double") * lit(Q))).as("c"))
-          .groupBy("cluster")
-          .agg(transform(
-                 array_sort(collect_list(struct(col("pos"), col("c")))),
-                 e => e.getField("c")).as("cv"))
+          .select(col("cluster"), col("pos").cast("long").as("pos"),
+                  sqExactLong("lloydFramed").as("sq"), col("n"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        kept += state
+        cents = centsOfState(state)
           .persist(StorageLevel.MEMORY_AND_DISK)
         kept += cents
       }
+      val out =
+        if (wantState)
+          state.select(col("cluster"), col("pos"), col("sq"), col("n"),
+            (col("sq").cast("double") /
+              (col("n").cast("double") * lit(Q))).as("c"))
+        else cents
       // materialize the final frame before releasing the trail so the
-      // per-round caches back each round exactly once
-      cents.count()
-      cents
+      // per-round caches back each round exactly once; the returned
+      // frame keeps its own cache (when wantState, `out` derives from
+      // `state` but persists independently, so the whole trail goes)
+      out.persist(StorageLevel.MEMORY_AND_DISK).count()
+      val keepCached: DataFrame = if (wantState) null else cents
+      kept.filterNot(_ eq keepCached).foreach(_.unpersist(false))
+      out
     } finally {
-      kept.dropRight(1).foreach(_.unpersist(false))
       prepped.unpersist(false)
       ()
     }

@@ -1095,6 +1095,28 @@ object PipelineDemos {
             "embedding"))
         .orderBy("cluster", "pos")
     }),
+    // FRAME-RESIDENT incremental k-means (the online face of the
+    // framed family): the carried fixed-point state is a FRAME — the
+    // batch assigns under its centroids through the framed routing
+    // path (nSupers=1 here = the exact argmin, so it shares
+    // kmeans_incremental's oracle) and the merge is one
+    // (cluster, pos)-keyed join; the driver never touches a centroid
+    // or a sum, killing the k·d collect the driver-state incremental
+    // path pays per batch.
+    "kmeans_incremental_framed" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val hist = e.filter(pmod(col("vec_id"), lit(4L)) < 3L)
+      val batch = e.filter(pmod(col("vec_id"), lit(4L)) === 3L)
+      val m = kmeansHistCache.getOrElseUpdate(dir,
+        graft.extensions.Kmeans.lloyd(hist, "vec_id", "embedding",
+          k = 8, rounds = 3))
+      graft.extensions.Kmeans.incrementalUpdateFramed(
+          graft.extensions.Kmeans.stateFrame(s, m)
+            .select("cluster", "pos", "sq", "n"),
+          batch, "embedding", nSupers = 1)
+        .select("cluster", "pos", "c", "n")
+        .orderBy("cluster", "pos")
+    }),
     // SemDeDup (Abbas et al. 2023): near-dup pairs searched only
     // WITHIN each trained Lloyd cell (candidates ∝ Σ|cell|², not n²),
     // transitive closure into duplicate groups, and the paper's keep
@@ -4574,6 +4596,10 @@ object PipelineDemos {
     "kmeans_inertia" -> kmeansInertiaOracle(k = 8, rounds = 3),
     "kmeans_assign" -> kmeansAssignOracle(k = 8, rounds = 3),
     "kmeans_incremental" -> kmeansIncrementalOracle(k = 8, rounds = 3),
+    // the framed online update at nSupers=1 is the exact merge — it
+    // answers to the driver-state variant's oracle verbatim
+    "kmeans_incremental_framed" ->
+      kmeansIncrementalOracle(k = 8, rounds = 3),
     "kmeans_assign_routed" ->
       kmeansRoutedOracle(k = 8, rounds = 3, nSupers = 3),
     "kmeans_assign_routed2" ->

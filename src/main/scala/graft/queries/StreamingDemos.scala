@@ -20,6 +20,12 @@ object StreamingDemos {
   private val ivfHistStatsCache =
     new graft.tables.CorpusMemo[Seq[(Int, Long, Long)]]("embeddings")
 
+  // landed framed-training state parquet per corpus stamp
+  // (stream_kmeans_ingest_framed): the offline artifact the framed
+  // streaming ingest boots from, written once per corpus
+  private val kmeansState0PathCache =
+    new graft.tables.CorpusMemo[String]("embeddings")
+
   private def deleteDir(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
@@ -211,6 +217,39 @@ object StreamingDemos {
                 col("pos"), col("sq"), col("n"), col("c"))
         .orderBy("batch", "cluster", "pos")
     }),
+    // FRAME-RESIDENT streaming online k-means: the whole lineage —
+    // offline training (lloydFramedState), the landed state artifact,
+    // and every micro-batch update (incrementalUpdateFramed) — runs
+    // without EVER collecting k·d rows to the driver (the driver-state
+    // variant above reads its state back with a per-batch collect).
+    // nSupers=1 keeps batch assignment exact, so the landed states
+    // equal stream_kmeans_ingest's bit-for-bit and the demo answers to
+    // the same evolving-state oracle.
+    "stream_kmeans_ingest_framed" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val state0 = kmeansState0PathCache.getOrElseUpdate(dir, {
+        val path = graft.tables.ScratchDirs.tmp("kmstate0", dir)
+        val st = graft.extensions.Kmeans.lloydFramedState(
+          e.filter(pmod(col("vec_id"), lit(4L)) < 3L),
+          "vec_id", "embedding", k = 8, rounds = 3, nSupers = 1)
+        st.write.mode("overwrite").parquet(path)
+        st.unpersist(false)
+        path
+      })
+      val base = graft.tables.ScratchDirs.tmp("kmingestf", dir)
+      // fresh sink dir: correctness relies on exactly batches {0, 1}
+      // existing (same stance as stream_kmeans_ingest)
+      deleteDir(s"$base/state")
+      Seq(3L, 7L).zipWithIndex.foreach { case (mod, i) =>
+        VecsStream.kmeansIngestBatchFramed(
+          e.filter(pmod(col("vec_id"), lit(8L)) === mod), i.toLong,
+          state0, s"$base/state", "embedding", nSupers = 1)
+      }
+      s.read.parquet(s"$base/state")
+        .select(col("batch").cast("long").as("batch"), col("cluster"),
+                col("pos"), col("sq"), col("n"), col("c"))
+        .orderBy("batch", "cluster", "pos")
+    }),
     "stream_ingest_flags" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val hex1 = substring(md5(col("doc_id").cast("string")), 1, 1)
@@ -278,6 +317,10 @@ object StreamingDemos {
 
   val oracleSql: Map[String, String] = Map(
     "stream_kmeans_ingest" ->
+      streamKmeansOracle(k = 8, rounds = 3, mods = Seq(3L, 7L)),
+    // the framed lineage at nSupers=1 lands bit-identical states —
+    // the evolving-state oracle replays both variants verbatim
+    "stream_kmeans_ingest_framed" ->
       streamKmeansOracle(k = 8, rounds = 3, mods = Seq(3L, 7L)),
     "sessionize" ->
       """WITH l AS (SELECT user_id, ts, value,

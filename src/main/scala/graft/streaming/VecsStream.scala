@@ -113,4 +113,46 @@ object VecsStream {
     Kmeans.stateFrame(spark, updated)
       .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
   }
+
+  /** FRAME-RESIDENT streaming online k-means — [[kmeansIngest]] with
+    * the k·d driver state removed: per batch the previous state reads
+    * back as a FRAME (never `.collect()`ed — [[kmeansIngestBatch]]
+    * collects k·d rows every batch, the same ceiling
+    * `Kmeans.framedAssign` removes from assignment), the update is
+    * `Kmeans.incrementalUpdateFramed`, and the merged state lands
+    * batch-addressed. `state0Dir` is the landed offline training
+    * artifact (a [[Kmeans.lloydFramedState]] or [[Kmeans.stateFrame]]
+    * parquet) — so training → landing → streaming updates never hold
+    * k·d rows on the driver at any step. Exactly-once by the same
+    * argument as [[kmeansIngest]]: state b is a pure function of the
+    * LANDED state b−1 plus batch b, written with batch-addressed
+    * overwrite.
+    */
+  def kmeansIngestFramed(vecs: DataFrame, state0Dir: String,
+                         stateDir: String, checkpointDir: String,
+                         vecCol: String = "embedding",
+                         nSupers: Int = 1): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        kmeansIngestBatchFramed(batch, batchId, state0Dir, stateDir,
+          vecCol, nSupers)
+      }
+      .start()
+
+  /** One frame-resident online-k-means micro-batch (exposed for
+    * batch-parity tests and the demo registry). */
+  def kmeansIngestBatchFramed(batch: DataFrame, batchId: Long,
+                              state0Dir: String, stateDir: String,
+                              vecCol: String = "embedding",
+                              nSupers: Int = 1): Unit = {
+    import graft.extensions.Kmeans
+    val spark = batch.sparkSession
+    val prevDir =
+      if (batchId == 0L) state0Dir else s"$stateDir/batch=${batchId - 1}"
+    val prev = spark.read.parquet(prevDir)
+      .select("cluster", "pos", "sq", "n")
+    Kmeans.incrementalUpdateFramed(prev, batch, vecCol, nSupers)
+      .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+  }
 }

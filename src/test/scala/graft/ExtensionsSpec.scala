@@ -344,6 +344,22 @@ class ExtensionsSpec extends SparkTestBase {
       m.last.toMap.map { case (c, v) => c -> v.toSeq })
     assert(m3.sums.map { case (c, s, n) => (c, s.toSeq, n) }.toSeq ==
       m.sums.map { case (c, s, n) => (c, s.toSeq, n) }.toSeq)
+    // FRAME-RESIDENT merge parity: the same update computed with the
+    // state as a frame (assignment through framed routing at
+    // nSupers=1 = the exact argmin, merge as a keyed join) equals the
+    // driver-state result bit-for-bit — sums, counts, and centroids
+    val framed = graft.extensions.Kmeans.incrementalUpdateFramed(
+        graft.extensions.Kmeans.stateFrame(spark, m)
+          .select("cluster", "pos", "sq", "n"),
+        batch, "embedding", nSupers = 1)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val expect = graft.extensions.Kmeans.stateFrame(spark, m2)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(framed == expect)
   }
 
   test("SemDeDup: within-cluster cosine pairs over the trained cells, " +
