@@ -471,6 +471,17 @@ object Kmeans {
               col("super"))
   }
 
+  /** The multi-probe twin of [[argminStruct]]'s loud-failure guard:
+    * NearestCentroids returns null for a ragged vector, and a null
+    * probe array would silently null every slot out of the cross-slot
+    * least — raise instead. */
+  private def probesGuard(probes: Column): Column =
+    when(probes.isNull, raise_error(lit(
+      "Kmeans: vector length != centroid dimension — ragged vectors " +
+      "would silently drop out of the routed assignment; filter or " +
+      "fix them first")))
+      .otherwise(probes)
+
   /** The within-routed-super member argmin (struct(cluster, d)) over
     * the literal member tables — expects columns `v` and `super` in
     * scope. One kernel call per populated super behind an nSupers-way
@@ -511,8 +522,8 @@ object Kmeans {
       .select(col(idCol).as("id"),
               col(vecCol).cast("array<double>").as("v"))
       .select(col("id"), col("v"),
-              graft.functions.NearestCentroids(col("v"),
-                routing.routeCents, nProbe).as("probes"))
+              probesGuard(graft.functions.NearestCentroids(col("v"),
+                routing.routeCents, nProbe)).as("probes"))
     // per probe slot: the within-super member argmin as a
     // (d, cluster, super) struct — comparison order first, so the
     // cross-slot least() ranks by exactly (d, cluster)
@@ -582,15 +593,6 @@ object Kmeans {
       cd.join(membership, "cluster").select("super", "cluster", "cv"))
   }
 
-  /** Sequential left-to-right squared-L2 fold over two array<double>
-    * columns — the composed-builtin twin of the NearestCentroid
-    * kernel's loop (0.0 + x ≡ x in IEEE; zip_with preserves order), so
-    * frame-side distances are bit-equal to kernel-side ones.
-    */
-  private def l2sqFold(v: Column, cv: Column): Column =
-    aggregate(zip_with(v, cv, (x, c) => (x - c) * (x - c)),
-              lit(0.0), (a, x) => a + x)
-
   /** Routed assignment under FRAME-RESIDENT member centroids: one
     * map-side super route (√k literals), then ONE 1:1 equi-join on
     * `super` against the member table pre-grouped into a sorted
@@ -627,23 +629,16 @@ object Kmeans {
       .agg(array_sort(collect_list(struct(col("cluster"), col("cv"))))
         .as("marr"))
 
-  /** The map-side argmin fold over a member-array column: seeds from
-    * member 0, strict `<` replacement in ascending-cluster order —
-    * the NearestCentroid total order as a frame-side expression.
+  /** The map-side argmin over a member-array column — the native
+    * [[graft.functions.NearestCentroidIn]] kernel: one generated
+    * static call per row (the composed `aggregate(slice(...))` HOF
+    * form was interpreted and allocated a zip_with intermediate per
+    * member per row — an order-of-magnitude wall regression at
+    * k/√k = 100 members, caught by SCALECURVE §12b). Same seed /
+    * tie / fold semantics as the literal kernel, bit for bit.
     * Expects the vector in scope as column `v`. */
-  private def marrBest(marrCol: Column): Column = {
-    def distTo(m: Column) = l2sqFold(col("v"), m.getField("cv"))
-    def entry(m: Column, d: Column) =
-      struct(d.as("d"), m.getField("cluster").as("cluster"))
-    val first = element_at(marrCol, 1)
-    aggregate(
-      slice(marrCol, lit(2), greatest(size(marrCol) - 1, lit(0))),
-      entry(first, distTo(first)),
-      (acc, m) => {
-        val d2 = distTo(m)
-        when(d2 < acc.getField("d"), entry(m, d2)).otherwise(acc)
-      })
-  }
+  private def marrBest(marrCol: Column): Column =
+    graft.functions.NearestCentroidIn(col("v"), marrCol)
 
   /** [[framedAssign]] keeping the vector column — the framed Lloyd
     * round's input (the update re-reads v; carrying it through the
@@ -685,8 +680,8 @@ object Kmeans {
       .select(col(idCol).as("id"),
               col(vecCol).cast("array<double>").as("v"))
       .select(col("id"), col("v"),
-              graft.functions.NearestCentroids(col("v"),
-                routing.routeCents, nProbe).as("probes"))
+              probesGuard(graft.functions.NearestCentroids(col("v"),
+                routing.routeCents, nProbe)).as("probes"))
     val joined = (1 to nProbe).foldLeft(routed) { (acc, i) =>
       // left join: a corpus with fewer populated supers than nProbe
       // yields short probe arrays — the slot's struct stays null and

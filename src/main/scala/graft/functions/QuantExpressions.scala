@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -184,6 +184,44 @@ object QuantEval {
       c += 1
     }
     new GenericInternalRow(Array[Any](ids(best), bestD))
+  }
+
+  /** [[nearestCentroid]] with the centroid table coming from DATA
+    * instead of the plan: `marr` is an array of (cluster int,
+    * cv array&lt;double&gt;) structs sorted by cluster id — the
+    * frame-resident assignment's per-super member array. Same
+    * semantics bit for bit: distances are the same strict ascending-i
+    * fold, the argmin seeds from member 0 and ties keep the earlier
+    * (= smaller cluster id) position under Double.compare. Null for
+    * an empty array or a vector whose length differs from member 0's
+    * dimension (members share a dimension by construction).
+    */
+  def nearestCentroidVar(vec: ArrayData, marr: ArrayData): InternalRow = {
+    val k = marr.numElements()
+    if (k == 0) return null
+    val first = marr.getStruct(0, 2)
+    val d = first.getArray(1).numElements()
+    if (vec.numElements() != d) return null
+    def dist(cv: ArrayData): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        val diff = vec.getDouble(i) - cv.getDouble(i)
+        acc += diff * diff
+        i += 1
+      }
+      acc
+    }
+    var best = first
+    var bestD = dist(first.getArray(1))
+    var c = 1
+    while (c < k) {
+      val m = marr.getStruct(c, 2)
+      val acc = dist(m.getArray(1))
+      if (java.lang.Double.compare(acc, bestD) < 0) { bestD = acc; best = m }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](best.getInt(0), bestD))
   }
 
   /** Top-`take` centroid ids by (squared-L2 asc, position asc) — the
@@ -405,6 +443,54 @@ object NearestCentroid {
       cents.map(_._1).toIndexedSeq,
       cents.map(_._2.toIndexedSeq).toIndexedSeq))
   }
+}
+
+/** [[NearestCentroid]] with the centroid table from a COLUMN — the
+  * frame-resident assignment kernel (Kmeans.framedAssign): the member
+  * table arrives via a 1:1 join as an array of (cluster, cv) structs,
+  * and the argmin is ONE generated static call per row. The composed
+  * `aggregate(slice(...), ...)` HOF form was semantically identical
+  * but interpreted — per row it allocated a zip_with intermediate per
+  * member and evaluated the lambda tree ~2× per step, an
+  * order-of-magnitude wall regression at k/√k = 100 members
+  * (SCALECURVE §12b caught it). Bit parity with [[NearestCentroid]]:
+  * same fold, same seed-from-member-0, same (d, position) tie order.
+  */
+case class NearestCentroidIn(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("d", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  // null for an empty member array or a dimension mismatch
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid_in"
+
+  override def nullSafeEval(v: Any, marr: Any): Any =
+    QuantEval.nearestCentroidVar(v.asInstanceOf[ArrayData],
+      marr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, m) => s"""
+      |${ev.value} = graft.functions.QuantEval.nearestCentroidVar($v, $m);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+      |""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): NearestCentroidIn =
+    copy(left = l, right = r)
+}
+
+object NearestCentroidIn {
+  /** `marr` must be array&lt;struct&lt;cluster:int, cv:array&lt;double&gt;&gt;&gt;
+    * sorted by cluster id (position tie = id tie — the same contract
+    * as the literal kernel's sorted table). */
+  def apply(vec: Column, marr: Column): Column =
+    GraftBridge.column(NearestCentroidIn(
+      Cast(GraftBridge.expression(vec), ArrayType(DoubleType)),
+      GraftBridge.expression(marr)))
 }
 
 /** Top-`take` centroid ids by (squared L2 asc, id asc) — the multi-probe
