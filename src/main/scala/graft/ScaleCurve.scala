@@ -1135,12 +1135,13 @@ object ScaleCurve {
           val r = graft.extensions.Kmeans.nearDupPairs(vecs, "vec_id",
               "embedding", model, threshold = 0.99)
             .agg(count(lit(1)).as("np"),
-                 // a twin must also have id_a in the planted source
-                 // range [n-200, n-100) — a coincidental non-twin pair
-                 // at exactly the n-100 offset (possible once cells get
-                 // dense) must not inflate recall past the 100 planted
+                 // a twin must also have id_a in the planted SOURCE
+                 // range [0, 100) (vectorCorpus copies ids 0..99 to the
+                 // last 100 slots) — with that, offset == n-100 is
+                 // exact: id_b = id_a + n-100 IS id_a's planted copy,
+                 // so no coincidental pair can inflate recall
                  sum(when(col("id_b") - col("id_a") === n - 100 &&
-                     col("id_a") >= n - 200, 1L)
+                     col("id_a") < 100, 1L)
                    .otherwise(0L)).as("tw"))
             .collect().head
           nPairs = r.getLong(0)
@@ -1181,7 +1182,7 @@ object ScaleCurve {
               "vec_id", "embedding", routing, threshold = 0.99)
             .agg(count(lit(1)).as("np"),
                  sum(when(col("id_b") - col("id_a") === n - 100 &&
-                     col("id_a") >= n - 200, 1L)
+                     col("id_a") < 100, 1L)
                    .otherwise(0L)).as("tw"))
             .collect().head
           nPairsR = r.getLong(0)

@@ -217,7 +217,15 @@ object QuantEval {
     var c = 1
     while (c < k) {
       val m = marr.getStruct(c, 2)
-      val acc = dist(m.getArray(1))
+      val cv = m.getArray(1)
+      // the member table comes from DATA (unlike the literal kernels'
+      // constructor-validated codebooks): a ragged member row would
+      // read past its buffer — fail loudly instead
+      if (cv.numElements() != d)
+        throw new IllegalArgumentException(
+          "nearest_centroid_in: ragged member centroid (dimension " +
+          "mismatch inside the member table)")
+      val acc = dist(cv)
       if (java.lang.Double.compare(acc, bestD) < 0) { bestD = acc; best = m }
       c += 1
     }
