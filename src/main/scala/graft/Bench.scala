@@ -115,6 +115,66 @@ object Bench {
       if (v >= failurePenaltySec) v else mergedMins.getOrElse(k, v)
     }.sum
 
+  /** In-process re-adjudication of floor-gate offenders (VERDICT r16
+    * #1): BenchSpec's committed-artifact gate compares a recorded
+    * sample against an all-time floor, but the two numbers come from
+    * DIFFERENT sessions — the r16 incident was a 2.6×-of-floor sample
+    * that two independent judge re-times put at ~1.4×. Before failing,
+    * re-time each offender HERE (min of 3 after one warm-up, same
+    * session), and because this session's horsepower may differ from
+    * the one the floors were recorded on (local[4] test JVM vs the
+    * local[32] bench floors), calibrate with ANCHOR queries first: the
+    * up-to-3 largest-floor non-offender queries re-time in the same
+    * session, and the median of (anchor retime / anchor floor),
+    * clamped to ≥ 1, is the session slowdown factor. An offender is a
+    * CONFIRMED regression only if its retime still exceeds the gate
+    * band (2× + 0.3 s absolute) against its factor-scaled floor —
+    * genuine regressions survive any number of re-times, host noise
+    * and a weaker session don't.
+    *
+    * @param offenders (query name, committed floor) pairs that tripped
+    *                  the gate on the recorded artifact
+    * @param mins      the full floor table (anchor candidates)
+    * @return the confirmed offenders' diagnostics (empty = all noise)
+    */
+  def adjudicateOffenders(spark: org.apache.spark.sql.SparkSession,
+                          sfDir: String,
+                          offenders: Seq[(String, Double)],
+                          mins: Map[String, Double]): Seq[String] = {
+    if (offenders.isEmpty) return Nil
+    val registry = SparkEntry.queries
+    def retime(name: String): Option[Double] =
+      registry.get(name).map { fn =>
+        fn(spark, sfDir).count() // warm-up: JIT + codegen + file listing
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+    val offenderNames = offenders.map(_._1).toSet
+    val ratios = mins.toSeq
+      .filter { case (n, _) => !offenderNames(n) && registry.contains(n) }
+      .sortBy(-_._2).take(3)
+      .flatMap { case (n, floor) => retime(n).map(_ / floor) }
+      .sorted
+    val factor =
+      if (ratios.isEmpty) 1.0
+      else math.max(1.0, ratios(ratios.length / 2))
+    offenders.flatMap { case (name, floor) =>
+      retime(name) match {
+        case None => Some(s"$name: not in the query registry — stale " +
+          "floor entry for a deregistered query (re-seed bench_mins)")
+        case Some(t) =>
+          val scaled = floor * factor
+          if (t > 2 * scaled && t - scaled > 0.3)
+            Some(f"$name: retimed $t%.2fs vs floor $floor%.2fs " +
+              f"(session factor $factor%.2f) — CONFIRMED regression")
+          else None
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -156,7 +216,15 @@ object Bench {
           best = math.min(best, sample())
           extra += 1
         }
-        if (!failed && best > 3 * h) {
+        // r16 miss class: a 2.6×-of-floor outlier survived its retries
+        // UNDER the 3× steal band, so the artifact said steal_suspect:0
+        // while BenchSpec's 2×+0.3s floor gate (correctly) failed on
+        // it. Any sample still over the FLOOR-GATE band after the
+        // ladder now marks the artifact too — the gate's committed-
+        // artifact rule and the detector agree on what "hot" means,
+        // and a noisy run always carries its own health warning.
+        if (!failed && (best > 3 * h ||
+            (best > 2 * h && best - h > 0.3))) {
           stealSuspects += 1
           System.err.println(
             f"[bench] $name steal-suspect: $best%.3fs vs historical min $h%.3fs")

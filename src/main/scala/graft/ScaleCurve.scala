@@ -1849,10 +1849,14 @@ object ScaleCurve {
        ^(cluster, cv) frame between rounds; the driver holds only the
        ^100 super sums = 3,200 doubles, never the 320,000 the literal
        ^path would), and assignment is `framedAssign` — map-side route
-       ^over 100 super literals, equi-join on `super` against the
-       ^member frame, per-vector argmin collapsed map-side by partial
-       ^aggregation (candidates for one vector are co-located with its
-       ^routed super, so the exchange carries n rows, not n·k/√k). The
+       ^over 100 super literals, then ONE 1:1 equi-join on `super`
+       ^against the member table pre-grouped into a sorted per-super
+       ^centroid ARRAY, with the argmin a map-side `NearestCentroidIn`
+       ^kernel fold over that array: no row expansion and NO
+       ^aggregation operator anywhere (the first cut exploded n·k/√k
+       ^candidate rows and re-grouped them — `min(struct)` can't
+       ^hash-aggregate, so Spark sorted them in a SortAggregate;
+       ^PlanShapeSpec pins the shipped no-aggregation shape). The
        ^decision is bit-equal to the literal routed path
        ^(ExtensionsSpec + the shared `kmeans_assign_framed` oracle).
        ^

@@ -582,6 +582,15 @@ object Kmeans {
     require(nSupers >= 1, "nSupers must be >= 1")
     val cd = cents.select(col(clusterCol).cast("int").as("cluster"),
                           col(cvCol).cast("array<double>").as("cv"))
+    // the literal routingFor's nSupers <= k contract, frame form: with
+    // more supers than centroid rows lloyd's limit-k init would just
+    // train fewer supers SILENTLY and the two bit-equal entry points
+    // would diverge on invalid input. One count over the k-row centroid
+    // frame — index-build-time cost, k rows vs the n-row corpus.
+    val nCents = cd.count()
+    require(nSupers <= nCents,
+      s"nSupers must be in [1, k] — got $nSupers supers over $nCents " +
+        "centroid rows")
     val superModel = lloyd(cd, "cluster", "cv", k = nSupers, rounds = 1)
     // (cluster, super): each member centroid's routed super — a FRAME
     val membership = assign(cd, "cluster", "cv", superModel)
@@ -829,62 +838,88 @@ object Kmeans {
       .toDF("cluster", "cv")
   }
 
+  /** The staged SemDeDup frame — (id, v, nrm, cluster, dq) under the
+    * trained model's EXACT assignment: ONE corpus scan + argmin feeds
+    * BOTH the within-cell pair search ([[pairsOf]]) and the farthest-
+    * from-centroid keep rule (VERDICT r16 #2: the prune demos used to
+    * re-assign the whole corpus a second time just to recover `dq`).
+    * Persisted for the session (the Ivf.nearDupPairs cache stance:
+    * CacheManager dedups repeat calls, clearCache() reclaims between
+    * corpora) — every downstream consumer reads the cache, so the
+    * assignment scan runs exactly once.
+    */
+  def semStage(vecs: DataFrame, idCol: String, vecCol: String,
+               model: KmeansModel): DataFrame =
+    vecs
+      .select(col(idCol).as("id"),
+              col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), col("v"),
+              Similarity.norm(col("v")).as("nrm"),
+              argminStruct(col("v"), model.last).as("best"))
+      .select(col("id"), col("v"), col("nrm"),
+              col("best.cluster").as("cluster"),
+              floor(col("best.d") * lit(Q)).cast("long").as("dq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** [[semStage]] over ROUTED cells — the large-k SemDeDup staging: at
+    * the regime the paper targets (k ∝ n for fixed cell size) the
+    * exact per-vector assignment is the n·k·d wall, so cell membership
+    * AND the keep-rule distance both come from the two-level routed
+    * decision (~n·2√k·d). */
+  def semStageRouted(vecs: DataFrame, idCol: String, vecCol: String,
+                     routing: RoutingTable): DataFrame =
+    vecs
+      .select(col(idCol).as("id"),
+              col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), col("v"),
+              Similarity.norm(col("v")).as("nrm"),
+              argminStruct(col("v"), routing.routeCents)
+                .getField("cluster").as("super"))
+      .select(col("id"), col("v"), col("nrm"),
+              routedBest(routing).as("best"))
+      .select(col("id"), col("v"), col("nrm"),
+              col("best.cluster").as("cluster"),
+              floor(col("best.d") * lit(Q)).cast("long").as("dq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** [[semStageRouted]] with FRAME-RESIDENT member centroids — the
+    * full production staging: routed flop count AND no k·d driver
+    * state. [[framedAssignWithV]] already computes the (cluster, dq)
+    * decision; this keeps both. */
+  def semStageFramed(vecs: DataFrame, idCol: String, vecCol: String,
+                     routing: FramedRouting): DataFrame =
+    framedAssignWithV(vecs, idCol, vecCol, routing)
+      .select(col("id"), col("v"),
+              Similarity.norm(col("v")).as("nrm"),
+              col("cluster"), col("dq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
   /** Within-cluster exact-cosine near-dup pairs over the trained Lloyd
     * cells — the candidate generator of SemDeDup (Abbas et al. 2023,
     * arXiv:2303.09540): duplicates are only searched INSIDE a semantic
     * cluster, so candidate volume is Σ|cell|² instead of n² (with k
     * grown ∝ n, cell sizes — and the per-cell quadratic — stay
-    * bounded; the paper uses the same argument). Plan shape mirrors
-    * [[Ivf.nearDupPairs]]: one map-side assignment, the shared frame
-    * repartitioned by cluster BEFORE the per-side renames so the
-    * self-join's two exchange subtrees canonicalize identically and
-    * ReusedExchange ships the vectors once. Single-cell assignment
-    * (unlike IVF's multi-probe) means no pair can appear twice — no
-    * dedup aggregation needed.
-    *
-    * Cache ownership: the staged frame persists for the session (same
-    * stance as Ivf.nearDupPairs — CacheManager dedups repeat calls,
-    * clearCache() reclaims between corpora).
+    * bounded; the paper uses the same argument). Prefer staging once
+    * via [[semStage]] + [[pairsOf]] when the keep rule also needs the
+    * distances — this convenience form builds (and caches) the same
+    * staged frame.
     */
   def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                    model: KmeansModel, threshold: Double): DataFrame =
-    pairsOfStaged(
-      vecs
-        .select(col(idCol).as("id"),
-                col(vecCol).cast("array<double>").as("v"))
-        .select(col("id"), col("v"),
-                Similarity.norm(col("v")).as("nrm"),
-                argminStruct(col("v"), model.last)
-                  .getField("cluster").as("cluster"))
-        .persist(StorageLevel.MEMORY_AND_DISK),
-      threshold)
+    pairsOf(semStage(vecs, idCol, vecCol, model), threshold)
 
-  /** [[nearDupPairs]] over ROUTED cells — the large-k SemDeDup path:
-    * at the regime the paper targets (k ∝ n for fixed cell size) the
-    * exact per-vector assignment is the n·k·d wall, so the prune
-    * pipeline consumes the two-level routed decision instead
-    * (~n·2√k·d). Within-cell search semantics are IDENTICAL — only
-    * cell membership can differ, and only for vectors whose true
-    * nearest centroid lives outside their routed super (the nProbe=1
-    * trade): a near-dup pair is missed iff routing SPLITS it across
-    * cells where exact assignment co-located it. SCALECURVE §12
-    * measures that recall on planted twins.
+  /** [[nearDupPairs]] over ROUTED cells — the large-k SemDeDup path.
+    * Within-cell search semantics are IDENTICAL — only cell membership
+    * can differ, and only for vectors whose true nearest centroid
+    * lives outside their routed super (the nProbe=1 trade): a near-dup
+    * pair is missed iff routing SPLITS it across cells where exact
+    * assignment co-located it. SCALECURVE §12 measures that recall on
+    * planted twins.
     */
   def nearDupPairsRouted(vecs: DataFrame, idCol: String, vecCol: String,
                          routing: RoutingTable,
                          threshold: Double): DataFrame =
-    pairsOfStaged(
-      vecs
-        .select(col(idCol).as("id"),
-                col(vecCol).cast("array<double>").as("v"))
-        .select(col("id"), col("v"),
-                Similarity.norm(col("v")).as("nrm"),
-                argminStruct(col("v"), routing.routeCents)
-                  .getField("cluster").as("super"))
-        .select(col("id"), col("v"), col("nrm"),
-                routedBest(routing).getField("cluster").as("cluster"))
-        .persist(StorageLevel.MEMORY_AND_DISK),
-      threshold)
+    pairsOf(semStageRouted(vecs, idCol, vecCol, routing), threshold)
 
   /** [[nearDupPairsRouted]] with FRAME-RESIDENT member centroids — the
     * full production composition: SemDeDup-regime k (∝ n) needs routed
@@ -897,34 +932,67 @@ object Kmeans {
   def nearDupPairsFramed(vecs: DataFrame, idCol: String, vecCol: String,
                          routing: FramedRouting,
                          threshold: Double): DataFrame =
-    pairsOfStaged(
-      framedAssignWithV(vecs, idCol, vecCol, routing)
-        .select(col("id"), col("v"),
-                Similarity.norm(col("v")).as("nrm"), col("cluster"))
-        .persist(StorageLevel.MEMORY_AND_DISK),
-      threshold)
+    pairsOf(semStageFramed(vecs, idCol, vecCol, routing), threshold)
 
-  /** The shared within-cluster pair tail: repartition by cluster BEFORE
+  /** The shared within-cluster pair tail over a staged frame
+    * ([[semStage]] family — needs (id, v, nrm, cluster); extra columns
+    * like `dq` ride along untouched): repartition by cluster BEFORE
     * the per-side renames so the self-join's two exchange subtrees
     * canonicalize identically and ReusedExchange ships the staged
     * vectors once (the Ivf.nearDupPairs plan shape, PlanShapeSpec-
-    * pinned). `staged` must be (id, v, nrm, cluster), already persisted
-    * by the caller (CacheManager dedups repeat calls; clearCache()
-    * reclaims between corpora). */
-  private def pairsOfStaged(staged: DataFrame,
-                            threshold: Double): DataFrame = {
+    * pinned). Plan shape mirrors [[Ivf.nearDupPairs]]; single-cell
+    * assignment (unlike IVF's multi-probe) means no pair can appear
+    * twice — no dedup aggregation needed.
+    *
+    * DENSE-CELL CAP (VERDICT r16 #5): the within-cell search is
+    * Σ|cell|² — one Zipf-mass cell (mass-duplicated boilerplate with
+    * near-identical embeddings, a real crawl pathology) makes one task
+    * quadratic. Cells with ≤ `maxCell` members emit ALL pairs (exact
+    * SemDeDup semantics — the default trips only on degenerate cells);
+    * larger cells emit STAR pairs against the cell's smallest id —
+    * linear, connectivity-preserving for the components step (every
+    * member still links to the representative, so the duplicate group
+    * survives intact and the keep rule is unchanged), at the same
+    * documented recall trade as [[TextDedup.bandCandidatePairs]]:
+    * transitive near-dups linked only through non-representative
+    * members of a capped cell lose their direct pair. Cell sizes come
+    * from a k-row broadcast aggregate, not a window — no n-row sort.
+    */
+  def pairsOf(staged: DataFrame, threshold: Double,
+              maxCell: Int = defaultMaxCell): DataFrame = {
+    val cellInfo = broadcast(staged.groupBy("cluster")
+      .agg(count(lit(1)).as("csize"), min(col("id")).as("rep")))
     val colocated = staged.repartition(col("cluster"))
-    val a = colocated.select(col("cluster"), col("id").as("id_a"),
-      col("v").as("v_a"), col("nrm").as("nrm_a"))
+    def cos(na: Column, nb: Column, va: Column, vb: Column): Column =
+      when(na > 0 && nb > 0, Similarity.dot(va, vb) / (na * nb))
+        .otherwise(lit(0.0))
+    val a = colocated.join(cellInfo, "cluster")
+      .filter(col("csize") <= maxCell)
+      .select(col("cluster"), col("id").as("id_a"),
+        col("v").as("v_a"), col("nrm").as("nrm_a"))
+    // the right side joins the PLAIN co-located rows: a capped cell
+    // filtered out of the left side produces nothing in the inner join
+    // regardless, so only one side pays the cell-size probe
     val b = colocated.select(col("cluster"), col("id").as("id_b"),
       col("v").as("v_b"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("cluster"))
+    val allPairs = a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        when(col("nrm_a") > 0 && col("nrm_b") > 0,
-          Similarity.dot(col("v_a"), col("v_b"))
-            / (col("nrm_a") * col("nrm_b")))
-          .otherwise(lit(0.0)).as("cos"))
-      .filter(col("cos") >= threshold)
+        cos(col("nrm_a"), col("nrm_b"), col("v_a"), col("v_b")).as("cos"))
+    val starPairs = colocated.join(cellInfo, "cluster")
+      .filter(col("csize") > maxCell && col("id") =!= col("rep"))
+      .select(col("cluster"), col("rep"), col("id").as("id_b"),
+        col("v").as("v_b"), col("nrm").as("nrm_b"))
+      .join(staged.select(col("id").as("rep"), col("v").as("v_a"),
+        col("nrm").as("nrm_a")), Seq("rep"))
+      .select(col("rep").as("id_a"), col("id_b"),
+        cos(col("nrm_a"), col("nrm_b"), col("v_a"), col("v_b")).as("cos"))
+    allPairs.unionByName(starPairs).filter(col("cos") >= threshold)
   }
+
+  /** Default dense-cell cap — matches [[TextDedup.defaultMaxBucket]]'s
+    * stance: trips only on degenerate (mass-duplicate) cells, never on
+    * a healthy SemDeDup cell size (the paper's regime holds cells at
+    * a few hundred members; testdata cells are < 10²). */
+  val defaultMaxCell: Int = 10000
 }

@@ -153,6 +153,39 @@ object QuantEval {
     new GenericArrayData(out)
   }
 
+  /** Σ (vec(i) − cent(i))² over i = 0..d−1: the ONE strict ascending-i
+    * left-to-right double fold every centroid argmin below shares —
+    * the bit-for-bit mirror of the oracle's `list_reduce` and of the
+    * composed `aggregate(zip_with(...))` form. Factored so the three
+    * kernels ([[nearestCentroid]], [[nearestCentroidVar]],
+    * [[nearestCentroids]]) cannot drift apart: a one-sided edit to the
+    * fold would silently break the bit-parity contract the oracles and
+    * ExtensionsSpec pins depend on.
+    */
+  private def l2sq(vec: ArrayData, cent: Array[Double], d: Int): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < d) {
+      val diff = vec.getDouble(i) - cent(i)
+      acc += diff * diff
+      i += 1
+    }
+    acc
+  }
+
+  /** [[l2sq]] with the centroid coming from DATA (an ArrayData column
+    * element) — same fold, same order, bit for bit. */
+  private def l2sq(vec: ArrayData, cv: ArrayData, d: Int): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < d) {
+      val diff = vec.getDouble(i) - cv.getDouble(i)
+      acc += diff * diff
+      i += 1
+    }
+    acc
+  }
+
   /** (argmin cluster id, its squared L2) over the centroid matrix —
     * exactly `array_min(array(k × struct(l2², id)))` with ids sorted
     * ascending: Double.compare keeps NaN greatest, and a distance tie
@@ -165,21 +198,11 @@ object QuantEval {
                       cents: Array[Array[Double]]): InternalRow = {
     val d = cents(0).length
     if (vec.numElements() != d) return null
-    def dist(cent: Array[Double]): Double = {
-      var acc = 0.0
-      var i = 0
-      while (i < d) {
-        val diff = vec.getDouble(i) - cent(i)
-        acc += diff * diff
-        i += 1
-      }
-      acc
-    }
     var best = 0
-    var bestD = dist(cents(0))
+    var bestD = l2sq(vec, cents(0), d)
     var c = 1
     while (c < cents.length) {
-      val acc = dist(cents(c))
+      val acc = l2sq(vec, cents(c), d)
       if (java.lang.Double.compare(acc, bestD) < 0) { bestD = acc; best = c }
       c += 1
     }
@@ -202,18 +225,8 @@ object QuantEval {
     val first = marr.getStruct(0, 2)
     val d = first.getArray(1).numElements()
     if (vec.numElements() != d) return null
-    def dist(cv: ArrayData): Double = {
-      var acc = 0.0
-      var i = 0
-      while (i < d) {
-        val diff = vec.getDouble(i) - cv.getDouble(i)
-        acc += diff * diff
-        i += 1
-      }
-      acc
-    }
     var best = first
-    var bestD = dist(first.getArray(1))
+    var bestD = l2sq(vec, first.getArray(1), d)
     var c = 1
     while (c < k) {
       val m = marr.getStruct(c, 2)
@@ -225,17 +238,20 @@ object QuantEval {
         throw new IllegalArgumentException(
           "nearest_centroid_in: ragged member centroid (dimension " +
           "mismatch inside the member table)")
-      val acc = dist(cv)
+      val acc = l2sq(vec, cv, d)
       if (java.lang.Double.compare(acc, bestD) < 0) { bestD = acc; best = m }
       c += 1
     }
     new GenericInternalRow(Array[Any](best.getInt(0), bestD))
   }
 
-  /** Top-`take` centroid ids by (squared-L2 asc, position asc) — the
-    * multi-probe mirror of [[nearestCentroid]] (same distances, same
-    * Double.compare total order, same position-tie-to-smaller-id rule;
-    * `take = 1` returns exactly `[nearestCentroid(...).cluster]`).
+  /** Top-`take` centroid ids by (squared-L2 asc, POSITION asc) — the
+    * multi-probe mirror of [[nearestCentroid]] (the shared [[l2sq]]
+    * fold, same Double.compare total order, same tie rule; `take = 1`
+    * returns exactly `[nearestCentroid(...).cluster]`). Precondition
+    * (the companion apply requires it): `ids` sorted ascending, so the
+    * position tie IS the id tie — ties break by array position here,
+    * which equals "id asc" only under that sorted-table contract.
     * Returns min(take, k) ids. L2-metric — [[topCells]] is the
     * dot-metric IVF cousin and orders the OPPOSITE way.
     */
@@ -247,15 +263,7 @@ object QuantEval {
     val dists = new Array[Double](k)
     var c = 0
     while (c < k) {
-      val cent = cents(c)
-      var acc = 0.0
-      var i = 0
-      while (i < d) {
-        val diff = vec.getDouble(i) - cent(i)
-        acc += diff * diff
-        i += 1
-      }
-      dists(c) = acc
+      dists(c) = l2sq(vec, cents(c), d)
       c += 1
     }
     val n = math.min(take, k)

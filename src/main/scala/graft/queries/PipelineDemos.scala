@@ -1130,11 +1130,15 @@ object PipelineDemos {
         graft.extensions.Kmeans.lloyd(Tables.embeddings(s, dir),
           "vec_id", "embedding", k = 8, rounds = 3))
       val e = Tables.embeddings(s, dir)
-      val pairs = graft.extensions.Kmeans.nearDupPairs(
-        e, "vec_id", "embedding", m, cosineThreshold)
+      // ONE staged assignment scan (VERDICT r16 #2): the persisted
+      // (id, v, nrm, cluster, dq) frame feeds both the within-cell
+      // pair search and the farthest-from-centroid keep distances —
+      // the demos used to re-assign the corpus just to recover dq.
+      val staged = graft.extensions.Kmeans.semStage(
+        e, "vec_id", "embedding", m)
+      val pairs = graft.extensions.Kmeans.pairsOf(staged, cosineThreshold)
       val comps = Components.connectedComponents(pairs, "id_a", "id_b")
-      val dists = graft.extensions.Kmeans.assign(e, "vec_id",
-        "embedding", m)
+      val dists = staged.select(col("id"), col("dq"))
       comps.join(dists, "id")
         .withColumn("rn", row_number().over(
           Window.partitionBy("comp")
@@ -1160,11 +1164,12 @@ object PipelineDemos {
       val routing = kmeansRoutingCache.getOrElseUpdate(dir,
         graft.extensions.Kmeans.routingFor(s, m, nSupers = 3))
       val e = Tables.embeddings(s, dir)
-      val pairs = graft.extensions.Kmeans.nearDupPairsRouted(
-        e, "vec_id", "embedding", routing, cosineThreshold)
+      // one staged routed-assignment scan for pairs AND keep distances
+      val staged = graft.extensions.Kmeans.semStageRouted(
+        e, "vec_id", "embedding", routing)
+      val pairs = graft.extensions.Kmeans.pairsOf(staged, cosineThreshold)
       val comps = Components.connectedComponents(pairs, "id_a", "id_b")
-      val dists = graft.extensions.Kmeans.routedAssign(e, "vec_id",
-        "embedding", routing).select(col("id"), col("dq"))
+      val dists = staged.select(col("id"), col("dq"))
       comps.join(dists, "id")
         .withColumn("rn", row_number().over(
           Window.partitionBy("comp")
@@ -1188,11 +1193,12 @@ object PipelineDemos {
           graft.extensions.Kmeans.lastCentroidsFrame(s, m),
           "cluster", "cv", nSupers = 3))
       val e = Tables.embeddings(s, dir)
-      val pairs = graft.extensions.Kmeans.nearDupPairsFramed(
-        e, "vec_id", "embedding", routing, cosineThreshold)
+      // one staged framed-assignment scan for pairs AND keep distances
+      val staged = graft.extensions.Kmeans.semStageFramed(
+        e, "vec_id", "embedding", routing)
+      val pairs = graft.extensions.Kmeans.pairsOf(staged, cosineThreshold)
       val comps = Components.connectedComponents(pairs, "id_a", "id_b")
-      val dists = graft.extensions.Kmeans.framedAssign(e, "vec_id",
-        "embedding", routing).select(col("id"), col("dq"))
+      val dists = staged.select(col("id"), col("dq"))
       comps.join(dists, "id")
         .withColumn("rn", row_number().over(
           Window.partitionBy("comp")

@@ -390,6 +390,91 @@ class ExtensionsSpec extends SparkTestBase {
     assert(dq(1L) == 62500L && dq(4L) == 62500L)
   }
 
+  test("semStage carries the exact assign decision (cluster, dq) " +
+       "alongside the pair-search columns — ONE scan feeds pairs AND " +
+       "the keep rule (VERDICT r16 #2)") {
+    import spark.implicits._
+    val vecs = Seq(
+      0L -> Array(1f, 0f), 1L -> Array(-1f, 0f), 2L -> Array(0.5f, 0f),
+      3L -> Array(0f, 1f), 4L -> Array(-0.5f, 0f)
+    ).toDF("vec_id", "embedding")
+    val m = graft.extensions.Kmeans.lloyd(vecs, "vec_id", "embedding",
+      k = 2, rounds = 1)
+    val staged = graft.extensions.Kmeans.semStage(
+        vecs, "vec_id", "embedding", m)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(3), r.getLong(4))))
+      .toMap
+    val exact = graft.extensions.Kmeans.assign(
+        vecs, "vec_id", "embedding", m)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2))))
+      .toMap
+    assert(staged == exact)
+    // and the routed/framed stagings match their assign twins too
+    val routing = graft.extensions.Kmeans.routingFor(spark, m, 2)
+    val stagedR = graft.extensions.Kmeans.semStageRouted(
+        vecs, "vec_id", "embedding", routing)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(3), r.getLong(4))))
+      .toMap
+    val exactR = graft.extensions.Kmeans.routedAssign(
+        vecs, "vec_id", "embedding", routing)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2))))
+      .toMap
+    assert(stagedR == exactR)
+    val framed = graft.extensions.Kmeans.framedRoutingFor(
+      graft.extensions.Kmeans.lastCentroidsFrame(spark, m),
+      "cluster", "cv", 2)
+    val stagedF = graft.extensions.Kmeans.semStageFramed(
+        vecs, "vec_id", "embedding", framed)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(3), r.getLong(4))))
+      .toMap
+    assert(stagedF == exactR)
+  }
+
+  test("SemDeDup dense-cell cap (VERDICT r16 #5): a planted mass-" +
+       "duplicate cell emits linear STAR pairs against its smallest " +
+       "id; connectivity and the keep rule survive, healthy cells " +
+       "keep exact all-pairs semantics, and survivors match the " +
+       "uncapped run exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // ids 0,1 seed the two Lloyd centroids; 2..200 are identical
+    // copies of id 0 (one degenerate 200-member cell — the crawl
+    // boilerplate pathology), 201 pairs up with id 1 in a healthy cell
+    val vecs = (
+      Seq(0L -> Array(1f, 0f), 1L -> Array(-1f, 0f)) ++
+      (2L to 200L).map(_ -> Array(1f, 0f)) ++
+      Seq(201L -> Array(-0.5f, 0f))
+    ).toDF("vec_id", "embedding")
+    val m = graft.extensions.Kmeans.lloyd(vecs, "vec_id", "embedding",
+      k = 2, rounds = 1)
+    val staged = graft.extensions.Kmeans.semStage(
+      vecs, "vec_id", "embedding", m)
+    def keepsOf(maxCell: Int): (Long, Set[Long]) = {
+      val pairs = graft.extensions.Kmeans.pairsOf(staged, 0.9, maxCell)
+      val comps = graft.extensions.Components
+        .connectedComponents(pairs, "id_a", "id_b")
+      val keeps = comps
+        .join(staged.select(col("id"), col("dq")), "id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("comp").orderBy(col("dq").desc, col("id"))))
+        .filter(col("rn") === 1)
+        .collect().map(_.getLong(0)).toSet
+      (pairs.count(), keeps)
+    }
+    val (exactPairs, exactKeeps) = keepsOf(10000)
+    val (cappedPairs, cappedKeeps) = keepsOf(50)
+    // exact: C(200,2) within the mega cell + the one healthy pair;
+    // capped: 199 star pairs + the same healthy pair — linear, not
+    // quadratic, in the degenerate cell's size
+    assert(exactPairs == 200L * 199L / 2 + 1)
+    assert(cappedPairs == 199L + 1)
+    // the duplicate groups stay connected through the representative,
+    // so the surviving set is IDENTICAL (mega group keeps its
+    // dq-tie-smallest-id winner 0; healthy cell keeps one of its pair)
+    assert(cappedKeeps == exactKeeps)
+    assert(cappedKeeps.contains(0L) && cappedKeeps.size == 2)
+  }
+
   test("exact dedup groups identical texts, keeps smallest id") {
     val out = TextDedup.exact(
         docsDf(1L -> "same text here", 2L -> "same text here",

@@ -301,6 +301,36 @@ class PlanShapeSpec extends SparkTestBase {
       s"the sqrt(k)-row member-array table should broadcast here:\n$p")
   }
 
+  test("semdedup_prune demos assign the corpus ONCE (VERDICT r16 #2): " +
+       "the staged (id, v, nrm, cluster, dq) frame is cached and every " +
+       "NearestCentroid* kernel lives inside it — the demo's own plan " +
+       "reads the cache for the keep-rule distances instead of " +
+       "re-assigning (at 100 TB the old second pass was a full extra " +
+       "corpus scan + argmin)") {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    def hasKernel(e: Expression): Boolean = e.exists {
+      case _: graft.functions.NearestCentroid => true
+      case _: graft.functions.NearestCentroidIn => true
+      case _: graft.functions.NearestCentroids => true
+      case _ => false
+    }
+    Seq("semdedup_prune", "semdedup_prune_routed",
+        "semdedup_prune_framed").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val p = unwrapped(df.queryExecution.executedPlan)
+      // InMemoryTableScan is a LEAF — collect never descends into the
+      // cached staged plan, so any kernel found here is a re-assignment
+      val offenders = p.collect {
+        case n if n.expressions.exists(hasKernel) => n.nodeName
+      }
+      assert(offenders.isEmpty,
+        s"$name re-assigns the corpus outside the staged cache: " +
+          s"$offenders\n$p")
+      assert(p.toString.contains("InMemoryTableScan"),
+        s"$name must read the staged cache for keep distances:\n$p")
+    }
+  }
+
   test("group_split and embed_quantize stay map-side (zero Exchange)") {
     Seq("group_split", "embed_quantize").foreach { name =>
       // strip the final presentation orderBy: a demo-only range exchange
