@@ -296,6 +296,68 @@ object Bpe {
       .toDF("round", "a", "b", "new_id", "cnt")
   }
 
+  /** The expanded VOCABULARY (VERDICT r16 #4) — the (id → token
+    * string) artifact every downstream consumer reads (detokenizers
+    * and trainers consume token maps, not merge tables): base ids
+    * 0..25 are 'a'..'z' (round 0, cnt 0); merge round r mints id
+    * 26+r−1 whose token is the concatenation of its parts' tokens —
+    * the exact replay of the merge table, so the multi-char strings
+    * are engine-reproducible. Pure bounded driver expansion (26 +
+    * rounds entries — the same offline-artifact stance as
+    * [[collectMergesIds]] itself).
+    */
+  def vocabOf(merges: Seq[(Int, Int, Int, Long)])
+      : Seq[(Int, String, Int, Long)] = {
+    require(merges.map(_._1) == (1 to merges.length),
+      "merges must be the contiguous training rounds 1..n in order")
+    val vocab = scala.collection.mutable.Map.empty[Int, String]
+    (0 until 26).foreach(i => vocab(i) = ('a' + i).toChar.toString)
+    val base = (0 until 26).map(i => (i, vocab(i), 0, 0L))
+    val minted = merges.map { case (r, a, b, cnt) =>
+      val id = 26 + r - 1
+      val tok = vocab(a) + vocab(b)
+      vocab(id) = tok
+      (id, tok, r, cnt)
+    }
+    base ++ minted
+  }
+
+  /** [[vocabOf]] as a frame — (id, token, round, cnt), the landed
+    * vocabulary artifact. */
+  def vocabFrame(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[(Int, Int, Int, Long)]): DataFrame = {
+    import spark.implicits._
+    vocabOf(merges).toDF("id", "token", "round", "cnt")
+  }
+
+  /** Per-WORD encode: one lowercase alphabetic word → its merged id
+    * sequence, ALL merges applied in training order by one native
+    * [[graft.functions.BpeApplyMerges]] call — the unit the round-trip
+    * contract ([[decodeIds]]) runs on and the building block
+    * [[encodeIdsStats]] maps over the word stream. */
+  def encodeWord(w: Column, merges: Seq[(Int, Int, Int, Long)]): Column =
+    graft.functions.BpeApplyMerges(wordIds(w),
+      merges.map { case (r, a, b, _) => (a, b, 26 + r - 1) })
+
+  /** DECODE (detokenize): a merged id sequence → the original string,
+    * via the expanded vocabulary riding the plan as one map literal —
+    * map-side, no shuffle. `decodeIds(encodeWord(w)) == w` for every
+    * lowercase alphabetic word (the BpeSpec round-trip pin); an id
+    * outside the vocabulary raises rather than silently vanishing
+    * from the concatenation.
+    */
+  def decodeIds(ids: Column,
+                merges: Seq[(Int, Int, Int, Long)]): Column = {
+    val vocab = vocabOf(merges).map(v => v._1 -> v._2).toMap
+    val tok = (i: Column) => {
+      val t = element_at(typedLit(vocab), i)
+      when(t.isNull, raise_error(concat(
+        lit("Bpe.decodeIds: id outside the trained vocabulary: "),
+        i.cast("string")))).otherwise(t)
+    }
+    array_join(transform(ids, tok), "")
+  }
+
   /** ENCODE in the id domain: per document, the word stream (length
     * ≥ 1 — the encoder also sees the 1-symbol words the trainer
     * skips), ALL merges applied in training order by one native

@@ -306,6 +306,19 @@ object PipelineDemos {
           trainedBpeMergesIds(s, dir))
         .orderBy("doc_id")
     }),
+    // The VOCABULARY artifact (VERDICT r16 #4): merges expanded to
+    // multi-char token STRINGS by replaying the merge table — base
+    // ids 0..25 = 'a'..'z' (round 0), minted id 26+r−1 = token(a) ||
+    // token(b). This is the (id → token) map downstream consumers
+    // (detokenizers, trainers) actually read; the merge table alone
+    // is not consumable. Bounded driver expansion (126 rows at the
+    // 100-round budget); the oracle replays the same expansion as a
+    // chained per-round vocabulary CTE. Bpe.decodeIds round-trips
+    // encode→decode through this vocabulary (BpeSpec pins it).
+    "bpe_vocab" -> ((s, dir) => {
+      graft.extensions.Bpe.vocabFrame(s, trainedBpeMergesIds(s, dir))
+        .orderBy("id")
+    }),
     // Token counting: whitespace + BPE-ish subword counts.
     "token_stats" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -2388,6 +2401,40 @@ object PipelineDemos {
        |ORDER BY round""".stripMargin
   }
 
+  /** Vocabulary-expansion oracle (extensions.Bpe.vocabOf): the id-
+    * domain training chain, then a chained per-round vocabulary CTE —
+    * v_r = v_{r-1} plus the round-r token (the concatenation of its
+    * parts' tokens, both already in v_{r-1} since merges only
+    * reference earlier ids). A round with an empty t_r adds no row,
+    * matching the engine's training stop. Linear in rounds, ≤
+    * 26+rounds rows throughout.
+    */
+  private def bpeVocabOracle(rounds: Int): String = {
+    val vctes = (1 to rounds).map { r =>
+      s"""v$r AS MATERIALIZED (SELECT id, tok FROM v${r - 1}
+         |  UNION ALL
+         |  SELECT ${26 + r - 1} AS id, va.tok || vb.tok AS tok
+         |  FROM t$r, v${r - 1} va, v${r - 1} vb
+         |  WHERE va.id = CAST(substr(pr, 2, 5) AS INTEGER)
+         |    AND vb.id = CAST(substr(pr, 8, 5) AS INTEGER))""".stripMargin
+    }.mkString(",\n")
+    val mintRows = (1 to rounds).map { r =>
+      s"SELECT $r AS round, ${26 + r - 1} AS id, " +
+      s"CAST(c AS BIGINT) AS cnt FROM t$r"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${bpeIdsCtes(rounds)},
+       |v0 AS (SELECT CAST(i AS INTEGER) AS id,
+       |    chr(CAST(97 + i AS INTEGER)) AS tok
+       |  FROM generate_series(0, 25) AS g(i)),
+       |$vctes,
+       |m AS ($mintRows)
+       |SELECT v.id, v.tok AS token,
+       |  CAST(COALESCE(m.round, 0) AS INTEGER) AS round,
+       |  COALESCE(m.cnt, 0) AS cnt
+       |FROM v$rounds v LEFT JOIN m ON m.id = v.id
+       |ORDER BY v.id""".stripMargin
+  }
+
   /** Id-domain encode oracle: the training chain, then per WORD row
     * (length ≥ 1 — the encoder sees 1-char words) the full replace
     * chain in training order, symbol ids parsed back out of the
@@ -4060,6 +4107,7 @@ object PipelineDemos {
     "bpe_encode_stats" -> bpeEncodeOracle(rounds = 3),
     "bpe_merges_ids" -> bpeIdsMergesOracle(rounds = 100),
     "bpe_encode_ids" -> bpeIdsEncodeOracle(rounds = 100),
+    "bpe_vocab" -> bpeVocabOracle(rounds = 100),
     "token_stats" ->
       s"""SELECT doc_id, len($toksExpr) AS n_tokens,
          |  len(regexp_extract_all(text, '${TextAnalysis.bpeIshPattern}')) AS n_subwords

@@ -112,6 +112,46 @@ class ExtensionsSpec extends SparkTestBase {
     assert(tri.toSeq == Seq((2L, 26L, 26L)))
   }
 
+  test("BPE vocab artifact + decode (VERDICT r16 #4): minted tokens " +
+       "are the merge-replay expansions, and decode(encode(w)) " +
+       "round-trips every word including encoder-only 1-char words") {
+    import spark.implicits._
+    // same hand-computed fixture as above: merges (0,0)→26 "aa",
+    // (0,1)→27 "ab", (26,27)→28 "aa"+"ab" = "aaab"
+    val docs = docsDf(1L -> "aaab aaab ab")
+    val merges = graft.extensions.Bpe.collectMergesIds(docs, "text",
+      rounds = 4)
+    val vocab = graft.extensions.Bpe.vocabOf(merges)
+    assert(vocab.length == 29) // 26 base + 3 minted
+    val vmap = vocab.map(v => v._1 -> v._2).toMap
+    assert(vmap(26) == "aa" && vmap(27) == "ab" && vmap(28) == "aaab")
+    assert(vocab.take(26).forall { case (_, _, r, c) => r == 0 && c == 0L })
+    assert(vocab.find(_._1 == 28).contains((28, "aaab", 3, 2L)))
+    assert(graft.extensions.Bpe.vocabFrame(spark, merges)
+      .columns.toSeq == Seq("id", "token", "round", "cnt"))
+    // round-trip: decode(encodeWord(w)) == w — merged words, partial
+    // matches, 1-char words the trainer never saw
+    val bad = Seq("aaab", "ab", "a", "b", "aaa", "baaabab", "zq")
+      .toDF("w")
+      .select(col("w"), graft.extensions.Bpe.decodeIds(
+        graft.extensions.Bpe.encodeWord(col("w"), merges), merges)
+        .as("rt"))
+      .collect().filterNot(r => r.getString(0) == r.getString(1))
+    assert(bad.isEmpty, bad.mkString(", "))
+    // an id outside the vocabulary raises instead of silently
+    // vanishing from the concatenation
+    val ex = intercept[Exception] {
+      Seq(Tuple1(Seq(99))).toDF("ids")
+        .select(graft.extensions.Bpe.decodeIds(col("ids"), merges))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("outside the trained")),
+      s"unexpected failure: $ex")
+  }
+
   test("k-means: a ragged vector (length != centroid dimension) raises " +
        "loudly instead of corrupting centroid sums") {
     import spark.implicits._
