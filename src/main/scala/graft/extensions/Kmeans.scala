@@ -669,6 +669,135 @@ object Kmeans {
               col("super"))
   }
 
+  /** THREE-LEVEL frame-resident routing (VERDICT r16 #2) — kills the
+    * member-array ROW-SIZE ceiling: [[FramedRouting]] packs each
+    * super's k/√k member centroids into ONE array row, which at the
+    * SemDeDup regime (k≈2M, d=768) is a ~9 MB row and a ~17 GB
+    * broadcast/shuffle payload. Here the hierarchy gains a MID level:
+    * ~k^(1/3) literal supers route the vector, each super's members
+    * split into ~k^(1/3) mids (anchored on the nMids smallest cluster
+    * ids, one fixed-point Lloyd update round, re-assignment — the same
+    * train-then-assign recipe as [[framedRoutingFor]], one level
+    * down), and the leaf member arrays hold ~k^(1/3) centroids each.
+    * Every array row is now O(k^(1/3)·d) bytes (~774 KB at k=2M,
+    * d=768 vs ~9 MB two-level), driver state stays nSupers·d, and
+    * assignment is ~n·3k^(1/3)·d flops — three map-side argmin folds
+    * behind two 1:1 equi-joins, n rows end to end.
+    *
+    * Approximation contract: the decision differs from [[assign]]
+    * (and from two-level routing) exactly when the true nearest
+    * centroid lives outside the routed super OR outside the routed
+    * mid — one more nProbe=1 trade, measured like §12's twin recall.
+    * Every step is deterministic (fixed-point arithmetic, sorted
+    * arrays, position-tie = id-tie argmins), so an independent SQL
+    * engine replays the whole three-level decision bit-for-bit.
+    *
+    * `mids` holds only POPULATED mids (≥ 1 member after the final
+    * re-assignment) — a vector can only route where an answer exists,
+    * the [[framedRoutingFor]] populated-supers stance one level down.
+    */
+  final case class FramedRouting3(
+      routeCents: Array[(Int, Array[Double])],
+      mids: DataFrame,     // (super, mid, mcv) — populated mids only
+      members: DataFrame)  // (super, mid, cluster, cv)
+
+  /** Derive three-level routing from a centroid frame. Driver state:
+    * the level-1 build's nSupers·d (via [[framedRoutingFor]]) — the
+    * mid level never touches the driver. */
+  def framedRoutingFor3(cents: DataFrame, clusterCol: String,
+                        cvCol: String, nSupers: Int,
+                        nMids: Int): FramedRouting3 = {
+    require(nMids >= 1, "nMids must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val l1 = framedRoutingFor(cents, clusterCol, cvCol, nSupers)
+    val mem = l1.members // (super, cluster, cv)
+    // anchors: the nMids smallest cluster ids per super seed the mid
+    // centroids, mid ids positional (0..) in cluster order — no RNG,
+    // the lloyd init one level down
+    val anchors = mem
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("super").orderBy("cluster")))
+      .filter(col("rn") <= nMids)
+      .select(col("super"), (col("rn") - 1).cast("int").as("mid"),
+              col("cv").as("acv"))
+    val aarr = anchors.groupBy("super")
+      .agg(array_sort(collect_list(struct(col("mid"), col("acv"))))
+        .as("aarr"))
+    // init assignment of member centroids to anchors (ties to the
+    // smaller mid — NearestCentroidIn position ties on sorted arrays)
+    val mm0 = mem.join(aarr, "super")
+      .select(col("super"),
+              graft.functions.NearestCentroidIn(col("cv"), col("aarr"))
+                .getField("cluster").as("mid"),
+              col("cv"))
+    // ONE fixed-point update round — the exact lloyd arithmetic keyed
+    // by (super, mid, pos), frame-resident throughout
+    val mu = mm0
+      .select(col("super"), col("mid"),
+              posexplode(col("cv")).as(Seq("pos", "x")))
+      .select(col("super"), col("mid"), col("pos"),
+              floor(col("x") * Q).cast("long").as("q"))
+      .groupBy("super", "mid", "pos")
+      .agg(sum(col("q").cast("decimal(38,0)")).as("sq"),
+           count(lit(1)).as("n"))
+      .select(col("super"), col("mid"), col("pos"),
+              sqExactLong("framedRoutingFor3").as("sq"), col("n"))
+    val mc = mu
+      .select(col("super"), col("mid"), col("pos"),
+              (col("sq").cast("double") /
+                (col("n").cast("double") * lit(Q))).as("c"))
+      .groupBy("super", "mid")
+      .agg(transform(
+             array_sort(collect_list(struct(col("pos"), col("c")))),
+             e => e.getField("c")).as("mcv"))
+    // final membership under the UPDATED mids
+    val midArr = mc.groupBy("super")
+      .agg(array_sort(collect_list(struct(col("mid"), col("mcv"))))
+        .as("midarr"))
+    val mm = mem.join(midArr, "super")
+      .select(col("super"),
+              graft.functions.NearestCentroidIn(col("cv"), col("midarr"))
+                .getField("cluster").as("mid"),
+              col("cluster"), col("cv"))
+    val popMids = mc.join(mm.select("super", "mid").distinct(),
+      Seq("super", "mid"), "leftsemi")
+    FramedRouting3(l1.routeCents, popMids, mm)
+  }
+
+  /** Three-level assignment under [[FramedRouting3]]: literal super
+    * route → 1:1 join on `super` against the per-super MID array →
+    * map-side mid argmin → 1:1 join on (super, mid) against the leaf
+    * member array → map-side member argmin. No row expansion, no
+    * aggregation operator; every joined array row is O(k^(1/3)·d).
+    *
+    * @return (id, cluster, dq, super, mid)
+    */
+  def framedAssign3(vecs: DataFrame, idCol: String, vecCol: String,
+                    routing: FramedRouting3): DataFrame = {
+    val midArr = routing.mids.groupBy("super")
+      .agg(array_sort(collect_list(struct(col("mid"), col("mcv"))))
+        .as("midarr"))
+    val marr = routing.members.groupBy("super", "mid")
+      .agg(array_sort(collect_list(struct(col("cluster"), col("cv"))))
+        .as("marr"))
+    vecs
+      .select(col(idCol).as("id"),
+              col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), col("v"),
+              argminStruct(col("v"), routing.routeCents)
+                .getField("cluster").as("super"))
+      .join(midArr, "super")
+      .select(col("id"), col("v"), col("super"),
+              graft.functions.NearestCentroidIn(col("v"), col("midarr"))
+                .getField("cluster").as("mid"))
+      .join(marr, Seq("super", "mid"))
+      .select(col("id"), marrBest(col("marr")).as("best"),
+              col("super"), col("mid"))
+      .select(col("id"), col("best.cluster").as("cluster"),
+              floor(col("best.d") * lit(Q)).cast("long").as("dq"),
+              col("super"), col("mid"))
+  }
+
   /** MULTI-PROBE frame-resident assignment — [[routedAssign]]'s
     * nProbe ≥ 2 quality recovery composed with [[framedAssign]]'s
     * no-k·d-driver-state scale path: the nProbe nearest supers come

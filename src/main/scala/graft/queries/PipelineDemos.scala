@@ -69,6 +69,12 @@ object PipelineDemos {
     new graft.tables.CorpusMemo[graft.extensions.Kmeans.FramedRouting](
       "embeddings")
 
+  // three-level frame-resident routing (kmeans_assign_framed3) —
+  // session-gated like the two-level framed cache
+  private val kmeansFramed3RoutingCache =
+    new graft.tables.CorpusMemo[graft.extensions.Kmeans.FramedRouting3](
+      "embeddings")
+
   // the early-stopped trajectory (kmeans_earlystop): its own model —
   // different rounds than the shared kmeansCache fixture
   private val kmeansEarlystopCache =
@@ -1047,6 +1053,29 @@ object PipelineDemos {
           "cluster", "cv", nSupers = 3))
       graft.extensions.Kmeans.framedAssign(Tables.embeddings(s, dir),
           "vec_id", "embedding", routing, nProbe = 2)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    }),
+    // THREE-LEVEL frame-resident assignment (VERDICT r16 #2): the
+    // two-level member-array rows are k/√k·d — ~9 MB at the SemDeDup
+    // regime (k≈2M, d=768). A MID level (anchored on the nMids
+    // smallest cluster ids per super, one fixed-point update round,
+    // re-assignment — the same train-then-assign recipe one level
+    // down) bounds every joined array row at O(k^(1/3)·d) bytes:
+    // literal super route → mid-array join + map-side argmin →
+    // leaf-array join + map-side argmin, n rows end to end. Fully
+    // deterministic, so the oracle replays all three levels.
+    "kmeans_assign_framed3" -> ((s, dir) => {
+      val m = kmeansCache.getOrElseUpdate(dir,
+        graft.extensions.Kmeans.lloyd(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8, rounds = 3))
+      val routing = kmeansFramed3RoutingCache.getOrElseValid(dir,
+          _.members.sparkSession eq s)(
+        graft.extensions.Kmeans.framedRoutingFor3(
+          graft.extensions.Kmeans.lastCentroidsFrame(s, m),
+          "cluster", "cv", nSupers = 2, nMids = 2))
+      graft.extensions.Kmeans.framedAssign3(Tables.embeddings(s, dir),
+          "vec_id", "embedding", routing)
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")
     }),
@@ -2695,6 +2724,64 @@ object PipelineDemos {
        |        ${kmL2Sql("rv2.v", "c.cv")} AS d
        |      FROM rv2 JOIN rm ON rm.super = rv2.super
        |      JOIN c$rounds c ON c.cluster = rm.cluster)
+       |QUALIFY row_number() OVER (PARTITION BY id
+       |  ORDER BY d, cluster) = 1
+       |ORDER BY vec_id""".stripMargin
+
+  /** Three-level framed-assignment oracle (extensions.Kmeans
+    * .framedAssign3): the two-level routing CTEs (super training,
+    * membership, populated supers, per-vector super route `rv`), then
+    * the MID level replayed one step down — anchors = the nMids
+    * smallest cluster ids per super (mid = positional id in cluster
+    * order), init member→anchor argmin (ties to the smaller mid), ONE
+    * fixed-point update round, re-assignment under the updated mids,
+    * populated mids only — and the vector's mid route + leaf argmin.
+    */
+  private def kmeansFramed3Oracle(k: Int, rounds: Int, nSupers: Int,
+                                  nMids: Int): String =
+    s"""WITH ${routedCtes(k, rounds, nSupers)},
+       |mem AS (SELECT m.cluster, m.super, c.cv
+       |  FROM rm m JOIN c$rounds c ON c.cluster = m.cluster),
+       |anc AS (SELECT super, CAST(rn - 1 AS INTEGER) AS mid,
+       |    cv AS acv
+       |  FROM (SELECT super, cluster, cv, row_number() OVER (
+       |      PARTITION BY super ORDER BY cluster) AS rn FROM mem)
+       |  WHERE rn <= $nMids),
+       |mm0 AS (SELECT super, mid, cv FROM (
+       |  SELECT e.super, a.mid, e.cv, e.cluster,
+       |    ${kmL2Sql("e.cv", "a.acv")} AS d
+       |  FROM mem e JOIN anc a ON a.super = e.super)
+       |  QUALIFY row_number() OVER (PARTITION BY cluster
+       |    ORDER BY d, mid) = 1),
+       |mmu AS (SELECT super, mid, CAST(i - 1 AS BIGINT) AS pos,
+       |    SUM(CAST(floor(cv[i] * 1000000.0) AS BIGINT)) AS sq,
+       |    count(*) AS n
+       |  FROM (SELECT super, mid, cv,
+       |        unnest(generate_series(1, len(cv))) AS i FROM mm0)
+       |  GROUP BY super, mid, pos),
+       |mc AS (SELECT super, mid, list(CAST(sq AS DOUBLE) /
+       |    (CAST(n AS DOUBLE) * 1000000.0) ORDER BY pos) AS mcv
+       |  FROM mmu GROUP BY super, mid),
+       |mm AS (SELECT cluster, super, mid FROM (
+       |  SELECT e.cluster, e.super, s.mid, ${kmL2Sql("e.cv", "s.mcv")} AS d
+       |  FROM mem e JOIN mc s ON s.super = e.super)
+       |  QUALIFY row_number() OVER (PARTITION BY cluster
+       |    ORDER BY d, mid) = 1),
+       |mpop AS (SELECT s.super, s.mid, s.mcv FROM mc s
+       |  WHERE EXISTS (SELECT 1 FROM mm
+       |    WHERE mm.super = s.super AND mm.mid = s.mid)),
+       |vm AS (SELECT id, v, super, mid FROM (
+       |  SELECT rv.id, rv.v, rv.super, s.mid,
+       |    ${kmL2Sql("rv.v", "s.mcv")} AS d
+       |  FROM rv JOIN mpop s ON s.super = rv.super)
+       |  QUALIFY row_number() OVER (PARTITION BY id
+       |    ORDER BY d, mid) = 1)
+       |SELECT id AS vec_id, cluster,
+       |  CAST(floor(d * 1000000.0) AS BIGINT) AS dq, super, mid
+       |FROM (SELECT vm.id, c.cluster, vm.super, vm.mid,
+       |        ${kmL2Sql("vm.v", "c.cv")} AS d
+       |      FROM vm JOIN mm ON mm.super = vm.super AND mm.mid = vm.mid
+       |      JOIN c$rounds c ON c.cluster = mm.cluster)
        |QUALIFY row_number() OVER (PARTITION BY id
        |  ORDER BY d, cluster) = 1
        |ORDER BY vec_id""".stripMargin
@@ -4665,6 +4752,8 @@ object PipelineDemos {
     // a divergence in either implementation hash-fails its own row
     "kmeans_assign_framed" ->
       kmeansRoutedOracle(k = 8, rounds = 3, nSupers = 3),
+    "kmeans_assign_framed3" ->
+      kmeansFramed3Oracle(k = 8, rounds = 3, nSupers = 2, nMids = 2),
     "kmeans_earlystop" ->
       kmeansEarlystopOracle(k = 8, maxRounds = 6, tolQ = earlystopTolQ),
     // the framed trainer at nSupers=1 IS exact Lloyd — its landed

@@ -313,6 +313,60 @@ class ExtensionsSpec extends SparkTestBase {
     assert(framed2.exists(t => t._1 == 101L && t._2 == 1))
   }
 
+  test("three-level framed assignment (VERDICT r16 #2): degenerate " +
+       "1x1 routing is the exact argmin bit-for-bit, and the 2x2 " +
+       "hierarchy routes super -> mid -> leaf with bounded array rows") {
+    import spark.implicits._
+    val pts = Seq(0L -> Array(0f, 0f), 1L -> Array(1f, 0f),
+      2L -> Array(10f, 0f), 3L -> Array(11f, 0f))
+      .toDF("vec_id", "embedding")
+    val m = graft.extensions.Kmeans.lloyd(pts, "vec_id", "embedding",
+      k = 4, rounds = 1)
+    val qs = Seq(100L -> Array(1.5f, 0f), 101L -> Array(4.5f, 0f),
+      102L -> Array(10.5f, 0f)) // exact distance tie c2/c3
+      .toDF("vec_id", "embedding")
+    // nSupers=1, nMids=1: one super, one mid holding ALL members —
+    // the leaf argmin IS the exact assignment (cluster, dq equal;
+    // super and mid both 0)
+    val r11 = graft.extensions.Kmeans.framedRoutingFor3(
+      graft.extensions.Kmeans.lastCentroidsFrame(spark, m),
+      "cluster", "cv", nSupers = 1, nMids = 1)
+    val deg = graft.extensions.Kmeans.framedAssign3(qs, "vec_id",
+        "embedding", r11)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getInt(4))).toSet
+    val exact = graft.extensions.Kmeans.assign(qs, "vec_id",
+        "embedding", m)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        0, 0)).toSet
+    assert(deg == exact)
+    // the tie still breaks to the smaller cluster id through the
+    // member-array fold
+    assert(deg.exists(t => t._1 == 102L && t._2 == 2 && t._3 == 250000L))
+    // 2x2: supers split {c0,c1} / {c2,c3}, each super anchors its own
+    // single-member mids — every joined array row holds at most
+    // ceil(k/(nSupers*nMids)) = 1 member, and the decision matches
+    // the two-level route (leaf cells of 1 can't change an argmin
+    // the mid level already made; here mid centroids ARE the members)
+    val r22 = graft.extensions.Kmeans.framedRoutingFor3(
+      graft.extensions.Kmeans.lastCentroidsFrame(spark, m),
+      "cluster", "cv", nSupers = 2, nMids = 2)
+    val a22 = graft.extensions.Kmeans.framedAssign3(qs, "vec_id",
+        "embedding", r22)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    val twoLevel = graft.extensions.Kmeans.routedAssign(qs, "vec_id",
+        "embedding", m, nSupers = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(a22 == twoLevel)
+    // leaf member arrays really are k^(1/3)-bounded here: no
+    // (super, mid) cell holds more than 1 member at 2x2 over k=4
+    val maxLeaf = r22.members.groupBy("super", "mid")
+      .count().agg(max("count")).collect().head.getLong(0)
+    assert(maxLeaf == 1L)
+  }
+
   test("framed Lloyd training: nSupers=1 routing is the exact argmin, " +
        "so the centroid-frame trajectory equals lloyd's bit-for-bit") {
     import spark.implicits._
