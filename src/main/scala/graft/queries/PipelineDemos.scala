@@ -41,7 +41,7 @@ object PipelineDemos {
   }
 
   private[queries] val jaccardThreshold = 0.5
-  private val cosineThreshold = 0.45
+  private[queries] val cosineThreshold = 0.45
   private val embedCap = 1000L
 
   // all index memos key on a content stamp of the backing parquet (not
@@ -2659,8 +2659,9 @@ object PipelineDemos {
   /** The shared two-level routing CTE block (super training round,
     * membership, populated supers, per-vector nProbe=1 route `rv`) —
     * the tail every routed-family oracle hangs off. */
-  private def routedCtes(k: Int, rounds: Int, nSupers: Int): String =
-    s"""${kmeansCtes(k, rounds)},
+  private[queries] def routedCtes(k: Int, rounds: Int, nSupers: Int,
+                                  where: String = ""): String =
+    s"""${kmeansCtes(k, rounds, where)},
        |rs0 AS (SELECT CAST(row_number() OVER (ORDER BY cluster) - 1
        |    AS INTEGER) AS super, cv AS scv
        |  FROM c$rounds ORDER BY cluster LIMIT $nSupers),

@@ -26,6 +26,17 @@ object StreamingDemos {
   private val kmeansState0PathCache =
     new graft.tables.CorpusMemo[String]("embeddings")
 
+  // frozen framed routing over the HISTORY-trained model
+  // (stream_semdedup_ingest) — session-gated, since it holds a frame
+  private val semdedupRoutingCache =
+    new graft.tables.CorpusMemo[graft.extensions.Kmeans.FramedRouting](
+      "embeddings")
+
+  // landed history stage parquet (id, v, nrm, cluster, dq) the
+  // semdedup ingest flags its first batch against — written once
+  private val semdedupStage0PathCache =
+    new graft.tables.CorpusMemo[String]("embeddings")
+
   private def deleteDir(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
@@ -250,6 +261,50 @@ object StreamingDemos {
                 col("pos"), col("sq"), col("n"), col("c"))
         .orderBy("batch", "cluster", "pos")
     }),
+    // Streaming framed SemDeDup ingest (VERDICT r16 #6): new vectors
+    // route into the FROZEN framed cells of the history-trained model
+    // (nSupers=3 — the production routed composition), are near-dup
+    // checked against the accumulated history of their own cell ONLY
+    // (new-vs-history; batch 0 flags against the landed history stage,
+    // batch 1 against history + batch 0 — the dedup_incremental
+    // stance), and append to the cell-keyed staged lists. The oracle
+    // replays the frozen routing, both batch stagings, and both flag
+    // joins end-to-end.
+    "stream_semdedup_ingest" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val hist = e.filter(pmod(col("vec_id"), lit(4L)) < 3L)
+      val m = PipelineDemos.kmeansHistCache.getOrElseUpdate(dir,
+        graft.extensions.Kmeans.lloyd(hist, "vec_id", "embedding",
+          k = 8, rounds = 3))
+      val routing = semdedupRoutingCache.getOrElseValid(dir,
+          _.members.sparkSession eq s)(
+        graft.extensions.Kmeans.framedRoutingFor(
+          graft.extensions.Kmeans.lastCentroidsFrame(s, m),
+          "cluster", "cv", nSupers = 3))
+      val stage0 = semdedupStage0PathCache.getOrElseUpdate(dir, {
+        val path = graft.tables.ScratchDirs.tmp("sdstage0", dir)
+        val st = graft.extensions.Kmeans.semStageFramed(
+          hist, "vec_id", "embedding", routing)
+        st.write.mode("overwrite").parquet(path)
+        st.unpersist(false)
+        path
+      })
+      val base = graft.tables.ScratchDirs.tmp("sdingest", dir)
+      // fresh sink dirs: correctness relies on exactly batches {0, 1}
+      // existing (same stance as stream_kmeans_ingest)
+      deleteDir(s"$base/stage")
+      deleteDir(s"$base/flags")
+      Seq(3L, 7L).zipWithIndex.foreach { case (mod, i) =>
+        VecsStream.semdedupIngestBatch(
+          e.filter(pmod(col("vec_id"), lit(8L)) === mod), i.toLong,
+          routing, stage0, s"$base/stage", s"$base/flags",
+          PipelineDemos.cosineThreshold)
+      }
+      s.read.parquet(s"$base/flags")
+        .select(col("batch").cast("long").as("batch"), col("id"),
+                col("dup_of"), col("n_matches"), col("best_cos"))
+        .orderBy("batch", "id")
+    }),
     "stream_ingest_flags" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val hex1 = substring(md5(col("doc_id").cast("string")), 1, 1)
@@ -264,6 +319,71 @@ object StreamingDemos {
         .select("id", "dup_of", "n_matches", "best_jaccard")
         .orderBy("id")
     }))
+
+  /** Streaming framed-SemDeDup ingest oracle: the frozen two-level
+    * routing over the HISTORY-trained model (the routed CTEs with the
+    * history filter — `rv` stages the history corpus), the history
+    * staging `raf` with norms, then per micro-batch the routed batch
+    * staging and the within-cell NEW-vs-HISTORY cosine flag join —
+    * batch i's history is raf plus the staged batches before i,
+    * exactly VecsStream.semdedupIngestBatch's accumulated listing.
+    */
+  private def streamSemdedupOracle(k: Int, rounds: Int, nSupers: Int,
+                                   mods: Seq[Long],
+                                   threshold: Double): String = {
+    def cosSql(a: String, b: String): String =
+      s"(CASE WHEN $a.nrm > 0 AND $b.nrm > 0 " +
+      s"THEN ${PipelineDemos.dotSql(s"$a.v", s"$b.v")} / ($a.nrm * $b.nrm) " +
+      "ELSE 0.0 END)"
+    val batchCtes = mods.zipWithIndex.map { case (m, i) =>
+      val histRel = if (i == 0) "raf" else s"h$i"
+      val pre =
+        if (i == 0) ""
+        else s"""h$i AS (SELECT id, v, cluster, nrm
+           |  FROM ${if (i == 1) "raf" else s"h${i - 1}"}
+           |  UNION ALL SELECT id, v, cluster, nrm FROM bst${i - 1}),
+           |""".stripMargin
+      pre +
+      s"""bv$i AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id % 8 = $m),
+         |brt$i AS (SELECT id, v, super FROM (
+         |  SELECT b.id, b.v, s.super,
+         |    ${PipelineDemos.kmL2Sql("b.v", "s.scv")} AS d
+         |  FROM bv$i b, rpop s)
+         |  QUALIFY row_number() OVER (PARTITION BY id
+         |    ORDER BY d, super) = 1),
+         |bst$i AS MATERIALIZED (SELECT id, v, cluster,
+         |    sqrt(${PipelineDemos.dotSql("v", "v")}) AS nrm FROM (
+         |  SELECT t.id, t.v, c.cluster,
+         |    ${PipelineDemos.kmL2Sql("t.v", "c.cv")} AS d
+         |  FROM brt$i t JOIN rm ON rm.super = t.super
+         |  JOIN c$rounds c ON c.cluster = rm.cluster)
+         |  QUALIFY row_number() OVER (PARTITION BY id
+         |    ORDER BY d, cluster) = 1),
+         |fl$i AS (SELECT CAST($i AS BIGINT) AS batch, b.id,
+         |    min(h.id) AS dup_of, count(*) AS n_matches,
+         |    max(${cosSql("b", "h")}) AS best_cos
+         |  FROM bst$i b JOIN $histRel h ON h.cluster = b.cluster
+         |  WHERE ${cosSql("b", "h")} >= $threshold
+         |  GROUP BY b.id)""".stripMargin
+    }.mkString(",\n")
+    val unions = mods.indices
+      .map(i => s"SELECT batch, id, dup_of, n_matches, best_cos FROM fl$i")
+      .mkString(" UNION ALL ")
+    s"""WITH ${PipelineDemos.routedCtes(k, rounds, nSupers,
+          where = "WHERE vec_id % 4 < 3")},
+       |raf AS MATERIALIZED (SELECT id, v, cluster,
+       |    sqrt(${PipelineDemos.dotSql("v", "v")}) AS nrm FROM (
+       |  SELECT rv.id, rv.v, c.cluster,
+       |    ${PipelineDemos.kmL2Sql("rv.v", "c.cv")} AS d
+       |  FROM rv JOIN rm ON rm.super = rv.super
+       |  JOIN c$rounds c ON c.cluster = rm.cluster)
+       |  QUALIFY row_number() OVER (PARTITION BY id
+       |    ORDER BY d, cluster) = 1),
+       |$batchCtes
+       |SELECT batch, id, dup_of, n_matches, best_cos FROM ($unions)
+       |ORDER BY batch, id""".stripMargin
+  }
 
   /** Streaming online k-means oracle: the history training chain, then
     * per micro-batch an assignment CTE under the PREVIOUS state's
@@ -322,6 +442,9 @@ object StreamingDemos {
     // the evolving-state oracle replays both variants verbatim
     "stream_kmeans_ingest_framed" ->
       streamKmeansOracle(k = 8, rounds = 3, mods = Seq(3L, 7L)),
+    "stream_semdedup_ingest" ->
+      streamSemdedupOracle(k = 8, rounds = 3, nSupers = 3,
+        mods = Seq(3L, 7L), threshold = PipelineDemos.cosineThreshold),
     "sessionize" ->
       """WITH l AS (SELECT user_id, ts, value,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events),

@@ -155,4 +155,91 @@ object VecsStream {
     Kmeans.incrementalUpdateFramed(prev, batch, vecCol, nSupers)
       .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
   }
+
+  /** Streaming framed SemDeDup ingest (VERDICT r16 #6) — the streaming
+    * face of the semdedup_prune pipeline, composed from r16's framed
+    * assignment and the incremental-dedup stance: each micro-batch of
+    * new vectors routes into the FROZEN framed cell structure (the
+    * offline-trained [[graft.extensions.Kmeans.FramedRouting]], fixed
+    * at query start like the IVF index and the Bloom filter), is
+    * near-dup-checked against the accumulated HISTORY of its own cell
+    * only (new-vs-history — never hist-vs-hist, and batch-internal
+    * pairs wait for the next batch's history view, exactly
+    * [[DocsStream.nearDupIngest]]'s contract), flagged, and appended
+    * to the cell-keyed staged lists.
+    *
+    * Exactly-once: flags and staged lists land in batch-id-addressed
+    * partitions written with overwrite; history for batch b = the
+    * offline stage0 artifact plus staged partitions strictly < b, so a
+    * replayed batch — including a half-written one — re-derives
+    * identical flags. The staged list is written AFTER the flags: a
+    * listed history partition is therefore always complete (the
+    * [[DocsStream.flagBatch]] write-order argument).
+    */
+  def semdedupIngest(vecs: DataFrame,
+                     routing: graft.extensions.Kmeans.FramedRouting,
+                     stage0Dir: String, stageDir: String,
+                     flagsDir: String, checkpointDir: String,
+                     threshold: Double, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        semdedupIngestBatch(batch, batchId, routing, stage0Dir,
+          stageDir, flagsDir, threshold, idCol, vecCol)
+      }
+      .start()
+
+  /** One framed-SemDeDup ingest micro-batch (exposed for batch-parity
+    * tests and the demo registry): stage the batch through the frozen
+    * framed assignment (ONE scan — the staged frame feeds the flag
+    * join and the landed list), flag within-cell near-dups against
+    * history, land flags then the staged list.
+    */
+  def semdedupIngestBatch(batch: DataFrame, batchId: Long,
+                          routing: graft.extensions.Kmeans.FramedRouting,
+                          stage0Dir: String, stageDir: String,
+                          flagsDir: String, threshold: Double,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.extensions.{Kmeans, Similarity}
+    val spark = batch.sparkSession
+    val staged = Kmeans.semStageFramed(batch, idCol, vecCol, routing)
+    try {
+      // history = stage0 + staged batches strictly BEFORE this one
+      // (Hadoop FS listing — the DocsStream.flagBatch URI stance)
+      val stagePath = new org.apache.hadoop.fs.Path(stageDir)
+      val fs =
+        stagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val priorIds =
+        if (!fs.exists(stagePath)) Seq.empty[Long]
+        else fs.listStatus(stagePath).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("batch="))
+          .map(_.getPath.getName.stripPrefix("batch=").toLong)
+          .filter(_ < batchId)
+      val hist = spark.read
+        .parquet(stage0Dir +: priorIds.map(i => s"$stageDir/batch=$i"): _*)
+        .select(col("id").as("hist_id"), col("v").as("hv"),
+                col("nrm").as("hnrm"), col("cluster"))
+      val flags = staged.select("id", "v", "nrm", "cluster")
+        .join(hist, "cluster")
+        .select(col("id"), col("hist_id"),
+          when(col("nrm") > 0 && col("hnrm") > 0,
+            Similarity.dot(col("v"), col("hv"))
+              / (col("nrm") * col("hnrm")))
+            .otherwise(lit(0.0)).as("cos"))
+        .filter(col("cos") >= threshold)
+        .groupBy("id")
+        .agg(min(col("hist_id")).as("dup_of"),
+             count(lit(1)).as("n_matches"),
+             max(col("cos")).as("best_cos"))
+      flags.write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
+      staged.write.mode("overwrite").parquet(s"$stageDir/batch=$batchId")
+    } finally {
+      staged.unpersist()
+      ()
+    }
+  }
 }

@@ -777,4 +777,65 @@ class StreamingSpec extends SparkTestBase {
     assert(landed(0) == ref(r0))
     assert(landed(1) == ref(r1))
   }
+
+  test("streaming framed SemDeDup ingest: new vectors flag against " +
+       "history-of-their-cell only, batch 0's staged rows become " +
+       "batch 1's history, and a batch-0 replay re-derives identical " +
+       "flags from the pre-batch history view") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.VecsStream
+    import graft.extensions.Kmeans
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sding")
+    val (stage0, stage, flags, ckpt) =
+      (s"$tmp/stage0", s"$tmp/stage", s"$tmp/flags", s"$tmp/ckpt")
+    // frozen cells: c0 = (1,0), c1 = (0,10) — one history member each
+    val hist = Seq(0L -> Array(1f, 0f), 1L -> Array(0f, 10f))
+      .toDF("vec_id", "embedding")
+    val m0 = Kmeans.lloyd(hist, "vec_id", "embedding", k = 2, rounds = 1)
+    val routing = Kmeans.framedRoutingFor(
+      Kmeans.lastCentroidsFrame(spark, m0), "cluster", "cv", nSupers = 1)
+    val st0 = Kmeans.semStageFramed(hist, "vec_id", "embedding", routing)
+    st0.write.mode("overwrite").parquet(stage0)
+    st0.unpersist(false)
+    // b0: id 10 lands in cell 0, cos vs hist 0 ≈ 0.9988 → flagged;
+    //     id 11 lands in cell 1 (L2: 61 vs 50), cos vs hist 1 ≈ 0.707
+    //     → below the 0.9 threshold, no flag
+    val b0 = Seq(VecsStream.Vec(10L, Array(2f, 0.1f)),
+                 VecsStream.Vec(11L, Array(-5f, 5f)))
+    // b1: id 20 lands in cell 1 (L2: 72 vs 41), cos vs hist 1 ≈ 0.768
+    //     but cos vs BATCH-0's id 11 ≈ 0.9958 → flagged dup_of=11:
+    //     batch 0's staged rows really are batch 1's history
+    val b1 = Seq(VecsStream.Vec(20L, Array(-5f, 6f)))
+    val input = MemoryStream[VecsStream.Vec]
+    val q = VecsStream.semdedupIngest(input.toDF(), routing, stage0,
+      stage, flags, ckpt, threshold = 0.9)
+    try {
+      input.addData(b0: _*); q.processAllAvailable()
+      input.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    def flagRows() = spark.read.parquet(flags)
+      .select(functions.col("batch").cast("long"), functions.col("id"),
+        functions.col("dup_of"), functions.col("n_matches"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val got = flagRows()
+    assert(got == Set((0L, 10L, 0L, 1L), (1L, 20L, 11L, 1L)), s"got $got")
+    val cos = spark.read.parquet(flags)
+      .select(functions.col("id"), functions.col("best_cos"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(cos(10L) - 2.0 / math.sqrt(4.01)) < 1e-3)
+    assert(cos(20L) > 0.99 && cos(20L) < 1.0)
+    // staged lists accumulated cell-keyed history: stage0 2 rows,
+    // batch 0 two rows, batch 1 one row
+    assert(spark.read.parquet(stage).count() == 3)
+    // replay of batch 0 (foreachBatch redelivery AFTER batch 1 landed)
+    // lists only staged batches < 0 → history is stage0 alone, flags
+    // identical — idempotent even with later partitions present
+    def df0 = b0.map(v => (v.vec_id, v.embedding))
+      .toDF("vec_id", "embedding")
+    VecsStream.semdedupIngestBatch(df0, 0L, routing, stage0, stage,
+      flags, threshold = 0.9)
+    assert(flagRows() == got)
+  }
 }
