@@ -1212,8 +1212,11 @@ object ScaleCurve {
     // shape. ShuffleProbe: at 16M nodes the clusters-sized member
     // frame (8M rows of arrays) is past any sane broadcast, exactly
     // the regime the mode exists for.
-    val synNormPts = Seq(1000000L, 4000000L, 16000000L)
-      .filter(_ <= points.max * 80)
+    // 64M octave (VERDICT r16 #7): the clusters member frame is ~32M
+    // array rows here — the ×4 must keep holding once the member
+    // detail assembly dominates
+    val synNormPts = Seq(1000000L, 4000000L, 16000000L, 64000000L)
+      .filter(_ <= points.max * 320)
       .map { n =>
         val nameMod = n * 3 / 5
         val (nodes, clusters, edges) = synTables(spark, n, nameMod)
@@ -1292,6 +1295,156 @@ object ScaleCurve {
           "driver centroid state" -> s"${nSup * 32}d (vs ${k * 32}d literal)",
           "wall train framed (s)" -> f"$secT%.2f",
           "wall assign framed (s)" -> f"$secA%.2f"))
+      }
+
+    // ---- 12c. THREE-LEVEL framed assignment at k = 100,000 (r16 #2) --
+    // The next ceiling after driver state is the member-array ROW: the
+    // two-level path packs k/nSupers member centroids into ONE array
+    // row per super — ~316 members (~81 KB) here, ~9 MB at the SemDeDup
+    // regime (k≈2M, d=768). Three levels bound every joined row at
+    // ~k^(1/3) members AND cut assignment flops from n·(s + k/s)·d to
+    // ~n·3·k^(1/3)·d. Columns to watch: max two-level row vs max leaf
+    // row (members), the two assign walls, and the agreement fraction —
+    // the measured cost of the added mid-level nProbe=1 trade.
+    val kmFramed3Pts = Seq(200000L, 800000L)
+      .filter(_ <= points.max * 4)
+      .map { n =>
+        val vecs = vectorCorpus(spark, n)
+        val k = 100000
+        val nSup2 = 316 // ≈ √k (the two-level layout)
+        val nSup3 = 46  // ≈ k^(1/3) (supers AND mids)
+        var cents: DataFrame = null
+        val (secT, _) = timeIt(spark) {
+          cents = graft.extensions.Kmeans.lloydFramed(vecs, "vec_id",
+            "embedding", k = k, rounds = 1, nSupers = nSup2)
+          cents.count()
+        }
+        // offline-artifact stance: snapshot the trained centroid frame
+        // so neither routing build replays training lineage
+        val cc = cents.localCheckpoint(true)
+        val r2raw = graft.extensions.Kmeans.framedRoutingFor(
+          cc, "cluster", "cv", nSupers = nSup2)
+        val r2 = graft.extensions.Kmeans.FramedRouting(
+          r2raw.routeCents, r2raw.members.localCheckpoint(true))
+        val max2 = r2.members.groupBy("super").count()
+          .agg(max("count")).collect().head.getLong(0)
+        val (secA2, _) = timeIt(spark) {
+          graft.extensions.Kmeans.framedAssign(vecs, "vec_id",
+              "embedding", r2)
+            .agg(sum(col("dq"))).collect().head.getLong(0)
+        }
+        val r3raw = graft.extensions.Kmeans.framedRoutingFor3(
+          cc, "cluster", "cv", nSupers = nSup3, nMids = nSup3)
+        val r3 = graft.extensions.Kmeans.FramedRouting3(
+          r3raw.routeCents, r3raw.mids.localCheckpoint(true),
+          r3raw.members.localCheckpoint(true))
+        val maxLeaf = r3.members.groupBy("super", "mid").count()
+          .agg(max("count")).collect().head.getLong(0)
+        val (secA3, _) = timeIt(spark) {
+          graft.extensions.Kmeans.framedAssign3(vecs, "vec_id",
+              "embedding", r3)
+            .agg(sum(col("dq"))).collect().head.getLong(0)
+        }
+        // quality, measured two ways on the SAME assignment frames:
+        // (a) raw cell agreement between the two hierarchies — two
+        // DIFFERENT nProbe=1 partitions of unstructured uniform-random
+        // vectors (the quantization worst case: thousands of centroids
+        // near-equidistant from any query), so this is expected LOW and
+        // is reported for honesty, not as the operative metric;
+        // (b) planted-twin co-location — the SemDeDup-relevant
+        // property (near-identical vectors must land in the SAME cell
+        // for the within-cell search to see the pair), per level.
+        val a2 = graft.extensions.Kmeans.framedAssign(vecs, "vec_id",
+          "embedding", r2).select(col("id"), col("cluster").as("c"))
+          .localCheckpoint(true)
+        val a3 = graft.extensions.Kmeans.framedAssign3(vecs, "vec_id",
+          "embedding", r3).select(col("id"), col("cluster").as("c"))
+          .localCheckpoint(true)
+        val agree = a2.select(col("id"), col("c").as("c2"))
+          .join(a3.select(col("id"), col("c").as("c3")), "id")
+          .agg(sum(when(col("c2") === col("c3"), 1L).otherwise(0L)),
+               count(lit(1)))
+          .collect().head
+        val agreeFrac = agree.getLong(0).toDouble / agree.getLong(1)
+        def twinColoc(a: DataFrame): Double = {
+          val twinBase = n - 100
+          val src = a.filter(col("id") < 100)
+            .select(col("id").as("sid"), col("c").as("cs"))
+          val twin = a.filter(col("id") >= twinBase)
+            .select((col("id") - twinBase).as("sid"), col("c").as("ct"))
+          val r = src.join(twin, "sid")
+            .agg(sum(when(col("cs") === col("ct"), 1L).otherwise(0L)),
+                 count(lit(1)))
+            .collect().head
+          r.getLong(0).toDouble / r.getLong(1)
+        }
+        val coloc2 = twinColoc(a2)
+        val coloc3 = twinColoc(a3)
+        val avgLeaf = r3.members.groupBy("super", "mid").count()
+          .agg(avg("count")).collect().head.getDouble(0)
+        spark.catalog.clearCache()
+        Point(n, Seq(
+          "vectors" -> n.toString,
+          "k" -> k.toString,
+          "2-level supers" -> nSup2.toString,
+          "3-level s×m" -> s"$nSup3×$nSup3",
+          "max 2-level row (members)" -> max2.toString,
+          "leaf row avg/max (members)" -> f"$avgLeaf%.0f/$maxLeaf",
+          "wall train framed (s)" -> f"$secT%.2f",
+          "wall assign 2-level (s)" -> f"$secA2%.2f",
+          "wall assign 3-level (s)" -> f"$secA3%.2f",
+          "twin co-locate 2-level" -> f"$coloc2%.2f",
+          "twin co-locate 3-level" -> f"$coloc3%.2f",
+          "cross-hierarchy agree" -> f"$agreeFrac%.3f"))
+      }
+
+    // ---- 12d. Dense-cell cap under a planted mega-cell (r16 #5) ------
+    // One Zipf-mass cell (10,000 IDENTICAL embeddings — mass-duplicated
+    // boilerplate, a real crawl pathology) makes the within-cell search
+    // quadratic: C(10k, 2) ≈ 50M cosine pairs in ONE task. The capped
+    // path star-reduces the cell (members pair with its smallest id
+    // only — connectivity preserved for the components step, keep rule
+    // unchanged); the uncapped column is the counterfactual.
+    val sdCapPts = Seq(200000L)
+      .filter(_ <= points.max)
+      .map { n =>
+        val nDup = 10000L
+        val planted = spark.range(n, n + nDup).toDF("vec_id")
+          .withColumn("embedding",
+            transform(sequence(lit(0), lit(31)),
+              j => ((pmod(hash(j.cast("long") * 7L), lit(2001))
+                      - lit(1000)).cast("double") / lit(1000.0))
+                .cast("float")))
+        val vecs = vectorCorpus(spark, n).unionByName(planted)
+        val kCells = (n / 512L).toInt
+        val model = graft.extensions.Kmeans.lloyd(vecs, "vec_id",
+          "embedding", k = kCells, rounds = 1)
+        val staged = graft.extensions.Kmeans.semStage(vecs, "vec_id",
+          "embedding", model)
+        val megaSize = staged.groupBy("cluster").count()
+          .agg(max("count")).collect().head.getLong(0)
+        var cappedPairs = 0L
+        val (secC, _) = timeIt(spark) {
+          cappedPairs = graft.extensions.Kmeans.pairsOf(staged, 0.99)
+            .agg(count(lit(1))).collect().head.getLong(0)
+          cappedPairs
+        }
+        var uncappedPairs = 0L
+        val (secU, _) = timeIt(spark) {
+          uncappedPairs = graft.extensions.Kmeans.pairsOf(staged, 0.99,
+              maxCell = Int.MaxValue)
+            .agg(count(lit(1))).collect().head.getLong(0)
+          uncappedPairs
+        }
+        spark.catalog.clearCache()
+        Point(n, Seq(
+          "vectors" -> (n + nDup).toString,
+          "planted identical" -> nDup.toString,
+          "mega cell size" -> megaSize.toString,
+          "capped pairs" -> cappedPairs.toString,
+          "wall capped (s)" -> f"$secC%.2f",
+          "uncapped pairs" -> uncappedPairs.toString,
+          "wall uncapped (s)" -> f"$secU%.2f"))
       }
 
     // ---- 13. BPE id-domain training (r15 #3) -------------------------
@@ -1557,15 +1710,15 @@ object ScaleCurve {
        ^every stage here is an equi-join or map-side-combined aggregate
        ^with no per-key serialization point left.
        ^
-       ^### 5c. normalizerResults octaves (r16)
+       ^### 5c. normalizerResults octaves (r16; 64M octave r17)
        ^
        ^The WIDEST query of the family (get_normalizer_results:
        ^curie-else-name fallback resolve, full member-node detail
        ^arrays, per-category histograms, rep-category join) — a fixed
-       ^100k-probe batch against a KG growing 1M → 16M nodes, in
-       ^ShuffleProbe mode (at 16M nodes the clusters member frame is 8M
-       ^array rows — past any sane broadcast, exactly the regime the
-       ^mode exists for). Half the probes resolve as curies, half as
+       ^100k-probe batch against a KG growing 1M → 64M nodes, in
+       ^ShuffleProbe mode (at 64M nodes the clusters member frame is
+       ^32M array rows — past any sane broadcast, exactly the regime
+       ^the mode exists for). Half the probes resolve as curies, half as
        ^names through the fallback retry, so both resolve paths are on
        ^the measured path; the timer aggregates over the assembled
        ^member arrays and the rep-category column so Catalyst cannot
@@ -1864,6 +2017,56 @@ object ScaleCurve {
        ^
        ^Train: ${growth(kmFramedPts, "wall train framed (s)")};
        ^assign: ${growth(kmFramedPts, "wall assign framed (s)")}.
+       ^
+       ^### 12c. Three-level framed assignment at k = 100,000 (r17)
+       ^
+       ^The next ceiling after driver state is the member-array ROW:
+       ^the two-level path packs k/nSupers member centroids into ONE
+       ^array row per super — ~316 members here, ~9 MB rows and a
+       ^~17 GB join payload at the SemDeDup regime (k≈2M, d=768).
+       ^`framedRoutingFor3` adds a mid level (per-super anchors, one
+       ^fixed-point update round, re-assignment — the same
+       ^train-then-assign recipe one level down), bounding every joined
+       ^array row at ~k^(1/3) members on average and cutting
+       ^assignment flops from n·(s + k/s)·d to ~n·3·k^(1/3)·d — which
+       ^is why the 3-level assign wall beats the 2-level one outright
+       ^below (the leaf max shows one-update-round skew on
+       ^uniform-random data; at the 2M regime the BYTES bound is the
+       ^k^(1/3) scaling of the average, ~774 KB vs ~9 MB rows).
+       ^
+       ^Quality, measured two ways on the same assignment frames. The
+       ^operative metric is planted-TWIN CO-LOCATION: SemDeDup only
+       ^needs near-identical vectors to land in the SAME cell for the
+       ^within-cell search to see the pair, and routing is a
+       ^deterministic function of the vector, so the ×1.0005 twins
+       ^co-locate at (or near) 1.00 per level. The cross-hierarchy
+       ^agreement column is reported for honesty and is expected LOW:
+       ^it compares two DIFFERENT nProbe=1 partitions (316 supers vs
+       ^46×46) of unstructured uniform-random vectors — the
+       ^quantization worst case, where thousands of centroids sit
+       ^near-equidistant from any query and two routings rarely pick
+       ^the same near-arbitrary argmin. (`kmeans_assign_framed3`'s
+       ^oracle replays the full three-level decision bit-for-bit.)
+       ^
+       ^${table(kmFramed3Pts)}
+       ^
+       ^2-level assign: ${growth(kmFramed3Pts, "wall assign 2-level (s)")};
+       ^3-level assign: ${growth(kmFramed3Pts, "wall assign 3-level (s)")}.
+       ^
+       ^### 12d. Dense-cell cap under a planted mega-cell (r17)
+       ^
+       ^One Zipf-mass cell — 10,000 IDENTICAL embeddings, the
+       ^mass-duplicated-boilerplate crawl pathology — makes the
+       ^within-cell search quadratic: C(10k, 2) ≈ 50M cosine pairs in
+       ^ONE task (the cell is one partition after the cluster
+       ^co-location). `Kmeans.pairsOf`'s cap (default 10,000 members)
+       ^star-reduces the cell: every member pairs with the cell's
+       ^smallest id only — linear, connectivity preserved for the
+       ^components step, keep rule unchanged (ExtensionsSpec pins
+       ^survivor equality). The uncapped column is the counterfactual
+       ^the cap exists to avoid.
+       ^
+       ^${table(sdCapPts)}
        ^
        ^## 13. BPE id-domain training (`bpe_merges_ids` shape)
        ^

@@ -299,6 +299,14 @@ class PlanShapeSpec extends SparkTestBase {
       s"framed argmin must not sort candidate rows:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"the sqrt(k)-row member-array table should broadcast here:\n$p")
+    // the THREE-level path keeps the same discipline: two 1:1 array
+    // joins (mid + leaf), both broadcastable at this size, argmins as
+    // map-side kernel folds — never a candidate-row aggregation
+    val p3 = plan("kmeans_assign_framed3")
+    assert(!p3.contains("SortAggregate"),
+      s"three-level argmins must not sort candidate rows:\n$p3")
+    assert(p3.contains("BroadcastHashJoin"),
+      s"the mid/leaf array tables should broadcast here:\n$p3")
   }
 
   test("semdedup_prune demos assign the corpus ONCE (VERDICT r16 #2): " +
