@@ -773,7 +773,16 @@ object Kmeans {
     * @return (id, cluster, dq, super, mid)
     */
   def framedAssign3(vecs: DataFrame, idCol: String, vecCol: String,
-                    routing: FramedRouting3): DataFrame = {
+                    routing: FramedRouting3): DataFrame =
+    framedAssign3WithV(vecs, idCol, vecCol, routing)
+      .select("id", "cluster", "dq", "super", "mid")
+
+  /** [[framedAssign3]] keeping the vector column — the three-level
+    * staging's input (the [[framedAssignWithV]] stance one level
+    * deeper). */
+  private def framedAssign3WithV(vecs: DataFrame, idCol: String,
+                                 vecCol: String,
+                                 routing: FramedRouting3): DataFrame = {
     val midArr = routing.mids.groupBy("super")
       .agg(array_sort(collect_list(struct(col("mid"), col("mcv"))))
         .as("midarr"))
@@ -791,12 +800,25 @@ object Kmeans {
               graft.functions.NearestCentroidIn(col("v"), col("midarr"))
                 .getField("cluster").as("mid"))
       .join(marr, Seq("super", "mid"))
-      .select(col("id"), marrBest(col("marr")).as("best"),
+      .select(col("id"), col("v"), marrBest(col("marr")).as("best"),
               col("super"), col("mid"))
-      .select(col("id"), col("best.cluster").as("cluster"),
+      .select(col("id"), col("v"), col("best.cluster").as("cluster"),
               floor(col("best.d") * lit(Q)).cast("long").as("dq"),
               col("super"), col("mid"))
   }
+
+  /** [[semStageFramed]] with THREE-LEVEL routing — the deepest
+    * production staging: SemDeDup-regime k needs the routed flop
+    * count, frame-resident centroids, AND bounded member-array rows;
+    * this is all three. One scan feeds pairs and the keep rule, as
+    * everywhere in the [[semStage]] family. */
+  def semStageFramed3(vecs: DataFrame, idCol: String, vecCol: String,
+                      routing: FramedRouting3): DataFrame =
+    framedAssign3WithV(vecs, idCol, vecCol, routing)
+      .select(col("id"), col("v"),
+              Similarity.norm(col("v")).as("nrm"),
+              col("cluster"), col("dq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** MULTI-PROBE frame-resident assignment — [[routedAssign]]'s
     * nProbe ≥ 2 quality recovery composed with [[framedAssign]]'s

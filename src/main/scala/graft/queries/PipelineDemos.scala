@@ -1249,6 +1249,35 @@ object PipelineDemos {
                 (col("rn") === 1).as("keep"))
         .orderBy("vec_id")
     }),
+    // The DEEPEST production SemDeDup composition: routed flop count +
+    // frame-resident centroids + THREE-LEVEL bounded member-array rows
+    // — cell membership and keep distances both from framedAssign3's
+    // staged single scan. Fully deterministic; the oracle replays the
+    // three-level routing, staging, pairs, closure, and keep rule.
+    "semdedup_prune_framed3" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = kmeansCache.getOrElseUpdate(dir,
+        graft.extensions.Kmeans.lloyd(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8, rounds = 3))
+      val routing = kmeansFramed3RoutingCache.getOrElseValid(dir,
+          _.members.sparkSession eq s)(
+        graft.extensions.Kmeans.framedRoutingFor3(
+          graft.extensions.Kmeans.lastCentroidsFrame(s, m),
+          "cluster", "cv", nSupers = 2, nMids = 2))
+      val e = Tables.embeddings(s, dir)
+      val staged = graft.extensions.Kmeans.semStageFramed3(
+        e, "vec_id", "embedding", routing)
+      val pairs = graft.extensions.Kmeans.pairsOf(staged, cosineThreshold)
+      val comps = Components.connectedComponents(pairs, "id_a", "id_b")
+      val dists = staged.select(col("id"), col("dq"))
+      comps.join(dists, "id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("comp")
+            .orderBy(col("dq").desc, col("id"))))
+        .select(col("id").as("vec_id"), col("comp"), col("dq"),
+                (col("rn") === 1).as("keep"))
+        .orderBy("vec_id")
+    }),
     // k-NN classification: 3 nearest cosine neighbors vote; majority
     // with ties to the smaller label. Queries (vec_id < 20) classify
     // against the rest of the corpus.
@@ -2740,7 +2769,63 @@ object PipelineDemos {
     */
   private def kmeansFramed3Oracle(k: Int, rounds: Int, nSupers: Int,
                                   nMids: Int): String =
-    s"""WITH ${routedCtes(k, rounds, nSupers)},
+    s"""WITH ${framed3Ctes(k, rounds, nSupers, nMids)}
+       |SELECT id AS vec_id, cluster,
+       |  CAST(floor(d * 1000000.0) AS BIGINT) AS dq, super, mid
+       |FROM (SELECT vm.id, c.cluster, vm.super, vm.mid,
+       |        ${kmL2Sql("vm.v", "c.cv")} AS d
+       |      FROM vm JOIN mm ON mm.super = vm.super AND mm.mid = vm.mid
+       |      JOIN c$rounds c ON c.cluster = mm.cluster)
+       |QUALIFY row_number() OVER (PARTITION BY id
+       |  ORDER BY d, cluster) = 1
+       |ORDER BY vec_id""".stripMargin
+
+  /** Three-level SemDeDup oracle: the framed3 routing CTEs, the
+    * three-level per-vector staging WITH vectors/norms (the framed3
+    * twin of [[semdedupRoutedOracle]]'s `raf`), within-cell cosine
+    * pairs, the recursive closure, and the farthest-from-centroid keep
+    * window over the three-level dq. */
+  private def semdedupFramed3Oracle(k: Int, rounds: Int, nSupers: Int,
+                                    nMids: Int,
+                                    threshold: Double): String =
+    s"""WITH RECURSIVE ${framed3Ctes(k, rounds, nSupers, nMids)},
+       |f3af AS MATERIALIZED (SELECT id, v, cluster,
+       |    CAST(floor(d * 1000000.0) AS BIGINT) AS dq,
+       |    sqrt(${dotSql("v", "v")}) AS nrm
+       |  FROM (SELECT vm.id, vm.v, c.cluster,
+       |        ${kmL2Sql("vm.v", "c.cv")} AS d
+       |        FROM vm JOIN mm ON mm.super = vm.super
+       |          AND mm.mid = vm.mid
+       |        JOIN c$rounds c ON c.cluster = mm.cluster)
+       |  QUALIFY row_number() OVER (PARTITION BY id
+       |    ORDER BY d, cluster) = 1),
+       |p AS (SELECT a.id AS id_a, b.id AS id_b
+       |  FROM f3af a JOIN f3af b ON a.cluster = b.cluster AND a.id < b.id
+       |  WHERE (CASE WHEN a.nrm > 0 AND b.nrm > 0
+       |    THEN ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm)
+       |    ELSE 0.0 END) >= $threshold),
+       |sym AS (SELECT id_a AS a, id_b AS b FROM p
+       |        UNION SELECT id_b, id_a FROM p),
+       |reach AS (
+       |  SELECT a AS node, a AS comp FROM sym
+       |  UNION
+       |  SELECT s.a, r.comp FROM sym s JOIN reach r ON r.node = s.b),
+       |comps AS (SELECT node AS id, min(comp) AS comp
+       |          FROM reach GROUP BY node)
+       |SELECT c.id AS vec_id, c.comp, f.dq,
+       |  row_number() OVER (PARTITION BY c.comp
+       |    ORDER BY f.dq DESC, c.id) = 1 AS keep
+       |FROM comps c JOIN f3af f ON f.id = c.id
+       |ORDER BY vec_id""".stripMargin
+
+  /** The shared THREE-LEVEL routing CTE chain (the framed3 twin of
+    * [[routedCtes]]): the two-level block, then the mid level — anchors
+    * on the nMids smallest cluster ids per super, init argmin, ONE
+    * fixed-point update round, re-assignment, populated mids, and the
+    * per-vector mid route `vm`. Ends ready for the leaf argmin. */
+  private def framed3Ctes(k: Int, rounds: Int, nSupers: Int,
+                          nMids: Int): String =
+    s"""${routedCtes(k, rounds, nSupers)},
        |mem AS (SELECT m.cluster, m.super, c.cv
        |  FROM rm m JOIN c$rounds c ON c.cluster = m.cluster),
        |anc AS (SELECT super, CAST(rn - 1 AS INTEGER) AS mid,
@@ -2776,16 +2861,7 @@ object PipelineDemos {
        |    ${kmL2Sql("rv.v", "s.mcv")} AS d
        |  FROM rv JOIN mpop s ON s.super = rv.super)
        |  QUALIFY row_number() OVER (PARTITION BY id
-       |    ORDER BY d, mid) = 1)
-       |SELECT id AS vec_id, cluster,
-       |  CAST(floor(d * 1000000.0) AS BIGINT) AS dq, super, mid
-       |FROM (SELECT vm.id, c.cluster, vm.super, vm.mid,
-       |        ${kmL2Sql("vm.v", "c.cv")} AS d
-       |      FROM vm JOIN mm ON mm.super = vm.super AND mm.mid = vm.mid
-       |      JOIN c$rounds c ON c.cluster = mm.cluster)
-       |QUALIFY row_number() OVER (PARTITION BY id
-       |  ORDER BY d, cluster) = 1
-       |ORDER BY vec_id""".stripMargin
+       |    ORDER BY d, mid) = 1)""".stripMargin
 
   /** Early-stop Lloyd oracle: the full maxRounds CTE chain, the exact
     * per-round quantized inertia, the stop round = the FIRST round
@@ -4755,6 +4831,9 @@ object PipelineDemos {
       kmeansRoutedOracle(k = 8, rounds = 3, nSupers = 3),
     "kmeans_assign_framed3" ->
       kmeansFramed3Oracle(k = 8, rounds = 3, nSupers = 2, nMids = 2),
+    "semdedup_prune_framed3" ->
+      semdedupFramed3Oracle(k = 8, rounds = 3, nSupers = 2, nMids = 2,
+        threshold = cosineThreshold),
     "kmeans_earlystop" ->
       kmeansEarlystopOracle(k = 8, maxRounds = 6, tolQ = earlystopTolQ),
     // the framed trainer at nSupers=1 IS exact Lloyd — its landed

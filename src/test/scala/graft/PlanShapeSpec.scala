@@ -323,7 +323,7 @@ class PlanShapeSpec extends SparkTestBase {
       case _ => false
     }
     Seq("semdedup_prune", "semdedup_prune_routed",
-        "semdedup_prune_framed").foreach { name =>
+        "semdedup_prune_framed", "semdedup_prune_framed3").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       val p = unwrapped(df.queryExecution.executedPlan)
       // InMemoryTableScan is a LEAF — collect never descends into the
