@@ -143,29 +143,45 @@ object Bench {
                           mins: Map[String, Double]): Seq[String] = {
     if (offenders.isEmpty) return Nil
     val registry = SparkEntry.queries
-    def retime(name: String): Option[Double] =
+    // a query that THROWS during the re-time is its own verdict: a
+    // runtime failure must fail the gate with a structured report,
+    // not abort adjudication of every other offender with a raw
+    // stack trace (and a throwing ANCHOR must not do so either — it
+    // just drops out of the calibration set)
+    def retime(name: String): Option[Either[String, Double]] =
       registry.get(name).map { fn =>
-        fn(spark, sfDir).count() // warm-up: JIT + codegen + file listing
-        (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        }.min
+        try {
+          fn(spark, sfDir).count() // warm-up: JIT + codegen + listing
+          Right((1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min)
+        } catch {
+          case e: Throwable => Left(String.valueOf(e.getMessage))
+        }
       }
     val offenderNames = offenders.map(_._1).toSet
     val ratios = mins.toSeq
       .filter { case (n, _) => !offenderNames(n) && registry.contains(n) }
       .sortBy(-_._2).take(3)
-      .flatMap { case (n, floor) => retime(n).map(_ / floor) }
+      .flatMap { case (n, floor) =>
+        retime(n).flatMap(_.toOption).map(_ / floor)
+      }
       .sorted
+    // LOWER median on an even-count list: the upper element would let
+    // one noise-spiked anchor inflate the factor and wave a genuine
+    // regression through — when in doubt the gate stays strict
     val factor =
       if (ratios.isEmpty) 1.0
-      else math.max(1.0, ratios(ratios.length / 2))
+      else math.max(1.0, ratios((ratios.length - 1) / 2))
     offenders.flatMap { case (name, floor) =>
       retime(name) match {
         case None => Some(s"$name: not in the query registry — stale " +
           "floor entry for a deregistered query (re-seed bench_mins)")
-        case Some(t) =>
+        case Some(Left(err)) =>
+          Some(s"$name: FAILED during re-time: $err")
+        case Some(Right(t)) =>
           val scaled = floor * factor
           if (t > 2 * scaled && t - scaled > 0.3)
             Some(f"$name: retimed $t%.2fs vs floor $floor%.2fs " +

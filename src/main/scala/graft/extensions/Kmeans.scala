@@ -814,11 +814,7 @@ object Kmeans {
     * everywhere in the [[semStage]] family. */
   def semStageFramed3(vecs: DataFrame, idCol: String, vecCol: String,
                       routing: FramedRouting3): DataFrame =
-    framedAssign3WithV(vecs, idCol, vecCol, routing)
-      .select(col("id"), col("v"),
-              Similarity.norm(col("v")).as("nrm"),
-              col("cluster"), col("dq"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    stagedOf(framedAssign3WithV(vecs, idCol, vecCol, routing))
 
   /** MULTI-PROBE frame-resident assignment — [[routedAssign]]'s
     * nProbe ≥ 2 quality recovery composed with [[framedAssign]]'s
@@ -1001,15 +997,23 @@ object Kmeans {
     */
   def semStage(vecs: DataFrame, idCol: String, vecCol: String,
                model: KmeansModel): DataFrame =
-    vecs
+    stagedOf(vecs
       .select(col(idCol).as("id"),
               col(vecCol).cast("array<double>").as("v"))
       .select(col("id"), col("v"),
-              Similarity.norm(col("v")).as("nrm"),
               argminStruct(col("v"), model.last).as("best"))
-      .select(col("id"), col("v"), col("nrm"),
+      .select(col("id"), col("v"),
               col("best.cluster").as("cluster"),
-              floor(col("best.d") * lit(Q)).cast("long").as("dq"))
+              floor(col("best.d") * lit(Q)).cast("long").as("dq")))
+
+  /** The ONE staging tail the whole semStage family shares — (id, v,
+    * nrm, cluster, dq), persisted: a one-sided edit to any variant's
+    * staged contract would silently diverge the family (the l2sq-
+    * factoring stance). `decided` must carry (id, v, cluster, dq). */
+  private def stagedOf(decided: DataFrame): DataFrame =
+    decided.select(col("id"), col("v"),
+        Similarity.norm(col("v")).as("nrm"),
+        col("cluster"), col("dq"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** [[semStage]] over ROUTED cells — the large-k SemDeDup staging: at
@@ -1019,19 +1023,16 @@ object Kmeans {
     * decision (~n·2√k·d). */
   def semStageRouted(vecs: DataFrame, idCol: String, vecCol: String,
                      routing: RoutingTable): DataFrame =
-    vecs
+    stagedOf(vecs
       .select(col(idCol).as("id"),
               col(vecCol).cast("array<double>").as("v"))
       .select(col("id"), col("v"),
-              Similarity.norm(col("v")).as("nrm"),
               argminStruct(col("v"), routing.routeCents)
                 .getField("cluster").as("super"))
-      .select(col("id"), col("v"), col("nrm"),
-              routedBest(routing).as("best"))
-      .select(col("id"), col("v"), col("nrm"),
+      .select(col("id"), col("v"), routedBest(routing).as("best"))
+      .select(col("id"), col("v"),
               col("best.cluster").as("cluster"),
-              floor(col("best.d") * lit(Q)).cast("long").as("dq"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+              floor(col("best.d") * lit(Q)).cast("long").as("dq")))
 
   /** [[semStageRouted]] with FRAME-RESIDENT member centroids — the
     * full production staging: routed flop count AND no k·d driver
@@ -1039,11 +1040,7 @@ object Kmeans {
     * decision; this keeps both. */
   def semStageFramed(vecs: DataFrame, idCol: String, vecCol: String,
                      routing: FramedRouting): DataFrame =
-    framedAssignWithV(vecs, idCol, vecCol, routing)
-      .select(col("id"), col("v"),
-              Similarity.norm(col("v")).as("nrm"),
-              col("cluster"), col("dq"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    stagedOf(framedAssignWithV(vecs, idCol, vecCol, routing))
 
   /** Within-cluster exact-cosine near-dup pairs over the trained Lloyd
     * cells — the candidate generator of SemDeDup (Abbas et al. 2023,
@@ -1130,31 +1127,53 @@ object Kmeans {
     // two-branch-free self-join (the cap machinery's union + star
     // branch + per-cell size probe cost a measured ~0.3 s of extra
     // AQE stages per execution, paid on every run of a plan that
-    // would never produce a star pair). The probe is eager but cheap
-    // (map-side-combined count over the cache, k result rows), and its
-    // verdict is memoized per (session, staged plan, maxCell) so
-    // repeat constructions over the same staged frame — the registry
-    // re-execution pattern — pay it once. Memo staleness can only
-    // mis-pick the plan VARIANT, never the result: both variants are
-    // bit-identical when no cell trips, and a mid-session data change
-    // under an unchanged plan is already the CorpusMemo-guarded case.
+    // would never produce a star pair). maxCell = Int.MaxValue is the
+    // explicit uncapped opt-out and skips the probe entirely. The
+    // probe is eager but cheap (map-side-combined count over the
+    // cache, k result rows), and its verdict is memoized per
+    // (session, staged plan, maxCell) so repeat constructions over
+    // the same staged frame — the registry re-execution pattern —
+    // pay it once. Memo validity is tied to the CACHE: a hit is
+    // trusted only while the staged frame's cache entry lives
+    // (executions then read the exact data the verdict was computed
+    // on); after clearCache() — the documented between-corpora reset,
+    // the one point where the same plan can see NEW data — the
+    // verdict recomputes, so a rewritten corpus can never run its
+    // mega cell through the unguarded plain plan on a stale verdict.
+    if (maxCell == Int.MaxValue)
+      return pairsFrom(colocated).filter(col("cos") >= threshold)
     val cellInfo = staged.groupBy("cluster")
       .agg(count(lit(1)).as("csize"), min(col("id")).as("rep"))
-    val anyMega = capProbeMemo.computeIfAbsent(
-      (System.identityHashCode(staged.sparkSession),
-       staged.queryExecution.analyzed.semanticHash(), maxCell),
-      _ => !cellInfo.filter(col("csize") > maxCell).isEmpty)
+    val key = (System.identityHashCode(staged.sparkSession),
+               staged.queryExecution.analyzed.semanticHash(), maxCell)
+    val memoValid = staged.storageLevel != StorageLevel.NONE
+    val anyMega =
+      if (memoValid && capProbeMemo.containsKey(key))
+        capProbeMemo.get(key)
+      else {
+        val v = !cellInfo.filter(col("csize") > maxCell).isEmpty
+        capProbeMemo.put(key, v)
+        v
+      }
     if (!anyMega)
       return pairsFrom(colocated).filter(col("cos") >= threshold)
     val info = broadcast(cellInfo)
     val allPairs = pairsFrom(
       colocated.join(info, "cluster").filter(col("csize") <= maxCell))
+    // the representatives are ONE row per mega cell — semi-join them
+    // out of the staged cache and BROADCAST, so the star join is
+    // map-side over the co-located members (never a shuffle of the
+    // mega cell by a second key)
+    val repRows = broadcast(staged
+      .join(broadcast(info.filter(col("csize") > maxCell)
+        .select(col("rep").as("id"))), Seq("id"), "leftsemi")
+      .select(col("id").as("rep"), col("v").as("v_a"),
+        col("nrm").as("nrm_a")))
     val starPairs = colocated.join(info, "cluster")
       .filter(col("csize") > maxCell && col("id") =!= col("rep"))
       .select(col("cluster"), col("rep"), col("id").as("id_b"),
         col("v").as("v_b"), col("nrm").as("nrm_b"))
-      .join(staged.select(col("id").as("rep"), col("v").as("v_a"),
-        col("nrm").as("nrm_a")), Seq("rep"))
+      .join(repRows, Seq("rep"))
       .select(col("rep").as("id_a"), col("id_b"),
         cos(col("nrm_a"), col("nrm_b"), col("v_a"), col("v_b")).as("cos"))
     allPairs.unionByName(starPairs).filter(col("cos") >= threshold)
