@@ -140,14 +140,20 @@ object Bench {
   def adjudicateOffenders(spark: org.apache.spark.sql.SparkSession,
                           sfDir: String,
                           offenders: Seq[(String, Double)],
-                          mins: Map[String, Double]): Seq[String] = {
+                          mins: Map[String, Double],
+                          registry: Map[String,
+                            (org.apache.spark.sql.SparkSession, String) =>
+                              org.apache.spark.sql.DataFrame] =
+                            SparkEntry.queries): Seq[String] = {
     if (offenders.isEmpty) return Nil
-    val registry = SparkEntry.queries
     // a query that THROWS during the re-time is its own verdict: a
     // runtime failure must fail the gate with a structured report,
     // not abort adjudication of every other offender with a raw
     // stack trace (and a throwing ANCHOR must not do so either — it
-    // just drops out of the calibration set)
+    // just drops out of the calibration set). NonFatal only: an OOM
+    // or linkage error means the JVM itself is suspect — re-timing
+    // MORE heavy queries inside it would produce garbage verdicts,
+    // so fatal throwables propagate and abort the gate loudly.
     def retime(name: String): Option[Either[String, Double]] =
       registry.get(name).map { fn =>
         try {
@@ -158,7 +164,8 @@ object Bench {
             (System.nanoTime() - t0) / 1e9
           }.min)
         } catch {
-          case e: Throwable => Left(String.valueOf(e.getMessage))
+          case scala.util.control.NonFatal(e) =>
+            Left(String.valueOf(e.getMessage))
         }
       }
     val offenderNames = offenders.map(_._1).toSet

@@ -1,6 +1,6 @@
 package graft.extensions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -1133,28 +1133,37 @@ object Kmeans {
     // cache, k result rows), and its verdict is memoized per
     // (session, staged plan, maxCell) so repeat constructions over
     // the same staged frame — the registry re-execution pattern —
-    // pay it once. Memo validity is tied to the CACHE: a hit is
-    // trusted only while the staged frame's cache entry lives
-    // (executions then read the exact data the verdict was computed
-    // on); after clearCache() — the documented between-corpora reset,
-    // the one point where the same plan can see NEW data — the
-    // verdict recomputes, so a rewritten corpus can never run its
-    // mega cell through the unguarded plain plan on a stale verdict.
+    // pay it once. Memo validity is tied to the CACHE ENTRY IDENTITY,
+    // not mere cache presence: a verdict is stored with the identity
+    // token of the live CachedData record the probe actually read, and
+    // a hit is trusted only while that SAME record is still the one
+    // the plan resolves to. After clearCache() + corpus rewrite at the
+    // same path + fresh semStage, the plan is semantically identical
+    // but re-persist registers a NEW record → token mismatch → the
+    // verdict recomputes over the new data (presence-gating alone
+    // would hit the stale verdict there, since persist() marks
+    // eagerly). With no live entry at all the probe runs un-memoized.
     if (maxCell == Int.MaxValue)
       return pairsFrom(colocated).filter(col("cos") >= threshold)
     val cellInfo = staged.groupBy("cluster")
       .agg(count(lit(1)).as("csize"), min(col("id")).as("rep"))
-    val key = (System.identityHashCode(staged.sparkSession),
-               staged.queryExecution.analyzed.semanticHash(), maxCell)
-    val memoValid = staged.storageLevel != StorageLevel.NONE
-    val anyMega =
-      if (memoValid && capProbeMemo.containsKey(key))
-        capProbeMemo.get(key)
-      else {
-        val v = !cellInfo.filter(col("csize") > maxCell).isEmpty
-        capProbeMemo.put(key, v)
-        v
-      }
+    def probe(): Boolean = !cellInfo.filter(col("csize") > maxCell).isEmpty
+    val anyMega = GraftBridge.cacheEntryToken(staged) match {
+      case None => probe() // nothing pins the data — never memoize
+      case Some(tok) =>
+        val perSession = capProbeMemo.computeIfAbsent(
+          staged.sparkSession,
+          _ => new java.util.concurrent.ConcurrentHashMap[
+            (Int, Int), (Int, Boolean)])
+        val key = (staged.queryExecution.analyzed.semanticHash(), maxCell)
+        perSession.get(key) match {
+          case (t, v) if t == tok => v
+          case _ =>
+            val v = probe()
+            perSession.put(key, (tok, v))
+            v
+        }
+    }
     if (!anyMega)
       return pairsFrom(colocated).filter(col("cos") >= threshold)
     val info = broadcast(cellInfo)
@@ -1185,9 +1194,13 @@ object Kmeans {
     * a few hundred members; testdata cells are < 10²). */
   val defaultMaxCell: Int = 10000
 
-  /** [[pairsOf]]'s plan-choice probe verdicts, keyed by (session
-    * identity, staged-plan semantic hash, maxCell) — bounded by the
-    * number of distinct staged frames a session builds. */
-  private val capProbeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Boolean]
+  /** [[pairsOf]]'s plan-choice probe verdicts: session (held WEAKLY —
+    * a closed session's entries become collectable, and a real
+    * reference can't collide the way `identityHashCode` buckets can)
+    * → (staged-plan semantic hash, maxCell) → (live-cache-entry token,
+    * verdict). Bounded by the distinct staged frames a LIVE session
+    * builds. */
+  private val capProbeMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(Int, Int), (Int, Boolean)]])
 }

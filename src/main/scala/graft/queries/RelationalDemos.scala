@@ -589,8 +589,19 @@ object RelationalDemos {
       // construction / plan audit
       val (estMap, slack) = cmsCache.getOrElseUpdate(dir, {
         val cms = ev.stat.countMinSketch(col("event_type"), eps, 0.99, 42)
-        val keys = ev.select(col("event_type")).distinct()
+        // null keys out: a Spark map LITERAL rejects a null key at
+        // runtime (the old UDF probe tolerated one silently) — a null
+        // event_type group simply gets est = null → cms_ok = null,
+        // same as any key outside the probe set. Cardinality is the
+        // post-shuffle distinct-key count (event taxonomies are
+        // small by construction); guard it so a mis-pointed column
+        // can never bloat the plan literal
+        val keys = ev.select(col("event_type"))
+          .where(col("event_type").isNotNull).distinct()
           .collect().map(_.getString(0))
+        require(keys.length <= 10000,
+          s"heavy_hitters probe set has ${keys.length} keys — the " +
+            "map-literal probe is for bounded key taxonomies")
         (keys.map(k => k -> cms.estimateCount(k)).toMap,
          eps * cms.totalCount())
       })

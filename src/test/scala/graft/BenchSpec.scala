@@ -111,30 +111,36 @@ class BenchSpec extends AnyFunSuite {
 
   test("adjudicateOffenders: a generous floor is refuted as noise, an " +
        "impossibly small floor is confirmed, a deregistered query " +
-       "fails loudly — the r17 self-adjudication contract on live " +
-       "registry queries (sf0.001 to stay cheap)") {
+       "fails loudly — the r17 self-adjudication contract (confirmed " +
+       "branch driven by a SYNTHETIC guaranteed-slow registry entry, " +
+       "so the verdict never depends on host wall-clock luck)") {
     val spark = Sessions.local("graft-benchspec", "4")
     val sfDir = "/root/testdata/sf0.001"
     // anchors: generous floors → ratios < 1 → factor clamps to 1.0
     val mins = Map("limit1" -> 10.0, "project" -> 10.0,
                    "scan_parquet" -> 10.0,
                    "pagerank_trust" -> 10.0)
+    // a registry entry that ALWAYS takes > 0.5 s: on any host, the
+    // 1e-4 floor trips both gate conditions (t > 2·floor·factor and
+    // t − floor·factor > 0.3) — a live query's warm time can dip
+    // under 0.3 s on a fast machine and flake the other way
+    val registry = SparkEntry.queries + ("slow_synthetic" ->
+      ((s: org.apache.spark.sql.SparkSession, _: String) => {
+        Thread.sleep(500); s.range(1).toDF() }))
     val verdicts = Bench.adjudicateOffenders(spark, sfDir,
       offenders = Seq(
-        // a multi-stage query always runs > 0.3 s even warm, so an
-        // absurd floor trips BOTH gate conditions → confirmed
-        "pagerank_trust" -> 1e-4,
-        // the same query against a floor it can't exceed 2× → noise
+        "slow_synthetic" -> 1e-4,
+        // a real query against a floor it can't exceed 2× → noise
         "pagerank_trust" -> 100.0,
         // a floor entry with no registry query can't be re-timed
         "no_such_query" -> 1.0),
-      mins = mins)
+      mins = mins, registry = registry)
     assert(verdicts.length == 2, verdicts.mkString("\n"))
     assert(verdicts.exists(v =>
-      v.startsWith("pagerank_trust") && v.contains("CONFIRMED")))
+      v.startsWith("slow_synthetic") && v.contains("CONFIRMED")))
     assert(verdicts.exists(_.startsWith("no_such_query")))
     // and the refuted offender produced NO verdict
-    assert(!verdicts.exists(_.contains("100.0")))
+    assert(!verdicts.exists(_.startsWith("pagerank_trust")))
   }
 
   test("per-query floor gate (BASELINE.md, VERDICT r14 #8, self-" +

@@ -580,6 +580,42 @@ class ExtensionsSpec extends SparkTestBase {
     assert(cappedKeeps.contains(0L) && cappedKeeps.size == 2)
   }
 
+  test("pairsOf plan-choice memo is pinned to the live CACHE ENTRY, " +
+       "not cache presence: after clearCache + corpus rewrite at the " +
+       "SAME path + fresh staging under the SAME model, the mega-cell " +
+       "guard re-probes and engages (r17 ADVICE: presence-gating " +
+       "would trust the healthy-corpus verdict and run the rewritten " +
+       "mega cell through the unguarded quadratic plan)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-memo").toFile.getAbsolutePath
+    def write(rows: Seq[(Long, Array[Float])]): Unit =
+      rows.toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(dir)
+    // corpus 1: healthy — two 2-member cells, no cap trip at 50
+    write(Seq(0L -> Array(1f, 0f), 1L -> Array(-1f, 0f),
+              2L -> Array(0.9f, 0f), 3L -> Array(-0.9f, 0f)))
+    val v1 = spark.read.parquet(dir)
+    val m = graft.extensions.Kmeans.lloyd(v1, "vec_id", "embedding",
+      k = 2, rounds = 1)
+    val s1 = graft.extensions.Kmeans.semStage(v1, "vec_id", "embedding", m)
+    // memoizes (plan, maxCell=50) -> no mega cell, over corpus 1's entry
+    assert(graft.extensions.Kmeans.pairsOf(s1, 0.9, 50).count() == 2)
+    // the documented between-corpora reset, then a rewrite at the path
+    spark.sqlContext.clearCache()
+    write(Seq(0L -> Array(1f, 0f), 1L -> Array(-1f, 0f),
+              201L -> Array(-0.5f, 0f)) ++
+          (2L to 200L).map(_ -> Array(1f, 0f)))
+    // fresh staging under the SAME trained model (the stale-verdict
+    // collision scenario: identical plan shape, new data)
+    val s2 = graft.extensions.Kmeans.semStage(
+      spark.read.parquet(dir), "vec_id", "embedding", m)
+    // 200-member cell must come back STAR-capped (199 + 1 healthy
+    // pair), not the quadratic 19900+1 the stale verdict would allow
+    assert(graft.extensions.Kmeans.pairsOf(s2, 0.9, 50).count() == 200)
+    spark.sqlContext.clearCache()
+  }
+
   test("exact dedup groups identical texts, keeps smallest id") {
     val out = TextDedup.exact(
         docsDf(1L -> "same text here", 2L -> "same text here",
