@@ -1505,6 +1505,62 @@ object ScaleCurve {
         }
       }
 
+    // ---- 13b. VOCAB-SCALE trainer (r17 #1) ---------------------------
+    // The driver-incremental Sennrich trainer measured against the
+    // per-round-job trainer at a REAL vocabulary size: ≥1000 merges is
+    // where the sequential formulation's r jobs × O(r) re-application
+    // becomes the wall. Corpus: 200k distinct 10-letter word types
+    // (1.8M fusable positions — 8k merges all find winners).
+    def bpeCorpusWide(n: Long, types: Long, wlen: Int): DataFrame = {
+      val alpha = lit("abcdefghijklmnopqrstuvwxyz")
+      spark.range(0, n).toDF("doc_id")
+        .withColumn("text", concat_ws(" ",
+          transform(sequence(lit(0L), lit(29L)), j => {
+            val w = pmod(hash(col("doc_id") * 1009L + j * 131L),
+              lit(types)).cast("long")
+            concat((0 until wlen).map(p => alpha.substr(
+              (pmod(hash(w * lit(31L) + lit(p.toLong)), lit(26L)) + 1L)
+                .cast("int"), lit(1))): _*)
+          })))
+        .select("doc_id", "text")
+    }
+    val bpeFastPts = Seq((800000L, 200000L))
+      .filter(_._1 <= points.max * 4)
+      .map { case (n, types) =>
+        val docs = bpeCorpusWide(n, types, 10)
+        val wf = graft.extensions.Bpe.wordFreqIds(docs, "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          var vocab = 0L
+          val secW = timeOnce { vocab = wf.count(); vocab }
+          // the sequential trainer sampled at 256 rounds for its
+          // per-round rate (running it to 8k would BE the wall the
+          // fast trainer exists to remove)
+          var mSeq = 0
+          val secSeq = timeOnce {
+            mSeq = graft.extensions.Bpe.collectMergesIdsFrom(wf, 256).size
+            mSeq.toLong
+          }
+          var mFast = 0
+          val secFast = timeOnce {
+            mFast = graft.extensions.Bpe
+              .collectMergesIdsFastFrom(wf, 8192).size
+            mFast.toLong
+          }
+          Point(n, Seq(
+            "docs" -> n.toString,
+            "distinct words" -> vocab.toString,
+            "wall freq agg (s)" -> f"$secW%.2f",
+            "seq: merges/jobs/wall (s)" -> f"$mSeq/$mSeq/$secSeq%.1f",
+            "fast: merges/jobs/wall (s)" -> f"$mFast/2/$secFast%.1f",
+            "seq extrapolated to fast's merges (s)" ->
+              f"${secSeq / mSeq * mFast}%.0f"))
+        } finally {
+          wf.unpersist(false)
+          ()
+        }
+      }
+
     // ---- render ------------------------------------------------------
     // both renderers are total in the point count: a small
     // SPARK_GRAFT_SCALE_POINTS override can filter a section's fixed
@@ -2087,6 +2143,23 @@ object ScaleCurve {
        ^
        ^Freq table: ${growth(bpePts, "wall freq table (s)")};
        ^per-round (late): ${growth(bpePts, "ms/round late (33-128)")}.
+       ^
+       ^### 13b. Vocab-scale trainer (r17 #1): thousands of merges, 2 Spark jobs
+       ^
+       ^A REAL tokenizer vocabulary (32k–50k merges) is unreachable for
+       ^the per-round-job trainer: r sequential driver round-trips, each
+       ^re-applying all prior merges (O(r²) total application). The
+       ^vocab-scale trainer (`Bpe.collectMergesIdsFast`) splits at the
+       ^sufficient statistic — the SAME distributed word-frequency
+       ^aggregation (the only data-sized cost), then the classic
+       ^incremental Sennrich loop on the driver: pair-count deltas over
+       ^affected words only, zero Spark jobs per merge. Bit-equality
+       ^with the sequential trainer is pinned by ExtensionsSpec and by
+       ^the `bpe_merges_fast` oracle row (the DuckDB oracle replays the
+       ^SEQUENTIAL induction). Corpus here: 200k distinct 10-letter
+       ^word types — 8,192 merges all find winners.
+       ^
+       ^${table(bpeFastPts)}
        ^
        ^## Reading the curves at 100 TB
        ^

@@ -287,6 +287,168 @@ object Bpe {
     }
   }
 
+  /** VOCAB-SCALE id-domain training (VERDICT r17 #1): bit-equal to
+    * [[collectMergesIds]], with per-merge cost that is a few HASH-MAP
+    * updates instead of a Spark job. [[collectMergesIdsFrom]] runs one
+    * job per round and re-applies the whole merge table every round —
+    * per-round cost is corpus-independent (good) but a REAL tokenizer
+    * vocabulary (32k–50k merges) would be tens of thousands of
+    * sequential driver round-trips doing O(r²) total merge
+    * application: unreachable. This trainer is the architecture
+    * production tokenizers (HuggingFace, SentencePiece) actually use,
+    * split at the sufficient statistic:
+    *
+    *  - DISTRIBUTED: the corpus collapses to the distinct-WORD
+    *    frequency table in ONE aggregation ([[wordFreqIds]]) — the
+    *    only data-sized cost, and the only part that grows with
+    *    100 TB. Pair statistics are a pure function of word-type
+    *    counts, so this table is the complete training input.
+    *  - DRIVER: the classic incremental Sennrich loop over that
+    *    bounded artifact — pair counts + a (cnt desc, a, b) ordered
+    *    set + a pair→words inverted index, and each round applies the
+    *    winning merge ONLY to the words that contain it, delta-
+    *    updating the counts it touched. Zero Spark jobs per round,
+    *    O(affected words · len) work per merge: 32k merges run in
+    *    seconds (SCALECURVE §13b measures it).
+    *
+    * The collect is the same offline-artifact stance as
+    * [[collectMergesIds]]'s per-round 1-row collect, but the table is
+    * data-dependent — so it FAILS FAST over `maxWordTypes` (the knob a
+    * caller raises deliberately, with the driver heap to back it;
+    * ~10M types ≈ low-GB driver footprint). A 100 TB crawl whose
+    * distinct-word table exceeds that is exactly the corpus where
+    * production trainers cut the tail (min-frequency / top-N word
+    * types) — that cut changes counts, so it is the CALLER's explicit
+    * pre-filter on the frequency table, never a silent default here;
+    * [[collectMergesIdsFrom]] remains the unbounded-table fallback.
+    *
+    * Semantics replicated exactly: pair counts are positional
+    * (overlaps counted — "aaa" holds (a,a) twice), application is
+    * left-to-right non-overlapping ("aaa" → [new, a]), ties break to
+    * the numerically smallest (a, b), training stops at the first
+    * round with no fusable pair. BpeSpec pins bit-equality against
+    * [[collectMergesIds]] on fixture and synthetic corpora; the
+    * `bpe_merges_fast` demo pins it against the independent DuckDB
+    * replay of the SEQUENTIAL induction.
+    */
+  def collectMergesIdsFast(docs: DataFrame, textCol: String, rounds: Int,
+                           maxWordTypes: Long = defaultMaxWordTypes)
+      : Seq[(Int, Int, Int, Long)] =
+    collectMergesIdsFastFrom(wordFreqIds(docs, textCol), rounds,
+      maxWordTypes)
+
+  /** [[collectMergesIdsFast]] over a PREBUILT word-frequency table
+    * (w array&lt;int&gt;, cnt) — mirrors [[collectMergesIdsFrom]]. */
+  def collectMergesIdsFastFrom(wordFreqs: DataFrame, rounds: Int,
+                               maxWordTypes: Long = defaultMaxWordTypes)
+      : Seq[(Int, Int, Int, Long)] = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val nTypes = wordFreqs.count()
+    require(nTypes <= maxWordTypes,
+      s"word-frequency table has $nTypes types > maxWordTypes " +
+        s"$maxWordTypes — raise the bound deliberately (driver-heap " +
+        "cost) or pre-filter the frequency table (min-frequency / " +
+        "top-N cut), or fall back to collectMergesIdsFrom")
+    val rows = wordFreqs.select(col("w"), col("cnt")).collect()
+    val syms = rows.map(_.getSeq[Int](0).toArray)
+    val cnts = rows.map(_.getLong(1))
+    trainIncremental(syms, cnts, rounds)
+  }
+
+  /** The driver-side incremental Sennrich loop (exact; see
+    * [[collectMergesIdsFast]]). `syms` is mutated in place. Pairs are
+    * Long-encoded (a&lt;&lt;32 | b) end to end and count changes are
+    * BATCHED per round — the ordered set sees one net update per
+    * touched pair per round, not one per occurrence (the difference
+    * between a ~2 s and a ~30 s init over a 200k-type table). */
+  private def trainIncremental(syms: Array[Array[Int]],
+                               cnts: Array[Long],
+                               rounds: Int): Seq[(Int, Int, Int, Long)] = {
+    import scala.collection.mutable
+    def enc(a: Int, b: Int): Long = (a.toLong << 32) | (b.toLong & 0xffffffffL)
+    val pairCnt = mutable.LongMap.empty[Long]
+    val byWord = mutable.LongMap.empty[mutable.Set[Int]]
+    // (cnt desc, a asc, b asc) — the argmax order of the sequential
+    // trainer's orderBy; head is the round winner (a, b nonneg, so
+    // the encoded-key ascending order IS (a asc, b asc))
+    val order = mutable.TreeSet.empty[(Long, Long)](
+      Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long))
+    var i = 0
+    while (i < syms.length) {
+      val w = syms(i); val c = cnts(i)
+      var j = 0
+      while (j < w.length - 1) {
+        val k = enc(w(j), w(j + 1))
+        pairCnt(k) = pairCnt.getOrElse(k, 0L) + c
+        byWord.getOrElseUpdate(k, mutable.Set.empty) += i
+        j += 1
+      }
+      i += 1
+    }
+    pairCnt.foreachEntry((k, c) => { order.add((c, k)); () })
+    def applyOne(w: Array[Int], a: Int, b: Int, nid: Int): Array[Int] = {
+      val out = Array.newBuilder[Int]
+      var i = 0
+      while (i < w.length) {
+        if (i + 1 < w.length && w(i) == a && w(i + 1) == b) {
+          out += nid; i += 2
+        } else { out += w(i); i += 1 }
+      }
+      out.result()
+    }
+    val merges = mutable.Buffer.empty[(Int, Int, Int, Long)]
+    var r = 1
+    while (r <= rounds && order.nonEmpty) {
+      val (c, key) = order.head
+      val a = (key >>> 32).toInt; val b = key.toInt
+      merges += ((r, a, b, c))
+      val nid = 26 + r - 1
+      val affected = byWord.getOrElse(key, mutable.Set.empty).toArray
+      val delta = mutable.LongMap.empty[Long]
+      affected.foreach { i =>
+        val before = syms(i)
+        val after = applyOne(before, a, b, nid)
+        syms(i) = after
+        // exact delta: retract the word's old pair multiset, add the
+        // new one (both weighted by the word-type count), and keep
+        // the inverted index in step on the DISTINCT pair sets
+        val od = mutable.Set.empty[Long]
+        val nd = mutable.Set.empty[Long]
+        var j = 0
+        while (j < before.length - 1) {
+          val k = enc(before(j), before(j + 1))
+          delta(k) = delta.getOrElse(k, 0L) - cnts(i); od += k
+          j += 1
+        }
+        j = 0
+        while (j < after.length - 1) {
+          val k = enc(after(j), after(j + 1))
+          delta(k) = delta.getOrElse(k, 0L) + cnts(i); nd += k
+          j += 1
+        }
+        (od diff nd).foreach(k => byWord.get(k).foreach(_ -= i))
+        (nd diff od).foreach(k =>
+          byWord.getOrElseUpdate(k, mutable.Set.empty) += i)
+      }
+      delta.foreachEntry { (k, d) =>
+        if (d != 0L) {
+          val old = pairCnt.getOrElse(k, 0L)
+          if (old != 0L) order.remove((old, k))
+          val nu = old + d
+          if (nu == 0L) pairCnt.remove(k)
+          else { pairCnt(k) = nu; order.add((nu, k)) }
+          ()
+        }
+      }
+      r += 1
+    }
+    merges.toSeq
+  }
+
+  /** [[collectMergesIdsFast]]'s default word-type ceiling — ~low-GB
+    * driver footprint; raise deliberately or pre-filter past it. */
+  val defaultMaxWordTypes: Long = 10000000L
+
   /** [[collectMergesIds]] as the merge-table frame —
     * (round, a, b, new_id, cnt), the id-domain training artifact. */
   def mergeTableIds(spark: org.apache.spark.sql.SparkSession,

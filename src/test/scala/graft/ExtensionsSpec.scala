@@ -112,6 +112,40 @@ class ExtensionsSpec extends SparkTestBase {
     assert(tri.toSeq == Seq((2L, 26L, 26L)))
   }
 
+  test("vocab-scale BPE trainer (VERDICT r17 #1): the driver-" +
+       "incremental Sennrich loop is BIT-EQUAL to the sequential " +
+       "per-round-job trainer — hand fixture, overlap pathology, and " +
+       "a seeded synthetic corpus trained to exhaustion — and fails " +
+       "fast over the word-type ceiling") {
+    // hand fixture (same corpus as the sequential test above)
+    val docs = docsDf(1L -> "aaab aaab ab")
+    assert(graft.extensions.Bpe.collectMergesIdsFast(docs, "text",
+        rounds = 4) ==
+      Seq((1, 0, 0, 4L), (2, 0, 1, 3L), (3, 26, 27, 2L)))
+    // overlap pathology: counts are positional (overlaps counted),
+    // application is non-overlapping left-to-right — the delta
+    // bookkeeping must retract BOTH (a,a) occurrences of "aaa" when
+    // one merge consumes them
+    val tri = docsDf(1L -> "aaaa aaa baab")
+    assert(graft.extensions.Bpe.collectMergesIdsFast(tri, "text", 6) ==
+      graft.extensions.Bpe.collectMergesIds(tri, "text", 6))
+    // seeded synthetic corpus over the full alphabet, trained past
+    // exhaustion: both trainers must emit the same merges AND stop at
+    // the same round
+    val rnd = new scala.util.Random(42)
+    val synth = docsDf(1L -> Seq.fill(60)(
+      (1 to 2 + rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(26)).toChar)
+        .mkString).mkString(" "))
+    val seqM = graft.extensions.Bpe.collectMergesIds(synth, "text", 200)
+    val fastM = graft.extensions.Bpe.collectMergesIdsFast(synth, "text", 200)
+    assert(seqM.nonEmpty && fastM == seqM)
+    // the fail-fast word-type ceiling
+    val ex = intercept[IllegalArgumentException](
+      graft.extensions.Bpe.collectMergesIdsFast(synth, "text", 5,
+        maxWordTypes = 3))
+    assert(ex.getMessage.contains("maxWordTypes"))
+  }
+
   test("BPE vocab artifact + decode (VERDICT r16 #4): minted tokens " +
        "are the merge-replay expansions, and decode(encode(w)) " +
        "round-trips every word including encoder-only 1-char words") {
