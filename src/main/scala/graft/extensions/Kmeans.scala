@@ -917,24 +917,43 @@ object Kmeans {
              array_sort(collect_list(struct(col("pos"), col("c")))),
              e => e.getField("c")).as("cv"))
 
+  /** [[lloydFramed]]'s init — the k smallest ids get positional
+    * cluster ids 0..k−1 ([[lloyd]]'s init as a frame) with NO
+    * single-task stage (VERDICT r17 #2: the old `orderBy.limit(k)` +
+    * global `row_number` window pushed k·d through one GlobalLimit
+    * gather and one single-partition WindowExec — ~12 GB in one task
+    * at the module's own target regime k≈2M, d=768, contradicting the
+    * framed family's "never k·d at any single point" contract).
+    * Shape: ids-only two-pass global index ([[graft.ops.Indexing
+    * .globalIndex]] — range repartition + per-partition offsets, the
+    * per-partition-count job is the only driver touch), rank &lt; k
+    * filter, then the VECTORS join back co-partitioned — the d-vector
+    * payload never crosses a single-task boundary, and the id→cluster
+    * mapping (rank of id among the k smallest) is bit-identical to
+    * the window it replaces. PlanShapeSpec pins the no-Window/
+    * no-GlobalLimit shape. `prepped` must carry (id, v). */
+  private[graft] def framedInitCentroids(prepped: DataFrame,
+                                         k: Int): DataFrame =
+    prepped
+      .join(graft.ops.Indexing.globalIndex(
+              prepped.select(col("id")), "id", "rank")
+            .filter(col("rank") < k)
+            .select(col("id"), col("rank").cast("int").as("cluster")),
+        "id")
+      .select(col("cluster"), col("v").as("cv"))
+
   private def lloydFramedLoop(vecs: DataFrame, idCol: String,
                               vecCol: String, k: Int, rounds: Int,
                               nSupers: Int,
                               wantState: Boolean): DataFrame = {
     require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
-    import org.apache.spark.sql.expressions.Window
     val prepped = vecs
       .select(col(idCol).as("id"),
               col(vecCol).cast("array<double>").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val kept = scala.collection.mutable.Buffer.empty[DataFrame]
     try {
-      // init: k smallest ids, positional cluster ids — [[lloyd]]'s init
-      // as a frame (the k-row window runs in one task post-limit)
-      var cents = prepped.orderBy("id").limit(k)
-        .select((row_number().over(Window.orderBy("id")) - 1)
-                  .as("cluster"),
-                col("v").as("cv"))
+      var cents = framedInitCentroids(prepped, k)
         .persist(StorageLevel.MEMORY_AND_DISK)
       kept += cents
       var state: DataFrame = null

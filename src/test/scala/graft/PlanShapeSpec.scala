@@ -309,6 +309,26 @@ class PlanShapeSpec extends SparkTestBase {
       s"the mid/leaf array tables should broadcast here:\n$p3")
   }
 
+  test("lloydFramed init has NO single-task stage (VERDICT r17 #2): " +
+       "positional cluster ids come from the ids-only two-pass global " +
+       "index — no WindowExec, no GlobalLimit/CollectLimit gather of " +
+       "the d-vector payload — and the id→cluster mapping matches the " +
+       "rank-by-id window it replaced") {
+    import spark.implicits._
+    val prepped = (0L until 64L).reverse
+      .map(i => (i, Array.fill(4)(i.toDouble).toSeq)).toDF("id", "v")
+    val init = graft.extensions.Kmeans.framedInitCentroids(prepped, 8)
+    val p = init.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"the single-partition window is back:\n$p")
+    assert(!p.contains("GlobalLimit") && !p.contains("CollectLimit"),
+      s"a global k-row gather is back:\n$p")
+    // determinism: cluster = rank of id among the k smallest ids
+    val got = init.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).head)).sortBy(_._1)
+    assert(got.toSeq == (0 until 8).map(i => (i, i.toDouble)))
+  }
+
   test("semdedup_prune demos assign the corpus ONCE (VERDICT r16 #2): " +
        "the staged (id, v, nrm, cluster, dq) frame is cached and every " +
        "NearestCentroid* kernel lives inside it — the demo's own plan " +
