@@ -1380,6 +1380,27 @@ object ScaleCurve {
         }
         val coloc2 = twinColoc(a2)
         val coloc3 = twinColoc(a3)
+        // (c) the r17 #3 recovery knob: BOTH hierarchies at nProbe=2 —
+        // each side recovers its own second-nearest-cell losses, so
+        // the two different partitions converge toward the same
+        // (near-exact) decision; the agreement lift over the nProbe=1
+        // column is the measured recovery of the multi-probe path.
+        val (secA3p2, _) = timeIt(spark) {
+          graft.extensions.Kmeans.framedAssign3(vecs, "vec_id",
+              "embedding", r3, nProbe = 2)
+            .agg(sum(col("dq"))).collect().head.getLong(0)
+        }
+        val a2p2 = graft.extensions.Kmeans.framedAssign(vecs, "vec_id",
+            "embedding", r2, nProbe = 2)
+          .select(col("id"), col("cluster").as("c2"))
+        val a3p2 = graft.extensions.Kmeans.framedAssign3(vecs, "vec_id",
+            "embedding", r3, nProbe = 2)
+          .select(col("id"), col("cluster").as("c3"))
+        val agreeP2row = a2p2.join(a3p2, "id")
+          .agg(sum(when(col("c2") === col("c3"), 1L).otherwise(0L)),
+               count(lit(1)))
+          .collect().head
+        val agreeP2 = agreeP2row.getLong(0).toDouble / agreeP2row.getLong(1)
         val avgLeaf = r3.members.groupBy("super", "mid").count()
           .agg(avg("count")).collect().head.getDouble(0)
         spark.catalog.clearCache()
@@ -1393,9 +1414,11 @@ object ScaleCurve {
           "wall train framed (s)" -> f"$secT%.2f",
           "wall assign 2-level (s)" -> f"$secA2%.2f",
           "wall assign 3-level (s)" -> f"$secA3%.2f",
+          "wall assign 3-level p2 (s)" -> f"$secA3p2%.2f",
           "twin co-locate 2-level" -> f"$coloc2%.2f",
           "twin co-locate 3-level" -> f"$coloc3%.2f",
-          "cross-hierarchy agree" -> f"$agreeFrac%.3f"))
+          "cross-hierarchy agree" -> f"$agreeFrac%.3f",
+          "agree @ nProbe=2 both" -> f"$agreeP2%.3f"))
       }
 
     // ---- 12d. Dense-cell cap under a planted mega-cell (r16 #5) ------
@@ -2103,6 +2126,15 @@ object ScaleCurve {
        ^near-equidistant from any query and two routings rarely pick
        ^the same near-arbitrary argmin. (`kmeans_assign_framed3`'s
        ^oracle replays the full three-level decision bit-for-bit.)
+       ^The nProbe=2 columns are the r17 #3 recovery knob
+       ^(`framedAssign3(..., nProbe)` — top-2 supers, top-2 mids per
+       ^probed super via the frame-resident NearestCentroidsIn kernel,
+       ^≤4 leaf slots, map-side least): with BOTH hierarchies probing
+       ^their second-nearest cells the two different partitions
+       ^converge toward the same decision, so the agreement lift over
+       ^the nProbe=1 column is the measured recovery, at ~2× the
+       ^3-level assign wall (`kmeans_assign_framed3p2`'s oracle
+       ^replays the probed decision bit-for-bit).
        ^
        ^${table(kmFramed3Pts)}
        ^

@@ -541,9 +541,11 @@ object Kmeans {
       }
     }
     val slots = (1 to nProbe).map { i =>
-      val sc = element_at(col("probes"), i)
       // a corpus with fewer populated supers than nProbe yields a
-      // short probes array; least() skips the null slots
+      // short probes array; get() (0-based) returns null past the end
+      // — element_at THROWS there under Spark 4's default ANSI mode —
+      // and least() skips the null slots
+      val sc = get(col("probes"), lit(i - 1))
       when(sc.isNotNull, slotStruct(sc))
     }
     routed.select(col("id"), least(slots: _*).as("best"))
@@ -807,6 +809,85 @@ object Kmeans {
               col("super"), col("mid"))
   }
 
+  /** MULTI-PROBE three-level assignment (VERDICT r17 #3) — the
+    * two-level nProbe composition one level deeper, so the deepest
+    * path no longer compounds two nProbe=1 trades with no recovery
+    * knob: the nProbe nearest SUPERS come from the literal kernel,
+    * each probed super's MID table 1:1-joins and the nProbe nearest
+    * mids come from the frame-resident multi-probe kernel
+    * ([[graft.functions.NearestCentroidsIn]] — same fold/order/tie
+    * semantics as the literal one, table read from data), each of the
+    * ≤ nProbe² (super, mid) leaf slots 1:1-joins its member array,
+    * and the cross-slot decision is a map-side `least` by
+    * (d, cluster) — leaf member sets are DISJOINT (each cluster lives
+    * in exactly one (super, mid) cell), so the order is total. n rows
+    * end to end: nProbe + nProbe² 1:1 joins, never a row expansion or
+    * an aggregation operator; flops ~n·(k^(1/3) + nProbe·k^(1/3) +
+    * nProbe²·k^(1/3))·d, still far under exact n·k·d. With nProbe
+    * covering every populated super and mid the candidate set is ALL
+    * clusters, so the decision equals the EXACT argmin
+    * (ExtensionsSpec pins it); the oracle replays the whole
+    * composition (top-nProbe supers, top-nProbe mids per probed
+    * super, one argmin over the joined leaf members).
+    *
+    * Short-probe safety mirrors the two-level path: fewer populated
+    * supers (or mids within a super) than nProbe leaves the slot's
+    * join key null via get() — null slots drop out of least().
+    *
+    * @return (id, cluster, dq, super, mid) — super/mid are the probed
+    *         cell the winning cluster belongs to
+    */
+  def framedAssign3(vecs: DataFrame, idCol: String, vecCol: String,
+                    routing: FramedRouting3, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    if (nProbe == 1) return framedAssign3(vecs, idCol, vecCol, routing)
+    val midArr = routing.mids.groupBy("super")
+      .agg(array_sort(collect_list(struct(col("mid"), col("mcv"))))
+        .as("midarr"))
+    val marr = routing.members.groupBy("super", "mid")
+      .agg(array_sort(collect_list(struct(col("cluster"), col("cv"))))
+        .as("marr"))
+    val routed = vecs
+      .select(col(idCol).as("id"),
+              col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), col("v"),
+              probesGuard(graft.functions.NearestCentroids(col("v"),
+                routing.routeCents, nProbe)).as("sprobes"))
+    val withMids = (1 to nProbe).foldLeft(routed) { (acc, i) =>
+      acc.join(midArr.select(col("super").as(s"super_$i"),
+                             col("midarr").as(s"midarr_$i")),
+        get(col("sprobes"), lit(i - 1)) === col(s"super_$i"), "left")
+    }
+    // per probed super: its nProbe nearest mids, ONE kernel call over
+    // the joined mid array (null midarr → null probes → null slots)
+    val withProbes = withMids.select(
+      col("id") +: col("v") +: (1 to nProbe).flatMap(i => Seq(
+        col(s"super_$i"),
+        graft.functions.NearestCentroidsIn(col("v"), col(s"midarr_$i"),
+          nProbe).as(s"mprobes_$i"))): _*)
+    val slotKeys = for { i <- 1 to nProbe; j <- 1 to nProbe } yield (i, j)
+    val joined = slotKeys.foldLeft(withProbes) { case (acc, (i, j)) =>
+      acc.join(marr.select(col("super").as(s"s_${i}_$j"),
+                           col("mid").as(s"m_${i}_$j"),
+                           col("marr").as(s"marr_${i}_$j")),
+        col(s"super_$i") === col(s"s_${i}_$j") &&
+          get(col(s"mprobes_$i"), lit(j - 1)) === col(s"m_${i}_$j"),
+        "left")
+    }
+    val slots = slotKeys.map { case (i, j) =>
+      val b = marrBest(col(s"marr_${i}_$j"))
+      when(col(s"s_${i}_$j").isNotNull,
+        struct(b.getField("d").as("d"),
+               b.getField("cluster").as("cluster"),
+               col(s"s_${i}_$j").as("super"),
+               col(s"m_${i}_$j").as("mid")))
+    }
+    joined.select(col("id"), least(slots: _*).as("best"))
+      .select(col("id"), col("best.cluster").as("cluster"),
+              floor(col("best.d") * lit(Q)).cast("long").as("dq"),
+              col("best.super").as("super"), col("best.mid").as("mid"))
+  }
+
   /** [[semStageFramed]] with THREE-LEVEL routing — the deepest
     * production staging: SemDeDup-regime k needs the routed flop
     * count, frame-resident centroids, AND bounded member-array rows;
@@ -840,11 +921,12 @@ object Kmeans {
                 routing.routeCents, nProbe)).as("probes"))
     val joined = (1 to nProbe).foldLeft(routed) { (acc, i) =>
       // left join: a corpus with fewer populated supers than nProbe
-      // yields short probe arrays — the slot's struct stays null and
-      // least() skips it
+      // yields short probe arrays — get() (0-based) is null past the
+      // end (element_at THROWS there under Spark 4's default ANSI
+      // mode), the slot's struct stays null and least() skips it
       acc.join(marr.select(col("super").as(s"super_$i"),
                            col("marr").as(s"marr_$i")),
-        element_at(col("probes"), i) === col(s"super_$i"), "left")
+        get(col("probes"), lit(i - 1)) === col(s"super_$i"), "left")
     }
     val slots = (1 to nProbe).map { i =>
       val b = marrBest(col(s"marr_$i"))

@@ -267,7 +267,16 @@ object QuantEval {
       c += 1
     }
     val n = math.min(take, k)
-    // insertion-select over n slots: O(n·k), n is 2-4 in practice
+    new GenericArrayData(selectTop(dists, ids, n).map(x => x: Any))
+  }
+
+  /** The shared top-n selection under (distance asc, POSITION asc) —
+    * insertion-select over n slots, O(n·k), n is 2-4 in practice.
+    * Factored so [[nearestCentroids]] and [[nearestCentroidsVar]]
+    * cannot drift apart (the l2sq stance). */
+  private def selectTop(dists: Array[Double], ids: Array[Int],
+                        n: Int): Array[Int] = {
+    val k = dists.length
     val slots = new Array[Int](n)
     val taken = new Array[Boolean](k)
     var s = 0
@@ -283,7 +292,43 @@ object QuantEval {
       slots(s) = ids(best)
       s += 1
     }
-    new GenericArrayData(slots.map(x => x: Any))
+    slots
+  }
+
+  /** [[nearestCentroids]] with the centroid table coming from DATA —
+    * the three-level multi-probe MID routing (Kmeans.framedAssign3 at
+    * nProbe ≥ 2): `marr` is an array of (id int, cv array&lt;double&gt;)
+    * structs sorted by id (position tie = id tie, the
+    * [[nearestCentroidVar]] contract). Same shared [[l2sq]] fold, same
+    * Double.compare total order, same position-tie rule; `take = 1`
+    * returns exactly `[nearestCentroidVar(...).cluster]`. Null for an
+    * empty table or a vector-dimension mismatch; a ragged member row
+    * fails loudly (it comes from data, not a validated constructor).
+    * Returns min(take, table size) ids.
+    */
+  def nearestCentroidsVar(vec: ArrayData, marr: ArrayData,
+                          take: Int): ArrayData = {
+    val k = marr.numElements()
+    if (k == 0) return null
+    val first = marr.getStruct(0, 2)
+    val d = first.getArray(1).numElements()
+    if (vec.numElements() != d) return null
+    val dists = new Array[Double](k)
+    val ids = new Array[Int](k)
+    var c = 0
+    while (c < k) {
+      val m = marr.getStruct(c, 2)
+      val cv = m.getArray(1)
+      if (cv.numElements() != d)
+        throw new IllegalArgumentException(
+          "nearest_centroids_in: ragged member centroid (dimension " +
+          "mismatch inside the member table)")
+      ids(c) = m.getInt(0)
+      dists(c) = l2sq(vec, cv, d)
+      c += 1
+    }
+    val n = math.min(take, k)
+    new GenericArrayData(selectTop(dists, ids, n).map(x => x: Any))
   }
 }
 
@@ -561,4 +606,49 @@ object NearestCentroids {
       cents.map(_._1).toIndexedSeq,
       cents.map(_._2.toIndexedSeq).toIndexedSeq, take))
   }
+}
+
+/** [[NearestCentroids]] with the centroid table from a COLUMN — the
+  * frame-resident multi-probe kernel (Kmeans.framedAssign3 at
+  * nProbe ≥ 2 probes each routed super's MID table, which arrives via
+  * a 1:1 join as an array of (mid, mcv) structs). Bit parity triangle:
+  * `take = 1` equals `[NearestCentroidIn(...).cluster]`, and against
+  * [[NearestCentroids]] it is the same shared fold/order/tie semantics
+  * with the table read from data instead of the plan.
+  */
+case class NearestCentroidsIn(left: Expression, right: Expression,
+                              take: Int)
+    extends BinaryExpression {
+  require(take >= 1, "take must be >= 1")
+
+  override def dataType: DataType = ArrayType(IntegerType, false)
+  override def nullIntolerant: Boolean = true
+  // null for an empty member table or a dimension mismatch
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroids_in"
+
+  override def nullSafeEval(v: Any, marr: Any): Any =
+    QuantEval.nearestCentroidsVar(v.asInstanceOf[ArrayData],
+      marr.asInstanceOf[ArrayData], take)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, m) => s"""
+      |${ev.value} = graft.functions.QuantEval.nearestCentroidsVar($v, $m, $take);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+      |""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): NearestCentroidsIn =
+    copy(left = l, right = r)
+}
+
+object NearestCentroidsIn {
+  /** `marr` must be array&lt;struct&lt;id:int, cv:array&lt;double&gt;&gt;&gt;
+    * sorted by id (position tie = id tie — the [[NearestCentroidIn]]
+    * contract). */
+  def apply(vec: Column, marr: Column, take: Int): Column =
+    GraftBridge.column(NearestCentroidsIn(
+      Cast(GraftBridge.expression(vec), ArrayType(DoubleType)),
+      GraftBridge.expression(marr), take))
 }

@@ -1104,6 +1104,27 @@ object PipelineDemos {
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")
     }),
+    // MULTI-PROBE three-level assignment (VERDICT r17 #3): the
+    // framed2 quality-recovery knob on the deepest path — nProbe=2
+    // supers from the literal kernel, 2 mids per probed super from
+    // the frame-resident NearestCentroidsIn kernel, ≤4 leaf-array 1:1
+    // joins, map-side least by (d, cluster). The oracle replays the
+    // whole composition (top-2 supers, top-2 mids per super, one
+    // argmin over the joined leaf members).
+    "kmeans_assign_framed3p2" -> ((s, dir) => {
+      val m = kmeansCache.getOrElseUpdate(dir,
+        graft.extensions.Kmeans.lloyd(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8, rounds = 3))
+      val routing = kmeansFramed3RoutingCache.getOrElseValid(dir,
+          _.members.sparkSession eq s)(
+        graft.extensions.Kmeans.framedRoutingFor3(
+          graft.extensions.Kmeans.lastCentroidsFrame(s, m),
+          "cluster", "cv", nSupers = 2, nMids = 2))
+      graft.extensions.Kmeans.framedAssign3(Tables.embeddings(s, dir),
+          "vec_id", "embedding", routing, nProbe = 2)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    }),
     // FRAME-RESIDENT Lloyd TRAINING under the exact oracle: lloydFramed
     // at nSupers=1 routes every vector through one all-members super,
     // so assignment degenerates to the exact argmin and the trained
@@ -2800,6 +2821,38 @@ object PipelineDemos {
        |FROM (SELECT vm.id, c.cluster, vm.super, vm.mid,
        |        ${kmL2Sql("vm.v", "c.cv")} AS d
        |      FROM vm JOIN mm ON mm.super = vm.super AND mm.mid = vm.mid
+       |      JOIN c$rounds c ON c.cluster = mm.cluster)
+       |QUALIFY row_number() OVER (PARTITION BY id
+       |  ORDER BY d, cluster) = 1
+       |ORDER BY vec_id""".stripMargin
+
+  /** Multi-probe three-level assignment oracle (extensions.Kmeans
+    * .framedAssign3 at nProbe ≥ 2): the framed3 routing CTEs, then the
+    * probed replay — each vector's top-nProbe supers (same window
+    * order as [[kmeansRouted2Oracle]]'s rv2), each (vector, probed
+    * super)'s top-nProbe mids, and ONE argmin by (d, cluster) over the
+    * joined leaf members — exactly the engine's cross-slot least
+    * (leaf member sets are disjoint, so the order is total). */
+  private def kmeansFramed3P2Oracle(k: Int, rounds: Int, nSupers: Int,
+                                    nMids: Int, nProbe: Int): String =
+    s"""WITH ${framed3Ctes(k, rounds, nSupers, nMids)},
+       |rv2 AS (SELECT id, v, super FROM (
+       |  SELECT e.id, e.v, s.super, ${kmL2Sql("e.v", "s.scv")} AS d
+       |  FROM e, rpop s)
+       |  QUALIFY row_number() OVER (PARTITION BY id
+       |    ORDER BY d, super) <= $nProbe),
+       |vm2 AS (SELECT id, v, super, mid FROM (
+       |  SELECT r.id, r.v, r.super, s.mid,
+       |    ${kmL2Sql("r.v", "s.mcv")} AS d
+       |  FROM rv2 r JOIN mpop s ON s.super = r.super)
+       |  QUALIFY row_number() OVER (PARTITION BY id, super
+       |    ORDER BY d, mid) <= $nProbe)
+       |SELECT id AS vec_id, cluster,
+       |  CAST(floor(d * 1000000.0) AS BIGINT) AS dq, super, mid
+       |FROM (SELECT v2.id, c.cluster, v2.super, v2.mid,
+       |        ${kmL2Sql("v2.v", "c.cv")} AS d
+       |      FROM vm2 v2 JOIN mm ON mm.super = v2.super
+       |        AND mm.mid = v2.mid
        |      JOIN c$rounds c ON c.cluster = mm.cluster)
        |QUALIFY row_number() OVER (PARTITION BY id
        |  ORDER BY d, cluster) = 1
@@ -4857,6 +4910,9 @@ object PipelineDemos {
       kmeansRoutedOracle(k = 8, rounds = 3, nSupers = 3),
     "kmeans_assign_framed3" ->
       kmeansFramed3Oracle(k = 8, rounds = 3, nSupers = 2, nMids = 2),
+    "kmeans_assign_framed3p2" ->
+      kmeansFramed3P2Oracle(k = 8, rounds = 3, nSupers = 2, nMids = 2,
+        nProbe = 2),
     "semdedup_prune_framed3" ->
       semdedupFramed3Oracle(k = 8, rounds = 3, nSupers = 2, nMids = 2,
         threshold = cosineThreshold),

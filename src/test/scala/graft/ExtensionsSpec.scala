@@ -412,6 +412,63 @@ class ExtensionsSpec extends SparkTestBase {
     assert(staged3 == assign3)
   }
 
+  test("multi-probe three-level assignment (VERDICT r17 #3): probing " +
+       "every populated super and mid recovers the EXACT argmin " +
+       "(cluster and dq), and over-probing past the populated counts " +
+       "null-skips the short slots instead of throwing (the ANSI " +
+       "element_at trap, fixed with get())") {
+    import spark.implicits._
+    val pts = Seq(0L -> Array(0f, 0f), 1L -> Array(1f, 0f),
+      2L -> Array(10f, 0f), 3L -> Array(11f, 0f))
+      .toDF("vec_id", "embedding")
+    val m = graft.extensions.Kmeans.lloyd(pts, "vec_id", "embedding",
+      k = 4, rounds = 1)
+    val qs = Seq(100L -> Array(1.5f, 0f), 101L -> Array(4.5f, 0f),
+      102L -> Array(10.5f, 0f))
+      .toDF("vec_id", "embedding")
+    val exact = graft.extensions.Kmeans.assign(qs, "vec_id",
+        "embedding", m)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    val r22 = graft.extensions.Kmeans.framedRoutingFor3(
+      graft.extensions.Kmeans.lastCentroidsFrame(spark, m),
+      "cluster", "cv", nSupers = 2, nMids = 2)
+    // nProbe=2 covers both supers and both mids per super — the
+    // candidate set is ALL clusters, so the decision must equal the
+    // exact argmin (nProbe=1 here loses 101L: its true best lives in
+    // the second-nearest super)
+    val p2 = graft.extensions.Kmeans.framedAssign3(qs, "vec_id",
+        "embedding", r22, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(p2 == exact)
+    val p1 = graft.extensions.Kmeans.framedAssign3(qs, "vec_id",
+        "embedding", r22, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    // single-probe loses 101L to cluster 2 (its routed super's best),
+    // missing the true best cluster 1 — the quality gap p2 closes
+    assert(p1 != exact && p1.contains((101L, 2, 30250000L)))
+    // over-probe BOTH levels past their populated counts: short probe
+    // arrays must leave null slots (get()), never throw — and the
+    // answer is still the exact argmin
+    val p5 = graft.extensions.Kmeans.framedAssign3(qs, "vec_id",
+        "embedding", r22, nProbe = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(p5 == exact)
+    // same regression at the TWO-level path (the pre-r18 element_at
+    // spelling threw under Spark 4's default ANSI mode)
+    val fr = graft.extensions.Kmeans.framedRoutingFor(
+      graft.extensions.Kmeans.lastCentroidsFrame(spark, m),
+      "cluster", "cv", nSupers = 2)
+    val f5 = graft.extensions.Kmeans.framedAssign(qs, "vec_id",
+        "embedding", fr, nProbe = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(f5 == exact)
+  }
+
   test("framed Lloyd training: nSupers=1 routing is the exact argmin, " +
        "so the centroid-frame trajectory equals lloyd's bit-for-bit") {
     import spark.implicits._
