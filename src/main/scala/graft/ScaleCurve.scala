@@ -1584,6 +1584,56 @@ object ScaleCurve {
         }
       }
 
+    // ---- 5c-cores. Executors-absorb adjudication (VERDICT r17 #4) ----
+    // §5c's octave growth (×1.2 → ×1.9 → ×2.6 per ×4 data) trends
+    // toward linear — "executors absorb it" needs a measurement, not a
+    // claim. The 64M point re-measured at 32 then 16 threads in FRESH
+    // sessions (fresh tables, cold cache, same code path): a
+    // scan-bound job's wall tracks 1/cores (ratio ≈ 2 when cores
+    // halve); a shuffle-serialization- or driver-bound one would hold
+    // its wall. Runs LAST: it stops and replaces the session, so every
+    // prior section is already measured.
+    val coresPts =
+      if (64000000L > points.max * 320) Seq.empty[Point]
+      else {
+        def measureAt(cpusN: Int): Double = {
+          val s = Sessions.local(s"graft-scale-cores$cpusN",
+            cpusN.toString)
+          try {
+            val n = 64000000L
+            val nameMod = n * 3 / 5
+            val (nodes, clusters, edges) = synTables(s, n, nameMod)
+            val syn = new graft.synonymizer.Synonymizer(nodes, clusters,
+              edges,
+              probeJoin = graft.synonymizer.Synonymizer.ShuffleProbe(16))
+            val probes = s.range(0, 100000L).select(
+              when(col("id") % 2 === 0,
+                concat(lit("N:"), pmod(col("id") * 7L, lit(n))))
+              .otherwise(concat(lit("Name"), pmod(col("id"), lit(nameMod))))
+              .as("input"))
+            val (sec, _) = timeIt(s) {
+              syn.normalizerResults(probes)
+                .agg(sum(size(col("nodes"))).as("m"),
+                     count(col("preferred_category")).as("c"))
+                .collect().head.getLong(1)
+            }
+            sec
+          } finally {
+            s.stop()
+            ()
+          }
+        }
+        spark.stop()
+        val s32 = measureAt(32)
+        val s16 = measureAt(16)
+        Seq(Point(64000000L, Seq(
+          "nodes" -> "64000000",
+          "probe rows" -> "100000",
+          "wall @32 threads (s)" -> f"$s32%.2f",
+          "wall @16 threads (s)" -> f"$s16%.2f",
+          "halved-cores ratio" -> f"${s16 / s32}%.2f")))
+      }
+
     // ---- render ------------------------------------------------------
     // both renderers are total in the point count: a small
     // SPARK_GRAFT_SCALE_POINTS override can filter a section's fixed
@@ -1598,6 +1648,22 @@ object ScaleCurve {
         (headers.mkString("| ", " | ", " |") ::
           headers.map(_ => "---").mkString("|", "|", "|") ::
           rows.map(_.mkString("| ", " | ", " |")).toList).mkString("\n")
+      }
+    def coresAdjudication(pts: Seq[Point]): String =
+      if (pts.isEmpty) "_(skipped at this scale)_"
+      else {
+        val r = pts.head.metrics
+          .find(_._1 == "halved-cores ratio").get._2.toDouble
+        if (r >= 1.6)
+          f"Adjudication: measured halved-cores ratio ×$r%.2f ≈ 2 — " +
+          "the 64M wall is compute/scan-bound, so the near-linear " +
+          "octave trend is bought back by executors at 100 TB (the " +
+          "claim holds, now measured)."
+        else
+          f"Adjudication: measured halved-cores ratio ×$r%.2f < 1.6 — " +
+          "a serialization point is holding the wall; the " +
+          "executors-absorb claim does NOT hold as stated and the " +
+          "bottleneck stage needs a plan audit."
       }
     def growth(pts: Seq[Point], key: String): String =
       if (pts.size < 2) "n/a (<2 points at this scale)"
@@ -1812,6 +1878,22 @@ object ScaleCurve {
        ^shuffle) grows ∝ n while the probe-side aggregations stay
        ^constant — sub-×4 per ×4 octave says the job is scan-bound,
        ^which executors absorb.
+       ^
+       ^### 5c-cores. Executors-absorb, measured (r17 #4)
+       ^
+       ^The octave trend (×1.2 → ×1.9 → ×2.6 per ×4 data) drifts
+       ^toward linear, so "executors absorb it" is adjudicated by a
+       ^cores-scaling measurement instead of asserted: the 64M point
+       ^re-run at 32 then 16 threads in fresh sessions (fresh tables,
+       ^cold cache, identical code path). A halved-cores ratio near 2
+       ^means the wall is compute/scan-bound — the work parallelizes,
+       ^so added executors buy the same factor at 100 TB; a ratio near
+       ^1 would mean a serialization point (driver, single partition,
+       ^skewed key) that executors cannot buy back.
+       ^
+       ^${table(coresPts)}
+       ^
+       ^${coresAdjudication(coresPts)}
        ^
        ^## 6. Connected components (near-dup pairs → dedup clusters)
        ^

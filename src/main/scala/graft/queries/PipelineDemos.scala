@@ -2901,9 +2901,10 @@ object PipelineDemos {
     * on the nMids smallest cluster ids per super, init argmin, ONE
     * fixed-point update round, re-assignment, populated mids, and the
     * per-vector mid route `vm`. Ends ready for the leaf argmin. */
-  private def framed3Ctes(k: Int, rounds: Int, nSupers: Int,
-                          nMids: Int): String =
-    s"""${routedCtes(k, rounds, nSupers)},
+  private[queries] def framed3Ctes(k: Int, rounds: Int, nSupers: Int,
+                                   nMids: Int,
+                                   where: String = ""): String =
+    s"""${routedCtes(k, rounds, nSupers, where)},
        |mem AS (SELECT m.cluster, m.super, c.cv
        |  FROM rm m JOIN c$rounds c ON c.cluster = m.cluster),
        |anc AS (SELECT super, CAST(rn - 1 AS INTEGER) AS mid,

@@ -37,6 +37,14 @@ object StreamingDemos {
   private val semdedupStage0PathCache =
     new graft.tables.CorpusMemo[String]("embeddings")
 
+  // frozen THREE-LEVEL routing + its landed history stage
+  // (stream_semdedup_ingest3) — the r17 #5 bounded-row ingest path
+  private val semdedupRouting3Cache =
+    new graft.tables.CorpusMemo[graft.extensions.Kmeans.FramedRouting3](
+      "embeddings")
+  private val semdedupStage30PathCache =
+    new graft.tables.CorpusMemo[String]("embeddings")
+
   private def deleteDir(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
@@ -305,6 +313,47 @@ object StreamingDemos {
                 col("dup_of"), col("n_matches"), col("best_cos"))
         .orderBy("batch", "id")
     }),
+    // THREE-LEVEL streaming SemDeDup ingest (VERDICT r17 #5): the same
+    // new-vs-history contract with the frozen structure a 2M-cell
+    // regime needs — a FramedRouting3 (2×2 here), so every array row
+    // the ingest path joins is k^(1/3)-bounded like the batch path's.
+    // The ingest tail (history listing, flag join, batch-addressed
+    // idempotent sinks) is the SAME shared code as the two-level demo;
+    // the oracle replays the frozen three-level routing, both batch
+    // stagings through super → mid → leaf, and both flag joins.
+    "stream_semdedup_ingest3" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val hist = e.filter(pmod(col("vec_id"), lit(4L)) < 3L)
+      val m = PipelineDemos.kmeansHistCache.getOrElseUpdate(dir,
+        graft.extensions.Kmeans.lloyd(hist, "vec_id", "embedding",
+          k = 8, rounds = 3))
+      val routing = semdedupRouting3Cache.getOrElseValid(dir,
+          _.members.sparkSession eq s)(
+        graft.extensions.Kmeans.framedRoutingFor3(
+          graft.extensions.Kmeans.lastCentroidsFrame(s, m),
+          "cluster", "cv", nSupers = 2, nMids = 2))
+      val stage0 = semdedupStage30PathCache.getOrElseUpdate(dir, {
+        val path = graft.tables.ScratchDirs.tmp("sd3stage0", dir)
+        val st = graft.extensions.Kmeans.semStageFramed3(
+          hist, "vec_id", "embedding", routing)
+        st.write.mode("overwrite").parquet(path)
+        st.unpersist(false)
+        path
+      })
+      val base = graft.tables.ScratchDirs.tmp("sd3ingest", dir)
+      deleteDir(s"$base/stage")
+      deleteDir(s"$base/flags")
+      Seq(3L, 7L).zipWithIndex.foreach { case (mod, i) =>
+        VecsStream.semdedupIngestBatch3(
+          e.filter(pmod(col("vec_id"), lit(8L)) === mod), i.toLong,
+          routing, stage0, s"$base/stage", s"$base/flags",
+          PipelineDemos.cosineThreshold)
+      }
+      s.read.parquet(s"$base/flags")
+        .select(col("batch").cast("long").as("batch"), col("id"),
+                col("dup_of"), col("n_matches"), col("best_cos"))
+        .orderBy("batch", "id")
+    }),
     "stream_ingest_flags" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val hex1 = substring(md5(col("doc_id").cast("string")), 1, 1)
@@ -385,6 +434,78 @@ object StreamingDemos {
        |ORDER BY batch, id""".stripMargin
   }
 
+  /** Streaming THREE-LEVEL SemDeDup ingest oracle (r17 #5): the frozen
+    * framed3 routing over the HISTORY-trained model (the framed3 CTEs
+    * with the history filter — `vm` routes the history corpus through
+    * super → mid), the history staging `raf3` with norms (leaf argmin
+    * under `mm`), then per micro-batch the SAME two-hop route + leaf
+    * staging for the batch vectors and the within-cell NEW-vs-HISTORY
+    * cosine flag join — batch i's history is raf3 plus the staged
+    * batches before i, exactly VecsStream.semdedupIngestBatch3's
+    * accumulated listing. */
+  private def streamSemdedup3Oracle(k: Int, rounds: Int, nSupers: Int,
+                                    nMids: Int, mods: Seq[Long],
+                                    threshold: Double): String = {
+    def cosSql(a: String, b: String): String =
+      s"(CASE WHEN $a.nrm > 0 AND $b.nrm > 0 " +
+      s"THEN ${PipelineDemos.dotSql(s"$a.v", s"$b.v")} / ($a.nrm * $b.nrm) " +
+      "ELSE 0.0 END)"
+    val batchCtes = mods.zipWithIndex.map { case (m, i) =>
+      val histRel = if (i == 0) "raf3" else s"h$i"
+      val pre =
+        if (i == 0) ""
+        else s"""h$i AS (SELECT id, v, cluster, nrm
+           |  FROM ${if (i == 1) "raf3" else s"h${i - 1}"}
+           |  UNION ALL SELECT id, v, cluster, nrm FROM bst${i - 1}),
+           |""".stripMargin
+      pre +
+      s"""bv$i AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id % 8 = $m),
+         |brt$i AS (SELECT id, v, super FROM (
+         |  SELECT b.id, b.v, s.super,
+         |    ${PipelineDemos.kmL2Sql("b.v", "s.scv")} AS d
+         |  FROM bv$i b, rpop s)
+         |  QUALIFY row_number() OVER (PARTITION BY id
+         |    ORDER BY d, super) = 1),
+         |bmd$i AS (SELECT id, v, super, mid FROM (
+         |  SELECT r.id, r.v, r.super, s.mid,
+         |    ${PipelineDemos.kmL2Sql("r.v", "s.mcv")} AS d
+         |  FROM brt$i r JOIN mpop s ON s.super = r.super)
+         |  QUALIFY row_number() OVER (PARTITION BY id
+         |    ORDER BY d, mid) = 1),
+         |bst$i AS MATERIALIZED (SELECT id, v, cluster,
+         |    sqrt(${PipelineDemos.dotSql("v", "v")}) AS nrm FROM (
+         |  SELECT t.id, t.v, c.cluster,
+         |    ${PipelineDemos.kmL2Sql("t.v", "c.cv")} AS d
+         |  FROM bmd$i t JOIN mm ON mm.super = t.super AND mm.mid = t.mid
+         |  JOIN c$rounds c ON c.cluster = mm.cluster)
+         |  QUALIFY row_number() OVER (PARTITION BY id
+         |    ORDER BY d, cluster) = 1),
+         |fl$i AS (SELECT CAST($i AS BIGINT) AS batch, b.id,
+         |    min(h.id) AS dup_of, count(*) AS n_matches,
+         |    max(${cosSql("b", "h")}) AS best_cos
+         |  FROM bst$i b JOIN $histRel h ON h.cluster = b.cluster
+         |  WHERE ${cosSql("b", "h")} >= $threshold
+         |  GROUP BY b.id)""".stripMargin
+    }.mkString(",\n")
+    val unions = mods.indices
+      .map(i => s"SELECT batch, id, dup_of, n_matches, best_cos FROM fl$i")
+      .mkString(" UNION ALL ")
+    s"""WITH ${PipelineDemos.framed3Ctes(k, rounds, nSupers, nMids,
+          where = "WHERE vec_id % 4 < 3")},
+       |raf3 AS MATERIALIZED (SELECT id, v, cluster,
+       |    sqrt(${PipelineDemos.dotSql("v", "v")}) AS nrm FROM (
+       |  SELECT vm.id, vm.v, c.cluster,
+       |    ${PipelineDemos.kmL2Sql("vm.v", "c.cv")} AS d
+       |  FROM vm JOIN mm ON mm.super = vm.super AND mm.mid = vm.mid
+       |  JOIN c$rounds c ON c.cluster = mm.cluster)
+       |  QUALIFY row_number() OVER (PARTITION BY id
+       |    ORDER BY d, cluster) = 1),
+       |$batchCtes
+       |SELECT batch, id, dup_of, n_matches, best_cos FROM ($unions)
+       |ORDER BY batch, id""".stripMargin
+  }
+
   /** Streaming online k-means oracle: the history training chain, then
     * per micro-batch an assignment CTE under the PREVIOUS state's
     * centroids and an exact fixed-point merge — the full evolving-state
@@ -444,6 +565,9 @@ object StreamingDemos {
       streamKmeansOracle(k = 8, rounds = 3, mods = Seq(3L, 7L)),
     "stream_semdedup_ingest" ->
       streamSemdedupOracle(k = 8, rounds = 3, nSupers = 3,
+        mods = Seq(3L, 7L), threshold = PipelineDemos.cosineThreshold),
+    "stream_semdedup_ingest3" ->
+      streamSemdedup3Oracle(k = 8, rounds = 3, nSupers = 2, nMids = 2,
         mods = Seq(3L, 7L), threshold = PipelineDemos.cosineThreshold),
     "sessionize" ->
       """WITH l AS (SELECT user_id, ts, value,

@@ -201,11 +201,64 @@ object VecsStream {
                           stage0Dir: String, stageDir: String,
                           flagsDir: String, threshold: Double,
                           idCol: String = "vec_id",
-                          vecCol: String = "embedding"): Unit = {
+                          vecCol: String = "embedding"): Unit =
+    semdedupIngestStaged(
+      graft.extensions.Kmeans.semStageFramed(batch, idCol, vecCol,
+        routing),
+      batchId, stage0Dir, stageDir, flagsDir, threshold)
+
+  /** [[semdedupIngest]] with THREE-LEVEL routing (VERDICT r17 #5) —
+    * the streaming face of `semdedup_prune_framed3`: at the 2M-cell
+    * regime the ingest path needs the same bounded-array-row guarantee
+    * as the batch path, so the frozen structure is a
+    * [[graft.extensions.Kmeans.FramedRouting3]] and each micro-batch
+    * stages through the three-level decision (super → mid → leaf,
+    * every joined row O(k^(1/3)·d)). The staged schema, the
+    * new-vs-history flag join, the batch-addressed idempotent sinks
+    * and the write-order argument are IDENTICAL — the whole ingest
+    * tail is shared code ([[semdedupIngestStaged]]), so the two
+    * routing depths cannot drift apart.
+    */
+  def semdedupIngest3(vecs: DataFrame,
+                      routing: graft.extensions.Kmeans.FramedRouting3,
+                      stage0Dir: String, stageDir: String,
+                      flagsDir: String, checkpointDir: String,
+                      threshold: Double, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        semdedupIngestBatch3(batch, batchId, routing, stage0Dir,
+          stageDir, flagsDir, threshold, idCol, vecCol)
+      }
+      .start()
+
+  /** One three-level SemDeDup ingest micro-batch (exposed for
+    * batch-parity tests and the demo registry). */
+  def semdedupIngestBatch3(batch: DataFrame, batchId: Long,
+                           routing: graft.extensions.Kmeans.FramedRouting3,
+                           stage0Dir: String, stageDir: String,
+                           flagsDir: String, threshold: Double,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): Unit =
+    semdedupIngestStaged(
+      graft.extensions.Kmeans.semStageFramed3(batch, idCol, vecCol,
+        routing),
+      batchId, stage0Dir, stageDir, flagsDir, threshold)
+
+  /** The shared ingest tail over an already-staged batch frame
+    * ((id, v, nrm, cluster, dq) — any [[graft.extensions.Kmeans
+    * .semStage]]-family depth): list history, flag within-cell
+    * new-vs-history near-dups, land flags THEN the staged list (the
+    * write-order argument: a listed history partition is always
+    * complete). */
+  private def semdedupIngestStaged(staged: DataFrame, batchId: Long,
+                                   stage0Dir: String, stageDir: String,
+                                   flagsDir: String,
+                                   threshold: Double): Unit = {
     import org.apache.spark.sql.functions._
-    import graft.extensions.{Kmeans, Similarity}
-    val spark = batch.sparkSession
-    val staged = Kmeans.semStageFramed(batch, idCol, vecCol, routing)
+    import graft.extensions.Similarity
+    val spark = staged.sparkSession
     try {
       // history = stage0 + staged batches strictly BEFORE this one
       // (Hadoop FS listing — the DocsStream.flagBatch URI stance)

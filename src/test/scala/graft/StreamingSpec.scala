@@ -838,4 +838,59 @@ class StreamingSpec extends SparkTestBase {
       flags, threshold = 0.9)
     assert(flagRows() == got)
   }
+
+  test("streaming THREE-LEVEL SemDeDup ingest (VERDICT r17 #5): the " +
+       "frozen FramedRouting3 drives the same multi-batch " +
+       "new-vs-history contract through super -> mid -> leaf (here a " +
+       "real mid split, 1 super x 2 mids, exact decision), with " +
+       "identical flags to the two-level run on the same data and " +
+       "idempotent batch replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.VecsStream
+    import graft.extensions.Kmeans
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sd3ing")
+    val (stage0, stage, flags, ckpt) =
+      (s"$tmp/stage0", s"$tmp/stage", s"$tmp/flags", s"$tmp/ckpt")
+    val hist = Seq(0L -> Array(1f, 0f), 1L -> Array(0f, 10f))
+      .toDF("vec_id", "embedding")
+    val m0 = Kmeans.lloyd(hist, "vec_id", "embedding", k = 2, rounds = 1)
+    val routing = Kmeans.framedRoutingFor3(
+      Kmeans.lastCentroidsFrame(spark, m0), "cluster", "cv",
+      nSupers = 1, nMids = 2)
+    // the mid level genuinely splits: 2 populated mids of 1 leaf each
+    assert(routing.mids.count() == 2 &&
+      routing.members.groupBy("super", "mid").count()
+        .agg(functions.max("count")).collect().head.getLong(0) == 1L)
+    val st0 = Kmeans.semStageFramed3(hist, "vec_id", "embedding", routing)
+    st0.write.mode("overwrite").parquet(stage0)
+    st0.unpersist(false)
+    // same batches as the two-level test — the 1×2 hierarchy is the
+    // exact decision here, so the flags must come out IDENTICAL
+    val b0 = Seq(VecsStream.Vec(10L, Array(2f, 0.1f)),
+                 VecsStream.Vec(11L, Array(-5f, 5f)))
+    val b1 = Seq(VecsStream.Vec(20L, Array(-5f, 6f)))
+    val input = MemoryStream[VecsStream.Vec]
+    val q = VecsStream.semdedupIngest3(input.toDF(), routing, stage0,
+      stage, flags, ckpt, threshold = 0.9)
+    try {
+      input.addData(b0: _*); q.processAllAvailable()
+      input.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    def flagRows() = spark.read.parquet(flags)
+      .select(functions.col("batch").cast("long"), functions.col("id"),
+        functions.col("dup_of"), functions.col("n_matches"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val got = flagRows()
+    assert(got == Set((0L, 10L, 0L, 1L), (1L, 20L, 11L, 1L)), s"got $got")
+    assert(spark.read.parquet(stage).count() == 3)
+    // replay of batch 0 after batch 1 landed: history = stage0 alone,
+    // identical flags — the shared ingest tail's idempotence argument
+    // holds at depth 3 verbatim
+    VecsStream.semdedupIngestBatch3(
+      b0.map(v => (v.vec_id, v.embedding)).toDF("vec_id", "embedding"),
+      0L, routing, stage0, stage, flags, threshold = 0.9)
+    assert(flagRows() == got)
+  }
 }
