@@ -38,15 +38,33 @@ object Mixture {
 
   /** The waterfilling cap for `budget` = (Σ n · num) div den.
     *
-    * @param groups one row per group
-    * @param ngCol  non-null, non-negative per-group total (long-castable)
+    * GROUPS-CARDINALITY CONTRACT (VERDICT r17 #6): `groups` must be a
+    * PER-GROUP aggregate — one row per language/domain/tier cell,
+    * dozens to thousands of rows, never a per-document frame. The
+    * closed form runs a GLOBAL (unpartitioned) window over these rows,
+    * which is a deliberate single-task stage ONLY under that bound; a
+    * mis-pointed corpus-sized input would silently become the
+    * single-task sort this module exists to avoid. The contract is
+    * enforced in-plan: the group count rides the existing 1-row
+    * aggregate for free (the `rest` window count at the smallest-ng
+    * row IS m — no extra job, no extra shuffle) and the result row
+    * raises loudly past `maxGroups` instead of quietly grinding.
+    *
+    * @param groups    one row per group (see contract above)
+    * @param ngCol     non-null, non-negative per-group total
+    *                  (long-castable)
+    * @param maxGroups fail-fast ceiling on the group count — the
+    *                  default (100k) is far above any real
+    *                  language×domain×tier taxonomy and far below a
+    *                  corpus-sized misuse; raise it deliberately
     * @return a 1-row frame (budget, cap, keep_all): `keep_all` is true
     *         when the budget covers the whole corpus (cap is then the
     *         largest group size, unused); groups with n ≤ cap keep all
     *         their rows, larger groups sample at rate cap/n
     */
   def waterfillCap(groups: DataFrame, ngCol: String,
-                   num: Long, den: Long): DataFrame = {
+                   num: Long, den: Long,
+                   maxGroups: Long = defaultMaxGroups): DataFrame = {
     require(num >= 0 && den > 0, s"budget fraction must be >=0 / >0")
     import org.apache.spark.sql.expressions.Window
     val g = groups.select(col(ngCol).cast("long").as("ng"))
@@ -61,13 +79,32 @@ object Mixture {
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("budget", expr(s"(tot * $num) div $den"))
       .agg(max(col("budget")).as("budget"), max(col("tot")).as("tot"),
-        max(col("ng")).as("mx"),
+        max(col("ng")).as("mx"), max(col("rest")).as("m"),
         max(expr("(budget - s_excl) div rest")).as("rawcap"))
       .select(col("budget"),
-        when(col("tot") <= col("budget"), col("mx"))
-          .otherwise(col("rawcap")).as("cap"),
+        groupsGuard(col("m"), maxGroups, "waterfillCap",
+          when(col("tot") <= col("budget"), col("mx"))
+            .otherwise(col("rawcap"))).as("cap"),
         (col("tot") <= col("budget")).as("keep_all"))
   }
+
+  /** [[waterfillCap]]/[[weightedCap]]'s default group-count ceiling. */
+  val defaultMaxGroups: Long = 100000L
+
+  /** The in-plan cardinality guard: `value`, or a loud raise when the
+    * measured group count `m` exceeds the contract bound. It RIDES the
+    * `cap` output column (evaluated on the 1-row result — zero extra
+    * jobs), so a pruned helper column can never silently disarm it;
+    * both cap solvers share one wording. */
+  private def groupsGuard(m: Column, maxGroups: Long, where: String,
+                          value: Column): Column =
+    when(m > maxGroups, raise_error(concat(
+      lit(s"Mixture.$where: "), m.cast("string"),
+      lit(s" groups exceeds maxGroups=$maxGroups — the cap solver's " +
+        "global window/self-join is sized for per-group aggregates " +
+        "(languages × domains × tiers), not a per-document frame; " +
+        "aggregate first or raise maxGroups deliberately"))))
+      .otherwise(value)
 
   /** α=0.5 temperature-sampling weight: ⌊√n⌋ — the multilingual
     * pretraining standard (sample share ∝ n^α flattens the language
@@ -118,7 +155,8 @@ object Mixture {
     * @return 1-row (budget, cap, keep_all), as [[waterfillCap]]
     */
   def weightedCap(groups: DataFrame, ngCol: String, wCol: String,
-                  num: Long, den: Long): DataFrame = {
+                  num: Long, den: Long,
+                  maxGroups: Long = defaultMaxGroups): DataFrame = {
     require(num >= 0 && den > 0, s"budget fraction must be >=0 / >0")
     val g = groups
       .select(col(ngCol).cast("long").as("ng"),
@@ -145,15 +183,22 @@ object Mixture {
       .groupBy(col("na"), col("wa"))
       .agg(sum(when(before, col("nb")).otherwise(lit(0L))).as("s_g"),
         sum(when(!before, col("wb")).otherwise(lit(0L))).as("v_g"),
-        sum(col("nb")).as("tot_all"), max(col("nb")).as("mx_all"))
+        sum(col("nb")).as("tot_all"), max(col("nb")).as("mx_all"),
+        // each a-row sees the full b multiset, so this IS the group
+        // count m — the cardinality contract rides the existing
+        // aggregate (the waterfillCap guard one structure over; the
+        // m×m join is the quadratic a corpus-sized misuse would blow)
+        count(lit(1)).as("m_all"))
     per
       .withColumn("budget", expr(s"(tot_all * $num) div $den"))
       .agg(max(col("budget")).as("budget"),
         max(col("tot_all")).as("tot"), max(col("mx_all")).as("mx"),
+        max(col("m_all")).as("m"),
         max(expr("(budget - s_g) div v_g")).as("rawcap"))
       .select(col("budget"),
-        when(col("tot") <= col("budget"), col("mx"))
-          .otherwise(col("rawcap")).as("cap"),
+        groupsGuard(col("m"), maxGroups, "weightedCap",
+          when(col("tot") <= col("budget"), col("mx"))
+            .otherwise(col("rawcap"))).as("cap"),
         (col("tot") <= col("budget")).as("keep_all"))
   }
 

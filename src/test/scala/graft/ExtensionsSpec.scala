@@ -2613,6 +2613,34 @@ class ExtensionsSpec extends SparkTestBase {
     assert(kept.toSet == Set(1L, 2L))
   }
 
+  test("cap solvers' groups-cardinality contract (VERDICT r17 #6): " +
+       "the global window / m×m self-join is sized for per-group " +
+       "aggregates — past maxGroups both solvers raise loudly from " +
+       "the riding in-plan guard (zero extra jobs), and the bound is " +
+       "a deliberate knob") {
+    import spark.implicits._
+    import graft.extensions.Mixture
+    val big = (1L to 50L).map(i => (s"g$i", i)).toDF("g", "ng")
+      .withColumn("wg", lit(1L))
+    def msg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null && !String.valueOf(c.getMessage)
+          .contains("maxGroups")) c = c.getCause
+      String.valueOf(c.getMessage)
+    }
+    val e1 = intercept[Exception](Mixture.waterfillCap(
+      big, "ng", 1L, 3L, maxGroups = 10L).collect())
+    assert(msg(e1).contains("waterfillCap") && msg(e1).contains("50"))
+    val e2 = intercept[Exception](Mixture.weightedCap(
+      big, "ng", "wg", 1L, 3L, maxGroups = 10L).collect())
+    assert(msg(e2).contains("weightedCap") && msg(e2).contains("50"))
+    // at (or under) the bound both run — the knob is deliberate
+    assert(Mixture.waterfillCap(big, "ng", 1L, 3L, maxGroups = 50L)
+      .collect().length == 1)
+    assert(Mixture.weightedCap(big, "ng", "wg", 1L, 3L, maxGroups = 50L)
+      .collect().length == 1)
+  }
+
   test("waterfillCap randomized sweep: feasible and maximal for 60 " +
        "hash-derived group vectors across budget fractions") {
     import spark.implicits._
