@@ -29,6 +29,12 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // shuffle files live until a JVM GC lets ContextCleaner collect
+      // their dependencies; the 30 min default outlives whole sections
+      // of a long single-session batch run (the r18 SCALECURVE regen
+      // filled 230 GB of /tmp with dead shuffles and crashed) — a
+      // 2 min cadence reclaims continuously at negligible cost
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
