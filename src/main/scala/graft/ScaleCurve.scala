@@ -317,6 +317,12 @@ object ScaleCurve {
 
   final case class Point(n: Long, metrics: Seq[(String, String)])
 
+  /** Section progress marker (stderr): lets a crashed long run — e.g.
+    * the r18 ENOSPC two-thirds in — be attributed to a section from
+    * the log instead of guessed from stage numbers. */
+  def mark(s: String): Unit =
+    System.err.println(s"[scalecurve] +${System.nanoTime() / 1000000000L}s $s")
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/SCALECURVE.md")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -1206,6 +1212,7 @@ object ScaleCurve {
       }
 
     // ---- 5c. normalizerResults octaves (VERDICT r15 #7) --------------
+    mark("5c normalizerResults")
     // The WIDEST synonymizer query (fallback resolve + full member
     // detail arrays + category histograms + rep-category join) against
     // a growing KG with a FIXED 100k-probe batch — the nightly-batch
@@ -1253,6 +1260,7 @@ object ScaleCurve {
       }
 
     // ---- 12b. FRAMED k-means assignment at production k (r15 #1) ----
+    mark("12b framed kmeans")
     // k = 10,000 member centroids NEVER touch the driver or the plan:
     // training is lloydFramed (centroid state lives in a (cluster, cv)
     // frame between rounds; per-round driver state = nSupers·d super
@@ -1298,6 +1306,7 @@ object ScaleCurve {
       }
 
     // ---- 12c. THREE-LEVEL framed assignment at k = 100,000 (r16 #2) --
+    mark("12c three-level")
     // The next ceiling after driver state is the member-array ROW: the
     // two-level path packs k/nSupers member centroids into ONE array
     // row per super — ~316 members (~81 KB) here, ~9 MB at the SemDeDup
@@ -1422,6 +1431,7 @@ object ScaleCurve {
       }
 
     // ---- 12d. Dense-cell cap under a planted mega-cell (r16 #5) ------
+    mark("12d dense-cell cap")
     // One Zipf-mass cell (10,000 IDENTICAL embeddings — mass-duplicated
     // boilerplate, a real crawl pathology) makes the within-cell search
     // quadratic: C(10k, 2) ≈ 50M cosine pairs in ONE task. The capped
@@ -1471,6 +1481,7 @@ object ScaleCurve {
       }
 
     // ---- 13. BPE id-domain training (r15 #3) -------------------------
+    mark("13 bpe id-domain")
     // The word-frequency formulation measured: ONE corpus-scale
     // aggregation builds the (word-ids, cnt) table, then every merge
     // round runs on that bounded table — per-round wall must be flat
@@ -1529,6 +1540,7 @@ object ScaleCurve {
       }
 
     // ---- 13b. VOCAB-SCALE trainer (r17 #1) ---------------------------
+    mark("13b bpe vocab-scale")
     // The driver-incremental Sennrich trainer measured against the
     // per-round-job trainer at a REAL vocabulary size: ≥1000 merges is
     // where the sequential formulation's r jobs × O(r) re-application
@@ -1585,6 +1597,7 @@ object ScaleCurve {
       }
 
     // ---- 5c-cores. Executors-absorb adjudication (VERDICT r17 #4) ----
+    mark("5c-cores")
     // §5c's octave growth (×1.2 → ×1.9 → ×2.6 per ×4 data) trends
     // toward linear — "executors absorb it" needs a measurement, not a
     // claim. The 64M point re-measured at 32 then 16 threads in FRESH
