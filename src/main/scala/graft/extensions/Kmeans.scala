@@ -853,35 +853,44 @@ object Kmeans {
       .select(col("id"), col("v"),
               probesGuard(graft.functions.NearestCentroids(col("v"),
                 routing.routeCents, nProbe)).as("sprobes"))
+    // per probed super: its nProbe nearest mids, ONE kernel call over
+    // the joined mid array — computed immediately after the join and
+    // the mid array DROPPED before the next exchange (the same
+    // early-projection rule as the leaf slots below)
     val withMids = (1 to nProbe).foldLeft(routed) { (acc, i) =>
       acc.join(midArr.select(col("super").as(s"super_$i"),
                              col("midarr").as(s"midarr_$i")),
         get(col("sprobes"), lit(i - 1)) === col(s"super_$i"), "left")
+        .withColumn(s"mprobes_$i",
+          graft.functions.NearestCentroidsIn(col("v"), col(s"midarr_$i"),
+            nProbe))
+        .drop(s"midarr_$i")
     }
-    // per probed super: its nProbe nearest mids, ONE kernel call over
-    // the joined mid array (null midarr → null probes → null slots)
-    val withProbes = withMids.select(
-      col("id") +: col("v") +: (1 to nProbe).flatMap(i => Seq(
-        col(s"super_$i"),
-        graft.functions.NearestCentroidsIn(col("v"), col(s"midarr_$i"),
-          nProbe).as(s"mprobes_$i"))): _*)
     val slotKeys = for { i <- 1 to nProbe; j <- 1 to nProbe } yield (i, j)
-    val joined = slotKeys.foldLeft(withProbes) { case (acc, (i, j)) =>
+    // each leaf slot REDUCES to its argmin struct right after its 1:1
+    // join and the member array drops before the next join's exchange
+    // (r18: carrying every marr_{i,j} to a final combined select made
+    // each successive shuffle haul all prior slots' k^(1/3)·d arrays
+    // per row — a 15× wall and a disk-spill explosion at the §12c
+    // octave; slot values are per-row, so early projection is
+    // semantics-free)
+    val joined = slotKeys.foldLeft(withMids) { case (acc, (i, j)) =>
+      val b = marrBest(col(s"marr_${i}_$j"))
       acc.join(marr.select(col("super").as(s"s_${i}_$j"),
                            col("mid").as(s"m_${i}_$j"),
                            col("marr").as(s"marr_${i}_$j")),
         col(s"super_$i") === col(s"s_${i}_$j") &&
           get(col(s"mprobes_$i"), lit(j - 1)) === col(s"m_${i}_$j"),
         "left")
+        .withColumn(s"best_${i}_$j",
+          when(col(s"s_${i}_$j").isNotNull,
+            struct(b.getField("d").as("d"),
+                   b.getField("cluster").as("cluster"),
+                   col(s"s_${i}_$j").as("super"),
+                   col(s"m_${i}_$j").as("mid"))))
+        .drop(s"marr_${i}_$j", s"s_${i}_$j", s"m_${i}_$j")
     }
-    val slots = slotKeys.map { case (i, j) =>
-      val b = marrBest(col(s"marr_${i}_$j"))
-      when(col(s"s_${i}_$j").isNotNull,
-        struct(b.getField("d").as("d"),
-               b.getField("cluster").as("cluster"),
-               col(s"s_${i}_$j").as("super"),
-               col(s"m_${i}_$j").as("mid")))
-    }
+    val slots = slotKeys.map { case (i, j) => col(s"best_${i}_$j") }
     joined.select(col("id"), least(slots: _*).as("best"))
       .select(col("id"), col("best.cluster").as("cluster"),
               floor(col("best.d") * lit(Q)).cast("long").as("dq"),
@@ -923,18 +932,27 @@ object Kmeans {
       // left join: a corpus with fewer populated supers than nProbe
       // yields short probe arrays — get() (0-based) is null past the
       // end (element_at THROWS there under Spark 4's default ANSI
-      // mode), the slot's struct stays null and least() skips it
+      // mode), the slot's struct stays null and least() skips it.
+      // The slot REDUCES to its argmin struct immediately after its
+      // join and the member array drops BEFORE the next join's
+      // exchange (r18: letting every marr_i survive to a final
+      // combined select meant each successive shuffle carried all
+      // prior slots' k/√k·d arrays per row — a row-width explosion
+      // that turned the p2 wall 15× and spilled whole disks at the
+      // §12c octave; slot values are per-row, so early projection is
+      // semantics-free)
+      val b = marrBest(col(s"marr_$i"))
       acc.join(marr.select(col("super").as(s"super_$i"),
                            col("marr").as(s"marr_$i")),
         get(col("probes"), lit(i - 1)) === col(s"super_$i"), "left")
+        .withColumn(s"best_$i",
+          when(col(s"super_$i").isNotNull,
+            struct(b.getField("d").as("d"),
+                   b.getField("cluster").as("cluster"),
+                   col(s"super_$i").as("super"))))
+        .drop(s"marr_$i", s"super_$i")
     }
-    val slots = (1 to nProbe).map { i =>
-      val b = marrBest(col(s"marr_$i"))
-      when(col(s"super_$i").isNotNull,
-        struct(b.getField("d").as("d"),
-               b.getField("cluster").as("cluster"),
-               col(s"super_$i").as("super")))
-    }
+    val slots = (1 to nProbe).map(i => col(s"best_$i"))
     joined.select(col("id"), least(slots: _*).as("best"))
       .select(col("id"), col("best.cluster").as("cluster"),
               floor(col("best.d") * lit(Q)).cast("long").as("dq"),
