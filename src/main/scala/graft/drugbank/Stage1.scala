@@ -31,17 +31,8 @@ object Stage1 {
     // (pickle checkpoint, perform_NER.py:141-142).
     val recs = Sinks.stageBoundary(DrugBank.records(drugs, syn))
 
-    // indication_NER_aligned (perform_NER.py:117-125): bracket-scrubbed
-    // indication → disease-category matches.
-    val indication = ner.asMap(ner.textToKg2Nodes(
-        recs.filter(col("indication").isNotNull)
-          .select(col("kg2_id"),
-                  StringOps.removeBrackets(col("indication")).as("text")),
-        "kg2_id", "text", Constants.IndicationCategories))
-      .withColumnRenamed("matches", "indication_NER_aligned")
-
-    // mechanistic_intermediate_nodes (perform_NER.py:126-134): each
-    // truthy MOSTLY_TEXT_FIELDS value contributes
+    // mechanistic text (perform_NER.py:126-134): each truthy
+    // MOSTLY_TEXT_FIELDS value contributes
     // `remove_brackets(text) + "\n "` — the reference's `if text:` guard
     // skips null AND empty strings, and the separator TRAILS every
     // contribution (concat_ws would drop the trailing one and keep
@@ -53,10 +44,35 @@ object Stage1 {
           concat(StringOps.removeBrackets(col(f)), lit("\n ")))
           .otherwise(lit(""))
       }: _*)
-    val mechanistic = ner.asMap(ner.textToKg2Nodes(
-        recs.select(col("kg2_id"), mechText.as("text")),
-        "kg2_id", "text", Constants.MechanisticCategories))
-      .withColumnRenamed("matches", "mechanistic_intermediate_nodes")
+
+    // BOTH NER passes fused into ONE linking pipeline (r19): the
+    // indication pass (perform_NER.py:117-125, disease categories) and
+    // the mechanistic pass (perform_NER.py:126-134, 24 categories) ride
+    // one pass-tagged union through one sentences → mentions →
+    // dictionary-join → merge pipeline, with the per-pass category
+    // filter applied before the merge exactly as the two separate calls
+    // applied it (textToKg2NodesByPass) — row-identical output, half
+    // the linking machinery (one hits aggregate, one dictionary build,
+    // and for the model adapter ONE model pass). The small merged-hits
+    // frame is persisted: it feeds both map aggregations below.
+    val tagged = recs.filter(col("indication").isNotNull)
+      .select(struct(lit("ind").as("pass"), col("kg2_id").as("k")).as("pk"),
+              StringOps.removeBrackets(col("indication")).as("text"))
+      .unionByName(recs.select(
+        struct(lit("mech").as("pass"), col("kg2_id").as("k")).as("pk"),
+        mechText.as("text")))
+    val hits = ner.textToKg2NodesByPass(tagged, "pk", "text",
+        Map("ind" -> Constants.IndicationCategories,
+            "mech" -> Constants.MechanisticCategories))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def passMap(pass: String, outName: String) =
+      ner.asMap(hits
+          .filter(col("doc_key").getField("pass") === pass)
+          .select(col("doc_key").getField("k").as("doc_key"),
+                  col("curie"), col("name"), col("category")))
+        .withColumnRenamed("matches", outName)
+    val indication = passMap("ind", "indication_NER_aligned")
+    val mechanistic = passMap("mech", "mechanistic_intermediate_nodes")
 
     recs
       .join(indication, col("kg2_id") === indication("doc_key"), "left")

@@ -272,27 +272,42 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val v = verts.count()
     require(v > 0, "HITS needs a non-empty edge list")
-    // common-divisor renormalization: x div max(1, total div Scale) —
-    // one broadcast of the 1-row total, all integral. `raw` is
-    // referenced TWICE (total + join), and each half-step feeds the
-    // next, so an uncut lazy chain doubles the logical plan per
-    // half-step (2^(2·iters) re-analysis — the labelPropagation
-    // failure mode, measured here as a 2.6-minute demo-scale run).
-    // Each half-step therefore persists its raw sums and CUTS at its
-    // renormalized vector: 2 small extra jobs per round, plan size
-    // constant.
+    // common-divisor renormalization: x div max(1, total div Scale).
+    // SUPPORT-ONLY iteration (r19): the half-step vectors carry only
+    // vertices with a raw sum — an absent vertex's score is exactly 0,
+    // `0 div d = 0`, and a zero score contributes nothing to the next
+    // half-step's inner-join sums, so dropping the per-half-step
+    // verts left-join (8 |V|-row joins per 4-iteration run) is
+    // bit-exact; the full vector is completed ONCE at the end
+    // (coalesce to 0 over `verts`). The closure argument: every
+    // out-neighbor w has an in-edge, so w appears in every auth
+    // vector; every in-neighbor u has an out-edge, so u appears in
+    // every hub vector (the fresh init is complete anyway) — no sum
+    // ever misses a non-zero term. The 1-row total is a bounded
+    // driver scalar (the verts.count() class) folded in as a literal,
+    // replacing the per-half-step BroadcastExchange+crossJoin — and
+    // with the divisor a literal, each renormalized vector is
+    // referenced exactly ONCE (by the next half-step), so the chain
+    // is linear and needs NO per-half-step lineage cut (the walkLoop
+    // stance): each half-step persists its raw sums — filled by the
+    // same total-aggregate job — and the one final materialization
+    // reads the cached chain; every intermediate is released after.
+    // (The old shape checkpointed every half-step because the
+    // broadcast-total plan referenced raw twice, doubling the tree —
+    // 2 extra jobs per half-step that no longer exist.)
+    val kept = scala.collection.mutable.Buffer[DataFrame]()
     def renorm(raw0: DataFrame, outName: String): DataFrame = {
       val raw = raw0.persist(StorageLevel.MEMORY_AND_DISK)
-      val tot = raw.agg(sum(col("raw")).as("tot"))
-      val out = verts.join(raw, Seq("id"), "left")
-        .crossJoin(broadcast(tot))
-        .select(col("id"),
-          expr(s"coalesce(raw, 0L) div greatest(1L, tot div $Scale)")
-            .as(outName))
-        .localCheckpoint(true)
-      raw.unpersist(false)
-      out
+      kept += raw
+      val totRow = raw.agg(sum(col("raw"))).collect().head
+      val tot = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+      val divisor = math.max(1L, tot / Scale)
+      raw.select(col("id"), expr(s"raw div $divisor").as(outName))
     }
+    // each iteration re-derives auth from hub FIRST, so the recursion's
+    // Markovian state is the hub vector alone — the saved auth_fp
+    // travels in the artifact for consumers (it is the other half of
+    // the result) but never feeds a resumed recursion
     var hub = prevState match {
       case None => verts.select(col("id"), lit(Scale / v).as("hub_fp"))
       case Some(prev) =>
@@ -302,24 +317,38 @@ object Graph {
             col("hub_fp").cast("long").as("ph")), Seq("id"), "left")
           .select(col("id"), coalesce(col("ph"), lit(Scale / v)).as("hub_fp"))
     }
-    // each iteration re-derives auth from hub FIRST, so the recursion's
-    // Markovian state is the hub vector alone — the saved auth_fp
-    // travels in the artifact for consumers (it is the other half of
-    // the result) but never feeds a resumed recursion
-    var auth = verts.select(col("id"), lit(0L).as("auth_fp"))
-    for (_ <- 1 to iterations) {
-      auth = renorm(
-        e.join(hub.withColumnRenamed("id", "src"), "src")
-          .groupBy(col("dst").as("id")).agg(sum(col("hub_fp")).as("raw")),
-        "auth_fp")
+    var auth: DataFrame = null
+    for (t <- 1 to iterations) {
+      val araw =
+        if (t == 1 && prevState.isEmpty)
+          // fresh iteration 1: hub is the CONSTANT Scale/v everywhere,
+          // so the join collapses to indeg(d)·base — one aggregate,
+          // no join, same exact sum
+          e.groupBy(col("dst").as("id"))
+            .agg((count(lit(1)) * lit(Scale / v)).as("raw"))
+        else
+          e.join(hub.withColumnRenamed("id", "src"), "src")
+            .groupBy(col("dst").as("id")).agg(sum(col("hub_fp")).as("raw"))
+      auth = renorm(araw, "auth_fp")
       hub = renorm(
         e.join(auth.withColumnRenamed("id", "dst"), "dst")
           .groupBy(col("src").as("id")).agg(sum(col("auth_fp")).as("raw")),
         "hub_fp")
     }
-    val out = hub.join(auth, Seq("id")).localCheckpoint(true)
-    e.unpersist(false); verts.unpersist(false)
-    out
+    // complete both support-only vectors over the vertex set once;
+    // the one eager cut materializes through the cached raw chain,
+    // then every intermediate is released (in finally — a failed job
+    // must not strand ≤ 2·iters cached half-step frames)
+    try verts
+      .join(hub, Seq("id"), "left")
+      .join(auth, Seq("id"), "left")
+      .select(col("id"), coalesce(col("hub_fp"), lit(0L)).as("hub_fp"),
+              coalesce(col("auth_fp"), lit(0L)).as("auth_fp"))
+      .localCheckpoint(true)
+    finally {
+      kept.foreach(_.unpersist(false))
+      e.unpersist(false); verts.unpersist(false)
+    }
   }
 
   /** Warm-start (incremental) PageRank — the append-without-recompute

@@ -87,6 +87,23 @@ final class DictionaryNer(nodes: DataFrame, clusters: DataFrame,
     val hits = m.join(dictionary, "mention_key")
     DictionaryNer.filterAndMerge(hits, categories)
   }
+
+  /** Fused multi-pass form (see [[EntityLinker.textToKg2NodesByPass]]):
+    * one mention/dictionary pipeline over the pass-tagged union, the
+    * per-pass category filters applied to the raw hits before the
+    * merge — row-identical to one [[textToKg2Nodes]] call per pass.
+    */
+  override def textToKg2NodesByPass(docs: DataFrame, keyCol: String,
+                                    textCol: String,
+                                    categoriesByPass: Map[String, Set[String]])
+      : DataFrame = {
+    val m = DictionaryNer.rawMentions(
+        sentences(docs, keyCol, textCol), maxGram, minMentionChars)
+      .withColumn("mention_key", StringOps.simplify(col("mention")))
+      .filter(length(col("mention_key")) > 0)
+    val hits = m.join(dictionary, "mention_key")
+    DictionaryNer.filterAndMergeByPass(hits, categoriesByPass)
+  }
 }
 
 object DictionaryNer {
@@ -152,6 +169,23 @@ object DictionaryNer {
       .groupBy(col("doc_key"), col("curie"))
       .agg(AggOps.longestWins(col("mention")).as("name"),
            max(col("preferred_category")).as("category"))
+  }
+
+  /** [[filterAndMerge]] with a PASS-dependent category filter: the
+    * doc_key struct's `pass` field selects which category set gates the
+    * row, before the shared longest-wins merge — so one fused pipeline
+    * reproduces N per-pass calls row for row. A row whose pass is not
+    * in the map is dropped (callers tag every row they pass in).
+    */
+  private[ner] def filterAndMergeByPass(hits: DataFrame,
+      categoriesByPass: Map[String, Set[String]]): DataFrame = {
+    val pass = col("doc_key").getField("pass")
+    val pred = categoriesByPass.map { case (p, cats) =>
+      if (cats.isEmpty) pass === p
+      else pass === p &&
+        col("preferred_category").isin(cats.toSeq.map(x => x: Any): _*)
+    }.reduce(_ || _)
+    filterAndMerge(hits.filter(pred), Set.empty)
   }
 
   /** P2+P3+P4: text → gated, scrubbed sentences (perform_NER.py:22-28).

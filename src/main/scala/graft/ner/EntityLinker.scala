@@ -33,6 +33,25 @@ trait EntityLinker {
   def textToKg2Nodes(docs: DataFrame, keyCol: String, textCol: String,
                      categories: Set[String] = Set.empty): DataFrame
 
+  /** Fused multi-pass linking (r19 optimization seam): `docs` rows are
+    * tagged with a pass label (`keyCol` must be a struct whose `pass`
+    * field names the pass), and each pass gets its own category filter
+    * — applied BEFORE the longest-wins merge, exactly as a separate
+    * [[textToKg2Nodes]] call would. One linking pipeline (sentences →
+    * mentions/model → dictionary join → merge) replaces one per pass:
+    * at scale that is one map pass + one hits aggregate instead of N,
+    * and the model adapter opens its models once. The default
+    * implementation is the unfused per-pass composition, so any custom
+    * linker stays correct without overriding.
+    */
+  def textToKg2NodesByPass(docs: DataFrame, keyCol: String, textCol: String,
+                           categoriesByPass: Map[String, Set[String]])
+      : DataFrame =
+    categoriesByPass.toSeq.sortBy(_._1).map { case (p, cats) =>
+      textToKg2Nodes(docs.filter(col(keyCol).getField("pass") === p),
+        keyCol, textCol, cats)
+    }.reduce(_.unionByName(_))
+
   /** Map-form result (`indication_NER_aligned` /
     * `mechanistic_intermediate_nodes` shape, perform_NER.py:119-134):
     * doc_key → map<curie, struct<name, category>> with deterministically

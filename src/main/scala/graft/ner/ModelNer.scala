@@ -84,7 +84,15 @@ final class ModelNer(nodes: DataFrame, clusters: DataFrame,
   }
 
   def textToKg2Nodes(docs: DataFrame, keyCol: String, textCol: String,
-                     categories: Set[String] = Set.empty): DataFrame = {
+                     categories: Set[String] = Set.empty): DataFrame =
+    DictionaryNer.filterAndMerge(rawHits(docs, keyCol, textCol), categories)
+
+  /** The shared model pipeline up to (doc_key, curie, mention,
+    * preferred_category) hits — factored so the fused multi-pass entry
+    * reuses one model pass.
+    */
+  private def rawHits(docs: DataFrame, keyCol: String,
+                      textCol: String): DataFrame = {
     val sents = DictionaryNer.sentences(docs, keyCol, textCol)
     val keyField = sents.schema("doc_key")
     val outSchema = StructType(Seq(
@@ -127,11 +135,24 @@ final class ModelNer(nodes: DataFrame, clusters: DataFrame,
           .otherwise(concat(lit(NameKey),
                             StringOps.simplify(col("mention")))))
       .filter(col("candidate").isNotNull || col("link_key") =!= NameKey)
-    val hits = keyed.join(lookup, "link_key")
+    keyed.join(lookup, "link_key")
       .select(col("doc_key"), col("curie"), col("mention"),
               col("preferred_category"))
-    DictionaryNer.filterAndMerge(hits, categories)
   }
+
+  /** Fused multi-pass form (see [[EntityLinker.textToKg2NodesByPass]]):
+    * ONE mapPartitions model pass over the pass-tagged union — the
+    * models open once per partition instead of once per pass — with the
+    * per-pass category filters applied to the raw hits before the
+    * shared merge; row-identical to one [[textToKg2Nodes]] call per
+    * pass.
+    */
+  override def textToKg2NodesByPass(docs: DataFrame, keyCol: String,
+                                    textCol: String,
+                                    categoriesByPass: Map[String, Set[String]])
+      : DataFrame =
+    DictionaryNer.filterAndMergeByPass(
+      rawHits(docs, keyCol, textCol), categoriesByPass)
 }
 
 object ModelNer {

@@ -130,18 +130,24 @@ object DrugBankDemos {
       val s1 = t("stage1")(
         Stage1.run(drugs(s, dir), syn, new DictionaryNer(nodes, clusters)))
       val s2 = t("stage2")(Stage2.run(s1, new IdentifierAlignment(syn)))
-        .persist() // three flatten branches below; run the pipeline once
-      val rec = s2.select(col("kg2_id"), lit("rec").as("src"),
-        col("kg2_id").as("curie"), col("name"), col("category"))
-      val ind = s2.select(col("kg2_id"), lit("ind").as("src"),
-          explode(col("indication_NER_aligned")).as(Seq("curie", "info")))
-        .select(col("kg2_id"), col("src"), col("curie"),
-                col("info.name").as("name"), col("info.category").as("category"))
-      val mech = s2.select(col("kg2_id"), lit("mech").as("src"),
-          explode(col("mechanistic_intermediate_nodes")).as(Seq("curie", "info")))
-        .select(col("kg2_id"), col("src"), col("curie"),
-                col("info.name").as("name"), col("info.category").as("category"))
-      rec.unionByName(ind).unionByName(mech)
+      // ONE flatten pass (r19): the rec row and both exploded maps emit
+      // from a single concat'd array per record — the old three-branch
+      // union read the (persisted) stage-2 frame three times; this scan
+      // reads it once and needs no persist at all. Multiset-identical
+      // rows, same global order.
+      def entries(src: String, m: Column) =
+        transform(map_entries(m), e =>
+          struct(lit(src).as("src"), e.getField("key").as("curie"),
+                 e.getField("value").getField("name").as("name"),
+                 e.getField("value").getField("category").as("category")))
+      s2.select(col("kg2_id"), explode(concat(
+          array(struct(lit("rec").as("src"), col("kg2_id").as("curie"),
+                       col("name"), col("category"))),
+          entries("ind", col("indication_NER_aligned")),
+          entries("mech", col("mechanistic_intermediate_nodes")))).as("x"))
+        .select(col("kg2_id"), col("x.src").as("src"),
+                col("x.curie").as("curie"), col("x.name").as("name"),
+                col("x.category").as("category"))
         .orderBy("kg2_id", "src", "curie")
     }))
 
