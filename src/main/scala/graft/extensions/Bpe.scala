@@ -343,13 +343,21 @@ object Bpe {
                                maxWordTypes: Long = defaultMaxWordTypes)
       : Seq[(Int, Int, Int, Long)] = {
     require(rounds >= 1, "rounds must be >= 1")
-    val nTypes = wordFreqs.count()
-    require(nTypes <= maxWordTypes,
-      s"word-frequency table has $nTypes types > maxWordTypes " +
-        s"$maxWordTypes — raise the bound deliberately (driver-heap " +
+    // fail-fast WITHOUT a separate count() job: a bounded limit-probe
+    // collects at most maxWordTypes+1 rows — over the bound it aborts
+    // having read one row past it, under the bound those rows ARE the
+    // training input, so the only data-sized aggregation runs ONCE
+    // (the old count()+collect() pair recomputed it twice; r18 advice)
+    require(maxWordTypes < Int.MaxValue,
+      s"maxWordTypes must be < Int.MaxValue, got $maxWordTypes")
+    val probe = wordFreqs.select(col("w"), col("cnt"))
+      .limit(maxWordTypes.toInt + 1).collect()
+    require(probe.length <= maxWordTypes,
+      s"word-frequency table has > maxWordTypes " +
+        s"$maxWordTypes types — raise the bound deliberately (driver-heap " +
         "cost) or pre-filter the frequency table (min-frequency / " +
         "top-N cut), or fall back to collectMergesIdsFrom")
-    val rows = wordFreqs.select(col("w"), col("cnt")).collect()
+    val rows = probe
     val syms = rows.map(_.getSeq[Int](0).toArray)
     val cnts = rows.map(_.getLong(1))
     trainIncremental(syms, cnts, rounds)

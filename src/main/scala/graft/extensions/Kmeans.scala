@@ -1267,19 +1267,24 @@ object Kmeans {
     val cellInfo = staged.groupBy("cluster")
       .agg(count(lit(1)).as("csize"), min(col("id")).as("rep"))
     def probe(): Boolean = !cellInfo.filter(col("csize") > maxCell).isEmpty
-    val anyMega = GraftBridge.cacheEntryToken(staged) match {
+    val anyMega = GraftBridge.cacheEntryRecord(staged) match {
       case None => probe() // nothing pins the data — never memoize
-      case Some(tok) =>
+      case Some(rec) =>
         val perSession = capProbeMemo.computeIfAbsent(
           staged.sparkSession,
           _ => new java.util.concurrent.ConcurrentHashMap[
-            (Int, Int), (Int, Boolean)])
+            (Int, Int), (java.lang.ref.WeakReference[AnyRef], Boolean)])
         val key = (staged.queryExecution.analyzed.semanticHash(), maxCell)
         perSession.get(key) match {
-          case (t, v) if t == tok => v
+          // reference identity against the LIVE record — collision-free
+          // (an identityHashCode token could alias a later record after
+          // GC; r18 advice), same lifetime semantics: a cleared weak ref
+          // or a re-registered entry both miss and re-probe
+          case (ref, v) if ref.get() != null && (ref.get() eq rec) => v
           case _ =>
             val v = probe()
-            perSession.put(key, (tok, v))
+            perSession.put(key,
+              (new java.lang.ref.WeakReference[AnyRef](rec), v))
             v
         }
     }
@@ -1321,5 +1326,6 @@ object Kmeans {
     * builds. */
   private val capProbeMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(Int, Int), (Int, Boolean)]])
+      java.util.concurrent.ConcurrentHashMap[(Int, Int),
+        (java.lang.ref.WeakReference[AnyRef], Boolean)]])
 }

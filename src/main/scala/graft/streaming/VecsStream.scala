@@ -201,11 +201,13 @@ object VecsStream {
                           stage0Dir: String, stageDir: String,
                           flagsDir: String, threshold: Double,
                           idCol: String = "vec_id",
-                          vecCol: String = "embedding"): Unit =
+                          vecCol: String = "embedding",
+                          maxCell: Int =
+                            graft.extensions.Kmeans.defaultMaxCell): Unit =
     semdedupIngestStaged(
       graft.extensions.Kmeans.semStageFramed(batch, idCol, vecCol,
         routing),
-      batchId, stage0Dir, stageDir, flagsDir, threshold)
+      batchId, stage0Dir, stageDir, flagsDir, threshold, maxCell)
 
   /** [[semdedupIngest]] with THREE-LEVEL routing (VERDICT r17 #5) —
     * the streaming face of `semdedup_prune_framed3`: at the 2M-cell
@@ -240,22 +242,47 @@ object VecsStream {
                            stage0Dir: String, stageDir: String,
                            flagsDir: String, threshold: Double,
                            idCol: String = "vec_id",
-                           vecCol: String = "embedding"): Unit =
+                           vecCol: String = "embedding",
+                           maxCell: Int =
+                             graft.extensions.Kmeans.defaultMaxCell): Unit =
     semdedupIngestStaged(
       graft.extensions.Kmeans.semStageFramed3(batch, idCol, vecCol,
         routing),
-      batchId, stage0Dir, stageDir, flagsDir, threshold)
+      batchId, stage0Dir, stageDir, flagsDir, threshold, maxCell)
 
   /** The shared ingest tail over an already-staged batch frame
     * ((id, v, nrm, cluster, dq) — any [[graft.extensions.Kmeans
     * .semStage]]-family depth): list history, flag within-cell
     * new-vs-history near-dups, land flags THEN the staged list (the
     * write-order argument: a listed history partition is always
-    * complete). */
+    * complete).
+    *
+    * DENSE-CELL CAP (r19, VERDICT r18 #2): uncapped, the flag join
+    * pairs every new vector with ALL accumulated history of its cell —
+    * O(|new∩cell|·|hist∩cell|) per batch, O(H²) over the stream's
+    * life on a §12d mega-cell (mass-duplicated boilerplate with
+    * near-identical embeddings, exactly what this operator exists to
+    * remove). Cells whose HISTORY exceeds `maxCell` members therefore
+    * flag against the cell's min-id REPRESENTATIVE only — the
+    * [[graft.extensions.Kmeans.pairsOf]] star-reduction argument: the
+    * cap only ever trips on mass-duplicate cells, where every true dup
+    * still matches the representative, so the `dup_of` contract is
+    * preserved (dup_of = the cell's min history id; n_matches
+    * collapses to the representative count — the same documented
+    * recall trade as pairsOf/bandCandidatePairs). Cells at or under
+    * `maxCell` — every healthy corpus, and all demo fixtures — join
+    * their FULL history: flags are bit-identical to the uncapped
+    * join. The per-cell sizes come from one k-row broadcast aggregate
+    * over the (column-pruned) history listing — no window, no extra
+    * probe action; the flag join scans the same history anyway.
+    */
   private def semdedupIngestStaged(staged: DataFrame, batchId: Long,
                                    stage0Dir: String, stageDir: String,
                                    flagsDir: String,
-                                   threshold: Double): Unit = {
+                                   threshold: Double,
+                                   maxCell: Int =
+                                     graft.extensions.Kmeans.defaultMaxCell)
+      : Unit = {
     import org.apache.spark.sql.functions._
     import graft.extensions.Similarity
     val spark = staged.sparkSession
@@ -276,8 +303,15 @@ object VecsStream {
         .parquet(stage0Dir +: priorIds.map(i => s"$stageDir/batch=$i"): _*)
         .select(col("id").as("hist_id"), col("v").as("hv"),
                 col("nrm").as("hnrm"), col("cluster"))
+      // k-row per-cell history profile; broadcast so the cap filter is
+      // map-side on the history stream
+      val histInfo = broadcast(hist.groupBy("cluster")
+        .agg(count(lit(1)).as("hsize"), min(col("hist_id")).as("hrep")))
+      val histCapped = hist.join(histInfo, "cluster")
+        .filter(col("hsize") <= maxCell || col("hist_id") === col("hrep"))
+        .select(col("cluster"), col("hist_id"), col("hv"), col("hnrm"))
       val flags = staged.select("id", "v", "nrm", "cluster")
-        .join(hist, "cluster")
+        .join(histCapped, "cluster")
         .select(col("id"), col("hist_id"),
           when(col("nrm") > 0 && col("hnrm") > 0,
             Similarity.dot(col("v"), col("hv"))

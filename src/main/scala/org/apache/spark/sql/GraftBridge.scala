@@ -18,18 +18,21 @@ object GraftBridge {
       : DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
-  /** Identity token of the LIVE CacheManager entry this frame's plan
-    * resolves to, if any. The token is the identity hash of the stored
-    * `CachedData` record, which is created at `persist()` registration
-    * and replaced by a NEW record after `clearCache()`/`unpersist()` +
-    * re-persist — so two verdicts computed "over the cache" can be told
-    * apart even when the plans are semantically identical (same path,
-    * rewritten data). `Dataset.storageLevel` only answers "cached NOW",
-    * which cannot distinguish a re-registered entry from the one a
-    * memoized verdict was computed on. */
-  def cacheEntryToken(df: Dataset[_]): Option[Int] = {
+  /** The LIVE CacheManager entry record this frame's plan resolves to,
+    * if any. The `CachedData` record is created at `persist()`
+    * registration and replaced by a NEW record after
+    * `clearCache()`/`unpersist()` + re-persist — so two verdicts
+    * computed "over the cache" can be told apart even when the plans
+    * are semantically identical (same path, rewritten data).
+    * `Dataset.storageLevel` only answers "cached NOW", which cannot
+    * distinguish a re-registered entry from the one a memoized verdict
+    * was computed on. Callers hold the record WEAKLY (a WeakReference
+    * in the memo) and compare by reference identity (`eq`) — an
+    * identityHashCode token could collide (~2^-32) with a later record
+    * after the old one is GC'd and silently revive a stale verdict
+    * (r18 advice). */
+  def cacheEntryRecord(df: Dataset[_]): Option[AnyRef] = {
     val ds = df.asInstanceOf[classic.Dataset[_]]
     ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds)
-      .map(System.identityHashCode(_))
   }
 }

@@ -893,4 +893,52 @@ class StreamingSpec extends SparkTestBase {
       0L, routing, stage0, stage, flags, threshold = 0.9)
     assert(flagRows() == got)
   }
+
+  test("streaming SemDeDup dense-cell cap (VERDICT r18 #2): a mega " +
+       "cell's history collapses to its min-id representative — per-" +
+       "batch candidates linear in the batch, dup_of unchanged for " +
+       "true dups — while at-or-under-cap cells flag bit-identically " +
+       "to the uncapped join") {
+    import spark.implicits._
+    import graft.streaming.VecsStream
+    import graft.extensions.Kmeans
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdcap")
+    // cell 0: 12 near-identical history vectors (ids 0..11) — the §12d
+    // mass-duplicate pathology; cell 1: one history vector (id 100)
+    val hist = ((0L to 11L).map(i => i -> Array(1f, 0f)) :+
+        (100L -> Array(0f, 10f))).toDF("vec_id", "embedding")
+    // explicit frozen centroids (a lloyd fit on a 12-vs-1 fixture may
+    // not separate the blobs) — the routing is frozen structure anyway
+    val routing = Kmeans.framedRoutingFor(
+      Seq(0 -> Array(1.0, 0.0), 1 -> Array(0.0, 10.0))
+        .toDF("cluster", "cv"), "cluster", "cv", nSupers = 1)
+    val st0 = Kmeans.semStageFramed(hist, "vec_id", "embedding", routing)
+    st0.write.mode("overwrite").parquet(s"$tmp/stage0")
+    st0.unpersist(false)
+    // batch: id 200 → mega cell (cos vs (1,0) ≈ 0.9988), id 201 →
+    // small cell (cos vs (0,10) = 1.0)
+    val batch = Seq(200L -> Array(2f, 0.1f), 201L -> Array(0f, 9f))
+      .toDF("vec_id", "embedding")
+    def run(sub: String, maxCell: Int) = {
+      VecsStream.semdedupIngestBatch(batch, 0L, routing, s"$tmp/stage0",
+        s"$tmp/$sub/stage", s"$tmp/$sub/flags", threshold = 0.9,
+        maxCell = maxCell)
+      spark.read.parquet(s"$tmp/$sub/flags")
+        .select(functions.col("id"), functions.col("dup_of"),
+          functions.col("n_matches"), functions.col("best_cos"))
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    }
+    val uncapped = run("full", Int.MaxValue)
+    val capped = run("capped", maxCell = 8)
+    // uncapped: the mega cell pays |hist∩cell| = 12 matches
+    assert(uncapped(200L)._1 == 0L && uncapped(200L)._2 == 12L)
+    // capped: ONE representative match — candidates linear in the
+    // batch — with dup_of still the cell's min history id and the
+    // identical best_cos (identical history vectors)
+    assert(capped(200L) == ((0L, 1L, uncapped(200L)._3)))
+    // the at-cap cell (1 ≤ maxCell) is bit-identical either way
+    assert(capped(201L) == uncapped(201L) &&
+      capped(201L)._1 == 100L && capped(201L)._2 == 1L)
+  }
 }
