@@ -284,7 +284,17 @@ object Bench {
     // lost the leading `"value":` total to head-truncation of the long
     // line — the trailing compact line always survives the tail window
     println(summary)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench.json")
+    // Dirty-run quarantine (VERDICT r18 #4): a run with steal
+    // suspects must never overwrite the committed quiet artifact —
+    // two rounds running, the driver's last (noisy) run landed in
+    // bench.json and canceled the floor gate on the handed tree. A
+    // steal_suspect>0 run at the DEFAULT path lands in
+    // bench.dirty.json (gitignored) instead; an explicit
+    // SPARK_GRAFT_BENCH_OUT is the caller's choice and is respected
+    // either way.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (stealSuspects > 0) "/root/repo/bench.dirty.json"
+      else "/root/repo/bench.json")
     Files.writeString(Paths.get(out), json + "\n" + summary + "\n")
     // roll this run into the historical minimums (clean samples only)
     Files.writeString(Paths.get(minsPath),

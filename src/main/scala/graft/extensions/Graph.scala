@@ -191,20 +191,43 @@ object Graph {
     require(s > 0, "personalized PageRank needs >=1 seed present in the graph")
     val seedShare = Scale / s
     val teleportSeed = ((dampDen - dampNum) * seedShare) / dampDen
-    val flagged = verts
-      .join(seedSet.select(col("id"), lit(true).as("is_seed")),
-        Seq("id"), "left")
-    // materialized once: iterate() references vertsT every round, and
-    // without the checkpoint each round would replay the seed join
-    val vertsT = flagged.select(col("id"),
-      when(col("is_seed"), lit(teleportSeed)).otherwise(lit(0L)).as("tp"))
-      .localCheckpoint(true)
+    // SUPPORT-ONLY iteration (r19): seeded teleport mass is 0 for every
+    // non-seed, so a vertex outside the seed-reachable support holds
+    // rank EXACTLY 0 (integral arithmetic) and contributes exactly 0
+    // through any out-edge ((ew·0) div sw = 0). The rank vector
+    // therefore stays on its support: the teleport term is an s-row
+    // frame (the seeds), each round's merge is a FULL OUTER join of
+    // that s-row frame with the round's inflow sums — replacing the
+    // old per-round |V|-row vertsT left join (and its eager
+    // localCheckpoint) — and the full per-vertex contract is restored
+    // by ONE |V|-row completion join at the end, coalescing the
+    // unreached to their true 0. At 100 TB personalized PageRank over
+    // a hand-vetted seed set touches the reachable set, not the whole
+    // vertex table, every round. Bit-exact vs the full-vector
+    // recurrence (GraphSpec's sequential references pin it).
+    val vertsT = seedSet.select(col("id"), lit(teleportSeed).as("tp"))
     // init = the seed distribution itself (the vector the teleport term
     // anchors), so iteration k already carries k-hop trust flow
-    val init = flagged.select(col("id"),
-      when(col("is_seed"), lit(seedShare)).otherwise(lit(0L)).as("rank_fp"))
-    iterate(vertsT, linked, init, iterations, dampNum, dampDen,
-      release = Seq(verts, linked, seedSet))
+    var ranks = seedSet.select(col("id"), lit(seedShare).as("rank_fp"))
+    for (_ <- 1 to iterations) {
+      val contribs = linked
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("(ew * rank_fp) div sw").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("contrib"))
+      ranks = vertsT
+        .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "full_outer")
+        .select(col("id"),
+          (coalesce(col("tp"), lit(0L)) +
+            expr(s"($dampNum * coalesce(contrib, 0L)) div $dampDen"))
+            .as("rank_fp"))
+    }
+    // one completion join restores the one-row-per-vertex contract;
+    // the lazy round chain materializes once here (iterate()'s stance)
+    val out = verts.join(ranks, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rank_fp"), lit(0L)).as("rank_fp"))
+      .localCheckpoint(true)
+    Seq(verts, linked, seedSet).foreach(_.unpersist(false))
+    out
   }
 
   /** HITS (hubs & authorities) in fixed-point integers — the
