@@ -42,23 +42,33 @@ object Bench {
   // quietly disarming the retry ladder.
   private val entryRe = """"([^"]+)"\s*:\s*([0-9.]+)""".r
   private val sfTagRe = """"_sf"\s*:\s*"([^"]+)"""".r
+  private val cpusTagRe = """"_cpus"\s*:\s*"([^"]+)"""".r
 
-  /** Tiny flat {"_sf":dir,"name":sec,...} parser — the only JSON this
-    * reads is the one this file writes. Mins are NAMESPACED BY SF DIR: a
-    * run against a smaller sf must not permanently lower the shared
-    * minimums (mins only ever decrease), or every later full-sf run flags
-    * its heavy queries as steal suspects and silently switches to the
-    * extra-retry methodology. A file recorded under a different sfDir is
-    * ignored wholesale (fresh namespace, rewritten on save); legacy files
-    * without the `_sf` tag were all recorded at the sf0.1 default.
+  /** Tiny flat {"_sf":dir,"_cpus":n,"name":sec,...} parser — the only
+    * JSON this reads is the one this file writes. Mins are NAMESPACED BY
+    * SF DIR **and CPU COUNT** (VERDICT r19 #4: the driver also benches
+    * at a lower core count, and its cpus=8 run permanently lowered ~5 s
+    * of 32-core sf0.1 floors because the table keyed on sf only): a run
+    * against a smaller sf OR a different core count must not lower the
+    * shared minimums (mins only ever decrease), or every later full
+    * run flags its heavy queries as steal suspects and silently switches
+    * to the extra-retry methodology. A file recorded under a different
+    * sfDir or cpus is ignored wholesale (fresh namespace, rewritten on
+    * save); legacy files without the `_sf`/`_cpus` tags were recorded at
+    * the sf0.1 / 32-core defaults. Belt and braces with [[minsPathFor]],
+    * which additionally routes non-default core counts to their own
+    * FILE so an 8-core run can't overwrite the committed 32-core table.
     */
-  def readMins(path: String, sfDir: String): Map[String, Double] =
+  def readMins(path: String, sfDir: String,
+               cpus: String = "32"): Map[String, Double] =
     if (!Files.exists(Paths.get(path))) Map.empty
     else {
       val text = Files.readString(Paths.get(path))
       val recordedSf = sfTagRe.findFirstMatchIn(text)
         .map(_.group(1)).getOrElse("/root/testdata/sf0.1")
-      if (recordedSf != sfDir) Map.empty
+      val recordedCpus = cpusTagRe.findFirstMatchIn(text)
+        .map(_.group(1)).getOrElse("32")
+      if (recordedSf != sfDir || recordedCpus != cpus) Map.empty
       else {
         val entries = entryRe.findAllMatchIn(text)
           // tolerate a hand-mangled entry ("q":12..3): drop IT, not the
@@ -67,11 +77,13 @@ object Bench {
           .flatMap(m =>
             scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
           .toMap
-        // quoted content besides the _sf tag but ZERO parsed entries =
-        // a format this parser can't read; refuse rather than bench
-        // without a retry ladder and re-seed every floor from one run
+        // quoted content besides the _sf/_cpus tags but ZERO parsed
+        // entries = a format this parser can't read; refuse rather than
+        // bench without a retry ladder and re-seed every floor from one
+        // run
         if (entries.isEmpty &&
-            sfTagRe.replaceAllIn(text, "").contains('"'))
+            cpusTagRe.replaceAllIn(
+              sfTagRe.replaceAllIn(text, ""), "").contains('"'))
           throw new IllegalStateException(
             s"$path has entry-shaped content but parsed to ZERO " +
               "entries — fix its format (Bench writes compact " +
@@ -198,12 +210,22 @@ object Bench {
     }
   }
 
+  /** Default floor-table path for a core count: the canonical 32-core
+    * table keeps its committed name; any other core count gets its own
+    * file (VERDICT r19 #4 — the mins file is REWRITTEN after every run,
+    * so without per-cpus files the driver's low-core scaling run would
+    * either wipe or permanently lower the 32-core floors).
+    */
+  def minsPathFor(cpus: String): String =
+    if (cpus == "32") "/root/repo/bench_mins.json"
+    else s"/root/repo/bench_mins.c$cpus.json"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val minsPath =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_MINS", "/root/repo/bench_mins.json")
-    val histMins = readMins(minsPath, sfDir)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MINS", minsPathFor(cpus))
+    val histMins = readMins(minsPath, sfDir, cpus)
     val spark = Sessions.local("graft-bench", cpus)
     var failures = 0
     var stealSuspects = 0
@@ -275,15 +297,25 @@ object Bench {
     val mergedMins = mergeMins(histMins, results).toMap
     val minTotal = minTotalOf(mergedMins, results)
     val summary =
-      s"""{"metric":"total","value":${f(total)},"min_total":${f(minTotal)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failures":$failures,"steal_suspect":$stealSuspects}"""
+      s"""{"metric":"total","value":${f(total)},"min_total":${f(minTotal)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"failures":$failures,"steal_suspect":$stealSuspects}"""
     val json =
-      s"""{"metric":"total","value":${f(total)},"min_total":${f(minTotal)},"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failures,"steal_suspect":$stealSuspects}"""
+      s"""{"metric":"total","value":${f(total)},"min_total":${f(minTotal)},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"failures":$failures,"steal_suspect":$stealSuspects}"""
     println(json)
     // a second, summary-only line AFTER the big per-query object: the
     // driver captures a bounded stdout TAIL, and r03-r06 artifacts all
     // lost the leading `"value":` total to head-truncation of the long
     // line — the trailing compact line always survives the tail window
     println(summary)
+    // EVERY run writes its full per-query artifact to ONE predictable
+    // path, unconditionally (VERDICT r19 #2: the driver has had no
+    // machine-readable bench since r14 — its stdout tail truncates the
+    // long line, and last round the dirty-run quarantine ALSO diverted
+    // the file output, leaving no artifact at any stable path).
+    // bench.last.json = "what did the most recent run measure",
+    // regardless of window quality; gitignored, never the floor gate's
+    // input.
+    Files.writeString(Paths.get("/root/repo/bench.last.json"),
+      json + "\n" + summary + "\n")
     // Dirty-run quarantine (VERDICT r18 #4): a run with steal
     // suspects must never overwrite the committed quiet artifact —
     // two rounds running, the driver's last (noisy) run landed in
@@ -296,9 +328,10 @@ object Bench {
       if (stealSuspects > 0) "/root/repo/bench.dirty.json"
       else "/root/repo/bench.json")
     Files.writeString(Paths.get(out), json + "\n" + summary + "\n")
-    // roll this run into the historical minimums (clean samples only)
+    // roll this run into the historical minimums (clean samples only),
+    // tagged with the namespace they were recorded under
     Files.writeString(Paths.get(minsPath),
-      (s"\"_sf\":\"$sfDir\"" +:
+      (s"\"_sf\":\"$sfDir\"" +: s"\"_cpus\":\"$cpus\"" +:
         mergedMins.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":${f(v)}" })
         .mkString("{", ",", "}\n"))
     spark.stop()

@@ -73,6 +73,28 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.readMins("/nonexistent/mins.json", sf).isEmpty)
   }
 
+  test("readMins: cpus-namespace isolation (VERDICT r19 #4 — the " +
+       "driver's low-core scaling run must not adjudicate or lower " +
+       "32-core floors) and the legacy 32 default") {
+    val path = tmpMins(
+      s"""{"_sf":"$sf","_cpus":"8","q1_agg":0.123}""")
+    assert(Bench.readMins(path, sf, "8") == Map("q1_agg" -> 0.123))
+    // a file recorded at another core count is ignored wholesale
+    assert(Bench.readMins(path, sf, "32").isEmpty)
+    assert(Bench.readMins(path, sf).isEmpty) // default param = 32
+    // legacy file without the _cpus tag was recorded at the 32 default
+    val legacy = tmpMins(s"""{"_sf":"$sf","q1_agg":0.5}""")
+    assert(Bench.readMins(legacy, sf, "32") == Map("q1_agg" -> 0.5))
+    assert(Bench.readMins(legacy, sf, "8").isEmpty)
+    // a tag-only file stays a quiet empty table in both namespaces
+    assert(Bench.readMins(
+      tmpMins(s"""{"_sf":"$sf","_cpus":"8"}"""), sf, "8").isEmpty)
+    // and the per-cpus default paths diverge so an 8-core run can never
+    // rewrite the committed 32-core table
+    assert(Bench.minsPathFor("32") != Bench.minsPathFor("8"))
+    assert(Bench.minsPathFor("32").endsWith("bench_mins.json"))
+  }
+
   test("readMins: one malformed entry drops that entry, not the table") {
     val path = tmpMins(
       s"""{"_sf":"$sf","good":0.25,"mangled":12..3,"also_good":1.75}""")
@@ -166,9 +188,16 @@ class BenchSpec extends AnyFunSuite {
       "committed bench recorded at the gate sf")
     val steal = """"steal_suspect":(\d+)""".r
       .findFirstMatchIn(firstLine).map(_.group(1).toInt)
-    assume(steal.contains(0),
-      s"floor gate applies only to 0-steal runs (got $steal) — " +
-        "re-run a quiet bench before trusting per-query comparisons")
+    // ASSERT, not assume (VERDICT r19 #1): a committed bench.json with
+    // steal suspects silently disarmed this gate for two rounds running
+    // (the test auto-canceled instead of failing). The dirty-run
+    // quarantine in Bench.main means a hot run can no longer land at
+    // the default path, so a dirty committed artifact is a COMMIT
+    // mistake the suite must reject loudly.
+    assert(steal.contains(0),
+      s"committed bench.json is not a quiet run (steal_suspect=$steal) — " +
+        "re-run the bench in a quiet window and commit that artifact; " +
+        "the floor gate only adjudicates 0-steal runs")
     val queriesBlob = firstLine
       .split("\"queries\":\\{", 2).last.split("\\}", 2).head
     val fresh = """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(queriesBlob)
