@@ -281,13 +281,49 @@ object Kmeans {
     */
   def incrementalUpdateFramed(state: DataFrame, batch: DataFrame,
                               vecCol: String, nSupers: Int): DataFrame = {
-    val routing = framedRoutingFor(centsOfState(state), "cluster", "cv",
-      nSupers)
-    // the row id plays no part in the update aggregation — a constant
-    // satisfies the assign signature without inventing per-row ids
-    val assigned = framedAssignWithV(
-      batch.select(lit(0L).as("_bid"), col(vecCol).as("_v")),
-      "_bid", "_v", routing)
+    // nSupers == 1 (the EXACT-assignment mode every declared streaming/
+    // incremental demo runs): routing is the identity grouping — every
+    // cluster lives in the single super — so deriving it per batch
+    // (framedRoutingFor: a centroid-frame count, a 1-round Lloyd over
+    // the k centroid rows, a membership collect — ~4 k-row jobs EVERY
+    // micro-batch) is pure waste. The batch argmins directly over ONE
+    // sorted member array built from the state centroids: the same
+    // array_sort(collect_list(struct(cluster, cv))) row memberArrays
+    // builds, the same NearestCentroidIn fold (seed from member 0,
+    // strict < walking ascending cluster ids), so the assignment is
+    // bit-equal to the routed path (ExtensionsSpec pins framed == exact
+    // at nSupers = 1). The ragged-vector guard the route step used to
+    // provide (argminStruct raises) moves onto the fold result, which
+    // is null exactly on a dimension mismatch.
+    // nSupers > 1 keeps the per-batch derivation: the routing must
+    // track the EVOLVING centroids of state b−1 (freezing it would
+    // change which super a vector probes, i.e. the documented
+    // approximation contract), so it cannot be carried across batches.
+    val assigned =
+      if (nSupers == 1) {
+        val marr = centsOfState(state)
+          .groupBy()
+          .agg(array_sort(collect_list(struct(col("cluster"), col("cv"))))
+            .as("marr"))
+        val best = graft.functions.NearestCentroidIn(col("v"), col("marr"))
+        batch.select(col(vecCol).cast("array<double>").as("v"))
+          .crossJoin(broadcast(marr))
+          .select(col("v"),
+            when(best.isNull, raise_error(lit(
+              "Kmeans: vector length != centroid dimension — ragged " +
+              "vectors would silently corrupt centroid sums; filter " +
+              "or fix them first")))
+              .otherwise(best).getField("cluster").as("cluster"))
+      } else {
+        val routing = framedRoutingFor(centsOfState(state), "cluster",
+          "cv", nSupers)
+        // the row id plays no part in the update aggregation — a
+        // constant satisfies the assign signature without inventing
+        // per-row ids
+        framedAssignWithV(
+          batch.select(lit(0L).as("_bid"), col(vecCol).as("_v")),
+          "_bid", "_v", routing)
+      }
     val bsums = assigned
       .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
       .select(col("cluster"), col("pos").cast("long").as("pos"),

@@ -380,6 +380,17 @@ object TextDedup {
     * @param hist      the corresponding (idCol, textCol) corpus rows,
     *                  read only for candidate verification
     */
+  /** The band-index rows of an already-shingled frame ((id, sh) from
+    * [[withShingles]]) — [[bandIndexOf]] minus the shingle pass, for
+    * callers that stage the shingles once and feed several consumers
+    * (the streaming ingest computes ONE staged pair per micro-batch
+    * and routes it to both the flag join and the band-index sink).
+    */
+  def bandIndexFromShingles(sh: DataFrame, k: Int = 8,
+                            bands: Int = 4): DataFrame =
+    sh.select(col("id"),
+      explode(graft.functions.MinHashBands(col("sh"), k, bands)).as("band"))
+
   def incrementalNearDupsIndexed(newDocs: DataFrame, histIndex: DataFrame,
                                  hist: DataFrame, idCol: String,
                                  textCol: String, threshold: Double,
@@ -388,9 +399,30 @@ object TextDedup {
                                  maxBucket: Int = defaultMaxBucket): DataFrame = {
     val newSh = withShingles(newDocs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val newBands = newSh.select(col("id"),
-        explode(graft.functions.MinHashBands(col("sh"), k, bands)).as("band"))
+    val newBands = bandIndexFromShingles(newSh, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    incrementalNearDupsIndexedStaged(newSh, newBands, histIndex, hist,
+      idCol, textCol, threshold, maxBucket)
+  }
+
+  /** [[incrementalNearDupsIndexed]] over a caller-staged batch:
+    * `newSh` = the batch's [[withShingles]] frame, `newBands` = its
+    * [[bandIndexFromShingles]] rows, both persisted by the caller (they
+    * are consumed more than once below). The streaming ingest entry
+    * point: the SAME staged pair also feeds the band-index sink, so the
+    * batch is shingled exactly once per micro-batch by construction
+    * (r19 relied on CacheManager plan-dedup to collapse the sink's
+    * separate [[bandIndexOf]] onto the flag path's cached frames; this
+    * makes the reuse explicit). `newBands` must be built from `newSh`
+    * with the SAME k/bands as the accumulated `histIndex` — mismatched
+    * parameters silently produce disjoint band keys and zero candidates.
+    */
+  def incrementalNearDupsIndexedStaged(newSh: DataFrame, newBands: DataFrame,
+                                       histIndex: DataFrame, hist: DataFrame,
+                                       idCol: String, textCol: String,
+                                       threshold: Double,
+                                       maxBucket: Int = defaultMaxBucket,
+                                       shingleN: Int = 3): DataFrame = {
     // prune the history index to bands the BATCH actually holds before
     // anything else: the batch's distinct band set is bounded by
     // batch×bands (broadcastable by construction), and every history row

@@ -150,6 +150,25 @@ object DocsStream {
     // the micro-batch source is not fetched once per sink
     batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // ONE staged shingle/band pair per micro-batch, shared by BOTH
+      // the flag join and the band-index sink (r20, VERDICT r19 #3:
+      // previously the sink called bandIndexOf separately and relied on
+      // CacheManager plan-dedup to collapse it onto the flag path's
+      // cached frames — explicit sharing, and on batch 0, where the
+      // flag path never ran, it saves the sink's own shingle pass
+      // recomputation outright). Session-persisted like the frames the
+      // staged flagger owns — CacheManager dedups re-executions over
+      // the same batch plan.
+      import graft.extensions.TextDedup
+      val newSh = TextDedup.withShingles(batch, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val newBands = TextDedup.bandIndexFromShingles(newSh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // read-back schemas are KNOWN (the history/band dirs hold exactly
+      // what this body wrote on earlier batches — the same stream's row
+      // shape): declaring them skips one parquet footer-inference job
+      // per directory per batch (guide §6 — at scale also one listing
+      // round-trip per batch on an object store)
       val flags =
         if (priorIds.isEmpty)
           batch.select(col("doc_id").as("id")).limit(0)
@@ -157,16 +176,21 @@ object DocsStream {
             .withColumn("n_matches", lit(0L))
             .withColumn("best_jaccard", lit(0.0))
         else
-          graft.extensions.TextDedup.incrementalNearDupsIndexed(
-            batch,
-            spark.read.parquet(priorIds.map(i => s"$bandsDir/batch=$i"): _*)
+          TextDedup.incrementalNearDupsIndexedStaged(
+            newSh, newBands,
+            spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("doc_id",
+                  batch.schema("doc_id").dataType),
+                org.apache.spark.sql.types.StructField("band",
+                  newBands.schema("band").dataType))))
+              .parquet(priorIds.map(i => s"$bandsDir/batch=$i"): _*)
               .select(col("doc_id").as("id"), col("band")),
-            spark.read.parquet(priorIds.map(i => s"$histDir/batch=$i"): _*)
+            spark.read.schema(batch.schema)
+              .parquet(priorIds.map(i => s"$histDir/batch=$i"): _*)
               .select("doc_id", "text"),
             "doc_id", "text", threshold)
       flags.write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
-      graft.extensions.TextDedup.bandIndexOf(batch, "doc_id", "text")
-        .select(col("id").as("doc_id"), col("band"))
+      newBands.select(col("id").as("doc_id"), col("band"))
         .write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
       batch.write.mode("overwrite").parquet(s"$histDir/batch=$batchId")
     } finally batch.unpersist()
@@ -232,7 +256,9 @@ object DocsStream {
       val cum =
         if (priorIds.isEmpty) cur
         else cur.unionByName(
-            spark.read
+            // totals dirs hold exactly cur's shape from earlier batches:
+            // the declared schema skips a footer-inference job per batch
+            spark.read.schema(cur.schema)
               .parquet(priorIds.map(i => s"$totalsDir/batch=$i"): _*)
               .select("lang", "ng"))
           .groupBy("lang").agg(sum(col("ng")).as("ng"))

@@ -107,7 +107,8 @@ object VecsStream {
     val prev =
       if (batchId == 0L) model0
       else Kmeans.modelFromSums(Kmeans.sumsFromStateRows(
-        spark.read.parquet(s"$stateDir/batch=${batchId - 1}")
+        spark.read.schema(kmeansStateSchema)
+          .parquet(s"$stateDir/batch=${batchId - 1}")
           .select("cluster", "pos", "sq", "n").collect()))
     val updated = Kmeans.incrementalUpdate(prev, batch, vecCol)
     Kmeans.stateFrame(spark, updated)
@@ -140,6 +141,24 @@ object VecsStream {
       }
       .start()
 
+  /** The landed k-means state artifact's on-disk shape
+    * ([[graft.extensions.Kmeans.stateFrame]] / lloydFramedState output):
+    * declaring it on read-back skips one parquet footer-inference job
+    * per micro-batch (the state schema is this module's own contract,
+    * not something to re-discover every batch).
+    */
+  private val kmeansStateSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cluster",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sq",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("c",
+      org.apache.spark.sql.types.DoubleType)))
+
   /** One frame-resident online-k-means micro-batch (exposed for
     * batch-parity tests and the demo registry). */
   def kmeansIngestBatchFramed(batch: DataFrame, batchId: Long,
@@ -150,7 +169,7 @@ object VecsStream {
     val spark = batch.sparkSession
     val prevDir =
       if (batchId == 0L) state0Dir else s"$stateDir/batch=${batchId - 1}"
-    val prev = spark.read.parquet(prevDir)
+    val prev = spark.read.schema(kmeansStateSchema).parquet(prevDir)
       .select("cluster", "pos", "sq", "n")
     Kmeans.incrementalUpdateFramed(prev, batch, vecCol, nSupers)
       .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
@@ -299,7 +318,11 @@ object VecsStream {
             st.getPath.getName.startsWith("batch="))
           .map(_.getPath.getName.stripPrefix("batch=").toLong)
           .filter(_ < batchId)
-      val hist = spark.read
+      // the stage dirs hold exactly the staged frame's shape (this
+      // body wrote them on earlier batches; stage0 comes from the same
+      // semStage family): the declared schema skips one parquet
+      // footer-inference job per micro-batch
+      val hist = spark.read.schema(staged.schema)
         .parquet(stage0Dir +: priorIds.map(i => s"$stageDir/batch=$i"): _*)
         .select(col("id").as("hist_id"), col("v").as("hv"),
                 col("nrm").as("hnrm"), col("cluster"))
