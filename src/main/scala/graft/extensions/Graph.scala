@@ -210,16 +210,7 @@ object Graph {
     // anchors), so iteration k already carries k-hop trust flow
     var ranks = seedSet.select(col("id"), lit(seedShare).as("rank_fp"))
     for (_ <- 1 to iterations) {
-      val contribs = linked
-        .join(ranks.withColumnRenamed("id", "src"), "src")
-        .select(col("dst"), expr("(ew * rank_fp) div sw").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("contrib"))
-      ranks = vertsT
-        .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "full_outer")
-        .select(col("id"),
-          (coalesce(col("tp"), lit(0L)) +
-            expr(s"($dampNum * coalesce(contrib, 0L)) div $dampDen"))
-            .as("rank_fp"))
+      ranks = seededRound(vertsT, linked, ranks, dampNum, dampDen)
     }
     // one completion join restores the one-row-per-vertex contract;
     // the lazy round chain materializes once here (iterate()'s stance)
@@ -287,14 +278,30 @@ object Graph {
                        prevState: Option[DataFrame],
                        iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 32, "fixed iteration budget")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-                         col(dstCol).cast("long").as("dst"))
+    // the edge list is consumed in BOTH directions every iteration
+    // (auth sums join on src, hub sums join on dst), so cache it
+    // pre-hashed PER DIRECTION and materialize both BEFORE any
+    // half-step is planned (r20, the VERDICT r19 #6 co-partitioning
+    // pass): a finalized cached layout makes every half-step's edge
+    // side plan with ZERO exchange — only the rank vectors move —
+    // where the single unpartitioned cache re-exchanged the |E|-row
+    // frame 2·iterations−1 times per run. Storage trades 2× the edge
+    // cache for that; at the 100 TB regime the iteration shuffles
+    // dominate the one extra cached copy (both spill to disk), and
+    // eDst is built FROM the materialized eSrc so the input is still
+    // read once.
+    val eSrc = edges.select(col(srcCol).cast("long").as("src"),
+                            col(dstCol).cast("long").as("dst"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+    val verts = eSrc.select(col("src").as("id"))
+      .union(eSrc.select(col("dst").as("id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val v = verts.count()
+    val v = verts.count()            // materializes eSrc through the union
     require(v > 0, "HITS needs a non-empty edge list")
+    val eDst = eSrc.repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    eDst.count()
     // common-divisor renormalization: x div max(1, total div Scale).
     // SUPPORT-ONLY iteration (r19): the half-step vectors carry only
     // vertices with a raw sum — an absent vertex's score is exactly 0,
@@ -346,15 +353,16 @@ object Graph {
         if (t == 1 && prevState.isEmpty)
           // fresh iteration 1: hub is the CONSTANT Scale/v everywhere,
           // so the join collapses to indeg(d)·base — one aggregate,
-          // no join, same exact sum
-          e.groupBy(col("dst").as("id"))
+          // no join, same exact sum (on the dst-hashed copy the
+          // aggregate needs no exchange at all)
+          eDst.groupBy(col("dst").as("id"))
             .agg((count(lit(1)) * lit(Scale / v)).as("raw"))
         else
-          e.join(hub.withColumnRenamed("id", "src"), "src")
+          eSrc.join(hub.withColumnRenamed("id", "src"), "src")
             .groupBy(col("dst").as("id")).agg(sum(col("hub_fp")).as("raw"))
       auth = renorm(araw, "auth_fp")
       hub = renorm(
-        e.join(auth.withColumnRenamed("id", "dst"), "dst")
+        eDst.join(auth.withColumnRenamed("id", "dst"), "dst")
           .groupBy(col("src").as("id")).agg(sum(col("auth_fp")).as("raw")),
         "hub_fp")
     }
@@ -370,7 +378,7 @@ object Graph {
       .localCheckpoint(true)
     finally {
       kept.foreach(_.unpersist(false))
-      e.unpersist(false); verts.unpersist(false)
+      eSrc.unpersist(false); eDst.unpersist(false); verts.unpersist(false)
     }
   }
 
@@ -488,6 +496,13 @@ object Graph {
       .agg(sort_array(collect_list(col("dst"))).as("dsts"),
            count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize before any step is planned (r20, VERDICT r19 #6
+    // co-partitioning pass): the aggregate leaves the adjacency frame
+    // hashed by src, and with the cached layout FINALIZED every walk
+    // step's join plans the (array-carrying, |V|-row) adjacency side
+    // with zero exchange — only the two-long frontier moves per step.
+    // Unfinalized, the whole steps-deep chain re-exchanged it per step.
+    neighbors.count()
     val starts = e.select(col("src").as("start")).distinct()
       .select(col("start"),
         explode(sequence(lit(0), lit(walksPerStart - 1))).as("walk"))
@@ -1664,14 +1679,24 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Canonical symmetrized (a, b) edge frame, persisted. */
+  /** Canonical symmetrized (a, b) edge frame — hashed by `b` (the key
+    * every [[labelRounds]] neighbor join probes it on), persisted, and
+    * MATERIALIZED before return (r20, the VERDICT r19 #6
+    * co-partitioning pass): with the cached layout finalized, each
+    * propagation round plans its 2|E|-row sym side with zero exchange —
+    * only the |V|-row label vector moves per round. Before, the
+    * unfinalized cache re-exchanged sym every round.
+    */
   private def symmetrized(edges: DataFrame, srcCol: String,
                           dstCol: String): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
                          col(dstCol).cast("long").as("dst"))
-    e.select(col("src").as("a"), col("dst").as("b"))
+    val sym = e.select(col("src").as("a"), col("dst").as("b"))
       .union(e.select(col("dst").as("a"), col("src").as("b")))
+      .repartition(col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+    sym
   }
 
   /** The synchronous propagation rounds shared by [[labelPropagation]]
@@ -1729,9 +1754,9 @@ object Graph {
     * against it. Both frames come back persisted; [[iterate]] releases
     * them via `release`.
     */
-  private def prep(edges: DataFrame, srcCol: String, dstCol: String,
-                   iterations: Int, dampNum: Long, dampDen: Long,
-                   weightCol: Option[String] = None)
+  private[graft] def prep(edges: DataFrame, srcCol: String, dstCol: String,
+                          iterations: Int, dampNum: Long, dampDen: Long,
+                          weightCol: Option[String] = None)
       : (DataFrame, DataFrame) = {
     require(iterations >= 1 && iterations <= 64, "fixed iteration budget")
     require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
@@ -1760,6 +1785,16 @@ object Graph {
       .join(weighted.groupBy("src").agg(sum(col("ew")).as("sw")), "src")
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the cache BEFORE any round is planned (r20, VERDICT
+    // r19 #6): a persisted-but-unmaterialized frame sits behind an
+    // un-finalized adaptive plan, so InMemoryTableScan reports UNKNOWN
+    // partitioning and EnsureRequirements re-exchanges this static
+    // |E|-row frame on src in EVERY round of the chain. Once the cached
+    // plan is final, the scan reports the hash-by-src layout the
+    // repartition above built, and each round's rank join plans with NO
+    // exchange on the edge side (PlanShapeSpec pins it) — one bounded
+    // count job here buys iterations× fewer data-sized shuffles.
+    linked.count()
     (verts, linked)
   }
 
@@ -1768,23 +1803,57 @@ object Graph {
     * rank_fp) start vector; `release` frames are unpersisted once the
     * final vector is materialized.
     */
+  /** One power-iteration round's inflow sums: linked ⋈ ranks on src
+    * (the static side is the cached frame `prep` left hashed by src, so
+    * only the rank vector moves), exact weighted flow split
+    * `(ew · rank) div sw` (bounds: rank ≤ Scale = 1e12 and the weight
+    * cap is 10^6, so w·rank ≤ 1e18 < 2^63), then groupBy(dst) — the
+    * round's ONE new Exchange. Extracted (r20) so PlanShapeSpec can pin
+    * the co-partitioning claim on the production round plan itself.
+    */
+  private[graft] def roundContribs(linked: DataFrame, ranks: DataFrame,
+                                   dampNum: Long, dampDen: Long): DataFrame =
+    linked
+      .join(ranks.withColumnRenamed("id", "src"), "src")
+      .select(col("dst"), expr("(ew * rank_fp) div sw").as("c"))
+      .groupBy("dst").agg(sum(col("c")).as("contrib"))
+
+  /** One uniform/weighted round: inflow sums merged with the |V|-row
+    * teleport frame (teleport > 0 everywhere makes the full vector
+    * semantically required — the LEFT join restores it each round). */
+  private[graft] def pageRankRound(vertsT: DataFrame, linked: DataFrame,
+                                   ranks: DataFrame, dampNum: Long,
+                                   dampDen: Long): DataFrame =
+    vertsT
+      .join(roundContribs(linked, ranks, dampNum, dampDen)
+        .withColumnRenamed("dst", "id"), Seq("id"), "left")
+      .select(col("id"),
+        (col("tp") +
+          expr(s"($dampNum * coalesce(contrib, 0L)) div $dampDen"))
+          .as("rank_fp"))
+
+  /** One SEEDED round (r19 support-only contract): the same inflow sums
+    * merged with the s-row seed-teleport frame by FULL OUTER join — the
+    * rank vector stays on its support; no |V|-row frame appears
+    * anywhere in the round (PlanShapeSpec pins this, VERDICT r19 #7).
+    */
+  private[graft] def seededRound(vertsT: DataFrame, linked: DataFrame,
+                                 ranks: DataFrame, dampNum: Long,
+                                 dampDen: Long): DataFrame =
+    vertsT
+      .join(roundContribs(linked, ranks, dampNum, dampDen)
+        .withColumnRenamed("dst", "id"), Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(col("tp"), lit(0L)) +
+          expr(s"($dampNum * coalesce(contrib, 0L)) div $dampDen"))
+          .as("rank_fp"))
+
   private def iterate(vertsT: DataFrame, linked: DataFrame, init: DataFrame,
                       iterations: Int, dampNum: Long, dampDen: Long,
                       release: Seq[DataFrame]): DataFrame = {
     var ranks = init
     for (_ <- 1 to iterations) {
-      // exact weighted flow split: (ew · rank) div sw. Bounds: rank ≤
-      // Scale = 1e12 and the weight cap is 10^6, so w·rank ≤ 1e18 < 2^63
-      val contribs = linked
-        .join(ranks.withColumnRenamed("id", "src"), "src")
-        .select(col("dst"), expr("(ew * rank_fp) div sw").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("contrib"))
-      ranks = vertsT
-        .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .select(col("id"),
-          (col("tp") +
-            expr(s"($dampNum * coalesce(contrib, 0L)) div $dampDen"))
-            .as("rank_fp"))
+      ranks = pageRankRound(vertsT, linked, ranks, dampNum, dampDen)
     }
     // rounds form a pure lazy CHAIN — each ranks frame feeds exactly one
     // consumer (the next round), so nothing needs caching and plan size
