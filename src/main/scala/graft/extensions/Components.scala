@@ -54,10 +54,16 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
-    // symmetrize once: propagation below only follows a->b. NO distinct
-    // — every consumer is a min aggregation, which is idempotent to
-    // duplicate edges, so deduping here would buy nothing for the cost
-    // of a full shuffle of the edge list.
+    // symmetrize once, in ONE pass (r20): explode emits both directions
+    // per input row, so the edge-derivation subtree (often an expensive
+    // pair pipeline — the IVF cell join behind dedup_embed_components,
+    // the LSH+jaccard chain behind dedup_components) executes ONCE; the
+    // old union(edges, edges.reversed) planned the subtree twice and
+    // computed it twice on the first materialization of sym (guide §2.4
+    // — same rows, half the passes). NO distinct — every consumer is a
+    // min aggregation, which is idempotent to duplicate edges, so
+    // deduping here would buy nothing for the cost of a full shuffle of
+    // the edge list.
     // Lineage policy (measured both ways, ProfilePairs r10): every
     // round references sym and phase-1 label chains embed its plan up
     // to 2^PropagationBudget times, so each round's action pays
@@ -72,8 +78,10 @@ object Components {
     // leaf only when the input lineage is genuinely deep; keep the
     // lazy persist otherwise.
     val raw = edges
-      .select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .select(explode(array(
+          struct(col(srcCol).as("a"), col(dstCol).as("b")),
+          struct(col(dstCol).as("a"), col(srcCol).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
     val deepLineage =
       edges.queryExecution.analyzed.collect { case p => p }.size > 128
     val sym =
