@@ -54,17 +54,23 @@ object Stage1 {
     // applied it (textToKg2NodesByPass) — row-identical output, half
     // the linking machinery (one hits aggregate, one dictionary build,
     // and for the model adapter ONE model pass). The small merged-hits
-    // frame is persisted: it feeds both map aggregations below.
+    // frame feeds both map aggregations below, so it is stage-bounded
+    // like recs (r20, folding the r19 ADVICE leak note): a bare persist
+    // here was never unpersisted, and because recs is a fresh
+    // localCheckpoint leaf per run, repeated Stage1.run calls in one
+    // session (bench/demo loops) each left a DEAD cache entry behind —
+    // the eager boundary holds its blocks only while this run's frame
+    // is referenced.
     val tagged = recs.filter(col("indication").isNotNull)
       .select(struct(lit("ind").as("pass"), col("kg2_id").as("k")).as("pk"),
               StringOps.removeBrackets(col("indication")).as("text"))
       .unionByName(recs.select(
         struct(lit("mech").as("pass"), col("kg2_id").as("k")).as("pk"),
         mechText.as("text")))
-    val hits = ner.textToKg2NodesByPass(tagged, "pk", "text",
+    val hits = Sinks.stageBoundary(
+      ner.textToKg2NodesByPass(tagged, "pk", "text",
         Map("ind" -> Constants.IndicationCategories,
-            "mech" -> Constants.MechanisticCategories))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            "mech" -> Constants.MechanisticCategories)))
     def passMap(pass: String, outName: String) =
       ner.asMap(hits
           .filter(col("doc_key").getField("pass") === pass)

@@ -95,7 +95,17 @@ object Mixture {
     * measured group count `m` exceeds the contract bound. It RIDES the
     * `cap` output column (evaluated on the 1-row result — zero extra
     * jobs), so a pruned helper column can never silently disarm it;
-    * both cap solvers share one wording. */
+    * both cap solvers share one wording.
+    *
+    * DETECTION, not prevention (r18 ADVICE): the guard evaluates
+    * downstream of the global window / m×m self-join, so a corpus-sized
+    * misuse still pays the full single-task grind BEFORE the loud
+    * raise — what it prevents is the silent wrong answer, not the
+    * wasted work. A cheap pre-count (`groups.limit(maxGroups+1)`)
+    * would fail earlier but adds a job to every well-formed call; the
+    * solvers run on per-group aggregates (dozens to thousands of
+    * rows), so the steady-state cost of the in-plan form is zero and
+    * the grind only ever happens on a caller bug. */
   private def groupsGuard(m: Column, maxGroups: Long, where: String,
                           value: Column): Column =
     when(m > maxGroups, raise_error(concat(

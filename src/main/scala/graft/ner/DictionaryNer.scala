@@ -97,6 +97,11 @@ final class DictionaryNer(nodes: DataFrame, clusters: DataFrame,
                                     textCol: String,
                                     categoriesByPass: Map[String, Set[String]])
       : DataFrame = {
+    // same empty-map contract as the trait default (which would throw
+    // from .reduce): all implementations fail loudly rather than one
+    // throwing and another returning an empty frame
+    require(categoriesByPass.nonEmpty,
+      "textToKg2NodesByPass needs at least one pass -> categories entry")
     val m = DictionaryNer.rawMentions(
         sentences(docs, keyCol, textCol), maxGram, minMentionChars)
       .withColumn("mention_key", StringOps.simplify(col("mention")))

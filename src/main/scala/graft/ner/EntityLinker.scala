@@ -46,11 +46,18 @@ trait EntityLinker {
     */
   def textToKg2NodesByPass(docs: DataFrame, keyCol: String, textCol: String,
                            categoriesByPass: Map[String, Set[String]])
-      : DataFrame =
+      : DataFrame = {
+    // explicit guard: .reduce on an empty map would throw a bare
+    // UnsupportedOperationException here while the fused overrides
+    // return an empty frame via their pass predicate — all
+    // implementations must agree on the edge case, loudly
+    require(categoriesByPass.nonEmpty,
+      "textToKg2NodesByPass needs at least one pass -> categories entry")
     categoriesByPass.toSeq.sortBy(_._1).map { case (p, cats) =>
       textToKg2Nodes(docs.filter(col(keyCol).getField("pass") === p),
         keyCol, textCol, cats)
     }.reduce(_.unionByName(_))
+  }
 
   /** Map-form result (`indication_NER_aligned` /
     * `mechanistic_intermediate_nodes` shape, perform_NER.py:119-134):

@@ -150,9 +150,14 @@ final class ModelNer(nodes: DataFrame, clusters: DataFrame,
   override def textToKg2NodesByPass(docs: DataFrame, keyCol: String,
                                     textCol: String,
                                     categoriesByPass: Map[String, Set[String]])
-      : DataFrame =
+      : DataFrame = {
+    // same empty-map contract as the trait default (which would throw
+    // from .reduce) — see the DictionaryNer override
+    require(categoriesByPass.nonEmpty,
+      "textToKg2NodesByPass needs at least one pass -> categories entry")
     DictionaryNer.filterAndMergeByPass(
       rawHits(docs, keyCol, textCol), categoriesByPass)
+  }
 }
 
 object ModelNer {
