@@ -278,30 +278,26 @@ object Graph {
                        prevState: Option[DataFrame],
                        iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 32, "fixed iteration budget")
-    // the edge list is consumed in BOTH directions every iteration
-    // (auth sums join on src, hub sums join on dst), so cache it
-    // pre-hashed PER DIRECTION and materialize both BEFORE any
-    // half-step is planned (r20, the VERDICT r19 #6 co-partitioning
-    // pass): a finalized cached layout makes every half-step's edge
-    // side plan with ZERO exchange — only the rank vectors move —
-    // where the single unpartitioned cache re-exchanged the |E|-row
-    // frame 2·iterations−1 times per run. Storage trades 2× the edge
-    // cache for that; at the 100 TB regime the iteration shuffles
-    // dominate the one extra cached copy (both spill to disk), and
-    // eDst is built FROM the materialized eSrc so the input is still
-    // read once.
-    val eSrc = edges.select(col(srcCol).cast("long").as("src"),
-                            col(dstCol).cast("long").as("dst"))
-      .repartition(col("src"))
+    // NOT pre-hashed per direction (r20 measured and rejected): caching
+    // eSrc/eDst copies repartitioned by src/dst would let every
+    // half-step join plan the edge side exchange-free at the
+    // no-broadcast scale (the prep/linked trick below), but the edge
+    // list is consumed in BOTH directions, so it costs two upfront |E|
+    // exchanges plus a second |E| cache — and at demo scale it
+    // tripled the wall (link_hits 2.7 -> 8.4 s, hits_resume 1.5 ->
+    // 5.1 s isolated): every half-step stage inherited the 32-way
+    // repartition layout, turning ~16 tiny stages into 32-task
+    // scheduler overhead, where the broadcast-regime half-steps never
+    // shuffle the edge side at all. See OPTIMIZATION_r20.md for the
+    // measurements.
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = eSrc.select(col("src").as("id"))
-      .union(eSrc.select(col("dst").as("id"))).distinct()
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val v = verts.count()            // materializes eSrc through the union
+    val v = verts.count()
     require(v > 0, "HITS needs a non-empty edge list")
-    val eDst = eSrc.repartition(col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    eDst.count()
     // common-divisor renormalization: x div max(1, total div Scale).
     // SUPPORT-ONLY iteration (r19): the half-step vectors carry only
     // vertices with a raw sum — an absent vertex's score is exactly 0,
@@ -353,16 +349,15 @@ object Graph {
         if (t == 1 && prevState.isEmpty)
           // fresh iteration 1: hub is the CONSTANT Scale/v everywhere,
           // so the join collapses to indeg(d)·base — one aggregate,
-          // no join, same exact sum (on the dst-hashed copy the
-          // aggregate needs no exchange at all)
-          eDst.groupBy(col("dst").as("id"))
+          // no join, same exact sum
+          e.groupBy(col("dst").as("id"))
             .agg((count(lit(1)) * lit(Scale / v)).as("raw"))
         else
-          eSrc.join(hub.withColumnRenamed("id", "src"), "src")
+          e.join(hub.withColumnRenamed("id", "src"), "src")
             .groupBy(col("dst").as("id")).agg(sum(col("hub_fp")).as("raw"))
       auth = renorm(araw, "auth_fp")
       hub = renorm(
-        eDst.join(auth.withColumnRenamed("id", "dst"), "dst")
+        e.join(auth.withColumnRenamed("id", "dst"), "dst")
           .groupBy(col("src").as("id")).agg(sum(col("auth_fp")).as("raw")),
         "hub_fp")
     }
@@ -378,7 +373,7 @@ object Graph {
       .localCheckpoint(true)
     finally {
       kept.foreach(_.unpersist(false))
-      eSrc.unpersist(false); eDst.unpersist(false); verts.unpersist(false)
+      e.unpersist(false); verts.unpersist(false)
     }
   }
 
@@ -1679,24 +1674,25 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Canonical symmetrized (a, b) edge frame — hashed by `b` (the key
-    * every [[labelRounds]] neighbor join probes it on), persisted, and
-    * MATERIALIZED before return (r20, the VERDICT r19 #6
-    * co-partitioning pass): with the cached layout finalized, each
-    * propagation round plans its 2|E|-row sym side with zero exchange —
-    * only the |V|-row label vector moves per round. Before, the
-    * unfinalized cache re-exchanged sym every round.
+  /** Canonical symmetrized (a, b) edge frame, persisted.
+    *
+    * NOT pre-hashed by the propagation probe key `b` (r20 measured and
+    * rejected, same verdict as the HITS per-direction copies): sym's
+    * own plan is shuffle-free (a union of two projections), and in the
+    * broadcast regime the label rounds never exchange it — so an added
+    * hash-by-b exchange (repartition AND the AQE-sized rebalance
+    * variant) was pure cost at demo scale (label_prop_resume 2.3-2.7 s
+    * -> 2.7-3.1 s isolated). At the no-broadcast scale the per-round
+    * sym exchange remains; see OPTIMIZATION_r20.md for the measurement
+    * and the trade.
     */
   private def symmetrized(edges: DataFrame, srcCol: String,
                           dstCol: String): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
                          col(dstCol).cast("long").as("dst"))
-    val sym = e.select(col("src").as("a"), col("dst").as("b"))
+    e.select(col("src").as("a"), col("dst").as("b"))
       .union(e.select(col("dst").as("a"), col("src").as("b")))
-      .repartition(col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    sym.count()
-    sym
   }
 
   /** The synchronous propagation rounds shared by [[labelPropagation]]
